@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.Column
+
+/** Fixture loaders + determinism helpers shared by every query.
+  *
+  * The correctness gate hash-compares our parquet output against a DuckDB
+  * oracle (mirror of the reference's H2-oracle pattern,
+  * presto-tests/src/main/java/com/facebook/presto/tests/H2QueryRunner.java:105).
+  * Floating-point SUM/AVG is order-dependent under parallel execution, so
+  * every double aggregate goes through an exact decimal accumulation
+  * (order-independent) and is converted back to double at the end — both
+  * engines then produce bit-identical IEEE-754 values.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register all fixture tables as temp views (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Exact, order-independent sum of a double expression: accumulate as
+    * decimal(18,6), emit double. Matches the oracle convention
+    * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+  def dsum(c: Column, alias: String): Column = dsum(c).as(alias)
+
+  /** Deterministic average: exact decimal sum divided by count (double/long
+    * division is identical across engines). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davg(c: Column, alias: String): Column = davg(c).as(alias)
+
+  /** A date literal column (compares fine against timestamp columns). */
+  def d(s: String): Column = lit(s).cast("date")
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Dev-only pre-validation harness (mimics the driver's DuckDB-oracle gate).
+
+NOT part of the shipped library — the engine itself is pure Scala/Spark.
+Usage: python3 tools/verify_local.py <sfdir> <outdir>
+Reads <outdir>/<name>/ parquet (written by graft.Verify) and
+<outdir>/oracle_sql.json, runs each oracle in DuckDB over <sfdir>/*.parquet,
+and compares cell-by-cell (columns sorted by name, rows sorted) so any
+driver-side hash compare will also pass.
+"""
+import duckdb, json, math, sys, glob, os
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def cell_eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # driver hashes → require exact
+    return a == b
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if not cell_eq(x, y):
+                    bad = (i, gc[j], x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, x, y = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={x!r} oracle={y!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
