@@ -1,0 +1,345 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.{dsum, d}
+
+/** Core relational operator coverage (SURVEY.md §2.1/§2.2): every logical
+  * plan shape the reference supports that is not already exercised by a
+  * TPC-H query — scans/projections, all join types, set operations (ALL +
+  * DISTINCT), grouping sets / rollup / cube, distinct variants, offset,
+  * values, unnest with ordinality.
+  *
+  * Determinism rules (oracle hash-match): ORDER BY with unique tie-breaks;
+  * ascending NULLS FIRST spelled out in the oracle SQL (Spark's asc
+  * default); outer-join key columns coalesced or ordered null-aware.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Scan + projection + filter — the fused scan/filter/project pipeline
+    * (reference ScanFilterAndProjectOperator.java:67); Catalyst pushes both
+    * the predicate and the 3-column ReadSchema into the parquet scan. */
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size") >= 40 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name", "p_size")
+      .orderBy("p_partkey")
+
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("r_name")
+
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("big_orders"), count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+
+  def joinRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"), "right")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("big_orders"), count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+
+  /** Full outer join of two aggregates; keys coalesced so output is
+    * null-free and order-stable. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 3000)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("rich_suppliers"))
+    val cust = t(s, dir, "customer").filter(col("c_acctbal") > 3000)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("rich_customers"))
+    sup.join(cust, col("sk") === col("ck"), "full")
+      .select(coalesce(col("sk"), col("ck")).as("nationkey"),
+        coalesce(col("rich_suppliers"), lit(0L)).as("rich_suppliers"),
+        coalesce(col("rich_customers"), lit(0L)).as("rich_customers"))
+      .orderBy("nationkey")
+  }
+
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_urgent"))
+      .orderBy("c_mktsegment")
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_urgent"))
+      .orderBy("c_mktsegment")
+
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Non-equi (range) join, planned as broadcast nested loop on the small
+    * side: parts priced inside a bracket around each region multiplier. */
+  def joinNonEqui(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") < 100)
+      .crossJoin(broadcast(t(s, dir, "region")))
+      .filter(col("p_retailprice") > col("r_regionkey") * 400 &&
+              col("p_retailprice") <= (col("r_regionkey") + 1) * 400)
+      .groupBy("r_name").agg(count(lit(1)).as("n_parts"))
+      .orderBy("r_name")
+
+  def distinctRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** DistinctLimit (reference DistinctLimitOperator.java:40) — made
+    * deterministic with a full sort before the limit. */
+  def distinctLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority").limit(5)
+
+  def topN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").orderBy(desc("p_retailprice"), asc("p_partkey"))
+      .select("p_partkey", "p_name", "p_retailprice").limit(15)
+
+  def limitOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").orderBy(asc("s_suppkey"))
+      .select("s_suppkey", "s_name").offset(10).limit(5)
+
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .select(col("s_name").as("name"), col("s_acctbal").as("bal"))
+    a.unionAll(b).orderBy("name", "bal")
+  }
+
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    a.union(b).distinct().orderBy("nationkey")
+  }
+
+  def intersectDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b).orderBy("custkey")
+  }
+
+  def intersectAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("custkey")
+  }
+
+  def exceptDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val b = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    a.except(b).orderBy("nationkey")
+  }
+
+  def exceptAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("custkey").limit(50)
+  }
+
+  /** GROUPING SETS with grouping() marker (reference GroupIdNode.java:44 →
+    * Catalyst Expand). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "qty"),
+        grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_ls"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
+
+  /** Inline VALUES (reference ValuesNode.java:34 → LocalRelation). */
+  def valuesInline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((1L, "ASIA"), (2L, "EUROPE"), (3L, "AMERICA"))
+      .toDF("rank_id", "r_name")
+      .join(broadcast(t(s, dir, "region")), Seq("r_name"), "inner")
+      .select("rank_id", "r_name", "r_regionkey")
+      .orderBy("rank_id")
+  }
+
+  /** UNNEST WITH ORDINALITY (reference UnnestNode.java:37) via posexplode;
+    * ordinality aligned to DuckDB's 1-based generate_subscripts. */
+  def unnestOrdinality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("col").as("word"))
+      .orderBy("doc_id", "ord")
+
+  /** Bernoulli TABLESAMPLE (reference ImplementBernoulliSampleAsFilter.java)
+    * — inherently seeded/engine-specific, so rows-only checked (no oracle). */
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)).as("n_sampled"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project" -> scanProject,
+    "join_inner" -> joinInner, "join_left" -> joinLeft, "join_right" -> joinRight,
+    "join_full" -> joinFull, "join_semi" -> joinSemi, "join_anti" -> joinAnti,
+    "join_cross" -> joinCross, "join_non_equi" -> joinNonEqui,
+    "distinct" -> distinctRows, "distinct_limit" -> distinctLimit,
+    "topn" -> topN, "limit_offset" -> limitOffset,
+    "union_all" -> unionAll, "union_distinct" -> unionDistinct,
+    "intersect" -> intersectDistinct, "intersect_all" -> intersectAll,
+    "except" -> exceptDistinct, "except_all" -> exceptAll,
+    "grouping_sets" -> groupingSets, "rollup" -> rollupAgg, "cube" -> cubeAgg,
+    "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
+    "sample_bernoulli" -> sampleBernoulli)
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size >= 40 AND p_type = 'STANDARD' ORDER BY p_partkey""".stripMargin,
+    "join_inner" ->
+      """SELECT r_name, count(*) AS n_suppliers
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        | JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS big_orders, count(*) AS n_rows
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        | ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_right" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS big_orders, count(*) AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        | RIGHT JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_full" ->
+      """SELECT coalesce(sk, ck) AS nationkey,
+        | coalesce(rich_suppliers, 0) AS rich_suppliers,
+        | coalesce(rich_customers, 0) AS rich_customers
+        |FROM (SELECT s_nationkey AS sk, count(*) AS rich_suppliers FROM supplier
+        |      WHERE s_acctbal > 3000 GROUP BY 1) s
+        |FULL JOIN (SELECT c_nationkey AS ck, count(*) AS rich_customers FROM customer
+        |           WHERE c_acctbal > 3000 GROUP BY 1) c
+        | ON sk = ck
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_with_urgent FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_without_urgent FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_non_equi" ->
+      """SELECT r_name, count(*) AS n_parts
+        |FROM part CROSS JOIN region
+        |WHERE p_partkey < 100
+        | AND p_retailprice > r_regionkey * 400
+        | AND p_retailprice <= (r_regionkey + 1) * 400
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "distinct_limit" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority LIMIT 5""".stripMargin,
+    "topn" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 15""".stripMargin,
+    "limit_offset" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |ORDER BY s_suppkey LIMIT 5 OFFSET 10""".stripMargin,
+    "union_all" ->
+      """SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY name, bal""".stripMargin,
+    "union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "intersect" ->
+      """SELECT custkey FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY custkey""".stripMargin,
+    "intersect_all" ->
+      """SELECT custkey, count(*) AS multiplicity FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        | INTERSECT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "except" ->
+      """SELECT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | EXCEPT
+        | SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "except_all" ->
+      """SELECT custkey, count(*) AS multiplicity FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY custkey ORDER BY custkey LIMIT 50""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "cube" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+    "values_inline" ->
+      """SELECT rank_id, v.r_name, r_regionkey
+        |FROM (VALUES (1, 'ASIA'), (2, 'EUROPE'), (3, 'AMERICA')) AS v(rank_id, r_name)
+        |JOIN region ON region.r_name = v.r_name
+        |ORDER BY rank_id""".stripMargin,
+    "unnest_ordinality" ->
+      """SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |      WHERE doc_id < 5)
+        |ORDER BY doc_id, ord""".stripMargin
+    // sample_bernoulli: seeded engine-specific RNG → rows-only check
+  )
+}
