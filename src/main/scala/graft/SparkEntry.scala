@@ -7,12 +7,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     tpch.Tpch.q01(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Module key-spaces are disjoint (qNN / snake_case per area). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tpch.Tpch.queries
+    tpch.Tpch.queries ++ ops.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tpch.Tpch.oracle
+    tpch.Tpch.oracle ++ ops.Relational.oracle
 }

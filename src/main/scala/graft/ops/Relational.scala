@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Tables.{dsum, d}
+import graft.Tables.dsum
 
 /** Core relational operator coverage (SURVEY.md §2.1/§2.2): every logical
   * plan shape the reference supports that is not already exercised by a
@@ -331,7 +331,7 @@ object Relational {
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
     "values_inline" ->
-      """SELECT rank_id, v.r_name, r_regionkey
+      """SELECT CAST(rank_id AS BIGINT) AS rank_id, v.r_name, r_regionkey
         |FROM (VALUES (1, 'ASIA'), (2, 'EUROPE'), (3, 'AMERICA')) AS v(rank_id, r_name)
         |JOIN region ON region.r_name = v.r_name
         |ORDER BY rank_id""".stripMargin,

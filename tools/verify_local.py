@@ -20,6 +20,20 @@ def canon(rows, cols):
         out.append(tuple(r[i] for i in order))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def _norm_type(t):
+    """Collapse representation-only arrow differences; keep width differences
+    (int64 vs int128/decimal) distinct — those break the driver's hash."""
+    if t is None:
+        return None
+    t = str(t)
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if t in ("large_string", "string", "utf8", "large_utf8"):
+        return "string"
+    return t
+
 def cell_eq(a, b):
     if a is None or b is None:
         return a is b
@@ -48,11 +62,24 @@ def main(sfdir, outdir):
             got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
             gcols = [d[0] for d in got.description]
             grows = got.fetchall()
+            gtypes = {f.name: str(f.type) for f in
+                      con.execute(f"SELECT * FROM '{spark_dir}/*.parquet' LIMIT 0").arrow().schema}
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]
             erows = exp.fetchall()
+            etypes = {f.name: str(f.type) for f in
+                      con.execute(f"SELECT * FROM ({sql}) _probe LIMIT 0").arrow().schema}
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        # Type-level compare: the driver hashes binary values, so a DuckDB
+        # HUGEINT vs Spark BIGINT mismatch fails there even when the Python
+        # ints compare equal here (this is exactly how q12 slipped in r01).
+        tbad = [(c, gtypes.get(c), etypes.get(c)) for c in gtypes
+                if _norm_type(gtypes.get(c)) != _norm_type(etypes.get(c))]
+        if tbad:
+            print(f"FAIL {name}: type drift {tbad}")
             n_fail += 1
             continue
         gc, gr = canon(grows, gcols)
