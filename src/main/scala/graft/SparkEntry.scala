@@ -10,10 +10,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.
     * Module key-spaces are disjoint (qNN / snake_case per area). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tpch.Tpch.queries ++ ops.Relational.queries ++ ops.Windows.queries
+    tpch.Tpch.queries ++ ops.Relational.queries ++ ops.Windows.queries ++
+      ops.Aggregates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tpch.Tpch.oracle ++ ops.Relational.oracle ++ ops.Windows.oracle
+    tpch.Tpch.oracle ++ ops.Relational.oracle ++ ops.Windows.oracle ++
+      ops.Aggregates.oracle
 }

@@ -32,6 +32,10 @@ def _norm_type(t):
         return "date"
     if t in ("large_string", "string", "utf8", "large_utf8"):
         return "string"
+    # nested types: child field names differ between writers (item/element/l)
+    import re
+    t = re.sub(r"\b\w+(?=:)", "f", t)
+    t = t.replace("large_string", "string")
     return t
 
 def cell_eq(a, b):
