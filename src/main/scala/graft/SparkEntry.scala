@@ -11,11 +11,15 @@ object SparkEntry {
     * Module key-spaces are disjoint (qNN / snake_case per area). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tpch.Tpch.queries ++ ops.Relational.queries ++ ops.Windows.queries ++
-      ops.Aggregates.queries
+      ops.Aggregates.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     tpch.Tpch.oracle ++ ops.Relational.oracle ++ ops.Windows.oracle ++
-      ops.Aggregates.oracle
+      ops.Aggregates.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle ++
+      ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
+      streaming.Streams.oracle
 }

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Document deduplication operators — the LLM-training-data-pipeline surface
+  * the reference only seeds (SetDigest minhash: MAIN/operator/aggregation/state
+  * /SetDigest, approx_set + arbitrary() group-collapse, ngrams:
+  * MAIN/operator/scalar/ArrayNgramsFunction.java), generalized here into
+  * first-class Spark operators over the `documents` fixture.
+  *
+  * 100 TB design notes (each method documents its own shuffle budget):
+  *  - Signature computation (minhash, simhash, fingerprints) is ALWAYS a
+  *    narrow per-row map over codegen'd higher-order functions — zero shuffle,
+  *    no UDFs, no driver collection.
+  *  - Candidate generation shuffles only tiny (doc_id, bucket-key) tuples,
+  *    never text: LSH banding (minhash), chunk pigeonhole (simhash), or an
+  *    attribute block key (n-gram jaccard). The quadratic verify step runs
+  *    per-bucket, which is the whole point of LSH — global pairwise compare
+  *    never happens.
+  *  - Verification joins explode only the candidate set (expected to be a
+  *    vanishing fraction of the corpus).
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** doc_id + distinct word n-gram shingles (codegen'd HOFs, no shuffle). */
+  private def shingled(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("words")) - n),
+        i => concat_ws(" ", slice(col("words"), i + lit(1), lit(n))))))
+
+  /** Exact dedup: group by content hash, keep min doc_id per group
+    * (hash-groupBy with map-side partial aggregation; only 16-byte digests
+    * shuffle, never document text). Emits a corpus-level summary row. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum("n_copies").as("n_docs"),
+        sum(when(col("n_copies") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_groups"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(lit(0L)))
+          .as("n_redundant_docs"))
+
+  /** MinHash + LSH near-dup detection: word-3-gram shingles → 16 md5-seeded
+    * minhashes (one narrow map, HOFs only) → 4 bands of 4 → band-bucket
+    * self-join emits candidate pairs → exact Jaccard verification on
+    * candidates only. Mirrors the shingle→minhash→band→bucket-join pipeline
+    * used for web-scale corpus dedup; band/row counts trade recall for
+    * bucket size. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(t(s, dir, "documents"), 3).select("doc_id", "shingles")
+    val sig = docs.withColumn("sig", transform(
+      sequence(lit(0), lit(15)),
+      sd => array_min(transform(col("shingles"),
+        g => md5(concat(sd.cast("string"), lit(":"), g))))))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => md5(concat_ws(",", slice(col("sig"), b * lit(4) + lit(1), lit(4))))))
+        .as(Seq("band", "bsig")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val card = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = cand
+      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("ca.n") + col("cb.n") - col("inter")).cast("double")
+    inter
+      .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(j >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup detection: 60-bit signature from md5 word hashes
+    * (bit b gets +1/-1 per word, sign → bit), computed entirely inside one
+    * codegen'd expression per row. Pairs within Hamming distance 3 are found
+    * by the pigeonhole trick — split the signature into 4×15-bit chunks; any
+    * pair at distance ≤3 shares at least one exact chunk — so the self-join
+    * key is a 15-bit chunk, never a full scan. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("hashes",
+        expr("transform(words, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("bitsums", expr(
+        """transform(sequence(0, 59), b ->
+          |  aggregate(hashes, 0L, (acc, h) ->
+          |    acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, b) ->
+          |  acc + CASE WHEN bitsums[b] > 0 THEN shiftleft(1L, b) ELSE 0L END)"""
+          .stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = docs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767)"))
+        .as(Seq("c", "chunk")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram Jaccard near-dup within attribute blocks: word-bigram sets,
+    * pairwise Jaccard computed via an exploded equi-join keyed on
+    * (block, gram) — the block key (lang here; at scale lang × length-bucket
+    * × source) bounds the quadratic pair space per shuffle partition. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(t(s, dir, "documents"), 2)
+      .select(col("lang"), col("doc_id"), col("shingles"))
+    val ex = docs.select(col("lang"), col("doc_id"), explode(col("shingles")).as("g"))
+    val card = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("ca.n") + col("cb.n") - col("inter")).cast("double")
+    inter
+      .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(j >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding cosine near-dup: all pairs above a cosine threshold. Dot and
+    * norms are double-precision sequential folds over the float vectors
+    * (bit-identical to the oracle's unnest+sum). This brute-force variant is
+    * the correctness baseline; the scale path is Similarity.lshAnn's
+    * random-hyperplane bucketing, which turns the O(n²) compare into
+    * per-bucket joins. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    pairs
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("c"))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Double-precision cosine similarity of two float vectors: sequential
+    * fold in element order so any engine computing the same fold gets the
+    * same IEEE-754 bits (reference cosine_similarity:
+    * MAIN/operator/scalar/MathFunctions.java:1710). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_embedding" -> embeddingNearDup)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_unique,
+        | CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        | CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant_docs
+        |FROM (SELECT md5(text) h, min(doc_id) keep_id, count(*) n_copies
+        |      FROM documents GROUP BY 1)""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) m
+        |       FROM (SELECT doc_id, unnest(s) g FROM sh)
+        |       CROSS JOIN (SELECT unnest(range(16)) seed) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, seed // 4 b,
+        |          md5(string_agg(m, ',' ORDER BY seed)) sig
+        |         FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id da, b2.doc_id db FROM band a
+        |         JOIN band b2 ON a.b = b2.b AND a.sig = b2.sig
+        |          AND a.doc_id < b2.doc_id),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |card AS (SELECT doc_id, len(s) n FROM sh),
+        |ver AS (SELECT da, db, count(*) inter FROM cand
+        |        JOIN e ea ON ea.doc_id = da
+        |        JOIN e eb ON eb.doc_id = db AND ea.g = eb.g GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        | ROUND(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+        |FROM ver JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) hv
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) word
+        |             FROM documents)),
+        |bits AS (SELECT doc_id, b,
+        |          SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+        |         FROM h CROSS JOIN (SELECT unnest(range(60)) b) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |        SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) sim
+        |       FROM bits GROUP BY 1),
+        |ch AS (SELECT doc_id, sim, c, (sim >> (c * 15)) & 32767 chunk
+        |       FROM sh CROSS JOIN (SELECT unnest(range(4)) c)),
+        |cand AS (SELECT DISTINCT a.doc_id da, a.sim sa, b2.doc_id db, b2.sim sb
+        |         FROM ch a JOIN ch b2 ON a.c = b2.c AND a.chunk = b2.chunk
+        |          AND a.doc_id < b2.doc_id)
+        |SELECT da AS doc_a, db AS doc_b,
+        | CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT lang, doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT lang, doc_id,
+        |        list_distinct(list_transform(range(1, len(ws)),
+        |          i -> array_to_string(ws[i:i+1], ' '))) s
+        |       FROM w WHERE len(ws) >= 2),
+        |e AS (SELECT lang, doc_id, unnest(s) g FROM sh),
+        |card AS (SELECT doc_id, len(s) n FROM sh),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) inter FROM e a
+        |          JOIN e b ON a.lang = b.lang AND a.g = b.g
+        |           AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        | ROUND(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+        |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (SELECT a.vec_id va, a.embedding ea, b.vec_id vb, b.embedding eb
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |u AS (SELECT va, vb, unnest(ea) x, unnest(eb) y FROM p),
+        |d AS (SELECT va, vb,
+        |       SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |       sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |       sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT va AS vec_a, vb AS vec_b, ROUND(dot / (na * nb), 4) AS cosine
+        |FROM d WHERE dot / (na * nb) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: media payloads as opaque `binary` columns
+  * with typed metadata, plus a partition-local decode/feature-extract stage.
+  * (The reference has no media types; its `varbinary` + function surface —
+  * COMMON/type/StandardTypes.java:47, VarbinaryFunctions.java — is the seed.
+  * On Spark the pattern is: binary column + metadata struct + mapPartitions
+  * batch decode.)
+  *
+  * The fixture has no real media, so `payload` is the UTF-8 document text
+  * reinterpreted as opaque bytes and STUB_DECODE is a deterministic fake —
+  * the Spark-side plumbing (schema, typed Dataset, partition-local batched
+  * decode, no driver collection) is the real, tested part. A production
+  * deployment swaps `stubDecode` for an image/audio codec invoked once per
+  * partition (amortizing codec init), keeping everything else unchanged.
+  */
+object Multimodal {
+
+  /** One media asset: opaque bytes + typed metadata (media_type/width/height
+    * derived deterministically so tests are stable). */
+  case class MediaAsset(doc_id: Long, media_type: String, payload: Array[Byte],
+    width: Int, height: Int)
+
+  /** Extracted features; produced partition-locally by `decodeFeatures`. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+    byte_checksum: Long, n_frames: Long, brightness: Double)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** documents → media assets: payload = raw bytes; media_type cycles
+    * image/audio/video; fake dimensions from md5 (SQL-reproducible). */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(
+          typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (expr("cast(conv(substring(md5(concat(cast(doc_id AS STRING), ':w')), 1, 4), 16, 10) AS INT)")
+          % 1920 + 1).as("width"),
+        (expr("cast(conv(substring(md5(concat(cast(doc_id AS STRING), ':h')), 1, 4), 16, 10) AS INT)")
+          % 1080 + 1).as("height"))
+      .as[MediaAsset]
+  }
+
+  /** STUB_DECODE: stands in for a real codec (libjpeg/ffmpeg are not in this
+    * container). Deterministic pure function of the bytes so the pipeline is
+    * testable end-to-end; same signature a real decoder would have. */
+  private def stubDecode(a: MediaAsset): MediaFeatures = {
+    var checksum = 0L
+    var i = 0
+    while (i < a.payload.length) {
+      checksum = (checksum * 131 + (a.payload(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    val brightness =
+      if (a.payload.isEmpty) 0.0
+      else a.payload.map(b => (b & 0xff).toDouble).sum / a.payload.length / 255.0
+    MediaFeatures(a.doc_id, a.media_type, a.payload.length.toLong, checksum,
+      n_frames = a.payload.length / 1024L + 1L,
+      brightness = math.rint(brightness * 10000) / 10000)
+  }
+
+  /** Partition-local batched decode: one iterator pass per partition (where
+    * a real codec would be initialized once), emitting a typed features
+    * Dataset. No shuffle, no driver collection — scales with partitions. */
+  def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // codec init would happen here, once per partition
+      it.map(stubDecode)
+    }
+  }
+
+  /** Metadata projection — pure SQL surface over the binary column
+    * (octet_length etc.), oracle-checkable. */
+  def metadata(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF()
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+
+  /** Feature extraction through the mapPartitions decode path (rows-only
+    * gate: the stub decoder is engine-side logic, not SQL). */
+  def features(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(assets(s, dir)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("byte_checksum"), col("n_frames"), col("brightness"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> metadata,
+    "mm_features" -> features)
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id,
+        | ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 4) AS BIGINT)
+        |   % 1920 + 1 AS BIGINT) AS width,
+        | CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 4) AS BIGINT)
+        |   % 1080 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // mm_features: mapPartitions decode path → rows-only gate + MultimodalSpec
+  )
+}

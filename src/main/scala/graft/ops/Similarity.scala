@@ -1,0 +1,146 @@
+package graft.ops
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (reference seeds: cosine_similarity MAIN/operator/scalar/MathFunctions
+  * .java:1710, create_vector_index CreateVectorIndexAggregation.java:37,
+  * Lance vector connector presto-lance/).
+  *
+  * Two tiers, mirroring how a 100 TB pipeline is built:
+  *  - bruteTopK: exact baseline. Score computation is a codegen'd double
+  *    fold; per-query top-k goes through a row_number window that Spark
+  *    plans as WindowGroupLimitExec (per-partition heaps, then one k-sized
+  *    shuffle per query — never a global sort).
+  *  - lshAnn: the scale path. Deterministic random-hyperplane signatures
+  *    bucket the corpus; each query probes exactly one bucket, so the join
+  *    fan-out is corpus_size/2^planes per query instead of corpus_size.
+  *    Plane components are md5-derived constants (embedded as a literal
+  *    array, zero per-row hashing) so any engine can reproduce them.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val Dim = 64
+  private val Planes = 4
+
+  /** Deterministic pseudo-random hyperplane component in [-1000, 1000]:
+    * first 15 md5 hex digits of "p_j" as an integer, mod-centered. Matches
+    * the SQL `CAST('0x'||substr(md5(p||'_'||j),1,15) AS BIGINT) % 2001 - 1000`. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble
+  }
+
+  private val planeLit: Column = typedLit(
+    (0 until Planes).map(p => (0 until Dim).map(j => planeComponent(p, j))))
+
+  /** LSH bucket id of a vector: bit p = sign(v · plane_p). */
+  private def bucketOf(vec: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(Planes - 1)),
+      lit(0L),
+      (acc, p) => acc + when(
+        aggregate(
+          zip_with(vec, element_at(planeLit, p + lit(1)),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (a, v) => a + v) > 0,
+        pow(lit(2.0), p).cast("long")).otherwise(lit(0L)))
+
+  /** Exact brute-force cosine top-k per query vector (queries: vec_id < 5). */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qvec"), col("embedding")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("c"), asc("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** LSH-bucketed ANN: queries only compare against their own
+    * random-hyperplane bucket. Recall < 1 by construction (that is the
+    * trade); at 100 TB the bucket join replaces a full cross product. */
+  def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val scored = broadcast(q)
+      .join(e, col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qvec"), col("embedding")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("c"), asc("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> bruteTopK,
+    "sim_lsh_ann" -> lshAnn)
+
+  private val cosineCte =
+    """u AS (SELECT query_id, vec_id, unnest(qv) x, unnest(ev) y FROM p),
+      |d AS (SELECT query_id, vec_id,
+      |       SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+      |       sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) nq,
+      |       sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) ne
+      |      FROM u GROUP BY 1, 2),
+      |r AS (SELECT query_id, vec_id, dot / (nq * ne) c,
+      |       row_number() OVER (PARTITION BY query_id
+      |         ORDER BY dot / (nq * ne) DESC, vec_id) rk
+      |      FROM d)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+      | ROUND(c, 4) AS cosine
+      |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH p AS (SELECT q.vec_id query_id, q.embedding qv,
+         |            e.vec_id vec_id, e.embedding ev
+         |           FROM embeddings q JOIN embeddings e ON q.vec_id < 5
+         |            AND e.vec_id <> q.vec_id),
+         |$cosineCte""".stripMargin,
+    "sim_lsh_ann" ->
+      s"""WITH comp AS (
+         |  SELECT p, j + 1 AS j,
+         |   CAST(CAST('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15)
+         |     AS BIGINT) % 2001 - 1000 AS DOUBLE) w
+         |  FROM (SELECT unnest(range(4)) p) CROSS JOIN (SELECT unnest(range(64)) j)),
+         |vx AS (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) j
+         |       FROM embeddings),
+         |dots AS (
+         |  SELECT vx.vec_id, comp.p, SUM(CAST(vx.x AS DOUBLE) * comp.w) dp
+         |  FROM vx JOIN comp ON vx.j = comp.j
+         |  GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |        SUM(CASE WHEN dp > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) bucket
+         |       FROM dots GROUP BY 1),
+         |p AS (SELECT q.vec_id query_id, qe.embedding qv,
+         |       e.vec_id vec_id, ee.embedding ev
+         |      FROM bk q JOIN bk e ON q.vec_id < 5 AND q.bucket = e.bucket
+         |       AND e.vec_id <> q.vec_id
+         |      JOIN embeddings qe ON qe.vec_id = q.vec_id
+         |      JOIN embeddings ee ON ee.vec_id = e.vec_id),
+         |$cosineCte""".stripMargin)
+}

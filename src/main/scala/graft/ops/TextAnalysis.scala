@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (reference seeds:
+  * word_stem WordStemFunction.java, levenshtein/jarowinkler
+  * MAIN/operator/scalar/StringFunctions.java:760, ngrams
+  * ArrayNgramsFunction.java — generalized to corpus-level column operators).
+  *
+  * Everything here is a narrow per-row projection over codegen'd built-ins
+  * and higher-order functions: zero shuffles except the final deterministic
+  * ORDER BY (and a lang-keyed groupBy for token totals). At 100 TB these run
+  * at scan speed with full predicate/column pushdown into parquet.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"))
+
+  private def hitRatio(words: Column, lang: String): Column = {
+    val lst = array(stop(lang).map(lit): _*)
+    size(filter(words, w => array_contains(lst, w))).cast("double") /
+      size(words).cast("double")
+  }
+
+  /** Language identification: stopword-profile scores per candidate language
+    * + a CJK charset ratio; argmax with deterministic ties (scored language
+    * order). A real pipeline swaps the word lists for char-n-gram profiles —
+    * the operator shape (per-row scoring, no shuffle) is identical. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("s_en", hitRatio(col("words"), "en"))
+      .withColumn("s_de", hitRatio(col("words"), "de"))
+      .withColumn("s_es", hitRatio(col("words"), "es"))
+      .withColumn("s_fr", hitRatio(col("words"), "fr"))
+      .withColumn("cjk_ratio",
+        length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).cast("double") /
+          length(col("text")).cast("double"))
+    d.select(
+      col("doc_id"),
+      when(col("cjk_ratio") > 0.3, lit("zh"))
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), lit("en"))
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), lit("de"))
+        .when(col("s_es") >= col("s_fr"), lit("es"))
+        .otherwise(lit("fr")).as("predicted_lang"),
+      round(col("s_en"), 4).as("s_en"), round(col("s_de"), 4).as("s_de"),
+      round(col("s_es"), 4).as("s_es"), round(col("s_fr"), 4).as("s_fr"),
+      round(col("cjk_ratio"), 4).as("cjk_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / punctuation / stopword / word-length features
+    * combined into a bounded [0,1] score — the standard pre-training corpus
+    * filter shape (each feature and the blend are plain codegen'd math). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_chars_c", length(col("text")).cast("long"))
+      .withColumn("stop_ratio", hitRatio(col("words"), "en"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("avg_word_len",
+        (col("n_chars_c") - col("n_words") + 1).cast("double") /
+          col("n_words").cast("double"))
+    d.select(
+      col("doc_id"), col("n_words"), round(col("avg_word_len"), 4).as("avg_word_len"),
+      round(col("stop_ratio"), 4).as("stop_ratio"),
+      round(col("punct_ratio"), 4).as("punct_ratio"),
+      round(
+        least(lit(1.0), col("n_words").cast("double") / 120.0) * 0.4
+          + least(lit(1.0), col("stop_ratio") * 5.0) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)) * 0.3,
+        4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per language: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation), and a chars/4 subword
+    * estimate — the three standard budget estimators, aggregated per lang
+    * (one shuffle on the 5-value lang key with map-side partials). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("bpe_tokens",
+        expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS BIGINT)"))
+      .withColumn("subword_est", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("ws_tokens"),
+        sum("bpe_tokens").as("bpe_tokens"),
+        sum("subword_est").as("subword_est"))
+      .orderBy("lang")
+
+  /** Document fingerprinting: polynomial rolling hash over the word stream,
+    * fp = fold(acc*31 + md5₂₄(word)) mod 1e9+7 — order-sensitive (unlike the
+    * minhash set signature) so reorderings fingerprint differently. Collision
+    * groups would join on fp exactly like Dedup.exact's md5 groups. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("fp", expr(
+        """aggregate(words, 0L, (acc, w) ->
+          |  (acc * 31 + cast(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT)
+          |   % 1000000007) % 1000000007)""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> langId,
+    "text_quality" -> quality,
+    "text_tokens" -> tokenCount,
+    "text_fingerprint" -> fingerprint)
+
+  private def stopSql(lang: String): String =
+    stop(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitSql(lang: String): String =
+    s"len(list_filter(ws, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len(ws)"
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH f AS (SELECT doc_id, string_split(lower(text), ' ') ws,
+         |        len(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0
+         |          / len(text) cjk
+         |       FROM documents),
+         |sc AS (SELECT doc_id, cjk,
+         |        ${hitSql("en")} s_en, ${hitSql("de")} s_de,
+         |        ${hitSql("es")} s_es, ${hitSql("fr")} s_fr
+         |       FROM f)
+         |SELECT doc_id,
+         | CASE WHEN cjk > 0.3 THEN 'zh'
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang,
+         | ROUND(s_en, 4) AS s_en, ROUND(s_de, 4) AS s_de,
+         | ROUND(s_es, 4) AS s_es, ROUND(s_fr, 4) AS s_fr,
+         | ROUND(cjk, 4) AS cjk_ratio
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') ws,
+         |        len(text) nc,
+         |        len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+         |          / len(text) punct
+         |       FROM documents),
+         |g AS (SELECT doc_id, len(ws) nw, punct,
+         |       ${hitSql("en")} stopr,
+         |       (nc - len(ws) + 1) * 1.0 / len(ws) awl
+         |      FROM f)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         | ROUND(awl, 4) AS avg_word_len,
+         | ROUND(stopr, 4) AS stop_ratio,
+         | ROUND(punct, 4) AS punct_ratio,
+         | ROUND(least(1.0, nw / 120.0) * 0.4
+         |   + least(1.0, stopr * 5.0) * 0.3
+         |   + (1.0 - least(1.0, punct * 10.0)) * 0.3, 4) AS quality
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        | CAST(SUM(CAST(ceil(len(text) * 1.0 / 4.0) AS BIGINT)) AS BIGINT) AS subword_est
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(0::BIGINT,
+        |     list_transform(string_split(text, ' '),
+        |       w -> CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1000000007)),
+        |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

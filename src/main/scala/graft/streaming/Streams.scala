@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+
+/** Streaming-shaped operators over the `events` fixture. The reference has no
+  * native streaming (Kafka topics are scanned as tables —
+  * presto-kafka/.../KafkaRecordSet.java:52); Structured Streaming is our
+  * additive capability (SURVEY.md §2.6). The transforms below are written
+  * against plain DataFrames so the SAME code runs in batch (verified against
+  * the DuckDB oracle here) and under `readStream` (exercised with watermarks
+  * in StreamingSpec) — the core Structured Streaming contract.
+  *
+  * `events.ts` arrives as nanosecond longs (spark.sql.legacy.parquet
+  * .nanosAsLong); `eventTime` converts to a proper timestamp for window().
+  */
+object Streams {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** ns-long → timestamp (micros, UTC session). */
+  def eventTime(c: Column): Column = timestamp_micros((c / 1000).cast("long"))
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Tumbling 1-hour window per event type — the canonical windowed
+    * aggregation; under readStream this is an append-mode watermark query.
+    * Output keys on the epoch-hour bucket id (engine-portable). */
+  def tumbling(df: DataFrame): DataFrame =
+    df.withColumn("w", window(eventTime(col("ts")), "1 hour"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(
+        (unix_timestamp(col("w.start")) / 3600).cast("long").as("bucket"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("bucket", "event_type")
+
+  /** Sliding 1-hour window every 30 minutes: each event lands in 2 windows. */
+  def sliding(df: DataFrame): DataFrame =
+    df.withColumn("w", window(eventTime(col("ts")), "1 hour", "30 minutes"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(
+        (unix_timestamp(col("w.start")) / 60).cast("long").as("bucket_min"),
+        col("n"), col("total"))
+      .orderBy("bucket_min")
+
+  /** Per-user sessionization with a 30-minute inactivity gap: batch variant
+    * via the lag/cumulative-sum rewrite (the reference-era SQL idiom); the
+    * streaming variant is session_window() in StreamingSpec. Emits per-user
+    * session stats. */
+  def sessions(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      col("ts") - lag("ts", 1).over(byUser) > lit(30L * 60 * 1000000000L), 1L)
+      .otherwise(lit(0L))
+    df.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"),
+        min("ts").as("start_ns"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
+    "stream_sliding" -> ((s, dir) => sliding(t(s, dir, "events"))),
+    "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))))
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 60000000000 AS m, value FROM events),
+        |w AS (SELECT (m // 30 - o) * 30 AS bucket_min, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) o)
+        |      WHERE m - (m // 30 - o) * 30 < 60)
+        |SELECT CAST(bucket_min AS BIGINT) AS bucket_min, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1 ORDER BY bucket_min""".stripMargin,
+    "stream_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value,
+        |        CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id)
+        |          > 1800000000000 THEN 1 ELSE 0 END AS ns
+        |       FROM events),
+        |sess AS (SELECT user_id, event_id, value,
+        |          SUM(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+        |         FROM x),
+        |per AS (SELECT user_id, sid, count(*) n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) total
+        |        FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | max(n_events) AS max_session_events,
+        | CAST(SUM(n_events) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming exercises: the batch-verified transforms in
+  * graft.streaming.Streams run under readStream with watermarks — tumbling
+  * window aggregation and session windows, with late-data handling. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("tumbling window aggregation over a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val counts = mem.toDF().toDF("t", "event_type", "value")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = counts.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(5), "a", 1.0), (ts(20), "a", 2.0), (ts(61), "b", 5.0))
+      q.processAllAvailable()
+      // watermark advances past hour 0 → first window can close
+      mem.addData((ts(140), "b", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total FROM tumbling_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("a", 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("t", "value")
+      .withWatermark("t", "5 minutes")
+      .groupBy(window(col("t"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(5), 1.0), (ts(30), 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(6), 99.0)) // late: watermark is 25min, window [0,10) closed
+      q.processAllAvailable()
+      mem.addData((ts(60), 1.0))
+      q.processAllAvailable()
+      val n0 = spark.sql(
+        "SELECT n FROM late_test WHERE window.start = timestamp '1970-01-01 00:00:00'")
+        .collect()
+      assert(n0.length == 1 && n0(0).getLong(0) == 1L,
+        "late row leaked into a closed window")
+    } finally q.stop()
+  }
+
+  test("session_window groups events by inactivity gap on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sess = mem.toDF().toDF("t", "user_id")
+      .withWatermark("t", "10 minutes")
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sess.writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 120 (new session)
+      mem.addData((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(120), 1L))
+      q.processAllAvailable()
+      mem.addData((ts(300), 1L)) // advance watermark so sessions close
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n FROM session_test").collect().map(_.getLong(0))
+      assert(rows.contains(3L), s"expected a 3-event session, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("batch session logic matches a hand-computed case") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L * 60000000000L, 1L, 1.0),
+      (1L, 10L * 60000000000L, 2L, 1.0),
+      (1L, 50L * 60000000000L, 3L, 1.0), // 40min gap → new session
+      (2L, 0L * 60000000000L, 4L, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = graft.streaming.Streams.sessions(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r == Set((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+}
