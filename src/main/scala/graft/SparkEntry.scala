@@ -13,7 +13,7 @@ object SparkEntry {
     tpch.Tpch.queries ++ ops.Relational.queries ++ ops.Windows.queries ++
       ops.Aggregates.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
-      streaming.Streams.queries
+      ops.Scalars.queries ++ streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     tpch.Tpch.oracle ++ ops.Relational.oracle ++ ops.Windows.oracle ++
       ops.Aggregates.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
-      streaming.Streams.oracle
+      ops.Scalars.oracle ++ streaming.Streams.oracle
 }

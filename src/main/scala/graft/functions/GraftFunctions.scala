@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Registration of graft's custom Catalyst expressions, both as a
+  * `SparkSessionExtensions` (config-time:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and as an
+  * idempotent `register(spark)` for sessions built elsewhere — the overlay
+  * pattern SURVEY.md §3.1 calls the dialect/function layer (reference
+  * registry: MAIN/metadata/BuiltInTypeAndFunctionNamespaceManager.java:614).
+  *
+  * Column helpers are provided for the DataFrame API; SQL names match the
+  * reference's function names so `spark.sql` text can use them directly.
+  */
+object GraftFunctions {
+
+  /** name → (usage, builder) for every custom function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("jaro_winkler_similarity", "jaro_winkler_similarity(s1, s2) - Jaro-Winkler similarity in [0,1]",
+      es => JaroWinklerSimilarity(es(0), es(1))),
+    ("hamming_distance", "hamming_distance(s1, s2) - positions differing between equal-length strings",
+      es => HammingDistance(es(0), es(1))),
+    ("cosine_similarity", "cosine_similarity(v1, v2) - cosine of two float vectors",
+      es => CosineSimilarity(es(0), es(1))),
+    ("dot_product", "dot_product(v1, v2) - double-precision dot of two float vectors",
+      es => DotProduct(es(0), es(1))),
+    ("l2_squared", "l2_squared(v1, v2) - squared euclidean distance of two float vectors",
+      es => L2Squared(es(0), es(1))),
+    ("approx_set", "approx_set(x) - mergeable HyperLogLog sketch of the distinct values",
+      es => HllSketchAgg(es.head).toAggregateExpression()),
+    ("merge_hll", "merge_hll(sketch) - merge HyperLogLog sketches",
+      es => HllMergeAgg(es.head).toAggregateExpression()),
+    ("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch",
+      es => HllCardinality(es.head)))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, usage, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  // ---- DataFrame/Column API ----
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def x(col: Column): Expression = Bridge.expression(col)
+
+  def jaroWinkler(a: Column, b: Column): Column = c(JaroWinklerSimilarity(x(a), x(b)))
+  def hammingDistance(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))
+  def cosineSimilarity(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
+  def dotProduct(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
+  def l2Squared(a: Column, b: Column): Column = c(L2Squared(x(a), x(b)))
+  def approxSet(a: Column): Column = c(HllSketchAgg(x(a)).toAggregateExpression())
+  def mergeHll(a: Column): Column = c(HllMergeAgg(x(a)).toAggregateExpression())
+  def hllCardinality(a: Column): Column = c(HllCardinality(x(a)))
+}
+
+/** Config-time injection: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
+}

@@ -1,0 +1,442 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Scalar-function coverage (SURVEY.md §2.5: ~650 @ScalarFunction in
+  * MAIN/operator/scalar/ — math MathFunctions.java, string
+  * StringFunctions.java, datetime DateTimeFunctions.java, array Array*.java
+  * + higher-order ArrayTransformFunction.java, map Map*.java, JSON
+  * JsonFunctions.java, binary VarbinaryFunctions.java, bitwise
+  * BitwiseFunctions.java, URL UrlFunctions.java, conditional TryFunction
+  * .java, regex JoniRegexpFunctions.java).
+  *
+  * Each query exercises a function family end-to-end against the DuckDB
+  * oracle. Everything is a codegen'd per-row projection — scan-speed at any
+  * scale. Custom graft expressions (jaro_winkler_similarity,
+  * hamming_distance, cosine/dot/l2) are oracle-verified against DuckDB's
+  * independent implementations — the strongest correctness check available
+  * for custom Catalyst code.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").as("k"),
+        abs(col("p_retailprice") * -1).as("abs_x"),
+        ceil(col("p_retailprice")).cast("double").as("ceil_x"),
+        floor(col("p_retailprice")).cast("double").as("floor_x"),
+        round(col("p_retailprice"), 1).as("round_x"),
+        round(sqrt(col("p_retailprice")), 4).as("sqrt_x"),
+        round(cbrt(col("p_retailprice")), 4).as("cbrt_x"),
+        round(log(col("p_retailprice")), 4).as("ln_x"),
+        round(log10(col("p_retailprice")), 4).as("log10_x"),
+        round(pow(col("p_retailprice"), 2), 4).as("pow_x"),
+        (col("p_partkey") % 7).as("mod_k"),
+        signum(col("p_retailprice") - 1000).as("sign_x"),
+        greatest(col("p_retailprice"), lit(500.0)).as("greatest_x"),
+        least(col("p_retailprice"), lit(500.0)).as("least_x"))
+      .orderBy("k")
+
+  def string(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .withColumn("phrase", concat(col("n_name"), lit(" alpha beta gamma")))
+      .select(
+        col("n_nationkey").as("k"),
+        length(col("n_name")).cast("long").as("len"),
+        lower(col("n_name")).as("lo"),
+        upper(col("phrase")).as("up"),
+        substring(col("n_name"), 2, 3).as("sub"),
+        lpad(col("n_name"), 12, "*").as("lp"),
+        rpad(col("n_name"), 12, "-").as("rp"),
+        regexp_replace(col("n_name"), "A", "@").as("rep"),
+        reverse(col("n_name")).as("rev"),
+        repeat(substring(col("n_name"), 1, 2), 3).as("rep3"),
+        concat_ws("|", col("n_name"), col("n_nationkey").cast("string")).as("cw"),
+        instr(col("n_name"), "AN").cast("long").as("pos"),
+        element_at(split(col("phrase"), " "), 2).as("word2"),
+        ascii(col("n_name")).cast("long").as("asc"),
+        translate(col("n_name"), "AEI", "aei").as("tr"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy("k")
+
+  /** Custom string-similarity expressions verified against DuckDB's own
+    * jaro_winkler_similarity / hamming / levenshtein. */
+  def stringSim(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    n.as("a").join(n.as("b"), col("a.n_nationkey") < col("b.n_nationkey"))
+      .select(
+        col("a.n_nationkey").as("ka"), col("b.n_nationkey").as("kb"),
+        round(GraftFunctions.jaroWinkler(col("a.n_name"), col("b.n_name")), 4)
+          .as("jw"),
+        levenshtein(col("a.n_name"), col("b.n_name")).cast("long").as("lev"),
+        GraftFunctions.hammingDistance(
+          substring(md5(col("a.n_name")), 1, 8),
+          substring(md5(col("b.n_name")), 1, 8)).as("ham"))
+      .orderBy("ka", "kb")
+  }
+
+  def datetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").cast("date").as("d"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_end"),
+        last_day(col("o_orderdate")).as("eom"),
+        make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"))
+      .orderBy("k")
+
+  /** Array functions + higher-order transform/filter/exists (Catalyst
+    * LambdaFunction — the reference's ArrayTransformFunction.java family). */
+  def array(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 100)
+      .withColumn("arr", sequence(lit(1L), (col("p_size") % 5 + 2).cast("long")))
+      .select(
+        col("p_partkey").as("k"),
+        col("arr"),
+        size(col("arr")).cast("long").as("card"),
+        array_contains(col("arr"), 3).as("has3"),
+        element_at(col("arr"), 2).as("second"),
+        slice(col("arr"), 2, 2).as("sl"),
+        reverse(col("arr")).as("rev"),
+        array_max(col("arr")).as("mx"),
+        array_min(col("arr")).as("mn"),
+        array_join(transform(col("arr"), x => x.cast("string")), ",").as("joined"),
+        transform(col("arr"), x => x * 2).as("doubled"),
+        filter(col("arr"), x => x % 2 === 0).as("evens"),
+        (size(filter(col("arr"), x => x > 4)) > 0).as("any_gt4"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("sum_arr"),
+        flatten(F.array(col("arr"), col("arr"))).as("flat"),
+        sort_array(array_distinct(F.array(
+          col("p_size") % 3, col("p_size") % 5, col("p_size") % 3))).as("dist"))
+      .orderBy("k")
+
+  def map(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+      .withColumn("m", F.map(
+        lit("bal"), col("s_acctbal"),
+        lit("key"), col("s_suppkey").cast("double"),
+        lit("nat"), col("s_nationkey").cast("double")))
+      .select(
+        col("s_suppkey").as("k"),
+        size(col("m")).cast("long").as("card"),
+        element_at(col("m"), "bal").as("bal"),
+        element_at(col("m"), "nat").as("nat"),
+        sort_array(map_keys(col("m"))).as("keys"),
+        map_contains_key(col("m"), "key").as("has_key"),
+        element_at(map_values(
+          map_filter(col("m"), (k, v) => k === "bal")), 1).as("only_bal"))
+      .orderBy("k")
+
+  def json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_id") <= 1000)
+      .select(
+        col("event_id").as("k"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("miss"),
+        json_array_length(lit("[1,2,3,4]")).cast("long").as("alen"),
+        get_json_object(lit("""{"a":{"b":7}}"""), "$.a.b").cast("long").as("nested"),
+        get_json_object(lit("[10,20,30]"), "$[1]").cast("long").as("idx1"))
+      .orderBy("k")
+
+  def binary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .select(
+        col("r_regionkey").as("k"),
+        md5(col("r_name")).as("md5_s"),
+        sha2(col("r_name").cast("binary"), 256).as("sha256_s"),
+        base64(encode(col("r_name"), "UTF-8")).as("b64"),
+        lower(hex(encode(col("r_name"), "UTF-8"))).as("hx"),
+        length(encode(repeat(col("r_name"), 2), "UTF-8")).cast("long").as("nbytes"))
+      .orderBy("k")
+
+  def bitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(
+        col("c_custkey").as("k"),
+        (col("c_custkey").bitwiseAND(lit(255L))).as("band"),
+        (col("c_custkey").bitwiseOR(lit(16L))).as("bor"),
+        (col("c_custkey").bitwiseXOR(lit(85L))).as("bxor"),
+        expr("shiftleft(c_custkey, 3)").as("shl"),
+        expr("shiftright(c_custkey, 2)").as("shr"),
+        expr("CAST(bit_count(c_custkey) AS BIGINT)").as("bits"),
+        expr("~c_custkey").as("bnot"))
+      .orderBy("k")
+
+  def url(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 100)
+      .withColumn("u", concat(
+        lit("https://shop.example.com:8443/api/v"),
+        (col("c_custkey") % 3).cast("string"),
+        lit("/items?id="), col("c_custkey").cast("string"),
+        lit("&lang=en")))
+      .select(
+        col("c_custkey").as("k"),
+        parse_url(col("u"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("u"), lit("HOST")).as("host"),
+        parse_url(col("u"), lit("PATH")).as("path"),
+        parse_url(col("u"), lit("QUERY")).as("query"),
+        parse_url(col("u"), lit("QUERY"), lit("id")).as("id_param"),
+        parse_url(col("u"), lit("QUERY"), lit("lang")).as("lang_param"))
+      .orderBy("k")
+
+  def conditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey").as("k"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        expr("TRY_CAST(o_orderpriority AS INT)").as("bad_cast"),
+        try_divide(col("o_totalprice"), col("o_orderkey") % 2).as("try_div"),
+        (col("o_orderkey") % 2 === 0).as("is_even"),
+        coalesce(nullif(col("o_orderkey") % 3, lit(0)), lit(-1L)).as("nvl3"))
+      .orderBy("k")
+
+  def regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").as("k"),
+        col("p_type").rlike("^STANDARD").as("is_std"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        expr("CAST(regexp_count(p_name, 'a') AS BIGINT)").as("n_a"),
+        expr("CAST(size(regexp_extract_all(p_name, '[a-z]+', 0)) AS BIGINT)")
+          .as("n_words"),
+        split(col("p_type"), " ").as("type_words"))
+      .orderBy("k")
+
+  /** Custom vector expressions (codegen'd primitive loops) verified against
+    * the oracle's double-precision arithmetic. */
+  def vector(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(GraftFunctions.dotProduct(col("a.embedding"), col("b.embedding")), 4)
+          .as("dot"),
+        round(GraftFunctions.l2Squared(col("a.embedding"), col("b.embedding")), 4)
+          .as("l2sq"),
+        round(GraftFunctions.cosineSimilarity(col("a.embedding"), col("b.embedding")), 4)
+          .as("cos"))
+      .orderBy("va", "vb")
+  }
+
+  /** Mergeable HLL sketches (rows-only gate; HllSpec bounds the error and
+    * proves merge associativity). Demonstrates the store-a-sketch /
+    * merge-later lifecycle on a single query. */
+  def hllSketch(s: SparkSession, dir: String): DataFrame = {
+    val perLang = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang")
+      .agg(GraftFunctions.approxSet(col("w")).as("sketch"),
+        countDistinct(col("w")).as("exact"))
+    perLang.select(
+      col("lang"),
+      GraftFunctions.hllCardinality(col("sketch")).as("approx"),
+      col("exact"))
+      .unionAll(
+        perLang.agg(
+          GraftFunctions.hllCardinality(
+            GraftFunctions.mergeHll(col("sketch"))).as("approx"),
+          lit(0L).as("exact"))
+          .select(lit("__merged__").as("lang"), col("approx"), col("exact")))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_math" -> math,
+    "fn_string" -> string,
+    "fn_string_sim" -> stringSim,
+    "fn_datetime" -> datetime,
+    "fn_array" -> array,
+    "fn_map" -> map,
+    "fn_json" -> json,
+    "fn_binary" -> binary,
+    "fn_bitwise" -> bitwise,
+    "fn_url" -> url,
+    "fn_conditional" -> conditional,
+    "fn_regex" -> regex,
+    "fn_vector" -> vector,
+    "fn_hll" -> hllSketch)
+
+  val oracle: Map[String, String] = Map(
+    "fn_math" ->
+      """SELECT p_partkey AS k,
+        | abs(p_retailprice * -1) AS abs_x,
+        | CAST(ceil(p_retailprice) AS DOUBLE) AS ceil_x,
+        | CAST(floor(p_retailprice) AS DOUBLE) AS floor_x,
+        | round(p_retailprice, 1) AS round_x,
+        | round(sqrt(p_retailprice), 4) AS sqrt_x,
+        | round(cbrt(p_retailprice), 4) AS cbrt_x,
+        | round(ln(p_retailprice), 4) AS ln_x,
+        | round(log10(p_retailprice), 4) AS log10_x,
+        | round(pow(p_retailprice, 2), 4) AS pow_x,
+        | p_partkey % 7 AS mod_k,
+        | CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sign_x,
+        | greatest(p_retailprice, 500.0) AS greatest_x,
+        | least(p_retailprice, 500.0) AS least_x
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_string" ->
+      """SELECT n_nationkey AS k,
+        | len(n_name) AS len,
+        | lower(n_name) AS lo,
+        | upper(n_name || ' alpha beta gamma') AS up,
+        | substr(n_name, 2, 3) AS sub,
+        | lpad(n_name, 12, '*') AS lp,
+        | rpad(n_name, 12, '-') AS rp,
+        | replace(n_name, 'A', '@') AS rep,
+        | reverse(n_name) AS rev,
+        | repeat(substr(n_name, 1, 2), 3) AS rep3,
+        | concat_ws('|', n_name, n_nationkey::VARCHAR) AS cw,
+        | CAST(strpos(n_name, 'AN') AS BIGINT) AS pos,
+        | string_split(n_name || ' alpha beta gamma', ' ')[2] AS word2,
+        | CAST(ascii(n_name) AS BIGINT) AS asc,
+        | translate(n_name, 'AEI', 'aei') AS tr,
+        | trim('  pad  ') AS trimmed
+        |FROM nation ORDER BY k""".stripMargin,
+    "fn_string_sim" ->
+      """SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        | ROUND(jaro_winkler_similarity(a.n_name, b.n_name), 4) AS jw,
+        | levenshtein(a.n_name, b.n_name) AS lev,
+        | hamming(substr(md5(a.n_name), 1, 8), substr(md5(b.n_name), 1, 8)) AS ham
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |ORDER BY ka, kb""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey AS k,
+        | CAST(o_orderdate AS DATE) AS d,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
+    "fn_array" ->
+      """SELECT p_partkey AS k, arr,
+        | CAST(len(arr) AS BIGINT) AS card,
+        | list_contains(arr, 3) AS has3,
+        | arr[2] AS second,
+        | arr[2:3] AS sl,
+        | list_reverse(arr) AS rev,
+        | list_max(arr) AS mx,
+        | list_min(arr) AS mn,
+        | array_to_string(arr, ',') AS joined,
+        | list_transform(arr, x -> x * 2) AS doubled,
+        | list_filter(arr, x -> x % 2 = 0) AS evens,
+        | len(list_filter(arr, x -> x > 4)) > 0 AS any_gt4,
+        | CAST(list_sum(arr) AS BIGINT) AS sum_arr,
+        | flatten([arr, arr]) AS flat,
+        | list_sort(list_distinct([p_size % 3, p_size % 5, p_size % 3])) AS dist
+        |FROM (SELECT p_partkey, p_size, range(1, p_size % 5 + 3) arr FROM part
+        |      WHERE p_partkey <= 100)
+        |ORDER BY k""".stripMargin,
+    "fn_map" ->
+      """SELECT s_suppkey AS k,
+        | CAST(cardinality(m) AS BIGINT) AS card,
+        | m['bal'][1] AS bal,
+        | m['nat'][1] AS nat,
+        | list_sort(map_keys(m)) AS keys,
+        | list_contains(map_keys(m), 'key') AS has_key,
+        | m['bal'][1] AS only_bal
+        |FROM (SELECT s_suppkey,
+        |       MAP(['bal', 'key', 'nat'],
+        |           [s_acctbal, CAST(s_suppkey AS DOUBLE), CAST(s_nationkey AS DOUBLE)]) m
+        |      FROM supplier WHERE s_suppkey <= 100)
+        |ORDER BY k""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id AS k,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        | json_extract_string(props, '$.missing') AS miss,
+        | CAST(json_array_length('[1,2,3,4]') AS BIGINT) AS alen,
+        | CAST(json_extract_string('{"a":{"b":7}}', '$.a.b') AS BIGINT) AS nested,
+        | CAST(json_extract_string('[10,20,30]', '$[1]') AS BIGINT) AS idx1
+        |FROM events WHERE event_id <= 1000 ORDER BY k""".stripMargin,
+    "fn_binary" ->
+      """SELECT r_regionkey AS k,
+        | md5(r_name) AS md5_s,
+        | sha256(r_name) AS sha256_s,
+        | to_base64(CAST(r_name AS BLOB)) AS b64,
+        | lower(hex(CAST(r_name AS BLOB))) AS hx,
+        | CAST(octet_length(CAST(repeat(r_name, 2) AS BLOB)) AS BIGINT) AS nbytes
+        |FROM region ORDER BY k""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT c_custkey AS k,
+        | c_custkey & 255 AS band,
+        | c_custkey | 16 AS bor,
+        | xor(c_custkey, 85) AS bxor,
+        | c_custkey << 3 AS shl,
+        | c_custkey >> 2 AS shr,
+        | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
+        | ~c_custkey AS bnot
+        |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_url" ->
+      """SELECT c_custkey AS k,
+        | 'https' AS proto,
+        | 'shop.example.com' AS host,
+        | '/api/v' || (c_custkey % 3)::VARCHAR || '/items' AS path,
+        | 'id=' || c_custkey::VARCHAR || '&lang=en' AS query,
+        | c_custkey::VARCHAR AS id_param,
+        | 'en' AS lang_param
+        |FROM customer WHERE c_custkey <= 100 ORDER BY k""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey AS k,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status,
+        | CASE WHEN o_totalprice > 200000 THEN 'big'
+        |      WHEN o_totalprice > 100000 THEN 'mid'
+        |      ELSE 'small' END AS bucket,
+        | TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+        | CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |      ELSE o_totalprice / (o_orderkey % 2) END AS try_div,
+        | o_orderkey % 2 = 0 AS is_even,
+        | coalesce(nullif(o_orderkey % 3, 0), -1) AS nvl3
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
+    "fn_regex" ->
+      """SELECT p_partkey AS k,
+        | regexp_matches(p_type, '^STANDARD') AS is_std,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        | regexp_split_to_array(p_type, ' ') AS type_words
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_vector" ->
+      """WITH p AS (SELECT a.vec_id va, a.embedding ea, b.vec_id vb, b.embedding eb
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |           WHERE a.vec_id < 20 AND b.vec_id < 20),
+        |u AS (SELECT va, vb, unnest(ea) x, unnest(eb) y FROM p),
+        |d AS (SELECT va, vb,
+        |       SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |       SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) l2,
+        |       sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |       sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT va, vb, ROUND(dot, 4) AS dot, ROUND(l2, 4) AS l2sq,
+        | ROUND(dot / (na * nb), 4) AS cos
+        |FROM d ORDER BY va, vb""".stripMargin
+    // fn_hll: engine-specific sketch values → rows-only gate + HllSpec bounds
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{classic, Column}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessor for Spark 4's private[sql] Column↔Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils) so graft's custom Catalyst
+  * expressions get first-class Column wrappers. Additive shim — nothing in
+  * Spark is modified. */
+object Bridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

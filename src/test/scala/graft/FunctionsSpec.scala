@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, Hll, StringSimUtils}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit + integration tests for the custom Catalyst expression library
+  * (the FunctionAssertions pattern — reference presto-main-base/src/test/
+  * java/com/facebook/presto/operator/scalar/FunctionAssertions.java:166:
+  * each function evaluated both interpreted and compiled). */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("jaro_winkler matches reference values (incl. boost-threshold gate)") {
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("crate", "trace", 0.7333333333333334),
+      ("arnab", "aranb", 0.9466666666666665),
+      ("appel", "apple", 0.9533333333333333),
+      ("abc", "xyz", 0.0),
+      ("a", "a", 1.0),
+      ("", "", 0.0),
+      ("ab", "", 0.0),
+      ("abcdefgh", "abzzzzzz", 0.5), // jaro < 0.7 → no prefix boost
+      ("zzabcdef", "zzabzzzz", 0.6666666666666666))
+    for ((a, b, expect) <- cases) {
+      val got = StringSimUtils.jaroWinkler(u(a), u(b))
+      assert(math.abs(got - expect) < 1e-12, s"jw($a,$b)=$got want $expect")
+    }
+  }
+
+  test("hamming distance counts diffs and rejects unequal lengths") {
+    assert(StringSimUtils.hamming(u("abcde"), u("abxde")) == 1L)
+    assert(StringSimUtils.hamming(u(""), u("")) == 0L)
+    intercept[IllegalArgumentException] {
+      StringSimUtils.hamming(u("ab"), u("abc"))
+    }
+  }
+
+  test("SQL registration: custom functions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler_similarity('martha', 'marhta') jw,
+        |       hamming_distance('abcde', 'abxde') ham,
+        |       cosine_similarity(array(1.0F, 2.0F), array(2.0F, 4.0F)) cos,
+        |       dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) dot,
+        |       l2_squared(array(1.0F, 2.0F), array(1.0F, 4.0F)) l2
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 11.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-12)
+  }
+
+  test("HLL estimate is within 5% of exact NDV on real data") {
+    GraftFunctions.register(spark)
+    val df = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = df.agg(
+      GraftFunctions.hllCardinality(
+        GraftFunctions.approxSet(col("l_partkey"))).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).collect()(0)
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("HLL merge of partial sketches equals the global sketch exactly") {
+    GraftFunctions.register(spark)
+    val df = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val global = df.agg(
+      GraftFunctions.hllCardinality(
+        GraftFunctions.approxSet(col("l_partkey")))).collect()(0).getLong(0)
+    // sketch per returnflag group, then merge the stored sketches
+    val merged = df.groupBy("l_returnflag")
+      .agg(GraftFunctions.approxSet(col("l_partkey")).as("sk"))
+      .agg(GraftFunctions.hllCardinality(
+        GraftFunctions.mergeHll(col("sk")))).collect()(0).getLong(0)
+    assert(global == merged,
+      s"merge must be exact (register max): global=$global merged=$merged")
+  }
+
+  test("HLL sketches survive a parquet round-trip (stable binary state)") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    val df = Tables(spark, "/root/testdata/sf0.01", "orders")
+    df.groupBy("o_orderstatus")
+      .agg(GraftFunctions.approxSet(col("o_custkey")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    val re = spark.read.parquet(s"$dir/sketches")
+      .agg(GraftFunctions.hllCardinality(GraftFunctions.mergeHll(col("sk"))))
+      .collect()(0).getLong(0)
+    val direct = df.agg(GraftFunctions.hllCardinality(
+      GraftFunctions.approxSet(col("o_custkey")))).collect()(0).getLong(0)
+    assert(re == direct, s"round-trip=$re direct=$direct")
+  }
+
+  test("hll kernel: small cardinalities are near-exact (linear counting)") {
+    val buf = Hll.emptyBuffer(Hll.DefaultP)
+    (1 to 100).foreach(i => Hll.add(buf,
+      Hll.hash(java.nio.ByteBuffer.allocate(8).putLong(i.toLong).array())))
+    val est = Hll.cardinality(buf)
+    assert(math.abs(est - 100L) <= 2, s"est=$est")
+  }
+
+  test("vector expressions agree with the HOF formulation bit-for-bit") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val cmp = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        GraftFunctions.cosineSimilarity(col("a.embedding"), col("b.embedding"))
+          .as("expr_cos"),
+        ops.Dedup.cosine(col("a.embedding"), col("b.embedding")).as("hof_cos"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+}
