@@ -13,7 +13,8 @@ object SparkEntry {
     tpch.Tpch.queries ++ ops.Relational.queries ++ ops.Windows.queries ++
       ops.Aggregates.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
-      ops.Scalars.queries ++ streaming.Streams.queries
+      ops.Scalars.queries ++ ops.Subqueries.queries ++ ops.Sources.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     tpch.Tpch.oracle ++ ops.Relational.oracle ++ ops.Windows.oracle ++
       ops.Aggregates.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
-      ops.Scalars.oracle ++ streaming.Streams.oracle
+      ops.Scalars.oracle ++ ops.Subqueries.oracle ++ ops.Sources.oracle ++
+      streaming.Streams.oracle
 }

@@ -34,7 +34,12 @@ object GraftFunctions {
     ("merge_hll", "merge_hll(sketch) - merge HyperLogLog sketches",
       es => HllMergeAgg(es.head).toAggregateExpression()),
     ("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch",
-      es => HllCardinality(es.head)))
+      es => HllCardinality(es.head)),
+    ("approx_most_frequent",
+      "approx_most_frequent(k, value, capacity) - space-saving top-k heavy hitters",
+      es => MostFrequentAgg(es(1),
+        es(0).eval(null).asInstanceOf[Number].intValue(),
+        es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -56,6 +61,8 @@ object GraftFunctions {
   def approxSet(a: Column): Column = c(HllSketchAgg(x(a)).toAggregateExpression())
   def mergeHll(a: Column): Column = c(HllMergeAgg(x(a)).toAggregateExpression())
   def hllCardinality(a: Column): Column = c(HllCardinality(x(a)))
+  def approxMostFrequent(k: Int, a: Column, capacity: Int): Column =
+    c(MostFrequentAgg(x(a), k, capacity).toAggregateExpression())
 }
 
 /** Config-time injection: `.config("spark.sql.extensions",

@@ -195,7 +195,52 @@ object Aggregates {
         log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")),
         4).as("event_entropy"))
 
+  /** approx_most_frequent via the custom space-saving aggregate
+    * (functions/MostFrequent.scala). Capacity 64 > the 5 true distinct
+    * clerk-priority values, so the sketch is exact here and oracle-checkable;
+    * at real cardinalities the same operator degrades gracefully to the
+    * Misra-Gries guarantee. Map output exploded to sorted rows for the gate. */
+  def mostFrequent(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(graft.functions.GraftFunctions
+        .approxMostFrequent(3, col("o_orderpriority"), 64).as("mf"))
+      .select(col("o_orderstatus"), explode(col("mf")).as(Seq("value", "cnt")))
+      .orderBy("o_orderstatus", "value")
+
+  /** max_by(x, y, N) — the N-variant arg-extrema (reference
+    * AbstractMinMaxNAggregationFunction.java): per-group top-N collected as
+    * sorted structs, then exploded. At scale the collect_list is bounded by
+    * a pre-filter window (WindowGroupLimit) in real pipelines. */
+  def maxByN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(slice(reverse(sort_array(collect_list(
+        struct(col("o_totalprice"), col("o_orderkey"))))), 1, 3).as("top3"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top3")).as(Seq("pos", "entry")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("entry.o_orderkey").as("o_orderkey"),
+        col("entry.o_totalprice").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+
+  /** map_agg / histogram-as-map (reference MapAggregationFunction.java:51,
+    * histogram/Histogram.java:48): build the map value, then emit its
+    * entries as sorted rows so the gate can hash it. */
+  def mapAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("l_linestatus"), col("c")))))
+        .as("hist"))
+      .select(col("l_returnflag"), explode(col("hist")).as(Seq("status", "cnt")))
+      .orderBy("l_returnflag", "status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_most_frequent" -> mostFrequent,
+    "agg_max_by_n" -> maxByN,
+    "agg_map_agg" -> mapAgg,
     "agg_stats" -> stats,
     "agg_corr_covar" -> corrCovar,
     "agg_regression" -> regression,
@@ -214,6 +259,23 @@ object Aggregates {
     "agg_entropy" -> entropy)
 
   val oracle: Map[String, String] = Map(
+    "agg_most_frequent" ->
+      """SELECT o_orderstatus, o_orderpriority AS value, cnt FROM (
+        | SELECT o_orderstatus, o_orderpriority, count(*) cnt,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY count(*) DESC, o_orderpriority) rk
+        | FROM orders GROUP BY 1, 2)
+        |WHERE rk <= 3 ORDER BY o_orderstatus, value""".stripMargin,
+    "agg_max_by_n" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       row_number() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey DESC) rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "agg_map_agg" ->
+      """SELECT l_returnflag, l_linestatus AS status, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, status""".stripMargin,
     "agg_stats" ->
       """SELECT s_nationkey,
         | ROUND(var_pop(s_acctbal), 4) AS vpop,
