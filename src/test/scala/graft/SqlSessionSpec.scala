@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.SqlSession
+
+/** End-to-end reference-dialect SQL through the SqlSession entry point:
+  * the benchto TPC-H texts (q01/q06 shapes from
+  * presto-benchto-benchmarks/.../sql/presto/tpch/) must plan and agree with
+  * the DataFrame implementations; reference function names must resolve. */
+class SqlSessionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val session = SqlSession.wrap(spark).loadTables(sf)
+
+  test("TPC-H q06 reference text matches the DataFrame implementation") {
+    val viaSql = session.sql(
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= date '1996-01-01'
+        |  AND l_shipdate < date '1996-01-01' + interval '1' year
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin).collect()(0).getDouble(0)
+    val viaDf = tpch.Tpch.q06(spark, sf).collect()(0).getDouble(0)
+    assert(math.abs(viaSql - viaDf) < 1e-6, s"$viaSql vs $viaDf")
+  }
+
+  test("TPC-H q01 reference text: grouping + FILTER-style aggregates") {
+    val rows = session.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= date '1998-12-01' - interval '90' day
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(4) > 0))
+  }
+
+  test("reference function names resolve through the dialect shim") {
+    val r = session.sql(
+      """SELECT approx_distinct(l_suppkey) AS nd,
+        |       arbitrary(l_returnflag) AS arb,
+        |       strpos('hello world', 'world') AS p,
+        |       codepoint('A') AS cp,
+        |       json_extract_scalar('{"a": 5}', '$.a') AS j
+        |FROM lineitem""".stripMargin).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(Set("A", "N", "R")(r.getString(1)))
+    assert(r.getInt(2) == 7)
+    assert(r.getInt(3) == 65)
+    assert(r.getString(4) == "5")
+  }
+
+  test("graft custom functions are available in the session") {
+    val r = session.sql(
+      """SELECT hll_cardinality(approx_set(l_partkey)) AS nd
+        |FROM lineitem""".stripMargin).collect()(0)
+    assert(r.getLong(0) > 0)
+  }
+
+  test("duplicate map keys raise (reference DuplicateMapKeyException semantics)") {
+    val e = intercept[Exception] {
+      session.sql("SELECT map_from_entries(array(struct(1, 'a'), struct(1, 'b')))")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("duplicate"),
+      s"expected duplicate-key error, got: ${e.getMessage.take(200)}")
+  }
+}
