@@ -61,8 +61,12 @@ object SqlSession {
 
 /** Textual shims for reference function names Spark spells differently.
   * Word-boundary, call-position replacement only (name followed by `(`),
-  * case-insensitive — identifiers inside strings survive because the
-  * shimmed names are uncommon as data. */
+  * case-insensitive. The text is first segmented into code vs quoted/comment
+  * regions ('…' with '' escapes, "…" identifiers, `--` line and slash-star
+  * block comments) — renames only ever touch code, so `SELECT 'call
+  * arbitrary(x)'` keeps its literal intact. A 3-arg `strpos(s, sub, n)`
+  * (occurrence variant — no Spark equivalent) raises a clear unsupported
+  * error instead of silently renaming to 2-arg `instr` and failing analysis. */
 object Dialect {
 
   private val renames: Seq[(String, String)] = Seq(
@@ -74,8 +78,82 @@ object Dialect {
     "to_unixtime" -> "unix_timestamp",
     "from_unixtime_ms" -> "timestamp_millis")
 
-  def translate(text: String): String =
-    renames.foldLeft(text) { case (t, (from, to)) =>
-      t.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+  /** (segment, isCode) spans covering the whole text in order. */
+  private def segments(text: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val n = text.length
+    var i = 0
+    var start = 0
+    def flushCode(end: Int): Unit =
+      if (end > start) out += ((text.substring(start, end), true))
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        flushCode(i)
+        var j = i + 1
+        var open = true
+        while (j < n && open) {
+          if (text.charAt(j) == c) {
+            if (j + 1 < n && text.charAt(j + 1) == c) j += 2 // '' escape
+            else { open = false; j += 1 }
+          } else j += 1
+        }
+        out += ((text.substring(i, j), false)); i = j; start = j
+      } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+        flushCode(i)
+        var j = i
+        while (j < n && text.charAt(j) != '\n') j += 1
+        out += ((text.substring(i, j), false)); i = j; start = j
+      } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+        flushCode(i)
+        val e = text.indexOf("*/", i + 2)
+        val j = if (e < 0) n else e + 2
+        out += ((text.substring(i, j), false)); i = j; start = j
+      } else i += 1
     }
+    flushCode(n)
+    out.toSeq
+  }
+
+  /** Original text with non-code spans blanked — safe for paren matching. */
+  private def masked(text: String): String =
+    segments(text).map { case (seg, isCode) =>
+      if (isCode) seg else " " * seg.length
+    }.mkString
+
+  private val strposCall = "(?i)\\bstrpos\\s*\\(".r
+
+  /** Reject the 3-arg occurrence variant with a clear error (arity counted
+    * on the masked text so commas in string literals don't miscount). */
+  private def checkStrposArity(text: String): Unit = {
+    val m = masked(text)
+    strposCall.findAllMatchIn(m).foreach { hit =>
+      var depth = 1
+      var commas = 0
+      var i = hit.end
+      while (i < m.length && depth > 0) {
+        m.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 1 => commas += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (commas >= 2) throw new UnsupportedOperationException(
+        "strpos(string, substring, instance) with an instance argument is not " +
+          "supported by this engine; rewrite with 2-arg strpos/instr")
+    }
+  }
+
+  def translate(text: String): String = {
+    checkStrposArity(text)
+    segments(text).map {
+      case (seg, false) => seg
+      case (seg, true) =>
+        renames.foldLeft(seg) { case (t, (from, to)) =>
+          t.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+        }
+    }.mkString
+  }
 }

@@ -37,9 +37,20 @@ object GraftFunctions {
       es => HllCardinality(es.head)),
     ("approx_most_frequent",
       "approx_most_frequent(k, value, capacity) - space-saving top-k heavy hitters",
-      es => MostFrequentAgg(es(1),
-        es(0).eval(null).asInstanceOf[Number].intValue(),
-        es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()))
+      es => {
+        if (es.length != 3) throw new IllegalArgumentException(
+          s"approx_most_frequent(k, value, capacity) requires exactly 3 arguments, got ${es.length}")
+        def intLit(e: Expression, what: String): Int = {
+          val v = if (e.foldable) e.eval(null) else null
+          v match {
+            case n: Number => n.intValue()
+            case _ => throw new IllegalArgumentException(
+              s"approx_most_frequent: $what must be a foldable integer literal, got ${e.sql}")
+          }
+        }
+        MostFrequentAgg(es(1), intLit(es(0), "k"), intLit(es(2), "capacity"))
+          .toAggregateExpression()
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

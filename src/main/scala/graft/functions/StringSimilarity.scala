@@ -69,21 +69,28 @@ object StringSimUtils {
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 
-  /** Hamming distance over equal-length strings; unequal lengths are an
-    * error in both the reference (StringFunctions.java hamming_distance)
+  /** Hamming distance over equal-length strings, compared by Unicode code
+    * point (not UTF-16 code unit — surrogate pairs count as one position,
+    * matching the reference's code-point iteration in StringFunctions.java
+    * hamming_distance); unequal lengths are an error in both the reference
     * and DuckDB. */
   def hamming(l: UTF8String, r: UTF8String): Long = {
     val a = l.toString
     val b = r.toString
-    if (a.length != b.length)
-      throw new IllegalArgumentException(
-        s"hamming_distance requires equal-length strings (${a.length} vs ${b.length})")
     var d = 0L
     var i = 0
-    while (i < a.length) {
-      if (a.charAt(i) != b.charAt(i)) d += 1
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) d += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
+    if (i < a.length || j < b.length)
+      throw new IllegalArgumentException(
+        "hamming_distance requires equal-length strings (" +
+          s"${a.codePointCount(0, a.length)} vs ${b.codePointCount(0, b.length)} code points)")
     d
   }
 }

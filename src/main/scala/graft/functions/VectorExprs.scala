@@ -13,10 +13,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen emits one static call per row. */
 object VectorUtils {
 
+  /** Mismatched dimensions are an error (the reference's vector functions
+    * reject unequal lengths — MathFunctions.java checkCondition), never a
+    * silently-truncated result. */
+  private def sameDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dimensions must match: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Double-precision dot product of two float vectors (sequential fold in
     * element order — bit-compatible with the HOF/oracle formulation). */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDims(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -26,11 +37,13 @@ object VectorUtils {
     acc
   }
 
-  def cosineF(a: ArrayData, b: ArrayData): Double =
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    sameDims(a, b)
     dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+  }
 
   def l2SquaredF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameDims(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {

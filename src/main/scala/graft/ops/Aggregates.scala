@@ -21,10 +21,12 @@ import graft.Tables.dsum
   * HashAggregateExec; nothing below collects to the driver).
   *
   * Determinism: statistical doubles are ROUND(x, 4) on both sides (merge
-  * order perturbs the last ulps); skewness/kurtosis oracles spell out the
-  * population-moment formula because DuckDB's builtins use the
+  * order perturbs the last ulps); skewness/kurtosis oracles compute the
+  * population-moment formula over CENTERED values (group mean subtracted in
+  * a CTE before raising to powers) because DuckDB's builtins use the
   * sample-corrected definition while Spark (like the reference,
-  * CentralMomentsAggregation.java) uses population moments.
+  * CentralMomentsAggregation.java) uses one-pass central population moments —
+  * a raw-moment oracle is numerically unstable at ROUND(...,4).
   */
 object Aggregates {
 
@@ -106,14 +108,16 @@ object Aggregates {
       .orderBy("c_mktsegment")
 
   /** array_agg ordered + set_agg (reference arrayagg/, SetOfValues.java) —
-    * collected lists sorted so output is order-canonical. */
+    * collected lists sorted, then joined to one string cell per group so the
+    * gate's row comparator (which cannot sort list cells) can hash them. */
   def collect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(
-        sort_array(collect_list(col("n_name"))).as("nations"),
-        sort_array(collect_set(col("n_regionkey"))).as("region_keys"),
+        array_join(sort_array(collect_list(col("n_name"))), "|").as("nations"),
+        array_join(sort_array(collect_set(col("n_regionkey").cast("string"))), "|")
+          .as("region_keys"),
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
@@ -297,20 +301,16 @@ object Aggregates {
         | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurt" ->
-      """WITH m AS (
-        | SELECT s_nationkey,
-        |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-        |  CAST(SUM(CAST(s_acctbal*s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-        |  CAST(SUM(CAST(s_acctbal*s_acctbal*s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-        |  CAST(SUM(CAST(s_acctbal*s_acctbal*s_acctbal*s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s4
-        | FROM supplier GROUP BY s_nationkey)
+      """WITH mu AS (
+        | SELECT s_nationkey, avg(CAST(s_acctbal AS DOUBLE)) AS m
+        | FROM supplier GROUP BY s_nationkey),
+        |d AS (
+        | SELECT s.s_nationkey, CAST(s.s_acctbal AS DOUBLE) - mu.m AS x
+        | FROM supplier s JOIN mu ON s.s_nationkey = mu.s_nationkey)
         |SELECT s_nationkey,
-        | ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*power(s1/n, 3))
-        |       / power(s2/n - power(s1/n, 2), 1.5), 4) AS skew,
-        | ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*power(s1/n,2)*(s2/n) - 3*power(s1/n,4))
-        |       / power(s2/n - power(s1/n, 2), 2) - 3, 4) AS kurt
-        |FROM m ORDER BY s_nationkey""".stripMargin,
+        | ROUND(avg(x*x*x) / power(avg(x*x), 1.5), 4) AS skew,
+        | ROUND(avg(x*x*x*x) / power(avg(x*x), 2) - 3, 4) AS kurt
+        |FROM d GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderstatus,
         | max_by(o_totalprice, o_orderkey) AS latest_price,
@@ -332,8 +332,9 @@ object Aggregates {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "agg_collect" ->
       """SELECT r_name,
-        | array_agg(n_name ORDER BY n_name) AS nations,
-        | array_agg(DISTINCT n_regionkey ORDER BY n_regionkey) AS region_keys,
+        | string_agg(n_name, '|' ORDER BY n_name) AS nations,
+        | string_agg(DISTINCT CAST(n_regionkey AS VARCHAR), '|'
+        |            ORDER BY CAST(n_regionkey AS VARCHAR)) AS region_keys,
         | count(*) AS n
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,

@@ -101,29 +101,34 @@ object Scalars {
       .orderBy("k")
 
   /** Array functions + higher-order transform/filter/exists (Catalyst
-    * LambdaFunction — the reference's ArrayTransformFunction.java family). */
-  def array(s: SparkSession, dir: String): DataFrame =
+    * LambdaFunction — the reference's ArrayTransformFunction.java family).
+    * Every array-typed result is joined to a single string cell: the gate's
+    * row comparator cannot sort list cells, so arrays never leave the query. */
+  def array(s: SparkSession, dir: String): DataFrame = {
+    def j(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(transform(c, x => x.cast("string")), ",")
     t(s, dir, "part").filter(col("p_partkey") <= 100)
       .withColumn("arr", sequence(lit(1L), (col("p_size") % 5 + 2).cast("long")))
       .select(
         col("p_partkey").as("k"),
-        col("arr"),
+        j(col("arr")).as("arr"),
         size(col("arr")).cast("long").as("card"),
         array_contains(col("arr"), 3).as("has3"),
         element_at(col("arr"), 2).as("second"),
-        slice(col("arr"), 2, 2).as("sl"),
-        reverse(col("arr")).as("rev"),
+        j(slice(col("arr"), 2, 2)).as("sl"),
+        j(reverse(col("arr"))).as("rev"),
         array_max(col("arr")).as("mx"),
         array_min(col("arr")).as("mn"),
         array_join(transform(col("arr"), x => x.cast("string")), ",").as("joined"),
-        transform(col("arr"), x => x * 2).as("doubled"),
-        filter(col("arr"), x => x % 2 === 0).as("evens"),
+        j(transform(col("arr"), x => x * 2)).as("doubled"),
+        j(filter(col("arr"), x => x % 2 === 0)).as("evens"),
         (size(filter(col("arr"), x => x > 4)) > 0).as("any_gt4"),
         aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("sum_arr"),
-        flatten(F.array(col("arr"), col("arr"))).as("flat"),
-        sort_array(array_distinct(F.array(
-          col("p_size") % 3, col("p_size") % 5, col("p_size") % 3))).as("dist"))
+        j(flatten(F.array(col("arr"), col("arr")))).as("flat"),
+        j(sort_array(array_distinct(F.array(
+          col("p_size") % 3, col("p_size") % 5, col("p_size") % 3)))).as("dist"))
       .orderBy("k")
+  }
 
   def map(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
@@ -136,7 +141,7 @@ object Scalars {
         size(col("m")).cast("long").as("card"),
         element_at(col("m"), "bal").as("bal"),
         element_at(col("m"), "nat").as("nat"),
-        sort_array(map_keys(col("m"))).as("keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
         map_contains_key(col("m"), "key").as("has_key"),
         element_at(map_values(
           map_filter(col("m"), (k, v) => k === "bal")), 1).as("only_bal"))
@@ -219,7 +224,7 @@ object Scalars {
         expr("CAST(regexp_count(p_name, 'a') AS BIGINT)").as("n_a"),
         expr("CAST(size(regexp_extract_all(p_name, '[a-z]+', 0)) AS BIGINT)")
           .as("n_words"),
-        split(col("p_type"), " ").as("type_words"))
+        array_join(split(col("p_type"), " "), ",").as("type_words"))
       .orderBy("k")
 
   /** Custom vector expressions (codegen'd primitive loops) verified against
@@ -334,21 +339,22 @@ object Scalars {
         | make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
         |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
     "fn_array" ->
-      """SELECT p_partkey AS k, arr,
+      """SELECT p_partkey AS k,
+        | array_to_string(arr, ',') AS arr,
         | CAST(len(arr) AS BIGINT) AS card,
         | list_contains(arr, 3) AS has3,
         | arr[2] AS second,
-        | arr[2:3] AS sl,
-        | list_reverse(arr) AS rev,
+        | array_to_string(arr[2:3], ',') AS sl,
+        | array_to_string(list_reverse(arr), ',') AS rev,
         | list_max(arr) AS mx,
         | list_min(arr) AS mn,
         | array_to_string(arr, ',') AS joined,
-        | list_transform(arr, x -> x * 2) AS doubled,
-        | list_filter(arr, x -> x % 2 = 0) AS evens,
+        | array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
+        | array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
         | len(list_filter(arr, x -> x > 4)) > 0 AS any_gt4,
         | CAST(list_sum(arr) AS BIGINT) AS sum_arr,
-        | flatten([arr, arr]) AS flat,
-        | list_sort(list_distinct([p_size % 3, p_size % 5, p_size % 3])) AS dist
+        | array_to_string(flatten([arr, arr]), ',') AS flat,
+        | array_to_string(list_sort(list_distinct([p_size % 3, p_size % 5, p_size % 3])), ',') AS dist
         |FROM (SELECT p_partkey, p_size, range(1, p_size % 5 + 3) arr FROM part
         |      WHERE p_partkey <= 100)
         |ORDER BY k""".stripMargin,
@@ -357,7 +363,7 @@ object Scalars {
         | CAST(cardinality(m) AS BIGINT) AS card,
         | m['bal'][1] AS bal,
         | m['nat'][1] AS nat,
-        | list_sort(map_keys(m)) AS keys,
+        | array_to_string(list_sort(map_keys(m)), ',') AS keys,
         | list_contains(map_keys(m), 'key') AS has_key,
         | m['bal'][1] AS only_bal
         |FROM (SELECT s_suppkey,
@@ -420,7 +426,7 @@ object Scalars {
         | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
         | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
         | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
-        | regexp_split_to_array(p_type, ' ') AS type_words
+        | array_to_string(regexp_split_to_array(p_type, ' '), ',') AS type_words
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_vector" ->
       """WITH p AS (SELECT a.vec_id va, a.embedding ea, b.vec_id vb, b.embedding eb
