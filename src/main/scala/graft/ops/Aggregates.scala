@@ -241,7 +241,103 @@ object Aggregates {
       .select(col("l_returnflag"), explode(col("hist")).as(Seq("status", "cnt")))
       .orderBy("l_returnflag", "status")
 
+  /** Per-aggregate FILTER (WHERE …) masks (reference AggregationNode's
+    * per-agg `filter` field — SPI/plan/AggregationNode.java:44). */
+  def filterClause(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+        expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_totalprice > 200000) AS DOUBLE)""").as("big_total"),
+        expr("max(o_orderdate) FILTER (WHERE o_orderstatus = 'O')")
+          .cast("date").as("last_open"))
+      .orderBy("o_orderpriority")
+
+  /** array_agg(x ORDER BY y) — ORDER BY inside an aggregate (reference
+    * AggregationNode orderBy flag; unsupported in distributed agg there,
+    * SPI/plan/AggregationNode.java:102). Spark rewrite per SURVEY §2.3:
+    * sort_array(collect_list(struct(y, x))) then project — fully
+    * partial/final combinable, sorted once per group at output. */
+  def orderedArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .groupBy("o_orderpriority")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("o_orderkey"), col("o_orderstatus")))),
+          e => concat(e.getField("o_orderkey").cast("string"), lit(":"),
+            e.getField("o_orderstatus"))), "|").as("by_key"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** reduce_agg(input, init, fold) (reference ReduceAggregationFunction):
+    * deterministic fold = ordered collect + Catalyst `aggregate` HOF; the
+    * fold here (sum of squares) is independently verifiable in plain SQL. */
+  def reduceAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") <= 1000)
+      .groupBy("l_returnflag")
+      .agg(aggregate(collect_list(col("l_quantity").cast("long")), lit(0L),
+        (acc, x) => acc + x * x).as("sum_sq"))
+      .orderBy("l_returnflag")
+
+  /** map_union_sum (reference MapUnionSumAggregation): per-priority partial
+    * maps (status → count) merged across groups by summing per key; emitted
+    * as exploded (key, total) rows — the distributed merge pattern for
+    * map-valued partial aggregates. */
+  def mapUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("c"))
+      .groupBy("o_orderpriority")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("o_orderstatus"), col("c"))))).as("m"))
+      .select(explode(col("m")).as(Seq("status", "c")))
+      .groupBy("status").agg(sum("c").as("total"))
+      .orderBy("status")
+
+  /** multimap_agg(key, value) (reference multimapagg/): key → all values,
+    * values sorted + joined so the gate can hash the group. */
+  def multimapAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+
+  /** set_agg/set_union (reference SetOfValues.java): distinct union of
+    * array-valued input across a group (explode → collect_set). */
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_brand"), explode(split(col("p_type"), " ")).as("w"))
+      .groupBy("p_brand")
+      .agg(array_join(sort_array(collect_set(col("w"))), "|").as("type_words"),
+        countDistinct(col("w")).as("n_distinct"))
+      .orderBy("p_brand")
+
+  /** reservoir_sample (reference reservoirsample/) — fixed-size per-group
+    * uniform sample. Deterministic variant: rank by md5 of the row key (a
+    * uniform hash both engines compute identically), so the "random" picks
+    * are reproducible and oracle-checkable; the nondeterministic seeded
+    * variant is sample_bernoulli. */
+  def reservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus").orderBy(asc("h"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("h", md5(encode(col("o_orderkey").cast("string"), "UTF-8")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderstatus"), col("rn").cast("long").as("rn"), col("o_orderkey"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_filter_clause" -> filterClause,
+    "agg_ordered_array" -> orderedArrayAgg,
+    "agg_reduce" -> reduceAgg,
+    "agg_map_union" -> mapUnion,
+    "agg_multimap" -> multimapAgg,
+    "agg_set_union" -> setUnion,
+    "agg_reservoir" -> reservoir,
     "agg_most_frequent" -> mostFrequent,
     "agg_max_by_n" -> maxByN,
     "agg_map_agg" -> mapAgg,
@@ -263,6 +359,48 @@ object Aggregates {
     "agg_entropy" -> entropy)
 
   val oracle: Map[String, String] = Map(
+    "agg_filter_clause" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |      FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total,
+        | CAST(max(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS DATE) AS last_open
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_ordered_array" ->
+      """SELECT o_orderpriority,
+        | string_agg(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus, '|'
+        |            ORDER BY o_orderkey) AS by_key,
+        | count(*) AS n
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_reduce" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |   AS sum_sq
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_map_union" ->
+      """SELECT o_orderstatus AS status, count(*) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "agg_multimap" ->
+      """SELECT n_name,
+        | string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        | count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_set_union" ->
+      """SELECT p_brand,
+        | string_agg(DISTINCT w, '|' ORDER BY w) AS type_words,
+        | count(DISTINCT w) AS n_distinct
+        |FROM (SELECT p_brand, unnest(string_split(p_type, ' ')) AS w FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "agg_reservoir" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+        | SELECT o_orderstatus, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin,
     "agg_most_frequent" ->
       """SELECT o_orderstatus, o_orderpriority AS value, cnt FROM (
         | SELECT o_orderstatus, o_orderpriority, count(*) cnt,

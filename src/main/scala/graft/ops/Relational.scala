@@ -204,7 +204,57 @@ object Relational {
     t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Materialized-CTE reuse (reference CteProducerNode/CteConsumerNode +
+    * LogicalCteOptimizer): one aggregate subplan consumed twice — as the
+    * per-customer rows and as the scalar threshold. `.cache()` marks the
+    * shared subplan the way REMOTE_MATERIALIZED exchanges persist it; AQE
+    * shuffle reuse would kick in even without it. */
+  def cteReuse(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice"), "spend")).cache()
+    val top = spend.agg(max("spend").as("max_spend"))
+    val out = spend.crossJoin(broadcast(top))
+      .filter(col("spend") >= col("max_spend") * 0.5)
+      .select("o_custkey", "spend")
+      .orderBy("o_custkey")
+    out
+  }
+
+  /** AssignUniqueIdOperator.java:29 → monotonically_increasing_id: the ids
+    * are partition-local counters | partition id, so the check is global
+    * uniqueness, not specific values. */
+  def uniqueId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("uid", monotonically_increasing_id())
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_unique"))
+
+  /** sequence()/range table function (reference SequenceFunction.java +
+    * UNNEST): per-nation 1..k+1 sequence exploded with ordinality. */
+  def tvfSequence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        posexplode(sequence(lit(1L), col("n_nationkey").cast("long") + 1))
+          .as(Seq("ord", "v")))
+      .groupBy("n_nationkey")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        max("ord").cast("long").as("max_ord"))
+      .orderBy("n_nationkey")
+
+  /** Sort-merge join distribution (reference MergeJoinNode +
+    * SortMergeJoinOptimizer.java): the hint forces SMJ — the shape every
+    * big×big join takes at 100 TB where neither side broadcasts. */
+  def joinMergeSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").hint("merge")
+      .join(t(s, dir, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice"), "total"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cte_reuse" -> cteReuse,
+    "assign_unique_id" -> uniqueId,
+    "tvf_sequence" -> tvfSequence,
+    "join_merge_sorted" -> joinMergeSorted,
     "scan_project" -> scanProject,
     "join_inner" -> joinInner, "join_left" -> joinLeft, "join_right" -> joinRight,
     "join_full" -> joinFull, "join_semi" -> joinSemi, "join_anti" -> joinAnti,
@@ -219,6 +269,26 @@ object Relational {
     "sample_bernoulli" -> sampleBernoulli)
 
   val oracle: Map[String, String] = Map(
+    "cte_reuse" ->
+      """WITH spend AS (
+        | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS spend
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend FROM spend
+        |WHERE spend >= (SELECT max(spend) FROM spend) * 0.5
+        |ORDER BY o_custkey""".stripMargin,
+    "assign_unique_id" ->
+      "SELECT count(*) AS n, count(*) AS n_unique FROM lineitem",
+    "tvf_sequence" ->
+      """SELECT n_nationkey, count(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+        | CAST(count(*) - 1 AS BIGINT) AS max_ord
+        |FROM nation, unnest(range(1, CAST(n_nationkey AS BIGINT) + 2)) AS u(v)
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "join_merge_sorted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_project" ->
       """SELECT p_partkey, p_name, p_size FROM part
         |WHERE p_size >= 40 AND p_type = 'STANDARD' ORDER BY p_partkey""".stripMargin,

@@ -44,6 +44,31 @@ object Scalars {
         least(col("p_retailprice"), lit(500.0)).as("least_x"))
       .orderBy("k")
 
+  /** Trigonometric/hyperbolic functions + width_bucket (reference
+    * MathFunctions.java trig family + WidthBucketFunction; arguments scaled
+    * into well-conditioned ranges so ROUND(...,4) is stable across libm
+    * implementations). */
+  def trig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .withColumn("xs", col("p_size") / 100.0)
+      .withColumn("xp", col("p_retailprice") / 1000.0)
+      .select(
+        col("p_partkey").as("k"),
+        round(sin(col("xs")), 4).as("sin_x"),
+        round(cos(col("xs")), 4).as("cos_x"),
+        round(tan(col("xs")), 4).as("tan_x"),
+        round(asin(col("xs")), 4).as("asin_x"),
+        round(acos(col("xs")), 4).as("acos_x"),
+        round(atan(col("xp")), 4).as("atan_x"),
+        round(atan2(col("xs"), lit(2.0)), 4).as("atan2_x"),
+        round(degrees(col("xs")), 4).as("deg_x"),
+        round(radians(col("p_size")), 4).as("rad_sz"),
+        round(sinh(col("xs")), 4).as("sinh_x"),
+        round(cosh(col("xs")), 4).as("cosh_x"),
+        round(tanh(col("xs")), 4).as("tanh_x"),
+        expr("CAST(width_bucket(p_retailprice, 0, 2000, 10) AS BIGINT)").as("wb"))
+      .orderBy("k")
+
   def string(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .withColumn("phrase", concat(col("n_name"), lit(" alpha beta gamma")))
@@ -268,6 +293,7 @@ object Scalars {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_math" -> math,
+    "fn_trig" -> trig,
     "fn_string" -> string,
     "fn_string_sim" -> stringSim,
     "fn_datetime" -> datetime,
@@ -298,6 +324,24 @@ object Scalars {
         | CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sign_x,
         | greatest(p_retailprice, 500.0) AS greatest_x,
         | least(p_retailprice, 500.0) AS least_x
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_trig" ->
+      """SELECT p_partkey AS k,
+        | round(sin(p_size / 100.0), 4) AS sin_x,
+        | round(cos(p_size / 100.0), 4) AS cos_x,
+        | round(tan(p_size / 100.0), 4) AS tan_x,
+        | round(asin(p_size / 100.0), 4) AS asin_x,
+        | round(acos(p_size / 100.0), 4) AS acos_x,
+        | round(atan(p_retailprice / 1000.0), 4) AS atan_x,
+        | round(atan2(p_size / 100.0, 2.0), 4) AS atan2_x,
+        | round(degrees(p_size / 100.0), 4) AS deg_x,
+        | round(radians(p_size), 4) AS rad_sz,
+        | round((exp(p_size / 100.0) - exp(-(p_size / 100.0))) / 2, 4) AS sinh_x,
+        | round((exp(p_size / 100.0) + exp(-(p_size / 100.0))) / 2, 4) AS cosh_x,
+        | round((exp(2 * p_size / 100.0) - 1) / (exp(2 * p_size / 100.0) + 1), 4) AS tanh_x,
+        | CAST(CASE WHEN p_retailprice < 0 THEN 0
+        |           WHEN p_retailprice >= 2000 THEN 11
+        |           ELSE FLOOR(p_retailprice / 200) + 1 END AS BIGINT) AS wb
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_string" ->
       """SELECT n_nationkey AS k,

@@ -59,11 +59,68 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** DELETE as copy-on-write rewrite (reference DeleteNode /
+    * MetadataDeleteOperator.java:145): parquet has no row-level delete, so
+    * the surviving rows are rewritten — the same mechanism Delta/Iceberg COW
+    * uses; the readback aggregate proves only the survivors remain. */
+  def dmlDeleteRewrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("lineitem_deleted")
+    t(s, dir, "lineitem")
+      .filter(!(col("l_discount") > 0.06))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice"), "total"))
+      .orderBy("l_returnflag")
+  }
+
+  /** UPDATE as copy-on-write rewrite (reference UpdateNode /
+    * MergeWriterOperator): SET is a CASE projection over the full table,
+    * rewritten and read back. */
+  def dmlUpdateRewrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("orders_updated")
+    t(s, dir, "orders")
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "F", col("o_totalprice") * 0.9)
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice"), "total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Bucketed write + co-located join (reference grouped/bucketed execution,
+    * MAIN/sql/planner/GroupedExecutionTagger.java): both sides bucketed on
+    * the join key so the join plans with zero Exchange on either side — the
+    * storage-partitioned-join path that makes repeated big×big joins cheap
+    * at 100 TB (bucket count would be thousands there, 8 here). */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .option("path", tmp("bucketed_lineitem"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    t(s, dir, "orders").write.mode("overwrite")
+      .option("path", tmp("bucketed_orders"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice"), "total"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
-    "src_partitioned_pruned" -> partitionedPruned)
+    "src_partitioned_pruned" -> partitionedPruned,
+    "dml_delete_rewrite" -> dmlDeleteRewrite,
+    "dml_update_rewrite" -> dmlUpdateRewrite,
+    "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
     "src_csv_roundtrip" ->
@@ -77,5 +134,21 @@ object Sources {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dml_delete_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM lineitem WHERE NOT (l_discount > 0.06)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dml_update_rewrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |                    THEN o_totalprice * 0.9
+        |                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

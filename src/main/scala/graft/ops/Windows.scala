@@ -128,7 +128,41 @@ object Windows {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** GROUPS-frame emulation — the one frame type Spark lacks (SURVEY.md §2.4;
+    * reference WindowNode.java:325, SqlBase.g4 GROUPS bounds). A GROUPS frame
+    * of [lo, hi] over (partition, order) is exactly a RANGE frame of [lo, hi]
+    * over dense_rank(order): peer groups become consecutive integers, so
+    * "N peer groups preceding" = "dense_rank within N". Both windows share
+    * the same partitioning, so at scale this is one shuffle + one sort —
+    * the second WindowExec reuses the child ordering. */
+  def groupsFrame(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("p_brand").orderBy(asc("p_size"))
+    val wGroups = Window.partitionBy("p_brand").orderBy(asc("dr")).rangeBetween(-1, 1)
+    t(s, dir, "part")
+      .withColumn("dr", dense_rank().over(wOrd))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        count(lit(1)).over(wGroups).as("peer3_rows"),
+        wsum(col("p_retailprice"), wGroups).as("peer3_total"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** lag/lead/nth_value with IGNORE NULLS (reference window functions carry
+    * an ignoreNulls flag — MAIN/operator/window/LagFunction.java). */
+  def ignoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "click", col("value")))
+      .select(col("user_id"), col("event_id"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_click"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_click"),
+        nth_value(col("v"), 1, ignoreNulls = true).over(wFull).as("first_click"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_groups_frame" -> groupsFrame,
+    "win_ignore_nulls" -> ignoreNulls,
     "win_topn_rownum" -> topnRownum,
     "win_rank_dense" -> rankDense,
     "win_percent_cume" -> percentCume,
@@ -140,6 +174,28 @@ object Windows {
     "win_range_frame" -> rangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "win_groups_frame" ->
+      """WITH d AS (SELECT p_brand, p_partkey, p_size, p_retailprice,
+        |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS dr
+        | FROM part)
+        |SELECT p_brand, p_partkey, p_size,
+        | count(*) OVER w AS peer3_rows,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS peer3_total
+        |FROM d
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY dr
+        |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        | lag(v IGNORE NULLS) OVER w AS prev_click,
+        | lead(v IGNORE NULLS) OVER w AS next_click,
+        | nth_value(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_click
+        |FROM (SELECT user_id, event_id, ts,
+        |       CASE WHEN event_type = 'click' THEN value END AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_topn_rownum" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

@@ -70,12 +70,26 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Stateful stream dedup: dropDuplicates over (user, event_type) keeps the
+    * first arrival per key — under readStream this is the state-store dedup
+    * operator (bounded by a watermark in StreamingSpec). The per-user count
+    * of distinct types is arrival-order independent, so batch and streaming
+    * agree and the oracle is plain COUNT(DISTINCT). */
+  def dedup(df: DataFrame): DataFrame =
+    df.dropDuplicates("user_id", "event_type")
+      .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
     "stream_sliding" -> ((s, dir) => sliding(t(s, dir, "events"))),
-    "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))))
+    "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))),
+    "stream_dedup" -> ((s, dir) => dedup(t(s, dir, "events"))))
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
         | event_type, count(*) AS n,

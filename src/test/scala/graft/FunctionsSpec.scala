@@ -42,6 +42,40 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming distance counts code points, not UTF-16 units") {
+    // 𝄞 (U+1D11E) is a surrogate pair: one position, not two
+    assert(StringSimUtils.hamming(u("𝄞a"), u("𝄞b")) == 1L)
+    assert(StringSimUtils.hamming(u("𝄞a"), u("xa")) == 1L)
+    // equal code-point counts with different UTF-16 lengths are accepted
+    assert(StringSimUtils.hamming(u("𝄞"), u("x")) == 1L)
+  }
+
+  test("vector kernels reject mismatched dimensions") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Float*) = ArrayData.toArrayData(xs.toArray)
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorUtils.dotF(arr(1f, 2f), arr(1f))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorUtils.l2SquaredF(arr(1f), arr(1f, 2f))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorUtils.cosineF(arr(1f), arr(1f, 2f))
+    }
+  }
+
+  test("approx_most_frequent validates its arguments at build time") {
+    val builder = GraftFunctions.all
+      .find(_._1 == "approx_most_frequent").get._3
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] { builder(Seq(Literal(3))) }
+    intercept[IllegalArgumentException] {
+      // non-foldable k (an attribute) must be a clear error
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      builder(Seq(UnresolvedAttribute("k"), Literal("v"), Literal(64)))
+    }
+  }
+
   test("SQL registration: custom functions callable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -53,6 +53,29 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(r.getString(4) == "5")
   }
 
+  test("dialect renames never touch string literals or comments") {
+    import graft.api.Dialect
+    assert(Dialect.translate("SELECT 'call arbitrary(x)' AS s") ==
+      "SELECT 'call arbitrary(x)' AS s")
+    assert(Dialect.translate("SELECT arbitrary(x) -- arbitrary(y)\nFROM t") ==
+      "SELECT any_value(x) -- arbitrary(y)\nFROM t")
+    assert(Dialect.translate("SELECT /* strpos(a,b,c) */ strpos(a, b) FROM t") ==
+      "SELECT /* strpos(a,b,c) */ instr(a, b) FROM t")
+    assert(Dialect.translate("SELECT 'it''s strpos(a,b)' FROM t") ==
+      "SELECT 'it''s strpos(a,b)' FROM t")
+  }
+
+  test("3-arg strpos raises a clear unsupported error") {
+    import graft.api.Dialect
+    val e = intercept[UnsupportedOperationException] {
+      Dialect.translate("SELECT strpos(s, 'x, y', 2) FROM t")
+    }
+    assert(e.getMessage.contains("instance"))
+    // commas inside literals must not trigger the arity check
+    assert(Dialect.translate("SELECT strpos(s, 'x, y') FROM t") ==
+      "SELECT instr(s, 'x, y') FROM t")
+  }
+
   test("graft custom functions are available in the session") {
     val r = session.sql(
       """SELECT hll_cardinality(approx_set(l_partkey)) AS nd
