@@ -239,30 +239,36 @@ object Tpch {
   }
 
   /** q17: correlated per-part average kept (quantities are integral doubles →
-    * the average is exact in both engines). */
+    * the average is exact in both engines). The brand filter is pushed BELOW
+    * the per-part average — the correlated subquery only ever evaluates for
+    * Brand#3 parts, so averaging all other parts' lines is wasted work (at
+    * 100 TB that's a full lineitem aggregation for a 1/25 slice). One window
+    * pass over the filtered lines replaces the aggregate + re-join. */
   def q17(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
-    val partAvg = l.groupBy(col("l_partkey").as("pa_key"))
-      .agg(avg("l_quantity").as("avg_qty"))
-    l.join(t(s, dir, "part").filter(col("p_brand") === "Brand#3"),
-        col("p_partkey") === col("l_partkey"))
-      .join(partAvg, col("l_partkey") === col("pa_key"))
+    import org.apache.spark.sql.expressions.Window
+    val lf = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")), col("p_partkey") === col("l_partkey"))
+    lf.withColumn("avg_qty", avg("l_quantity").over(Window.partitionBy("l_partkey")))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** q18: the HAVING-subquery's per-order sum IS the output's sum_qty (the
+    * output group keys are functionally determined by o_orderkey), so one
+    * lineitem aggregate serves both — the original shape's second lineitem
+    * join (a full extra shuffle at 100 TB) is eliminated. */
   def q18(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
-    val big = l.groupBy(col("l_orderkey").as("bo_key"))
-      .agg(sum("l_quantity").as("bo_qty")).filter(col("bo_qty") > 150)
-      .select("bo_key")
+    val qty = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("bo_key"))
+      .agg(sum("l_quantity").as("bo_qty"), dsum(col("l_quantity"), "sum_qty"))
+      .filter(col("bo_qty") > 150)
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(big, col("o_orderkey") === col("bo_key"), "left_semi")
-      .join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
-      .agg(dsum(col("l_quantity"), "sum_qty"))
+      .join(qty, col("o_orderkey") === col("bo_key"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"),
+        col("sum_qty"))
       .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
       .limit(100)
   }
@@ -295,27 +301,35 @@ object Tpch {
       .orderBy("s_name")
   }
 
-  /** q21 adapted: EXISTS + NOT-EXISTS kept; "late" := shipped >45d after
-    * order date. */
+  /** q21 adapted: EXISTS + NOT-EXISTS kept (as semantics); "late" := shipped
+    * >45d after order date. Implementation is the single-pass rewrite: the
+    * EXISTS(other supplier) / NOT-EXISTS(other LATE supplier) pair is a
+    * per-order predicate — distinct suppliers ≥ 2 AND exactly one distinct
+    * late supplier — and when it holds, every late line belongs to that one
+    * supplier, so numwait = Σ late lines. One lineitem⋈orders join, then two
+    * stacked aggregates that reuse the join's hash partitioning on
+    * l_orderkey (zero extra shuffles), instead of two lineitem self-joins:
+    * 1 lineitem shuffle instead of 3 at 100 TB. */
   def q21(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    val l1 = l.toDF("l1_orderkey", "l1_suppkey", "l1_shipdate")
-    val l2 = l.toDF("l2_orderkey", "l2_suppkey", "l2_shipdate")
-    val l3 = l.toDF("l3_orderkey", "l3_suppkey", "l3_shipdate")
-    val late1 = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation")).filter(col("n_name") === "NATION_5"),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(l1, col("s_suppkey") === col("l1_suppkey"))
-      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-        col("o_orderkey") === col("l1_orderkey"))
-      .filter(col("l1_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"))
-    late1
-      .join(l2, col("l2_orderkey") === col("l1_orderkey") &&
-        col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
-      .join(l3, col("l3_orderkey") === col("l1_orderkey") &&
-        col("l3_suppkey") =!= col("l1_suppkey") &&
-        col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"), "left_anti")
-      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+    val lo = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"))
+    val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("n_late") > 0, col("l_suppkey"))).as("late_supp"),
+        sum("n_late").as("n_late_lines"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")).filter(col("n_name") === "NATION_5"),
+          col("s_nationkey") === col("n_nationkey")),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name").agg(sum("n_late_lines").as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))
       .limit(100)
   }
