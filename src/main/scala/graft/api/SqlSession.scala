@@ -40,11 +40,16 @@ final class SqlSession private (val spark: SparkSession) {
 
 object SqlSession {
 
-  /** Wrap an existing SparkSession: set semantics knobs + function overlay. */
+  /** Wrap an existing SparkSession: set semantics knobs + function overlay
+    * + graft optimizer rules (idempotent). */
   def wrap(spark: SparkSession): SqlSession = {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     GraftFunctions.register(spark)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.rules.CombineApproxPercentiles))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.rules.CombineApproxPercentiles
     new SqlSession(spark)
   }
 

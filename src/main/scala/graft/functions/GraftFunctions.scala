@@ -23,6 +23,8 @@ object GraftFunctions {
       es => JaroWinklerSimilarity(es(0), es(1))),
     ("hamming_distance", "hamming_distance(s1, s2) - positions differing between equal-length strings",
       es => HammingDistance(es(0), es(1))),
+    ("word_stem", "word_stem(word) - Porter stem of an English word",
+      es => WordStem(es.head)),
     ("cosine_similarity", "cosine_similarity(v1, v2) - cosine of two float vectors",
       es => CosineSimilarity(es(0), es(1))),
     ("dot_product", "dot_product(v1, v2) - double-precision dot of two float vectors",
@@ -65,6 +67,7 @@ object GraftFunctions {
   private def x(col: Column): Expression = Bridge.expression(col)
 
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinklerSimilarity(x(a), x(b)))
+  def wordStem(a: Column): Column = c(WordStem(x(a)))
   def hammingDistance(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))
   def cosineSimilarity(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
@@ -79,11 +82,13 @@ object GraftFunctions {
 /** Config-time injection: `.config("spark.sql.extensions",
   * "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.rules.CombineApproxPercentiles)
+  }
 }

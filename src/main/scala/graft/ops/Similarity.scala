@@ -94,9 +94,46 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style ANN (the scale path next to LSH): a coarse quantizer assigns
+    * every vector to its nearest-centroid cell; queries probe only their 2
+    * nearest cells. Centroids here are a deterministic seed subset (vec_id
+    * < 8) so the oracle can replay the assignment — a production IVF
+    * k-means-trains them, but the index structure, the broadcast quantizer,
+    * and the probe-limited join (fan-out = corpus/K × nprobe instead of
+    * corpus) are exactly what runs at 100 TB, with cells as the partition
+    * key of the stored index. */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        Dedup.cosine(col("embedding"), col("cvec")).as("cs"))
+      .withColumn("crk", row_number().over(wA))
+    val cells = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crk") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cent_id").as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("c"), asc("vec_id"))
+    broadcast(probes)
+      .join(cells, col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosine(col("qvec"), col("embedding")).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> bruteTopK,
-    "sim_lsh_ann" -> lshAnn)
+    "sim_lsh_ann" -> lshAnn,
+    "sim_ivf_ann" -> ivfAnn)
 
   private val cosineCte =
     """u AS (SELECT query_id, vec_id, unnest(qv) x, unnest(ev) y FROM p),
@@ -119,6 +156,30 @@ object Similarity {
          |            e.vec_id vec_id, e.embedding ev
          |           FROM embeddings q JOIN embeddings e ON q.vec_id < 5
          |            AND e.vec_id <> q.vec_id),
+         |$cosineCte""".stripMargin,
+    "sim_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |              FROM embeddings WHERE vec_id < 8),
+         |pc AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+         |       FROM embeddings e CROSS JOIN cent c),
+         |pu AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pc),
+         |pd AS (SELECT vec_id, cent_id,
+         |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+         |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+         |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+         |       FROM pu GROUP BY 1, 2),
+         |rkd AS (SELECT vec_id, cent_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY dot / (na * nb) DESC, cent_id) crk
+         |        FROM pd),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE crk = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+         |           FROM rkd WHERE vec_id < 5 AND crk <= 2),
+         |p AS (SELECT pr.query_id, qe.embedding qv, ce.vec_id vec_id, ee.embedding ev
+         |      FROM probes pr
+         |      JOIN cells ce ON ce.cell = pr.probe AND ce.vec_id <> pr.query_id
+         |      JOIN embeddings qe ON qe.vec_id = pr.query_id
+         |      JOIN embeddings ee ON ee.vec_id = ce.vec_id),
          |$cosineCte""".stripMargin,
     "sim_lsh_ann" ->
       s"""WITH comp AS (

@@ -117,11 +117,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
 
+  /** Stem-frequency profile: Porter-stem every word (custom WordStem
+    * expression — the reference's word_stem, WordStemFunction.java), top-5
+    * stems per language. Rows-only gate (the oracle engine has no stemmer
+    * offline); PorterStemmer itself is verified against the published
+    * algorithm's sample vocabulary in FunctionsSpec. */
+  def stems(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("stem"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 3)
+      .select(col("lang"), graft.functions.GraftFunctions.wordStem(col("word")).as("stem"))
+      .groupBy("lang", "stem").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("stem"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
     "text_quality" -> quality,
     "text_tokens" -> tokenCount,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_stems" -> stems)
 
   private def stopSql(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("[", ", ", "]")

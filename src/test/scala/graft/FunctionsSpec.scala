@@ -50,6 +50,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(StringSimUtils.hamming(u("𝄞"), u("x")) == 1L)
   }
 
+  test("porter stemmer matches the published algorithm's sample vocabulary") {
+    import graft.functions.PorterStemmer.stem
+    // examples straight from Porter 1980 §2 (step-by-step tables)
+    val cases = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic", "differentli" -> "differ",
+      "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    for ((in, want) <- cases)
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+  }
+
   test("vector kernels reject mismatched dimensions") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     def arr(xs: Float*) = ArrayData.toArrayData(xs.toArray)
