@@ -96,9 +96,27 @@ object Multimodal {
         col("byte_checksum"), col("n_frames"), col("brightness"))
       .orderBy("doc_id")
 
+  /** Frame sampling: pick 5 evenly-spaced frame indices per video asset
+    * (frame = 1 KiB payload block here; a real pipeline seeks the codec to
+    * the same offsets). Pure arithmetic over the binary column's length →
+    * oracle-checkable; the explode is partition-local (no shuffle). */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF()
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames", (length(col("payload")) / 1024 + 1).cast("long"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(sequence(lit(0L), lit(4L))).as(Seq("pos", "i")))
+      .withColumn("fi", floor(col("i") * col("n_frames") / 5).cast("long"))
+      .select(col("doc_id"),
+        (col("i") + 1).cast("long").as("sample_no"),
+        col("fi").as("frame_idx"),
+        (col("fi") * 1024).cast("long").as("byte_offset"))
+      .orderBy("doc_id", "sample_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> metadata,
-    "mm_features" -> features)
+    "mm_features" -> features,
+    "mm_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
@@ -109,7 +127,16 @@ object Multimodal {
         |   % 1920 + 1 AS BIGINT) AS width,
         | CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 4) AS BIGINT)
         |   % 1080 + 1 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        | CAST(i + 1 AS BIGINT) AS sample_no,
+        | CAST(i * nf // 5 AS BIGINT) AS frame_idx,
+        | CAST((i * nf // 5) * 1024 AS BIGINT) AS byte_offset
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) // 1024 + 1 AS nf
+        |      FROM documents WHERE doc_id % 3 = 2),
+        | unnest(range(0, 5)) AS u(i)
+        |ORDER BY doc_id, sample_no""".stripMargin
     // mm_features: mapPartitions decode path → rows-only gate + MultimodalSpec
   )
 }

@@ -269,6 +269,28 @@ object Scalars {
       .orderBy("va", "vb")
   }
 
+  /** Geospatial slice (reference GeoFunctions.java ST_* — phase-1 subset
+    * over point structs; see functions/GeoFunctions.scala). Coordinates are
+    * synthesized deterministically from customer keys. */
+  def geo(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      .withColumn("p", stPoint((col("c_custkey") % 360) - 180 + 0.5,
+        (col("c_nationkey") * 7 % 180) - 90 + 0.5))
+      .withColumn("q", stPoint(lit(10.0), lit(20.0)))
+      .select(
+        col("c_custkey").as("k"),
+        stX(col("p")).as("x"),
+        stY(col("p")).as("y"),
+        round(stDistance(col("p"), col("q")), 4).as("dist"),
+        round(stHaversineKm(col("p"), col("q")), 4).as("hav_km"),
+        stWithinBBox(col("p"), -50, -45, 50, 45).as("in_bbox"),
+        round(stArea(F.array(stPoint(lit(0.0), lit(0.0)),
+          stPoint(stX(col("p")), lit(0.0)), col("p"))), 4).as("tri_area"),
+        round(stBearing(col("q"), col("p")), 4).as("bearing"))
+      .orderBy("k")
+  }
+
   /** Mergeable HLL sketches (rows-only gate; HllSpec bounds the error and
     * proves merge associativity). Demonstrates the store-a-sketch /
     * merge-later lifecycle on a single query. */
@@ -306,6 +328,7 @@ object Scalars {
     "fn_conditional" -> conditional,
     "fn_regex" -> regex,
     "fn_vector" -> vector,
+    "fn_geo" -> geo,
     "fn_hll" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
@@ -472,6 +495,25 @@ object Scalars {
         | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
         | array_to_string(regexp_split_to_array(p_type, ' '), ',') AS type_words
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_geo" ->
+      """WITH pt AS (SELECT c_custkey AS k,
+        |        CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+        |        CAST((c_nationkey * 7 % 180) - 90 + 0.5 AS DOUBLE) AS y
+        |       FROM customer WHERE c_custkey <= 300)
+        |SELECT k, x, y,
+        | ROUND(sqrt(pow(x - 10.0, 2) + pow(y - 20.0, 2)), 4) AS dist,
+        | ROUND(2.0 * 6371.0 * asin(sqrt(
+        |   pow(sin(radians(y - 20.0) / 2), 2) +
+        |   cos(radians(20.0)) * cos(radians(y)) *
+        |   pow(sin(radians(x - 10.0) / 2), 2))), 4) AS hav_km,
+        | x BETWEEN -50 AND 50 AND y BETWEEN -45 AND 45 AS in_bbox,
+        | ROUND(abs(x * y) / 2, 4) AS tri_area,
+        | ROUND((degrees(atan2(
+        |   sin(radians(x - 10.0)) * cos(radians(y)),
+        |   cos(radians(20.0)) * sin(radians(y)) -
+        |   sin(radians(20.0)) * cos(radians(y)) * cos(radians(x - 10.0))))
+        |   + 360.0) % 360.0, 4) AS bearing
+        |FROM pt ORDER BY k""".stripMargin,
     "fn_vector" ->
       """WITH p AS (SELECT a.vec_id va, a.embedding ea, b.vec_id vb, b.embedding eb
         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

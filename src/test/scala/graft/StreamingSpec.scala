@@ -82,6 +82,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful stream dedup keeps the first arrival per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val dedup = mem.toDF().toDF("t", "user_id", "event_type")
+      .withWatermark("t", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 1L, "view"),
+        (ts(3), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_type FROM dedup_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "click"), (1L, "view"), (2L, "click")), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("custom keyed state via flatMapGroupsWithState: per-user running count") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val counted = mem.toDF().toDF("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n_events")
+    val q = counted.writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT max(n_events) FROM state_test WHERE user_id = 1").collect()(0).getLong(0)
+      assert(last == 3L, s"state did not accumulate across batches: $last")
+    } finally q.stop()
+  }
+
   test("batch session logic matches a hand-computed case") {
     import spark.implicits._
     val df = Seq(
