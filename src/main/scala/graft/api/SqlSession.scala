@@ -81,7 +81,10 @@ object Dialect {
     "json_extract_scalar" -> "get_json_object",
     "codepoint" -> "ascii",
     "to_unixtime" -> "unix_timestamp",
-    "from_unixtime_ms" -> "timestamp_millis")
+    "from_unixtime_ms" -> "timestamp_millis",
+    // TRY(expr): general error→NULL wrapper (functions/TryExpression.scala);
+    // \btry\b does not touch Spark's own try_* family (underscore = word char)
+    "try" -> "try_expr")
 
   /** (segment, isCode) spans covering the whole text in order. */
   private def segments(text: String): Seq[(String, Boolean)] = {

@@ -25,6 +25,14 @@ object GraftFunctions {
       es => HammingDistance(es(0), es(1))),
     ("word_stem", "word_stem(word) - Porter stem of an English word",
       es => WordStem(es.head)),
+    ("try_expr", "try_expr(expr) - NULL instead of failure on runtime error",
+      es => TryExpression(es.head)),
+    ("qdigest_agg", "qdigest_agg(x) - mergeable quantile digest sketch",
+      es => QDigestAgg(es.head).toAggregateExpression()),
+    ("merge_qdigest", "merge_qdigest(sketch) - merge quantile digests",
+      es => QDigestMergeAgg(es.head).toAggregateExpression()),
+    ("value_at_quantile", "value_at_quantile(sketch, q) - quantile from a digest",
+      es => ValueAtQuantile(es(0), es(1))),
     ("cosine_similarity", "cosine_similarity(v1, v2) - cosine of two float vectors",
       es => CosineSimilarity(es(0), es(1))),
     ("dot_product", "dot_product(v1, v2) - double-precision dot of two float vectors",
@@ -68,6 +76,10 @@ object GraftFunctions {
 
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinklerSimilarity(x(a), x(b)))
   def wordStem(a: Column): Column = c(WordStem(x(a)))
+  def tryExpr(a: Column): Column = c(TryExpression(x(a)))
+  def qdigestAgg(a: Column): Column = c(QDigestAgg(x(a)).toAggregateExpression())
+  def mergeQdigest(a: Column): Column = c(QDigestMergeAgg(x(a)).toAggregateExpression())
+  def valueAtQuantile(a: Column, q: Column): Column = c(ValueAtQuantile(x(a), x(q)))
   def hammingDistance(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))
   def cosineSimilarity(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))

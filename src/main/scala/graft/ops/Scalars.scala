@@ -313,7 +313,30 @@ object Scalars {
       .orderBy("lang")
   }
 
+  /** Mergeable quantile digests (reference qdigest/tdigest lifecycle:
+    * build per group → store → merge across groups → query quantiles).
+    * Rows-only gate like fn_hll (sketch bytes are engine-specific);
+    * QDigestSpec bounds the rank error and proves merge composition. */
+  def qdigestSketch(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(GraftFunctions.qdigestAgg(col("l_quantity")).as("sketch"),
+        expr("round(percentile(l_quantity, 0.5), 4)").as("exact_median"))
+    per.select(col("l_linestatus"),
+      round(GraftFunctions.valueAtQuantile(col("sketch"), lit(0.5)), 4)
+        .as("approx_median"),
+      col("exact_median"))
+      .unionAll(per
+        .agg(GraftFunctions.valueAtQuantile(
+          GraftFunctions.mergeQdigest(col("sketch")), lit(0.5)).as("m"))
+        .select(lit("__merged__").as("l_linestatus"),
+          round(col("m"), 4).as("approx_median"),
+          lit(0.0).as("exact_median")))
+      .orderBy("l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_qdigest" -> qdigestSketch,
     "fn_math" -> math,
     "fn_trig" -> trig,
     "fn_string" -> string,

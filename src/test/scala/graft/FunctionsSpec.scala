@@ -89,6 +89,38 @@ class FunctionsSpec extends AnyFunSuite {
       assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
   }
 
+  test("quantile digest: bounded rank error, merge composition, roundtrip") {
+    import graft.functions.QDigest
+    val n = 10000
+    // build from a shuffled-but-deterministic stream
+    val xs = (1 to n).map(i => ((i * 2654435761L) % n).toDouble)
+    val d = xs.foldLeft(QDigest.empty(200))(QDigest.add)
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = QDigest.quantile(d, q)
+      val rankErr = math.abs(est - q * n) / n // uniform data: value ≈ rank
+      assert(rankErr < 0.02, s"q=$q est=$est rankErr=$rankErr")
+    }
+    // merging 4 partial digests ≈ one global digest (partial-agg path)
+    val parts = xs.grouped(n / 4).map(_.foldLeft(QDigest.empty(200))(QDigest.add))
+    val merged = parts.reduce(QDigest.merge)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = QDigest.quantile(merged, q)
+      assert(math.abs(est - q * n) / n < 0.02, s"merged q=$q est=$est")
+    }
+    // serialization roundtrip is lossless
+    val rt = QDigest.deserialize(QDigest.serialize(merged))
+    assert(QDigest.quantile(rt, 0.5) == QDigest.quantile(merged, 0.5))
+  }
+
+  test("TRY(expr) nulls runtime errors instead of failing the query") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT try_expr(hamming_distance('ab', 'abc')) AS bad,
+        |       try_expr(hamming_distance('ab', 'ax')) AS good""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 1L)
+  }
+
   test("vector kernels reject mismatched dimensions") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     def arr(xs: Float*) = ArrayData.toArrayData(xs.toArray)

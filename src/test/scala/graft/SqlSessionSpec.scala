@@ -65,6 +65,18 @@ class SqlSessionSpec extends AnyFunSuite {
       "SELECT 'it''s strpos(a,b)' FROM t")
   }
 
+  test("TRY(expr) dialect form reaches the error-suppressing expression") {
+    import graft.api.Dialect
+    assert(Dialect.translate("SELECT try(x / y) FROM t") ==
+      "SELECT try_expr(x / y) FROM t")
+    // Spark's own try_* family is untouched
+    assert(Dialect.translate("SELECT try_divide(a, b) FROM t") ==
+      "SELECT try_divide(a, b) FROM t")
+    val r = session.sql("SELECT try(hamming_distance('ab', 'abc')) AS v")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("3-arg strpos raises a clear unsupported error") {
     import graft.api.Dialect
     val e = intercept[UnsupportedOperationException] {
