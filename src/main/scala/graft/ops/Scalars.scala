@@ -269,6 +269,34 @@ object Scalars {
       .orderBy("va", "vb")
   }
 
+  /** IP address functions (reference ipaddress/ipprefix types,
+    * IpPrefixFunctions.java — phase-1 slice over dotted-quad strings:
+    * to/from numeric form, prefix extraction, CIDR containment; the
+    * dedicated type is a documented phase-2 UDT like geometry). */
+  def ip(s: SparkSession, dir: String): DataFrame = {
+    def oct(c: org.apache.spark.sql.Column, i: Int) =
+      element_at(split(c, "\\."), i).cast("long")
+    t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      .withColumn("ip", concat_ws(".",
+        lit(10), (col("c_custkey") % 256).cast("int"),
+        ((col("c_custkey") * 7) % 256).cast("int"),
+        (col("c_nationkey") % 256).cast("int")))
+      .withColumn("ip_num",
+        oct(col("ip"), 1) * 16777216L + oct(col("ip"), 2) * 65536L +
+          oct(col("ip"), 3) * 256L + oct(col("ip"), 4))
+      .select(
+        col("c_custkey").as("k"),
+        col("ip"),
+        col("ip_num"),
+        concat_ws(".", oct(col("ip"), 1), oct(col("ip"), 2), oct(col("ip"), 3),
+          lit(0)).as("slash24"),
+        (shiftright(col("ip_num"), 16) === (10L * 256 + 64)).as("in_10_64_16"),
+        (shiftright(col("ip_num"), 13) ===
+          ((10L * 16777216 + 64L * 65536) >> 13)).as("in_10_64_13"),
+        pmod(col("ip_num"), lit(97)).as("shard"))
+      .orderBy("k")
+  }
+
   /** Geospatial slice (reference GeoFunctions.java ST_* — phase-1 subset
     * over point structs; see functions/GeoFunctions.scala). Coordinates are
     * synthesized deterministically from customer keys. */
@@ -352,6 +380,7 @@ object Scalars {
     "fn_regex" -> regex,
     "fn_vector" -> vector,
     "fn_geo" -> geo,
+    "fn_ip" -> ip,
     "fn_hll" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
@@ -518,6 +547,26 @@ object Scalars {
         | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
         | array_to_string(regexp_split_to_array(p_type, ' '), ',') AS type_words
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_ip" ->
+      """WITH base AS (
+        | SELECT c_custkey AS k,
+        |  '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |  CAST((c_custkey * 7) % 256 AS VARCHAR) || '.' ||
+        |  CAST(c_nationkey % 256 AS VARCHAR) AS ip
+        | FROM customer WHERE c_custkey <= 300),
+        |n AS (SELECT k, ip,
+        |  CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |  CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |  CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |  CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+        | FROM base)
+        |SELECT k, ip, ip_num,
+        | string_split(ip, '.')[1] || '.' || string_split(ip, '.')[2] || '.' ||
+        |  string_split(ip, '.')[3] || '.0' AS slash24,
+        | (ip_num >> 16) = 10 * 256 + 64 AS in_10_64_16,
+        | (ip_num >> 13) = (10 * 16777216 + 64 * 65536) // 8192 AS in_10_64_13,
+        | ip_num % 97 AS shard
+        |FROM n ORDER BY k""".stripMargin,
     "fn_geo" ->
       """WITH pt AS (SELECT c_custkey AS k,
         |        CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS x,

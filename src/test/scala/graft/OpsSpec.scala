@@ -55,4 +55,42 @@ class OpsSpec extends AnyFunSuite {
     val b = ops.Aggregates.reservoir(spark, sf).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("filters and projections are pushed into the parquet scan") {
+    val plan = ops.Relational.scanProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(p_size,40"), s"no pushdown in:\n$plan")
+    // column pruning: only the 3 projected columns reach the scan
+    assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"),
+      s"scan reads unprojected columns:\n$plan")
+  }
+
+  test("per-group top-k plans as WindowGroupLimit (heap, not full sort)") {
+    val plan = ops.Windows.topnRownum(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit in:\n$plan")
+  }
+
+  test("small dimension joins broadcast instead of shuffling") {
+    val plan = ops.Relational.joinInner(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    ops.Sources.bucketedJoin(spark, sf).collect() // materialize bucketed tables
+    // force the big×big path (at test scale the planner would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

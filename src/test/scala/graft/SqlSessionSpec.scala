@@ -77,6 +77,14 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("ANSI session matches reference error semantics; TRY suppresses") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.ansi.enabled", "true")
+    graft.functions.GraftFunctions.register(ns)
+    intercept[Exception] { ns.sql("SELECT 1/0").collect() } // reference: errors
+    assert(ns.sql("SELECT try_expr(1/0) AS v").collect()(0).isNullAt(0))
+  }
+
   test("3-arg strpos raises a clear unsupported error") {
     import graft.api.Dialect
     val e = intercept[UnsupportedOperationException] {
