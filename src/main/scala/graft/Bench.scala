@@ -32,17 +32,20 @@ object Bench {
     val benchDir = sfDir
 
     val queries = tpch.Tpch.queries.toSeq.sortBy(_._1)
-    // Prewarm: JVM/JIT + codegen + parquet footer caches (not measured).
-    queries.foreach { case (_, fn) =>
-      try fn(spark, benchDir).count() catch { case _: Throwable => () }
+    // Benchto protocol (tpch.yaml:1-31): 2 prewarm runs (JVM/JIT + codegen +
+    // parquet footer caches, not measured) + 6 measured runs, report median.
+    (1 to 2).foreach { _ =>
+      queries.foreach { case (_, fn) =>
+        try fn(spark, benchDir).count() catch { case _: Throwable => () }
+      }
     }
     val results = queries.map { case (name, fn) =>
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to 6).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> runs(runs.length / 2) // median of 3
+      name -> (runs(2) + runs(3)) / 2 // median of 6
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -269,6 +269,63 @@ object Scalars {
       .orderBy("va", "vb")
   }
 
+  /** Advanced array operators the reference defines beyond Spark's built-ins
+    * (SURVEY §2.5: array_cum_sum, array_normalize, array_sort_by custom;
+    * ngrams ArrayNgramsFunction.java) — all composed from higher-order
+    * functions, arrays emitted as joined strings for the gate. */
+  def arrayAdv(s: SparkSession, dir: String): DataFrame = {
+    def j(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(transform(c, x => x.cast("string")), ",")
+    t(s, dir, "part").filter(col("p_partkey") <= 100)
+      .withColumn("arr", sequence(lit(1L), (col("p_size") % 4 + 2).cast("long")))
+      .withColumn("words", split(col("p_type"), " "))
+      .select(
+        col("p_partkey").as("k"),
+        // array_cum_sum: prefix sums via slice+aggregate per position
+        j(transform(col("arr"), (_, i) =>
+          aggregate(slice(col("arr"), lit(1), i + 1), lit(0L), (a, x) => a + x)))
+          .as("cum_sum"),
+        // array_normalize(x, 1): divide by the L1 norm
+        j(transform(col("arr"), x =>
+          round(x / aggregate(col("arr"), lit(0L), (a, v) => a + v), 4)))
+          .as("normalized"),
+        // array_sort_by(x, f): sort by a derived key (here: descending value)
+        j(transform(sort_array(transform(col("arr"), x => struct((-x).as("key"),
+          x.as("v"))) ), e => e.getField("v"))).as("sorted_desc"),
+        // ngrams(words, 2): joined bigrams
+        array_join(transform(
+          sequence(lit(1), greatest(size(col("words")) - 1, lit(1))),
+          i => concat_ws(" ", try_element_at(col("words"), i),
+            try_element_at(col("words"), i + 1))), "|").as("bigrams"),
+        // array_position / element_at family over derived data
+        array_position(col("arr"), 3L).cast("long").as("pos3"),
+        j(array_remove(col("arr"), 2L)).as("without2"),
+        j(array_repeat(element_at(col("arr"), 1), 3)).as("rep3"),
+        j(zip_with(col("arr"), reverse(col("arr")), (a, b) => a + b)).as("zip_sum"))
+      .orderBy("k")
+  }
+
+  /** Wilson score interval (reference WilsonInterval.java:
+    * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
+  def wilson(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      .withColumn("successes", (col("c_custkey") % 51).cast("double"))
+      .withColumn("trials", lit(50.0) + (col("c_custkey") % 25).cast("double"))
+      .withColumn("p", col("successes") / col("trials"))
+      .withColumn("center", (col("p") + z * z / (lit(2) * col("trials"))) /
+        (lit(1) + z * z / col("trials")))
+      .withColumn("margin", z * sqrt(col("p") * (lit(1) - col("p")) / col("trials") +
+        z * z / (lit(4) * col("trials") * col("trials"))) /
+        (lit(1) + z * z / col("trials")))
+      .select(
+        col("c_custkey").as("k"),
+        col("successes"), col("trials"),
+        round(col("center") - col("margin"), 4).as("wilson_lower"),
+        round(col("center") + col("margin"), 4).as("wilson_upper"))
+      .orderBy("k")
+  }
+
   /** IP address functions (reference ipaddress/ipprefix types,
     * IpPrefixFunctions.java — phase-1 slice over dotted-quad strings:
     * to/from numeric form, prefix extraction, CIDR containment; the
@@ -381,6 +438,8 @@ object Scalars {
     "fn_vector" -> vector,
     "fn_geo" -> geo,
     "fn_ip" -> ip,
+    "fn_array_adv" -> arrayAdv,
+    "fn_wilson" -> wilson,
     "fn_hll" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
@@ -547,6 +606,42 @@ object Scalars {
         | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
         | array_to_string(regexp_split_to_array(p_type, ' '), ',') AS type_words
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_array_adv" ->
+      """WITH b AS (SELECT p_partkey AS k, range(1, p_size % 4 + 3) arr,
+        |            string_split(p_type, ' ') ws
+        |           FROM part WHERE p_partkey <= 100)
+        |SELECT k,
+        | array_to_string(list_transform(range(1, len(arr) + 1),
+        |   i -> CAST(list_sum(arr[1:i]) AS BIGINT)), ',') AS cum_sum,
+        | array_to_string(list_transform(arr,
+        |   x -> CAST(round(x / CAST(list_sum(arr) AS BIGINT), 4) AS VARCHAR)), ',')
+        |   AS normalized,
+        | array_to_string(list_sort(arr, 'DESC'), ',') AS sorted_desc,
+        | array_to_string(list_transform(
+        |   range(1, greatest(len(ws) - 1, 1) + 1),
+        |   i -> concat_ws(' ', ws[i], ws[i + 1])), '|') AS bigrams,
+        | CAST(coalesce(list_position(arr, 3), 0) AS BIGINT) AS pos3,
+        | array_to_string(list_filter(arr, x -> x <> 2), ',') AS without2,
+        | array_to_string([arr[1], arr[1], arr[1]], ',') AS rep3,
+        | array_to_string(list_transform(range(1, len(arr) + 1),
+        |   i -> arr[i] + arr[len(arr) - i + 1]), ',') AS zip_sum
+        |FROM b ORDER BY k""".stripMargin,
+    "fn_wilson" ->
+      """WITH b AS (SELECT c_custkey AS k,
+        |        CAST(c_custkey % 51 AS DOUBLE) AS successes,
+        |        50.0 + CAST(c_custkey % 25 AS DOUBLE) AS trials
+        |       FROM customer WHERE c_custkey <= 300),
+        |c AS (SELECT k, successes, trials, successes / trials AS p,
+        |       (successes / trials + 1.96 * 1.96 / (2 * trials)) /
+        |         (1 + 1.96 * 1.96 / trials) AS center,
+        |       1.96 * sqrt((successes / trials) * (1 - successes / trials) / trials
+        |         + 1.96 * 1.96 / (4 * trials * trials)) /
+        |         (1 + 1.96 * 1.96 / trials) AS margin
+        |      FROM b)
+        |SELECT k, successes, trials,
+        | ROUND(center - margin, 4) AS wilson_lower,
+        | ROUND(center + margin, 4) AS wilson_upper
+        |FROM c ORDER BY k""".stripMargin,
     "fn_ip" ->
       """WITH base AS (
         | SELECT c_custkey AS k,
