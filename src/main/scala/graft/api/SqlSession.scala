@@ -84,7 +84,9 @@ object Dialect {
     "from_unixtime_ms" -> "timestamp_millis",
     // TRY(expr): general error→NULL wrapper (functions/TryExpression.scala);
     // \btry\b does not touch Spark's own try_* family (underscore = word char)
-    "try" -> "try_expr")
+    "try" -> "try_expr",
+    // reference date_format takes MySQL %-patterns, Spark's takes Java ones
+    "date_format" -> "mysql_date_format")
 
   /** (segment, isCode) spans covering the whole text in order. */
   private def segments(text: String): Seq[(String, Boolean)] = {

@@ -27,6 +27,22 @@ object GraftFunctions {
       es => WordStem(es.head)),
     ("try_expr", "try_expr(expr) - NULL instead of failure on runtime error",
       es => TryExpression(es.head)),
+    ("mysql_date_format",
+      "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
+      es => {
+        val fmt = es(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"mysql_date_format: format must be a string literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"mysql_date_format: format must be foldable, got ${e.sql}")
+        }
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          es(0), org.apache.spark.sql.catalyst.expressions.Literal(
+            MySqlFormat.toJava(fmt)))
+      }),
     ("qdigest_agg", "qdigest_agg(x) - mergeable quantile digest sketch",
       es => QDigestAgg(es.head).toAggregateExpression()),
     ("merge_qdigest", "merge_qdigest(sketch) - merge quantile digests",
@@ -77,6 +93,9 @@ object GraftFunctions {
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinklerSimilarity(x(a), x(b)))
   def wordStem(a: Column): Column = c(WordStem(x(a)))
   def tryExpr(a: Column): Column = c(TryExpression(x(a)))
+  def mysqlDateFormat(ts: Column, fmt: String): Column =
+    c(org.apache.spark.sql.catalyst.expressions.DateFormatClass(x(ts),
+      org.apache.spark.sql.catalyst.expressions.Literal(MySqlFormat.toJava(fmt))))
   def qdigestAgg(a: Column): Column = c(QDigestAgg(x(a)).toAggregateExpression())
   def mergeQdigest(a: Column): Column = c(QDigestMergeAgg(x(a)).toAggregateExpression())
   def valueAtQuantile(a: Column, q: Column): Column = c(ValueAtQuantile(x(a), x(q)))

@@ -330,7 +330,28 @@ object Aggregates {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Classification metrics (reference ClassificationPrecisionAggregation /
+    * ClassificationRecallAggregation …): precision/recall/F1 at a threshold
+    * sweep over a deterministic score column — the standard one-shuffle
+    * confusion-matrix aggregation. */
+  def classification(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(((col("o_orderkey") % 100) / 100.0).as("score"),
+        (col("o_totalprice") > 200000).as("label"))
+      .crossJoin(broadcast(
+        s.range(1, 4).select((col("id") * 0.25).as("threshold"))))
+      .groupBy("threshold")
+      .agg(
+        expr("count(*) FILTER (WHERE score >= threshold AND label)").as("tp"),
+        expr("count(*) FILTER (WHERE score >= threshold AND NOT label)").as("fp"),
+        expr("count(*) FILTER (WHERE score < threshold AND label)").as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp") / (col("tp") + col("fp")), 4).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")), 4).as("recall"))
+      .orderBy("threshold")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_classification" -> classification,
     "agg_filter_clause" -> filterClause,
     "agg_ordered_array" -> orderedArrayAgg,
     "agg_reduce" -> reduceAgg,
@@ -359,6 +380,22 @@ object Aggregates {
     "agg_entropy" -> entropy)
 
   val oracle: Map[String, String] = Map(
+    "agg_classification" ->
+      """WITH scored AS (
+        | SELECT (o_orderkey % 100) / 100.0 AS score,
+        |        o_totalprice > 200000 AS label
+        | FROM orders),
+        |m AS (SELECT threshold,
+        |       count(*) FILTER (WHERE score >= threshold AND label) AS tp,
+        |       count(*) FILTER (WHERE score >= threshold AND NOT label) AS fp,
+        |       count(*) FILTER (WHERE score < threshold AND label) AS fn
+        |      FROM scored CROSS JOIN
+        |       (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) threshold)
+        |      GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn,
+        | ROUND(tp * 1.0 / (tp + fp), 4) AS precision,
+        | ROUND(tp * 1.0 / (tp + fn), 4) AS recall
+        |FROM m ORDER BY threshold""".stripMargin,
     "agg_filter_clause" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -125,6 +125,39 @@ object Scalars {
         make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"))
       .orderBy("k")
 
+  /** Reference-dialect date_format: MySQL %-patterns translated to Java
+    * patterns at plan time (functions/MySqlDateFormat.scala; the reference's
+    * DateTimeFunctions.java date_format). Oracle = DuckDB strftime with the
+    * equivalent C specifiers. */
+  def mysqlDateFmt(s: SparkSession, dir: String): DataFrame = {
+    import GraftFunctions.mysqlDateFormat
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey").as("k"),
+        mysqlDateFormat(col("o_orderdate"), "%Y-%m-%d").as("iso"),
+        mysqlDateFormat(col("o_orderdate"), "%d/%m/%Y").as("euro"),
+        mysqlDateFormat(col("o_orderdate"), "%Y%j").as("ordinal"),
+        mysqlDateFormat(col("o_orderdate"), "%H:%i:%s").as("hms"),
+        mysqlDateFormat(col("o_orderdate"), "%b").as("mon"),
+        mysqlDateFormat(col("o_orderdate"), "%W").as("weekday"),
+        mysqlDateFormat(col("o_orderdate"), "y=%Y 100%%").as("mixed"))
+      .orderBy("k")
+  }
+
+  /** Datetime arithmetic beyond fn_datetime: month math, ISO week,
+    * day-of-year, quarter truncation, epoch seconds. */
+  def datetime2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey").as("k"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus2mo"),
+        date_sub(col("o_orderdate").cast("date"), 15).as("minus15d"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        trunc(col("o_orderdate").cast("date"), "quarter").as("q_start"),
+        unix_timestamp(col("o_orderdate")).cast("long").as("epoch_s"))
+      .orderBy("k")
+
   /** Array functions + higher-order transform/filter/exists (Catalyst
     * LambdaFunction — the reference's ArrayTransformFunction.java family).
     * Every array-typed result is joined to a single string cell: the gate's
@@ -427,6 +460,8 @@ object Scalars {
     "fn_string" -> string,
     "fn_string_sim" -> stringSim,
     "fn_datetime" -> datetime,
+    "fn_mysql_datefmt" -> mysqlDateFmt,
+    "fn_datetime2" -> datetime2,
     "fn_array" -> array,
     "fn_map" -> map,
     "fn_json" -> json,
@@ -606,6 +641,25 @@ object Scalars {
         | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
         | array_to_string(regexp_split_to_array(p_type, ' '), ',') AS type_words
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_mysql_datefmt" ->
+      """SELECT o_orderkey AS k,
+        | strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        | strftime(o_orderdate, '%d/%m/%Y') AS euro,
+        | strftime(o_orderdate, '%Y%j') AS ordinal,
+        | strftime(o_orderdate, '%H:%M:%S') AS hms,
+        | strftime(o_orderdate, '%b') AS mon,
+        | strftime(o_orderdate, '%A') AS weekday,
+        | 'y=' || strftime(o_orderdate, '%Y') || ' 100%' AS mixed
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
+    "fn_datetime2" ->
+      """SELECT o_orderkey AS k,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        | CAST(o_orderdate - INTERVAL 15 DAY AS DATE) AS minus15d,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
     "fn_array_adv" ->
       """WITH b AS (SELECT p_partkey AS k, range(1, p_size % 4 + 3) arr,
         |            string_split(p_type, ' ') ws

@@ -90,6 +90,31 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** MERGE INTO as copy-on-write rewrite (reference MergeWriterNode /
+    * DeleteAndInsertMergeProcessor): WHEN MATCHED THEN UPDATE = left join +
+    * coalesce; WHEN NOT MATCHED THEN INSERT = union of the source-only rows.
+    * One pass over the target, rewritten and read back. */
+  def dmlMergeRewrite(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("orders_merged")
+    val o = t(s, dir, "orders")
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        (col("o_totalprice") * 1.1).as("u_price"))
+    val inserts = o.filter(col("o_orderkey") % 997 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), lit("9-NEW").as("o_orderpriority"))
+    o.join(updates, col("o_orderkey") === col("u_key"), "left")
+      .withColumn("o_totalprice", coalesce(col("u_price"), col("o_totalprice")))
+      .drop("u_key", "u_price")
+      .unionByName(inserts)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice"), "total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bucketed write + co-located join (reference grouped/bucketed execution,
     * MAIN/sql/planner/GroupedExecutionTagger.java): both sides bucketed on
     * the join key so the join plans with zero Exchange on either side — the
@@ -120,6 +145,7 @@ object Sources {
     "src_partitioned_pruned" -> partitionedPruned,
     "dml_delete_rewrite" -> dmlDeleteRewrite,
     "dml_update_rewrite" -> dmlUpdateRewrite,
+    "dml_merge_rewrite" -> dmlMergeRewrite,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +172,18 @@ object Sources {
         |                    THEN o_totalprice * 0.9
         |                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dml_merge_rewrite" ->
+      """WITH merged AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS p
+        | FROM orders
+        | UNION ALL
+        | SELECT 'N' AS o_orderstatus, o_totalprice AS p
+        | FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "src_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -112,6 +112,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(QDigest.quantile(rt, 0.5) == QDigest.quantile(merged, 0.5))
   }
 
+  test("mysql date-format specifiers translate to java patterns") {
+    import graft.functions.MySqlFormat.toJava
+    assert(toJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(toJava("%d/%m/%Y") == "dd/MM/yyyy")
+    assert(toJava("%H:%i:%s") == "HH:mm:ss")
+    assert(toJava("y=%Y 100%%") == "'y='yyyy 100%")
+    assert(toJava("%W, %M %e") == "EEEE, MMMM d")
+    intercept[IllegalArgumentException] { toJava("%Q") }
+  }
+
   test("TRY(expr) nulls runtime errors instead of failing the query") {
     GraftFunctions.register(spark)
     val r = spark.sql(
