@@ -250,7 +250,35 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice"), "total"))
       .orderBy("o_orderpriority")
 
+  /** Salted equi-join for skewed keys (SURVEY §2.2 scale notes; the manual
+    * counterpart of AQE's skew-join split): the big/skewed side gets a
+    * deterministic salt in [0, buckets) from its row content, the smaller
+    * side is replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key spreads over `buckets` reducers instead of
+    * one. Row-content hashing keeps it deterministic (no rand()), so
+    * retried tasks salt identically. Result set is exactly the plain join's. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated,
+      salted(bigKey) === replicated(smallKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Gate query: skew-salted join equals the plain join (aggregated). */
+  def joinSalted(s: SparkSession, dir: String): DataFrame =
+    saltedJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice"), "total"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> joinSalted,
     "cte_reuse" -> cteReuse,
     "assign_unique_id" -> uniqueId,
     "tvf_sequence" -> tvfSequence,
@@ -269,6 +297,11 @@ object Relational {
     "sample_bernoulli" -> sampleBernoulli)
 
   val oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "cte_reuse" ->
       """WITH spend AS (
         | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)

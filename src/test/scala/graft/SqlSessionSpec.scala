@@ -96,6 +96,37 @@ class SqlSessionSpec extends AnyFunSuite {
       "SELECT instr(s, 'x, y') FROM t")
   }
 
+  test("reference benchto TPC-H texts run unmodified through SqlSession") {
+    // benchto instantiates "${database}"."${schema}"."${prefix}table" via
+    // template substitution and uses the tpch connector's UNPREFIXED column
+    // names (presto-tpch); the adapter views below are that instantiation.
+    val views = Map(
+      "part" -> "p_partkey partkey, p_name name, p_brand brand, p_type type, p_size size, p_retailprice retailprice",
+      "supplier" -> "s_suppkey suppkey, s_name name, s_nationkey nationkey, s_acctbal acctbal",
+      "customer" -> "c_custkey custkey, c_name name, c_nationkey nationkey, c_acctbal acctbal, c_mktsegment mktsegment",
+      "orders" -> "o_orderkey orderkey, o_custkey custkey, o_orderstatus orderstatus, o_totalprice totalprice, o_orderdate orderdate, o_orderpriority orderpriority",
+      "lineitem" -> "l_orderkey orderkey, l_partkey partkey, l_suppkey suppkey, l_linenumber linenumber, l_quantity quantity, l_extendedprice extendedprice, l_discount discount, l_tax tax, l_returnflag returnflag, l_linestatus linestatus, l_shipdate shipdate",
+      "nation" -> "n_nationkey nationkey, n_name name, n_regionkey regionkey",
+      "region" -> "r_regionkey regionkey, r_name name")
+    session.table("lineitem") // force loadTables before the adapter views
+    views.foreach { case (t, cols) =>
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW tpch_$t AS SELECT $cols FROM $t")
+    }
+    val dir = "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpch"
+    // the subset whose columns exist in the fixture star schema (no
+    // partsupp / commitdate / shipmode / comment / phone / container)
+    val runnable = Seq("q01", "q05", "q06", "q07", "q08", "q14", "q18")
+    for (q <- runnable) {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$q.sql")), "UTF-8")
+      val sql = raw
+        .replaceAll("\"\\$\\{database\\}\"\\.\"\\$\\{schema\\}\"\\.\"\\$\\{prefix\\}(\\w+)\"", "tpch_$1")
+        .trim.stripSuffix(";")
+      val rows = session.sql(sql).collect() // must plan + execute
+      assert(rows != null, s"$q failed")
+    }
+  }
+
   test("graft custom functions are available in the session") {
     val r = session.sql(
       """SELECT hll_cardinality(approx_set(l_partkey)) AS nd
