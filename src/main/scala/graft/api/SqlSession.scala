@@ -156,9 +156,37 @@ object Dialect {
     }
   }
 
+  /** Reference subscripts are 1-based `expr[i]` (ArraySubscriptOperator;
+    * SURVEY §2.5 — Spark's `[]` is 0-based but element_at is 1-based and
+    * also covers map keys, matching the reference's subscript on maps).
+    * Single-level `ident[expr]` is rewritten; ARRAY[...] literal
+    * constructors are left alone. */
+  private val subscript =
+    "(?i)\\b(?!array\\b)((?:[a-z_][a-z0-9_]*\\.)*[a-z_][a-z0-9_]*)\\s*\\[([^\\[\\]]+)\\]".r
+
+  /** Match subscripts on the masked text (so brackets inside literals are
+    * invisible) but splice replacement pieces from the original, keeping
+    * literal index expressions like m['k'] intact. */
+  private def rewriteSubscripts(original: String): String = {
+    val m = masked(original)
+    val sb = new StringBuilder
+    var last = 0
+    for (mt <- subscript.findAllMatchIn(m)) {
+      sb.append(original.substring(last, mt.start))
+      sb.append("element_at(")
+        .append(original.substring(mt.start(1), mt.end(1)))
+        .append(", ")
+        .append(original.substring(mt.start(2), mt.end(2)))
+        .append(")")
+      last = mt.end
+    }
+    sb.append(original.substring(last))
+    sb.toString
+  }
+
   def translate(text: String): String = {
     checkStrposArity(text)
-    segments(text).map {
+    segments(rewriteSubscripts(text)).map {
       case (seg, false) => seg
       case (seg, true) =>
         renames.foldLeft(seg) { case (t, (from, to)) =>

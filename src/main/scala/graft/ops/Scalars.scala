@@ -125,6 +125,33 @@ object Scalars {
         make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"))
       .orderBy("k")
 
+  /** Miscellaneous reference functions: format() printf-style
+    * (FormatFunction.java), uuid shaping (COMMON/type/UuidType — here a
+    * deterministic md5-derived v4-shaped uuid so the oracle can replay it),
+    * parse_data_size (DataSizeFunctions.java). */
+  def misc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .withColumn("h", md5(encode(col("n_name"), "UTF-8")))
+      .withColumn("sz", concat((col("n_nationkey") % 9 + 1).cast("string"),
+        element_at(typedLit(Seq("B", "kB", "MB", "GB")),
+          (col("n_nationkey") % 4 + 1).cast("int"))))
+      .select(
+        col("n_nationkey").as("k"),
+        format_string("%s has key %d", col("n_name"), col("n_nationkey"))
+          .as("fmt_sd"),
+        format_string("%.2f", col("n_nationkey") / 7.0).as("fmt_f"),
+        concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12)).as("uuid"),
+        col("sz"),
+        (regexp_extract(col("sz"), "^([0-9.]+)", 1).cast("double") *
+          element_at(F.map(
+            lit("B"), lit(1L), lit("kB"), lit(1024L),
+            lit("MB"), lit(1048576L), lit("GB"), lit(1073741824L)),
+            regexp_extract(col("sz"), "([a-zA-Z]+)$", 1))).cast("long")
+          .as("bytes"))
+      .orderBy("k")
+
   /** Reference-dialect date_format: MySQL %-patterns translated to Java
     * patterns at plan time (functions/MySqlDateFormat.scala; the reference's
     * DateTimeFunctions.java date_format). Oracle = DuckDB strftime with the
@@ -475,6 +502,7 @@ object Scalars {
     "fn_ip" -> ip,
     "fn_array_adv" -> arrayAdv,
     "fn_wilson" -> wilson,
+    "fn_misc" -> misc,
     "fn_hll" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
@@ -679,6 +707,23 @@ object Scalars {
         | array_to_string([arr[1], arr[1], arr[1]], ',') AS rep3,
         | array_to_string(list_transform(range(1, len(arr) + 1),
         |   i -> arr[i] + arr[len(arr) - i + 1]), ',') AS zip_sum
+        |FROM b ORDER BY k""".stripMargin,
+    "fn_misc" ->
+      """WITH b AS (SELECT n_nationkey AS k, n_name,
+        |        md5(n_name) AS h,
+        |        CAST(n_nationkey % 9 + 1 AS VARCHAR) ||
+        |          (['B', 'kB', 'MB', 'GB'][CAST(n_nationkey % 4 + 1 AS INT)]) AS sz
+        |       FROM nation)
+        |SELECT k,
+        | printf('%s has key %d', n_name, k) AS fmt_sd,
+        | printf('%.2f', k / 7.0) AS fmt_f,
+        | substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+        |  || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS uuid,
+        | sz,
+        | CAST(CAST(regexp_extract(sz, '^([0-9.]+)', 1) AS DOUBLE) *
+        |   CASE regexp_extract(sz, '([a-zA-Z]+)$', 1)
+        |    WHEN 'B' THEN 1 WHEN 'kB' THEN 1024
+        |    WHEN 'MB' THEN 1048576 ELSE 1073741824 END AS BIGINT) AS bytes
         |FROM b ORDER BY k""".stripMargin,
     "fn_wilson" ->
       """WITH b AS (SELECT c_custkey AS k,

@@ -96,6 +96,21 @@ class SqlSessionSpec extends AnyFunSuite {
       "SELECT instr(s, 'x, y') FROM t")
   }
 
+  test("subscripts are 1-based element_at (arrays and maps)") {
+    import graft.api.Dialect
+    assert(Dialect.translate("SELECT a[1] FROM t") ==
+      "SELECT element_at(a, 1) FROM t")
+    assert(Dialect.translate("SELECT m['k'] FROM t") ==
+      "SELECT element_at(m, 'k') FROM t")
+    // ARRAY[...] literal constructor is not a subscript
+    assert(Dialect.translate("SELECT ARRAY[1, 2]") == "SELECT ARRAY[1, 2]")
+    val r = session.sql(
+      """SELECT arr[1] AS first, m['k'] AS v
+        |FROM (SELECT split('a b c', ' ') AS arr, map('k', 7) AS m)""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "a" && r.getInt(1) == 7)
+  }
+
   test("reference benchto TPC-H texts run unmodified through SqlSession") {
     // benchto instantiates "${database}"."${schema}"."${prefix}table" via
     // template substitution and uses the tpch connector's UNPREFIXED column
