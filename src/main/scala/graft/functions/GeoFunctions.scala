@@ -49,6 +49,38 @@ object GeoFunctions {
       lit(0.0), (acc, v) => acc + v)) / 2
   }
 
+  /** bing_tile_at(lat, lon, zoom) → struct<x,y,zoom> — the reference's Bing
+    * tile system (BingTileFunctions.java, BingTileUtils.java): Web Mercator
+    * projection, tile grid 2^zoom × 2^zoom, composed entirely from
+    * codegen'd built-ins. */
+  def bingTileAt(lat: Column, lon: Column, zoom: Column): Column = {
+    val n = pow(lit(2.0), zoom)
+    val sinLat = sin(radians(lat))
+    val x01 = (lon + 180.0) / 360.0
+    val y01 = lit(0.5) -
+      log((lit(1.0) + sinLat) / (lit(1.0) - sinLat)) / (4.0 * math.Pi)
+    val tx = least(greatest(floor(x01 * n), lit(0.0)), n - 1).cast("long")
+    val ty = least(greatest(floor(y01 * n), lit(0.0)), n - 1).cast("long")
+    struct(tx.as("x"), ty.as("y"), zoom.cast("int").as("zoom"))
+  }
+
+  /** Variable-shift shiftright (the functions.shiftright overload only
+    * takes a literal shift). */
+  private def shr(x: Column, n: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        org.apache.spark.sql.graftbridge.Bridge.expression(x),
+        org.apache.spark.sql.graftbridge.Bridge.expression(n)))
+
+  /** Quadkey of a bing tile struct (BingTile.toQuadKey): base-4 digits of
+    * the interleaved x/y bits, most-significant first, length = zoom. */
+  def bingTileQuadkey(tile: Column): Column =
+    concat_ws("",
+      transform(sequence(tile.getField("zoom"), lit(1), lit(-1)),
+        i => chr(lit(48) +
+          shr(tile.getField("x"), i - 1) % 2 +
+          shr(tile.getField("y"), i - 1) % 2 * 2)))
+
   /** Initial bearing in degrees from a to b ((lon, lat) degrees), normalized
     * to [0, 360). */
   def stBearing(a: Column, b: Column): Column = {

@@ -61,6 +61,24 @@ object GraftFunctions {
       es => HllMergeAgg(es.head).toAggregateExpression()),
     ("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch",
       es => HllCardinality(es.head)),
+    ("hmac_md5", "hmac_md5(data, key) - HMAC-MD5 of varbinary data",
+      es => Hmac(es(0), es(1), "HmacMD5")),
+    ("hmac_sha1", "hmac_sha1(data, key) - HMAC-SHA1 of varbinary data",
+      es => Hmac(es(0), es(1), "HmacSHA1")),
+    ("hmac_sha256", "hmac_sha256(data, key) - HMAC-SHA256 of varbinary data",
+      es => Hmac(es(0), es(1), "HmacSHA256")),
+    ("hmac_sha512", "hmac_sha512(data, key) - HMAC-SHA512 of varbinary data",
+      es => Hmac(es(0), es(1), "HmacSHA512")),
+    ("make_set_digest", "make_set_digest(x) - mergeable MinHash/KMV set sketch",
+      es => SetDigestAgg(es.head).toAggregateExpression()),
+    ("merge_set_digest", "merge_set_digest(sketch) - merge set digests",
+      es => SetDigestMergeAgg(es.head).toAggregateExpression()),
+    ("set_digest_cardinality", "set_digest_cardinality(sketch) - estimated distinct count",
+      es => SetDigestCardinality(es.head)),
+    ("jaccard_index", "jaccard_index(d1, d2) - MinHash Jaccard similarity estimate",
+      es => JaccardIndex(es(0), es(1))),
+    ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
+      es => IntersectionCardinality(es(0), es(1))),
     ("approx_most_frequent",
       "approx_most_frequent(k, value, capacity) - space-saving top-k heavy hitters",
       es => {
@@ -106,6 +124,14 @@ object GraftFunctions {
   def approxSet(a: Column): Column = c(HllSketchAgg(x(a)).toAggregateExpression())
   def mergeHll(a: Column): Column = c(HllMergeAgg(x(a)).toAggregateExpression())
   def hllCardinality(a: Column): Column = c(HllCardinality(x(a)))
+  def hmac(data: Column, key: Column, jdkAlgo: String): Column =
+    c(Hmac(x(data), x(key), jdkAlgo))
+  def makeSetDigest(a: Column): Column = c(SetDigestAgg(x(a)).toAggregateExpression())
+  def mergeSetDigest(a: Column): Column = c(SetDigestMergeAgg(x(a)).toAggregateExpression())
+  def setDigestCardinality(a: Column): Column = c(SetDigestCardinality(x(a)))
+  def jaccardIndex(a: Column, b: Column): Column = c(JaccardIndex(x(a), x(b)))
+  def intersectionCardinality(a: Column, b: Column): Column =
+    c(IntersectionCardinality(x(a), x(b)))
   def approxMostFrequent(k: Int, a: Column, capacity: Int): Column =
     c(MostFrequentAgg(x(a), k, capacity).toAggregateExpression())
 }

@@ -377,9 +377,30 @@ object Aggregates {
     "agg_histogram" -> histogram,
     "agg_checksum" -> checksum,
     "agg_geomean" -> geoMean,
-    "agg_entropy" -> entropy)
+    "agg_entropy" -> entropy,
+    "agg_numeric_histogram" -> numericHistogram)
+
+  /** numeric_histogram(buckets, x) (reference NumericHistogram.java) as the
+    * composable equi-width variant: width_bucket + count per bucket — a
+    * single hash aggregation, the shape that scales (the reference's
+    * adaptive-bin variant is a per-group state machine; equi-width keeps
+    * whole-stage codegen and map-side partials). */
+  def numericHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_linestatus"),
+        width_bucket(col("l_quantity"), lit(1.0), lit(51.0), lit(10)).as("bucket"))
+      .groupBy("l_linestatus", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_linestatus", "bucket")
 
   val oracle: Map[String, String] = Map(
+    "agg_numeric_histogram" ->
+      """SELECT l_linestatus,
+        | CASE WHEN l_quantity < 1 THEN 0
+        |      WHEN l_quantity >= 51 THEN 11
+        |      ELSE CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) + 1 END AS bucket,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_classification" ->
       """WITH scored AS (
         | SELECT (o_orderkey % 100) / 100.0 AS score,

@@ -503,9 +503,143 @@ object Scalars {
     "fn_array_adv" -> arrayAdv,
     "fn_wilson" -> wilson,
     "fn_misc" -> misc,
-    "fn_hll" -> hllSketch)
+    "fn_hll" -> hllSketch,
+    "fn_setdigest" -> setDigest,
+    "fn_bingtile" -> bingTile,
+    "fn_hmac" -> hmacKat)
+
+  /** MinHash set digests (reference setdigest family: make_set_digest /
+    * merge / cardinality / jaccard_index / intersection_cardinality —
+    * type/setdigest/SetDigestFunctions.java:38-81). Sketch bytes are
+    * engine-specific, so the gate asserts spec bounds the oracle CAN check:
+    * KMV is exact below k (per-nation customer sets), and estimate /
+    * jaccard / intersection errors stay inside their statistical bounds
+    * (~1/sqrt(k)) on ~15k-distinct lineitem orderkeys. */
+  def setDigest(s: SparkSession, dir: String): DataFrame = {
+    val sd = GraftFunctions
+    // exact path: per-nation distinct customer keys (n < k=512 → KMV exact)
+    val exactSmall = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("k"))
+      .agg(sd.makeSetDigest(col("c_custkey")).as("d"),
+        countDistinct(col("c_custkey")).as("exact"))
+      .select(col("k"), lit("exact_small").as("metric"),
+        (sd.setDigestCardinality(col("d")) === col("exact")).as("ok"))
+    // estimate path over ~15k distinct orderkeys; A = keys %3!=0, B = %3!=1
+    val li = t(s, dir, "lineitem")
+    val sk = li.agg(
+      sd.makeSetDigest(col("l_orderkey")).as("du"),
+      sd.makeSetDigest(when(col("l_orderkey") % 3 =!= 0, col("l_orderkey"))).as("da"),
+      sd.makeSetDigest(when(col("l_orderkey") % 3 =!= 1, col("l_orderkey"))).as("db"),
+      countDistinct(col("l_orderkey")).as("n_u"),
+      countDistinct(when(col("l_orderkey") % 3 === 2, col("l_orderkey"))).as("n_i"))
+    val est = sk.select(F.array(col("da"), col("db")).as("ds"))
+      .select(explode(col("ds")).as("d"))
+      .agg(sd.mergeSetDigest(col("d")).as("md"))
+      .crossJoin(sk.select(col("du"), col("n_u")))
+      .select(
+        lit(-1L).as("k"), lit("est_bounds").as("metric"),
+        // merged A∪B digest must agree with the directly-built union digest
+        (sd.setDigestCardinality(col("md")) === sd.setDigestCardinality(col("du")))
+          .as("ok"))
+    val bound = sk.select(
+      lit(-2L).as("k"), lit("kmv_estimate").as("metric"),
+      (abs(sd.setDigestCardinality(col("du")).cast("double") / col("n_u") - 1.0) < 0.1)
+        .as("ok"))
+    val jac = sk.select(
+      lit(-3L).as("k"), lit("jaccard").as("metric"),
+      (abs(sd.jaccardIndex(col("da"), col("db")) -
+        col("n_i").cast("double") / col("n_u")) < 0.08).as("ok"))
+    val inter = sk.select(
+      lit(-4L).as("k"), lit("intersection").as("metric"),
+      (abs(sd.intersectionCardinality(col("da"), col("db")).cast("double") /
+        col("n_i") - 1.0) < 0.25).as("ok"))
+    exactSmall.unionAll(est).unionAll(bound).unionAll(jac).unionAll(inter)
+      .orderBy("k", "metric")
+  }
+
+  /** Bing tile system (BingTileFunctions.java: bing_tile_at, quadkey —
+    * Web Mercator tiles at varying zoom). Deterministic lat/lon derived
+    * from customer keys; DuckDB recomputes the same projection math. */
+  def bingTile(s: SparkSession, dir: String): DataFrame = {
+    val geo = graft.functions.GeoFunctions
+    val pts = t(s, dir, "customer").filter(col("c_custkey") <= 300).select(
+      col("c_custkey").as("k"),
+      ((col("c_custkey") * 7 % 160) - 80 + 0.5).cast("double").as("lat"),
+      ((col("c_custkey") * 13 % 360) - 180 + 0.5).cast("double").as("lon"),
+      (col("c_custkey") % 8 + 4).cast("int").as("zoom"))
+    pts.select(col("k"), col("lat"), col("lon"), col("zoom"),
+      geo.bingTileAt(col("lat"), col("lon"), col("zoom")).as("tile"))
+      .select(col("k"), col("lat"), col("lon"), col("zoom"),
+        col("tile.x").as("tile_x"), col("tile.y").as("tile_y"),
+        graft.functions.GeoFunctions.bingTileQuadkey(col("tile")).as("quadkey"))
+      .orderBy("k")
+  }
+
+  /** HMAC known-answer test (HmacFunctions.java). Inputs are the RFC
+    * 2202 / RFC 4231 test vectors; the oracle carries the published
+    * digests as literals, so the custom Mac expression is verified against
+    * an external truth rather than itself. */
+  def hmacKat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gf = GraftFunctions
+    val rows = Seq(
+      ("tc1", "0b" * 20, "4869205468657265"),
+      ("tc2", "4a656665",
+        "7768617420646f2079612077616e7420666f72206e6f7468696e673f"),
+      ("tc3", "aa" * 20, "dd" * 50))
+    def mac(algo: String) =
+      lower(hex(gf.hmac(unhex(col("data_hex")), unhex(col("key_hex")), algo)))
+    rows.toDF("tc", "key_hex", "data_hex")
+      .select(col("tc"),
+        mac("HmacMD5").as("md5"), mac("HmacSHA1").as("sha1"),
+        mac("HmacSHA256").as("sha256"), mac("HmacSHA512").as("sha512"))
+      .orderBy("tc")
+  }
 
   val oracle: Map[String, String] = Map(
+    "fn_hmac" ->
+      """SELECT 'tc1' AS tc,
+        | '5ccec34ea9656392457fa1ac27f08fbc' AS md5,
+        | 'b617318655057264e28bc0b6fb378c8ef146be00' AS sha1,
+        | 'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7' AS sha256,
+        | '87aa7cdea5ef619d4ff0b4241a1d6cb02379f4e2ce4ec2787ad0b30545e17cdedaa833b7d6b8a702038b274eaea3f4e4be9d914eeb61f1702e696c203a126854' AS sha512
+        |UNION ALL SELECT 'tc2',
+        | '750c783e6ab0b503eaa86e310a5db738',
+        | 'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79',
+        | '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843',
+        | '164b7a7bfcf819e2e395fbe73b56e0a387bd64222e831fd610270cd7ea2505549758bf75c05a994a6d034f65f8f0e6fdcaeab1a34d4a6b4b636e070a38bce737'
+        |UNION ALL SELECT 'tc3',
+        | '2ab8b9a9f7d3894d15ad8383b97044b2',
+        | '125d7342b9ac11cd91a39af48aa17b4f63f175d3',
+        | '773ea91e36800e46854db8ebd09181a72959098b3ef8c122d9635514ced565fe',
+        | 'fa73b0089d56a284efb0f0756c890be9b1b5dbdd8ee81a3655f83e33b2279d39bf3e848279a722c806b485a47e67c807b946a337bee8942674278859e13292fb'
+        |ORDER BY tc""".stripMargin,
+    "fn_bingtile" ->
+      """WITH p AS (SELECT c_custkey AS k,
+        |  CAST(c_custkey * 7 % 160 - 80 + 0.5 AS DOUBLE) AS lat,
+        |  CAST(c_custkey * 13 % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+        |  CAST(c_custkey % 8 + 4 AS INT) AS zoom
+        | FROM customer WHERE c_custkey <= 300),
+        |t AS (SELECT k, lat, lon, zoom,
+        |  CAST(least(greatest(floor((lon + 180.0) / 360.0 * pow(2.0, zoom)), 0),
+        |       pow(2.0, zoom) - 1) AS BIGINT) AS tile_x,
+        |  CAST(least(greatest(floor((0.5 - ln((1.0 + sin(radians(lat))) /
+        |       (1.0 - sin(radians(lat)))) / (4 * pi())) * pow(2.0, zoom)), 0),
+        |       pow(2.0, zoom) - 1) AS BIGINT) AS tile_y
+        | FROM p)
+        |SELECT k, lat, lon, zoom, tile_x, tile_y,
+        | array_to_string(list_transform(range(zoom, 0, -1),
+        |   i -> chr(CAST(48 + ((tile_x >> (i - 1)) & 1) + 2 * ((tile_y >> (i - 1)) & 1) AS INT))),
+        |   '') AS quadkey
+        |FROM t ORDER BY k""".stripMargin,
+    "fn_setdigest" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS k, 'exact_small' AS metric, true AS ok
+        |FROM customer GROUP BY c_nationkey
+        |UNION ALL SELECT -1, 'est_bounds', true
+        |UNION ALL SELECT -2, 'kmv_estimate', true
+        |UNION ALL SELECT -3, 'jaccard', true
+        |UNION ALL SELECT -4, 'intersection', true
+        |ORDER BY k, metric""".stripMargin,
     "fn_math" ->
       """SELECT p_partkey AS k,
         | abs(p_retailprice * -1) AS abs_x,

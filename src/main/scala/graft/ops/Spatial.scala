@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Phase-2 spatial join — the reference's SpatialJoinNode /
+  * SpatialJoinOperator + PagesRTreeIndex (SPI/plan/SpatialJoinNode.java:34,
+  * MAIN/operator/SpatialJoinOperator.java:39) and the ExtractSpatialJoins
+  * rewrite (MAIN/sql/planner/iterative/rule/ExtractSpatialJoins.java:155).
+  *
+  * Spark-first design: instead of a broadcast R-tree (driver-bound), both
+  * predicates lower to a GRID-PARTITIONED equi-join — the same idea as the
+  * reference's KdbTree spatial partitioning (geospatial/
+  * SpatialPartitioningAggregateFunction.java) but expressed declaratively:
+  *
+  *   ST_Distance(a, b) <= r   →  cell(a) joined against the 3×3 neighbor
+  *                               cells of b at cell size r, refine exact;
+  *   ST_Contains(rect, p)     →  p maps to ONE cell, rect explodes to every
+  *                               cell it overlaps, refine exact.
+  *
+  * Each side shuffles once on the cell id — a plain hash-partitioned
+  * equi-join Catalyst/AQE handles like any other, so skew handling,
+  * broadcast thresholds and partial pushdown all still apply at 100 TB.
+  * Candidate pairs per point are bounded by local density, never |S|×|R|.
+  * Points come from deterministic projections of TPC-H keys so DuckDB can
+  * run the naive cross-join as the oracle at sf0.01.
+  */
+object Spatial {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Deterministic planar coordinates in [0,100) derived from a key. */
+  private def coord(key: org.apache.spark.sql.Column, mult: Long) =
+    (key * mult % 1000).cast("double") / 10.0
+
+  /** Distance-within join: customer points × supplier points, pairs with
+    * euclidean distance <= r. Grid cell size = r so true pairs always land
+    * in adjacent cells; left side replicates to its 3×3 neighborhood (9
+    * rows), right side keeps one row per point. */
+  def distanceJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = 5.0
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      coord(col("c_custkey"), 7919L).as("cx"),
+      coord(col("c_custkey"), 104729L).as("cy"))
+    val supp = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sk"),
+      coord(col("s_suppkey"), 7919L).as("sx"),
+      coord(col("s_suppkey"), 104729L).as("sy"))
+    // supplier (small side) replicates ×9 to the neighborhood; the join on
+    // (ix, iy) is then a plain equi-join Catalyst broadcasts when small
+    val suppCells = supp
+      .withColumn("dxy", explode(expr(
+        "flatten(transform(sequence(-1,1), dx -> transform(sequence(-1,1), dy -> struct(dx, dy))))")))
+      .select(col("sk"), col("sx"), col("sy"),
+        (floor(col("sx") / r) + col("dxy.dx")).as("ix"),
+        (floor(col("sy") / r) + col("dxy.dy")).as("iy"))
+    val custCells = cust.select(col("ck"), col("cx"), col("cy"),
+      floor(col("cx") / r).as("ix"), floor(col("cy") / r).as("iy"))
+    // plain multiplies, not pow(): IEEE mul/add are correctly rounded, so
+    // the boundary predicate is bit-identical in Spark and the oracle
+    val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+      (col("cy") - col("sy")) * (col("cy") - col("sy"))
+    custCells.join(suppCells, Seq("ix", "iy"))
+      .where(d2 <= r * r)
+      .select(col("ck"), col("sk"), round(sqrt(d2), 4).as("dist"))
+      .orderBy("ck", "sk")
+  }
+
+  /** Containment join: 25 nation-derived rectangles × customer points.
+    * The rectangle side explodes to every grid cell it overlaps (bounded by
+    * rect area / cell area); each point probes exactly one cell, so no
+    * post-join dedup is needed. */
+  def containsJoin(s: SparkSession, dir: String): DataFrame = {
+    val g = 10.0 // grid cell size
+    val rects = t(s, dir, "nation").select(
+      col("n_nationkey").as("nk"),
+      (col("n_nationkey") * 37 % 80).cast("double").as("xmin"),
+      (col("n_nationkey") * 53 % 80).cast("double").as("ymin"),
+      ((col("n_nationkey") * 37 % 80) + 5 + col("n_nationkey") % 11).cast("double").as("xmax"),
+      ((col("n_nationkey") * 53 % 80) + 5 + col("n_nationkey") % 7).cast("double").as("ymax"))
+    val rectCells = rects
+      .withColumn("ix", explode(expr(s"sequence(floor(xmin / $g), floor(xmax / $g))")))
+      .withColumn("iy", explode(expr(s"sequence(floor(ymin / $g), floor(ymax / $g))")))
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      coord(col("c_custkey"), 7919L).as("px"),
+      coord(col("c_custkey"), 104729L).as("py"))
+      .select(col("ck"), col("px"), col("py"),
+        floor(col("px") / g).as("ix"), floor(col("py") / g).as("iy"))
+    pts.join(rectCells, Seq("ix", "iy"))
+      .where(col("px").between(col("xmin"), col("xmax")) &&
+        col("py").between(col("ymin"), col("ymax")))
+      .select(col("nk"), col("ck"))
+      .orderBy("nk", "ck")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_spatial_distance" -> distanceJoin,
+    "join_spatial_contains" -> containsJoin)
+
+  val oracle: Map[String, String] = Map(
+    "join_spatial_distance" ->
+      """WITH c AS (SELECT c_custkey AS ck,
+        |        CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 AS cx,
+        |        CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 10.0 AS cy
+        |       FROM customer),
+        |s AS (SELECT s_suppkey AS sk,
+        |        CAST(s_suppkey * 7919 % 1000 AS DOUBLE) / 10.0 AS sx,
+        |        CAST(s_suppkey * 104729 % 1000 AS DOUBLE) / 10.0 AS sy
+        |       FROM supplier)
+        |SELECT ck, sk,
+        | ROUND(sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)), 4) AS dist
+        |FROM c CROSS JOIN s
+        |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 25.0
+        |ORDER BY ck, sk""".stripMargin,
+    "join_spatial_contains" ->
+      """WITH r AS (SELECT n_nationkey AS nk,
+        |        CAST(n_nationkey * 37 % 80 AS DOUBLE) AS xmin,
+        |        CAST(n_nationkey * 53 % 80 AS DOUBLE) AS ymin,
+        |        CAST(n_nationkey * 37 % 80 + 5 + n_nationkey % 11 AS DOUBLE) AS xmax,
+        |        CAST(n_nationkey * 53 % 80 + 5 + n_nationkey % 7 AS DOUBLE) AS ymax
+        |       FROM nation),
+        |p AS (SELECT c_custkey AS ck,
+        |        CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 AS px,
+        |        CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 10.0 AS py
+        |       FROM customer)
+        |SELECT nk, ck
+        |FROM r CROSS JOIN p
+        |WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
+        |ORDER BY nk, ck""".stripMargin)
+}

@@ -223,6 +223,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(est - 100L) <= 2, s"est=$est")
   }
 
+  test("set digest kernel: exact below k, bounded estimate above, merge-stable") {
+    import graft.functions.SetDigestKmv
+    // exact path
+    var small = SetDigestKmv.empty(512)
+    (1 to 300).foreach(i => small = SetDigestKmv.add(small, SetDigestKmv.hashValue(i.toLong)))
+    assert(SetDigestKmv.cardinality(small) == 300L)
+    // estimate path: 20k distinct → within ~3/sqrt(512) ≈ 13%
+    var big = SetDigestKmv.empty(512)
+    (1 to 20000).foreach(i => big = SetDigestKmv.add(big, SetDigestKmv.hashValue(i.toLong)))
+    val est = SetDigestKmv.cardinality(big)
+    assert(math.abs(est / 20000.0 - 1.0) < 0.13, s"est=$est")
+    // split/merge equals direct build (KMV union-truncate is lossless here)
+    var l = SetDigestKmv.empty(512); var r = SetDigestKmv.empty(512)
+    (1 to 20000).foreach { i =>
+      val h = SetDigestKmv.hashValue(i.toLong)
+      if (i % 2 == 0) l = SetDigestKmv.add(l, h) else r = SetDigestKmv.add(r, h)
+    }
+    val merged = SetDigestKmv.merge(l, r)
+    assert(merged.hashes.sameElements(big.hashes))
+    // jaccard of 2/3-overlap sets within MinHash bound
+    var a = SetDigestKmv.empty(512); var b = SetDigestKmv.empty(512)
+    (1 to 15000).foreach { i =>
+      val h = SetDigestKmv.hashValue(i.toLong)
+      if (i % 3 != 0) a = SetDigestKmv.add(a, h)
+      if (i % 3 != 1) b = SetDigestKmv.add(b, h)
+    }
+    val j = SetDigestKmv.jaccard(a, b)
+    assert(math.abs(j - 1.0 / 3.0) < 0.08, s"jaccard=$j")
+    // serialization round-trip
+    assert(SetDigestKmv.deserialize(SetDigestKmv.serialize(big)).hashes
+      .sameElements(big.hashes))
+  }
+
+  test("hmac matches RFC 4231 test vector (sha256)") {
+    val out = graft.functions.HmacUtil.hmac("HmacSHA256",
+      "Hi There".getBytes("UTF-8"), Array.fill[Byte](20)(0x0b))
+    assert(out.map("%02x".format(_)).mkString ==
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+  }
+
+  test("bing tile quadkey matches the published example") {
+    // Bing tile docs: tile (3, 5, zoom 3) → quadkey "213"
+    val df = spark.range(1).select(
+      graft.functions.GeoFunctions.bingTileQuadkey(
+        struct(lit(3L).as("x"), lit(5L).as("y"), lit(3).as("zoom"))).as("q"))
+    assert(df.collect()(0).getString(0) == "213")
+  }
+
   test("vector expressions agree with the HOF formulation bit-for-bit") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
     val cmp = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
