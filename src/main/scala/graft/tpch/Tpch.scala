@@ -295,8 +295,10 @@ object Tpch {
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum("l_quantity").as("qty")).filter(col("qty") > 50)
       .select(col("l_suppkey").as("a_suppkey"))
+    // the qualified-supplier set aggregates down to at most |supplier| keys
+    // — broadcast the semi-join instead of shuffling the supplier table
     t(s, dir, "supplier")
-      .join(active, col("s_suppkey") === col("a_suppkey"), "left_semi")
+      .join(broadcast(active), col("s_suppkey") === col("a_suppkey"), "left_semi")
       .select("s_name", "s_acctbal")
       .orderBy("s_name")
   }
@@ -317,17 +319,24 @@ object Tpch {
         col("o_orderkey") === col("l_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"))
-    val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+    // one shuffle on l_orderkey serves BOTH aggregations: hash-partitioning
+    // by orderkey satisfies the (orderkey, suppkey) clustering of the first
+    // agg and the orderkey clustering of the second, so EnsureRequirements
+    // inserts no further exchange between them
+    val perSupp = lo.repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
       .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
     val perOrder = perSupp.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
         sum(when(col("n_late") > 0, 1L).otherwise(0L)).as("n_late_supp"),
         max(when(col("n_late") > 0, col("l_suppkey"))).as("late_supp"),
         sum("n_late").as("n_late_lines"))
+    // suppliers of one nation are a few dozen rows at any SF — broadcast
+    // them rather than sort-merge-shuffling the aggregated order rows
     perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .join(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")).filter(col("n_name") === "NATION_5"),
-          col("s_nationkey") === col("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))),
         col("late_supp") === col("s_suppkey"))
       .groupBy("s_name").agg(sum("n_late_lines").as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))
