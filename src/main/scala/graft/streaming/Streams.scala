@@ -80,13 +80,48 @@ object Streams {
       .groupBy("user_id").agg(count(lit(1)).as("n_types"))
       .orderBy("user_id")
 
+  /** Interval stream-stream join: each click joined to the same user's
+    * purchases within the following 15 minutes. Under readStream both sides
+    * carry watermarks and the time-range predicate bounds the join state
+    * (the stream-stream inner join contract); in batch it is the identical
+    * equi-join on user_id + interval filter, shuffling each side once on
+    * the join key. Aggregated per user so the oracle is order-independent. */
+  def intervalJoin(df: DataFrame): DataFrame = {
+    val clicks = df.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val buys = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("b_value"))
+    clicks.join(buys,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") < col("c_ts") + lit(15L * 60 * 1000000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_id")).as("n_clicks_converted"),
+        dsum(col("b_value")).as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> ((s, dir) => intervalJoin(t(s, dir, "events"))),
     "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
     "stream_sliding" -> ((s, dir) => sliding(t(s, dir, "events"))),
     "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) => dedup(t(s, dir, "events"))))
 
   val oracle: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS b_user, epoch_ns(ts) AS b_ts, value AS b_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_pairs,
+        | count(DISTINCT c_id) AS n_clicks_converted,
+        | CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+        |FROM c JOIN b ON user_id = b_user
+        | AND b_ts >= c_ts AND b_ts < c_ts + 900000000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

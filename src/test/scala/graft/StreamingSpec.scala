@@ -128,6 +128,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks on both sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val c = clicks.toDF().toDF("c_t", "c_user", "c_id")
+      .withWatermark("c_t", "10 minutes")
+    val b = buys.toDF().toDF("b_t", "b_user", "b_value")
+      .withWatermark("b_t", "10 minutes")
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_t") >= col("c_t") &&
+        col("b_t") < col("c_t") + expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // event times start at ts(60): the initial watermark is epoch 0 and the
+      // join's late-row filter drops input at-or-below it (verified behavior)
+      clicks.addData((ts(60), 1L, 100L), (ts(60), 2L, 101L))
+      buys.addData((ts(65), 1L, 9.5)) // within 15min of user 1's click
+      buys.addData((ts(90), 2L, 1.0)) // outside the interval for user 2
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT c_id, b_value FROM ssjoin_test")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((100L, 9.5)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batch interval-join logic matches a hand-computed case") {
+    import spark.implicits._
+    val df = Seq(
+      ("click", 1L, 0L * 60000000000L, 1L, 0.0),
+      ("purchase", 1L, 5L * 60000000000L, 2L, 9.5),   // joins (within 15m)
+      ("purchase", 1L, 20L * 60000000000L, 3L, 1.0),  // outside window
+      ("click", 2L, 0L * 60000000000L, 4L, 0.0)       // no purchase
+    ).toDF("event_type", "user_id", "ts", "event_id", "value")
+    val r = graft.streaming.Streams.intervalJoin(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(r == Set((1L, 1L, 1L, 9.5)))
+  }
+
   test("batch session logic matches a hand-computed case") {
     import spark.implicits._
     val df = Seq(
