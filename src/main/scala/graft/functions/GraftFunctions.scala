@@ -17,8 +17,19 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object GraftFunctions {
 
+  /** Distribution CDF family registrations (DistributionFunctions.scala). */
+  private val distEntries: Seq[(String, String, Seq[Expression] => Expression)] =
+    Distributions.names2.map { n =>
+      (n, s"$n(a, b) - ${n.replace('_', ' ')} (reference MathFunctions.java)",
+        (es: Seq[Expression]) => DistCall.c2(n, es(0), es(1)))
+    } ++ Distributions.names3.map { n =>
+      (n, s"$n(a, b, c) - ${n.replace('_', ' ')} (reference MathFunctions.java)",
+        (es: Seq[Expression]) => DistCall.c3(n, es(0), es(1), es(2)))
+    }
+
   /** name → (usage, builder) for every custom function. */
-  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = distEntries ++ Seq[
+    (String, String, Seq[Expression] => Expression)](
     ("jaro_winkler_similarity", "jaro_winkler_similarity(s1, s2) - Jaro-Winkler similarity in [0,1]",
       es => JaroWinklerSimilarity(es(0), es(1))),
     ("hamming_distance", "hamming_distance(s1, s2) - positions differing between equal-length strings",

@@ -506,7 +506,8 @@ object Scalars {
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
     "fn_bingtile" -> bingTile,
-    "fn_hmac" -> hmacKat)
+    "fn_hmac" -> hmacKat,
+    "fn_cdf" -> cdfKat)
 
   /** MinHash set digests (reference setdigest family: make_set_digest /
     * merge / cardinality / jaccard_index / intersection_cardinality —
@@ -596,7 +597,106 @@ object Scalars {
       .orderBy("tc")
   }
 
+  /** Probability distribution CDFs + inverses (MathFunctions.java:233,
+    * 844-1110). Forward CDFs verify against closed forms the oracle can
+    * compute exactly (Erlang/chi², Cauchy/Laplace/Weibull/t₁ elementary
+    * forms, integer-parameter beta/F polynomials, finite binomial/Poisson
+    * sums); normal_cdf against stdlib-erf known answers. Inverses verify by
+    * roundtrip through the independently-verified forward direction, so the
+    * Brent-solver path is pinned to the same truth. */
+  def cdfKat(s: SparkSession, dir: String): DataFrame = {
+    val D = graft.functions.Distributions
+    val base = t(s, dir, "nation").select(
+      col("n_nationkey").cast("int").as("k"),
+      (col("n_nationkey") * 0.4 + 0.3).cast("double").as("x"),
+      ((col("n_nationkey") + 0.5) / 26.0).cast("double").as("u"),
+      (col("n_nationkey") % 11).cast("double").as("kk"),
+      (col("n_nationkey") % 8).cast("double").as("kp"))
+    def l(d: Double) = lit(d)
+    def r8(c: org.apache.spark.sql.Column) = round(c, 8)
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6)
+    val ip = D.inversePoissonCdf(l(3.0), col("u")).cast("double")
+    base.select(
+      col("k"), round(col("x"), 8).as("x"), round(col("u"), 8).as("u"),
+      r8(D.chiSquaredCdf(l(2.0), col("x"))).as("chi2_2"),
+      r8(D.chiSquaredCdf(l(4.0), col("x"))).as("chi2_4"),
+      r8(D.gammaCdf(l(3.0), l(1.0), col("x"))).as("gamma_31"),
+      r8(D.cauchyCdf(l(1.0), l(2.0), col("x"))).as("cauchy_c"),
+      r8(D.laplaceCdf(l(2.0), l(1.5), col("x"))).as("laplace_c"),
+      r8(D.weibullCdf(l(1.5), l(2.0), col("x"))).as("weibull_c"),
+      r8(D.betaCdf(l(2.0), l(3.0), col("u"))).as("beta_23"),
+      r8(D.fCdf(l(2.0), l(4.0), col("x"))).as("f_24"),
+      r8(D.tCdf(l(1.0), col("x") - 5.0)).as("t_1"),
+      r8(D.binomialCdf(l(10.0), l(0.3), col("kk"))).as("binom_c"),
+      r8(D.poissonCdf(l(3.0), col("kp"))).as("pois_c"),
+      r8(D.normalCdf(l(1.0), l(2.0), col("x"))).as("norm_c"),
+      r6(D.normalCdf(l(3.0), l(2.0),
+        D.inverseNormalCdf(l(3.0), l(2.0), col("u")))).as("inv_norm_rt"),
+      r6(D.betaCdf(l(2.5), l(1.5),
+        D.inverseBetaCdf(l(2.5), l(1.5), col("u")))).as("inv_beta_rt"),
+      r6(D.chiSquaredCdf(l(5.0),
+        D.inverseChiSquaredCdf(l(5.0), col("u")))).as("inv_chi2_rt"),
+      r6(D.gammaCdf(l(2.5), l(1.5),
+        D.inverseGammaCdf(l(2.5), l(1.5), col("u")))).as("inv_gamma_rt"),
+      r6(D.fCdf(l(3.0), l(7.0),
+        D.inverseFCdf(l(3.0), l(7.0), col("u")))).as("inv_f_rt"),
+      r6(D.tCdf(l(4.0), D.inverseTCdf(l(4.0), col("u")))).as("inv_t_rt"),
+      r6(D.weibullCdf(l(1.5), l(2.0),
+        D.inverseWeibullCdf(l(1.5), l(2.0), col("u")))).as("inv_weibull_rt"),
+      r6(D.cauchyCdf(l(1.0), l(2.0),
+        D.inverseCauchyCdf(l(1.0), l(2.0), col("u")))).as("inv_cauchy_rt"),
+      r6(D.laplaceCdf(l(0.0), l(1.0),
+        D.inverseLaplaceCdf(l(0.0), l(1.0), col("u")))).as("inv_laplace_rt"),
+      (D.poissonCdf(l(3.0), ip) >= col("u") &&
+        (ip === 0.0 || D.poissonCdf(l(3.0), ip - 1.0) < col("u")))
+        .as("inv_pois_ok"))
+      .orderBy("k")
+  }
+
   val oracle: Map[String, String] = Map(
+    "fn_cdf" ->
+      """WITH nrm(k, norm_c) AS (VALUES
+        | (0, 0.36316935), (1, 0.44038231), (2, 0.51993881), (3, 0.59870633),
+        | (4, 0.67364478), (5, 0.74215389), (6, 0.80233746), (7, 0.85314094),
+        | (8, 0.89435023), (9, 0.92647074), (10, 0.95052853), (11, 0.96784323),
+        | (12, 0.97981778), (13, 0.98777553), (14, 0.99285719), (15, 0.99597541),
+        | (16, 0.99781404), (17, 0.99885579), (18, 0.99942297), (19, 0.99971971),
+        | (20, 0.99986888), (21, 0.99994094), (22, 0.99997439), (23, 0.99998931),
+        | (24, 0.99999571)),
+        |b AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |  CAST(n_nationkey * 0.4 + 0.3 AS DOUBLE) AS x,
+        |  CAST((n_nationkey + 0.5) / 26.0 AS DOUBLE) AS u,
+        |  CAST(n_nationkey % 11 AS INT) AS kk,
+        |  CAST(n_nationkey % 8 AS INT) AS kp
+        | FROM nation)
+        |SELECT b.k, round(x, 8) AS x, round(u, 8) AS u,
+        | round(1 - exp(-x/2), 8) AS chi2_2,
+        | round(1 - exp(-x/2) * (1 + x/2), 8) AS chi2_4,
+        | round(1 - exp(-x) * (1 + x + x*x/2), 8) AS gamma_31,
+        | round(0.5 + atan((x - 1.0) / 2.0) / pi(), 8) AS cauchy_c,
+        | round(CASE WHEN x < 2.0 THEN 0.5 * exp((x - 2.0) / 1.5)
+        |            ELSE 1 - 0.5 * exp(-(x - 2.0) / 1.5) END, 8) AS laplace_c,
+        | round(1 - exp(-pow(x / 2.0, 1.5)), 8) AS weibull_c,
+        | round(6*u*u*(1-u)*(1-u) + 4*u*u*u*(1-u) + u*u*u*u, 8) AS beta_23,
+        | round(1 - 4.0 / ((x + 2.0) * (x + 2.0)), 8) AS f_24,
+        | round(0.5 + atan(x - 5.0) / pi(), 8) AS t_1,
+        | round(list_sum(list_transform(range(0, kk + 1), i ->
+        |   [1.0,10,45,120,210,252,210,120,45,10,1][i + 1]
+        |     * pow(0.3, i) * pow(0.7, 10 - i))), 8) AS binom_c,
+        | round(exp(-3.0) * list_sum(list_transform(range(0, kp + 1), i ->
+        |   pow(3.0, i) / [1.0,1,2,6,24,120,720,5040][i + 1])), 8) AS pois_c,
+        | CAST(nrm.norm_c AS DOUBLE) AS norm_c,
+        | round(u, 6) AS inv_norm_rt,
+        | round(u, 6) AS inv_beta_rt,
+        | round(u, 6) AS inv_chi2_rt,
+        | round(u, 6) AS inv_gamma_rt,
+        | round(u, 6) AS inv_f_rt,
+        | round(u, 6) AS inv_t_rt,
+        | round(u, 6) AS inv_weibull_rt,
+        | round(u, 6) AS inv_cauchy_rt,
+        | round(u, 6) AS inv_laplace_rt,
+        | true AS inv_pois_ok
+        |FROM b JOIN nrm ON b.k = nrm.k ORDER BY b.k""".stripMargin,
     "fn_hmac" ->
       """SELECT 'tc1' AS tc,
         | '5ccec34ea9656392457fa1ac27f08fbc' AS md5,
