@@ -365,6 +365,90 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** SQL-invoked array helpers (ArraySqlFunctions.java,
+    * ArrayCombinationsFunction.java via ArrayMapExtras): average, chunks,
+    * frequency, duplicates, least-frequent, max/min_by, sort_desc,
+    * remove_nulls, top_n, transpose, combinations. Arrays are stringified
+    * null-safely so the row comparator can hash them. */
+  def arrayAdv2(s: SparkSession, dir: String): DataFrame = {
+    val X = graft.functions.ArrayMapExtras
+    def el(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("null"))
+    def j(c: org.apache.spark.sql.Column) =
+      array_join(transform(c, x => el(x)), ",")
+    def j2(c: org.apache.spark.sql.Column) = array_join(
+      transform(c, inner => concat(lit("["), j(inner), lit("]"))), ";")
+    t(s, dir, "part").filter(col("p_partkey") <= 100)
+      .withColumn("arr", F.array(
+        (col("p_size") % 5).cast("long"), (col("p_size") % 3).cast("long"),
+        (col("p_size") % 5).cast("long"), lit(7L),
+        when(col("p_size") % 4 === 0, lit(null).cast("long"))
+          .otherwise((col("p_size") % 7).cast("long"))))
+      .withColumn("mat", F.array(
+        F.array(lit(1L), (col("p_size") % 3).cast("long")),
+        F.array((col("p_size") % 5).cast("long"), lit(4L))))
+      .select(
+        col("p_partkey").as("k"),
+        round(X.arrayAverage(col("arr")), 6).as("avg_a"),
+        j2(X.arraySplitIntoChunks(col("arr"), 2)).as("chunks"),
+        array_join(array_sort(transform(map_entries(X.arrayFrequency(col("arr"))),
+          e => concat(e.getField("key").cast("string"), lit(":"),
+            e.getField("value").cast("string")))), ",").as("freq"),
+        array_join(array_sort(transform(X.arrayDuplicates(col("arr")), x => el(x))), ",")
+          .as("dups"),
+        X.arrayHasDuplicates(col("arr")).as("has_dups"),
+        j(X.arrayLeastFrequent(col("arr"), 2)).as("least2"),
+        X.arrayMaxBy(col("arr"), x => -x).as("maxby_neg"),
+        X.arrayMinBy(col("arr"), x => -x).as("minby_neg"),
+        j(X.arraySortDesc(col("arr"))).as("sort_desc"),
+        j(X.removeNulls(col("arr"))).as("nonulls"),
+        j(X.arrayTopN(col("arr"), 3)).as("top3"),
+        j2(X.arrayTranspose(col("mat"))).as("transp"),
+        j2(X.combinations(col("arr"), 2)).as("comb2"))
+      .orderBy("k")
+  }
+
+  /** SQL-invoked map helpers (MapSqlFunctions.java, MapNormalizeFunction
+    * .java, MapSubsetFunction.java via ArrayMapExtras). Map outputs are
+    * stringified as key-sorted entry lists; normalized values emitted as
+    * numeric columns to avoid double-formatting drift. */
+  def mapAdv(s: SparkSession, dir: String): DataFrame = {
+    val X = graft.functions.ArrayMapExtras
+    def entStr(m: org.apache.spark.sql.Column) =
+      array_join(transform(array_sort(map_entries(m)),
+        e => concat(e.getField("key"), lit(":"),
+          coalesce(e.getField("value").cast("long").cast("string"), lit("null")))),
+        ",")
+    t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+      .withColumn("m", map_from_arrays(
+        F.array(lit("p"), lit("q"), lit("r"), lit("s")),
+        F.array((col("s_suppkey") % 100).cast("double"),
+          (col("s_suppkey") % 7).cast("double"),
+          when(col("s_suppkey") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("s_nationkey").cast("double")),
+          lit(5.0))))
+      .select(
+        col("s_suppkey").as("k"),
+        entStr(X.mapTopN(col("m"), 2)).as("topn2"),
+        array_join(X.mapTopNKeys(col("m"), 2), ",").as("topk2"),
+        array_join(transform(X.mapTopNValues(col("m"), 2),
+          v => coalesce(v.cast("long").cast("string"), lit("null"))), ",")
+          .as("topv2"),
+        array_join(array_sort(X.mapKeysByTopNValues(col("m"), 2)), ",")
+          .as("keysbyv"),
+        X.mapKeyExists(col("m"), lit("q")).as("kexists"),
+        entStr(X.mapRemoveNullValues(col("m"))).as("nonull"),
+        round(element_at(X.mapNormalize(col("m")), "p"), 6).as("norm_p"),
+        round(element_at(X.mapNormalize(col("m")), "q"), 6).as("norm_q"),
+        round(element_at(X.mapNormalize(col("m")), "s"), 6).as("norm_s"),
+        entStr(X.mapSubset(col("m"), F.array(lit("p"), lit("r")))).as("subset"),
+        X.allKeysMatch(col("m"), k => length(k) === 1).as("allk"),
+        X.anyKeysMatch(col("m"), k => k === "q").as("anyk"),
+        X.noKeysMatch(col("m"), k => k === "z").as("nok"),
+        X.anyValuesMatch(col("m"), v => v >= 0.0).as("anyv"))
+      .orderBy("k")
+  }
+
   /** Wilson score interval (reference WilsonInterval.java:
     * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
   def wilson(s: SparkSession, dir: String): DataFrame = {
@@ -507,7 +591,9 @@ object Scalars {
     "fn_setdigest" -> setDigest,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
-    "fn_cdf" -> cdfKat)
+    "fn_cdf" -> cdfKat,
+    "fn_array_adv2" -> arrayAdv2,
+    "fn_map_adv" -> mapAdv)
 
   /** MinHash set digests (reference setdigest family: make_set_digest /
     * merge / cardinality / jaccard_index / intersection_cardinality —
@@ -654,6 +740,82 @@ object Scalars {
   }
 
   val oracle: Map[String, String] = Map(
+    "fn_array_adv2" ->
+      """WITH b AS (SELECT p_partkey AS k,
+        |  [CAST(p_size % 5 AS BIGINT), CAST(p_size % 3 AS BIGINT),
+        |   CAST(p_size % 5 AS BIGINT), CAST(7 AS BIGINT),
+        |   CASE WHEN p_size % 4 = 0 THEN NULL ELSE CAST(p_size % 7 AS BIGINT) END] AS arr,
+        |  [[CAST(1 AS BIGINT), CAST(p_size % 3 AS BIGINT)],
+        |   [CAST(p_size % 5 AS BIGINT), CAST(4 AS BIGINT)]] AS mat
+        | FROM part WHERE p_partkey <= 100),
+        |c AS (SELECT k, arr, mat,
+        |  list_filter(arr, x -> x IS NOT NULL) AS rn,
+        |  list_sort(list_distinct(list_filter(arr, x -> x IS NOT NULL))) AS dv
+        | FROM b)
+        |SELECT k,
+        | round(list_avg(arr), 6) AS avg_a,
+        | array_to_string(list_transform(range(0, 3), i ->
+        |   '[' || array_to_string(list_transform(arr[i*2+1:i*2+2],
+        |     x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') || ']'), ';') AS chunks,
+        | array_to_string(list_sort(list_transform(dv, x ->
+        |   CAST(x AS VARCHAR) || ':' ||
+        |   CAST(len(list_filter(arr, y -> y = x)) AS VARCHAR))), ',') AS freq,
+        | array_to_string(list_sort(list_transform(
+        |   list_filter(dv, x -> len(list_filter(arr, y -> y = x)) > 1),
+        |   x -> CAST(x AS VARCHAR))), ',') AS dups,
+        | len(list_filter(dv, x -> len(list_filter(arr, y -> y = x)) > 1)) > 0 AS has_dups,
+        | array_to_string(list_transform(
+        |   list_sort(list_transform(dv, x ->
+        |     [len(list_filter(arr, y -> y = x)), x]))[1:2],
+        |   p -> CAST(p[2] AS VARCHAR)), ',') AS least2,
+        | list_min(rn) AS maxby_neg,
+        | list_max(rn) AS minby_neg,
+        | array_to_string(list_transform(list_sort(arr, 'DESC', 'NULLS LAST'),
+        |   x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS sort_desc,
+        | array_to_string(list_transform(rn, x -> CAST(x AS VARCHAR)), ',') AS nonulls,
+        | array_to_string(list_transform(list_sort(arr, 'DESC', 'NULLS LAST')[1:3],
+        |   x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') AS top3,
+        | array_to_string(list_transform(range(1, len(mat[1]) + 1), x ->
+        |   '[' || array_to_string(list_transform(mat, y -> CAST(y[x] AS VARCHAR)), ',')
+        |   || ']'), ';') AS transp,
+        | array_to_string(list_transform(
+        |   flatten(list_transform(range(1, len(arr)), ii ->
+        |     list_transform(range(ii + 1, len(arr) + 1), jj -> [arr[ii], arr[jj]]))),
+        |   pair -> '[' || array_to_string(list_transform(pair,
+        |     x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') || ']'), ';') AS comb2
+        |FROM c ORDER BY k""".stripMargin,
+    "fn_map_adv" ->
+      """WITH s0 AS (SELECT s_suppkey AS k,
+        |   CAST(s_suppkey % 100 AS DOUBLE) AS v1,
+        |   CAST(s_suppkey % 7 AS DOUBLE) AS v2,
+        |   CASE WHEN s_suppkey % 3 = 0 THEN NULL
+        |        ELSE CAST(s_nationkey AS DOUBLE) END AS v3,
+        |   CAST(5.0 AS DOUBLE) AS v4
+        |  FROM supplier WHERE s_suppkey <= 100),
+        |e AS (SELECT k, unnest(['p','q','r','s']) AS mk,
+        |       unnest([v1, v2, v3, v4]) AS mv FROM s0),
+        |r AS (SELECT k, mk, mv, row_number() OVER (PARTITION BY k
+        |        ORDER BY (mv IS NULL), mv DESC, mk DESC) AS rn FROM e),
+        |a AS (SELECT k,
+        |   string_agg(CASE WHEN rn <= 2 THEN mk || ':' ||
+        |     coalesce(CAST(CAST(mv AS BIGINT) AS VARCHAR), 'null') END,
+        |     ',' ORDER BY mk) AS topn2,
+        |   string_agg(CASE WHEN rn <= 2 THEN
+        |     coalesce(CAST(CAST(mv AS BIGINT) AS VARCHAR), 'null') END,
+        |     ',' ORDER BY rn) AS topv2,
+        |   string_agg(CASE WHEN rn <= 2 THEN mk END, ',' ORDER BY mk) AS keysbyv,
+        |   string_agg(CASE WHEN mv IS NOT NULL THEN mk || ':' ||
+        |     CAST(CAST(mv AS BIGINT) AS VARCHAR) END, ',' ORDER BY mk) AS nonull
+        |  FROM r GROUP BY k)
+        |SELECT s0.k, a.topn2, 's,r' AS topk2, a.topv2, a.keysbyv,
+        | true AS kexists, a.nonull,
+        | round(v1 / (v1 + v2 + coalesce(v3, 0) + v4), 6) AS norm_p,
+        | round(v2 / (v1 + v2 + coalesce(v3, 0) + v4), 6) AS norm_q,
+        | round(v4 / (v1 + v2 + coalesce(v3, 0) + v4), 6) AS norm_s,
+        | 'p:' || CAST(CAST(v1 AS BIGINT) AS VARCHAR) || ',r:' ||
+        |   coalesce(CAST(CAST(v3 AS BIGINT) AS VARCHAR), 'null') AS subset,
+        | true AS allk, true AS anyk, true AS nok, true AS anyv
+        |FROM s0 JOIN a ON s0.k = a.k ORDER BY s0.k""".stripMargin,
     "fn_cdf" ->
       """WITH nrm(k, norm_c) AS (VALUES
         | (0, 0.36316935), (1, 0.44038231), (2, 0.51993881), (3, 0.59870633),
