@@ -105,6 +105,23 @@ object GraftFunctions {
         }
         MostFrequentAgg(es(1), intLit(es(0), "k"), intLit(es(2), "capacity"))
           .toAggregateExpression()
+      }),
+    ("numeric_histogram",
+      "numeric_histogram(buckets, value[, weight]) - streaming numeric histogram as map<double,double>",
+      es => {
+        if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+          s"numeric_histogram(buckets, value[, weight]) takes 2 or 3 arguments, got ${es.length}")
+        val buckets = es.head match {
+          case e if e.foldable => e.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"numeric_histogram: buckets must be an integer literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"numeric_histogram: buckets must be foldable, got ${e.sql}")
+        }
+        NumericHistogramAgg(es(1), es.drop(2).headOption, buckets)
+          .toAggregateExpression()
       }))
 
   /** Idempotent per-session registration. */

@@ -75,6 +75,23 @@ object Aggregates {
         round(kurtosis(col("s_acctbal")), 4).as("kurt"))
       .orderBy("s_nationkey")
 
+  /** numeric_histogram(buckets, value) (reference NumericHistogram.java via
+    * DoubleHistogramAggregation.java): streaming min-penalty bin merging.
+    * Gate pins the exact regime — distinct inputs (10) ≤ buckets (16) — so
+    * the result is bins = (value, count) independent of partitioning; the
+    * approximate regime is covered in NumericHistogramSpec. Map output is
+    * stringified sorted for the hash comparator. */
+  def numericHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(graft.functions.NumericHistogramAgg.column(
+        (col("s_suppkey") % 10).cast("double"), 16).as("h"))
+      .select(col("s_nationkey"),
+        array_join(transform(array_sort(map_entries(col("h"))),
+          e => concat(e.getField("key").cast("long").cast("string"), lit(":"),
+            e.getField("value").cast("long").cast("string"))), ",").as("hist"))
+      .orderBy("s_nationkey")
+
   /** min_by/max_by with a unique ordering key (deterministic arg-extremum). */
   def minMaxBy(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -355,6 +372,7 @@ object Aggregates {
     "agg_filter_clause" -> filterClause,
     "agg_ordered_array" -> orderedArrayAgg,
     "agg_reduce" -> reduceAgg,
+    "agg_numeric_hist" -> numericHist,
     "agg_map_union" -> mapUnion,
     "agg_multimap" -> multimapAgg,
     "agg_set_union" -> setUnion,
@@ -440,6 +458,13 @@ object Aggregates {
     "agg_map_union" ->
       """SELECT o_orderstatus AS status, count(*) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "agg_numeric_hist" ->
+      """WITH v AS (SELECT s_nationkey, s_suppkey % 10 AS val, count(*) AS c
+        |           FROM supplier GROUP BY 1, 2)
+        |SELECT s_nationkey,
+        | string_agg(CAST(val AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+        |            ',' ORDER BY val) AS hist
+        |FROM v GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "agg_multimap" ->
       """SELECT n_name,
         | string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
