@@ -122,7 +122,30 @@ object GraftFunctions {
         }
         NumericHistogramAgg(es(1), es.drop(2).headOption, buckets)
           .toAggregateExpression()
-      }))
+      }),
+    ("color", "color(name | fraction, low, high | v, lo, hi, lowColor, highColor) - reference ColorFunctions.java",
+      es => es.length match {
+        case 1 => ColorCall("color", es)
+        case 3 => ColorCall("color_interp", Seq(dbl(es(0)), es(1), es(2)))
+        case 5 => ColorCall("color_scaled",
+          Seq(dbl(es(0)), dbl(es(1)), dbl(es(2)), es(3), es(4)))
+        case n => throw new IllegalArgumentException(s"color: bad arity $n")
+      }),
+    ("rgb", "rgb(r, g, b) - packed rgb color value",
+      es => ColorCall("rgb", es)),
+    ("render", "render(value[, color]) - ANSI-colored rendering",
+      es =>
+        if (es.length == 1) ColorCall("render_bool", es)
+        else ColorCall("render", Seq(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            es(0), org.apache.spark.sql.types.StringType), es(1)))),
+    ("bar", "bar(fraction, width[, lowColor, highColor]) - ANSI bar chart cell",
+      es => ColorCall("bar", dbl(es(0)) +: es.drop(1))))
+
+  private def dbl(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -449,6 +449,42 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Color/presentation functions (ColorFunctions.java): named + #rgb
+    * shorthand colors, packed rgb, single-color bars and renders — the
+    * oracle rebuilds the exact ANSI escape strings from the documented
+    * 6×6×6-cube mapping. HSB interpolation is covered in ColorSpec. */
+  def colorFns(s: SparkSession, dir: String): DataFrame = {
+    val C = graft.functions.Colors
+    val names = F.array(Seq("red", "green", "blue", "cyan", "black").map(lit): _*)
+    val hexes = F.array(Seq("#f00", "#0f0", "#00f", "#fff", "#123").map(lit): _*)
+    t(s, dir, "region").select(col("r_regionkey").cast("int").as("k"))
+      .select(
+        col("k"),
+        C.color(element_at(names, col("k") + 1)).as("named"),
+        C.color(element_at(hexes, col("k") + 1)).as("hexv"),
+        C.rgb(col("k") * 50, col("k") * 30, col("k") * 20).as("rgbv"),
+        C.bar(col("k") / 4.0, lit(8L), C.rgb(lit(255), lit(0), lit(0)),
+          C.rgb(lit(255), lit(0), lit(0))).as("bars"),
+        C.render(concat(lit("v"), col("k").cast("string")),
+          C.rgb(lit(0), lit(255), lit(0))).as("rendered"),
+        C.renderBool(col("k") % 2 === 0).as("rendered_b"))
+      .orderBy("k")
+  }
+
+  /** SQL-invoked string helpers (StringSqlFunctions.java): replace_first,
+    * trail, split_part_reverse. */
+  def stringSql(s: SparkSession, dir: String): DataFrame = {
+    val X = graft.functions.StringExtras
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").as("k"),
+        X.replaceFirst(col("p_name"), lit("a"), lit("XY")).as("rf"),
+        X.trail(col("p_name"), lit(5)).as("tr5"),
+        X.splitPartReverse(col("p_type"), " ", lit(-1)).as("sp_last"),
+        X.splitPartReverse(col("p_type"), " ", lit(1)).as("sp_first"))
+      .orderBy("k")
+  }
+
   /** Wilson score interval (reference WilsonInterval.java:
     * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
   def wilson(s: SparkSession, dir: String): DataFrame = {
@@ -593,7 +629,9 @@ object Scalars {
     "fn_hmac" -> hmacKat,
     "fn_cdf" -> cdfKat,
     "fn_array_adv2" -> arrayAdv2,
-    "fn_map_adv" -> mapAdv)
+    "fn_map_adv" -> mapAdv,
+    "fn_color" -> colorFns,
+    "fn_string_sql" -> stringSql)
 
   /** MinHash set digests (reference setdigest family: make_set_digest /
     * merge / cardinality / jaccard_index / intersection_cardinality —
@@ -740,6 +778,33 @@ object Scalars {
   }
 
   val oracle: Map[String, String] = Map(
+    "fn_color" ->
+      """SELECT CAST(r_regionkey AS INT) AS k,
+        | CAST(CASE r_regionkey WHEN 0 THEN -2 WHEN 1 THEN -3 WHEN 2 THEN -5
+        |      WHEN 3 THEN -7 WHEN 4 THEN -1 END AS BIGINT) AS named,
+        | CAST([16711680, 65280, 255, 16777215, 1122867][r_regionkey + 1]
+        |      AS BIGINT) AS hexv,
+        | CAST(r_regionkey * 50 * 65536 + r_regionkey * 30 * 256 +
+        |      r_regionkey * 20 AS BIGINT) AS rgbv,
+        | repeat(chr(27) || '[38;5;196m' || '█', CAST(r_regionkey * 2 AS INT))
+        |   || chr(27) || '[0m'
+        |   || repeat(' ', CAST(8 - r_regionkey * 2 AS INT)) AS bars,
+        | chr(27) || '[38;5;46m' || 'v' || CAST(r_regionkey AS VARCHAR)
+        |   || chr(27) || '[0m' AS rendered,
+        | CASE WHEN r_regionkey % 2 = 0
+        |      THEN chr(27) || '[38;5;2m' || chr(10003) || chr(27) || '[0m'
+        |      ELSE chr(27) || '[38;5;1m' || chr(10007) || chr(27) || '[0m'
+        | END AS rendered_b
+        |FROM region ORDER BY k""".stripMargin,
+    "fn_string_sql" ->
+      """SELECT p_partkey AS k,
+        | CASE WHEN strpos(p_name, 'a') = 0 THEN p_name
+        |      ELSE substr(p_name, 1, strpos(p_name, 'a') - 1) || 'XY' ||
+        |           substr(p_name, strpos(p_name, 'a') + 1) END AS rf,
+        | right(p_name, 5) AS tr5,
+        | string_split(p_type, ' ')[-1] AS sp_last,
+        | string_split(p_type, ' ')[1] AS sp_first
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_array_adv2" ->
       """WITH b AS (SELECT p_partkey AS k,
         |  [CAST(p_size % 5 AS BIGINT), CAST(p_size % 3 AS BIGINT),
