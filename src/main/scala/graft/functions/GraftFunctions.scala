@@ -60,6 +60,36 @@ object GraftFunctions {
       es => QDigestMergeAgg(es.head).toAggregateExpression()),
     ("value_at_quantile", "value_at_quantile(sketch, q) - quantile from a digest",
       es => ValueAtQuantile(es(0), es(1))),
+    ("tdigest_agg", "tdigest_agg(x) - mergeable t-digest sketch (tail-accurate quantiles)",
+      es => TDigestAgg(es.head).toAggregateExpression()),
+    ("merge_tdigest", "merge_tdigest(sketch) - merge t-digests",
+      es => TDigestMergeAgg(es.head).toAggregateExpression()),
+    ("tdigest_value_at_quantile", "tdigest_value_at_quantile(sketch, q) - quantile from a t-digest",
+      es => TDigestValueAtQuantile(es(0), es(1))),
+    ("quantile_at_value", "quantile_at_value(sketch, x) - rank of x in [0,1] from a t-digest",
+      es => QuantileAtValue(es(0), es(1))),
+    ("trimmed_mean", "trimmed_mean(sketch, lo, hi) - mean of values between quantiles lo..hi",
+      es => TrimmedMean(es(0), es(1), es(2))),
+    ("kll_sketch_agg", "kll_sketch_agg(x) - mergeable KLL quantile sketch",
+      es => KllSketchAgg(es.head).toAggregateExpression()),
+    ("merge_kll", "merge_kll(sketch) - merge KLL sketches",
+      es => KllMergeAgg(es.head).toAggregateExpression()),
+    ("kll_quantile", "kll_quantile(sketch, q) - discrete quantile (a retained input value)",
+      es => KllQuantile(es(0), es(1))),
+    ("kll_rank", "kll_rank(sketch, x) - fraction of values <= x",
+      es => KllRank(es(0), es(1))),
+    ("theta_sketch_agg", "theta_sketch_agg(x) - mergeable theta sketch (set-algebra distinct count)",
+      es => ThetaSketchAgg(es.head).toAggregateExpression()),
+    ("merge_theta", "merge_theta(sketch) - aggregate union of theta sketches",
+      es => ThetaMergeAgg(es.head).toAggregateExpression()),
+    ("theta_sketch_estimate", "theta_sketch_estimate(sketch) - distinct-count estimate",
+      es => ThetaEstimate(es.head)),
+    ("theta_sketch_union", "theta_sketch_union(a, b) - sketch of the set union",
+      es => ThetaUnion(es(0), es(1))),
+    ("theta_sketch_intersect", "theta_sketch_intersect(a, b) - sketch of the set intersection",
+      es => ThetaIntersect(es(0), es(1))),
+    ("theta_sketch_a_not_b", "theta_sketch_a_not_b(a, b) - sketch of the set difference",
+      es => ThetaANotB(es(0), es(1))),
     ("cosine_similarity", "cosine_similarity(v1, v2) - cosine of two float vectors",
       es => CosineSimilarity(es(0), es(1))),
     ("dot_product", "dot_product(v1, v2) - double-precision dot of two float vectors",
@@ -185,6 +215,23 @@ object GraftFunctions {
     c(IntersectionCardinality(x(a), x(b)))
   def approxMostFrequent(k: Int, a: Column, capacity: Int): Column =
     c(MostFrequentAgg(x(a), k, capacity).toAggregateExpression())
+  def tdigestAgg(a: Column): Column = c(TDigestAgg(x(a)).toAggregateExpression())
+  def mergeTdigest(a: Column): Column = c(TDigestMergeAgg(x(a)).toAggregateExpression())
+  def tdigestValueAtQuantile(a: Column, q: Column): Column =
+    c(TDigestValueAtQuantile(x(a), x(q)))
+  def quantileAtValue(a: Column, v: Column): Column = c(QuantileAtValue(x(a), x(v)))
+  def trimmedMean(a: Column, lo: Column, hi: Column): Column =
+    c(TrimmedMean(x(a), x(lo), x(hi)))
+  def kllSketchAgg(a: Column): Column = c(KllSketchAgg(x(a)).toAggregateExpression())
+  def mergeKll(a: Column): Column = c(KllMergeAgg(x(a)).toAggregateExpression())
+  def kllQuantile(a: Column, q: Column): Column = c(KllQuantile(x(a), x(q)))
+  def kllRank(a: Column, v: Column): Column = c(KllRank(x(a), x(v)))
+  def thetaSketchAgg(a: Column): Column = c(ThetaSketchAgg(x(a)).toAggregateExpression())
+  def mergeTheta(a: Column): Column = c(ThetaMergeAgg(x(a)).toAggregateExpression())
+  def thetaEstimate(a: Column): Column = c(ThetaEstimate(x(a)))
+  def thetaUnion(a: Column, b: Column): Column = c(ThetaUnion(x(a), x(b)))
+  def thetaIntersect(a: Column, b: Column): Column = c(ThetaIntersect(x(a), x(b)))
+  def thetaANotB(a: Column, b: Column): Column = c(ThetaANotB(x(a), x(b)))
 }
 
 /** Config-time injection: `.config("spark.sql.extensions",

@@ -600,8 +600,116 @@ object Scalars {
       .orderBy("l_linestatus")
   }
 
+  /** t-digest lifecycle (reference TDigestAggregationFunction.java:29 +
+    * TDigestFunctions.java value_at_quantile / quantile_at_value /
+    * trimmed_mean / merge_tdigest). Sketch bytes are engine-specific, so
+    * the gate emits spec-bound booleans the oracle asserts: quantiles
+    * within 2% relative error (k1 scale δ=100 gives ~0.5% rank error —
+    * generous margin), rank roundtrip within 0.02 absolute, trimmed mean
+    * inside the exact interquartile band, and group sketches merged into a
+    * global one staying in bounds (the 1000-executor merge-tree path). */
+  def tdigestSketch(s: SparkSession, dir: String): DataFrame = {
+    val g = GraftFunctions
+    val per = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(g.tdigestAgg(col("l_extendedprice")).as("sk"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+        expr("percentile(l_extendedprice, 0.99)").as("ex99"),
+        expr("percentile(l_extendedprice, 0.25)").as("ex25"),
+        expr("percentile(l_extendedprice, 0.75)").as("ex75"))
+    val checks = per.select(col("l_returnflag").as("k"),
+      (abs(g.tdigestValueAtQuantile(col("sk"), lit(0.5)) - col("ex50"))
+        / col("ex50") <= 0.02).as("median"),
+      (abs(g.tdigestValueAtQuantile(col("sk"), lit(0.99)) - col("ex99"))
+        / col("ex99") <= 0.02).as("p99"),
+      (abs(g.quantileAtValue(col("sk"), col("ex50")) - 0.5) <= 0.02).as("rank"),
+      g.trimmedMean(col("sk"), lit(0.25), lit(0.75))
+        .between(col("ex25") * 0.98, col("ex75") * 1.02).as("tmean"))
+      .selectExpr("k",
+        "stack(4, 'median', median, 'p99', p99, 'rank', rank, 'tmean', tmean)" +
+          " AS (metric, ok)")
+    val merged = per
+      .agg(g.mergeTdigest(col("sk")).as("sk"))
+      .crossJoin(t(s, dir, "lineitem")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("gex50")))
+      .select(lit("__merged__").as("k"), lit("median").as("metric"),
+        (abs(g.tdigestValueAtQuantile(col("sk"), lit(0.5)) - col("gex50"))
+          / col("gex50") <= 0.02).as("ok"))
+    checks.unionAll(merged).orderBy("k", "metric")
+  }
+
+  /** KLL sketch lifecycle (reference KllSketchAggregationFunction /
+    * KllSketchFunctions.java: kll_quantile returns RETAINED INPUT VALUES,
+    * so below k=200 items the sketch is exactly percentile_disc — the
+    * oracle checks those quantiles VALUE-FOR-VALUE (strongest possible
+    * sketch verification), then bounds the compacted + merged regimes. */
+  def kllSketch(s: SparkSession, dir: String): DataFrame = {
+    val g = GraftFunctions
+    // exact regime: per-nation supplier balances (few rows << k)
+    val exact = t(s, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(g.kllSketchAgg(col("s_acctbal")).as("sk"))
+      .select(col("s_nationkey").cast("long").as("k"),
+        explode(F.map(
+          lit("q25"), g.kllQuantile(col("sk"), lit(0.25)),
+          lit("q50"), g.kllQuantile(col("sk"), lit(0.5)),
+          lit("q75"), g.kllQuantile(col("sk"), lit(0.75)))).as(Seq("metric", "v")))
+    // compacted regime: lineitem prices (60k rows >> k) — rank error <= 5%
+    val per = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(g.kllSketchAgg(col("l_extendedprice")).as("sk"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"))
+    val approx = per.select(lit(-1L).as("k"), lit("rank_bound").as("metric"),
+      when(abs(g.kllRank(col("sk"), col("ex50")) - 0.5) <= 0.05, 1.0d)
+        .otherwise(0.0d).as("v"))
+    val mergedBound = per
+      .agg(g.mergeKll(col("sk")).as("sk"))
+      .crossJoin(t(s, dir, "lineitem")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("gex50")))
+      .select(lit(-2L).as("k"), lit("merged_bound").as("metric"),
+        when(abs(g.kllRank(col("sk"), col("gex50")) - 0.5) <= 0.05, 1.0d)
+          .otherwise(0.0d).as("v"))
+    exact.unionAll(approx).unionAll(mergedBound).orderBy("k", "metric")
+  }
+
+  /** Theta sketches: distinct-count sketches closed under set algebra
+    * (reference ThetaSketchFunctions.java) — union/intersect/difference of
+    * SKETCHES. Below k=4096 distinct values θ saturates and estimates are
+    * EXACT, so the oracle verifies per-nation counts and the full
+    * A∪B / A∩B / B\A algebra against real COUNT(DISTINCT) — value-level
+    * verification of the whole sketch pipeline. One bound row covers the
+    * estimated regime (lineitem orderkeys >> k, ±5%). */
+  def thetaSketch(s: SparkSession, dir: String): DataFrame = {
+    val g = GraftFunctions
+    val perNation = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(g.thetaSketchAgg(col("c_custkey")).as("sk"))
+      .select(col("c_nationkey").cast("long").as("k"),
+        lit("nation_distinct").as("metric"),
+        round(g.thetaEstimate(col("sk"))).cast("long").as("v"))
+    val custSk = t(s, dir, "customer").agg(g.thetaSketchAgg(col("c_custkey")).as("b"))
+    val ordSk = t(s, dir, "orders").agg(g.thetaSketchAgg(col("o_custkey")).as("a"))
+    val algebra = custSk.crossJoin(ordSk).select(
+      explode(F.map(
+        lit("union"), g.thetaEstimate(g.thetaUnion(col("a"), col("b"))),
+        lit("intersect"), g.thetaEstimate(g.thetaIntersect(col("a"), col("b"))),
+        lit("b_not_a"), g.thetaEstimate(g.thetaANotB(col("b"), col("a")))))
+        .as(Seq("metric", "est")))
+      .select(lit(-1L).as("k"), col("metric"), round(col("est")).cast("long").as("v"))
+    val bound = t(s, dir, "lineitem")
+      .agg(g.thetaSketchAgg(col("l_orderkey")).as("sk"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(lit(-2L).as("k"), lit("est_bound").as("metric"),
+        when(abs(g.thetaEstimate(col("sk")) - col("exact"))
+          / col("exact") <= 0.05, 1L).otherwise(0L).as("v"))
+    perNation.unionAll(algebra).unionAll(bound).orderBy("k", "metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_qdigest" -> qdigestSketch,
+    "fn_tdigest" -> tdigestSketch,
+    "fn_kll" -> kllSketch,
+    "fn_theta" -> thetaSketch,
     "fn_math" -> math,
     "fn_trig" -> trig,
     "fn_string" -> string,
@@ -778,6 +886,32 @@ object Scalars {
   }
 
   val oracle: Map[String, String] = Map(
+    "fn_tdigest" ->
+      """SELECT k, metric, true AS ok FROM
+        |  (SELECT DISTINCT l_returnflag AS k FROM lineitem) g,
+        |  (VALUES ('median'), ('p99'), ('rank'), ('tmean')) m(metric)
+        |UNION ALL SELECT '__merged__', 'median', true
+        |ORDER BY k, metric""".stripMargin,
+    "fn_kll" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS k, m.metric,
+        |  CAST(CASE m.metric WHEN 'q25' THEN quantile_disc(s_acctbal, 0.25)
+        |                     WHEN 'q50' THEN quantile_disc(s_acctbal, 0.5)
+        |                     ELSE quantile_disc(s_acctbal, 0.75) END AS DOUBLE) AS v
+        |FROM supplier, (VALUES ('q25'), ('q50'), ('q75')) m(metric)
+        |GROUP BY 1, 2
+        |UNION ALL SELECT -1, 'rank_bound', 1.0
+        |UNION ALL SELECT -2, 'merged_bound', 1.0
+        |ORDER BY k, metric""".stripMargin,
+    "fn_theta" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS k, 'nation_distinct' AS metric,
+        |  COUNT(DISTINCT c_custkey) AS v FROM customer GROUP BY 1
+        |UNION ALL SELECT -1, 'union', COUNT(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT -1, 'intersect', COUNT(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT -1, 'b_not_a',
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders))
+        |UNION ALL SELECT -2, 'est_bound', 1
+        |ORDER BY k, metric""".stripMargin,
     "fn_color" ->
       """SELECT CAST(r_regionkey AS INT) AS k,
         | CAST(CASE r_regionkey WHEN 0 THEN -2 WHEN 1 THEN -3 WHEN 2 THEN -5
