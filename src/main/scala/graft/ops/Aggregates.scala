@@ -66,14 +66,32 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   /** skewness/kurtosis — population-moment definition (reference
-    * CentralMomentsAggregation.java). */
-  def skewKurt(s: SparkSession, dir: String): DataFrame =
+    * CentralMomentsAggregation.java). Gate arithmetic is pinned to the
+    * two-pass centered formula (group mean via window, then averaged
+    * powers) so Spark and the DuckDB oracle compute identical doubles;
+    * Spark's one-pass `skewness`/`kurtosis` builtins differ in final
+    * ulps and can land across a ROUND(.,4) boundary (r02/r03 flake).
+    * Constant groups (m2=0, e.g. a single supplier) are NULL on both
+    * sides, and `+ 0.0` collapses IEEE -0.0 to 0.0 — the two engines
+    * disagree on the sign of a rounded-to-zero skew and the driver
+    * hashes raw value bits. FunctionsSpec asserts the builtins agree
+    * with this formulation to 1e-9. */
+  def skewKurt(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s_nationkey")
+    val x = col("x")
+    val m2 = avg(x * x)
     t(s, dir, "supplier")
+      .withColumn("x",
+        col("s_acctbal").cast("double") -
+          avg(col("s_acctbal").cast("double")).over(w))
       .groupBy("s_nationkey")
       .agg(
-        round(skewness(col("s_acctbal")), 4).as("skew"),
-        round(kurtosis(col("s_acctbal")), 4).as("kurt"))
+        (round(when(m2 === 0d, lit(null))
+          .otherwise(avg(x * x * x) / pow(m2, 1.5)), 4) + 0d).as("skew"),
+        (round(when(m2 === 0d, lit(null))
+          .otherwise(avg(x * x * x * x) / pow(m2, 2) - 3), 4) + 0d).as("kurt"))
       .orderBy("s_nationkey")
+  }
 
   /** numeric_histogram(buckets, value) (reference NumericHistogram.java via
     * DoubleHistogramAggregation.java): streaming min-penalty bin merging.
@@ -529,8 +547,10 @@ object Aggregates {
         | SELECT s.s_nationkey, CAST(s.s_acctbal AS DOUBLE) - mu.m AS x
         | FROM supplier s JOIN mu ON s.s_nationkey = mu.s_nationkey)
         |SELECT s_nationkey,
-        | ROUND(avg(x*x*x) / power(avg(x*x), 1.5), 4) AS skew,
-        | ROUND(avg(x*x*x*x) / power(avg(x*x), 2) - 3, 4) AS kurt
+        | CASE WHEN avg(x*x) = 0 THEN NULL
+        |      ELSE ROUND(avg(x*x*x) / power(avg(x*x), 1.5), 4) + 0.0 END AS skew,
+        | CASE WHEN avg(x*x) = 0 THEN NULL
+        |      ELSE ROUND(avg(x*x*x*x) / power(avg(x*x), 2) - 3, 4) + 0.0 END AS kurt
         |FROM d GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderstatus,

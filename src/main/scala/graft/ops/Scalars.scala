@@ -659,9 +659,13 @@ object Scalars {
       .groupBy("l_returnflag")
       .agg(g.kllSketchAgg(col("l_extendedprice")).as("sk"),
         expr("percentile(l_extendedprice, 0.5)").as("ex50"))
-    val approx = per.select(lit(-1L).as("k"), lit("rank_bound").as("metric"),
-      when(abs(g.kllRank(col("sk"), col("ex50")) - 0.5) <= 0.05, 1.0d)
-        .otherwise(0.0d).as("v"))
+    // single row: 1.0 iff the 5% rank bound holds for EVERY returnflag group
+    // (oracle emits one rank_bound row, not one per group — r03 row-count fix)
+    val approx = per
+      .select(when(abs(g.kllRank(col("sk"), col("ex50")) - 0.5) <= 0.05, 1.0d)
+        .otherwise(0.0d).as("ok"))
+      .agg(min(col("ok")).as("v"))
+      .select(lit(-1L).as("k"), lit("rank_bound").as("metric"), col("v"))
     val mergedBound = per
       .agg(g.mergeKll(col("sk")).as("sk"))
       .crossJoin(t(s, dir, "lineitem")

@@ -93,4 +93,27 @@ class OpsSpec extends AnyFunSuite {
       assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("builtin skewness/kurtosis agree with the gate's two-pass formula") {
+    import org.apache.spark.sql.functions._
+    // agg_skew_kurt pins cross-engine arithmetic to the two-pass centered
+    // formula; this guards that Spark's one-pass builtins compute the same
+    // statistic (population central moments) to float tolerance.
+    val builtin = spark.read.parquet(s"$sf/supplier.parquet")
+      .groupBy("s_nationkey")
+      .agg(skewness(col("s_acctbal")).as("bs"), kurtosis(col("s_acctbal")).as("bk"))
+    val pinned = ops.Aggregates.skewKurt(spark, sf)
+      .withColumnRenamed("skew", "ps").withColumnRenamed("kurt", "pk")
+    val joined = builtin.join(pinned, "s_nationkey").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined; (b, p) <- Seq(("bs", "ps"), ("bk", "pk"))) {
+      val bv = Option(r.getAs[Any](b)).map(_.asInstanceOf[Double])
+      val pv = Option(r.getAs[Any](p)).map(_.asInstanceOf[Double])
+      (bv, pv) match {
+        case (Some(x), Some(y)) if !x.isNaN =>
+          assert(math.abs(x - y) < 1e-3, s"nation ${r.get(0)}: $b=$x vs $p=$y")
+        case _ => // constant group: builtin NaN/NULL ↔ pinned NULL
+      }
+    }
+  }
 }
