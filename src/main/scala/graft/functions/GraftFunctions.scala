@@ -153,6 +153,87 @@ object GraftFunctions {
         NumericHistogramAgg(es(1), es.drop(2).headOption, buckets)
           .toAggregateExpression()
       }),
+    ("noisy_approx_set_sfm",
+      "noisy_approx_set_sfm(x, epsilon[, buckets[, precision]]) - DP SFM distinct sketch",
+      SfmBuilders.agg(distinct = false)),
+    ("noisy_approx_distinct_sfm",
+      "noisy_approx_distinct_sfm(x, epsilon[, buckets[, precision]]) - DP distinct count",
+      SfmBuilders.agg(distinct = true)),
+    ("merge_sfm", "merge_sfm(sketch) - union of SFM sketches",
+      es => SfmMergeAgg(es.head).toAggregateExpression()),
+    ("sfm_cardinality", "sfm_cardinality(sketch) - distinct estimate of an SFM sketch",
+      es => SfmCardinality(es.head)),
+    ("url_encode", "url_encode(value) - escape for URL query parameter names/values",
+      es => UrlEncode(es.head)),
+    ("url_decode", "url_decode(value) - unescape a URL-encoded string",
+      es => UrlDecode(es.head)),
+    ("differential_entropy",
+      "differential_entropy(size, x[, weight[, method, min, max]]) - continuous entropy estimate in bits",
+      es => {
+        def foldOf(e: Expression, what: String): Any = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"differential_entropy: $what must be a literal, got ${e.sql}")
+          e.eval(null)
+        }
+        def i(e: Expression, what: String): Int = foldOf(e, what) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"differential_entropy: $what must be an integer literal, got $other")
+        }
+        def dd(e: Expression, what: String): Double = foldOf(e, what) match {
+          case n: Number => n.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"differential_entropy: $what must be a numeric literal, got $other")
+        }
+        es.length match {
+          case 2 => DifferentialEntropyAgg(es(1), None, i(es.head, "size"),
+            DiffEntropy.Vasicek).toAggregateExpression()
+          case 3 => DifferentialEntropyAgg(es(1), Some(es(2)), i(es.head, "size"),
+            DiffEntropy.VasicekWeighted).toAggregateExpression()
+          case 6 =>
+            val method = foldOf(es(3), "method") match {
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                DiffEntropy.methodOf(s.toString)
+              case other => throw new IllegalArgumentException(
+                s"differential_entropy: method must be a string literal, got $other")
+            }
+            DifferentialEntropyAgg(es(1), Some(es(2)), i(es.head, "bucketCount"),
+              method, dd(es(4), "min"), dd(es(5), "max")).toAggregateExpression()
+          case n => throw new IllegalArgumentException(
+            s"differential_entropy takes 2, 3 or 6 arguments, got $n")
+        }
+      }),
+    ("noisy_count_gaussian",
+      "noisy_count_gaussian(value, noiseScale[, randomSeed]) - DP count with Gaussian noise",
+      NoisyBuilders.count("noisy_count_gaussian", NoisyGaussian.ModeCount)),
+    ("noisy_count_if_gaussian",
+      "noisy_count_if_gaussian(cond, noiseScale[, randomSeed]) - DP count of TRUE rows",
+      NoisyBuilders.count("noisy_count_if_gaussian", NoisyGaussian.ModeCountIf)),
+    ("noisy_sum_gaussian",
+      "noisy_sum_gaussian(x, noiseScale[, lower, upper][, randomSeed]) - DP sum, optional clipping",
+      NoisyBuilders.sumAvg("noisy_sum_gaussian", NoisyGaussian.ModeSum)),
+    ("noisy_avg_gaussian",
+      "noisy_avg_gaussian(x, noiseScale[, lower, upper][, randomSeed]) - DP average, optional clipping",
+      NoisyBuilders.sumAvg("noisy_avg_gaussian", NoisyGaussian.ModeAvg)),
+    ("vector_sum",
+      "vector_sum(v[, scale]) - elementwise sum of float/double vectors; with scale, decimal-exact per element",
+      es => es.length match {
+        case 1 => VectorSumAgg(es.head).toAggregateExpression()
+        case 2 =>
+          val scale = es(1) match {
+            case e if e.foldable => e.eval(null) match {
+              case n: Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"vector_sum: scale must be an integer literal, got $other")
+            }
+            case e => throw new IllegalArgumentException(
+              s"vector_sum: scale must be foldable, got ${e.sql}")
+          }
+          VectorSumExactAgg(es.head, scale).toAggregateExpression()
+        case n => throw new IllegalArgumentException(
+          s"vector_sum(v[, scale]) takes 1 or 2 arguments, got $n")
+      }),
     ("color", "color(name | fraction, low, high | v, lo, hi, lowColor, highColor) - reference ColorFunctions.java",
       es => es.length match {
         case 1 => ColorCall("color", es)
@@ -232,6 +313,43 @@ object GraftFunctions {
   def thetaUnion(a: Column, b: Column): Column = c(ThetaUnion(x(a), x(b)))
   def thetaIntersect(a: Column, b: Column): Column = c(ThetaIntersect(x(a), x(b)))
   def thetaANotB(a: Column, b: Column): Column = c(ThetaANotB(x(a), x(b)))
+  def vectorSum(v: Column): Column = c(VectorSumAgg(x(v)).toAggregateExpression())
+  def noisyApproxSetSfm(v: Column, epsilon: Double,
+    buckets: Int = Sfm.DefaultBuckets, precision: Int = Sfm.DefaultPrecision): Column =
+    c(SfmAgg(x(v), epsilon, buckets, precision).toAggregateExpression())
+  def noisyApproxDistinctSfm(v: Column, epsilon: Double,
+    buckets: Int = Sfm.DefaultBuckets, precision: Int = Sfm.DefaultPrecision): Column =
+    c(SfmDistinctAgg(x(v), epsilon, buckets, precision).toAggregateExpression())
+  def mergeSfm(v: Column): Column = c(SfmMergeAgg(x(v)).toAggregateExpression())
+  def sfmCardinality(v: Column): Column = c(SfmCardinality(x(v)))
+  def urlEncode(v: Column): Column = c(UrlEncode(x(v)))
+  def urlDecode(v: Column): Column = c(UrlDecode(x(v)))
+  def differentialEntropy(size: Int, v: Column): Column =
+    c(DifferentialEntropyAgg(x(v), None, size, DiffEntropy.Vasicek)
+      .toAggregateExpression())
+  def differentialEntropyWeighted(size: Int, v: Column, w: Column): Column =
+    c(DifferentialEntropyAgg(x(v), Some(x(w)), size, DiffEntropy.VasicekWeighted)
+      .toAggregateExpression())
+  def differentialEntropyHistogram(buckets: Int, v: Column, w: Column,
+    method: String, min: Double, max: Double): Column =
+    c(DifferentialEntropyAgg(x(v), Some(x(w)), buckets,
+      DiffEntropy.methodOf(method), min, max).toAggregateExpression())
+  def noisyCountGaussian(v: Column, noiseScale: Double, seed: Option[Long] = None): Column =
+    c(NoisyGaussianAgg(x(v), noiseScale, None, None, seed, NoisyGaussian.ModeCount)
+      .toAggregateExpression())
+  def noisyCountIfGaussian(v: Column, noiseScale: Double, seed: Option[Long] = None): Column =
+    c(NoisyGaussianAgg(x(v), noiseScale, None, None, seed, NoisyGaussian.ModeCountIf)
+      .toAggregateExpression())
+  def noisySumGaussian(v: Column, noiseScale: Double,
+    clip: Option[(Double, Double)] = None, seed: Option[Long] = None): Column =
+    c(NoisyGaussianAgg(x(v), noiseScale, clip.map(_._1), clip.map(_._2), seed,
+      NoisyGaussian.ModeSum).toAggregateExpression())
+  def noisyAvgGaussian(v: Column, noiseScale: Double,
+    clip: Option[(Double, Double)] = None, seed: Option[Long] = None): Column =
+    c(NoisyGaussianAgg(x(v), noiseScale, clip.map(_._1), clip.map(_._2), seed,
+      NoisyGaussian.ModeAvg).toAggregateExpression())
+  def vectorSumExact(v: Column, scale: Int): Column =
+    c(VectorSumExactAgg(x(v), scale).toAggregateExpression())
 }
 
 /** Config-time injection: `.config("spark.sql.extensions",

@@ -385,7 +385,71 @@ object Aggregates {
         round(col("tp") / (col("tp") + col("fn")), 4).as("recall"))
       .orderBy("threshold")
 
+  /** vector_sum(embedding) — ONE aggregation state of dimension d instead of
+    * d scalar sums (reference fusion target: MAIN/sql/planner/iterative/rule/
+    * MergeSumsToVectorSum.java:52). Gate uses the decimal-exact mode (same
+    * cross-engine convention as Tables.dsum) and explodes the result vector
+    * to (g, pos, s) scalar rows so the driver's comparator sees plain
+    * doubles. */
+  def vectorSum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy((col("vec_id") % 4).as("g"))
+      .agg(graft.functions.GraftFunctions
+        .vectorSumExact(col("embedding"), 6).as("vs"))
+      .select(col("g"), posexplode(col("vs")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("pos"), col("s"))
+      .orderBy("g", "pos")
+
+  /** Noisy (differential-privacy) aggregates at noiseScale=0 — the exact
+    * degradation the reference tests pin (NoisyCountAggregationUtils:
+    * noise = N(0, scale²), applied at finalization). The gate keeps inputs
+    * integer-valued so the double sums are exact and order-independent;
+    * seeded-noise determinism is FunctionsSpec territory (DuckDB cannot
+    * replay java.util.Random). */
+  def noisy(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.GraftFunctions
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        g.noisyCountGaussian(col("o_orderkey"), 0.0).as("n_cnt"),
+        g.noisyCountIfGaussian(col("o_orderstatus") === "F", 0.0).as("n_cnt_if"),
+        g.noisySumGaussian(col("o_custkey").cast("double"), 0.0).as("n_sum"),
+        g.noisySumGaussian(col("o_custkey").cast("double"), 0.0,
+          Some((100.0, 5000.0))).as("n_sum_clip"),
+        round(g.noisyAvgGaussian(col("o_custkey").cast("double"), 0.0), 4)
+          .as("n_avg"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** differential_entropy Vasicek path: reservoir capacity 10000 exceeds
+    * every per-segment group (3045 at sf0.1), so the estimator runs over
+    * the full sample set and is deterministic — the regime the DuckDB
+    * oracle can replay with window functions. */
+  def entropyVasicek(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(round(graft.functions.GraftFunctions
+        .differentialEntropy(10000, col("c_acctbal").cast("double")), 4)
+        .as("vasicek_bits"))
+      .orderBy("c_mktsegment")
+
+  /** differential_entropy fixed_histogram_mle path: 10 equi-width buckets
+    * over l_quantity ∈ [1, 51). Bounded state (10 doubles) regardless of
+    * group size — the histogram strategy IS the 100 TB path. */
+  def entropyMle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(round(graft.functions.GraftFunctions
+        .differentialEntropyHistogram(10, col("l_quantity").cast("double"),
+          lit(1.0), "fixed_histogram_mle", 1.0, 51.0), 4)
+        .as("mle_bits"))
+      .orderBy("l_linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy_vasicek" -> entropyVasicek,
+    "agg_entropy_mle" -> entropyMle,
+    "agg_noisy" -> noisy,
+    "agg_vector_sum" -> vectorSum,
     "agg_classification" -> classification,
     "agg_filter_clause" -> filterClause,
     "agg_ordered_array" -> orderedArrayAgg,
@@ -430,6 +494,52 @@ object Aggregates {
       .orderBy("l_linestatus", "bucket")
 
   val oracle: Map[String, String] = Map(
+    "agg_entropy_vasicek" ->
+      """WITH s AS (SELECT c_mktsegment g, CAST(c_acctbal AS DOUBLE) x FROM customer),
+        |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i,
+        |       count(*) OVER (PARTITION BY g) AS n FROM s),
+        |t AS (SELECT g, x, i, n,
+        |       GREATEST(CAST(round(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 2) AS m
+        |      FROM o),
+        |j AS (SELECT a.g, a.n, a.m, b.x AS xp, c.x AS xm,
+        |       CASE WHEN a.i + a.m < a.n AND a.i - a.m > 0
+        |            THEN 2.0 ELSE 1.0 END AS ai
+        |      FROM t a
+        |      JOIN t b ON b.g = a.g AND b.i = LEAST(a.i + a.m, a.n - 1)
+        |      JOIN t c ON c.g = a.g
+        |       AND c.i = CASE WHEN a.i - a.m > 0 THEN a.i - a.m ELSE 0 END)
+        |SELECT g AS c_mktsegment,
+        | ROUND(SUM(ln(CAST(n AS DOUBLE) / (ai * m) * (xp - xm))) / n / ln(2), 4)
+        |  AS vasicek_bits
+        |FROM j GROUP BY g, n ORDER BY 1""".stripMargin,
+    "agg_entropy_mle" ->
+      """WITH b AS (SELECT l_linestatus g,
+        |        LEAST(CAST(floor(10.0 * (CAST(l_quantity AS DOUBLE) - 1.0) / 50.0)
+        |          AS BIGINT), 9) idx,
+        |        count(*) c
+        |       FROM lineitem GROUP BY 1, 2),
+        |a AS (SELECT g, SUM(c) n FROM b GROUP BY g),
+        |r AS (SELECT b.g,
+        |       -SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS raw
+        |      FROM b JOIN a USING (g) GROUP BY b.g)
+        |SELECT g AS l_linestatus,
+        | ROUND((raw + ln(5.0)) / ln(2), 4) AS mle_bits
+        |FROM r ORDER BY 1""".stripMargin,
+    "agg_noisy" ->
+      """SELECT o_orderpriority,
+        | count(o_orderkey) AS n_cnt,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_cnt_if,
+        | CAST(SUM(CAST(o_custkey AS DOUBLE)) AS DOUBLE) AS n_sum,
+        | CAST(SUM(LEAST(GREATEST(CAST(o_custkey AS DOUBLE), 100.0), 5000.0))
+        |   AS DOUBLE) AS n_sum_clip,
+        | ROUND(SUM(CAST(o_custkey AS DOUBLE)) / count(*), 4) AS n_avg
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_vector_sum" ->
+      """SELECT vec_id % 4 AS g, CAST(j AS BIGINT) AS pos,
+        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |FROM (SELECT vec_id, unnest(embedding) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_numeric_histogram" ->
       """SELECT l_linestatus,
         | CASE WHEN l_quantity < 1 THEN 0

@@ -285,6 +285,18 @@ object Scalars {
         parse_url(col("u"), lit("QUERY"), lit("lang")).as("lang_param"))
       .orderBy("k")
 
+  /** url_encode/url_decode (reference UrlFunctions.java:149-175):
+    * form-parameter escaping (space → '+', uppercase %XX otherwise) and its
+    * inverse; the decode column proves the round trip on every row. */
+  def urlCodec(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("n_name"), lit(" a/b:c&d=e,f+g~h"))
+    t(s, dir, "nation")
+      .select(col("n_nationkey").as("k"),
+        GraftFunctions.urlEncode(raw).as("enc"),
+        GraftFunctions.urlDecode(GraftFunctions.urlEncode(raw)).as("dec"))
+      .orderBy("k")
+  }
+
   def conditional(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") <= 500)
       .select(
@@ -727,6 +739,7 @@ object Scalars {
     "fn_binary" -> binary,
     "fn_bitwise" -> bitwise,
     "fn_url" -> url,
+    "fn_url_codec" -> urlCodec,
     "fn_conditional" -> conditional,
     "fn_regex" -> regex,
     "fn_vector" -> vector,
@@ -737,6 +750,7 @@ object Scalars {
     "fn_misc" -> misc,
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
+    "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
     "fn_cdf" -> cdfKat,
@@ -744,6 +758,44 @@ object Scalars {
     "fn_map_adv" -> mapAdv,
     "fn_color" -> colorFns,
     "fn_string_sql" -> stringSql)
+
+  /** SFM differential-privacy distinct sketches (reference noisyaggregation/
+    * sketch/SfmSketch.java, aggregations NoisyApproximateSetSfmAggregation /
+    * NoisyApproximateDistinctCountSfmAggregation, scalar SfmSketchFunctions
+    * .java). Sketch bytes are engine-specific and the ε-flip is random, so
+    * the gate asserts the bounds the oracle CAN check: ε=∞ (non-private) is
+    * a deterministic bitmap whose estimate sits within FM85 error of exact;
+    * sketch↔scalar cardinality agree; a merge of two halves re-estimates
+    * the union; and an ε=4 private estimate stays inside a generous DP
+    * tolerance. */
+  def sfm(s: SparkSession, dir: String): DataFrame = {
+    val g = GraftFunctions
+    val inf = Double.PositiveInfinity
+    val li = t(s, dir, "lineitem")
+    val agged = li.agg(
+      g.noisyApproxDistinctSfm(col("l_orderkey"), inf).as("est"),
+      countDistinct(col("l_orderkey")).as("exact"),
+      g.noisyApproxSetSfm(col("l_orderkey"), inf).as("sk"),
+      g.noisyApproxSetSfm(
+        when(col("l_orderkey") % 2 === 0, col("l_orderkey")), inf).as("ska"),
+      g.noisyApproxSetSfm(
+        when(col("l_orderkey") % 2 =!= 0, col("l_orderkey")), inf).as("skb"),
+      g.noisyApproxDistinctSfm(col("l_orderkey"), 4.0).as("dp_est"))
+    val nonPriv = agged.select(lit(-1L).as("k"), lit("nonprivate_est").as("metric"),
+      (abs(col("est").cast("double") / col("exact") - 1) <= 0.05).as("ok"))
+    val scalarEq = agged.select(lit(-2L).as("k"), lit("scalar_cardinality").as("metric"),
+      (g.sfmCardinality(col("sk")) === col("est")).as("ok"))
+    val dpBound = agged.select(lit(-3L).as("k"), lit("dp_est_bound").as("metric"),
+      (abs(col("dp_est").cast("double") / col("exact") - 1) <= 0.3).as("ok"))
+    val merged = agged
+      .select(col("exact"), explode(F.array(col("ska"), col("skb"))).as("h"))
+      .groupBy("exact").agg(g.mergeSfm(col("h")).as("m"))
+      .select(lit(-4L).as("k"), lit("merge_union").as("metric"),
+        (abs(g.sfmCardinality(col("m")).cast("double") / col("exact") - 1) <= 0.05)
+          .as("ok"))
+    nonPriv.unionAll(scalarEq).unionAll(dpBound).unionAll(merged)
+      .orderBy("k", "metric")
+  }
 
   /** MinHash set digests (reference setdigest family: make_set_digest /
     * merge / cardinality / jaccard_index / intersection_cardinality —
@@ -1097,6 +1149,12 @@ object Scalars {
         |   i -> chr(CAST(48 + ((tile_x >> (i - 1)) & 1) + 2 * ((tile_y >> (i - 1)) & 1) AS INT))),
         |   '') AS quadkey
         |FROM t ORDER BY k""".stripMargin,
+    "fn_sfm" ->
+      """SELECT CAST(-4 AS BIGINT) AS k, 'merge_union' AS metric, true AS ok
+        |UNION ALL SELECT -3, 'dp_est_bound', true
+        |UNION ALL SELECT -2, 'scalar_cardinality', true
+        |UNION ALL SELECT -1, 'nonprivate_est', true
+        |ORDER BY k, metric""".stripMargin,
     "fn_setdigest" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS k, 'exact_small' AS metric, true AS ok
         |FROM customer GROUP BY c_nationkey
@@ -1238,6 +1296,14 @@ object Scalars {
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
         | ~c_custkey AS bnot
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_url_codec" ->
+      """SELECT n_nationkey AS k,
+        | replace(replace(replace(replace(replace(replace(replace(replace(
+        |   n_name || ' a/b:c&d=e,f+g~h',
+        |   '+', '%2B'), ' ', '+'), '/', '%2F'), ':', '%3A'), '&', '%26'),
+        |   '=', '%3D'), ',', '%2C'), '~', '%7E') AS enc,
+        | n_name || ' a/b:c&d=e,f+g~h' AS dec
+        |FROM nation ORDER BY k""".stripMargin,
     "fn_url" ->
       """SELECT c_custkey AS k,
         | 'https' AS proto,

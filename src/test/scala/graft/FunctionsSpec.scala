@@ -283,4 +283,220 @@ class FunctionsSpec extends AnyFunSuite {
     cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
       s"${r.getDouble(0)} != ${r.getDouble(1)}"))
   }
+
+  test("vector_sum equals per-position scalar sums across partitionings") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // exact mode: decimal-per-element accumulation is partition-order-proof
+    def run(parts: Int): Array[Seq[Double]] = e.repartition(parts)
+      .agg(GraftFunctions.vectorSumExact(col("embedding"), 6).as("vs"))
+      .collect().map(_.getSeq[Double](0))
+    val a = run(1); val b = run(7)
+    assert(a.head == b.head, "exact vector_sum must not depend on partitioning")
+    // agrees with d independent sum() aggregates (same decimal convention)
+    val dim = a.head.length
+    val scalar = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(Tables.dsum(col("x").cast("double")).as("s"))
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    assert(scalar.length == dim)
+    assert(a.head == scalar)
+    // float (non-exact) mode stays within reordering tolerance of exact
+    val fl = e.agg(GraftFunctions.vectorSum(col("embedding")).as("vs"))
+      .collect()(0).getSeq[Double](0)
+    fl.zip(a.head).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-3, s"$x vs $y") }
+    // SQL-name registration
+    GraftFunctions.register(spark)
+    e.createOrReplaceTempView("emb_vs")
+    val viaSql = spark.sql(
+      "SELECT vector_sum(embedding, 6) FROM emb_vs").collect()(0).getSeq[Double](0)
+    assert(viaSql == a.head)
+    // mismatched dimensions are an error, not a truncated result
+    val bad = spark.range(2).select(
+      when(col("id") === 0, typedLit(Array(1.0f, 2.0f)))
+        .otherwise(typedLit(Array(1.0f, 2.0f, 3.0f))).as("v"))
+    val err = intercept[Exception] {
+      bad.agg(GraftFunctions.vectorSum(col("v"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("noisy gaussian aggregates: scale-0 exactness, seeded determinism, clipping") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x").repartition(5)
+    // noiseScale = 0 → exact count/sum/avg
+    val exact = df.agg(
+      GraftFunctions.noisyCountGaussian(col("x"), 0.0).as("c"),
+      GraftFunctions.noisySumGaussian(col("x"), 0.0).as("s"),
+      GraftFunctions.noisyAvgGaussian(col("x"), 0.0).as("a"),
+      GraftFunctions.noisySumGaussian(col("x"), 0.0, Some((10.0, 20.0))).as("clip"),
+      GraftFunctions.noisyCountIfGaussian(col("x") > 90, 0.0).as("ci"))
+      .collect()(0)
+    assert(exact.getLong(0) == 100L)
+    assert(exact.getDouble(1) == 5050.0)
+    assert(exact.getDouble(2) == 50.5)
+    // clip to [10,20]: 9 values below → 10 each, 80 above → 20 each, 10..20 sum 165
+    assert(exact.getDouble(3) == 9 * 10.0 + 165.0 + 80 * 20.0)
+    assert(exact.getLong(4) == 10L)
+    // seeded noise: exactly Random(seed).nextGaussian()*scale, independent of partitioning
+    val want = 100.0 + new java.util.Random(42L).nextGaussian() * 5.0
+    Seq(1, 7).foreach { parts =>
+      val got = df.repartition(parts)
+        .agg(GraftFunctions.noisyCountGaussian(col("x"), 5.0, Some(42L)))
+        .collect()(0).getLong(0)
+      assert(got == math.round(math.max(want, 0.0)), s"parts=$parts")
+    }
+    // zero rows → NULL, not 0
+    val empty = df.filter(col("x") < 0).agg(
+      GraftFunctions.noisyCountGaussian(col("x"), 0.0),
+      GraftFunctions.noisySumGaussian(col("x"), 0.0)).collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // invalid parameters are analysis-time errors
+    intercept[IllegalArgumentException] {
+      GraftFunctions.noisySumGaussian(col("x"), -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftFunctions.noisySumGaussian(col("x"), 1.0, Some((20.0, 10.0)))
+    }
+    // SQL names resolve through the registry
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("noisy_in")
+    val viaSql = spark.sql(
+      """SELECT noisy_count_gaussian(x, 0.0), noisy_sum_gaussian(x, 0.0, 10.0, 20.0),
+        |       noisy_avg_gaussian(x, 0.0), noisy_count_if_gaussian(x > 90, 0.0)
+        |FROM noisy_in""".stripMargin).collect()(0)
+    assert(viaSql.getLong(0) == 100L)
+    assert(viaSql.getDouble(1) == exact.getDouble(3))
+    assert(viaSql.getDouble(2) == 50.5)
+    assert(viaSql.getLong(3) == 10L)
+  }
+
+  test("differential_entropy: Vasicek, histogram MLE/jackknife, determinism") {
+    import spark.implicits._
+    val g = GraftFunctions
+    // uniform[0,1) has 0 bits of differential entropy; the spacing
+    // estimator on an even grid should land near it
+    val grid = (0 until 1000).map(_ / 1000.0).toDF("x").repartition(8)
+    val uni = grid.agg(g.differentialEntropy(2000, col("x")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(uni) < 0.1, s"uniform entropy $uni")
+    // deterministic under repartitioning while n <= reservoir size
+    val again = grid.repartition(3)
+      .agg(g.differentialEntropy(2000, col("x"))).collect()(0).getDouble(0)
+    assert(uni == again)
+    // weighted reservoir below capacity keeps every sample → same Vasicek
+    val wtd = grid.agg(
+      g.differentialEntropyWeighted(2000, col("x"), lit(3.0)))
+      .collect()(0).getDouble(0)
+    assert(wtd == uni)
+    // MLE hand case: 2 buckets over [0,2), values {0,0,1,1} → exactly 1 bit
+    val mle = Seq(0.0, 0.0, 1.0, 1.0).toDF("x").agg(
+      g.differentialEntropyHistogram(2, col("x"), lit(1.0),
+        "fixed_histogram_mle", 0.0, 2.0)).collect()(0).getDouble(0)
+    assert(mle == 1.0)
+    // jackknife hand case: values {0,1} → n·H − Σ holdouts = 2·1 − 0 = 2 bits
+    val jk = Seq(0.0, 1.0).toDF("x").repartition(2).agg(
+      g.differentialEntropyHistogram(2, col("x"), lit(1.0),
+        "fixed_histogram_jacknife", 0.0, 2.0)).collect()(0).getDouble(0)
+    assert(jk == 2.0)
+    // out-of-range sample / unknown method are errors
+    intercept[Exception] {
+      Seq(5.0).toDF("x").agg(g.differentialEntropyHistogram(
+        2, col("x"), lit(1.0), "fixed_histogram_mle", 0.0, 2.0)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      g.differentialEntropyHistogram(2, col("x"), lit(1.0), "bogus", 0.0, 2.0)
+    }
+    // SQL names resolve, 6-arg form included
+    GraftFunctions.register(spark)
+    grid.createOrReplaceTempView("de_in")
+    val viaSql = spark.sql(
+      """SELECT differential_entropy(2000, x),
+        |       differential_entropy(2000, x, 2.0),
+        |       differential_entropy(4, x, 1.0, 'fixed_histogram_mle', 0.0, 1.0)
+        |FROM de_in""".stripMargin).collect()(0)
+    assert(viaSql.getDouble(0) == uni)
+    assert(viaSql.getDouble(1) == uni)
+    // 4 equal buckets of width ¼ over uniform data: raw = ln 4, + ln ¼ → 0 bits
+    assert(viaSql.getDouble(2) == 0.0)
+  }
+
+  test("url_encode/url_decode: form-parameter escaping, UTF-8, error cases") {
+    import graft.functions.UrlCodecUtils
+    def enc(s: String) = UrlCodecUtils.encode(u(s)).toString
+    def dec(s: String) = UrlCodecUtils.decode(u(s)).toString
+    assert(enc("abcXYZ019-_.*") == "abcXYZ019-_.*") // safe set untouched
+    assert(enc("a b") == "a+b")
+    assert(enc("a/b:c&d=e,f+g~h") == "a%2Fb%3Ac%26d%3De%2Cf%2Bg%7Eh")
+    assert(enc("é") == "%C3%A9") // multibyte UTF-8, one %XX per byte
+    assert(enc("𝄞") == "%F0%9D%84%9E")
+    // decode inverts both conventions, including '+' for space
+    for (s <- Seq("", "hello world", "a/b:c&d=e,f+g~h", "é𝄞 mixé"))
+      assert(dec(enc(s)) == s, s)
+    assert(dec("a+b") == "a b")
+    assert(dec("%41") == "A")
+    intercept[IllegalArgumentException](dec("abc%4")) // truncated escape
+    intercept[IllegalArgumentException](dec("%GG")) // bad hex
+    // registered SQL names + codegen path
+    GraftFunctions.register(spark)
+    val r = spark.range(1).select(
+      expr("url_decode(url_encode('x y/z'))").as("rt"),
+      expr("url_encode('x y/z')").as("e")).collect()(0)
+    assert(r.getString(0) == "x y/z" && r.getString(1) == "x+y%2Fz")
+  }
+
+  test("SFM sketch: non-private determinism, estimate accuracy, DP merge algebra") {
+    import graft.functions.Sfm
+    // kernel: non-private estimate of n distinct values within FM85 error
+    val s = Sfm.create(4096, 24)
+    (1 to 20000).foreach(i => s.addHash(Sfm.hashOf(i.toLong)))
+    val est = s.cardinality()
+    assert(math.abs(est / 20000.0 - 1) < 0.05, s"est $est")
+    // duplicate adds don't move the bitmap
+    val before = s.serialize().toSeq
+    (1 to 100).foreach(i => s.addHash(Sfm.hashOf(i.toLong)))
+    assert(s.serialize().toSeq == before)
+    // serde roundtrip preserves the estimate
+    assert(Sfm.deserialize(s.serialize()).cardinality() == est)
+    // non-private merge is exact bitwise OR: split/merge == whole
+    val a = Sfm.create(4096, 24); val b = Sfm.create(4096, 24)
+    (1 to 20000).foreach { i =>
+      (if (i % 2 == 0) a else b).addHash(Sfm.hashOf(i.toLong))
+    }
+    a.mergeWith(b, java.util.concurrent.ThreadLocalRandom.current())
+    assert(a.serialize().toSeq == before)
+    // ε-flip: privacy-enabled sketch still estimates within DP tolerance
+    val p = Sfm.deserialize(s.serialize())
+    p.enablePrivacy(4.0, new java.util.Random(7))
+    assert(p.isPrivacyEnabled)
+    val dpEst = p.cardinality()
+    assert(math.abs(dpEst / 20000.0 - 1) < 0.3, s"dp est $dpEst")
+    // private sketches are immutable, shapes must match to merge
+    intercept[IllegalArgumentException](p.addHash(123L))
+    intercept[IllegalArgumentException](Sfm.create(1000, 24))
+    intercept[IllegalArgumentException] {
+      val small = Sfm.create(256, 24)
+      small.mergeWith(Sfm.create(4096, 24),
+        java.util.concurrent.ThreadLocalRandom.current())
+    }
+    // end-to-end through the aggregate + SQL names, partition-invariant at ε=∞
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1L to 5000L).toDF("x")
+    val r1 = df.repartition(7).agg(
+      GraftFunctions.noisyApproxDistinctSfm(col("x"), Double.PositiveInfinity))
+      .collect()(0).getLong(0)
+    val r2 = df.repartition(2).agg(
+      GraftFunctions.noisyApproxDistinctSfm(col("x"), Double.PositiveInfinity))
+      .collect()(0).getLong(0)
+    assert(r1 == r2, "non-private SFM must not depend on partitioning")
+    assert(math.abs(r1 / 5000.0 - 1) < 0.1)
+    df.createOrReplaceTempView("sfm_in")
+    val viaSql = spark.sql(
+      """SELECT noisy_approx_distinct_sfm(x, CAST('Infinity' AS DOUBLE)),
+        |       sfm_cardinality(noisy_approx_set_sfm(x, CAST('Infinity' AS DOUBLE), 1024, 16))
+        |FROM sfm_in""".stripMargin).collect()(0)
+    assert(viaSql.getLong(0) == r1)
+    assert(math.abs(viaSql.getLong(1) / 5000.0 - 1) < 0.15)
+  }
 }
