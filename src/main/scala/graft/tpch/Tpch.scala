@@ -73,7 +73,12 @@ object Tpch {
   def q04(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= d("1997-01-01") && col("o_orderdate") < d("1997-04-01"))
+    // the existence probe against 600k lineitem rows: a shuffled hash join
+    // builds 32 partition-local tables in parallel instead of one 600k-entry
+    // broadcast map on the driver (the broadcast build is single-threaded
+    // and was the whole critical path of this query)
     val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      .hint("shuffle_hash")
     o.join(l, col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
       .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
