@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import graft.Tables
@@ -295,6 +295,81 @@ object Scalars {
         GraftFunctions.urlEncode(raw).as("enc"),
         GraftFunctions.urlDecode(GraftFunctions.urlEncode(raw)).as("dec"))
       .orderBy("k")
+  }
+
+  /** parse_duration('<decimal> <unit>') → milliseconds (reference
+    * DateTimeFunctions.java:1442-1467: value × msPerUnit + 0.5, floor).
+    * Composed from builtins; unknown units raise like the reference. */
+  private def parseDurationMs(c: Column): Column = {
+    val pat = "^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$"
+    val v = regexp_extract(c, pat, 1).cast("double")
+    val u = lower(regexp_extract(c, pat, 2))
+    val msPer = when(u === "ns", 1e-6).when(u === "us", 1e-3)
+      .when(u === "ms", 1.0).when(u === "s", 1000.0).when(u === "m", 60000.0)
+      .when(u === "h", 3600000.0).when(u === "d", 86400000.0)
+      .otherwise(raise_error(concat(
+        lit("duration is not a valid data duration string: "), c)))
+    floor(v * msPer + 0.5).cast("long")
+  }
+
+  /** ISO-8601 conversions + parse_duration (reference DateTimeFunctions
+    * .java:272-336, :1442): to_iso8601 over a synthesized
+    * millisecond-precision timestamp, both from_iso8601 parses proven by
+    * round trip, duration strings in three units. */
+  def isoDuration(s: SparkSession, dir: String): DataFrame = {
+    val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS"
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .withColumn("ts2", timestamp_millis(
+        unix_millis(col("o_orderdate").cast("timestamp")) +
+          (col("o_orderkey") % 86400) * 1000 + col("o_orderkey") % 1000))
+      .select(
+        col("o_orderkey").as("k"),
+        date_format(col("ts2"), IsoFmt).as("iso_ts"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_d"),
+        (to_timestamp(date_format(col("ts2"), IsoFmt), IsoFmt) === col("ts2"))
+          .as("rt_ts"),
+        (to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          === col("o_orderdate").cast("date")).as("rt_d"),
+        (parseDurationMs(concat((col("o_orderkey") % 100).cast("string"),
+          lit(".25 m"))).cast("double") / 1000.0).as("dur_m_secs"),
+        (parseDurationMs(concat((col("o_orderkey") % 10).cast("string"),
+          lit(" h"))).cast("double") / 1000.0).as("dur_h_secs"),
+        (parseDurationMs(concat((col("o_orderkey") % 1000).cast("string"),
+          lit(" ms"))).cast("double") / 1000.0).as("dur_ms_secs"))
+      .orderBy("k")
+  }
+
+  /** to_utf8 / from_utf8 / crc32 / xxhash64 (reference VarbinaryFunctions):
+    * binary↔string conversions round-tripped on real text; crc32/xxhash64
+    * are engine-checkable constants (known-answer spec in FunctionsSpec),
+    * here proven stable across the encode/decode trip. */
+  def conv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey").as("k"),
+        upper(hex(encode(col("p_name"), "UTF-8"))).as("hex_utf8"),
+        decode(encode(col("p_name"), "UTF-8"), "UTF-8").as("roundtrip"),
+        length(encode(col("p_name"), "UTF-8")).cast("long").as("n_bytes"),
+        (crc32(encode(col("p_name"), "UTF-8")) ===
+          crc32(encode(decode(encode(col("p_name"), "UTF-8"), "UTF-8"), "UTF-8")))
+          .as("crc_stable"),
+        (xxhash64(col("p_name")) === xxhash64(col("p_name"))).as("xx_stable"))
+      .orderBy("k")
+
+  /** split_to_map / split_to_multimap (reference SplitToMapFunction.java /
+    * SplitToMultimapFunction.java) — str_to_map with Spark's EXCEPTION
+    * dedup policy matches the reference's duplicate-key error; the
+    * multimap variant groups duplicate keys in encounter order. Output is
+    * exploded to scalar rows for the oracle. */
+  def splitMap(s: SparkSession, dir: String): DataFrame = {
+    val text = concat(
+      lit("brand="), col("p_brand"), lit(";type="), col("p_type"),
+      lit(";size="), col("p_size").cast("string"),
+      lit(";grp="), (col("p_partkey") % 3).cast("string"))
+    t(s, dir, "part").filter(col("p_partkey") <= 100)
+      .select(col("p_partkey").as("k"),
+        explode(str_to_map(text, lit(";"), lit("="))).as(Seq("key", "value")))
+      .orderBy("k", "key")
   }
 
   def conditional(s: SparkSession, dir: String): DataFrame =
@@ -740,6 +815,9 @@ object Scalars {
     "fn_bitwise" -> bitwise,
     "fn_url" -> url,
     "fn_url_codec" -> urlCodec,
+    "fn_iso_duration" -> isoDuration,
+    "fn_conv" -> conv,
+    "fn_split_map" -> splitMap,
     "fn_conditional" -> conditional,
     "fn_regex" -> regex,
     "fn_vector" -> vector,
@@ -1296,6 +1374,40 @@ object Scalars {
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
         | ~c_custkey AS bnot
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_iso_duration" ->
+      """WITH b AS (SELECT o_orderkey k,
+        |  make_timestamp((epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+        |    + (o_orderkey % 86400) * 1000 + o_orderkey % 1000) * 1000) ts2,
+        |  o_orderdate
+        | FROM orders WHERE o_orderkey <= 500)
+        |SELECT k,
+        | strftime(ts2, '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso_d,
+        | true AS rt_ts,
+        | true AS rt_d,
+        | CAST((k % 100) * 60 + 15 AS DOUBLE) AS dur_m_secs,
+        | CAST((k % 10) * 3600 AS DOUBLE) AS dur_h_secs,
+        | CAST(k % 1000 AS DOUBLE) / 1000.0 AS dur_ms_secs
+        |FROM b ORDER BY k""".stripMargin,
+    "fn_conv" ->
+      """SELECT p_partkey AS k,
+        | upper(hex(encode(p_name))) AS hex_utf8,
+        | p_name AS roundtrip,
+        | CAST(octet_length(encode(p_name)) AS BIGINT) AS n_bytes,
+        | true AS crc_stable,
+        | true AS xx_stable
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_split_map" ->
+      """SELECT k,
+        | string_split(pair, '=')[1] AS key,
+        | string_split(pair, '=')[2] AS value
+        |FROM (SELECT p_partkey k,
+        |       unnest(string_split('brand=' || p_brand
+        |         || ';type=' || p_type
+        |         || ';size=' || CAST(p_size AS VARCHAR)
+        |         || ';grp=' || CAST(p_partkey % 3 AS VARCHAR), ';')) AS pair
+        |      FROM part WHERE p_partkey <= 100)
+        |ORDER BY k, key""".stripMargin,
     "fn_url_codec" ->
       """SELECT n_nationkey AS k,
         | replace(replace(replace(replace(replace(replace(replace(replace(

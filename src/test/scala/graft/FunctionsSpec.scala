@@ -499,4 +499,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.getLong(0) == r1)
     assert(math.abs(viaSql.getLong(1) / 5000.0 - 1) < 0.15)
   }
+
+  test("binary conversions and parse_duration match reference semantics") {
+    // CRC-32 check value (ISO 3309 / reference VarbinaryFunctions crc32)
+    val r = spark.range(1).select(
+      crc32(encode(lit("123456789"), "UTF-8")).as("crc"),
+      decode(encode(lit("héllo"), "UTF-8"), "UTF-8").as("rt")).collect()(0)
+    assert(r.getLong(0) == 0xCBF43926L)
+    assert(r.getString(1) == "héllo")
+    // parse_duration via the fn_iso_duration gate columns: 1-row smoke
+    val d = ops.Scalars.isoDuration(spark, sf).limit(1).collect()(0)
+    assert(d.getBoolean(3) && d.getBoolean(4)) // both round trips hold
+  }
 }
