@@ -363,5 +363,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.rules.CombineApproxPercentiles)
+    ext.injectOptimizerRule(_ => graft.rules.MergeSumsToVectorSum)
   }
 }

@@ -107,6 +107,65 @@ case class VectorSumAgg(
     copy(child = newChildren.head)
 }
 
+/** Null-aware vector sum used by the MergeSumsToVectorSum optimizer rule:
+  * per-position sums AND per-position non-null counts, so position i
+  * evaluates to NULL exactly when `sum(col_i)` would (no non-null inputs)
+  * — the fusion is semantics-preserving for nullable columns. Buffer is
+  * one primitive double[2d] (sums ++ counts): still ONE aggregation state
+  * and one merge loop where the unfused plan carried d. */
+case class VectorSumNullableAgg(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0)
+  extends VectorAggBase {
+
+  override def prettyName: String = "vector_sum_nullable"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buf.length == 0) new Array[Double](2 * n)
+    else {
+      if (buf.length != 2 * n) throw new IllegalArgumentException(
+        s"vector_sum: dimensions must match: ${buf.length / 2} vs $n")
+      buf
+    }
+    val fl = isFloat
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        b(i) += (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i))
+        b(n + i) += 1d
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.length == 0) null
+    else {
+      val n = buf.length / 2
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (buf(n + i) > 0) java.lang.Double.valueOf(buf(i)) else null
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumNullableAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumNullableAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** vector_sum(v, scale) → array<double>: each element is first rounded
   * HALF_UP to `scale` decimals and accumulated as an exact scaled long —
   * bit-identical to SUM(CAST(v[i] AS DECIMAL(18,scale))) regardless of

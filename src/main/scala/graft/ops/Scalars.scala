@@ -361,14 +361,37 @@ object Scalars {
     * dedup policy matches the reference's duplicate-key error; the
     * multimap variant groups duplicate keys in encounter order. Output is
     * exploded to scalar rows for the oracle. */
+  /** split_to_multimap(text, entryDelim, kvDelim) → map<string,
+    * array<string>>: duplicate keys collect their values in encounter
+    * order (reference MapToMapCast-free SplitToMultimapFunction). Pure
+    * per-row HOF composition — no shuffle, fully codegen. */
+  def splitToMultimap(text: Column, entryDelim: String, kvDelim: String): Column = {
+    val entries = split(text, java.util.regex.Pattern.quote(entryDelim))
+    val kvs = transform(entries, e =>
+      struct(split(e, java.util.regex.Pattern.quote(kvDelim)).getItem(0).as("k"),
+        split(e, java.util.regex.Pattern.quote(kvDelim)).getItem(1).as("v")))
+    val keys = array_distinct(transform(kvs, _.getField("k")))
+    map_from_arrays(keys,
+      transform(keys, k =>
+        transform(filter(kvs, kv => kv.getField("k") === k), _.getField("v"))))
+  }
+
   def splitMap(s: SparkSession, dir: String): DataFrame = {
     val text = concat(
       lit("brand="), col("p_brand"), lit(";type="), col("p_type"),
       lit(";size="), col("p_size").cast("string"),
       lit(";grp="), (col("p_partkey") % 3).cast("string"))
+    // duplicate 'w' keys: every word of p_type, in order
+    val mmText = concat(
+      lit("w="), concat_ws(";w=", split(col("p_type"), " ")),
+      lit(";size="), col("p_size").cast("string"))
     t(s, dir, "part").filter(col("p_partkey") <= 100)
       .select(col("p_partkey").as("k"),
-        explode(str_to_map(text, lit(";"), lit("="))).as(Seq("key", "value")))
+        str_to_map(text, lit(";"), lit("=")).as("m"),
+        splitToMultimap(mmText, ";", "=").as("mm"))
+      .select(col("k"), explode(col("m")).as(Seq("key", "value")),
+        array_join(map_values(col("mm")).getItem(0), "|").as("w_vals"),
+        size(map_values(col("mm")).getItem(0)).cast("long").as("n_w"))
       .orderBy("k", "key")
   }
 
@@ -1400,12 +1423,15 @@ object Scalars {
     "fn_split_map" ->
       """SELECT k,
         | string_split(pair, '=')[1] AS key,
-        | string_split(pair, '=')[2] AS value
+        | string_split(pair, '=')[2] AS value,
+        | w_vals, n_w
         |FROM (SELECT p_partkey k,
         |       unnest(string_split('brand=' || p_brand
         |         || ';type=' || p_type
         |         || ';size=' || CAST(p_size AS VARCHAR)
-        |         || ';grp=' || CAST(p_partkey % 3 AS VARCHAR), ';')) AS pair
+        |         || ';grp=' || CAST(p_partkey % 3 AS VARCHAR), ';')) AS pair,
+        |       array_to_string(string_split(p_type, ' '), '|') AS w_vals,
+        |       CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_w
         |      FROM part WHERE p_partkey <= 100)
         |ORDER BY k, key""".stripMargin,
     "fn_url_codec" ->

@@ -58,4 +58,64 @@ class RulesSpec extends AnyFunSuite {
     assert(distinctAggFns(filtered).size == 2)
     spark.experimental.extraOptimizations = Nil
   }
+
+  test("merge-sums-to-vector-sum: N double sums fuse into one vector state") {
+    import graft.functions.VectorSumNullableAgg
+    spark.experimental.extraOptimizations = Seq(graft.rules.MergeSumsToVectorSum)
+    try {
+      val l = Tables(spark, sf, "lineitem")
+      def sums(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+          .flatMap(_.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae.aggregateFunction
+          }))
+      // 4 double sums + a count: sums fuse, count stays
+      val q = l.groupBy("l_returnflag").agg(
+        sum(col("l_quantity")).as("s_qty"),
+        sum(col("l_extendedprice")).as("s_price"),
+        sum(col("l_discount")).as("s_disc"),
+        sum(col("l_tax")).as("s_tax"),
+        count(lit(1)).as("cnt"))
+      val fns = sums(q)
+      assert(fns.count(_.isInstanceOf[VectorSumNullableAgg]) == 1,
+        s"expected one fused vector_sum, got:\n${fns.mkString("\n")}")
+      assert(!fns.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+        .expressions.aggregate.Sum]), "no scalar Sum should remain")
+      // values identical to the unfused plan
+      spark.experimental.extraOptimizations = Nil
+      val plain = l.groupBy("l_returnflag").agg(
+        sum(col("l_quantity")).as("s_qty"),
+        sum(col("l_extendedprice")).as("s_price"),
+        sum(col("l_discount")).as("s_disc"),
+        sum(col("l_tax")).as("s_tax"),
+        count(lit(1)).as("cnt"))
+      spark.experimental.extraOptimizations = Seq(graft.rules.MergeSumsToVectorSum)
+      val a = q.orderBy("l_returnflag").collect().toSeq.map(_.toSeq)
+      val b = plain.orderBy("l_returnflag").collect().toSeq.map(_.toSeq)
+      assert(a.zip(b).forall { case (x, y) =>
+        x.zip(y).forall {
+          case (xd: Double, yd: Double) => math.abs(xd - yd) < 1e-6
+          case (xv, yv) => xv == yv
+        }
+      }, s"fused $a != plain $b")
+      // null preservation: a column with no non-null values stays NULL
+      import spark.implicits._
+      val n = Seq((1, Some(1.0), Option.empty[Double], 2.0),
+        (1, Some(3.0), Option.empty[Double], 4.0),
+        (1, Some(5.0), Option.empty[Double], 6.0))
+        .toDF("g", "x", "y", "z")
+        .groupBy("g")
+        .agg(sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"))
+        .collect()(0)
+      assert(n.getDouble(1) == 9.0)
+      assert(n.isNullAt(2), "all-null column must stay NULL after fusion")
+      assert(n.getDouble(3) == 12.0)
+      // below threshold: 2 sums stay scalar
+      val small = l.groupBy("l_returnflag").agg(
+        sum(col("l_quantity")).as("a"), sum(col("l_tax")).as("b"))
+      assert(!sums(small).exists(_.isInstanceOf[VectorSumNullableAgg]))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
