@@ -81,6 +81,65 @@ object GeoFunctions {
           shr(tile.getField("x"), i - 1) % 2 +
           shr(tile.getField("y"), i - 1) % 2 * 2)))
 
+  /** ST_Polygon('POLYGON((x y, x y, …))') → array<struct<x,y>> ring
+    * (reference GeoFunctions.java ST_Polygon:226). Accepts open or
+    * explicitly-closed rings (the closing vertex is dropped); coordinates
+    * survive the string round trip exactly because CAST(double↔string)
+    * uses shortest-repr on both sides. Composition only — no UDF. */
+  def stPolygonWkt(w: Column): Column = {
+    val inner = regexp_extract(w,
+      "(?i)^\\s*POLYGON\\s*\\(\\(\\s*(.*?)\\s*\\)\\)\\s*$", 1)
+    val pts = transform(split(inner, "\\s*,\\s*"), s =>
+      struct(element_at(split(trim(s), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(s), "\\s+"), 2).cast("double").as("y")))
+    when(size(pts) > 1 &&
+      element_at(pts, 1) === element_at(pts, size(pts)),
+      slice(pts, lit(1), size(pts) - 1)).otherwise(pts)
+  }
+
+  // length bounded (start + length must not overflow Int in slice)
+  private def rotatedRing(ring: Column): Column =
+    concat(slice(ring, 2, 1000000), slice(ring, 1, 1))
+
+  /** ST_Contains(polygon, point) for simple polygons — even-odd ray cast
+    * (a horizontal ray to +x; crossing parity decides). One zip_with pass
+    * over the edges; boundary points are engine-deterministic but, as in
+    * the reference, not guaranteed either way. */
+  def stContainsPoint(ring: Column, p: Column): Column = {
+    val crossings = aggregate(
+      zip_with(ring, rotatedRing(ring), (a, b) => {
+        val crosses = (stY(a) > stY(p)) =!= (stY(b) > stY(p))
+        val xint = (stX(b) - stX(a)) * (stY(p) - stY(a)) /
+          (stY(b) - stY(a)) + stX(a)
+        when(crosses && stX(p) < xint, 1).otherwise(0)
+      }),
+      lit(0), (acc, v) => acc + v)
+    crossings % 2 === 1
+  }
+
+  /** ST_Centroid of a simple polygon (shoelace-weighted vertex average). */
+  def stCentroid(ring: Column): Column = {
+    val rot = rotatedRing(ring)
+    def cross(a: Column, b: Column) = stX(a) * stY(b) - stX(b) * stY(a)
+    val aSigned = aggregate(
+      zip_with(ring, rot, (a, b) => cross(a, b)), lit(0.0), _ + _) / 2
+    val cx = aggregate(
+      zip_with(ring, rot, (a, b) => (stX(a) + stX(b)) * cross(a, b)),
+      lit(0.0), _ + _) / (aSigned * 6)
+    val cy = aggregate(
+      zip_with(ring, rot, (a, b) => (stY(a) + stY(b)) * cross(a, b)),
+      lit(0.0), _ + _) / (aSigned * 6)
+    struct(cx.as("x"), cy.as("y"))
+  }
+
+  /** ST_NumPoints / ST_Perimeter over the unclosed ring. */
+  def stNumPoints(ring: Column): Column = size(ring).cast("long")
+  def stPerimeter(ring: Column): Column =
+    aggregate(
+      zip_with(ring, rotatedRing(ring), (a, b) =>
+        sqrt(pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2))),
+      lit(0.0), _ + _)
+
   /** Initial bearing in degrees from a to b ((lon, lat) degrees), normalized
     * to [0, 360). */
   def stBearing(a: Column, b: Column): Column = {

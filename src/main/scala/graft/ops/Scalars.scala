@@ -395,6 +395,44 @@ object Scalars {
       .orderBy("k", "key")
   }
 
+  /** Polygon slice of the geospatial surface (reference GeoFunctions.java
+    * ST_Polygon:226, ST_Contains, ST_Area, ST_Centroid, ST_NumPoints):
+    * regular k-gons are synthesized from customer keys, serialized to WKT,
+    * parsed back with stPolygonWkt (CAST double↔string is shortest-repr on
+    * both engines, so the trip is exact), then measured. The oracle
+    * recomputes every figure from first-principles trig + the same
+    * shoelace/ray-cast arithmetic in SQL. */
+  def geoPoly(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (lit(3) + col("c_custkey") % 5).cast("int").as("n"),
+        ((col("c_custkey") % 100) / 10.0).as("cx"),
+        ((col("c_custkey") % 77) / 7.0).as("cy"),
+        (lit(1.0) + col("c_custkey") % 3).as("r"))
+    val verts = transform(sequence(lit(0), col("n") - 1), i =>
+      struct(
+        (col("cx") + col("r") * cos(lit(2 * scala.math.Pi) * i / col("n"))).as("x"),
+        (col("cy") + col("r") * sin(lit(2 * scala.math.Pi) * i / col("n"))).as("y")))
+    val wkt = concat(lit("POLYGON(("),
+      array_join(transform(verts, v =>
+        concat(v.getField("x").cast("string"), lit(" "),
+          v.getField("y").cast("string"))), ", "),
+      lit("))"))
+    val ring = stPolygonWkt(wkt)
+    val pIn = stPoint(col("cx") + 0.1, col("cy") + 0.07)
+    val pOut = stPoint(col("cx") + col("r") + 1.5, col("cy"))
+    g.select(col("k"),
+      stNumPoints(ring).as("n_points"),
+      round(stArea(ring), 4).as("area"),
+      round(stPerimeter(ring), 4).as("perimeter"),
+      round(stX(stCentroid(ring)), 4).as("cent_x"),
+      round(stY(stCentroid(ring)), 4).as("cent_y"),
+      stContainsPoint(ring, pIn).as("inside"),
+      stContainsPoint(ring, pOut).as("outside"))
+      .orderBy("k")
+  }
+
   def conditional(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") <= 500)
       .select(
@@ -839,6 +877,7 @@ object Scalars {
     "fn_url" -> url,
     "fn_url_codec" -> urlCodec,
     "fn_iso_duration" -> isoDuration,
+    "fn_geo_poly" -> geoPoly,
     "fn_conv" -> conv,
     "fn_split_map" -> splitMap,
     "fn_conditional" -> conditional,
@@ -1397,6 +1436,38 @@ object Scalars {
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
         | ~c_custkey AS bnot
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_geo_poly" ->
+      """WITH g AS (SELECT c_custkey k, CAST(3 + c_custkey % 5 AS INT) n,
+        |            (c_custkey % 100) / 10.0 cx, (c_custkey % 77) / 7.0 cy,
+        |            1.0 + c_custkey % 3 r
+        |           FROM customer WHERE c_custkey <= 200),
+        |v AS (SELECT k, n, cx, cy, r, unnest(range(n)) i FROM g),
+        |pt AS (SELECT k, n, cx, cy, r, i,
+        |        cx + r * cos(2 * pi() * i / n) vx,
+        |        cy + r * sin(2 * pi() * i / n) vy FROM v),
+        |e AS (SELECT a.k, a.n, a.cx, a.cy, a.r,
+        |       a.vx ax, a.vy ay, b.vx bx, b.vy by_
+        |      FROM pt a JOIN pt b ON b.k = a.k AND b.i = (a.i + 1) % a.n),
+        |m AS (SELECT k, n, cx, cy, r,
+        |       SUM(ax * by_ - bx * ay) s2,
+        |       SUM((ax + bx) * (ax * by_ - bx * ay)) sx6,
+        |       SUM((ay + by_) * (ax * by_ - bx * ay)) sy6,
+        |       SUM(sqrt(power(bx - ax, 2) + power(by_ - ay, 2))) per,
+        |       SUM(CASE WHEN (ay > cy + 0.07) <> (by_ > cy + 0.07)
+        |                 AND cx + 0.1 < (bx - ax) * (cy + 0.07 - ay) / (by_ - ay) + ax
+        |                THEN 1 ELSE 0 END) cr_in,
+        |       SUM(CASE WHEN (ay > cy) <> (by_ > cy)
+        |                 AND cx + r + 1.5 < (bx - ax) * (cy - ay) / (by_ - ay) + ax
+        |                THEN 1 ELSE 0 END) cr_out
+        |      FROM e GROUP BY 1, 2, 3, 4, 5)
+        |SELECT k, CAST(n AS BIGINT) AS n_points,
+        | ROUND(abs(s2) / 2, 4) AS area,
+        | ROUND(per, 4) AS perimeter,
+        | ROUND(sx6 / (s2 / 2 * 6), 4) AS cent_x,
+        | ROUND(sy6 / (s2 / 2 * 6), 4) AS cent_y,
+        | cr_in % 2 = 1 AS inside,
+        | cr_out % 2 = 1 AS outside
+        |FROM m ORDER BY k""".stripMargin,
     "fn_iso_duration" ->
       """WITH b AS (SELECT o_orderkey k,
         |  make_timestamp((epoch_ms(CAST(o_orderdate AS TIMESTAMP))

@@ -500,6 +500,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(viaSql.getLong(1) / 5000.0 - 1) < 0.15)
   }
 
+  test("polygon geometry: WKT parse, ray-cast contains, centroid, area") {
+    import graft.functions.GeoFunctions._
+    // explicitly-closed unit square: closing vertex dropped on parse
+    val df = spark.range(1).select(
+      stPolygonWkt(lit("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")).as("ring"))
+    val r = df.select(
+      stNumPoints(col("ring")).as("n"),
+      stArea(col("ring")).as("a"),
+      stPerimeter(col("ring")).as("p"),
+      stX(stCentroid(col("ring"))).as("cx"),
+      stY(stCentroid(col("ring"))).as("cy"),
+      stContainsPoint(col("ring"), stPoint(lit(0.5), lit(0.5))).as("in1"),
+      stContainsPoint(col("ring"), stPoint(lit(1.5), lit(0.5))).as("out1"),
+      stContainsPoint(col("ring"), stPoint(lit(-0.1), lit(0.99))).as("out2"))
+      .collect()(0)
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5)
+    assert(r.getBoolean(5) && !r.getBoolean(6) && !r.getBoolean(7))
+    // concave L-shape: the notch is outside even though its bbox contains it
+    val l = spark.range(1).select(
+      stPolygonWkt(lit("POLYGON((0 0, 2 0, 2 1, 1 1, 1 2, 0 2))")).as("ring"))
+    val rl = l.select(
+      stArea(col("ring")).as("a"),
+      stContainsPoint(col("ring"), stPoint(lit(1.5), lit(1.5))).as("notch"),
+      stContainsPoint(col("ring"), stPoint(lit(0.5), lit(1.5))).as("arm"))
+      .collect()(0)
+    assert(rl.getDouble(0) == 3.0)
+    assert(!rl.getBoolean(1) && rl.getBoolean(2))
+  }
+
   test("binary conversions and parse_duration match reference semantics") {
     // CRC-32 check value (ISO 3309 / reference VarbinaryFunctions crc32)
     val r = spark.range(1).select(
