@@ -96,11 +96,71 @@ object Spatial {
       .orderBy("nk", "ck")
   }
 
+  /** Polygon containment join (the full SpatialJoinNode shape — reference
+    * SpatialJoinOperator.java:39 + PagesRTreeIndex:34, re-expressed as a
+    * grid-partitioned equi-join): regular k-gon polygons from nation keys,
+    * exploded to every grid cell their bbox overlaps; customer points probe
+    * exactly one cell; the grid join is only a prefilter — the exact
+    * predicate is even-odd ray casting (GeoFunctions.stContainsPoint), so
+    * the result is independent of the grid size. At 100 TB the cell id is
+    * the shuffle key and fan-out is bounded by polygon-area/cell-area,
+    * exactly like the R-tree partitioning in the reference. */
+  def polygonJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = 10.0
+    val polys = t(s, dir, "nation").select(
+      col("n_nationkey").as("nk"),
+      (lit(3) + col("n_nationkey") % 5).cast("int").as("n"),
+      (col("n_nationkey") * 37 % 80).cast("double").as("pcx"),
+      (col("n_nationkey") * 53 % 80).cast("double").as("pcy"),
+      (lit(3.0) + col("n_nationkey") % 4).as("r"))
+    val ringed = polys.withColumn("ring",
+      transform(sequence(lit(0), col("n") - 1), i => struct(
+        (col("pcx") + col("r") * cos(lit(2 * scala.math.Pi) * i / col("n"))).as("x"),
+        (col("pcy") + col("r") * sin(lit(2 * scala.math.Pi) * i / col("n"))).as("y"))))
+    val polyCells = ringed
+      .withColumn("ix", explode(expr("sequence(floor((pcx - r) / 10.0), floor((pcx + r) / 10.0))")))
+      .withColumn("iy", explode(expr("sequence(floor((pcy - r) / 10.0), floor((pcy + r) / 10.0))")))
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      coord(col("c_custkey"), 7919L).as("px"),
+      coord(col("c_custkey"), 104729L).as("py"))
+      .select(col("ck"), col("px"), col("py"),
+        floor(col("px") / g).as("ix"), floor(col("py") / g).as("iy"))
+    pts.join(polyCells, Seq("ix", "iy"))
+      .where(stContainsPoint(col("ring"), stPoint(col("px"), col("py"))))
+      .select(col("nk"), col("ck"))
+      .orderBy("nk", "ck")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_spatial_distance" -> distanceJoin,
-    "join_spatial_contains" -> containsJoin)
+    "join_spatial_contains" -> containsJoin,
+    "join_spatial_polygon" -> polygonJoin)
 
   val oracle: Map[String, String] = Map(
+    "join_spatial_polygon" ->
+      """WITH n AS (SELECT n_nationkey nk, CAST(3 + n_nationkey % 5 AS INT) nn,
+        |            CAST(n_nationkey * 37 % 80 AS DOUBLE) pcx,
+        |            CAST(n_nationkey * 53 % 80 AS DOUBLE) pcy,
+        |            3.0 + n_nationkey % 4 r
+        |           FROM nation),
+        |v AS (SELECT nk, nn, pcx, pcy, r, unnest(range(nn)) i FROM n),
+        |pt AS (SELECT nk, nn, i,
+        |        pcx + r * cos(2 * pi() * i / nn) vx,
+        |        pcy + r * sin(2 * pi() * i / nn) vy FROM v),
+        |e AS (SELECT a.nk, a.vx ax, a.vy ay, b.vx bx, b.vy by_
+        |      FROM pt a JOIN pt b ON b.nk = a.nk AND b.i = (a.i + 1) % a.nn),
+        |p AS (SELECT c_custkey ck,
+        |       CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 px,
+        |       CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 10.0 py
+        |      FROM customer),
+        |cr AS (SELECT e.nk, p.ck,
+        |        SUM(CASE WHEN (ay > py) <> (by_ > py)
+        |                  AND px < (bx - ax) * (py - ay) / (by_ - ay) + ax
+        |                 THEN 1 ELSE 0 END) c
+        |       FROM e CROSS JOIN p GROUP BY 1, 2)
+        |SELECT nk, ck FROM cr WHERE c % 2 = 1 ORDER BY nk, ck""".stripMargin,
     "join_spatial_distance" ->
       """WITH c AS (SELECT c_custkey AS ck,
         |        CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 AS cx,

@@ -17,6 +17,19 @@ class StatsSpec extends AnyFunSuite {
   private lazy val session = SqlSession.wrap(spark)
 
   test("ANALYZE TABLE collects row and column stats that reach the CBO") {
+    // a previously-killed run can leave the managed location behind with no
+    // catalog entry; clear both so overwrite can't hit LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "stats_nation")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     spark.read.parquet(s"$sf/nation.parquet")
       .write.mode("overwrite").saveAsTable("stats_nation")
     session.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey")
