@@ -159,8 +159,23 @@ object GraftFunctions {
     ("noisy_approx_distinct_sfm",
       "noisy_approx_distinct_sfm(x, epsilon[, buckets[, precision]]) - DP distinct count",
       SfmBuilders.agg(distinct = true)),
-    ("merge_sfm", "merge_sfm(sketch) - union of SFM sketches",
-      es => SfmMergeAgg(es.head).toAggregateExpression()),
+    ("merge_sfm", "merge_sfm(sketch | array<sketch>) - union of SFM sketches",
+      es => es.head.dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) => SfmScalarMerge(es.head)
+        case _ => SfmMergeAgg(es.head).toAggregateExpression()
+      }),
+    ("noisy_empty_approx_set_sfm",
+      "noisy_empty_approx_set_sfm(epsilon[, buckets[, precision]]) - empty DP sketch",
+      es => {
+        if (es.isEmpty || es.length > 3) throw new IllegalArgumentException(
+          s"noisy_empty_approx_set_sfm takes 1-3 arguments, got ${es.length}")
+        SfmEmptySketch(
+          SfmBuilders.foldNumPub(es(0), "epsilon"),
+          if (es.length >= 2) SfmBuilders.foldNumPub(es(1), "buckets").toInt
+          else Sfm.DefaultBuckets,
+          if (es.length == 3) SfmBuilders.foldNumPub(es(2), "precision").toInt
+          else Sfm.DefaultPrecision)
+      }),
     ("sfm_cardinality", "sfm_cardinality(sketch) - distinct estimate of an SFM sketch",
       es => SfmCardinality(es.head)),
     ("url_encode", "url_encode(value) - escape for URL query parameter names/values",

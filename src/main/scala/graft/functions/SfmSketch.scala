@@ -214,6 +214,7 @@ object Sfm {
 
 /** SQL arity dispatch: (x, epsilon[, buckets[, precision]]). */
 object SfmBuilders {
+  def foldNumPub(e: Expression, what: String): Double = foldNum(e, what)
   private def foldNum(e: Expression, what: String): Double = {
     val v = if (e.foldable) e.eval(null) else null
     v match {
@@ -353,6 +354,56 @@ case class SfmMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): SfmMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
+}
+
+/** noisy_empty_approx_set_sfm(epsilon[, buckets[, precision]]) → an empty
+  * privacy-enabled sketch (SfmSketchFunctions.java:70-92). Nondeterministic
+  * for finite ε (fresh randomized-response draw per call), deterministic
+  * all-zeros at ε=∞. */
+case class SfmEmptySketch(epsilon: Double, buckets: Int, precision: Int)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  if (!(epsilon > 0)) throw new IllegalArgumentException("epsilon must be positive")
+  override def prettyName: String = "noisy_empty_approx_set_sfm"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override lazy val deterministic: Boolean = epsilon.isPosInfinity
+  override def eval(input: InternalRow): Any = {
+    val s = Sfm.create(buckets, precision)
+    s.enablePrivacy(epsilon, new java.security.SecureRandom())
+    s.serialize()
+  }
+}
+
+/** merge_sfm(array<sketch>) → sketch — the scalar array-merge variant
+  * (SfmSketchFunctions.java:39-63); null elements are skipped, an empty or
+  * all-null array yields NULL. */
+case class SfmScalarMerge(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "merge_sfm"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(BinaryType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"merge_sfm requires array<varbinary>, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var acc: Sfm = null
+    val rng = java.util.concurrent.ThreadLocalRandom.current()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = Sfm.deserialize(arr.getBinary(i))
+        if (acc == null) acc = s else acc.mergeWith(s, rng)
+      }
+      i += 1
+    }
+    if (acc == null) null else acc.serialize()
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** sfm_cardinality(sketch) → bigint (reference scalar `cardinality` over

@@ -498,6 +498,18 @@ class FunctionsSpec extends AnyFunSuite {
         |FROM sfm_in""".stripMargin).collect()(0)
     assert(viaSql.getLong(0) == r1)
     assert(math.abs(viaSql.getLong(1) / 5000.0 - 1) < 0.15)
+    // scalar surface: empty sketch is a zero-cardinality identity for merge
+    val e0 = spark.sql(
+      """SELECT sfm_cardinality(noisy_empty_approx_set_sfm(CAST('Infinity' AS DOUBLE))),
+        |       merge_sfm(array(CAST(NULL AS BINARY)))""".stripMargin).collect()(0)
+    assert(e0.getLong(0) == 0L)
+    assert(e0.isNullAt(1), "all-null array merges to NULL")
+    val ident = spark.sql(
+      """SELECT sfm_cardinality(merge_sfm(array(
+        |  noisy_empty_approx_set_sfm(CAST('Infinity' AS DOUBLE)),
+        |  noisy_approx_set_sfm(x, CAST('Infinity' AS DOUBLE)))))
+        |FROM sfm_in""".stripMargin).collect()(0).getLong(0)
+    assert(ident == r1, "empty sketch must be a merge identity")
   }
 
   test("polygon geometry: WKT parse, ray-cast contains, centroid, area") {
