@@ -70,8 +70,19 @@ object GraftFunctions {
       es => QuantileAtValue(es(0), es(1))),
     ("trimmed_mean", "trimmed_mean(sketch, lo, hi) - mean of values between quantiles lo..hi",
       es => TrimmedMean(es(0), es(1), es(2))),
-    ("kll_sketch_agg", "kll_sketch_agg(x) - mergeable KLL quantile sketch",
-      es => KllSketchAgg(es.head).toAggregateExpression()),
+    ("kll_sketch_agg",
+      "kll_sketch_agg(x[, k]) - mergeable KLL quantile sketch (reference sketch_kll / sketch_kll_with_k)",
+      es => {
+        val k = es.drop(1).headOption.map { e =>
+          val v = if (e.foldable) e.eval(null) else null
+          v match {
+            case n: Number => n.intValue()
+            case _ => throw new IllegalArgumentException(
+              s"kll_sketch_agg: k must be a foldable integer literal, got ${e.sql}")
+          }
+        }
+        KllSketchAgg(es.head, k.getOrElse(Kll.DefaultK)).toAggregateExpression()
+      }),
     ("merge_kll", "merge_kll(sketch) - merge KLL sketches",
       es => KllMergeAgg(es.head).toAggregateExpression()),
     ("kll_quantile", "kll_quantile(sketch, q) - discrete quantile (a retained input value)",

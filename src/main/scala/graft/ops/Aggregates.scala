@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables
@@ -62,8 +62,34 @@ object Aggregates {
         expr("round(regr_slope(l_extendedprice, l_quantity), 4)").as("slope"),
         expr("round(regr_intercept(l_extendedprice, l_quantity), 4)").as("intercept"),
         expr("round(regr_r2(l_extendedprice, l_quantity), 4)").as("r2"),
-        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+        // extended regr_avgx/avgy/sxx/sxy/syy (DoubleRegressionExtended
+        // Aggregation): the gate pins them to exact-decimal sums (the dsum
+        // convention) because the builtins' one-pass reordering is not
+        // hash-stable cross-engine at syy magnitudes
+        round(d38(col("l_quantity")) / count(lit(1)), 4).as("avgx"),
+        round(d38(col("l_extendedprice")) / count(lit(1)), 4).as("avgy"),
+        round(d38(col("l_quantity") * col("l_quantity")) -
+          d38(col("l_quantity")) * d38(col("l_quantity")) / count(lit(1)), 2)
+          .as("sxx"),
+        round(d38(col("l_quantity") * col("l_extendedprice")) -
+          d38(col("l_quantity")) * d38(col("l_extendedprice")) / count(lit(1)), 2)
+          .as("sxy"),
+        // syy in (y/1000)² units: raw price squares sit at ~2e10 where
+        // Spark's shortest-repr double→decimal rounding and DuckDB's
+        // value-based rounding can disagree at the 6th decimal; scaling
+        // keeps every product far from that boundary
+        round(d38((col("l_extendedprice") / 1000) * (col("l_extendedprice") / 1000)) -
+          d38(col("l_extendedprice") / 1000) * d38(col("l_extendedprice") / 1000) /
+            count(lit(1)), 2)
+          .as("syy_k"))
       .orderBy("l_returnflag")
+
+  /** Exact order-independent sum at decimal(38,6) (squares of prices
+    * overflow the dsum default 18-digit precision). */
+  private def d38(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .cast(org.apache.spark.sql.types.DoubleType)
 
   /** skewness/kurtosis — population-moment definition (reference
     * CentralMomentsAggregation.java). Gate arithmetic is pinned to the
@@ -379,10 +405,15 @@ object Aggregates {
       .agg(
         expr("count(*) FILTER (WHERE score >= threshold AND label)").as("tp"),
         expr("count(*) FILTER (WHERE score >= threshold AND NOT label)").as("fp"),
-        expr("count(*) FILTER (WHERE score < threshold AND label)").as("fn"))
-      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("count(*) FILTER (WHERE score < threshold AND label)").as("fn"),
+        expr("count(*) FILTER (WHERE score < threshold AND NOT label)").as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
         round(col("tp") / (col("tp") + col("fp")), 4).as("precision"),
-        round(col("tp") / (col("tp") + col("fn")), 4).as("recall"))
+        round(col("tp") / (col("tp") + col("fn")), 4).as("recall"),
+        // classification_fall_out = FP/(FP+TN); _miss_rate = FN/(TP+FN)
+        // (ClassificationFallOutAggregation / ClassificationMissRateAggregation)
+        round(col("fp") / (col("fp") + col("tn")), 4).as("fall_out"),
+        round(col("fn") / (col("tp") + col("fn")), 4).as("miss_rate"))
       .orderBy("threshold")
 
   /** vector_sum(embedding) — ONE aggregation state of dimension d instead of
@@ -555,13 +586,16 @@ object Aggregates {
         |m AS (SELECT threshold,
         |       count(*) FILTER (WHERE score >= threshold AND label) AS tp,
         |       count(*) FILTER (WHERE score >= threshold AND NOT label) AS fp,
-        |       count(*) FILTER (WHERE score < threshold AND label) AS fn
+        |       count(*) FILTER (WHERE score < threshold AND label) AS fn,
+        |       count(*) FILTER (WHERE score < threshold AND NOT label) AS tn
         |      FROM scored CROSS JOIN
         |       (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) threshold)
         |      GROUP BY threshold)
-        |SELECT threshold, tp, fp, fn,
+        |SELECT threshold, tp, fp, fn, tn,
         | ROUND(tp * 1.0 / (tp + fp), 4) AS precision,
-        | ROUND(tp * 1.0 / (tp + fn), 4) AS recall
+        | ROUND(tp * 1.0 / (tp + fn), 4) AS recall,
+        | ROUND(fp * 1.0 / (fp + tn), 4) AS fall_out,
+        | ROUND(fn * 1.0 / (tp + fn), 4) AS miss_rate
         |FROM m ORDER BY threshold""".stripMargin,
     "agg_filter_clause" ->
       """SELECT o_orderpriority,
@@ -647,7 +681,25 @@ object Aggregates {
         | ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         | ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
         | ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
-        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |   / count(*), 4) AS avgx,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |   / count(*), 4) AS avgy,
+        | ROUND(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 2)
+        |  AS sxx,
+        | ROUND(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 2)
+        |  AS sxy,
+        | ROUND(CAST(SUM(CAST((l_extendedprice / 1000) * (l_extendedprice / 1000)
+        |     AS DECIMAL(38,6))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_extendedprice / 1000 AS DECIMAL(38,6))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_extendedprice / 1000 AS DECIMAL(38,6))) AS DOUBLE)
+        |     / count(*), 2)
+        |  AS syy_k
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurt" ->
       """WITH mu AS (
