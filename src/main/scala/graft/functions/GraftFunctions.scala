@@ -175,6 +175,17 @@ object GraftFunctions {
         case org.apache.spark.sql.types.ArrayType(_, _) => SfmScalarMerge(es.head)
         case _ => SfmMergeAgg(es.head).toAggregateExpression()
       }),
+    ("noisy_approx_set_sfm_from_index_and_zeros",
+      "noisy_approx_set_sfm_from_index_and_zeros(index, zeros, epsilon, buckets[, precision]) - sketch from pre-hashed pairs",
+      es => {
+        if (es.length < 4 || es.length > 5) throw new IllegalArgumentException(
+          s"noisy_approx_set_sfm_from_index_and_zeros takes 4 or 5 arguments, got ${es.length}")
+        SfmFromIndexZerosAgg(es(0), es(1),
+          SfmBuilders.foldNumPub(es(2), "epsilon"),
+          SfmBuilders.foldNumPub(es(3), "buckets").toInt,
+          if (es.length == 5) SfmBuilders.foldNumPub(es(4), "precision").toInt
+          else Sfm.DefaultPrecision).toAggregateExpression()
+      }),
     ("noisy_empty_approx_set_sfm",
       "noisy_empty_approx_set_sfm(epsilon[, buckets[, precision]]) - empty DP sketch",
       es => {

@@ -356,6 +356,80 @@ case class SfmMergeAgg(
     copy(child = c.head)
 }
 
+/** noisy_approx_set_sfm_from_index_and_zeros(index, zeros, epsilon,
+  * buckets[, precision]) — build a sketch from pre-hashed (bucket index,
+  * trailing-zero count) pairs (NoisyApproximateSetSfmFromIndexAndZeros
+  * Aggregation.java; kernel addIndexAndZeros SfmSketch.java:128-139). The
+  * path for re-aggregating externally-hashed data where the raw values
+  * are gone. */
+case class SfmFromIndexZerosAgg(
+  index: Expression,
+  zeros: Expression,
+  epsilon: Double,
+  buckets: Int = Sfm.DefaultBuckets,
+  precision: Int = Sfm.DefaultPrecision,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Option[Sfm]] {
+
+  if (!(epsilon > 0)) throw new IllegalArgumentException("epsilon must be positive")
+
+  override def prettyName: String = "noisy_approx_set_sfm_from_index_and_zeros"
+  override def children: Seq[Expression] = Seq(index, zeros)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+      .contains(c.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral index and zeros")
+
+  override def createAggregationBuffer(): Option[Sfm] = None
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  override def update(buf: Option[Sfm], input: InternalRow): Option[Sfm] = {
+    val iv = index.eval(input)
+    val zv = zeros.eval(input)
+    if (iv == null || zv == null) return buf
+    val idx = asLong(iv)
+    val z = asLong(zv)
+    if (idx < 0 || idx >= buckets) throw new IllegalArgumentException(
+      s"index $idx must be between zero (inclusive) and the number of buckets-1 ${buckets - 1}")
+    if (z < 0 || z > 64) throw new IllegalArgumentException(
+      s"zeros $z must be between 0 and 64")
+    val s = buf.getOrElse(Sfm.create(buckets, precision))
+    s.setBit(math.min(precision - 1, z.toInt) * s.buckets + idx.toInt, v = true)
+    Some(s)
+  }
+
+  override def merge(a: Option[Sfm], b: Option[Sfm]): Option[Sfm] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      x.mergeWith(y, java.util.concurrent.ThreadLocalRandom.current()); Some(x)
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+  override def serialize(buf: Option[Sfm]): Array[Byte] =
+    buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[Sfm] =
+    if (bytes.isEmpty) None else Some(Sfm.deserialize(bytes))
+  override def eval(buf: Option[Sfm]): Any = buf.map { s =>
+    s.enablePrivacy(epsilon, new java.security.SecureRandom()); s.serialize()
+  }.orNull
+  override def withNewMutableAggBufferOffset(o: Int): SfmFromIndexZerosAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SfmFromIndexZerosAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+    c: IndexedSeq[Expression]): Expression =
+    copy(index = c(0), zeros = c(1))
+}
+
 /** noisy_empty_approx_set_sfm(epsilon[, buckets[, precision]]) → an empty
   * privacy-enabled sketch (SfmSketchFunctions.java:70-92). Nondeterministic
   * for finite ε (fresh randomized-response draw per call), deterministic

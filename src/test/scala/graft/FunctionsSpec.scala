@@ -510,6 +510,20 @@ class FunctionsSpec extends AnyFunSuite {
         |  noisy_approx_set_sfm(x, CAST('Infinity' AS DOUBLE)))))
         |FROM sfm_in""".stripMargin).collect()(0).getLong(0)
     assert(ident == r1, "empty sketch must be a merge identity")
+    // from_index_and_zeros: feeding the kernel's own (index, zeros) pairs
+    // reproduces the direct sketch bit-for-bit at ε=∞
+    val ibl = 12 // 4096 buckets
+    val pairs = (1L to 5000L).map { v =>
+      val h = Sfm.hashOf(v)
+      (h >>> (64 - ibl),
+        java.lang.Long.numberOfTrailingZeros(h | (1L << (64 - ibl))).toLong)
+    }
+    pairs.toDF("idx", "z").createOrReplaceTempView("sfm_pairs")
+    val viaPairs = spark.sql(
+      """SELECT sfm_cardinality(noisy_approx_set_sfm_from_index_and_zeros(
+        |  idx, z, CAST('Infinity' AS DOUBLE), 4096))
+        |FROM sfm_pairs""".stripMargin).collect()(0).getLong(0)
+    assert(viaPairs == r1, s"$viaPairs != $r1")
   }
 
   test("polygon geometry: WKT parse, ray-cast contains, centroid, area") {
