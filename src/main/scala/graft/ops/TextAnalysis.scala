@@ -136,7 +136,50 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** The full pre-training corpus pipeline as ONE declarative query —
+    * quality filter → language filter → exact dedup → per-source token
+    * budget. Every stage reuses an already-gated kernel; end-to-end it is
+    * the shape a 100 TB corpus build runs: three narrow per-row stages
+    * (no shuffle), one hash-partitioned dedup, one small aggregation.
+    * Catalyst pipelines the per-row stages into a single codegen pass. */
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("nw", size(col("words")).cast("long"))
+      .withColumn("stopr", hitRatio(col("words"), "en"))
+      .withColumn("punct",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("quality", round(
+        least(lit(1.0), col("nw").cast("double") / 120.0) * 0.4
+          + least(lit(1.0), col("stopr") * 5.0) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct") * 10.0)) * 0.3, 4))
+      .filter(col("quality") >= 0.5)
+    val lang = scored
+      .withColumn("wl", split(lower(col("text")), " "))
+      .withColumn("s_en", hitRatio(col("wl"), "en"))
+      .withColumn("s_de", hitRatio(col("wl"), "de"))
+      .withColumn("s_es", hitRatio(col("wl"), "es"))
+      .withColumn("s_fr", hitRatio(col("wl"), "fr"))
+      .withColumn("cjk",
+        length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .filter(!(col("cjk") > 0.3) &&
+        col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    lang
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+        round(Tables.dsum(col("quality")) / count(lit(1)), 4).as("avg_quality"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pipeline" -> pipeline,
     "text_langid" -> langId,
     "text_quality" -> quality,
     "text_tokens" -> tokenCount,
@@ -146,10 +189,49 @@ object TextAnalysis {
   private def stopSql(lang: String): String =
     stop(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def hitSql(lang: String): String =
-    s"len(list_filter(ws, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len(ws)"
+  private def hitSql(lang: String, c: String = "ws"): String =
+    s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    "text_pipeline" ->
+      s"""WITH f AS (SELECT doc_id, source, text, string_split(text, ' ') ws,
+         |        len(text) nc,
+         |        len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+         |          / len(text) punct
+         |       FROM documents),
+         |g AS (SELECT doc_id, source, text, punct, len(ws) nw,
+         |       ${hitSql("en")} stopr
+         |      FROM f),
+         |q AS (SELECT doc_id, source, text,
+         |       ROUND(least(1.0, nw / 120.0) * 0.4
+         |         + least(1.0, stopr * 5.0) * 0.3
+         |         + (1.0 - least(1.0, punct * 10.0)) * 0.3, 4) quality
+         |      FROM g
+         |      WHERE ROUND(least(1.0, nw / 120.0) * 0.4
+         |         + least(1.0, stopr * 5.0) * 0.3
+         |         + (1.0 - least(1.0, punct * 10.0)) * 0.3, 4) >= 0.5),
+         |lf AS (SELECT q.*, string_split(lower(text), ' ') wl,
+         |        len(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0
+         |          / len(text) cjk
+         |       FROM q),
+         |sc AS (SELECT doc_id, source, text, quality, cjk,
+         |        ${hitSql("en", "wl")} s_en,
+         |        ${hitSql("de", "wl")} s_de,
+         |        ${hitSql("es", "wl")} s_es,
+         |        ${hitSql("fr", "wl")} s_fr
+         |       FROM lf),
+         |en AS (SELECT * FROM sc
+         |       WHERE NOT (cjk > 0.3) AND s_en >= s_de AND s_en >= s_es
+         |        AND s_en >= s_fr),
+         |dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) keep_id
+         |       FROM en)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |  AS ws_tokens,
+         | ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+         |   / count(*), 4) AS avg_quality
+         |FROM dd WHERE doc_id = keep_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""WITH f AS (SELECT doc_id, string_split(lower(text), ' ') ws,
          |        len(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0
