@@ -103,7 +103,27 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join: the unbounded event stream against a
+    * small static dimension. Under readStream the static side needs no
+    * watermark and no state store — it is broadcast into every micro-batch
+    * (Spark re-plans the static side per batch, so dimension updates are
+    * picked up); in batch it is the identical broadcast join. The one
+    * shuffle is the final aggregation on the 25-value key. */
+  def staticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+    t(s, dir, "events")
+      .withColumn("n_nationkey", col("user_id") % 25)
+      .join(dim, "n_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> staticEnrich,
     "stream_interval_join" -> ((s, dir) => intervalJoin(t(s, dir, "events"))),
     "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
     "stream_sliding" -> ((s, dir) => sliding(t(s, dir, "events"))),
@@ -111,6 +131,12 @@ object Streams {
     "stream_dedup" -> ((s, dir) => dedup(t(s, dir, "events"))))
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT n_name, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "stream_interval_join" ->
       """WITH c AS (SELECT user_id, epoch_ns(ts) AS c_ts, event_id AS c_id
         |           FROM events WHERE event_type = 'click'),

@@ -181,4 +181,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(r == Set((1L, 2L, 2L), (2L, 1L, 1L)))
   }
+
+  test("stream-static enrichment join needs no watermark or state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "ALPHA"), (1L, "BETA")).toDF("k", "name")
+    val mem = MemoryStream[(Long, Double)]
+    val enriched = mem.toDF().toDF("user_id", "value")
+      .withColumn("k", col("user_id") % 2)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "k")
+      .select("name", "value")
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((2L, 1.0), (3L, 2.0), (4L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT name, value FROM enrich_test")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(rows == Set(("ALPHA", 1.0), ("BETA", 2.0), ("ALPHA", 3.0)))
+      // no stateful operator in the plan: nothing to watermark or expire
+      val lastProgress = q.lastProgress
+      assert(lastProgress == null || lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
