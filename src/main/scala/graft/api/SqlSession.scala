@@ -86,7 +86,13 @@ object Dialect {
     // \btry\b does not touch Spark's own try_* family (underscore = word char)
     "try" -> "try_expr",
     // reference date_format takes MySQL %-patterns, Spark's takes Java ones
-    "date_format" -> "mysql_date_format")
+    "date_format" -> "mysql_date_format",
+    // KLL sketch family (reference KllSketchAggregationFunctions /
+    // KllSketchFunctions) — our names carry the same arities
+    "sketch_kll" -> "kll_sketch_agg",
+    "sketch_kll_with_k" -> "kll_sketch_agg",
+    "sketch_kll_quantile" -> "kll_quantile",
+    "sketch_kll_rank" -> "kll_rank")
 
   /** (segment, isCode) spans covering the whole text in order. */
   private def segments(text: String): Seq[(String, Boolean)] = {

@@ -59,17 +59,17 @@ object GraftFunctions {
     ("merge_qdigest", "merge_qdigest(sketch) - merge quantile digests",
       es => QDigestMergeAgg(es.head).toAggregateExpression()),
     ("value_at_quantile", "value_at_quantile(sketch, q) - quantile from a digest",
-      es => ValueAtQuantile(es(0), es(1))),
+      es => ValueAtQuantile(es(0), dbl(es(1)))),
     ("tdigest_agg", "tdigest_agg(x) - mergeable t-digest sketch (tail-accurate quantiles)",
       es => TDigestAgg(es.head).toAggregateExpression()),
     ("merge_tdigest", "merge_tdigest(sketch) - merge t-digests",
       es => TDigestMergeAgg(es.head).toAggregateExpression()),
     ("tdigest_value_at_quantile", "tdigest_value_at_quantile(sketch, q) - quantile from a t-digest",
-      es => TDigestValueAtQuantile(es(0), es(1))),
+      es => TDigestValueAtQuantile(es(0), dbl(es(1)))),
     ("quantile_at_value", "quantile_at_value(sketch, x) - rank of x in [0,1] from a t-digest",
-      es => QuantileAtValue(es(0), es(1))),
+      es => QuantileAtValue(es(0), dbl(es(1)))),
     ("trimmed_mean", "trimmed_mean(sketch, lo, hi) - mean of values between quantiles lo..hi",
-      es => TrimmedMean(es(0), es(1), es(2))),
+      es => TrimmedMean(es(0), dbl(es(1)), dbl(es(2)))),
     ("kll_sketch_agg",
       "kll_sketch_agg(x[, k]) - mergeable KLL quantile sketch (reference sketch_kll / sketch_kll_with_k)",
       es => {
@@ -86,9 +86,9 @@ object GraftFunctions {
     ("merge_kll", "merge_kll(sketch) - merge KLL sketches",
       es => KllMergeAgg(es.head).toAggregateExpression()),
     ("kll_quantile", "kll_quantile(sketch, q) - discrete quantile (a retained input value)",
-      es => KllQuantile(es(0), es(1))),
+      es => KllQuantile(es(0), dbl(es(1)))),
     ("kll_rank", "kll_rank(sketch, x) - fraction of values <= x",
-      es => KllRank(es(0), es(1))),
+      es => KllRank(es(0), dbl(es(1)))),
     ("theta_sketch_agg", "theta_sketch_agg(x) - mergeable theta sketch (set-algebra distinct count)",
       es => ThetaSketchAgg(es.head).toAggregateExpression()),
     ("merge_theta", "merge_theta(sketch) - aggregate union of theta sketches",

@@ -51,6 +51,14 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(r.getInt(2) == 7)
     assert(r.getInt(3) == 65)
     assert(r.getString(4) == "5")
+    // reference KLL spellings: sketch_kll_with_k must not be eaten by the
+    // sketch_kll rename (word-boundary match), and quantile/rank resolve
+    val kll = session.sql(
+      """SELECT sketch_kll_quantile(sketch_kll(l_quantity), 0.5) AS q50,
+        |       sketch_kll_rank(sketch_kll_with_k(l_quantity, 256), 25.0) AS rk
+        |FROM lineitem""".stripMargin).collect()(0)
+    assert(kll.getDouble(0) >= 1 && kll.getDouble(0) <= 50)
+    assert(kll.getDouble(1) > 0 && kll.getDouble(1) < 1)
   }
 
   test("dialect renames never touch string literals or comments") {
