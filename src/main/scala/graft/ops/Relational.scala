@@ -204,6 +204,22 @@ object Relational {
     t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** SYSTEM TABLESAMPLE (reference SqlBase.g4:355-361 SYSTEM variant):
+    * whole splits are kept or dropped, never individual rows — the cheap
+    * sampling mode because skipped splits are never read. The fixture is a
+    * single row group, so splits are simulated by repartitioning to 16 and
+    * keeping every 4th partition; the aggregate proves the all-or-nothing
+    * property (kept partitions contribute complete contents). Rows-only
+    * checked: partition assignment is engine-specific, like Bernoulli's
+    * RNG. */
+  def sampleSystem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .repartition(16)
+      .withColumn("pid", spark_partition_id())
+      .filter(pmod(col("pid"), lit(4)) === 0)
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("pid")).as("n_splits_kept"))
+
   /** Materialized-CTE reuse (reference CteProducerNode/CteConsumerNode +
     * LogicalCteOptimizer): one aggregate subplan consumed twice — as the
     * per-customer rows and as the scalar threshold. `.cache()` marks the
@@ -294,7 +310,7 @@ object Relational {
     "except" -> exceptDistinct, "except_all" -> exceptAll,
     "grouping_sets" -> groupingSets, "rollup" -> rollupAgg, "cube" -> cubeAgg,
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
-    "sample_bernoulli" -> sampleBernoulli)
+    "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem)
 
   val oracle: Map[String, String] = Map(
     "join_salted" ->
