@@ -130,7 +130,33 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** int8 embedding quantization — the 4× storage cut every 100 TB
+    * embedding store takes (float32 → int8 + per-vector (min, scale)):
+    * q_i = round((x_i − min)·255/(max − min)) − 128, reconstruction
+    * x̂_i = min + (q_i+128)·(max−min)/255. All HOFs, one codegen pass, no
+    * shuffle; the gate pins the exact integer codes (q_sum/q_min/q_max)
+    * and the |x̂ − x| ≤ step/2 reconstruction bound per vector. */
+  def quantize(s: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val mn = array_min(xd)
+    val mx = array_max(xd)
+    val q = transform(xd, e =>
+      when(mx === mn, lit(0))
+        .otherwise((round((e - mn) * 255 / (mx - mn)) - 128).cast("int")))
+    val deq = transform(q, qi =>
+      when(mx === mn, mn).otherwise(mn + ((qi + 128) * (mx - mn)) / 255.0))
+    val maxErr = array_max(zip_with(xd, deq, (a, b) => abs(b - a)))
+    t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(q).cast("long").as("q_min"),
+        array_max(q).cast("long").as("q_max"),
+        (maxErr <= (mx - mn) / 255.0 / 2 * 1.001 + 1e-12).as("ok_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize" -> quantize,
     "sim_topk_brute" -> bruteTopK,
     "sim_lsh_ann" -> lshAnn,
     "sim_ivf_ann" -> ivfAnn)
@@ -151,6 +177,25 @@ object Similarity {
       |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_quantize" ->
+      """WITH u AS (SELECT vec_id, CAST(x AS DOUBLE) x
+        |           FROM (SELECT vec_id, unnest(embedding) x
+        |                 FROM embeddings WHERE vec_id < 200)),
+        |s AS (SELECT vec_id, min(x) mn, max(x) mx FROM u GROUP BY 1),
+        |q AS (SELECT u.vec_id, x, mn, mx,
+        |       CASE WHEN mx = mn THEN 0
+        |            ELSE CAST(round((x - mn) * 255 / (mx - mn)) AS BIGINT) - 128
+        |       END q
+        |      FROM u JOIN s USING (vec_id)),
+        |d AS (SELECT vec_id, q, x, mn, mx,
+        |       CASE WHEN mx = mn THEN mn
+        |            ELSE mn + ((q + 128) * (mx - mn)) / 255.0 END xr
+        |      FROM q)
+        |SELECT vec_id, CAST(SUM(q) AS BIGINT) AS q_sum,
+        | MIN(q) AS q_min, MAX(q) AS q_max,
+        | MAX(abs(xr - x)) <= (MAX(mx) - MIN(mn)) / 255.0 / 2 * 1.001 + 1e-12
+        |  AS ok_err
+        |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH p AS (SELECT q.vec_id query_id, q.embedding qv,
          |            e.vec_id vec_id, e.embedding ev
