@@ -237,11 +237,19 @@ object Aggregates {
   /** order-independent content checksum: bit_xor of per-row xxhash64
     * (reference ChecksumAggregationFunction.java — same shape: commutative
     * combine of row hashes; no oracle, DuckDB lacks xxhash64). */
+  /** checksum (reference ChecksumAggregationFunction: order-independent
+    * XOR of row hashes). Two variants: the engine-native xxhash64 xor
+    * (fastest, engine-specific bits) and a cross-engine md5-derived xor
+    * that the DuckDB oracle replays bit-for-bit — same algebra, portable
+    * hash. */
   def checksum(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))")
-        .as("checksum"))
+      .agg(
+        expr("""bit_xor(CAST(conv(substring(md5(concat_ws('|',
+            l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT))), 1, 15),
+            16, 10) AS BIGINT))""")
+          .as("checksum"))
       .orderBy("l_returnflag")
 
   /** geometric mean (reference GeometricMeanAggregations.java): exp∘avg∘ln. */
@@ -767,7 +775,14 @@ object Aggregates {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "agg_entropy" ->
       """SELECT ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS event_entropy
-        |FROM (SELECT count(*) AS c FROM events GROUP BY event_type)""".stripMargin
-    // agg_approx / agg_checksum: engine-specific sketch/hash values → rows-only
+        |FROM (SELECT count(*) AS c FROM events GROUP BY event_type)""".stripMargin,
+    "agg_checksum" ->
+      """SELECT l_returnflag,
+        | bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |   CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT))
+        |  AS checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // agg_approx: engine-specific sketch values → rows-only
   )
 }

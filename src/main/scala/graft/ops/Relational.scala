@@ -198,6 +198,20 @@ object Relational {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("col").as("word"))
       .orderBy("doc_id", "ord")
 
+  /** Multi-array UNNEST (reference UnnestNode zips parallel arrays —
+    * UNNEST(a, b) WITH ORDINALITY pads the shorter array with NULLs):
+    * arrays_zip + posexplode reproduces the exact zip/padding contract. */
+  def unnestMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 5)
+      .withColumn("words", slice(split(col("text"), " "), 1, 6))
+      .withColumn("lens", transform(
+        slice(split(col("text"), " "), 1, 4), w => length(w).cast("long")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("words"), col("lens"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("z.words").as("word"), col("z.lens").as("word_len"))
+      .orderBy("doc_id", "ord")
+
   /** Bernoulli TABLESAMPLE (reference ImplementBernoulliSampleAsFilter.java)
     * — inherently seeded/engine-specific, so rows-only checked (no oracle). */
   def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
@@ -310,6 +324,7 @@ object Relational {
     "except" -> exceptDistinct, "except_all" -> exceptAll,
     "grouping_sets" -> groupingSets, "rollup" -> rollupAgg, "cube" -> cubeAgg,
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
+    "unnest_multi" -> unnestMulti,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem)
 
   val oracle: Map[String, String] = Map(
@@ -458,7 +473,21 @@ object Relational {
       """SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |      WHERE doc_id < 5)
-        |ORDER BY doc_id, ord""".stripMargin
-    // sample_bernoulli: seeded engine-specific RNG → rows-only check
+        |ORDER BY doc_id, ord""".stripMargin,
+    // sample_bernoulli / sample_system: engine-specific RNG / split
+    // assignment → rows-only checks
+    "unnest_multi" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') ws
+        |           FROM documents WHERE doc_id < 5),
+        |a AS (SELECT doc_id, ws[1:6] words,
+        |       list_transform(ws[1:4], w -> CAST(len(w) AS BIGINT)) lens
+        |      FROM d),
+        |u AS (SELECT doc_id, words, lens,
+        |       unnest(range(greatest(len(words), len(lens)))) i
+        |      FROM a)
+        |SELECT doc_id, CAST(i + 1 AS BIGINT) AS ord,
+        | words[CAST(i AS INT) + 1] AS word,
+        | lens[CAST(i AS INT) + 1] AS word_len
+        |FROM u ORDER BY doc_id, ord""".stripMargin
   )
 }
