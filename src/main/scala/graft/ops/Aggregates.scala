@@ -217,12 +217,21 @@ object Aggregates {
   /** approximate aggregates — engine-specific sketches (HLL++/KLL here,
     * airlift HLL/qdigest in the reference) so values can't cross-check against
     * DuckDB: rows-only gate + ScalaTest bounds vs exact counterparts. */
+  /** approx_distinct + approx_percentile (reference HLL/qdigest
+    * aggregates). Estimates are engine-specific, so the gate emits the
+    * bounds the oracle CAN replay: the HLL estimate within its published
+    * 5% envelope of exact NDV, and the approximate median bracketed by the
+    * exact 40th/60th percentiles — plus the exact values themselves. */
   def approx(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_suppkey")).as("approx_supp"),
-        expr("approx_percentile(l_quantity, 0.5)").as("approx_median"))
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        (abs(approx_count_distinct(col("l_suppkey")).cast("double") /
+          countDistinct(col("l_suppkey")) - 1) <= 0.05).as("ndv_ok"),
+        (expr("approx_percentile(l_quantity, 0.5)")
+          .between(expr("percentile(l_quantity, 0.4)"),
+            expr("percentile(l_quantity, 0.6)"))).as("median_ok"))
       .orderBy("l_returnflag")
 
   /** histogram: value→count distribution (reference histogram/Histogram.java:48
@@ -782,7 +791,12 @@ object Aggregates {
         |   CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
         |   CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT))
         |  AS checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS exact_supp,
+        | true AS ndv_ok,
+        | true AS median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    // agg_approx: engine-specific sketch values → rows-only
   )
 }
