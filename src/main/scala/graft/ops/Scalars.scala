@@ -704,48 +704,60 @@ object Scalars {
       .orderBy("k")
   }
 
-  /** Mergeable HLL sketches (rows-only gate; HllSpec bounds the error and
-    * proves merge associativity). Demonstrates the store-a-sketch /
-    * merge-later lifecycle on a single query. */
+  /** Mergeable HLL sketches — the store-a-sketch / merge-later lifecycle
+    * on a single query, oracle-bounded (estimates within the published 5%
+    * envelope per group and after the cross-group merge); HllSpec bounds
+    * the error tighter and proves merge associativity. */
   def hllSketch(s: SparkSession, dir: String): DataFrame = {
-    val perLang = t(s, dir, "documents")
+    val words = t(s, dir, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val perLang = words
       .groupBy("lang")
       .agg(GraftFunctions.approxSet(col("w")).as("sketch"),
         countDistinct(col("w")).as("exact"))
-    perLang.select(
-      col("lang"),
-      GraftFunctions.hllCardinality(col("sketch")).as("approx"),
-      col("exact"))
-      .unionAll(
-        perLang.agg(
-          GraftFunctions.hllCardinality(
-            GraftFunctions.mergeHll(col("sketch"))).as("approx"),
-          lit(0L).as("exact"))
-          .select(lit("__merged__").as("lang"), col("approx"), col("exact")))
-      .orderBy("lang")
+    val perRows = perLang.select(
+      col("lang"), col("exact"),
+      (abs(GraftFunctions.hllCardinality(col("sketch")).cast("double") /
+        col("exact") - 1) <= 0.05).as("ok"))
+    // store→merge path: sketches re-aggregated across groups stay in bounds
+    val mergedRow = perLang
+      .agg(GraftFunctions.hllCardinality(
+        GraftFunctions.mergeHll(col("sketch"))).as("mc"))
+      .crossJoin(words.agg(countDistinct(col("w")).as("gexact")))
+      .select(lit("__merged__").as("lang"), col("gexact").as("exact"),
+        (abs(col("mc").cast("double") / col("gexact") - 1) <= 0.05).as("ok"))
+    perRows.unionAll(mergedRow).orderBy("lang")
   }
 
-  /** Mergeable quantile digests (reference qdigest/tdigest lifecycle:
-    * build per group → store → merge across groups → query quantiles).
-    * Rows-only gate like fn_hll (sketch bytes are engine-specific);
-    * QDigestSpec bounds the rank error and proves merge composition. */
+  /** Mergeable quantile digests (reference qdigest lifecycle: build per
+    * group → store → merge across groups → query quantiles). Sketch bytes
+    * are engine-specific, so the gate asserts the bracket the oracle CAN
+    * replay — the digest median sits inside the exact 40th..60th
+    * percentile band, per group and after the cross-group merge; exact
+    * medians ride along as hash anchors. QDigestSpec bounds the rank
+    * error tighter. */
   def qdigestSketch(s: SparkSession, dir: String): DataFrame = {
-    val per = t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem")
+    val per = li
       .groupBy("l_linestatus")
       .agg(GraftFunctions.qdigestAgg(col("l_quantity")).as("sketch"),
-        expr("round(percentile(l_quantity, 0.5), 4)").as("exact_median"))
-    per.select(col("l_linestatus"),
-      round(GraftFunctions.valueAtQuantile(col("sketch"), lit(0.5)), 4)
-        .as("approx_median"),
-      col("exact_median"))
-      .unionAll(per
-        .agg(GraftFunctions.valueAtQuantile(
-          GraftFunctions.mergeQdigest(col("sketch")), lit(0.5)).as("m"))
-        .select(lit("__merged__").as("l_linestatus"),
-          round(col("m"), 4).as("approx_median"),
-          lit(0.0).as("exact_median")))
-      .orderBy("l_linestatus")
+        expr("round(percentile(l_quantity, 0.5), 4)").as("exact_median"),
+        expr("percentile(l_quantity, 0.4)").as("p40"),
+        expr("percentile(l_quantity, 0.6)").as("p60"))
+    val perRows = per.select(col("l_linestatus"), col("exact_median"),
+      GraftFunctions.valueAtQuantile(col("sketch"), lit(0.5))
+        .between(col("p40"), col("p60")).as("ok"))
+    val mergedRow = per
+      .agg(GraftFunctions.valueAtQuantile(
+        GraftFunctions.mergeQdigest(col("sketch")), lit(0.5)).as("m"))
+      .crossJoin(li.agg(
+        expr("round(percentile(l_quantity, 0.5), 4)").as("gmed"),
+        expr("percentile(l_quantity, 0.4)").as("gp40"),
+        expr("percentile(l_quantity, 0.6)").as("gp60")))
+      .select(lit("__merged__").as("l_linestatus"),
+        col("gmed").as("exact_median"),
+        col("m").between(col("gp40"), col("gp60")).as("ok"))
+    perRows.unionAll(mergedRow).orderBy("l_linestatus")
   }
 
   /** t-digest lifecycle (reference TDigestAggregationFunction.java:29 +
@@ -1668,7 +1680,22 @@ object Scalars {
         |      FROM u GROUP BY 1, 2)
         |SELECT va, vb, ROUND(dot, 4) AS dot, ROUND(l2, 4) AS l2sq,
         | ROUND(dot / (na * nb), 4) AS cos
-        |FROM d ORDER BY va, vb""".stripMargin
-    // fn_hll: engine-specific sketch values → rows-only gate + HllSpec bounds
+        |FROM d ORDER BY va, vb""".stripMargin,
+    "fn_hll" ->
+      """SELECT lang, count(DISTINCT w) AS exact, true AS ok
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) w FROM documents)
+        |GROUP BY lang
+        |UNION ALL
+        |SELECT '__merged__', count(DISTINCT w), true
+        |FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |ORDER BY lang""".stripMargin,
+    "fn_qdigest" ->
+      """SELECT l_linestatus, ROUND(quantile_cont(l_quantity, 0.5), 4)
+        |  AS exact_median, true AS ok
+        |FROM lineitem GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT '__merged__', ROUND(quantile_cont(l_quantity, 0.5), 4), true
+        |FROM lineitem
+        |ORDER BY l_linestatus""".stripMargin
   )
 }
