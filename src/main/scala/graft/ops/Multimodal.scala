@@ -64,7 +64,10 @@ object Multimodal {
       else a.payload.map(b => (b & 0xff).toDouble).sum / a.payload.length / 255.0
     MediaFeatures(a.doc_id, a.media_type, a.payload.length.toLong, checksum,
       n_frames = a.payload.length / 1024L + 1L,
-      brightness = math.rint(brightness * 10000) / 10000)
+      // HALF_UP at 4 decimals — the same rounding convention as every
+      // ROUND(...,4) oracle column (rint's HALF_EVEN is not what SQL
+      // ROUND does on either engine)
+      brightness = math.floor(brightness * 10000 + 0.5) / 10000)
   }
 
   /** Partition-local batched decode: one iterator pass per partition (where
@@ -136,7 +139,27 @@ object Multimodal {
         |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) // 1024 + 1 AS nf
         |      FROM documents WHERE doc_id % 3 = 2),
         | unnest(range(0, 5)) AS u(i)
-        |ORDER BY doc_id, sample_no""".stripMargin
-    // mm_features: mapPartitions decode path → rows-only gate + MultimodalSpec
+        |ORDER BY doc_id, sample_no""".stripMargin,
+    // mm_features: the STUB_DECODE arithmetic is deterministic byte math
+    // (polynomial checksum base 131 mod 1e9+7, mean-byte brightness), so
+    // the oracle replays it from the hex expansion of the payload
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) h,
+        |        octet_length(CAST(text AS BLOB)) n
+        |       FROM documents),
+        |v AS (SELECT doc_id, n,
+        |       list_transform(range(n), i ->
+        |         CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS BIGINT))
+        |        bytes
+        |      FROM b)
+        |SELECT doc_id,
+        | ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        | CAST(n AS BIGINT) AS n_bytes,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        |   (acc, x) -> (acc * 131 + x) % 1000000007) AS byte_checksum,
+        | CAST(n // 1024 + 1 AS BIGINT) AS n_frames,
+        | floor(list_sum(bytes) * 1.0 / n / 255.0 * 10000 + 0.5) / 10000
+        |  AS brightness
+        |FROM v ORDER BY doc_id""".stripMargin
   )
 }
