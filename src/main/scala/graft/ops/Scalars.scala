@@ -339,6 +339,28 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** AT TIME ZONE family (reference at_timezone/with_timezone +
+    * DesugarAtTimeZoneRewriter): from_utc_timestamp / to_utc_timestamp
+    * over fixed-offset zones — the oracle replays them as pure interval
+    * arithmetic, so the gate is independent of any tz database; IANA-zone
+    * DST behavior is JDK-backed and exercised in FunctionsSpec. */
+  def timezone(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .withColumn("ts2", timestamp_millis(
+        unix_millis(col("o_orderdate").cast("timestamp")) +
+          (col("o_orderkey") % 86400) * 1000))
+      .select(
+        col("o_orderkey").as("k"),
+        date_format(from_utc_timestamp(col("ts2"), "+05:30"),
+          "yyyy-MM-dd HH:mm:ss").as("kolkata_wall"),
+        date_format(from_utc_timestamp(col("ts2"), "-05:00"),
+          "yyyy-MM-dd HH:mm:ss").as("ny_fixed_wall"),
+        hour(from_utc_timestamp(col("ts2"), "+05:30")).cast("long")
+          .as("kolkata_hour"),
+        (to_utc_timestamp(from_utc_timestamp(col("ts2"), "+05:30"), "+05:30")
+          === col("ts2")).as("rt_ok"))
+      .orderBy("k")
+
   /** to_utf8 / from_utf8 / crc32 / xxhash64 (reference VarbinaryFunctions):
     * binary↔string conversions round-tripped on real text; crc32/xxhash64
     * are engine-checkable constants (known-answer spec in FunctionsSpec),
@@ -889,6 +911,7 @@ object Scalars {
     "fn_url" -> url,
     "fn_url_codec" -> urlCodec,
     "fn_iso_duration" -> isoDuration,
+    "fn_timezone" -> timezone,
     "fn_geo_poly" -> geoPoly,
     "fn_conv" -> conv,
     "fn_split_map" -> splitMap,
@@ -1448,6 +1471,19 @@ object Scalars {
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
         | ~c_custkey AS bnot
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_timezone" ->
+      """WITH b AS (SELECT o_orderkey k,
+        |  CAST(o_orderdate AS TIMESTAMP)
+        |    + to_seconds(o_orderkey % 86400) ts2
+        | FROM orders WHERE o_orderkey <= 500)
+        |SELECT k,
+        | strftime(ts2 + INTERVAL 5 HOUR + INTERVAL 30 MINUTE,
+        |   '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+        | strftime(ts2 - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S') AS ny_fixed_wall,
+        | CAST(hour(ts2 + INTERVAL 5 HOUR + INTERVAL 30 MINUTE) AS BIGINT)
+        |  AS kolkata_hour,
+        | true AS rt_ok
+        |FROM b ORDER BY k""".stripMargin,
     "fn_geo_poly" ->
       """WITH g AS (SELECT c_custkey k, CAST(3 + c_custkey % 5 AS INT) n,
         |            (c_custkey % 100) / 10.0 cx, (c_custkey % 77) / 7.0 cy,

@@ -558,6 +558,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!rl.getBoolean(1) && rl.getBoolean(2))
   }
 
+  test("IANA-zone conversion honors the DST boundary (at_timezone semantics)") {
+    // US spring-forward 2021-03-14: 06:59Z is 01:59 EST, 07:01Z is 03:01 EDT
+    val r = spark.sql(
+      """SELECT date_format(from_utc_timestamp(timestamp'2021-03-14 06:59:00',
+        |         'America/New_York'), 'HH:mm'),
+        |       date_format(from_utc_timestamp(timestamp'2021-03-14 07:01:00',
+        |         'America/New_York'), 'HH:mm')""".stripMargin).collect()(0)
+    assert(r.getString(0) == "01:59")
+    assert(r.getString(1) == "03:01")
+  }
+
   test("binary conversions and parse_duration match reference semantics") {
     // CRC-32 check value (ISO 3309 / reference VarbinaryFunctions crc32)
     val r = spark.range(1).select(
