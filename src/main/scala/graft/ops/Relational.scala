@@ -198,6 +198,25 @@ object Relational {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("col").as("word"))
       .orderBy("doc_id", "ord")
 
+  /** WITH RECURSIVE (reference grammar SqlBase.g4:189,905): iterative
+    * fixpoint over a UNION ALL step — here each nation walks its synthetic
+    * binary ancestry chain k → k/2 → … → 0. Spark 4 executes this as a
+    * loop of materialized steps (UnionLoop), each step a normal
+    * distributed plan, so depth scales with the longest chain while every
+    * iteration stays a full-cluster job. */
+  def cteRecursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_rec")
+    s.sql(
+      """WITH RECURSIVE anc(nk, a, d) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT) FROM nation_rec
+        |  UNION ALL
+        |  SELECT nk, a DIV 2, CAST(d + 1 AS BIGINT) FROM anc WHERE a > 0)
+        |SELECT nk, count(*) AS n_anc, CAST(max(d) AS BIGINT) AS depth,
+        |  CAST(sum(a) AS BIGINT) AS key_path_sum
+        |FROM anc GROUP BY nk ORDER BY nk""".stripMargin)
+  }
+
   /** Multi-array UNNEST (reference UnnestNode zips parallel arrays —
     * UNNEST(a, b) WITH ORDINALITY pads the shorter array with NULLs):
     * arrays_zip + posexplode reproduces the exact zip/padding contract. */
@@ -324,7 +343,7 @@ object Relational {
     "except" -> exceptDistinct, "except_all" -> exceptAll,
     "grouping_sets" -> groupingSets, "rollup" -> rollupAgg, "cube" -> cubeAgg,
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
-    "unnest_multi" -> unnestMulti,
+    "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem)
 
   val oracle: Map[String, String] = Map(
@@ -476,6 +495,15 @@ object Relational {
         |ORDER BY doc_id, ord""".stripMargin,
     // sample_bernoulli / sample_system: engine-specific RNG / split
     // assignment → rows-only checks
+    "cte_recursive" ->
+      """WITH RECURSIVE anc(nk, a, d) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT nk, a // 2, d + 1 FROM anc WHERE a > 0)
+        |SELECT nk, count(*) AS n_anc, CAST(max(d) AS BIGINT) AS depth,
+        |  CAST(sum(a) AS BIGINT) AS key_path_sum
+        |FROM anc GROUP BY nk ORDER BY nk""".stripMargin,
     "unnest_multi" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') ws
         |           FROM documents WHERE doc_id < 5),
