@@ -140,6 +140,26 @@ object GeoFunctions {
         sqrt(pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2))),
       lit(0.0), _ + _)
 
+  /** great_circle_distance(lat1, lon1, lat2, lon2) in km (reference
+    * SphericalGeoFunctions.java:168 — haversine, R = 6371 km; pinned by
+    * the reference's BNA↔LAX test vector in FunctionsSpec). */
+  def greatCircleKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    stHaversineKm(stPoint(lon1, lat1), stPoint(lon2, lat2))
+
+  /** bing_tiles_around(lat, lon, zoom) — the tile and its ≤8 neighbors,
+    * clamped at the grid edge and deduplicated (BingTileFunctions.java). */
+  def bingTilesAround(lat: Column, lon: Column, zoom: Column): Column = {
+    val c = bingTileAt(lat, lon, zoom)
+    val maxIdx = (pow(lit(2.0), zoom) - 1).cast("long")
+    array_distinct(flatten(
+      transform(sequence(lit(-1), lit(1)), dx =>
+        transform(sequence(lit(-1), lit(1)), dy =>
+          struct(
+            least(greatest(c.getField("x") + dx, lit(0L)), maxIdx).as("x"),
+            least(greatest(c.getField("y") + dy, lit(0L)), maxIdx).as("y"),
+            c.getField("zoom").as("zoom"))))))
+  }
+
   /** Initial bearing in degrees from a to b ((lon, lat) degrees), normalized
     * to [0, 360). */
   def stBearing(a: Column, b: Column): Column = {

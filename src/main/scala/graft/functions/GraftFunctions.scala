@@ -200,6 +200,30 @@ object GraftFunctions {
       }),
     ("sfm_cardinality", "sfm_cardinality(sketch) - distinct estimate of an SFM sketch",
       es => SfmCardinality(es.head)),
+    ("to_base", "to_base(x, radix) - signed radix-2..36 string of a bigint",
+      es => ToBase(asLong(es(0)), asLong(es(1)))),
+    ("from_base", "from_base(s, radix) - parse a signed radix-2..36 string to bigint",
+      es => FromBase(es(0), asLong(es(1)))),
+    ("cosine_distance", "cosine_distance(v1, v2) - 1 minus cosine similarity",
+      es => org.apache.spark.sql.catalyst.expressions.Subtract(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+        CosineSimilarity(es(0), es(1)))),
+    ("great_circle_distance",
+      "great_circle_distance(lat1, lon1, lat2, lon2) - haversine km (R=6371)",
+      es => Bridge.resolvedExpression(GeoFunctions.greatCircleKm(
+        Bridge.column(es(0)), Bridge.column(es(1)),
+        Bridge.column(es(2)), Bridge.column(es(3))))),
+    ("bing_tiles_around",
+      "bing_tiles_around(lat, lon, zoom) - the tile and its neighbors, edge-clamped",
+      es => Bridge.resolvedExpression(GeoFunctions.bingTilesAround(
+        Bridge.column(es(0)), Bridge.column(es(1)), Bridge.column(es(2))))),
+    ("current_timezone", "current_timezone() - session time zone id",
+      _ => org.apache.spark.sql.catalyst.expressions.CurrentTimeZone()),
+    ("version", "version() - engine version string",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"graft-spark:${org.apache.spark.SPARK_VERSION}"),
+        org.apache.spark.sql.types.StringType)),
     ("url_encode", "url_encode(value) - escape for URL query parameter names/values",
       es => UrlEncode(es.head)),
     ("url_decode", "url_decode(value) - unescape a URL-encoded string",
@@ -294,6 +318,11 @@ object GraftFunctions {
     if (e.dataType == org.apache.spark.sql.types.DoubleType) e
     else org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.DoubleType)
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.LongType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

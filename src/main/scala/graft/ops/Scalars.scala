@@ -339,6 +339,22 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** to_base / from_base (reference MathFunctions.java:1599-1618) — signed
+    * Java Long radix semantics (Spark's conv is unsigned and error-silent);
+    * oracle replays bases 2/16 via bin()/to_hex() and the base-36 round
+    * trip by identity. */
+  def baseConv(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey").as("k"),
+        expr("to_base(p_partkey, 16)").as("hex16"),
+        expr("to_base(p_partkey, 2)").as("bin2"),
+        expr("to_base(-p_partkey, 16)").as("neg16"),
+        expr("from_base(to_base(p_partkey, 36), 36)").as("rt36"),
+        expr("from_base('ff', 16)").as("const_ff"))
+      .orderBy("k")
+  }
+
   /** AT TIME ZONE family (reference at_timezone/with_timezone +
     * DesugarAtTimeZoneRewriter): from_utc_timestamp / to_utc_timestamp
     * over fixed-offset zones — the oracle replays them as pure interval
@@ -912,6 +928,7 @@ object Scalars {
     "fn_url_codec" -> urlCodec,
     "fn_iso_duration" -> isoDuration,
     "fn_timezone" -> timezone,
+    "fn_base" -> baseConv,
     "fn_geo_poly" -> geoPoly,
     "fn_conv" -> conv,
     "fn_split_map" -> splitMap,
@@ -1471,6 +1488,15 @@ object Scalars {
         | CAST(bit_count(c_custkey) AS BIGINT) AS bits,
         | ~c_custkey AS bnot
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_base" ->
+      """SELECT p_partkey AS k,
+        | lower(to_hex(p_partkey)) AS hex16,
+        | bin(p_partkey) AS bin2,
+        | CASE WHEN p_partkey = 0 THEN '0'
+        |      ELSE '-' || lower(to_hex(p_partkey)) END AS neg16,
+        | p_partkey AS rt36,
+        | CAST(255 AS BIGINT) AS const_ff
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_timezone" ->
       """WITH b AS (SELECT o_orderkey k,
         |  CAST(o_orderdate AS TIMESTAMP)

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Fully-converted expression (no lazy ColumnNode wrapper) — required
+    * when a Column built from `functions._` is returned from a
+    * FunctionRegistry builder, where the analyzer will not run the
+    * column-node converter for us. */
+  def resolvedExpression(c: Column): Expression =
+    classic.SparkSession.active.expression(c)
 }

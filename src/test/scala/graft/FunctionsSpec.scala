@@ -558,6 +558,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!rl.getBoolean(1) && rl.getBoolean(2))
   }
 
+  test("base conversion, great-circle, tile neighborhood, session scalars") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT to_base(255, 16), to_base(-10, 2), from_base('-ff', 16),
+        |       round(great_circle_distance(36.12, -86.67, 33.94, -118.40), 2),
+        |       size(bing_tiles_around(30.12, 60.0, 10)),
+        |       size(bing_tiles_around(85.05, -179.9, 1)),
+        |       current_timezone(), version()""".stripMargin).collect()(0)
+    assert(r.getString(0) == "ff")
+    assert(r.getString(1) == "-1010")
+    assert(r.getLong(2) == -255L)
+    // reference TestSphericalGeoFunctions BNA↔LAX vector: 2886.449 km
+    assert(math.abs(r.getDouble(3) - 2886.45) < 0.01)
+    assert(r.getInt(4) == 9) // interior tile: full 3x3
+    assert(r.getInt(5) == 4) // zoom-1 corner: clamped to 2x2
+    assert(r.getString(6) == "UTC")
+    assert(r.getString(7).startsWith("graft-spark:"))
+    // errors: bad radix / unparseable digits
+    intercept[Exception](spark.sql("SELECT to_base(5, 1)").collect())
+    intercept[Exception](spark.sql("SELECT from_base('zz', 16)").collect())
+  }
+
   test("IANA-zone conversion honors the DST boundary (at_timezone semantics)") {
     // US spring-forward 2021-03-14: 06:59Z is 01:59 EST, 07:01Z is 03:01 EDT
     val r = spark.sql(
