@@ -200,6 +200,9 @@ object GraftFunctions {
       }),
     ("sfm_cardinality", "sfm_cardinality(sketch) - distinct estimate of an SFM sketch",
       es => SfmCardinality(es.head)),
+    ("multimap_from_entries",
+      "multimap_from_entries(array<row(k,v)>) - map<k, array<v>>, duplicate keys collected in order",
+      es => MultimapFromEntries(es.head)),
     ("to_base", "to_base(x, radix) - signed radix-2..36 string of a bigint",
       es => ToBase(asLong(es(0)), asLong(es(1)))),
     ("from_base", "from_base(s, radix) - parse a signed radix-2..36 string to bigint",

@@ -580,6 +580,27 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT from_base('zz', 16)").collect())
   }
 
+  test("multimap_from_entries collects duplicate keys in encounter order") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT multimap_from_entries(array(
+        |  struct('a', 1), struct('b', 2), struct('a', 3), struct('b', 4),
+        |  struct('c', CAST(NULL AS INT))))""".stripMargin).collect()(0)
+    val m = r.getMap[String, scala.collection.Seq[Any]](0)
+    assert(m("a").toSeq == Seq(1, 3))
+    assert(m("b").toSeq == Seq(2, 4))
+    assert(m("c").toSeq == Seq(null))
+    // null entry → NULL result; null key → error (map key contract)
+    val n = spark.sql(
+      """SELECT multimap_from_entries(array(
+        |  CAST(struct('a', 1) AS STRUCT<k: STRING, v: INT>),
+        |  CAST(NULL AS STRUCT<k: STRING, v: INT>)))""".stripMargin)
+      .collect()(0)
+    assert(n.isNullAt(0))
+    intercept[Exception](spark.sql(
+      "SELECT multimap_from_entries(array(struct(CAST(NULL AS STRING), 1)))").collect())
+  }
+
   test("IANA-zone conversion honors the DST boundary (at_timezone semantics)") {
     // US spring-forward 2021-03-14: 06:59Z is 01:59 EST, 07:01Z is 03:01 EDT
     val r = spark.sql(
