@@ -580,6 +580,21 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT from_base('zz', 16)").collect())
   }
 
+  test("differential_entropy reservoirs survive eviction (n >> capacity)") {
+    import spark.implicits._
+    val g = GraftFunctions
+    // 20k uniform samples through a 256-slot reservoir: sampling noise is
+    // bounded, the estimate must stay near the true 0 bits and never
+    // NaN/crash — this drives the unweighted replacement and the weighted
+    // A-Res heap eviction/merge paths that the exact-regime tests skip
+    val big = (0 until 20000).map(i => (i % 977) / 977.0).toDF("x").repartition(9)
+    val un = big.agg(g.differentialEntropy(256, col("x"))).collect()(0).getDouble(0)
+    assert(!un.isNaN && math.abs(un) < 0.8, s"unweighted $un")
+    val wt = big.agg(g.differentialEntropyWeighted(256, col("x"), lit(2.0)))
+      .collect()(0).getDouble(0)
+    assert(!wt.isNaN && math.abs(wt) < 0.8, s"weighted $wt")
+  }
+
   test("multimap_from_entries collects duplicate keys in encounter order") {
     GraftFunctions.register(spark)
     val r = spark.sql(
