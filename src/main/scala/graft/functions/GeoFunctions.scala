@@ -43,7 +43,7 @@ object GeoFunctions {
   /** ST_Area of a simple polygon (array<struct<x,y>>, unclosed ring) via the
     * shoelace formula — one zip_with pass, no UDF. */
   def stArea(ring: Column): Column = {
-    val rotated = concat(slice(ring, 2, 1000000), slice(ring, 1, 1))
+    val rotated = rotatedRing(ring)
     abs(aggregate(
       zip_with(ring, rotated, (a, b) => stX(a) * stY(b) - stX(b) * stY(a)),
       lit(0.0), (acc, v) => acc + v)) / 2
@@ -97,9 +97,11 @@ object GeoFunctions {
       slice(pts, lit(1), size(pts) - 1)).otherwise(pts)
   }
 
-  // length bounded (start + length must not overflow Int in slice)
+  // ring rotated by one: [v1..vn-1, v0] — slice length tracks the actual
+  // ring size so oversized rings are never silently truncated
   private def rotatedRing(ring: Column): Column =
-    concat(slice(ring, 2, 1000000), slice(ring, 1, 1))
+    concat(slice(ring, lit(2), greatest(size(ring) - 1, lit(0))),
+      slice(ring, lit(1), lit(1)))
 
   /** ST_Contains(polygon, point) for simple polygons — even-odd ray cast
     * (a horizontal ray to +x; crossing parity decides). One zip_with pass

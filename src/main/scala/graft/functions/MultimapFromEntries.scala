@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * MultimapFromEntriesFunction.java): duplicate keys collect their values
   * in encounter order instead of erroring like map_from_entries. Fields
   * are positional (first = key, second = value), so any 2-field struct
-  * works regardless of names. NULL keys are rejected (map key contract);
-  * NULL entries make the whole result NULL, matching map_from_entries. */
+  * works regardless of names. NULL keys and NULL entries are rejected,
+  * matching the reference's "map entry cannot be null" error contract
+  * (MultimapFromEntriesFunction.java). */
 case class MultimapFromEntries(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
@@ -20,8 +21,6 @@ case class MultimapFromEntries(child: Expression)
     child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
 
   override def prettyName: String = "multimap_from_entries"
-  // a NULL entry nulls the whole result even when the input array is non-null
-  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(s: StructType, _) if s.length == 2 =>
@@ -45,7 +44,8 @@ case class MultimapFromEntries(child: Expression)
       .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
     var i = 0
     while (i < arr.numElements()) {
-      if (arr.isNullAt(i)) return null // null entry → null map
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException("map entry cannot be null")
       val row = arr.getStruct(i, 2)
       if (row.isNullAt(0))
         throw new IllegalArgumentException("map key cannot be null")

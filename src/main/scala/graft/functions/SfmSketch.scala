@@ -456,6 +456,9 @@ case class SfmScalarMerge(child: Expression) extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def prettyName: String = "merge_sfm"
   override def dataType: DataType = BinaryType
+  // empty/all-null array → NULL even when child (e.g. CreateArray) is
+  // non-nullable; without this, codegen would emit isNull=false
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(BinaryType, _) =>
       TypeCheckResult.TypeCheckSuccess

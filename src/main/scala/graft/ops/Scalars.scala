@@ -435,30 +435,34 @@ object Scalars {
 
   /** Polygon slice of the geospatial surface (reference GeoFunctions.java
     * ST_Polygon:226, ST_Contains, ST_Area, ST_Centroid, ST_NumPoints):
-    * regular k-gons are synthesized from customer keys, serialized to WKT,
-    * parsed back with stPolygonWkt (CAST double↔string is shortest-repr on
-    * both engines, so the trip is exact), then measured. The oracle
-    * recomputes every figure from first-principles trig + the same
-    * shoelace/ray-cast arithmetic in SQL. */
+    * convex k-gons (k = 3..7) are synthesized from customer keys using a
+    * fixed CCW vertex table of dyadic rationals (halves/eighths), so every
+    * coordinate, shoelace product and centroid quotient is EXACT in binary
+    * floating point — the oracle recomputing the identical arithmetic in
+    * SQL lands on bit-identical doubles regardless of libm or summation
+    * order (r4 fix: the previous cos/sin vertices differed by 1 ulp
+    * between JVM and DuckDB libm, flipping ROUND(,4) digits). The WKT
+    * parse path keeps its own coverage in PolygonSpec. The inside probe
+    * (cx + 5/16·r, cy + 35/64·r) is the convex combination
+    * 3/8·v0 + 1/4·v1 + 3/8·v2, strictly interior for every n ≥ 3. */
   def geoPoly(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeoFunctions._
     val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
       .select(col("c_custkey").as("k"),
         (lit(3) + col("c_custkey") % 5).cast("int").as("n"),
-        ((col("c_custkey") % 100) / 10.0).as("cx"),
-        ((col("c_custkey") % 77) / 7.0).as("cy"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"),
         (lit(1.0) + col("c_custkey") % 3).as("r"))
-    val verts = transform(sequence(lit(0), col("n") - 1), i =>
+    val dxs = org.apache.spark.sql.functions.array(
+      Seq(1.0, 0.5, -0.5, -1.0, -0.75, 0.0, 0.75).map(lit): _*)
+    val dys = org.apache.spark.sql.functions.array(
+      Seq(0.0, 0.875, 0.875, 0.0, -0.625, -1.0, -0.625).map(lit): _*)
+    val ring = transform(sequence(lit(0), col("n") - 1), i =>
       struct(
-        (col("cx") + col("r") * cos(lit(2 * scala.math.Pi) * i / col("n"))).as("x"),
-        (col("cy") + col("r") * sin(lit(2 * scala.math.Pi) * i / col("n"))).as("y")))
-    val wkt = concat(lit("POLYGON(("),
-      array_join(transform(verts, v =>
-        concat(v.getField("x").cast("string"), lit(" "),
-          v.getField("y").cast("string"))), ", "),
-      lit("))"))
-    val ring = stPolygonWkt(wkt)
-    val pIn = stPoint(col("cx") + 0.1, col("cy") + 0.07)
+        (col("cx") + col("r") * element_at(dxs, i + 1)).as("x"),
+        (col("cy") + col("r") * element_at(dys, i + 1)).as("y")))
+    val pIn = stPoint(col("cx") + lit(0.3125) * col("r"),
+      col("cy") + lit(0.546875) * col("r"))
     val pOut = stPoint(col("cx") + col("r") + 1.5, col("cy"))
     g.select(col("k"),
       stNumPoints(ring).as("n_points"),
@@ -1512,13 +1516,17 @@ object Scalars {
         |FROM b ORDER BY k""".stripMargin,
     "fn_geo_poly" ->
       """WITH g AS (SELECT c_custkey k, CAST(3 + c_custkey % 5 AS INT) n,
-        |            (c_custkey % 100) / 10.0 cx, (c_custkey % 77) / 7.0 cy,
+        |            (c_custkey % 100) / 8.0 cx, (c_custkey % 77) / 4.0 cy,
         |            1.0 + c_custkey % 3 r
         |           FROM customer WHERE c_custkey <= 200),
         |v AS (SELECT k, n, cx, cy, r, unnest(range(n)) i FROM g),
         |pt AS (SELECT k, n, cx, cy, r, i,
-        |        cx + r * cos(2 * pi() * i / n) vx,
-        |        cy + r * sin(2 * pi() * i / n) vy FROM v),
+        |        cx + r * (CASE i WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+        |                  WHEN 2 THEN -0.5 WHEN 3 THEN -1.0 WHEN 4 THEN -0.75
+        |                  WHEN 5 THEN 0.0 ELSE 0.75 END) vx,
+        |        cy + r * (CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 0.875
+        |                  WHEN 2 THEN 0.875 WHEN 3 THEN 0.0 WHEN 4 THEN -0.625
+        |                  WHEN 5 THEN -1.0 ELSE -0.625 END) vy FROM v),
         |e AS (SELECT a.k, a.n, a.cx, a.cy, a.r,
         |       a.vx ax, a.vy ay, b.vx bx, b.vy by_
         |      FROM pt a JOIN pt b ON b.k = a.k AND b.i = (a.i + 1) % a.n),
@@ -1527,8 +1535,9 @@ object Scalars {
         |       SUM((ax + bx) * (ax * by_ - bx * ay)) sx6,
         |       SUM((ay + by_) * (ax * by_ - bx * ay)) sy6,
         |       SUM(sqrt(power(bx - ax, 2) + power(by_ - ay, 2))) per,
-        |       SUM(CASE WHEN (ay > cy + 0.07) <> (by_ > cy + 0.07)
-        |                 AND cx + 0.1 < (bx - ax) * (cy + 0.07 - ay) / (by_ - ay) + ax
+        |       SUM(CASE WHEN (ay > cy + 0.546875 * r) <> (by_ > cy + 0.546875 * r)
+        |                 AND cx + 0.3125 * r <
+        |                   (bx - ax) * (cy + 0.546875 * r - ay) / (by_ - ay) + ax
         |                THEN 1 ELSE 0 END) cr_in,
         |       SUM(CASE WHEN (ay > cy) <> (by_ > cy)
         |                 AND cx + r + 1.5 < (bx - ax) * (cy - ay) / (by_ - ay) + ax

@@ -605,13 +605,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m("a").toSeq == Seq(1, 3))
     assert(m("b").toSeq == Seq(2, 4))
     assert(m("c").toSeq == Seq(null))
-    // null entry → NULL result; null key → error (map key contract)
-    val n = spark.sql(
+    // null entry → error (reference "map entry cannot be null" contract);
+    // null key → error (map key contract)
+    intercept[Exception](spark.sql(
       """SELECT multimap_from_entries(array(
         |  CAST(struct('a', 1) AS STRUCT<k: STRING, v: INT>),
-        |  CAST(NULL AS STRUCT<k: STRING, v: INT>)))""".stripMargin)
-      .collect()(0)
-    assert(n.isNullAt(0))
+        |  CAST(NULL AS STRUCT<k: STRING, v: INT>)))""".stripMargin).collect())
     intercept[Exception](spark.sql(
       "SELECT multimap_from_entries(array(struct(CAST(NULL AS STRING), 1)))").collect())
   }
