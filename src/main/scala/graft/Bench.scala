@@ -45,12 +45,24 @@ object Bench {
         try { fn(spark, benchDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (runs(2) + runs(3)) / 2 // median of 6
+      (name, (runs(2) + runs(3)) / 2, runs.head) // median of 6 + min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Load detector (r4 lesson: a contaminated run was committed as a 45%
+    // regression): if any query's median is >1.5x its own min, concurrent
+    // machine load skewed the run — flag it in the artifact so a noisy
+    // measurement can't masquerade as a real regression.
+    val loaded = results.filter { case (_, med, min) => med > 1.5 * min }
+      .map(_._1)
+    if (loaded.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING median>1.5x min (machine load?): ${loaded.mkString(",")}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val flagged = loaded.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_min":$mins,"load_flagged":$flagged,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
