@@ -20,9 +20,11 @@ import graft.functions.GraftFunctions
   * Dialect notes: Spark SQL already accepts the bulk of the reference's
   * ANSI surface (date literals, INTERVAL, FILTER (WHERE), GROUPING SETS,
   * LATERAL, ||, 1-based element_at/subscripts). `Dialect.translate` shims
-  * the residual function-name differences; full grammar translation
-  * (UNNEST-as-relation, TRY(expr), GROUPS frames) is documented
-  * out-of-scope for this layer.
+  * the residual function-name differences plus the grammar idioms Spark
+  * spells differently: UNNEST-as-relation (→ LATERAL + explode TVFs),
+  * TABLESAMPLE BERNOULLI/SYSTEM (→ TABLESAMPLE PERCENT), TRY(expr) and
+  * 1-based subscripts. GROUPS frames in SQL text remain out-of-scope
+  * (the DataFrame rewrite in ops/Windows.scala covers the semantics).
   */
 final class SqlSession private (val spark: SparkSession) {
 
@@ -190,9 +192,132 @@ object Dialect {
     sb.toString
   }
 
+  /** End index (exclusive) of the parenthesized group opening at `open`
+    * (index of '('), measured on the masked text. */
+  private def matchParen(m: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < m.length) {
+      m.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    m.length
+  }
+
+  /** Split `span` (masked) at top-level commas → index ranges into it. */
+  private def topLevelArgs(m: String, from: Int, to: Int): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var depth = 0
+    var start = from
+    var i = from
+    while (i < to) {
+      m.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += ((start, i)); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += ((start, to))
+    out.toSeq
+  }
+
+  private val unnestRel =
+    "(?i)(,|\\bCROSS\\s+JOIN|\\bFROM)\\s*UNNEST\\s*(?=\\()".r
+  private val unnestTail =
+    "(?i)^\\s*(WITH\\s+ORDINALITY\\s+)?AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)".r
+
+  /** Reference-grammar UNNEST as a relation (SqlBase.g4:355-361):
+    * `CROSS JOIN UNNEST(a[, b…]) [WITH ORDINALITY] AS t(c…)` → a Spark
+    * LATERAL subquery over the explode/posexplode TVF. Ordinality is
+    * 1-based BIGINT like the reference; multi-array zip pads the shorter
+    * arrays with NULL (try_element_at over 1..greatest(sizes)); a single
+    * argument aliased to two columns without ordinality is the map form
+    * (key, value). The rewrite is purely textual on code spans — the
+    * LATERAL subquery correlates to preceding FROM relations exactly like
+    * the reference's UNNEST sees them. */
+  private def rewriteUnnest(original: String): String = {
+    val m = masked(original)
+    val hit = unnestRel.findFirstMatchIn(m) match {
+      case None => return original
+      case Some(h) => h
+    }
+    val argsOpen = hit.end
+    val argsEnd = matchParen(m, argsOpen)
+    val args = topLevelArgs(m, argsOpen + 1, argsEnd - 1)
+      .map { case (a, b) => original.substring(a, b).trim }
+      .filter(_.nonEmpty)
+    val tail = unnestTail.findFirstMatchIn(m.substring(argsEnd)) match {
+      case Some(t) => t
+      case None => throw new UnsupportedOperationException(
+        "UNNEST as a relation requires an AS t(col, …) alias")
+    }
+    val hasOrd = tail.group(1) != null
+    val alias = tail.group(2)
+    val cols = tail.group(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val dataCols = if (hasOrd) cols.dropRight(1) else cols
+    val ordSel = if (hasOrd) Seq(s"CAST(pos + 1 AS BIGINT) AS ${cols.last}")
+      else Seq.empty
+    val inner =
+      if (args.length == 1 && dataCols.length == 2) // map form
+        (Seq(s"key AS ${dataCols(0)}", s"value AS ${dataCols(1)}") ++ ordSel)
+          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})")
+      else if (args.length == 1 && dataCols.length == 1)
+        (Seq(s"col AS ${dataCols.head}") ++ ordSel)
+          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})")
+      else if (args.length == dataCols.length) {
+        val g = args.map(a => s"size($a)").mkString("greatest(", ", ", ")")
+        val sel = args.zip(dataCols).map { case (a, c) =>
+          s"try_element_at($a, idx) AS $c"
+        } ++ (if (hasOrd) Seq(s"CAST(idx AS BIGINT) AS ${cols.last}") else Nil)
+        sel.mkString("SELECT ", ", ",
+          s" FROM (SELECT explode(slice(sequence(0, $g), 2, $g)) AS idx)")
+      } else throw new UnsupportedOperationException(
+        s"UNNEST arity mismatch: ${args.length} arguments vs " +
+          s"${dataCols.length} data columns")
+    // posexplode's `pos` serves the ordinality column in the 1-arg forms;
+    // a standalone FROM UNNEST keeps FROM, a joined one becomes LATERAL
+    val connector =
+      if (hit.group(1).equalsIgnoreCase("from")) "FROM (" else ", LATERAL ("
+    val rewritten = original.substring(0, hit.start(1)) + connector +
+      inner + s") AS $alias" +
+      original.substring(argsEnd + tail.end)
+    rewriteUnnest(rewritten) // handle multiple UNNESTs in one statement
+  }
+
+  private val tableSample =
+    "(?i)\\bTABLESAMPLE\\s+(?:BERNOULLI|SYSTEM)\\s*(?=\\()".r
+
+  /** `TABLESAMPLE BERNOULLI(p) | SYSTEM(p)` (SqlBase.g4:355-361) →
+    * Spark `TABLESAMPLE (p PERCENT)` (row-Bernoulli; SYSTEM's
+    * block-sampling is approximated the same way — both are
+    * engine-defined samples). */
+  private def rewriteTableSample(original: String): String = {
+    val m = masked(original)
+    val sb = new StringBuilder
+    var last = 0
+    for (hit <- tableSample.findAllMatchIn(m)) {
+      val end = matchParen(m, hit.end)
+      sb.append(original.substring(last, hit.start))
+      sb.append("TABLESAMPLE (")
+        .append(original.substring(hit.end + 1, end - 1).trim)
+        .append(" PERCENT)")
+      last = end
+    }
+    sb.append(original.substring(last))
+    sb.toString
+  }
+
   def translate(text: String): String = {
     checkStrposArity(text)
-    segments(rewriteSubscripts(text)).map {
+    segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(text)))).map {
       case (seg, false) => seg
       case (seg, true) =>
         renames.foldLeft(seg) { case (t, (from, to)) =>

@@ -289,6 +289,33 @@ object Relational {
         max("ord").cast("long").as("max_ord"))
       .orderBy("n_nationkey")
 
+  /** Reference-grammar `CROSS JOIN UNNEST(…) WITH ORDINALITY AS t(c…)`
+    * accepted as SQL TEXT through the dialect layer (SqlBase.g4:355-361 —
+    * the most common Presto idiom Spark spells differently); the dialect
+    * rewrites it to a LATERAL posexplode subquery. */
+  def sqlUnnestRel(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_sqlu")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_partkey AS k, t.word AS word, t.ord AS ord
+        |FROM part_sqlu
+        |CROSS JOIN UNNEST(split(p_type, ' ')) WITH ORDINALITY AS t(word, ord)
+        |WHERE p_partkey <= 100
+        |ORDER BY k, ord""".stripMargin)
+  }
+
+  /** Multi-array zip UNNEST as SQL text: parallel arrays pad with NULL to
+    * the longest (UnnestNode zip contract), ordinality 1-based BIGINT. */
+  def sqlUnnestZip(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_sqlu")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_partkey AS k, t.word AS word, t.tag AS tag, t.ord AS ord
+        |FROM part_sqlu
+        |CROSS JOIN UNNEST(split(p_type, ' '), sequence(1, 2))
+        |  WITH ORDINALITY AS t(word, tag, ord)
+        |WHERE p_partkey <= 100
+        |ORDER BY k, ord""".stripMargin)
+  }
+
   /** Sort-merge join distribution (reference MergeJoinNode +
     * SortMergeJoinOptimizer.java): the hint forces SMJ — the shape every
     * big×big join takes at 100 TB where neither side broadcasts. */
@@ -344,7 +371,8 @@ object Relational {
     "grouping_sets" -> groupingSets, "rollup" -> rollupAgg, "cube" -> cubeAgg,
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
     "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
-    "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem)
+    "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
+    "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip)
 
   val oracle: Map[String, String] = Map(
     "join_salted" ->
@@ -516,6 +544,20 @@ object Relational {
         |SELECT doc_id, CAST(i + 1 AS BIGINT) AS ord,
         | words[CAST(i AS INT) + 1] AS word,
         | lens[CAST(i AS INT) + 1] AS word_len
-        |FROM u ORDER BY doc_id, ord""".stripMargin
+        |FROM u ORDER BY doc_id, ord""".stripMargin,
+    "sql_unnest_rel" ->
+      """SELECT p_partkey AS k, unnest(ws) AS word,
+        | generate_subscripts(ws, 1) AS ord
+        |FROM (SELECT p_partkey, string_split(p_type, ' ') ws FROM part
+        |      WHERE p_partkey <= 100)
+        |ORDER BY k, ord""".stripMargin,
+    "sql_unnest_zip" ->
+      """WITH b AS (SELECT p_partkey k, string_split(p_type, ' ') ws
+        |           FROM part WHERE p_partkey <= 100),
+        |u AS (SELECT k, ws, unnest(range(greatest(len(ws), 2))) i FROM b)
+        |SELECT k, ws[CAST(i AS INT) + 1] AS word,
+        | CASE WHEN i < 2 THEN CAST(i + 1 AS INT) END AS tag,
+        | CAST(i + 1 AS BIGINT) AS ord
+        |FROM u ORDER BY k, ord""".stripMargin
   )
 }

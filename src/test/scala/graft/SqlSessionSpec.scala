@@ -165,4 +165,43 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("duplicate"),
       s"expected duplicate-key error, got: ${e.getMessage.take(200)}")
   }
+
+  test("UNNEST as a relation: CROSS JOIN, ordinality, zip, map, FROM forms") {
+    // single array + WITH ORDINALITY (1-based BIGINT like the reference)
+    val r1 = session.sql(
+      """SELECT n_name, t.w, t.ord
+        |FROM nation CROSS JOIN UNNEST(split(n_name, 'A')) WITH ORDINALITY
+        |  AS t(w, ord)
+        |WHERE n_nationkey = 0 ORDER BY t.ord""".stripMargin).collect()
+    assert(r1.nonEmpty && r1.head.getLong(2) == 1L)
+    // zip of two arrays pads the shorter with NULL
+    val r2 = session.sql(
+      """SELECT t.x, t.y FROM UNNEST(sequence(1, 3), sequence(10, 11))
+        |  AS t(x, y) ORDER BY t.x""".stripMargin).collect()
+    assert(r2.length == 3 && r2(2).isNullAt(1))
+    // map form: one argument, two columns
+    val r3 = session.sql(
+      """SELECT t.k, t.v FROM UNNEST(map('a', 1, 'b', 2)) AS t(k, v)
+        |ORDER BY t.k""".stripMargin).collect()
+    assert(r3.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // comma-join spelling, no ordinality
+    val r4 = session.sql(
+      """SELECT n_nationkey, t.w
+        |FROM nation, UNNEST(split(n_name, ' ')) AS t(w)
+        |WHERE n_nationkey < 3""".stripMargin).collect()
+    assert(r4.nonEmpty)
+  }
+
+  test("TABLESAMPLE BERNOULLI / SYSTEM accepted as reference SQL text") {
+    val n = session.sql(
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE BERNOULLI (20)")
+      .collect()(0).getLong(0)
+    val total = session.sql("SELECT count(*) FROM lineitem")
+      .collect()(0).getLong(0)
+    assert(n > 0 && n < total, s"sampled $n of $total")
+    val m = session.sql(
+      "SELECT count(*) AS n FROM orders TABLESAMPLE SYSTEM (50)")
+      .collect()(0).getLong(0)
+    assert(m > 0)
+  }
 }
