@@ -41,19 +41,37 @@ object GraftFunctions {
     ("mysql_date_format",
       "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
       es => {
+        // literal pattern folds to a literal Java pattern (cached formatter);
+        // a non-literal pattern column converts per row (reference permits
+        // expressions as the format argument)
         val fmt = es(1) match {
           case e if e.foldable => e.eval(null) match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                MySqlFormat.toJava(s.toString))
             case other => throw new IllegalArgumentException(
-              s"mysql_date_format: format must be a string literal, got $other")
+              s"mysql_date_format: format must be a string, got $other")
           }
-          case e => throw new IllegalArgumentException(
-            s"mysql_date_format: format must be foldable, got ${e.sql}")
+          case e => MySqlPatternToJava(e)
         }
-        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
-          es(0), org.apache.spark.sql.catalyst.expressions.Literal(
-            MySqlFormat.toJava(fmt)))
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(es(0), fmt)
       }),
+    ("json_parse", "json_parse(varchar) - validate + canonicalize (sorted keys) JSON text",
+      es => JsonParseExpr(es.head)),
+    ("json_format", "json_format(json) - JSON value as text (identity on the varchar encoding)",
+      es => es.head),
+    ("is_json_scalar", "is_json_scalar(json) - true for number/string/bool/null",
+      es => IsJsonScalar(es.head)),
+    ("json_array_length", "json_array_length(json) - element count, NULL when not an array",
+      es => JsonArrayLength(es.head)),
+    ("json_array_contains", "json_array_contains(json, value) - scan top-level scalars",
+      es => JsonArrayContains(es(0), es(1))),
+    ("json_array_get", "json_array_get(json, index) - element at index (negative from end)",
+      es => JsonArrayGet(es(0), asLong(es(1)))),
+    ("json_extract", "json_extract(json, path) - JSON text at a Presto-JSONPath",
+      es => JsonExtractJson(es(0), es(1))),
+    ("json_size", "json_size(json, path) - container size / 0 for scalars at path",
+      es => JsonSize(es(0), es(1))),
     ("qdigest_agg", "qdigest_agg(x) - mergeable quantile digest sketch",
       es => QDigestAgg(es.head).toAggregateExpression()),
     ("merge_qdigest", "merge_qdigest(sketch) - merge quantile digests",

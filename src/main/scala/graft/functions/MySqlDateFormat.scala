@@ -53,3 +53,22 @@ object MySqlFormat {
     out.toString
   }
 }
+
+/** Per-row MySQL→Java pattern conversion for a NON-literal format argument
+  * (the reference accepts format expressions; the literal case folds at
+  * plan time instead and keeps DateFormatClass's cached formatter). */
+case class MySqlPatternToJava(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "mysql_pattern_to_java"
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      MySqlFormat.toJava(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}

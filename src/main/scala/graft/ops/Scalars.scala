@@ -244,6 +244,45 @@ object Scalars {
         get_json_object(lit("[10,20,30]"), "$[1]").cast("long").as("idx1"))
       .orderBy("k")
 
+  /** Presto JSON function dialect (reference JsonFunctions.java:132-520,
+    * JsonExtract.java): json_parse canonicalization (sorted keys, compact),
+    * json_format identity, json_extract returning JSON text (quoted
+    * strings), json_size, json_array_length/contains/get, is_json_scalar.
+    * The JSON value is synthesized per row with deliberately UNSORTED keys
+    * so the canonicalization is observable; the oracle rebuilds the sorted
+    * compact form by string concat + replays the rest with DuckDB's JSON
+    * extension. */
+  def json2(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "events").filter(col("event_id") <= 500)
+      .withColumn("j", concat(
+        lit("""{"b": [1, 2, """), (col("event_id") % 5).cast("string"),
+        lit("""], "a": {"x": "v"""), (col("event_id") % 7).cast("string"),
+        lit(""""}, "n": """), (col("event_id") % 100).cast("string"),
+        lit(""", "f": 2.5, "s": "str"}""")))
+      .select(
+        col("event_id").as("k"),
+        expr("json_parse(j)").as("canonical"),
+        expr("json_format(j)").as("formatted"),
+        expr("json_extract(j, '$.a.x')").as("ext_quoted"),
+        expr("""json_extract(j, '$["b"][1]')""").as("ext_idx"),
+        expr("json_extract(j, '$.missing')").as("ext_miss"),
+        expr("CAST(json_size(j, '$.a') AS BIGINT)").as("size_obj"),
+        expr("CAST(json_size(j, '$.b') AS BIGINT)").as("size_arr"),
+        expr("CAST(json_size(j, '$.n') AS BIGINT)").as("size_scalar"),
+        expr("json_array_length(json_extract(j, '$.b'))").as("alen"),
+        expr("json_array_contains(json_extract(j, '$.b'), event_id % 5)")
+          .as("has_mod"),
+        expr("json_array_contains('[1.5,2.5]', 2.5)").as("has_f"),
+        expr("""json_array_contains('["a","b"]', 'b')""").as("has_s"),
+        expr("json_array_contains(json_extract(j, '$.b'), 99)").as("has_miss"),
+        expr("json_array_get(json_extract(j, '$.b'), -1)").as("last_el"),
+        expr("""json_array_get('["x","y"]', 0)""").as("first_s"),
+        expr("is_json_scalar(json_extract(j, '$.n'))").as("scalar_n"),
+        expr("is_json_scalar(j)").as("scalar_obj"))
+      .orderBy("k")
+  }
+
   def binary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region")
       .select(
@@ -926,6 +965,7 @@ object Scalars {
     "fn_array" -> array,
     "fn_map" -> map,
     "fn_json" -> json,
+    "fn_json2" -> json2,
     "fn_binary" -> binary,
     "fn_bitwise" -> bitwise,
     "fn_url" -> url,
@@ -1474,6 +1514,28 @@ object Scalars {
         | CAST(json_extract_string('{"a":{"b":7}}', '$.a.b') AS BIGINT) AS nested,
         | CAST(json_extract_string('[10,20,30]', '$[1]') AS BIGINT) AS idx1
         |FROM events WHERE event_id <= 1000 ORDER BY k""".stripMargin,
+    "fn_json2" ->
+      """WITH b AS (SELECT event_id k,
+        |  '{"b": [1, 2, ' || (event_id % 5) || '], "a": {"x": "v'
+        |    || (event_id % 7) || '"}, "n": ' || (event_id % 100)
+        |    || ', "f": 2.5, "s": "str"}' j
+        | FROM events WHERE event_id <= 500)
+        |SELECT k,
+        | '{"a":{"x":"v' || (k % 7) || '"},"b":[1,2,' || (k % 5)
+        |   || '],"f":2.5,"n":' || (k % 100) || ',"s":"str"}' AS canonical,
+        | j AS formatted,
+        | CAST(json_extract(j, '$.a.x') AS VARCHAR) AS ext_quoted,
+        | CAST(json_extract(j, '$.b[1]') AS VARCHAR) AS ext_idx,
+        | CAST(json_extract(j, '$.missing') AS VARCHAR) AS ext_miss,
+        | CAST(len(json_keys(j, '$.a')) AS BIGINT) AS size_obj,
+        | CAST(json_array_length(j, '$.b') AS BIGINT) AS size_arr,
+        | CAST(0 AS BIGINT) AS size_scalar,
+        | CAST(json_array_length(j, '$.b') AS BIGINT) AS alen,
+        | true AS has_mod, true AS has_f, true AS has_s, false AS has_miss,
+        | CAST(k % 5 AS VARCHAR) AS last_el,
+        | 'x' AS first_s,
+        | true AS scalar_n, false AS scalar_obj
+        |FROM b ORDER BY k""".stripMargin,
     "fn_binary" ->
       """SELECT r_regionkey AS k,
         | md5(r_name) AS md5_s,

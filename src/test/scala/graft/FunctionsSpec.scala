@@ -615,6 +615,51 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT multimap_from_entries(array(struct(CAST(NULL AS STRING), 1)))").collect())
   }
 
+  test("Presto JSON dialect: parse/extract/size/array fns (TestJsonExtract pins)") {
+    GraftFunctions.register(spark)
+    def one(q: String): Any = { val r = spark.sql(q).collect()(0); if (r.isNullAt(0)) null else r.get(0) }
+    // json_parse canonicalizes: sorted keys, compact, raises on garbage
+    assert(one("""SELECT json_parse('{"b":1, "a": [1, 2]}')""") == """{"a":[1,2],"b":1}""")
+    intercept[Exception](one("SELECT json_parse('{bad')"))
+    intercept[Exception](one("SELECT json_parse('{} trailing')"))
+    // json_format is identity on the varchar-encoded JSON
+    assert(one("""SELECT json_format('{"x": 1}')""") == """{"x": 1}""")
+    // Presto-JSONPath dialect: $.a, $["a b"], $[0]; no wildcards
+    assert(one("""SELECT json_extract('{"a b": {"c": 3}}', '$["a b"].c')""") == "3")
+    assert(one("""SELECT json_extract('{"a": "x"}', '$.a')""") == "\"x\"")
+    assert(one("""SELECT json_extract('[10, 20]', '$[1]')""") == "20")
+    assert(one("""SELECT json_extract('{"a": 1}', '$.miss')""") == null)
+    assert(one("""SELECT json_extract('not json', '$.a')""") == null) // lenient
+    intercept[Exception](one("""SELECT json_extract('{}', 'a.b')""")) // bad path
+    // json_size: container size at path, 0 for scalars, NULL on miss
+    assert(one("""SELECT json_size('{"a": {"x": 1, "y": 2}}', '$.a')""") == 2L)
+    assert(one("""SELECT json_size('{"a": [1,2,3]}', '$.a')""") == 3L)
+    assert(one("""SELECT json_size('{"a": 7}', '$.a')""") == 0L)
+    assert(one("""SELECT json_size('{"a": 7}', '$.b')""") == null)
+    // array fns: length NULL on non-array; contains token discipline;
+    // get with negative index, scalars unquoted, containers as JSON
+    assert(one("SELECT json_array_length('[1,2,3]')") == 3L)
+    assert(one("""SELECT json_array_length('{"a":1}')""") == null)
+    assert(one("SELECT json_array_contains('[1, 2, 3]', 2)") == true)
+    assert(one("SELECT json_array_contains('[1.5]', 1.5)") == true)
+    assert(one("SELECT json_array_contains('[1]', 1.0D)") == false) // int token != double needle
+    assert(one("""SELECT json_array_contains('["x"]', 'x')""") == true)
+    assert(one("SELECT json_array_get('[\"a\",\"b\",\"c\"]', -1)") == "c")
+    assert(one("""SELECT json_array_get('[[1,2]]', 0)""") == "[1,2]")
+    assert(one("SELECT json_array_get('[1,2]', 5)") == null)
+    assert(one("SELECT is_json_scalar('7')") == true)
+    assert(one("SELECT is_json_scalar('[1]')") == false)
+  }
+
+  test("mysql_date_format accepts a non-literal per-row format column") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT mysql_date_format(timestamp'2021-03-14 07:01:02', fmt) AS s
+        |FROM VALUES ('%Y-%m-%d'), ('%H:%i:%s'), ('%d/%m/%Y') AS t(fmt)
+        |ORDER BY fmt""".stripMargin).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("07:01:02", "2021-03-14", "14/03/2021"))
+  }
+
   test("IANA-zone conversion honors the DST boundary (at_timezone semantics)") {
     // US spring-forward 2021-03-14: 06:59Z is 01:59 EST, 07:01Z is 03:01 EDT
     val r = spark.sql(
