@@ -162,6 +162,110 @@ object GeoFunctions {
             c.getField("zoom").as("zoom"))))))
   }
 
+  // ---- Linestrings (reference GeoFunctions.java ST_LineString / ST_Length /
+  // ST_StartPoint / ST_EndPoint / ST_PointN) — an OPEN path as
+  // array<struct<x,y>>, sharing the point representation with rings. ----
+
+  /** ST_LineFromText('LINESTRING(x y, x y, …)') → array<struct<x,y>>. */
+  def stLineWkt(w: Column): Column = {
+    val inner = regexp_extract(w,
+      "(?i)^\\s*LINESTRING\\s*\\(\\s*(.*?)\\s*\\)\\s*$", 1)
+    transform(split(inner, "\\s*,\\s*"), s =>
+      struct(element_at(split(trim(s), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(s), "\\s+"), 2).cast("double").as("y")))
+  }
+
+  /** Consecutive segments of an open path: array<struct<p, q>>. */
+  private def pathSegments(line: Column): Column =
+    zip_with(slice(line, lit(1), greatest(size(line) - 1, lit(0))),
+      slice(line, lit(2), greatest(size(line) - 1, lit(0))),
+      (a, b) => struct(a.as("p"), b.as("q")))
+
+  /** Closed-ring edges (last vertex connects back to the first). */
+  private def ringEdges(ring: Column): Column =
+    zip_with(ring, rotatedRing(ring), (a, b) => struct(a.as("p"), b.as("q")))
+
+  /** ST_Length of an open path. */
+  def stLineLength(line: Column): Column =
+    aggregate(pathSegments(line), lit(0.0), (acc, s) =>
+      acc + sqrt(
+        pow(s.getField("q").getField("x") - s.getField("p").getField("x"), 2) +
+        pow(s.getField("q").getField("y") - s.getField("p").getField("y"), 2)))
+
+  def stStartPoint(line: Column): Column = element_at(line, 1)
+  def stEndPoint(line: Column): Column = element_at(line, -1)
+  /** ST_PointN (1-based, like the reference). */
+  def stPointN(line: Column, n: Column): Column = element_at(line, n)
+
+  /** ST_Envelope of any point array → struct<xmin,ymin,xmax,ymax>. */
+  def stEnvelope(g: Column): Column = struct(
+    array_min(transform(g, stX(_))).as("xmin"),
+    array_min(transform(g, stY(_))).as("ymin"),
+    array_max(transform(g, stX(_))).as("xmax"),
+    array_max(transform(g, stY(_))).as("ymax"))
+
+  /** Envelope of the union of two geometries (ST_Envelope∘ST_Union for the
+    * bbox algebra — the combined bounding box). */
+  def stEnvelopeUnion(a: Column, b: Column): Column = {
+    val ea = stEnvelope(a); val eb = stEnvelope(b)
+    struct(
+      least(ea.getField("xmin"), eb.getField("xmin")).as("xmin"),
+      least(ea.getField("ymin"), eb.getField("ymin")).as("ymin"),
+      greatest(ea.getField("xmax"), eb.getField("xmax")).as("xmax"),
+      greatest(ea.getField("ymax"), eb.getField("ymax")).as("ymax"))
+  }
+
+  /** Segment-segment intersection (proper crossings + collinear touching):
+    * pure cross-product orientation tests — no division, so with exact
+    * inputs the predicate is engine-deterministic. */
+  private def segSeg(p1: Column, q1: Column, p2: Column, q2: Column): Column = {
+    def cross3(o: Column, a: Column, b: Column): Column =
+      (stX(a) - stX(o)) * (stY(b) - stY(o)) -
+        (stY(a) - stY(o)) * (stX(b) - stX(o))
+    def onSeg(p: Column, q: Column, r: Column): Column =
+      stX(r).between(least(stX(p), stX(q)), greatest(stX(p), stX(q))) &&
+        stY(r).between(least(stY(p), stY(q)), greatest(stY(p), stY(q)))
+    val d1 = cross3(p2, q2, p1)
+    val d2 = cross3(p2, q2, q1)
+    val d3 = cross3(p1, q1, p2)
+    val d4 = cross3(p1, q1, q2)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0)) ||
+      (d1 === 0 && onSeg(p2, q2, p1)) ||
+      (d2 === 0 && onSeg(p2, q2, q1)) ||
+      (d3 === 0 && onSeg(p1, q1, p2)) ||
+      (d4 === 0 && onSeg(p1, q1, q2))
+  }
+
+  private def anySegPair(segsA: Column, segsB: Column): Column =
+    exists(segsA, sa => exists(segsB, sb =>
+      segSeg(sa.getField("p"), sa.getField("q"),
+        sb.getField("p"), sb.getField("q"))))
+
+  /** ST_Intersects for two open paths. */
+  def stLineIntersects(a: Column, b: Column): Column =
+    anySegPair(pathSegments(a), pathSegments(b))
+
+  /** ST_Intersects for two simple polygons (closed rings): any edge pair
+    * crosses, or one contains the other entirely (vertex test suffices for
+    * simple polygons once edge crossings are ruled out). */
+  def stPolygonIntersects(a: Column, b: Column): Column =
+    anySegPair(ringEdges(a), ringEdges(b)) ||
+      stContainsPoint(a, element_at(b, 1)) ||
+      stContainsPoint(b, element_at(a, 1))
+
+  /** ST_Intersects for an open path vs a polygon ring. */
+  def stLinePolygonIntersects(line: Column, ring: Column): Column =
+    anySegPair(pathSegments(line), ringEdges(ring)) ||
+      stContainsPoint(ring, element_at(line, 1))
+
+  /** ST_Buffer of a point: k-gon approximation of the radius-r disc
+    * (reference ST_Buffer via Esri; k defaults to 32 like common engines). */
+  def stBufferPoint(p: Column, r: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => struct(
+      (stX(p) + r * cos(lit(2 * math.Pi) * i / k)).as("x"),
+      (stY(p) + r * sin(lit(2 * math.Pi) * i / k)).as("y")))
+
   /** Initial bearing in degrees from a to b ((lon, lat) degrees), normalized
     * to [0, 360). */
   def stBearing(a: Column, b: Column): Column = {

@@ -514,6 +514,52 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Linestring slice of the geospatial surface (reference GeoFunctions.java
+    * ST_LineFromText/ST_Length/ST_StartPoint/ST_EndPoint/ST_PointN/
+    * ST_Envelope/ST_Intersects): paths are synthesized from dyadic offsets
+    * with 3-4-5-scaled diagonals, so every segment length, envelope bound
+    * and intersection orientation test is exact in binary floating point —
+    * the oracle replays the closed forms. The vertical probe line lands on
+    * a crossing (k%4=0), an exact endpoint touch (k%4=1, exercising the
+    * collinear d=0 path), or a miss (k%4 in 2,3). */
+  def geoLine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"),
+        (lit(0.5) + (col("c_custkey") % 3) * 0.5).as("m"),
+        (lit(0.5) + col("c_custkey") % 4).as("xoff"))
+    val lineA = org.apache.spark.sql.functions.array(
+      stPoint(col("cx"), col("cy")),
+      stPoint(col("cx") + 1.5, col("cy")),
+      stPoint(col("cx") + 2.25, col("cy") + 1.0),
+      stPoint(col("cx") + 2.25, col("cy") + 1.0 + col("m")))
+    val lineB = org.apache.spark.sql.functions.array(
+      stPoint(col("cx") + col("xoff"), col("cy") - 3.0),
+      stPoint(col("cx") + col("xoff"), col("cy") + 3.0))
+    val wkt = concat(lit("LINESTRING("),
+      array_join(transform(lineA, p =>
+        concat(p.getField("x").cast("string"), lit(" "),
+          p.getField("y").cast("string"))), ", "),
+      lit(")"))
+    val env = stEnvelope(lineA)
+    val uenv = stEnvelopeUnion(lineA, lineB)
+    g.select(col("k"),
+      stNumPoints(lineA).as("n_points"),
+      round(stLineLength(lineA), 4).as("len"),
+      stX(stStartPoint(lineA)).as("sx"),
+      stY(stEndPoint(lineA)).as("ey"),
+      stX(stPointN(lineA, lit(2))).as("p2x"),
+      env.getField("xmax").as("xmax"),
+      env.getField("ymax").as("ymax"),
+      uenv.getField("ymin").as("u_ymin"),
+      uenv.getField("xmax").as("u_xmax"),
+      stLineIntersects(lineA, lineB).as("crosses"),
+      (stLineWkt(wkt) === lineA).as("wkt_rt"))
+      .orderBy("k")
+  }
+
   def conditional(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") <= 500)
       .select(
@@ -974,6 +1020,7 @@ object Scalars {
     "fn_timezone" -> timezone,
     "fn_base" -> baseConv,
     "fn_geo_poly" -> geoPoly,
+    "fn_geo_line" -> geoLine,
     "fn_conv" -> conv,
     "fn_split_map" -> splitMap,
     "fn_conditional" -> conditional,
@@ -1613,6 +1660,21 @@ object Scalars {
         | cr_in % 2 = 1 AS inside,
         | cr_out % 2 = 1 AS outside
         |FROM m ORDER BY k""".stripMargin,
+    "fn_geo_line" ->
+      """WITH g AS (SELECT c_custkey k,
+        |            (c_custkey % 100) / 8.0 cx, (c_custkey % 77) / 4.0 cy,
+        |            CAST(0.5 + (c_custkey % 3) * 0.5 AS DOUBLE) m,
+        |            CAST(0.5 + c_custkey % 4 AS DOUBLE) xoff
+        |           FROM customer WHERE c_custkey <= 200)
+        |SELECT k, CAST(4 AS BIGINT) AS n_points,
+        | ROUND(2.75 + m, 4) AS len,
+        | cx AS sx, cy + 1.0 + m AS ey, cx + 1.5 AS p2x,
+        | cx + 2.25 AS xmax, cy + 1.0 + m AS ymax,
+        | cy - 3.0 AS u_ymin,
+        | greatest(cx + 2.25, cx + xoff) AS u_xmax,
+        | k % 4 IN (0, 1) AS crosses,
+        | true AS wkt_rt
+        |FROM g ORDER BY k""".stripMargin,
     "fn_iso_duration" ->
       """WITH b AS (SELECT o_orderkey k,
         |  make_timestamp((epoch_ms(CAST(o_orderdate AS TIMESTAMP))

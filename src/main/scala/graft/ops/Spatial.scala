@@ -133,12 +133,98 @@ object Spatial {
       .orderBy("nk", "ck")
   }
 
+  /** ST_Intersects spatial join (reference ExtractSpatialJoins.java:155
+    * lowers ST_Intersects to SpatialJoinNode the same way as ST_Contains):
+    * customer line segments × nation diamond polygons on the grid
+    * substrate. Diamonds have INTEGER vertices and lines 0.1-grid
+    * endpoints, so every cross-product orientation test in the exact
+    * refinement (GeoFunctions.stLinePolygonIntersects — crossings,
+    * collinear touches, and ray-cast containment of a fully-interior
+    * line) is engine-deterministic and the oracle can replay it
+    * symbolically. Both sides explode to the grid cells their bbox
+    * overlaps, so a pair can meet in several cells → distinct. */
+  def intersectsJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = 10.0
+    val diamonds = t(s, dir, "nation").select(
+      col("n_nationkey").as("nk"),
+      (col("n_nationkey") * 37 % 80).cast("double").as("ncx"),
+      (col("n_nationkey") * 53 % 80).cast("double").as("ncy"),
+      (lit(3.0) + col("n_nationkey") % 4).as("r"))
+      .withColumn("ring", org.apache.spark.sql.functions.array(
+        struct((col("ncx") + col("r")).as("x"), col("ncy").as("y")),
+        struct(col("ncx").as("x"), (col("ncy") + col("r")).as("y")),
+        struct((col("ncx") - col("r")).as("x"), col("ncy").as("y")),
+        struct(col("ncx").as("x"), (col("ncy") - col("r")).as("y"))))
+    val diamondCells = diamonds
+      .withColumn("ix", explode(expr(s"sequence(floor((ncx - r) / $g), floor((ncx + r) / $g))")))
+      .withColumn("iy", explode(expr(s"sequence(floor((ncy - r) / $g), floor((ncy + r) / $g))")))
+    val lines = t(s, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      coord(col("c_custkey"), 7919L).as("px"),
+      coord(col("c_custkey"), 104729L).as("py"))
+      .withColumn("line", org.apache.spark.sql.functions.array(
+        struct(col("px").as("x"), col("py").as("y")),
+        struct((col("px") + 4.0).as("x"), (col("py") + 2.0).as("y"))))
+    val lineCells = lines
+      .withColumn("ix", explode(expr(s"sequence(floor(px / $g), floor((px + 4.0) / $g))")))
+      .withColumn("iy", explode(expr(s"sequence(floor(py / $g), floor((py + 2.0) / $g))")))
+    lineCells.join(diamondCells, Seq("ix", "iy"))
+      .where(stLinePolygonIntersects(col("line"), col("ring")))
+      .select(col("nk"), col("ck")).distinct()
+      .orderBy("nk", "ck")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_spatial_distance" -> distanceJoin,
     "join_spatial_contains" -> containsJoin,
-    "join_spatial_polygon" -> polygonJoin)
+    "join_spatial_polygon" -> polygonJoin,
+    "join_spatial_intersects" -> intersectsJoin)
 
   val oracle: Map[String, String] = Map(
+    "join_spatial_intersects" ->
+      """WITH n AS (SELECT n_nationkey nk,
+        |            CAST(n_nationkey * 37 % 80 AS DOUBLE) ncx,
+        |            CAST(n_nationkey * 53 % 80 AS DOUBLE) ncy,
+        |            3.0 + n_nationkey % 4 r FROM nation),
+        |v AS (SELECT nk, ncx, ncy, r, unnest(range(4)) i FROM n),
+        |pt AS (SELECT nk, i,
+        |        CASE i WHEN 0 THEN ncx + r WHEN 1 THEN ncx
+        |               WHEN 2 THEN ncx - r ELSE ncx END vx,
+        |        CASE i WHEN 0 THEN ncy WHEN 1 THEN ncy + r
+        |               WHEN 2 THEN ncy ELSE ncy - r END vy FROM v),
+        |e AS (SELECT a.nk, a.vx ax, a.vy ay, b.vx bx, b.vy by_
+        |      FROM pt a JOIN pt b ON b.nk = a.nk AND b.i = (a.i + 1) % 4),
+        |c AS (SELECT c_custkey ck,
+        |       CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 px,
+        |       CAST(c_custkey * 104729 % 1000 AS DOUBLE) / 10.0 py
+        |      FROM customer),
+        |d AS (SELECT e.nk, c.ck, ax, ay, bx, by_, px, py,
+        |       px + 4.0 qx, py + 2.0 qy,
+        |       (bx - ax) * (py - ay) - (by_ - ay) * (px - ax) d1,
+        |       (bx - ax) * (py + 2.0 - ay) - (by_ - ay) * (px + 4.0 - ax) d2,
+        |       (px + 4.0 - px) * (ay - py) - (py + 2.0 - py) * (ax - px) d3,
+        |       (px + 4.0 - px) * (by_ - py) - (py + 2.0 - py) * (bx - px) d4
+        |      FROM e CROSS JOIN c),
+        |agg AS (SELECT nk, ck,
+        |  MAX(CASE WHEN
+        |    (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) AND
+        |     ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+        |    OR (d1 = 0 AND px BETWEEN least(ax, bx) AND greatest(ax, bx)
+        |                AND py BETWEEN least(ay, by_) AND greatest(ay, by_))
+        |    OR (d2 = 0 AND qx BETWEEN least(ax, bx) AND greatest(ax, bx)
+        |                AND qy BETWEEN least(ay, by_) AND greatest(ay, by_))
+        |    OR (d3 = 0 AND ax BETWEEN least(px, qx) AND greatest(px, qx)
+        |                AND ay BETWEEN least(py, qy) AND greatest(py, qy))
+        |    OR (d4 = 0 AND bx BETWEEN least(px, qx) AND greatest(px, qx)
+        |                AND by_ BETWEEN least(py, qy) AND greatest(py, qy))
+        |   THEN 1 ELSE 0 END) hit,
+        |  SUM(CASE WHEN (ay > py) <> (by_ > py)
+        |            AND px < (bx - ax) * (py - ay) / (by_ - ay) + ax
+        |           THEN 1 ELSE 0 END) cr
+        |  FROM d GROUP BY nk, ck)
+        |SELECT nk, ck FROM agg WHERE hit = 1 OR cr % 2 = 1
+        |ORDER BY nk, ck""".stripMargin,
     "join_spatial_polygon" ->
       """WITH n AS (SELECT n_nationkey nk, CAST(3 + n_nationkey % 5 AS INT) nn,
         |            CAST(n_nationkey * 37 % 80 AS DOUBLE) pcx,

@@ -615,6 +615,35 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT multimap_from_entries(array(struct(CAST(NULL AS STRING), 1)))").collect())
   }
 
+  test("polygon intersects + point buffer (ST_Intersects / ST_Buffer)") {
+    import graft.functions.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    def ring(pts: (Double, Double)*) = array(pts.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+    val unit = ring((0, 0), (4, 0), (4, 4), (0, 4))
+    val r = spark.range(1).select(
+      // overlapping squares
+      stPolygonIntersects(unit, ring((2, 2), (6, 2), (6, 6), (2, 6))).as("overlap"),
+      // disjoint
+      stPolygonIntersects(unit, ring((10, 10), (12, 10), (12, 12), (10, 12))).as("disjoint"),
+      // fully contained (no edge crossings)
+      stPolygonIntersects(unit, ring((1, 1), (2, 1), (2, 2), (1, 2))).as("contained"),
+      // edge-touching
+      stPolygonIntersects(unit, ring((4, 0), (8, 0), (8, 4), (4, 4))).as("touching"),
+      // buffer: area of 32-gon approximation of unit disc -> pi within 1%
+      stArea(stBufferPoint(stPoint(lit(5.0), lit(5.0)), lit(1.0))).as("barea"),
+      stLinePolygonIntersects(
+        array(struct(lit(-1.0).as("x"), lit(2.0).as("y")),
+          struct(lit(5.0).as("x"), lit(2.0).as("y"))), unit).as("line_cross"),
+      stLinePolygonIntersects(
+        array(struct(lit(1.0).as("x"), lit(1.0).as("y")),
+          struct(lit(3.0).as("x"), lit(3.0).as("y"))), unit).as("line_inside"))
+      .collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(math.abs(r.getDouble(4) - math.Pi) < 0.05, s"buffer area ${r.getDouble(4)}")
+    assert(r.getBoolean(5) && r.getBoolean(6))
+  }
+
   test("Presto JSON dialect: parse/extract/size/array fns (TestJsonExtract pins)") {
     GraftFunctions.register(spark)
     def one(q: String): Any = { val r = spark.sql(q).collect()(0); if (r.isNullAt(0)) null else r.get(0) }
