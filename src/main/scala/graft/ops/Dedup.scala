@@ -126,27 +126,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** N-gram Jaccard near-dup within attribute blocks: word-bigram sets,
-    * pairwise Jaccard computed via an exploded equi-join keyed on
-    * (block, gram) — the block key (lang here; at scale lang × length-bucket
-    * × source) bounds the quadratic pair space per shuffle partition. */
+  /** N-gram Jaccard near-dup with PREFIX-FILTERED candidate generation
+    * (PPJoin/AllPairs): for Jaccard ≥ t, two gram sets sorted by one global
+    * order must share a gram within their first |s| − ⌈t·|s|⌉ + 1 grams, so
+    * the candidate join explodes only that prefix — candidates are bounded
+    * by prefix-gram co-occurrence, never the per-block n². Length pruning
+    * (t·|a| ≤ |b| ≤ |a|/t) and the lang block key cut further. The pruning
+    * is LOSSLESS — output equals the naive all-pairs join, which is exactly
+    * what the oracle computes. Verification joins full gram sets for
+    * candidates only (same shape as minhashLsh). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tj = 0.6
     val docs = shingled(t(s, dir, "documents"), 2)
       .select(col("lang"), col("doc_id"), col("shingles"))
-    val ex = docs.select(col("lang"), col("doc_id"), explode(col("shingles")).as("g"))
-    val card = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val inter = ex.as("a")
-      .join(ex.as("b"),
+    val ex0 = docs.select(col("lang"), col("doc_id"), explode(col("shingles")).as("g"))
+    // AllPairs preprocessing: order grams RAREST-FIRST (document frequency,
+    // then gram) so prefixes hold the discriminative grams — prefix-gram
+    // collisions then scale with df², which is tiny for rare grams. One
+    // extra (lang, gram) shuffle of ids, never text.
+    val dfreq = ex0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+    val ordered = ex0.join(dfreq, Seq("lang", "g"))
+      .groupBy("lang", "doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"),
+        count(lit(1)).as("n"))
+    val prefLen = (col("n") - ceil(col("n") * tj) + 1).cast("int")
+    val pref = ordered.select(col("lang"), col("doc_id"), col("n"),
+      explode(slice(col("sg"), lit(1), prefLen)).as("pg"))
+      .select(col("lang"), col("doc_id"), col("n"), col("pg.g").as("g"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
         col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * tj && col("a.n") >= col("b.n") * tj)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val card = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = cand
+      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") /
       (col("ca.n") + col("cb.n") - col("inter")).cast("double")
     inter
       .join(card.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(card.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(j >= 0.6)
+      .filter(j >= tj)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -160,6 +185,27 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    pairs
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("c"))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** LSH-bucketed embedding near-dup — the oracle-gated SCALE path next to
+    * the all-pairs baseline above: candidate pairs come from the
+    * deterministic random-hyperplane buckets (Similarity.bucketOf, md5
+    * planes an oracle can replay), so the compare fan-out is per-bucket
+    * (corpus/2^planes), never n². Recall < 1 by construction — pairs split
+    * across buckets are the LSH trade; the oracle applies the identical
+    * bucketing so the gate hash-verifies the real semantics. */
+  def embeddingLshNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bucketOf(col("embedding")).as("bucket"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
     val cos = cosine(col("a.embedding"), col("b.embedding"))
     pairs
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("c"))
@@ -184,7 +230,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
-    "dedup_embedding" -> embeddingNearDup)
+    "dedup_embedding" -> embeddingNearDup,
+    "dedup_embedding_lsh" -> embeddingLshNearDup)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -256,6 +303,35 @@ object Dedup {
         |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH comp AS (
+        |  SELECT p, j + 1 AS j,
+        |   CAST(CAST('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15)
+        |     AS BIGINT) % 2001 - 1000 AS DOUBLE) w
+        |  FROM (SELECT unnest(range(4)) p) CROSS JOIN (SELECT unnest(range(64)) j)),
+        |vx AS (SELECT vec_id, unnest(embedding) x,
+        |        generate_subscripts(embedding, 1) j
+        |       FROM embeddings),
+        |dots AS (
+        |  SELECT vx.vec_id, comp.p, SUM(CAST(vx.x AS DOUBLE) * comp.w) dp
+        |  FROM vx JOIN comp ON vx.j = comp.j
+        |  GROUP BY 1, 2),
+        |bk AS (SELECT vec_id,
+        |        SUM(CASE WHEN dp > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) bucket
+        |       FROM dots GROUP BY 1),
+        |p AS (SELECT a.vec_id va, ea.embedding ea, b.vec_id vb, eb.embedding eb
+        |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |u AS (SELECT va, vb, unnest(ea) x, unnest(eb) y FROM p),
+        |d AS (SELECT va, vb,
+        |       SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |       sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |       sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT va AS vec_a, vb AS vec_b, ROUND(dot / (na * nb), 4) AS cosine
+        |FROM d WHERE dot / (na * nb) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (SELECT a.vec_id va, a.embedding ea, b.vec_id vb, b.embedding eb
         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),

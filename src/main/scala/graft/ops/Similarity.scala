@@ -42,7 +42,7 @@ object Similarity {
     (0 until Planes).map(p => (0 until Dim).map(j => planeComponent(p, j))))
 
   /** LSH bucket id of a vector: bit p = sign(v · plane_p). */
-  private def bucketOf(vec: Column): Column =
+  private[ops] def bucketOf(vec: Column): Column =
     aggregate(
       sequence(lit(0), lit(Planes - 1)),
       lit(0L),

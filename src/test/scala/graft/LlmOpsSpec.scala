@@ -44,6 +44,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((annPairs intersect brute).nonEmpty || annPairs.isEmpty)
   }
 
+  test("prefix filtering: candidate pairs << all-pairs, output unchanged") {
+    import graft.Tables
+    // replicate the candidate stage of Dedup.ngramJaccard to count pairs
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("words")) - 2),
+        i => concat_ws(" ", slice(col("words"), i + lit(1), lit(2))))))
+      .select(col("lang"), col("doc_id"), col("shingles"))
+    val ex0 = docs.select(col("lang"), col("doc_id"), explode(col("shingles")).as("g"))
+    val dfreq = ex0.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+    val ordered = ex0.join(dfreq, Seq("lang", "g"))
+      .groupBy("lang", "doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"),
+        count(lit(1)).as("n"))
+    val prefLen = (col("n") - ceil(col("n") * 0.6) + 1).cast("int")
+    val pref = ordered.select(col("lang"), col("doc_id"), col("n"),
+      explode(slice(col("sg"), lit(1), prefLen)).as("pg"))
+      .select(col("lang"), col("doc_id"), col("n"), col("pg.g").as("g"))
+    val nCand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.lang") === col("b.lang") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * 0.6 && col("a.n") >= col("b.n") * 0.6)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getLong(1) * (r.getLong(1) - 1) / 2).sum
+    // sf0.001 docs are short, so the t-prefix is a big slice of each gram set
+    // and pruning is modest (~3x); on long documents the prefix fraction
+    // (1-t) shrinks the candidate space much harder.
+    assert(nCand < perLang / 2,
+      s"prefix filter pruned too little: $nCand candidates vs $perLang naive pairs")
+    // and the emitted near-dup pairs still clear the threshold
+    val out = Dedup.ngramJaccard(spark, sf).collect()
+    assert(out.forall(_.getDouble(2) >= 0.6))
+  }
+
+  test("embedding LSH near-dup pairs are a subset of the brute-force pairs") {
+    val brute = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH emitted non-brute pairs: ${lsh -- brute}")
+  }
+
   test("exact dedup summary is consistent with raw counts") {
     val r = Dedup.exact(spark, sf).collect()(0)
     val total = Tables(spark, sf, "documents").count()
