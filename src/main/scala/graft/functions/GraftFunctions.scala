@@ -149,6 +149,26 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("khyperloglog_agg",
+      "khyperloglog_agg(value, uii) - KHyperLogLog joinability/uniqueness sketch",
+      es => KhllAgg(es(0), es(1)).toAggregateExpression()),
+    ("merge_khll", "merge_khll(sketch) - merge KHyperLogLog sketches",
+      es => KhllMergeAgg(es.head).toAggregateExpression()),
+    ("khll_cardinality", "khll_cardinality(sketch) - estimated distinct values",
+      es => KhllCardinality(es.head)),
+    ("khll_jaccard_index", "khll_jaccard_index(a, b) - MinHash joinability estimate",
+      es => KhllJaccard(es(0), es(1))),
+    ("khll_intersection_cardinality",
+      "khll_intersection_cardinality(a, b) - estimated |A∩B| of value sets",
+      es => KhllIntersection(es(0), es(1))),
+    ("reidentification_potential",
+      "reidentification_potential(sketch, threshold) - fraction of values with <= threshold users",
+      es => KhllReidentification(es(0), es(1))),
+    ("uniqueness_distribution",
+      "uniqueness_distribution(sketch[, histogramSize]) - histogram of per-value user cardinality",
+      es => KhllUniqueness(es(0),
+        if (es.length > 1) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(Khll.DefaultHistogramSize))),
     ("approx_most_frequent",
       "approx_most_frequent(k, value, capacity) - space-saving top-k heavy hitters",
       es => {
@@ -381,6 +401,17 @@ object GraftFunctions {
   def jaccardIndex(a: Column, b: Column): Column = c(JaccardIndex(x(a), x(b)))
   def intersectionCardinality(a: Column, b: Column): Column =
     c(IntersectionCardinality(x(a), x(b)))
+  def khyperloglogAgg(v: Column, uii: Column): Column =
+    c(KhllAgg(x(v), x(uii)).toAggregateExpression())
+  def mergeKhll(a: Column): Column = c(KhllMergeAgg(x(a)).toAggregateExpression())
+  def khllCardinality(a: Column): Column = c(KhllCardinality(x(a)))
+  def khllJaccardIndex(a: Column, b: Column): Column = c(KhllJaccard(x(a), x(b)))
+  def khllIntersectionCardinality(a: Column, b: Column): Column =
+    c(KhllIntersection(x(a), x(b)))
+  def reidentificationPotential(a: Column, threshold: Column): Column =
+    c(KhllReidentification(x(a), x(threshold)))
+  def uniquenessDistribution(a: Column, histogramSize: Column): Column =
+    c(KhllUniqueness(x(a), x(histogramSize)))
   def approxMostFrequent(k: Int, a: Column, capacity: Int): Column =
     c(MostFrequentAgg(x(a), k, capacity).toAggregateExpression())
   def tdigestAgg(a: Column): Column = c(TDigestAgg(x(a)).toAggregateExpression())

@@ -1033,6 +1033,7 @@ object Scalars {
     "fn_misc" -> misc,
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
+    "fn_khll" -> khll,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1126,6 +1127,79 @@ object Scalars {
       (abs(sd.intersectionCardinality(col("da"), col("db")).cast("double") /
         col("n_i") - 1.0) < 0.25).as("ok"))
     exactSmall.unionAll(est).unionAll(bound).unionAll(jac).unionAll(inter)
+      .orderBy("k", "metric")
+  }
+
+  /** KHyperLogLog (reference khyperloglog family: khyperloglog_agg /
+    * merge_khll / cardinality / jaccard_index / intersection_cardinality /
+    * uniqueness_distribution / reidentification_potential —
+    * type/khyperloglog/KHyperLogLogFunctions.java:33-143). Sketch bytes are
+    * engine-specific, so the gate asserts what the oracle CAN check: the
+    * structure is exact below K=4096 (cardinality, intersection,
+    * uniqueness histogram, reidentification on the 1:1 custkey→nation
+    * fan-out), and in the estimated regime (~15k distinct lineitem
+    * orderkeys) the KMV/MinHash estimates stay inside statistical bounds. */
+  def khll(s: SparkSession, dir: String): DataFrame = {
+    val g = GraftFunctions
+    // exact regime: per-nation distinct customer keys (n << K → exact)
+    val exactSmall = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("k"))
+      .agg(g.khyperloglogAgg(col("c_custkey"), col("c_custkey")).as("d"),
+        countDistinct(col("c_custkey")).as("exact"))
+      .select(col("k"), lit("exact_small").as("metric"),
+        (g.khllCardinality(col("d")) === col("exact")).as("ok"))
+    // custkey → nationkey is exactly 1:1 per value: the uniqueness
+    // histogram must put all mass on bucket 1 and every value is
+    // "highly unique" under threshold 1
+    val cu = t(s, dir, "customer")
+      .agg(g.khyperloglogAgg(col("c_custkey"), col("c_nationkey")).as("d"),
+        countDistinct(col("c_custkey")).as("n"))
+    val uniq = cu.select(lit(-1L).as("k"), lit("uniqueness_exact").as("metric"),
+      (abs(element_at(g.uniquenessDistribution(col("d"), lit(4L)), lit(1L)) - 1.0)
+        < 1e-9 &&
+        element_at(g.uniquenessDistribution(col("d"), lit(4L)), lit(2L)) === 0.0)
+        .as("ok"))
+    val reid = cu.select(lit(-2L).as("k"), lit("reident_exact").as("metric"),
+      (g.reidentificationPotential(col("d"), lit(1L)) === 1.0).as("ok"))
+    // merge path: per-nation sketches merged == directly-built global sketch
+    val merged = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(g.khyperloglogAgg(col("c_custkey"), col("c_nationkey")).as("d"))
+      .agg(g.mergeKhll(col("d")).as("m"))
+      .crossJoin(cu.select(col("n")))
+      .select(lit(-3L).as("k"), lit("merge_union").as("metric"),
+        (g.khllCardinality(col("m")) === col("n")).as("ok"))
+    // estimated regime over ~15k distinct orderkeys; A = %3!=0, B = %3!=1
+    val li = t(s, dir, "lineitem")
+    val sk = li.agg(
+      g.khyperloglogAgg(col("l_orderkey"), col("l_suppkey")).as("du"),
+      g.khyperloglogAgg(when(col("l_orderkey") % 3 =!= 0, col("l_orderkey")),
+        col("l_suppkey")).as("da"),
+      g.khyperloglogAgg(when(col("l_orderkey") % 3 =!= 1, col("l_orderkey")),
+        col("l_suppkey")).as("db"),
+      countDistinct(col("l_orderkey")).as("n_u"),
+      countDistinct(when(col("l_orderkey") % 3 === 2, col("l_orderkey"))).as("n_i"))
+    val bound = sk.select(lit(-4L).as("k"), lit("kmv_estimate").as("metric"),
+      (abs(g.khllCardinality(col("du")).cast("double") / col("n_u") - 1.0) < 0.1)
+        .as("ok"))
+    val jac = sk.select(lit(-5L).as("k"), lit("jaccard").as("metric"),
+      (abs(g.khllJaccardIndex(col("da"), col("db")) -
+        col("n_i").cast("double") / col("n_u")) < 0.08).as("ok"))
+    val inter = sk.select(lit(-6L).as("k"), lit("intersection").as("metric"),
+      (abs(g.khllIntersectionCardinality(col("da"), col("db")).cast("double") /
+        col("n_i") - 1.0) < 0.25).as("ok"))
+    // uniqueness in the estimated-fanout regime: mean of the histogram
+    // (≈ avg orders per customer, HLL-estimated per value) within 10%
+    val om = t(s, dir, "orders")
+      .agg(g.khyperloglogAgg(col("o_custkey"), col("o_orderkey")).as("d"),
+        (count(lit(1)).cast("double") / countDistinct(col("o_custkey")))
+          .as("true_avg"))
+      .select(lit(-7L).as("k"), lit("uniqueness_mean").as("metric"),
+        (abs(aggregate(map_entries(g.uniquenessDistribution(col("d"), lit(256L))),
+          lit(0.0), (acc, e) => acc + e.getField("key") * e.getField("value")) /
+          col("true_avg") - 1.0) < 0.1).as("ok"))
+    exactSmall.unionAll(uniq).unionAll(reid).unionAll(merged).unionAll(bound)
+      .unionAll(jac).unionAll(inter).unionAll(om)
       .orderBy("k", "metric")
   }
 
@@ -1445,6 +1519,17 @@ object Scalars {
         |UNION ALL SELECT -2, 'kmv_estimate', true
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
+        |ORDER BY k, metric""".stripMargin,
+    "fn_khll" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS k, 'exact_small' AS metric, true AS ok
+        |FROM customer GROUP BY c_nationkey
+        |UNION ALL SELECT -1, 'uniqueness_exact', true
+        |UNION ALL SELECT -2, 'reident_exact', true
+        |UNION ALL SELECT -3, 'merge_union', true
+        |UNION ALL SELECT -4, 'kmv_estimate', true
+        |UNION ALL SELECT -5, 'jaccard', true
+        |UNION ALL SELECT -6, 'intersection', true
+        |UNION ALL SELECT -7, 'uniqueness_mean', true
         |ORDER BY k, metric""".stripMargin,
     "fn_math" ->
       """SELECT p_partkey AS k,

@@ -256,6 +256,52 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("khyperloglog kernel: exact/estimated regimes, uniqueness, merge-stable") {
+    import graft.functions.Khll
+    // exact regime: 1:1 value→uii fan-out
+    val s1 = Khll.empty()
+    (1 to 1000).foreach(i => Khll.add(s1, i.toLong, (i + 7).toLong))
+    assert(Khll.isExact(s1) && Khll.cardinality(s1) == 1000L)
+    val (_, dist) = Khll.uniquenessDistribution(s1, 4L)
+    assert(math.abs(dist(0) - 1.0) < 1e-9 && dist(1) == 0.0)
+    assert(Khll.reidentificationPotential(s1, 1L) == 1.0)
+    // 5 uiis per value → mass on bucket 5 (HLL near-exact at card 5)
+    val s5 = Khll.empty()
+    for (v <- 1 to 500; u <- 1 to 5) Khll.add(s5, v.toLong, (v * 11 + u).toLong)
+    val (_, d5) = Khll.uniquenessDistribution(s5, 8L)
+    assert(d5(4) > 0.9, s"bucket-5 mass=${d5(4)}")
+    assert(Khll.reidentificationPotential(s5, 1L) < 0.1)
+    // estimated regime: 20k distinct values > K=4096
+    val big = Khll.empty()
+    (1 to 20000).foreach(i => Khll.add(big, i.toLong, (i % 97).toLong))
+    assert(!Khll.isExact(big))
+    val est = Khll.cardinality(big)
+    assert(math.abs(est / 20000.0 - 1.0) < 0.1, s"est=$est")
+    // split/merge equals direct build (same K smallest, same per-key HLLs)
+    val l = Khll.empty(); val r = Khll.empty()
+    (1 to 20000).foreach { i =>
+      val t = if (i % 2 == 0) l else r
+      Khll.add(t, i.toLong, (i % 97).toLong)
+    }
+    val merged = Khll.mergeInto(l, r)
+    assert(merged.minhash.keySet == big.minhash.keySet)
+    assert(Khll.cardinality(merged) == est)
+    // jaccard of 2/3-overlap value sets within MinHash bound
+    val a = Khll.empty(); val b = Khll.empty()
+    (1 to 15000).foreach { i =>
+      if (i % 3 != 0) Khll.add(a, i.toLong, 1L)
+      if (i % 3 != 1) Khll.add(b, i.toLong, 1L)
+    }
+    val j = Khll.jaccard(a, b)
+    assert(math.abs(j - 1.0 / 3.0) < 0.08, s"jaccard=$j")
+    val inter = Khll.intersectionCardinality(a, b)
+    assert(math.abs(inter / 5000.0 - 1.0) < 0.25, s"inter=$inter")
+    // serialization round-trip preserves keys and registers
+    val rt = Khll.deserialize(Khll.serialize(big))
+    assert(rt.maxSize == big.maxSize && rt.minhash.keySet == big.minhash.keySet)
+    assert(Khll.cardinality(rt) == est)
+  }
+
   test("hmac matches RFC 4231 test vector (sha256)") {
     val out = graft.functions.HmacUtil.hmac("HmacSHA256",
       "Hi There".getBytes("UTF-8"), Array.fill[Byte](20)(0x0b))
