@@ -72,8 +72,20 @@ object GraftFunctions {
       es => JsonExtractJson(es(0), es(1))),
     ("json_size", "json_size(json, path) - container size / 0 for scalars at path",
       es => JsonSize(es(0), es(1))),
-    ("qdigest_agg", "qdigest_agg(x) - mergeable quantile digest sketch",
-      es => QDigestAgg(es.head).toAggregateExpression()),
+    ("qdigest_agg", "qdigest_agg(x[, w]) - mergeable quantile digest sketch, optionally weighted",
+      es => QDigestAgg(es.head, es.drop(1).headOption).toAggregateExpression()),
+    ("approx_percentile_w",
+      "approx_percentile_w(x, w, p) - weighted approximate percentile",
+      es => {
+        val p = if (es(2).foldable) es(2).eval(null) else null
+        p match {
+          case n: Number =>
+            ApproxPercentileWeightedAgg(es(0), es(1), n.doubleValue())
+              .toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            s"approx_percentile_w: percentage must be a foldable numeric literal, got ${es(2).sql}")
+        }
+      }),
     ("merge_qdigest", "merge_qdigest(sketch) - merge quantile digests",
       es => QDigestMergeAgg(es.head).toAggregateExpression()),
     ("value_at_quantile", "value_at_quantile(sketch, q) - quantile from a digest",
@@ -384,6 +396,10 @@ object GraftFunctions {
     c(org.apache.spark.sql.catalyst.expressions.DateFormatClass(x(ts),
       org.apache.spark.sql.catalyst.expressions.Literal(MySqlFormat.toJava(fmt))))
   def qdigestAgg(a: Column): Column = c(QDigestAgg(x(a)).toAggregateExpression())
+  def qdigestAggW(a: Column, w: Column): Column =
+    c(QDigestAgg(x(a), Some(x(w))).toAggregateExpression())
+  def approxPercentileW(a: Column, w: Column, p: Double): Column =
+    c(ApproxPercentileWeightedAgg(x(a), x(w), p).toAggregateExpression())
   def mergeQdigest(a: Column): Column = c(QDigestMergeAgg(x(a)).toAggregateExpression())
   def valueAtQuantile(a: Column, q: Column): Column = c(ValueAtQuantile(x(a), x(q)))
   def hammingDistance(a: Column, b: Column): Column = c(HammingDistance(x(a), x(b)))

@@ -58,12 +58,18 @@ object QDigest {
     Digest(k, outM.take(o + 1), outW.take(o + 1))
   }
 
-  def add(d: Digest, x: Double): Digest = {
+  def add(d: Digest, x: Double): Digest = add(d, x, 1.0)
+
+  /** Weighted insertion (QuantileDigestAggregationFunction's weighted
+    * signature): one centroid of weight w — identical to inserting x
+    * w times, at any weight scale. */
+  def add(d: Digest, x: Double, w: Double): Digest = {
+    require(w > 0, s"qdigest weight must be positive, got $w")
     val ms = new Array[Double](d.n + 1)
     val ws = new Array[Double](d.n + 1)
     System.arraycopy(d.means, 0, ms, 0, d.n)
     System.arraycopy(d.weights, 0, ws, 0, d.n)
-    ms(d.n) = x; ws(d.n) = 1.0
+    ms(d.n) = x; ws(d.n) = w
     if (ms.length > 2 * d.k) compress(d.k, ms, ws) else Digest(d.k, ms, ws)
   }
 
@@ -121,33 +127,44 @@ object QDigest {
     quantile(deserialize(bytes), q)
 }
 
-/** qdigest_agg(x[, k]) → varbinary quantile digest. */
+/** qdigest_agg(x[, w][, k]) → varbinary quantile digest. A weight child
+  * makes each row count as w occurrences of x (the reference's
+  * QuantileDigestAggregationFunction weighted signature); null-weight rows
+  * are skipped like null values. */
 case class QDigestAgg(
   child: Expression,
+  weight: Option[Expression] = None,
   k: Int = QDigest.DefaultK,
   mutableAggBufferOffset: Int = 0,
   inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QDigest.Digest] {
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "qdigest_agg"
 
   override def createAggregationBuffer(): QDigest.Digest = QDigest.empty(k)
 
+  private def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+  }
+
   override def update(buf: QDigest.Digest, input: InternalRow): QDigest.Digest = {
     val v = child.eval(input)
-    if (v == null) buf
-    else QDigest.add(buf, v match {
-      case d: Double => d
-      case f: Float => f.toDouble
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case s: Short => s.toDouble
-      case b: Byte => b.toDouble
-    })
+    if (v == null) return buf
+    weight match {
+      case None => QDigest.add(buf, asDouble(v))
+      case Some(we) =>
+        val w = we.eval(input)
+        if (w == null) buf else QDigest.add(buf, asDouble(v), asDouble(w))
+    }
   }
 
   override def merge(a: QDigest.Digest, b: QDigest.Digest): QDigest.Digest =
@@ -163,7 +180,64 @@ case class QDigestAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
     newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
+}
+
+/** approx_percentile_w(x, w, p) → double — the reference's weighted
+  * approx_percentile overload (ApproximateLongPercentileAggregations
+  * weighted signatures), computed as value_at_quantile over a weighted
+  * qdigest in one aggregate. */
+case class ApproxPercentileWeightedAgg(
+  child: Expression,
+  weight: Expression,
+  percentage: Double,
+  k: Int = QDigest.DefaultK,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigest.Digest] {
+
+  require(percentage >= 0.0 && percentage <= 1.0,
+    s"approx_percentile_w percentage must be in [0, 1], got $percentage")
+
+  override def children: Seq[Expression] = Seq(child, weight)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "approx_percentile_w"
+
+  override def createAggregationBuffer(): QDigest.Digest = QDigest.empty(k)
+
+  private def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+  }
+
+  override def update(buf: QDigest.Digest, input: InternalRow): QDigest.Digest = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val w = weight.eval(input)
+    if (w == null) buf else QDigest.add(buf, asDouble(v), asDouble(w))
+  }
+
+  override def merge(a: QDigest.Digest, b: QDigest.Digest): QDigest.Digest =
+    QDigest.merge(a, b)
+  override def eval(buf: QDigest.Digest): Any =
+    if (buf.n == 0) null else QDigest.quantile(buf, percentage)
+  override def serialize(buf: QDigest.Digest): Array[Byte] = QDigest.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QDigest.Digest =
+    QDigest.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): ApproxPercentileWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ApproxPercentileWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), weight = newChildren(1))
 }
 
 /** merge_qdigest(sketch) → sketch — cross-query re-aggregation of stored

@@ -234,6 +234,30 @@ object Aggregates {
             expr("percentile(l_quantity, 0.6)"))).as("median_ok"))
       .orderBy("l_returnflag")
 
+  /** Weighted percentiles (the reference's weighted approx_percentile /
+    * qdigest_agg(x, w) overloads — QuantileDigestAggregationFunction).
+    * Exact side: Spark's percentile(x, p, frequency) — identical to the
+    * percentile over each row repeated `frequency` times, which DuckDB
+    * replays by physical row expansion. Sketch side: the weighted qdigest
+    * median must land between the exact weighted 40th/60th percentiles. */
+  def percentilesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.GraftFunctions
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        expr("round(percentile(l_quantity, 0.25, l_linenumber), 4)").as("q25_w"),
+        expr("round(percentile(l_quantity, 0.5, l_linenumber), 4)").as("median_w"),
+        expr("round(percentile(l_quantity, 0.75, l_linenumber), 4)").as("q75_w"),
+        g.approxPercentileW(col("l_quantity"), col("l_linenumber"), 0.5)
+          .between(expr("percentile(l_quantity, 0.4, l_linenumber)"),
+            expr("percentile(l_quantity, 0.6, l_linenumber)")).as("wmedian_ok"),
+        g.valueAtQuantile(g.qdigestAggW(col("l_quantity"), col("l_linenumber")),
+          lit(0.5))
+          .between(expr("percentile(l_quantity, 0.4, l_linenumber)"),
+            expr("percentile(l_quantity, 0.6, l_linenumber)")).as("wqdigest_ok"))
+      .orderBy("l_linestatus")
+  }
+
   /** histogram: value→count distribution (reference histogram/Histogram.java:48
     * returns map<K,bigint>; emitted here as sorted (value, count) rows — the
     * map entries — so the gate can hash it). */
@@ -521,6 +545,7 @@ object Aggregates {
     "agg_distinct" -> distinctAggs,
     "agg_any_value" -> anyValue,
     "agg_percentiles" -> percentiles,
+    "agg_percentiles_w" -> percentilesWeighted,
     "agg_approx" -> approx,
     "agg_histogram" -> histogram,
     "agg_checksum" -> checksum,
@@ -776,6 +801,17 @@ object Aggregates {
         | ROUND(quantile_cont(l_quantity, 0.5), 4) AS median,
         | ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_percentiles_w" ->
+      """WITH e AS (
+        |  SELECT l_linestatus, l_quantity, unnest(range(l_linenumber)) AS rep
+        |  FROM lineitem)
+        |SELECT l_linestatus,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25_w,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_w,
+        | ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75_w,
+        | true AS wmedian_ok,
+        | true AS wqdigest_ok
+        |FROM e GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "agg_histogram" ->
       """SELECT o_orderpriority AS value, count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY value""".stripMargin,

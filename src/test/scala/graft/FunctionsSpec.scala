@@ -256,6 +256,26 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("weighted qdigest: weight w equals w repeats; rejects non-positive weight") {
+    import graft.functions.QDigest
+    var wd = QDigest.empty(200)
+    var rep = QDigest.empty(200)
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val x = rnd.nextInt(1000).toDouble
+      val w = 1 + rnd.nextInt(5)
+      wd = QDigest.add(wd, x, w.toDouble)
+      (1 to w).foreach(_ => rep = QDigest.add(rep, x))
+    }
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val a = QDigest.quantile(wd, q)
+      val b = QDigest.quantile(rep, q)
+      assert(math.abs(a - b) <= 25.0, s"q=$q weighted=$a repeated=$b")
+    }
+    intercept[IllegalArgumentException](QDigest.add(QDigest.empty(10), 1.0, 0.0))
+    intercept[IllegalArgumentException](QDigest.add(QDigest.empty(10), 1.0, -2.0))
+  }
+
   test("khyperloglog kernel: exact/estimated regimes, uniqueness, merge-stable") {
     import graft.functions.Khll
     // exact regime: 1:1 value→uii fan-out
