@@ -161,6 +161,9 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("split_to_table",
+      "split_to_table(str, delim) - generator of (ord, value) split rows",
+      es => SplitToTable(es(0), es(1))),
     ("khyperloglog_agg",
       "khyperloglog_agg(value, uii) - KHyperLogLog joinability/uniqueness sketch",
       es => KhllAgg(es(0), es(1)).toAggregateExpression()),
@@ -383,6 +386,14 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // FROM-position table function: SELECT * FROM split_to_table('a b', ' ')
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "split_to_table",
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.plans.logical.Generate(
+        SplitToTable(es(0), es(1)), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Nil,
+        child = org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()),
+      "scala_udf")
   }
 
   // ---- DataFrame/Column API ----

@@ -303,6 +303,21 @@ object Relational {
         |ORDER BY k, ord""".stripMargin)
   }
 
+  /** split_to_table(str, delim) TVF as SQL text — a second polymorphic
+    * table function through the TVF registration path next to sequence()
+    * (reference table-function framework, TableFunctionOperator.java:44).
+    * The generator runs inside the scan's whole-stage pipeline; the
+    * FROM-position registration is covered in SqlSessionSpec. */
+  def tvfSplit(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_tvfs")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_partkey AS k, t.ord AS ord, t.word AS word
+        |FROM part_tvfs
+        |LATERAL VIEW split_to_table(p_type, ' ') t AS ord, word
+        |WHERE p_partkey <= 100
+        |ORDER BY k, ord""".stripMargin)
+  }
+
   /** Multi-array zip UNNEST as SQL text: parallel arrays pad with NULL to
     * the longest (UnnestNode zip contract), ordinality 1-based BIGINT. */
   def sqlUnnestZip(s: SparkSession, dir: String): DataFrame = {
@@ -372,7 +387,8 @@ object Relational {
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
     "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
-    "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip)
+    "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
+    "tvf_split" -> tvfSplit)
 
   val oracle: Map[String, String] = Map(
     "join_salted" ->
@@ -548,6 +564,12 @@ object Relational {
     "sql_unnest_rel" ->
       """SELECT p_partkey AS k, unnest(ws) AS word,
         | generate_subscripts(ws, 1) AS ord
+        |FROM (SELECT p_partkey, string_split(p_type, ' ') ws FROM part
+        |      WHERE p_partkey <= 100)
+        |ORDER BY k, ord""".stripMargin,
+    "tvf_split" ->
+      """SELECT p_partkey AS k, generate_subscripts(ws, 1) AS ord,
+        | unnest(ws) AS word
         |FROM (SELECT p_partkey, string_split(p_type, ' ') ws FROM part
         |      WHERE p_partkey <= 100)
         |ORDER BY k, ord""".stripMargin,

@@ -204,4 +204,19 @@ class SqlSessionSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(m > 0)
   }
+
+  test("split_to_table TVF: FROM position, LATERAL VIEW, empty-field rows") {
+    val rows = session.sql("SELECT * FROM split_to_table('a b c', ' ')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // non-regex delimiter, empty fields preserved
+    val dots = session.sql("SELECT value FROM split_to_table('x..y', '.')")
+      .collect().map(_.getString(0))
+    assert(dots.toSeq == Seq("x", "", "y"))
+    val lat = session.sql(
+      """SELECT n_nationkey, t.ord, t.w
+        |FROM nation LATERAL VIEW split_to_table(n_name, ' ') t AS ord, w
+        |WHERE n_nationkey < 5""".stripMargin).collect()
+    assert(lat.nonEmpty && lat.forall(_.getLong(1) >= 1))
+  }
 }
