@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LambdaFunction, NamedLambdaVariable}
+import org.apache.spark.sql.graftbridge.{Bridge, RegexpReplaceLambda}
 
 /** Registration of graft's custom Catalyst expressions, both as a
   * `SparkSessionExtensions` (config-time:
@@ -161,6 +161,18 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("regexp_replace",
+      "regexp_replace(s, pattern[, replacement | x -> expr]) - replace matches; lambda receives capture groups",
+      es => es match {
+        case Seq(s, p) =>
+          org.apache.spark.sql.catalyst.expressions.RegExpReplace(s, p,
+            org.apache.spark.sql.catalyst.expressions.Literal(""))
+        case Seq(s, p, l: LambdaFunction) => RegexpReplaceLambda(s, p, l)
+        case Seq(s, p, r) =>
+          org.apache.spark.sql.catalyst.expressions.RegExpReplace(s, p, r)
+        case _ => throw new IllegalArgumentException(
+          s"regexp_replace requires 2 or 3 arguments, got ${es.length}")
+      }),
     ("split_to_table",
       "split_to_table(str, delim) - generator of (ord, value) split rows",
       es => SplitToTable(es(0), es(1))),
@@ -428,6 +440,16 @@ object GraftFunctions {
   def jaccardIndex(a: Column, b: Column): Column = c(JaccardIndex(x(a), x(b)))
   def intersectionCardinality(a: Column, b: Column): Column =
     c(IntersectionCardinality(x(a), x(b)))
+  /** regexp_replace with a lambda over the capture-group array (the
+    * reference's lambda overload), from the Scala API. */
+  def regexpReplaceLambda(s: Column, p: Column, f: Column => Column): Column = {
+    val v = NamedLambdaVariable("g",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true),
+      nullable = false)
+    c(RegexpReplaceLambda(x(s), x(p), LambdaFunction(x(f(c(v))), Seq(v))))
+  }
+
   def khyperloglogAgg(v: Column, uii: Column): Column =
     c(KhllAgg(x(v), x(uii)).toAggregateExpression())
   def mergeKhll(a: Column): Column = c(KhllMergeAgg(x(a)).toAggregateExpression())

@@ -1034,6 +1034,7 @@ object Scalars {
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
     "fn_khll" -> khll,
+    "fn_regex_lambda" -> regexLambda,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1128,6 +1129,27 @@ object Scalars {
         col("n_i") - 1.0) < 0.25).as("ok"))
     exactSmall.unionAll(est).unionAll(bound).unionAll(jac).unionAll(inter)
       .orderBy("k", "metric")
+  }
+
+  /** Lambda-variant regexp_replace (JoniRegexpReplaceLambdaFunction.java:44):
+    * the lambda sees the capture-group array per match. Exercised as SQL
+    * TEXT through the session (the reference spelling); DuckDB replays
+    * each transformation with its own list lambdas / CASE logic —
+    * word-uppercasing, per-word capitalization via two groups, an
+    * alternation where one group is always NULL, and the
+    * NULL-result-nulls-everything contract. */
+  def regexLambda(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_rxl")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_partkey AS k,
+        | regexp_replace(p_name, '([a-z]+)', x -> upper(x[1])) AS up_words,
+        | regexp_replace(p_name, '([a-z])([a-z]*)',
+        |   x -> upper(x[1]) || x[2]) AS capitalized,
+        | regexp_replace(p_type, '(STANDARD)|(SMALL)',
+        |   x -> coalesce(x[1], '') || coalesce(x[2], '') || '!') AS tagged,
+        | regexp_replace(p_name, '(a)',
+        |   x -> CASE WHEN x[1] = 'a' THEN NULL ELSE x[1] END) AS null_prop
+        |FROM part_rxl WHERE p_partkey <= 200 ORDER BY k""".stripMargin)
   }
 
   /** KHyperLogLog (reference khyperloglog family: khyperloglog_agg /
@@ -1520,6 +1542,15 @@ object Scalars {
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
         |ORDER BY k, metric""".stripMargin,
+    "fn_regex_lambda" ->
+      """SELECT p_partkey AS k,
+        | upper(p_name) AS up_words,
+        | array_to_string(list_transform(string_split(p_name, ' '),
+        |   w -> upper(w[1]) || w[2:]), ' ') AS capitalized,
+        | replace(replace(p_type, 'STANDARD', 'STANDARD!'),
+        |   'SMALL', 'SMALL!') AS tagged,
+        | CASE WHEN p_name LIKE '%a%' THEN NULL ELSE p_name END AS null_prop
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_khll" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS k, 'exact_small' AS metric, true AS ok
         |FROM customer GROUP BY c_nationkey

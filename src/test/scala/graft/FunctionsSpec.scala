@@ -256,6 +256,34 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("regexp_replace lambda: groups, zero-width, null result, 2-arg removal") {
+    import graft.api.SqlSession
+    val session = SqlSession.wrap(spark)
+    def one(q: String): Any = session.sql(q).collect()(0).get(0)
+    // reference TestJoniRegexpFunctions lambda cases: capture-group array
+    assert(one("SELECT regexp_replace('new york', '(y)(ork)', x -> upper(x[1]) || x[2])")
+      == "new York")
+    // non-participating alternation group is NULL in the array
+    assert(one("SELECT regexp_replace('ab', '(a)|(b)', " +
+      "x -> CASE WHEN x[1] IS NULL THEN 'B' ELSE 'A' END)") == "AB")
+    // zero-width match interleaves (JoniRegexpReplaceLambdaFunction zero-width step)
+    assert(one("SELECT regexp_replace('ab', '', x -> '-')") == "-a-b-")
+    // NULL lambda result nulls the entire output
+    assert(one("SELECT regexp_replace('abc', '(b)', x -> CAST(NULL AS STRING))") == null)
+    // no match returns the source unchanged
+    assert(one("SELECT regexp_replace('abc', '(z)', x -> 'X')") == "abc")
+    // 2-arg form removes matches (reference regexp_replace(s, p))
+    assert(one("SELECT regexp_replace('1a2b3c', '[a-z]')") == "123")
+    // 3-arg string form still routes to Spark's builtin
+    assert(one("SELECT regexp_replace('foo', 'o', '0')") == "f00")
+    // Scala API lambda helper
+    import org.apache.spark.sql.functions.{lit, upper, element_at}
+    val df = spark.range(1).select(
+      GraftFunctions.regexpReplaceLambda(lit("ax bx"), lit("([a-z])x"),
+        g => upper(element_at(g, 1))).as("r"))
+    assert(df.collect()(0).getString(0) == "A B")
+  }
+
   test("weighted qdigest: weight w equals w repeats; rejects non-positive weight") {
     import graft.functions.QDigest
     var wd = QDigest.empty(200)
