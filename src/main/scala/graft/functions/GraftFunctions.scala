@@ -161,6 +161,20 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("spatial_partitioning",
+      "spatial_partitioning(xmin, ymin, xmax, ymax, partitionCount) - KDB-tree JSON from an envelope sample",
+      es => {
+        val pc = if (es(4).foldable) es(4).eval(null) else null
+        pc match {
+          case n: Number => SpatialPartitioningAgg(es(0), es(1), es(2), es(3),
+            n.intValue()).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "spatial_partitioning: partitionCount must be a foldable integer literal")
+        }
+      }),
+    ("spatial_partitions",
+      "spatial_partitions(kdbTree, xmin, ymin, xmax, ymax) - leaf ids the envelope intersects",
+      es => KdbPartitions(es(0), es(1), es(2), es(3), es(4))),
     ("regexp_replace",
       "regexp_replace(s, pattern[, replacement | x -> expr]) - replace matches; lambda receives capture groups",
       es => es match {
@@ -449,6 +463,15 @@ object GraftFunctions {
       nullable = false)
     c(RegexpReplaceLambda(x(s), x(p), LambdaFunction(x(f(c(v))), Seq(v))))
   }
+
+  def spatialPartitioning(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+    partitionCount: Int, sampleCap: Int = 10000): Column =
+    c(SpatialPartitioningAgg(x(xmin), x(ymin), x(xmax), x(ymax),
+      partitionCount, sampleCap).toAggregateExpression())
+  def spatialPartitions(
+    tree: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    c(KdbPartitions(x(tree), x(xmin), x(ymin), x(xmax), x(ymax)))
 
   def khyperloglogAgg(v: Column, uii: Column): Column =
     c(KhllAgg(x(v), x(uii)).toAggregateExpression())

@@ -175,13 +175,63 @@ object Spatial {
       .orderBy("nk", "ck")
   }
 
+  /** KDB-tree-partitioned polygon join (reference spatial_partitioning /
+    * spatial_partitions + PartitionedSpatialJoin —
+    * SpatialPartitioningInternalAggregateFunction.java:43, KdbTree.java:55):
+    * the same nation-polygon × customer-point join as `polygonJoin`, but
+    * the shuffle key is a data-adaptive KDB leaf id instead of a fixed
+    * grid cell. The tree comes from a mergeable bottom-k envelope sample
+    * (one tiny driver row, like ANALYZE stats), polygons explode to every
+    * leaf their bbox intersects, each point probes exactly ONE leaf
+    * (right/top-exclusive leaves tile the plane), and the exact ray-cast
+    * refines — so the output is partition-independent and the oracle is
+    * the identical naive spatial predicate. At 100 TB this is the
+    * skew-resistant spatial join: dense regions split into more leaves,
+    * keeping per-task candidate counts balanced where a fixed grid piles
+    * a city's worth of points into one cell. */
+  def kdbJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    import graft.functions.{GraftFunctions => g, Kdb}
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      coord(col("c_custkey"), 7919L).as("px"),
+      coord(col("c_custkey"), 104729L).as("py"))
+    // build the tree from the point sample: one small row, deterministic
+    val treeJson = pts
+      .agg(g.spatialPartitioning(col("px"), col("py"), col("px"), col("py"),
+        partitionCount = 16, sampleCap = 512).as("t"))
+      .collect()(0).getString(0)
+    val polys = t(s, dir, "nation").select(
+      col("n_nationkey").as("nk"),
+      (lit(3) + col("n_nationkey") % 5).cast("int").as("n"),
+      (col("n_nationkey") * 37 % 80).cast("double").as("pcx"),
+      (col("n_nationkey") * 53 % 80).cast("double").as("pcy"),
+      (lit(3.0) + col("n_nationkey") % 4).as("r"))
+      .withColumn("ring",
+        transform(sequence(lit(0), col("n") - 1), i => struct(
+          (col("pcx") + col("r") * cos(lit(2 * scala.math.Pi) * i / col("n"))).as("x"),
+          (col("pcy") + col("r") * sin(lit(2 * scala.math.Pi) * i / col("n"))).as("y"))))
+    val polyParts = polys.withColumn("pid",
+      explode(g.spatialPartitions(lit(treeJson),
+        col("pcx") - col("r"), col("pcy") - col("r"),
+        col("pcx") + col("r"), col("pcy") + col("r"))))
+    val ptParts = pts.withColumn("pid",
+      explode(g.spatialPartitions(lit(treeJson),
+        col("px"), col("py"), col("px"), col("py"))))
+    ptParts.join(polyParts, Seq("pid"))
+      .where(stContainsPoint(col("ring"), stPoint(col("px"), col("py"))))
+      .select(col("nk"), col("ck"))
+      .orderBy("nk", "ck")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_spatial_distance" -> distanceJoin,
     "join_spatial_contains" -> containsJoin,
     "join_spatial_polygon" -> polygonJoin,
-    "join_spatial_intersects" -> intersectsJoin)
+    "join_spatial_intersects" -> intersectsJoin,
+    "join_spatial_kdb" -> kdbJoin)
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = tailOracle ++ Map(
     "join_spatial_intersects" ->
       """WITH n AS (SELECT n_nationkey nk,
         |            CAST(n_nationkey * 37 % 80 AS DOUBLE) ncx,
@@ -225,7 +275,12 @@ object Spatial {
         |  FROM d GROUP BY nk, ck)
         |SELECT nk, ck FROM agg WHERE hit = 1 OR cr % 2 = 1
         |ORDER BY nk, ck""".stripMargin,
-    "join_spatial_polygon" ->
+    // identical predicate — the KDB partitioning is internal, so the naive
+    // spatial join is the oracle for both the grid and the KDB variants
+    "join_spatial_kdb" -> polygonOracleSql,
+    "join_spatial_polygon" -> polygonOracleSql)
+
+  private lazy val polygonOracleSql: String =
       """WITH n AS (SELECT n_nationkey nk, CAST(3 + n_nationkey % 5 AS INT) nn,
         |            CAST(n_nationkey * 37 % 80 AS DOUBLE) pcx,
         |            CAST(n_nationkey * 53 % 80 AS DOUBLE) pcy,
@@ -246,7 +301,9 @@ object Spatial {
         |                  AND px < (bx - ax) * (py - ay) / (by_ - ay) + ax
         |                 THEN 1 ELSE 0 END) c
         |       FROM e CROSS JOIN p GROUP BY 1, 2)
-        |SELECT nk, ck FROM cr WHERE c % 2 = 1 ORDER BY nk, ck""".stripMargin,
+        |SELECT nk, ck FROM cr WHERE c % 2 = 1 ORDER BY nk, ck""".stripMargin
+
+  private lazy val tailOracle: Map[String, String] = Map(
     "join_spatial_distance" ->
       """WITH c AS (SELECT c_custkey AS ck,
         |        CAST(c_custkey * 7919 % 1000 AS DOUBLE) / 10.0 AS cx,

@@ -256,6 +256,38 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("kdb tree: leaves tile the plane, point hits one leaf, json roundtrip") {
+    import graft.functions.Kdb
+    val rnd = new scala.util.Random(11)
+    val pts = IndexedSeq.fill(2000)(
+      { val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+        Kdb.Rect(x, y, x, y) })
+    val root = Kdb.build(100, pts)
+    val leaves = Kdb.leaves(root)
+    assert(leaves.size >= 20, s"expected >= 20 leaves, got ${leaves.size}")
+    // ids are distinct
+    assert(leaves.map(_.id).distinct.size == leaves.size)
+    // every probe point lands in exactly one leaf (right/top exclusive)
+    (0 until 500).foreach { _ =>
+      val x = rnd.nextDouble() * 120 - 10
+      val y = rnd.nextDouble() * 120 - 10
+      val hits = Kdb.intersectingLeaves(root, Kdb.Rect(x, y, x, y))
+      assert(hits.size == 1, s"point ($x,$y) hit ${hits.size} leaves")
+    }
+    // envelopes hit every leaf they overlap; a huge envelope hits all
+    val all = Kdb.intersectingLeaves(root, Kdb.Rect(-1e9, -1e9, 1e9, 1e9))
+    assert(all.size == leaves.size)
+    // per-leaf sample count respects the cap (no degenerate splits here)
+    val counts = leaves.map(l => pts.count(p =>
+      l.extent.xmin <= p.xmax && l.extent.xmax > p.xmin &&
+        l.extent.ymin <= p.ymax && l.extent.ymax > p.ymin))
+    assert(counts.forall(_ <= 100), s"leaf over capacity: ${counts.max}")
+    // json round-trip preserves structure
+    val rt = Kdb.fromJson(Kdb.toJson(root))
+    assert(Kdb.toJson(rt) == Kdb.toJson(root))
+    assert(Kdb.leaves(rt).map(_.id) == leaves.map(_.id))
+  }
+
   test("regexp_replace lambda: groups, zero-width, null result, 2-arg removal") {
     import graft.api.SqlSession
     val session = SqlSession.wrap(spark)
