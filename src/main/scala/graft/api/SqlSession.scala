@@ -315,9 +315,80 @@ object Dialect {
     sb.toString
   }
 
+  private val groupsBetweenRe = "(?i)\\bGROUPS\\s+BETWEEN\\b".r
+  private val overOpenRe = "(?i)\\bOVER\\s*\\(".r
+  private val partitionByRe = "(?i)\\bPARTITION\\s+BY\\s+".r
+  private val orderByRe = "(?i)\\bORDER\\s+BY\\s+".r
+  private val simpleFromRe = "(?i)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_.]*)".r
+
+  /** Reference-grammar GROUPS frames as SQL text (SqlBase.g4:583-592).
+    * Spark's parser has no GROUPS token, so the dialect restructures: the
+    * query's FROM relation is wrapped in a subquery that adds
+    * `dense_rank() OVER (same partition/order) AS __graft_grp`, and the
+    * GROUPS window becomes `ORDER BY __graft_grp RANGE <frame>` — peer
+    * groups collapse to consecutive integers, so counting groups IS a
+    * range over dense ranks (the same rewrite Windows.groupsFrame uses in
+    * the DataFrame API). Supported shape: one GROUPS window over a plain
+    * FROM <table> query; anything fancier raises a clear unsupported
+    * error instead of a silent misparse. */
+  private def rewriteGroupsFrame(original: String): String = {
+    val m = masked(original)
+    if (groupsBetweenRe.findFirstIn(m).isEmpty) return original
+    val spans = overOpenRe.findAllMatchIn(m).toSeq.map { h =>
+      val open = h.end - 1
+      (h.start, open, matchParen(m, open))
+    }
+    val gSpans = spans.filter { case (_, open, close) =>
+      groupsBetweenRe.findFirstIn(m.substring(open, close)).isDefined
+    }
+    if (gSpans.isEmpty) return original
+    if (gSpans.size > 1) throw new UnsupportedOperationException(
+      "GROUPS frames: only one GROUPS window per query is supported by the dialect")
+    val (ovStart, open, close) = gSpans.head
+    val insideM = m.substring(open + 1, close - 1)
+    val insideO = original.substring(open + 1, close - 1)
+    val pMatch = partitionByRe.findFirstMatchIn(insideM)
+    val oMatch = orderByRe.findFirstMatchIn(insideM) match {
+      case Some(x) => x
+      case None => throw new UnsupportedOperationException(
+        "GROUPS frame requires ORDER BY in the window specification")
+    }
+    val gMatch = groupsBetweenRe.findFirstMatchIn(insideM).get
+    val partExpr = pMatch.map(p =>
+      insideO.substring(p.end, oMatch.start).trim)
+    val orderExpr = insideO.substring(oMatch.end, gMatch.start).trim
+    val frameSpec = insideO.substring(gMatch.start + "GROUPS".length).trim
+    // the first depth-0 FROM with a plain relation name is the query source
+    val depth = new Array[Int](m.length + 1)
+    var d = 0
+    var i = 0
+    while (i < m.length) {
+      if (m.charAt(i) == '(') d += 1 else if (m.charAt(i) == ')') d -= 1
+      i += 1
+      depth(i) = d
+    }
+    val from = simpleFromRe.findAllMatchIn(m)
+      .find(f => depth(f.start) == 0)
+      .getOrElse(throw new UnsupportedOperationException(
+        "GROUPS frames need a plain FROM <table> source for the dialect rewrite"))
+    val table = original.substring(from.start(1), from.end(1))
+    val innerPart = partExpr.map(p => s"PARTITION BY $p ").getOrElse("")
+    val innerFrom = s"FROM (SELECT *, dense_rank() OVER ($innerPart" +
+      s"ORDER BY $orderExpr) AS __graft_grp FROM $table) __graft_groups_src"
+    val newOver = s"OVER (${partExpr.map(p => s"PARTITION BY $p ").getOrElse("")}" +
+      s"ORDER BY __graft_grp RANGE $frameSpec)"
+    // splice right-to-left so earlier indices stay valid
+    val (aStart, aEnd, aText, bStart, bEnd, bText) =
+      if (ovStart > from.start) (from.start, from.end, innerFrom, ovStart, close, newOver)
+      else (ovStart, close, newOver, from.start, from.end, innerFrom)
+    original.substring(0, aStart) + aText +
+      original.substring(aEnd, bStart) + bText + original.substring(bEnd)
+  }
+
   def translate(text: String): String = {
     checkStrposArity(text)
-    segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(text)))).map {
+    segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
+      rewriteGroupsFrame(text))))).map {
       case (seg, false) => seg
       case (seg, true) =>
         renames.foldLeft(seg) { case (t, (from, to)) =>

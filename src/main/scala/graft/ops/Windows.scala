@@ -146,6 +146,21 @@ object Windows {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** GROUPS frame accepted as SQL TEXT (SqlBase.g4:583-592): the dialect
+    * wraps the FROM source with a dense_rank subquery and turns the GROUPS
+    * window into RANGE over the dense rank (same rewrite as groupsFrame
+    * above, applied textually). DuckDB runs the ORIGINAL GROUPS spelling
+    * natively — a fully independent oracle for the rewrite. */
+  def groupsSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_wgs")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_brand, p_partkey, p_size,
+        | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+        |   GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS peer3_rows
+        |FROM part_wgs
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
   /** lag/lead/nth_value with IGNORE NULLS (reference window functions carry
     * an ignoreNulls flag — MAIN/operator/window/LagFunction.java). */
   def ignoreNulls(s: SparkSession, dir: String): DataFrame = {
@@ -162,6 +177,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_groups_frame" -> groupsFrame,
+    "win_groups_sql" -> groupsSql,
     "win_ignore_nulls" -> ignoreNulls,
     "win_topn_rownum" -> topnRownum,
     "win_rank_dense" -> rankDense,
@@ -185,6 +201,14 @@ object Windows {
         |WINDOW w AS (PARTITION BY p_brand ORDER BY dr
         |             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
         |ORDER BY p_brand, p_partkey""".stripMargin,
+    "win_groups_sql" ->
+      """WITH d AS (SELECT p_brand, p_partkey, p_size,
+        |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS dr
+        | FROM part)
+        |SELECT p_brand, p_partkey, p_size,
+        | count(*) OVER (PARTITION BY p_brand ORDER BY dr
+        |   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS peer3_rows
+        |FROM d ORDER BY p_brand, p_partkey""".stripMargin,
     "win_ignore_nulls" ->
       """SELECT user_id, event_id,
         | lag(v IGNORE NULLS) OVER w AS prev_click,

@@ -205,6 +205,27 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(m > 0)
   }
 
+  test("GROUPS frames accepted as SQL text (dense_rank+RANGE restructure)") {
+    // partitioned GROUPS window vs the DataFrame-API rewrite
+    val viaSql = session.sql(
+      """SELECT n_regionkey, n_nationkey,
+        | count(*) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey % 3
+        |   GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS grp_cnt
+        |FROM nation ORDER BY n_regionkey, n_nationkey""".stripMargin).collect()
+    assert(viaSql.nonEmpty && viaSql.forall(_.getLong(2) >= 1))
+    // partition-less form
+    val np = session.sql(
+      """SELECT n_nationkey,
+        | count(*) OVER (ORDER BY n_nationkey % 5
+        |   GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS c
+        |FROM nation ORDER BY n_nationkey""".stripMargin).collect()
+    assert(np.nonEmpty)
+    // GROUPS without ORDER BY is rejected with a clear message
+    val e = intercept[UnsupportedOperationException](session.sql(
+      "SELECT count(*) OVER (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation"))
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
   test("split_to_table TVF: FROM position, LATERAL VIEW, empty-field rows") {
     val rows = session.sql("SELECT * FROM split_to_table('a b c', ' ')")
       .collect().map(r => (r.getLong(0), r.getString(1)))
