@@ -82,6 +82,9 @@ object Dialect {
     "strpos" -> "instr",
     "json_extract_scalar" -> "get_json_object",
     "codepoint" -> "ascii",
+    "last_day_of_month" -> "last_day",
+    "week" -> "weekofyear",
+    "week_of_year" -> "weekofyear",
     "to_unixtime" -> "unix_timestamp",
     "from_unixtime_ms" -> "timestamp_millis",
     // TRY(expr): general error→NULL wrapper (functions/TryExpression.scala);

@@ -1,0 +1,202 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binary conversion + non-cryptographic hash scalars from the reference's
+  * VarbinaryFunctions (operator/scalar/VarbinaryFunctions.java:
+  * to/from_big_endian_32/64, to/from_ieee754_32/64, fnv1_32/64,
+  * fnv1a_32/64) and StringFunctions.longest_common_prefix. All codegen'd
+  * per-row projections. */
+object BinConv {
+  def toBe64(x: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(x).array()
+  def fromBe64(b: Array[Byte]): Long = {
+    require(b.length == 8, s"expected 8-byte input, got ${b.length}")
+    ByteBuffer.wrap(b).getLong
+  }
+  def toBe32(x: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(x).array()
+  def fromBe32(b: Array[Byte]): Int = {
+    require(b.length == 4, s"expected 4-byte input, got ${b.length}")
+    ByteBuffer.wrap(b).getInt
+  }
+  def toIeee64(x: Double): Array[Byte] = toBe64(java.lang.Double.doubleToLongBits(x))
+  def fromIeee64(b: Array[Byte]): Double = java.lang.Double.longBitsToDouble(fromBe64(b))
+  def toIeee32(x: Float): Array[Byte] = toBe32(java.lang.Float.floatToIntBits(x))
+  def fromIeee32(b: Array[Byte]): Float = java.lang.Float.intBitsToFloat(fromBe32(b))
+
+  // FNV hashes per the published spec (http://www.isthe.com/chongo/tech/comp/fnv/)
+  def fnv1_32(b: Array[Byte]): Long = {
+    var h = 0x811c9dc5L
+    var i = 0
+    while (i < b.length) { h = (h * 0x01000193L) & 0xffffffffL; h ^= (b(i) & 0xffL); i += 1 }
+    h
+  }
+  def fnv1a_32(b: Array[Byte]): Long = {
+    var h = 0x811c9dc5L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h = (h * 0x01000193L) & 0xffffffffL; i += 1 }
+    h
+  }
+  def fnv1_64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h *= 0x100000001b3L; h ^= (b(i) & 0xffL); i += 1 }
+    h
+  }
+  def fnv1a_64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Longest common prefix by code point (StringFunctions.java
+    * longestCommonPrefix). */
+  def lcp(a: UTF8String, b: UTF8String): UTF8String = {
+    val as = a.toString; val bs = b.toString
+    val max = math.min(as.length, bs.length)
+    var i = 0
+    while (i < max && as.charAt(i) == bs.charAt(i)) i += 1
+    // don't split a surrogate pair at the boundary
+    if (i > 0 && i < as.length && Character.isHighSurrogate(as.charAt(i - 1)) &&
+      Character.isLowSurrogate(as.charAt(i))) i -= 1
+    UTF8String.fromString(as.substring(0, i))
+  }
+}
+
+/** One thin codegen'd expression per conversion op (see BinConv). */
+case class BinConvExpr(child: Expression, op: String) extends UnaryExpression {
+  private val (inType: DataType, outType: DataType) = op match {
+    case "to_big_endian_64" => (LongType, BinaryType)
+    case "from_big_endian_64" => (BinaryType, LongType)
+    case "to_big_endian_32" => (IntegerType, BinaryType)
+    case "from_big_endian_32" => (BinaryType, IntegerType)
+    case "to_ieee754_64" => (DoubleType, BinaryType)
+    case "from_ieee754_64" => (BinaryType, DoubleType)
+    case "to_ieee754_32" => (FloatType, BinaryType)
+    case "from_ieee754_32" => (BinaryType, FloatType)
+    case "fnv1_32" | "fnv1_64" | "fnv1a_32" | "fnv1a_64" => (BinaryType, LongType)
+    case other => throw new IllegalArgumentException(s"unknown binary conv op: $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == inType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$op requires ${inType.simpleString}, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = outType
+  override def prettyName: String = op
+
+  private def helper: String = op match {
+    case "to_big_endian_64" => "toBe64"
+    case "from_big_endian_64" => "fromBe64"
+    case "to_big_endian_32" => "toBe32"
+    case "from_big_endian_32" => "fromBe32"
+    case "to_ieee754_64" => "toIeee64"
+    case "from_ieee754_64" => "fromIeee64"
+    case "to_ieee754_32" => "toIeee32"
+    case "from_ieee754_32" => "fromIeee32"
+    case h => h
+  }
+
+  override protected def nullSafeEval(v: Any): Any = op match {
+    case "to_big_endian_64" => BinConv.toBe64(v.asInstanceOf[Long])
+    case "from_big_endian_64" => BinConv.fromBe64(v.asInstanceOf[Array[Byte]])
+    case "to_big_endian_32" => BinConv.toBe32(v.asInstanceOf[Int])
+    case "from_big_endian_32" => BinConv.fromBe32(v.asInstanceOf[Array[Byte]])
+    case "to_ieee754_64" => BinConv.toIeee64(v.asInstanceOf[Double])
+    case "from_ieee754_64" => BinConv.fromIeee64(v.asInstanceOf[Array[Byte]])
+    case "to_ieee754_32" => BinConv.toIeee32(v.asInstanceOf[Float])
+    case "from_ieee754_32" => BinConv.fromIeee32(v.asInstanceOf[Array[Byte]])
+    case "fnv1_32" => BinConv.fnv1_32(v.asInstanceOf[Array[Byte]])
+    case "fnv1_64" => BinConv.fnv1_64(v.asInstanceOf[Array[Byte]])
+    case "fnv1a_32" => BinConv.fnv1a_32(v.asInstanceOf[Array[Byte]])
+    case "fnv1a_64" => BinConv.fnv1a_64(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BinConv.$helper($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** longest_common_prefix(a, b) → varchar (StringFunctions). */
+case class LongestCommonPrefix(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "longest_common_prefix requires two strings, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "longest_common_prefix"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BinConv.lcp(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BinConv.lcp($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** scale_qdigest(sketch, factor) → sketch with all weights scaled
+  * (QuantileDigestFunctions.scaleQuantileDigest — quantiles unchanged,
+  * counts multiplied). */
+case class ScaleQDigest(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "scale_qdigest requires (varbinary, double), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "scale_qdigest"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BinConvSketch.scaleQdigest(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BinConvSketch.scaleQdigest($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** scale_tdigest(sketch, factor) (TDigestFunctions.scaleTDigest). */
+case class ScaleTDigest(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "scale_tdigest requires (varbinary, double), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "scale_tdigest"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BinConvSketch.scaleTdigest(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BinConvSketch.scaleTdigest($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BinConvSketch {
+  def scaleQdigest(bytes: Array[Byte], factor: Double): Array[Byte] = {
+    require(factor > 0, s"scale factor must be positive, got $factor")
+    val d = QDigest.deserialize(bytes)
+    QDigest.serialize(QDigest.Digest(d.k, d.means, d.weights.map(_ * factor)))
+  }
+  def scaleTdigest(bytes: Array[Byte], factor: Double): Array[Byte] = {
+    require(factor > 0, s"scale factor must be positive, got $factor")
+    val d = TDigest.deserialize(bytes)
+    TDigest.serialize(TDigest.Digest(
+      d.compression, d.means, d.weights.map(_ * factor), d.min, d.max))
+  }
+}

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LambdaFunction, NamedLambdaVariable}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.{Bridge, RegexpReplaceLambda}
 
 /** Registration of graft's custom Catalyst expressions, both as a
@@ -161,6 +162,99 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("to_big_endian_64", "to_big_endian_64(x) - bigint as 8 big-endian bytes",
+      es => BinConvExpr(es.head, "to_big_endian_64")),
+    ("from_big_endian_64", "from_big_endian_64(b) - bigint from 8 big-endian bytes",
+      es => BinConvExpr(es.head, "from_big_endian_64")),
+    ("to_big_endian_32", "to_big_endian_32(x) - integer as 4 big-endian bytes",
+      es => BinConvExpr(cast(es.head, org.apache.spark.sql.types.IntegerType),
+        "to_big_endian_32")),
+    ("from_big_endian_32", "from_big_endian_32(b) - integer from 4 big-endian bytes",
+      es => BinConvExpr(es.head, "from_big_endian_32")),
+    ("to_ieee754_64", "to_ieee754_64(x) - double as IEEE-754 big-endian bytes",
+      es => BinConvExpr(es.head, "to_ieee754_64")),
+    ("from_ieee754_64", "from_ieee754_64(b) - double from IEEE-754 bytes",
+      es => BinConvExpr(es.head, "from_ieee754_64")),
+    ("to_ieee754_32", "to_ieee754_32(x) - real as IEEE-754 big-endian bytes",
+      es => BinConvExpr(cast(es.head, org.apache.spark.sql.types.FloatType),
+        "to_ieee754_32")),
+    ("from_ieee754_32", "from_ieee754_32(b) - real from IEEE-754 bytes",
+      es => BinConvExpr(es.head, "from_ieee754_32")),
+    ("fnv1_32", "fnv1_32(b) - FNV-1 32-bit hash", es => BinConvExpr(es.head, "fnv1_32")),
+    ("fnv1_64", "fnv1_64(b) - FNV-1 64-bit hash", es => BinConvExpr(es.head, "fnv1_64")),
+    ("fnv1a_32", "fnv1a_32(b) - FNV-1a 32-bit hash", es => BinConvExpr(es.head, "fnv1a_32")),
+    ("fnv1a_64", "fnv1a_64(b) - FNV-1a 64-bit hash", es => BinConvExpr(es.head, "fnv1a_64")),
+    ("combine_hash", "combine_hash(h1, h2) - 31*h1 + h2 (reference CombineHashFunction)",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Literal, Multiply}
+        Add(Multiply(Literal(31L), asLong(es(0))), asLong(es(1)))
+      }),
+    ("longest_common_prefix", "longest_common_prefix(a, b) - shared code-point prefix",
+      es => LongestCommonPrefix(es(0), es(1))),
+    ("strrpos", "strrpos(s, sub) - 1-based index of the LAST occurrence, 0 if absent",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, EqualTo, Length, Literal, Reverse, StringInstr, Subtract}
+        val lastPos = Cast(Add(Subtract(
+          Subtract(Length(es(0)), StringInstr(Reverse(es(0)), Reverse(es(1)))),
+          Length(es(1))), Literal(2)), org.apache.spark.sql.types.LongType)
+        CaseWhen(
+          Seq((EqualTo(StringInstr(es(0), es(1)), Literal(0)), Literal(0L))),
+          Some(lastPos))
+      }),
+    ("find_first", "find_first(a, f) - first element matching the lambda, NULL if none",
+      es => org.apache.spark.sql.graftbridge.ArrayFindFirst(es(0), es(1),
+        returnIndex = false)),
+    ("find_first_index",
+      "find_first_index(a, f) - 1-based index of the first lambda match, NULL if none",
+      es => org.apache.spark.sql.graftbridge.ArrayFindFirst(es(0), es(1),
+        returnIndex = true)),
+    ("array_sum",
+      "array_sum(a) - sum of non-null elements as DOUBLE (reference returns the element type)",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Coalesce, Literal}
+        val v = NamedLambdaVariable("v",
+          org.apache.spark.sql.types.DoubleType, nullable = true)
+        val acc = NamedLambdaVariable("acc",
+          org.apache.spark.sql.types.DoubleType, nullable = false)
+        val arr = cast(es.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))
+        ArrayAggregate(
+          arr,
+          Literal(0.0),
+          LambdaFunction(Add(acc, Coalesce(Seq(v, Literal(0.0)))), Seq(acc, v)),
+          LambdaFunction(acc, Seq(acc)))
+      }),
+    ("trim_array", "trim_array(a, n) - array without its last n elements",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Greatest, Literal, Size, Slice, Subtract}
+        Slice(es(0), Literal(1), Greatest(Seq(
+          Subtract(Size(es(0)),
+            Cast(es(1), org.apache.spark.sql.types.IntegerType)),
+          Literal(0))))
+      }),
+    ("year_of_week", "year_of_week(d) - ISO-8601 week-numbering year",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, DateAdd, DayOfWeek, Literal, Remainder, Subtract, Year}
+        val d = cast(es.head, org.apache.spark.sql.types.DateType)
+        val isoDow = Add(Remainder(Add(DayOfWeek(d), Literal(5)), Literal(7)),
+          Literal(1))
+        Cast(Year(DateAdd(d, Subtract(Literal(4), isoDow))),
+          org.apache.spark.sql.types.LongType)
+      }),
+    ("quantiles_at_values",
+      "quantiles_at_values(tdigest, values) - rank of each value in [0,1]",
+      es => {
+        val v = NamedLambdaVariable("v",
+          org.apache.spark.sql.types.DoubleType, nullable = true)
+        org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+          cast(es(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)),
+          LambdaFunction(QuantileAtValue(es(0), v), Seq(v)))
+      }),
+    ("scale_qdigest", "scale_qdigest(sketch, factor) - scale digest weights",
+      es => ScaleQDigest(es(0), dbl(es(1)))),
+    ("scale_tdigest", "scale_tdigest(sketch, factor) - scale t-digest weights",
+      es => ScaleTDigest(es(0), dbl(es(1)))),
     ("spatial_partitioning",
       "spatial_partitioning(xmin, ymin, xmax, ymax, partitionCount) - KDB-tree JSON from an envelope sample",
       es => {
@@ -395,6 +489,10 @@ object GraftFunctions {
             es(0), org.apache.spark.sql.types.StringType), es(1)))),
     ("bar", "bar(fraction, width[, lowColor, highColor]) - ANSI bar chart cell",
       es => ColorCall("bar", dbl(es(0)) +: es.drop(1))))
+
+  private def cast(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+    if (e.dataType == dt) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, dt)
 
   private def dbl(e: Expression): Expression =
     if (e.dataType == org.apache.spark.sql.types.DoubleType) e

@@ -1035,6 +1035,7 @@ object Scalars {
     "fn_setdigest" -> setDigest,
     "fn_khll" -> khll,
     "fn_regex_lambda" -> regexLambda,
+    "fn_breadth" -> breadth,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1150,6 +1151,36 @@ object Scalars {
         | regexp_replace(p_name, '(a)',
         |   x -> CASE WHEN x[1] = 'a' THEN NULL ELSE x[1] END) AS null_prop
         |FROM part_rxl WHERE p_partkey <= 200 ORDER BY k""".stripMargin)
+  }
+
+  /** Breadth batch (VarbinaryFunctions to/from_big_endian + ieee754,
+    * CombineHashFunction, StringFunctions strrpos/longest_common_prefix,
+    * array find_first/find_first_index/array_sum/trim_array,
+    * DateTimeFunctions week/year_of_week/last_day_of_month). All per-row
+    * codegen'd projections exercised as SQL text; DuckDB replays each with
+    * its own primitives (to_hex/lpad, list lambdas, isoyear). */
+  def breadth(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_brd")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT p_partkey AS k,
+        | strrpos(p_name, 'a') AS rpos_a,
+        | longest_common_prefix(p_name, concat(substr(p_name, 1, 5), 'ZZZ')) AS lcp5,
+        | find_first(split(p_name, ' '), w -> length(w) > 5) AS ff,
+        | find_first_index(split(p_name, ' '), w -> length(w) > 5) AS ffi,
+        | array_sum(transform(split(p_name, ' '), w -> cast(length(w) AS DOUBLE)))
+        |   AS asum,
+        | concat_ws('|', trim_array(split(p_name, ' '), 2)) AS trimmed,
+        | hex(to_big_endian_64(p_partkey)) AS be64,
+        | from_big_endian_64(to_big_endian_64(p_partkey * 7919)) AS be_rt,
+        | hex(to_big_endian_32(p_size)) AS be32,
+        | from_ieee754_64(to_ieee754_64(cast(p_retailprice AS DOUBLE))) AS ieee_rt,
+        | combine_hash(p_partkey, cast(p_size AS BIGINT)) AS ch,
+        | cast(week(date_add(DATE '1995-01-01', cast(p_partkey AS INT))) AS BIGINT)
+        |   AS wk,
+        | year_of_week(date_add(DATE '1995-01-01', cast(p_partkey AS INT))) AS yow,
+        | last_day_of_month(date_add(DATE '1995-01-01', cast(p_partkey AS INT)))
+        |   AS ldom
+        |FROM part_brd WHERE p_partkey <= 200 ORDER BY k""".stripMargin)
   }
 
   /** KHyperLogLog (reference khyperloglog family: khyperloglog_agg /
@@ -1542,6 +1573,29 @@ object Scalars {
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
         |ORDER BY k, metric""".stripMargin,
+    "fn_breadth" ->
+      """SELECT p_partkey AS k,
+        | CASE WHEN strpos(p_name, 'a') = 0 THEN 0
+        |      ELSE length(p_name) - strpos(reverse(p_name), 'a') + 1
+        | END AS rpos_a,
+        | substr(p_name, 1, 5) AS lcp5,
+        | (list_filter(string_split(p_name, ' '), w -> length(w) > 5))[1] AS ff,
+        | (list_filter(list_transform(string_split(p_name, ' '),
+        |    (w, i) -> CASE WHEN length(w) > 5 THEN i END),
+        |    x -> x IS NOT NULL))[1] AS ffi,
+        | CAST(list_sum(list_transform(string_split(p_name, ' '),
+        |    w -> length(w))) AS DOUBLE) AS asum,
+        | coalesce(array_to_string(list_slice(string_split(p_name, ' '), 1,
+        |    greatest(len(string_split(p_name, ' ')) - 2, 0)), '|'), '') AS trimmed,
+        | upper(lpad(to_hex(p_partkey), 16, '0')) AS be64,
+        | p_partkey * 7919 AS be_rt,
+        | upper(lpad(to_hex(p_size), 8, '0')) AS be32,
+        | CAST(p_retailprice AS DOUBLE) AS ieee_rt,
+        | 31 * p_partkey + p_size AS ch,
+        | CAST(weekofyear(DATE '1995-01-01' + CAST(p_partkey AS INT)) AS BIGINT) AS wk,
+        | CAST(isoyear(DATE '1995-01-01' + CAST(p_partkey AS INT)) AS BIGINT) AS yow,
+        | last_day(DATE '1995-01-01' + CAST(p_partkey AS INT)) AS ldom
+        |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
     "fn_regex_lambda" ->
       """SELECT p_partkey AS k,
         | upper(p_name) AS up_words,

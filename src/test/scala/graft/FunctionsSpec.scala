@@ -256,6 +256,55 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("fnv hashes match published vectors; binary conversions roundtrip") {
+    import graft.functions.BinConv
+    def b(s: String) = s.getBytes("UTF-8")
+    // published FNV test vectors (isthe.com/chongo/tech/comp/fnv)
+    assert(BinConv.fnv1_32(b("")) == 0x811c9dc5L)
+    assert(BinConv.fnv1a_32(b("foobar")) == 0xbf9cf968L)
+    assert(BinConv.fnv1_64(b("a")) == 0xaf63bd4c8601b7beL)
+    assert(BinConv.fnv1a_64(b("foobar")) == 0x85944171f73967e8L)
+    // big-endian + ieee754 conversions
+    assert(BinConv.toBe64(1L).toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    assert(BinConv.fromBe64(BinConv.toBe64(-123456789L)) == -123456789L)
+    assert(BinConv.fromBe32(BinConv.toBe32(Int.MinValue)) == Int.MinValue)
+    assert(BinConv.toIeee64(1.0).toSeq ==
+      Seq[Byte](0x3f, -0x10, 0, 0, 0, 0, 0, 0)) // 0x3ff0000000000000
+    assert(BinConv.fromIeee64(BinConv.toIeee64(math.Pi)) == math.Pi)
+    assert(BinConv.fromIeee32(BinConv.toIeee32(1.5f)) == 1.5f)
+    intercept[IllegalArgumentException](BinConv.fromBe64(Array[Byte](1, 2)))
+    // longest_common_prefix
+    assert(BinConv.lcp(u("foobar"), u("foobaz")).toString == "fooba")
+    assert(BinConv.lcp(u("abc"), u("xyz")).toString == "")
+    assert(BinConv.lcp(u("same"), u("same")).toString == "same")
+  }
+
+  test("scale_qdigest/scale_tdigest keep quantiles, quantiles_at_values maps") {
+    import graft.functions.{BinConvSketch, QDigest, TDigest}
+    var qd = QDigest.empty(100)
+    var td = TDigest.empty(100.0)
+    (1 to 1000).foreach { i => qd = QDigest.add(qd, i.toDouble); td = TDigest.add(td, i.toDouble) }
+    val qb = QDigest.serialize(qd)
+    val tb = TDigest.serialize(TDigest.compress(td))
+    for (f <- Seq(0.5, 2.0, 10.0); q <- Seq(0.1, 0.5, 0.9)) {
+      assert(QDigest.valueAtQuantile(BinConvSketch.scaleQdigest(qb, f), q) ==
+        QDigest.valueAtQuantile(qb, q), s"qdigest f=$f q=$q")
+      assert(math.abs(TDigest.valueAtQuantile(BinConvSketch.scaleTdigest(tb, f), q) -
+        TDigest.valueAtQuantile(tb, q)) < 1e-9, s"tdigest f=$f q=$q")
+    }
+    intercept[IllegalArgumentException](BinConvSketch.scaleQdigest(qb, 0.0))
+    // quantiles_at_values through SQL = element-wise quantile_at_value
+    import graft.api.SqlSession
+    val session = SqlSession.wrap(spark)
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("qv")
+    val r = session.sql(
+      """SELECT quantiles_at_values(tdigest_agg(v), array(250.0, 500.0, 750.0)) q
+        |FROM qv""".stripMargin).collect()(0).getSeq[Double](0)
+    assert(r.size == 3 && r.sliding(2).forall(p => p(0) < p(1)))
+    assert(math.abs(r(1) - 0.5) < 0.05, s"median rank ${r(1)}")
+  }
+
   test("kdb tree: leaves tile the plane, point hits one leaf, json roundtrip") {
     import graft.functions.Kdb
     val rnd = new scala.util.Random(11)
