@@ -162,6 +162,22 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("ip_prefix", "ip_prefix(ip, len) - CIDR prefix with host bits zeroed (IPv4)",
+      es => IpExpr(Seq(es(0), asLong(es(1))), "ip_prefix")),
+    ("ip_subnet_min", "ip_subnet_min(prefix) - first address of the subnet",
+      es => IpExpr(es.take(1), "ip_subnet_min")),
+    ("ip_subnet_max", "ip_subnet_max(prefix) - last address of the subnet",
+      es => IpExpr(es.take(1), "ip_subnet_max")),
+    ("ip_subnet_range", "ip_subnet_range(prefix) - [min, max] addresses",
+      es => IpExpr(es.take(1), "ip_subnet_range")),
+    ("is_subnet_of", "is_subnet_of(prefix, ip_or_prefix) - containment test",
+      es => IpExpr(es.take(2), "is_subnet_of")),
+    ("is_private_ip", "is_private_ip(ip) - RFC special-purpose range membership",
+      es => IpExpr(es.take(1), "is_private_ip")),
+    ("ip_prefix_collapse", "ip_prefix_collapse(prefixes) - minimal merged CIDR cover",
+      es => IpExpr(es.take(1), "ip_prefix_collapse")),
+    ("ip_prefix_subnets", "ip_prefix_subnets(prefix, len) - subnets of the given length",
+      es => IpExpr(Seq(es(0), asLong(es(1))), "ip_prefix_subnets")),
     ("to_big_endian_64", "to_big_endian_64(x) - bigint as 8 big-endian bytes",
       es => BinConvExpr(es.head, "to_big_endian_64")),
     ("from_big_endian_64", "from_big_endian_64(b) - bigint from 8 big-endian bytes",

@@ -809,6 +809,42 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** IP prefix functions phase-2 (IpPrefixFunctions.java:55): subnet
+    * min/max/range, containment, RFC-range privacy, prefix collapse and
+    * subnet expansion, all over key-derived IPv4 strings. The oracle
+    * replays the bit arithmetic with integer math; collapse/subnets are
+    * exercised on fixed prefixes so DuckDB can enumerate the expected
+    * CIDR lists literally. */
+  def ip2(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("cust_ip2")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT c_custkey AS k,
+        | concat_ws('.', '10', cast(c_custkey % 200 AS STRING),
+        |   cast((c_custkey * 7) % 256 AS STRING),
+        |   cast(c_nationkey % 256 AS STRING)) AS ip,
+        | ip_prefix(concat_ws('.', '10', cast(c_custkey % 200 AS STRING),
+        |   cast((c_custkey * 7) % 256 AS STRING),
+        |   cast(c_nationkey % 256 AS STRING)), 20) AS pfx20,
+        | ip_subnet_min(concat_ws('.', '10', cast(c_custkey % 200 AS STRING),
+        |   '0.0/16')) AS smin,
+        | ip_subnet_max(concat_ws('.', '10', cast(c_custkey % 200 AS STRING),
+        |   '0.0/16')) AS smax,
+        | concat_ws('|', ip_subnet_range(concat_ws('.', '10',
+        |   cast(c_custkey % 200 AS STRING), '0.0/24'))) AS srange,
+        | is_subnet_of('10.0.0.0/9', concat_ws('.', '10',
+        |   cast(c_custkey % 200 AS STRING),
+        |   cast((c_custkey * 7) % 256 AS STRING),
+        |   cast(c_nationkey % 256 AS STRING))) AS in_10_9,
+        | is_subnet_of('10.64.0.0/10', concat_ws('.', '10',
+        |   cast(c_custkey % 200 AS STRING), '0.0/16')) AS pfx_in_pfx,
+        | is_private_ip(concat_ws('.', cast(100 + c_custkey % 100 AS STRING),
+        |   cast(c_custkey % 128 AS STRING), '1.1')) AS priv,
+        | concat_ws('|', ip_prefix_collapse(array(
+        |   '192.168.0.0/24', '192.168.1.0/24', '10.0.0.0/8'))) AS collapsed,
+        | concat_ws('|', ip_prefix_subnets('192.168.0.0/22', 24)) AS split24
+        |FROM cust_ip2 WHERE c_custkey <= 300 ORDER BY k""".stripMargin)
+  }
+
   /** Geospatial slice (reference GeoFunctions.java ST_* — phase-1 subset
     * over point structs; see functions/GeoFunctions.scala). Coordinates are
     * synthesized deterministically from customer keys. */
@@ -1036,6 +1072,7 @@ object Scalars {
     "fn_khll" -> khll,
     "fn_regex_lambda" -> regexLambda,
     "fn_breadth" -> breadth,
+    "fn_ip2" -> ip2,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1573,6 +1610,32 @@ object Scalars {
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
         |ORDER BY k, metric""".stripMargin,
+    "fn_ip2" ->
+      """WITH c AS (SELECT c_custkey k,
+        |   CAST(c_custkey % 200 AS VARCHAR) x,
+        |   c_custkey % 200 xn,
+        |   (c_custkey * 7) % 256 yn,
+        |   CAST((c_custkey * 7) % 256 AS VARCHAR) y,
+        |   CAST(c_nationkey % 256 AS VARCHAR) z,
+        |   100 + c_custkey % 100 o1,
+        |   c_custkey % 128 o2
+        |  FROM customer WHERE c_custkey <= 300)
+        |SELECT k,
+        | '10.' || x || '.' || y || '.' || z AS ip,
+        | '10.' || x || '.' || CAST((yn // 16) * 16 AS VARCHAR) || '.0/20' AS pfx20,
+        | '10.' || x || '.0.0' AS smin,
+        | '10.' || x || '.255.255' AS smax,
+        | '10.' || x || '.0.0|10.' || x || '.0.255' AS srange,
+        | xn <= 127 AS in_10_9,
+        | xn BETWEEN 64 AND 127 AS pfx_in_pfx,
+        | CASE WHEN o1 = 100 AND o2 BETWEEN 64 AND 127 THEN true
+        |      WHEN o1 = 127 THEN true
+        |      WHEN o1 = 172 AND o2 BETWEEN 16 AND 31 THEN true
+        |      WHEN o1 = 198 AND o2 IN (18, 19) THEN true
+        |      ELSE false END AS priv,
+        | '10.0.0.0/8|192.168.0.0/23' AS collapsed,
+        | '192.168.0.0/24|192.168.1.0/24|192.168.2.0/24|192.168.3.0/24' AS split24
+        |FROM c ORDER BY k""".stripMargin,
     "fn_breadth" ->
       """SELECT p_partkey AS k,
         | CASE WHEN strpos(p_name, 'a') = 0 THEN 0

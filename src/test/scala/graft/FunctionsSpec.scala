@@ -256,6 +256,34 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("ip prefix kernel: collapse, subnets, containment, private ranges") {
+    import graft.functions.IpFns
+    // reference mergeIpRanges doc example (IpPrefixFunctions.java:228):
+    // 10/8 overlapping 10/7 etc. — minimal CIDR cover, sorted
+    assert(IpFns.collapse(Seq("10.0.0.0/8", "9.255.255.0/24", "10.0.0.0/7",
+      "10.1.0.0/24", "10.10.0.0/16")) == Seq("9.255.255.0/24", "10.0.0.0/7"))
+    // adjacent /24s merge into a /23
+    assert(IpFns.collapse(Seq("192.168.0.0/24", "192.168.1.0/24"))
+      == Seq("192.168.0.0/23"))
+    // non-aligned merge re-splits into maximal blocks
+    assert(IpFns.collapse(Seq("192.168.1.0/24", "192.168.2.0/24"))
+      == Seq("192.168.1.0/24", "192.168.2.0/24"))
+    assert(IpFns.subnets("10.0.0.0/8", 10)
+      == Seq("10.0.0.0/10", "10.64.0.0/10", "10.128.0.0/10", "10.192.0.0/10"))
+    assert(IpFns.subnets("10.0.0.0/16", 8) == Nil) // shorter target: empty
+    intercept[IllegalArgumentException](IpFns.subnets("0.0.0.0/0", 32))
+    assert(IpFns.isSubnetOf("10.0.0.0/8", "10.255.1.2"))
+    assert(!IpFns.isSubnetOf("10.0.0.0/8", "11.0.0.0"))
+    assert(IpFns.isSubnetOf("10.0.0.0/8", "10.64.0.0/10"))
+    assert(!IpFns.isSubnetOf("10.64.0.0/10", "10.0.0.0/8")) // wider not contained
+    assert(IpFns.isPrivate("192.168.5.5") && IpFns.isPrivate("100.64.0.1") &&
+      IpFns.isPrivate("203.0.113.9") && !IpFns.isPrivate("8.8.8.8"))
+    assert(IpFns.subnetMax("0.0.0.0/0") == "255.255.255.255")
+    intercept[IllegalArgumentException](IpFns.parse4("::1"))
+    intercept[IllegalArgumentException](IpFns.parse4("1.2.3"))
+    intercept[IllegalArgumentException](IpFns.parse4("1.2.3.999"))
+  }
+
   test("fnv hashes match published vectors; binary conversions roundtrip") {
     import graft.functions.BinConv
     def b(s: String) = s.getBytes("UTF-8")
