@@ -82,6 +82,10 @@ object Dialect {
     "strpos" -> "instr",
     "json_extract_scalar" -> "get_json_object",
     "codepoint" -> "ascii",
+    "from_iso8601_date" -> "to_date",
+    "from_iso8601_timestamp" -> "to_timestamp",
+    "format" -> "format_string",
+    "day_of_month" -> "dayofmonth",
     "last_day_of_month" -> "last_day",
     "week" -> "weekofyear",
     "week_of_year" -> "weekofyear",
@@ -388,10 +392,19 @@ object Dialect {
       original.substring(aEnd, bStart) + bText + original.substring(bEnd)
   }
 
+  // Presto spells interval-arithmetic units as string literals
+  // (date_add('day', n, ts) — DateTimeFunctions.java); Spark's parser form
+  // wants bare identifiers (dateadd(DAY, n, ts)). Unquote in place.
+  private val unitCall =
+    "(?i)\\b(date_add|dateadd|date_diff|datediff|timestampadd|timestampdiff)\\s*\\(\\s*'([a-z]+)'\\s*,".r
+
+  private def rewriteUnitCalls(original: String): String =
+    unitCall.replaceAllIn(original, m => s"${m.group(1)}(${m.group(2)},")
+
   def translate(text: String): String = {
     checkStrposArity(text)
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
-      rewriteGroupsFrame(text))))).map {
+      rewriteGroupsFrame(rewriteUnitCalls(text)))))).map {
       case (seg, false) => seg
       case (seg, true) =>
         renames.foldLeft(seg) { case (t, (from, to)) =>

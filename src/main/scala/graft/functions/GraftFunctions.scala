@@ -162,6 +162,59 @@ object GraftFunctions {
       es => JaccardIndex(es(0), es(1))),
     ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
       es => IntersectionCardinality(es(0), es(1))),
+    ("date_add",
+      "date_add(unit, n, ts) - reference interval arithmetic; 2-arg form is Spark's day add",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, DateAdd, Literal, TimestampAdd}
+        es match {
+          case Seq(d, n) => DateAdd(d, n)
+          case Seq(u, n, ts) =>
+            val unit = (if (u.foldable) u.eval(null) else null) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case _ => throw new IllegalArgumentException(
+                "date_add: unit must be a string literal")
+            }
+            val added = TimestampAdd(unit.toUpperCase, asLong(n), ts)
+            if (ts.dataType == org.apache.spark.sql.types.DateType)
+              Cast(added, org.apache.spark.sql.types.DateType)
+            else added
+          case _ => throw new IllegalArgumentException(
+            s"date_add takes 2 or 3 arguments, got ${es.length}")
+        }
+      }),
+    ("date_diff",
+      "date_diff(unit, t1, t2) - t2 minus t1 in the given unit (reference DateTimeFunctions)",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.TimestampDiff
+        val unit = (if (es(0).foldable) es(0).eval(null) else null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case _ => throw new IllegalArgumentException(
+            "date_diff: unit must be a string literal")
+        }
+        TimestampDiff(unit.toUpperCase, es(1), es(2))
+      }),
+    ("parse_datetime",
+      "parse_datetime(s, fmt) - timestamp from a Joda-style pattern (java.time subset)",
+      es => org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+        es(0), Some(es(1)), org.apache.spark.sql.types.TimestampType)),
+    ("format_datetime",
+      "format_datetime(ts, fmt) - format with a Joda-style pattern (java.time subset)",
+      es => org.apache.spark.sql.catalyst.expressions.DateFormatClass(es(0), es(1))),
+    ("millisecond", "millisecond(ts) - millisecond of the second",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, UnixMillis}
+        Pmod(UnixMillis(cast(es.head,
+          org.apache.spark.sql.types.TimestampType)), Literal(1000L))
+      }),
+    ("day_of_week", "day_of_week(d) - ISO day of week (Monday = 1)",
+      es => isoDayOfWeek(es.head)),
+    ("dow", "dow(d) - alias of day_of_week", es => isoDayOfWeek(es.head)),
+    ("day_of_year", "day_of_year(d) - day of the year",
+      es => org.apache.spark.sql.catalyst.expressions.DayOfYear(
+        cast(es.head, org.apache.spark.sql.types.DateType))),
+    ("doy", "doy(d) - alias of day_of_year",
+      es => org.apache.spark.sql.catalyst.expressions.DayOfYear(
+        cast(es.head, org.apache.spark.sql.types.DateType))),
     ("ip_prefix", "ip_prefix(ip, len) - CIDR prefix with host bits zeroed (IPv4)",
       es => IpExpr(Seq(es(0), asLong(es(1))), "ip_prefix")),
     ("ip_subnet_min", "ip_subnet_min(prefix) - first address of the subnet",
@@ -509,6 +562,14 @@ object GraftFunctions {
   private def cast(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
     if (e.dataType == dt) e
     else org.apache.spark.sql.catalyst.expressions.Cast(e, dt)
+
+  /** ISO day-of-week (Monday = 1) from Spark's Sunday-=-1 dayofweek. */
+  private def isoDayOfWeek(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, DayOfWeek, Literal, Remainder}
+    Cast(Add(Remainder(Add(DayOfWeek(
+      cast(e, org.apache.spark.sql.types.DateType)), Literal(5)), Literal(7)),
+      Literal(1)), org.apache.spark.sql.types.LongType)
+  }
 
   private def dbl(e: Expression): Expression =
     if (e.dataType == org.apache.spark.sql.types.DoubleType) e

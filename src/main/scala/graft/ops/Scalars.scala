@@ -809,6 +809,32 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Reference datetime surface phase-3 (DateTimeFunctions.java:
+    * date_add(unit, n, ts) / date_diff(unit, a, b) interval arithmetic,
+    * ISO day_of_week/day_of_year, from_iso8601_date, parse_datetime /
+    * format_datetime Joda-style patterns, millisecond, printf-style
+    * format). Exercised as SQL text; DuckDB replays with its own interval
+    * arithmetic, isodow, strftime and printf. */
+  def datetime3(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_dt3")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT o_orderkey AS k,
+        | cast(date_add('day', cast(o_orderkey % 20 AS INT), o_orderdate) AS DATE)
+        |   AS plus_days,
+        | cast(date_add('month', 2, o_orderdate) AS DATE) AS plus_months,
+        | date_diff('day', o_orderdate, DATE '1998-01-01') AS days_to98,
+        | day_of_week(o_orderdate) AS dow_iso,
+        | cast(day_of_year(o_orderdate) AS BIGINT) AS doy,
+        | from_iso8601_date('1995-06-15') AS iso_d,
+        | cast(parse_datetime('1995/06/15 10:30', 'yyyy/MM/dd HH:mm') AS STRING)
+        |   AS parsed,
+        | format_datetime(cast(o_orderdate AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss')
+        |   AS fmted,
+        | millisecond(timestamp_millis(o_orderkey * 1234567)) AS ms,
+        | format('%d|%s', o_orderkey, o_orderpriority) AS fmt
+        |FROM orders_dt3 WHERE o_orderkey <= 2000 ORDER BY k""".stripMargin)
+  }
+
   /** IP prefix functions phase-2 (IpPrefixFunctions.java:55): subnet
     * min/max/range, containment, RFC-range privacy, prefix collapse and
     * subnet expansion, all over key-derived IPv4 strings. The oracle
@@ -1073,6 +1099,7 @@ object Scalars {
     "fn_regex_lambda" -> regexLambda,
     "fn_breadth" -> breadth,
     "fn_ip2" -> ip2,
+    "fn_datetime3" -> datetime3,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1610,6 +1637,20 @@ object Scalars {
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
         |ORDER BY k, metric""".stripMargin,
+    "fn_datetime3" ->
+      """SELECT o_orderkey AS k,
+        | CAST(o_orderdate + to_days(CAST(o_orderkey % 20 AS INT)) AS DATE)
+        |   AS plus_days,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_months,
+        | date_diff('day', o_orderdate, DATE '1998-01-01') AS days_to98,
+        | CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | DATE '1995-06-15' AS iso_d,
+        | CAST(TIMESTAMP '1995-06-15 10:30:00' AS VARCHAR) AS parsed,
+        | strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fmted,
+        | (o_orderkey * 1234567) % 1000 AS ms,
+        | printf('%d|%s', o_orderkey, o_orderpriority) AS fmt
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY k""".stripMargin,
     "fn_ip2" ->
       """WITH c AS (SELECT c_custkey k,
         |   CAST(c_custkey % 200 AS VARCHAR) x,
