@@ -82,6 +82,15 @@ object Dialect {
     "strpos" -> "instr",
     "json_extract_scalar" -> "get_json_object",
     "codepoint" -> "ascii",
+    // reference array surface: all_match/any_match are Spark's
+    // forall/exists; reduce is aggregate; repeat builds an array (string
+    // repetition is concat-based in the reference); contains is array
+    // membership (string containment is strpos > 0 there)
+    "all_match" -> "forall",
+    "any_match" -> "exists",
+    "reduce" -> "aggregate",
+    "repeat" -> "array_repeat",
+    "contains" -> "array_contains",
     "from_iso8601_date" -> "to_date",
     "from_iso8601_timestamp" -> "to_timestamp",
     "format" -> "format_string",

@@ -270,6 +270,8 @@ object GraftFunctions {
           Seq((EqualTo(StringInstr(es(0), es(1)), Literal(0)), Literal(0L))),
           Some(lastPos))
       }),
+    ("none_match", "none_match(a, f) - true when no element matches (three-valued)",
+      es => org.apache.spark.sql.graftbridge.ArrayNoneMatch(es(0), es(1))),
     ("find_first", "find_first(a, f) - first element matching the lambda, NULL if none",
       es => org.apache.spark.sql.graftbridge.ArrayFindFirst(es(0), es(1),
         returnIndex = false)),

@@ -205,6 +205,23 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(m > 0)
   }
 
+  test("reference array-lambda spellings: all/any/none_match, reduce, repeat") {
+    def one(q: String): Any = session.sql(q).collect()(0).get(0)
+    assert(one("SELECT all_match(array(2, 4, 6), x -> x % 2 = 0)") == true)
+    assert(one("SELECT any_match(array(1, 3, 6), x -> x % 2 = 0)") == true)
+    assert(one("SELECT none_match(array(1, 3, 5), x -> x % 2 = 0)") == true)
+    assert(one("SELECT none_match(array(1, 2, 3), x -> x % 2 = 0)") == false)
+    // three-valued: a NULL verdict with no definite match is unknown
+    assert(one("SELECT none_match(array(1, NULL), x -> x > 5)") == null)
+    assert(one("SELECT none_match(array(7, NULL), x -> x > 5)") == false)
+    assert(one("SELECT reduce(array(1, 2, 3), 0, (s, x) -> s + x, s -> s)") == 6)
+    assert(one("SELECT size(repeat('ab', 3))") == 3)
+    assert(one("SELECT contains(array(1, 2), 2)") == true)
+    assert(one("SELECT find_first(array(1, 8, 3), x -> x > 2)") == 8)
+    assert(one("SELECT find_first_index(array(1, 8, 3), x -> x > 2)") == 2L)
+    assert(one("SELECT find_first(array(1, 2), x -> x > 5)") == null)
+  }
+
   test("GROUPS frames accepted as SQL text (dense_rank+RANGE restructure)") {
     // partitioned GROUPS window vs the DataFrame-API rewrite
     val viaSql = session.sql(
