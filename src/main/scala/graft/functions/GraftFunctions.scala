@@ -270,6 +270,63 @@ object GraftFunctions {
           Seq((EqualTo(StringInstr(es(0), es(1)), Literal(0)), Literal(0L))),
           Some(lastPos))
       }),
+    ("remove_nulls", "remove_nulls(a) - array without null elements",
+      es => rc(ArrayMapExtras.removeNulls(c(es.head)))),
+    ("array_average", "array_average(a) - mean ignoring nulls, NULL on empty",
+      es => rc(ArrayMapExtras.arrayAverage(c(es.head)))),
+    ("array_sort_desc", "array_sort_desc(a) - non-null descending, nulls last",
+      es => rc(ArrayMapExtras.arraySortDesc(c(es.head)))),
+    ("array_top_n", "array_top_n(a, n) - top n by descending natural order",
+      es => rc(ArrayMapExtras.arrayTopN(c(es(0)), intArg(es(1), "array_top_n")))),
+    ("array_split_into_chunks", "array_split_into_chunks(a, n) - n-sized chunks",
+      es => rc(ArrayMapExtras.arraySplitIntoChunks(c(es(0)),
+        intArg(es(1), "array_split_into_chunks")))),
+    ("array_frequency", "array_frequency(a) - map of value to occurrence count",
+      es => rc(ArrayMapExtras.arrayFrequency(c(es.head)))),
+    ("array_duplicates", "array_duplicates(a) - values appearing more than once",
+      es => rc(ArrayMapExtras.arrayDuplicates(c(es.head)))),
+    ("array_has_duplicates", "array_has_duplicates(a) - any value repeated",
+      es => rc(ArrayMapExtras.arrayHasDuplicates(c(es.head)))),
+    ("array_least_frequent", "array_least_frequent(a[, n]) - n rarest values",
+      es => rc(ArrayMapExtras.arrayLeastFrequent(c(es.head),
+        if (es.length > 1) intArg(es(1), "array_least_frequent") else 1))),
+    ("array_transpose", "array_transpose(a) - matrix transpose of nested arrays",
+      es => rc(ArrayMapExtras.arrayTranspose(c(es.head)))),
+    ("combinations", "combinations(a, n) - n-element subsequences (n <= 5)",
+      es => rc(ArrayMapExtras.combinations(c(es(0)), intArg(es(1), "combinations")))),
+    ("map_top_n", "map_top_n(m, n) - n entries with the largest values",
+      es => rc(ArrayMapExtras.mapTopN(c(es(0)), intArg(es(1), "map_top_n")))),
+    ("map_top_n_keys", "map_top_n_keys(m, n) - n largest keys",
+      es => rc(ArrayMapExtras.mapTopNKeys(c(es(0)), intArg(es(1), "map_top_n_keys")))),
+    ("map_top_n_values", "map_top_n_values(m, n) - n largest values",
+      es => rc(ArrayMapExtras.mapTopNValues(c(es(0)),
+        intArg(es(1), "map_top_n_values")))),
+    ("map_keys_by_top_n_values", "map_keys_by_top_n_values(m, n)",
+      es => rc(ArrayMapExtras.mapKeysByTopNValues(c(es(0)),
+        intArg(es(1), "map_keys_by_top_n_values")))),
+    ("map_key_exists", "map_key_exists(m, k) - key membership",
+      es => rc(ArrayMapExtras.mapKeyExists(c(es(0)), c(es(1))))),
+    ("map_remove_null_values", "map_remove_null_values(m)",
+      es => rc(ArrayMapExtras.mapRemoveNullValues(c(es.head)))),
+    ("map_normalize", "map_normalize(m) - values scaled to sum to 1",
+      es => rc(ArrayMapExtras.mapNormalize(c(es.head)))),
+    ("map_subset", "map_subset(m, keys) - entries whose key is in keys",
+      es => rc(ArrayMapExtras.mapSubset(c(es(0)), c(es(1))))),
+    ("all_keys_match", "all_keys_match(m, f) - every key satisfies the lambda",
+      es => org.apache.spark.sql.catalyst.expressions.ArrayForAll(
+        org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
+    ("any_keys_match", "any_keys_match(m, f) - some key satisfies the lambda",
+      es => org.apache.spark.sql.catalyst.expressions.ArrayExists(
+        org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
+    ("no_keys_match", "no_keys_match(m, f) - no key satisfies the lambda",
+      es => org.apache.spark.sql.graftbridge.ArrayNoneMatch(
+        org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
+    ("any_values_match", "any_values_match(m, f) - some value satisfies the lambda",
+      es => org.apache.spark.sql.catalyst.expressions.ArrayExists(
+        org.apache.spark.sql.catalyst.expressions.MapValues(es(0)), es(1))),
+    ("no_values_match", "no_values_match(m, f) - no value satisfies the lambda",
+      es => org.apache.spark.sql.graftbridge.ArrayNoneMatch(
+        org.apache.spark.sql.catalyst.expressions.MapValues(es(0)), es(1))),
     ("none_match", "none_match(a, f) - true when no element matches (three-valued)",
       es => org.apache.spark.sql.graftbridge.ArrayNoneMatch(es(0), es(1))),
     ("find_first", "find_first(a, f) - first element matching the lambda, NULL if none",
@@ -564,6 +621,20 @@ object GraftFunctions {
   private def cast(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
     if (e.dataType == dt) e
     else org.apache.spark.sql.catalyst.expressions.Cast(e, dt)
+
+  /** Eager Column→Expression conversion for builders composed with
+    * `functions._` (a lazy ColumnNode from the plain bridge would reach
+    * execution unconverted when returned from a FunctionRegistry builder). */
+  private def rc(col: Column): Expression = Bridge.resolvedExpression(col)
+
+  private def intArg(e: Expression, what: String): Int = {
+    val v = if (e.foldable) e.eval(null) else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$what: count must be a foldable integer literal, got ${e.sql}")
+    }
+  }
 
   /** ISO day-of-week (Monday = 1) from Spark's Sunday-=-1 dayofweek. */
   private def isoDayOfWeek(e: Expression): Expression = {

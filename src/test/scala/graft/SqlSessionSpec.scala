@@ -222,6 +222,25 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(one("SELECT find_first(array(1, 2), x -> x > 5)") == null)
   }
 
+  test("SQL-invoked array/map helper names resolve from SQL text") {
+    def one(q: String): Any = session.sql(q).collect()(0).get(0)
+    assert(one("SELECT array_average(array(1.0, 3.0, NULL))") == 2.0)
+    assert(one("SELECT remove_nulls(array(1, NULL, 2))")
+      .asInstanceOf[scala.collection.Seq[_]].toList == Seq(1, 2))
+    assert(one("SELECT array_sort_desc(array(2, NULL, 5, 1))")
+      .asInstanceOf[scala.collection.Seq[_]].toList == Seq(5, 2, 1, null))
+    assert(one("SELECT array_top_n(array(3, 9, 1, 7), 2)")
+      .asInstanceOf[scala.collection.Seq[_]].toList == Seq(9, 7))
+    assert(one("SELECT array_has_duplicates(array(1, 2, 1))") == true)
+    assert(one("SELECT size(combinations(array(1, 2, 3), 2))") == 3)
+    assert(one("SELECT map_key_exists(map(1, 'a'), 1)") == true)
+    assert(one("SELECT map_top_n_values(map('a', 3, 'b', 9), 1)")
+      .asInstanceOf[scala.collection.Seq[_]].toList == Seq(9))
+    assert(one("SELECT all_keys_match(map(2, 'x', 4, 'y'), k -> k % 2 = 0)") == true)
+    assert(one("SELECT no_keys_match(map(1, 'x'), k -> k > 5)") == true)
+    assert(one("SELECT any_values_match(map('a', 1, 'b', 9), v -> v > 5)") == true)
+  }
+
   test("GROUPS frames accepted as SQL text (dense_rank+RANGE restructure)") {
     // partitioned GROUPS window vs the DataFrame-API rewrite
     val viaSql = session.sql(
