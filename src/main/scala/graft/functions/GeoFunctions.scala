@@ -275,4 +275,49 @@ object GeoFunctions {
       sin(radians(stY(a))) * cos(radians(stY(b))) * cos(dLon)
     (degrees(atan2(y, x)) + 360.0) % 360.0
   }
+
+  // ---- Geometry casts (reference GeoFunctions.java ST_GeometryFromText /
+  // ST_AsText / ST_GeometryType) — a TAGGED geometry as
+  // struct<gtype: string, pts: array<struct<x,y>>> bridging the per-type
+  // representations above. POINT/LINESTRING/POLYGON (single ring);
+  // multi-geometries are documented-unsupported. ----
+
+  private def wktCoords(inner: Column): Column =
+    transform(split(inner, "\\s*,\\s*"), s =>
+      struct(element_at(split(trim(s), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(s), "\\s+"), 2).cast("double").as("y")))
+
+  /** ST_GeometryFromText(wkt) → tagged geometry struct. */
+  def stGeometryFromText(w: Column): Column = {
+    val t = upper(regexp_extract(w, "(?i)^\\s*([a-z]+)", 1))
+    val gtype = when(t === "POINT", lit("ST_Point"))
+      .when(t === "LINESTRING", lit("ST_LineString"))
+      .when(t === "POLYGON", lit("ST_Polygon"))
+    val pts = when(t === "POINT",
+      wktCoords(regexp_extract(w, "(?i)^\\s*POINT\\s*\\(\\s*(.*?)\\s*\\)\\s*$", 1)))
+      .when(t === "LINESTRING", stLineWkt(w))
+      .when(t === "POLYGON", stPolygonWkt(w))
+    struct(gtype.as("gtype"), pts.as("pts"))
+  }
+
+  /** ST_GeometryType(g) → 'ST_Point' / 'ST_LineString' / 'ST_Polygon'. */
+  def stGeometryType(g: Column): Column = g.getField("gtype")
+
+  /** ST_AsText(g) → WKT; polygon rings close explicitly like the
+    * reference's output. Coordinates use double→string shortest
+    * representation (so 1 prints as '1.0' — deviation from Esri's
+    * integer-collapsing formatter, stable across engines). */
+  def stAsText(g: Column): Column = {
+    val pts = g.getField("pts")
+    def txt(ps: Column): Column = concat_ws(", ", transform(ps, p =>
+      concat_ws(" ", p.getField("x").cast("string"),
+        p.getField("y").cast("string"))))
+    when(g.getField("gtype") === "ST_Point",
+      concat(lit("POINT ("), txt(pts), lit(")")))
+      .when(g.getField("gtype") === "ST_LineString",
+        concat(lit("LINESTRING ("), txt(pts), lit(")")))
+      .when(g.getField("gtype") === "ST_Polygon",
+        concat(lit("POLYGON (("), txt(concat(pts, slice(pts, lit(1), lit(1)))),
+          lit("))")))
+  }
 }

@@ -809,6 +809,35 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Geometry casts (GeoFunctions.java ST_GeometryFromText / ST_AsText /
+    * ST_GeometryType): WKT round trip through the tagged geometry struct
+    * for points, linestrings and polygons. Dyadic coordinates make the
+    * double↔string formatting identical across engines; the oracle
+    * constructs the expected WKT textually. */
+  def geoCast(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val x = (col("c_custkey") % 80).cast("double") + 0.5
+    val y = (col("c_custkey") * 7 % 80).cast("double") + 0.25
+    def ts(c: org.apache.spark.sql.Column) = c.cast("string")
+    val base = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .withColumn("pt_wkt", concat(lit("POINT ("), ts(x), lit(" "), ts(y), lit(")")))
+      .withColumn("ln_wkt", concat(lit("LINESTRING ("), ts(x), lit(" "), ts(y),
+        lit(", "), ts(x + 4.0), lit(" "), ts(y + 2.0), lit(")")))
+      .withColumn("pg_wkt", concat(lit("POLYGON (("),
+        ts(x + 1.0), lit(" "), ts(y), lit(", "), ts(x), lit(" "), ts(y + 1.0),
+        lit(", "), ts(x - 1.0), lit(" "), ts(y), lit(", "), ts(x), lit(" "),
+        ts(y - 1.0), lit(", "), ts(x + 1.0), lit(" "), ts(y), lit("))")))
+    base.select(
+      col("c_custkey").as("k"),
+      stAsText(stGeometryFromText(col("pt_wkt"))).as("pt_rt"),
+      stGeometryType(stGeometryFromText(col("pt_wkt"))).as("pt_t"),
+      stAsText(stGeometryFromText(col("ln_wkt"))).as("ln_rt"),
+      stGeometryType(stGeometryFromText(col("ln_wkt"))).as("ln_t"),
+      stAsText(stGeometryFromText(col("pg_wkt"))).as("pg_rt"),
+      stGeometryType(stGeometryFromText(col("pg_wkt"))).as("pg_t"))
+      .orderBy("k")
+  }
+
   /** Reference datetime surface phase-3 (DateTimeFunctions.java:
     * date_add(unit, n, ts) / date_diff(unit, a, b) interval arithmetic,
     * ISO day_of_week/day_of_year, from_iso8601_date, parse_datetime /
@@ -1100,6 +1129,7 @@ object Scalars {
     "fn_breadth" -> breadth,
     "fn_ip2" -> ip2,
     "fn_datetime3" -> datetime3,
+    "fn_geo_cast" -> geoCast,
     "fn_sfm" -> sfm,
     "fn_bingtile" -> bingTile,
     "fn_hmac" -> hmacKat,
@@ -1637,6 +1667,27 @@ object Scalars {
         |UNION ALL SELECT -3, 'jaccard', true
         |UNION ALL SELECT -4, 'intersection', true
         |ORDER BY k, metric""".stripMargin,
+    "fn_geo_cast" ->
+      """WITH c AS (SELECT c_custkey k,
+        |  CAST(CAST(c_custkey % 80 AS DOUBLE) + 0.5 AS VARCHAR) x,
+        |  CAST(CAST(c_custkey % 80 AS DOUBLE) + 4.5 AS VARCHAR) x4,
+        |  CAST(CAST(c_custkey % 80 AS DOUBLE) + 1.5 AS VARCHAR) xp1,
+        |  CAST(CAST(c_custkey % 80 AS DOUBLE) - 0.5 AS VARCHAR) xm1,
+        |  CAST(CAST(c_custkey * 7 % 80 AS DOUBLE) + 0.25 AS VARCHAR) y,
+        |  CAST(CAST(c_custkey * 7 % 80 AS DOUBLE) + 2.25 AS VARCHAR) y2,
+        |  CAST(CAST(c_custkey * 7 % 80 AS DOUBLE) + 1.25 AS VARCHAR) yp1,
+        |  CAST(CAST(c_custkey * 7 % 80 AS DOUBLE) - 0.75 AS VARCHAR) ym1
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | 'POINT (' || x || ' ' || y || ')' AS pt_rt,
+        | 'ST_Point' AS pt_t,
+        | 'LINESTRING (' || x || ' ' || y || ', ' || x4 || ' ' || y2 || ')' AS ln_rt,
+        | 'ST_LineString' AS ln_t,
+        | 'POLYGON ((' || xp1 || ' ' || y || ', ' || x || ' ' || yp1 || ', ' ||
+        |   xm1 || ' ' || y || ', ' || x || ' ' || ym1 || ', ' ||
+        |   xp1 || ' ' || y || '))' AS pg_rt,
+        | 'ST_Polygon' AS pg_t
+        |FROM c ORDER BY k""".stripMargin,
     "fn_datetime3" ->
       """SELECT o_orderkey AS k,
         | CAST(o_orderdate + to_days(CAST(o_orderkey % 20 AS INT)) AS DATE)
