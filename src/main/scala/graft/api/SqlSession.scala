@@ -86,6 +86,7 @@ object Dialect {
     // forall/exists; reduce is aggregate; repeat builds an array (string
     // repetition is concat-based in the reference); contains is array
     // membership (string containment is strpos > 0 there)
+    "fail" -> "raise_error",
     "bitwise_and_agg" -> "bit_and",
     "bitwise_or_agg" -> "bit_or",
     "bitwise_xor_agg" -> "bit_xor",

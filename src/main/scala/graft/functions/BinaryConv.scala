@@ -187,7 +187,48 @@ case class ScaleTDigest(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** parse_presto_data_size('123.5MB') → decimal(38,0) bytes (reference
+  * operator/scalar/DataSizeFunctions.java:40 — binary multipliers, case
+  * sensitive unit suffixes, truncating toBigInteger). */
+case class ParsePrestoDataSize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"parse_presto_data_size requires varchar, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "parse_presto_data_size"
+  override protected def nullSafeEval(v: Any): Any = {
+    val d = BinConvSketch.parseDataSize(v.toString)
+    org.apache.spark.sql.types.Decimal(d, 38, 0)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.types.Decimal.apply(" +
+        s"graft.functions.BinConvSketch.parseDataSize($a.toString()), 38, 0)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinConvSketch {
+  private val dataSizeFactors: Map[String, java.math.BigDecimal] = {
+    def p(shift: Int) = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(shift))
+    Map("B" -> p(0), "kB" -> p(10), "MB" -> p(20), "GB" -> p(30),
+      "TB" -> p(40), "PB" -> p(50), "EB" -> p(60), "ZB" -> p(70), "YB" -> p(80))
+  }
+
+  def parseDataSize(s: String): java.math.BigDecimal = {
+    var i = 0
+    while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+    require(i > 0, s"Invalid data size: '$s'")
+    val value = try new java.math.BigDecimal(s.substring(0, i)) catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"Invalid data size: '$s'")
+    }
+    val factor = dataSizeFactors.getOrElse(s.substring(i),
+      throw new IllegalArgumentException(s"Invalid data size: '$s'"))
+    new java.math.BigDecimal(value.multiply(factor).toBigInteger)
+  }
+
   def scaleQdigest(bytes: Array[Byte], factor: Double): Array[Byte] = {
     require(factor > 0, s"scale factor must be positive, got $factor")
     val d = QDigest.deserialize(bytes)

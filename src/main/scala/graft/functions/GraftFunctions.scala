@@ -249,6 +249,9 @@ object GraftFunctions {
         "to_ieee754_32")),
     ("from_ieee754_32", "from_ieee754_32(b) - real from IEEE-754 bytes",
       es => BinConvExpr(es.head, "from_ieee754_32")),
+    ("parse_presto_data_size",
+      "parse_presto_data_size(s) - '1.5MB' to exact bytes as decimal(38,0)",
+      es => ParsePrestoDataSize(es.head)),
     ("fnv1_32", "fnv1_32(b) - FNV-1 32-bit hash", es => BinConvExpr(es.head, "fnv1_32")),
     ("fnv1_64", "fnv1_64(b) - FNV-1 64-bit hash", es => BinConvExpr(es.head, "fnv1_64")),
     ("fnv1a_32", "fnv1a_32(b) - FNV-1a 32-bit hash", es => BinConvExpr(es.head, "fnv1a_32")),

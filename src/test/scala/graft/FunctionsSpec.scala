@@ -256,6 +256,23 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(big.hashes))
   }
 
+  test("parse_presto_data_size: binary multipliers, truncation, errors") {
+    import graft.functions.BinConvSketch.parseDataSize
+    assert(parseDataSize("0B").longValueExact == 0L)
+    assert(parseDataSize("1kB").longValueExact == 1024L)
+    assert(parseDataSize("1.5MB").longValueExact == (1.5 * (1 << 20)).toLong)
+    assert(parseDataSize("2.2GB").longValueExact == 2362232012L) // truncated
+    assert(parseDataSize("1EB").toString == (BigInt(1) << 60).toString)
+    assert(parseDataSize("1YB").toString == (BigInt(1) << 80).toString)
+    intercept[IllegalArgumentException](parseDataSize("kB"))
+    intercept[IllegalArgumentException](parseDataSize("1KB")) // case sensitive
+    intercept[IllegalArgumentException](parseDataSize("1 MB")) // no space
+    // SQL surface
+    val r = graft.api.SqlSession.wrap(spark)
+      .sql("SELECT parse_presto_data_size('2.3MB') v").collect()(0)
+    assert(r.getDecimal(0).longValueExact == (2.3 * (1 << 20)).toLong)
+  }
+
   test("ip prefix kernel: collapse, subnets, containment, private ranges") {
     import graft.functions.IpFns
     // reference mergeIpRanges doc example (IpPrefixFunctions.java:228):
