@@ -87,6 +87,10 @@ object Dialect {
     // repetition is concat-based in the reference); contains is array
     // membership (string containment is strpos > 0 there)
     "fail" -> "raise_error",
+    "to_base64" -> "base64",
+    "from_base64" -> "unbase64",
+    "to_hex" -> "hex",
+    "from_hex" -> "unhex",
     "bitwise_and_agg" -> "bit_and",
     "bitwise_or_agg" -> "bit_or",
     "bitwise_xor_agg" -> "bit_xor",

@@ -372,6 +372,37 @@ object GraftFunctions {
         Cast(Year(DateAdd(d, Subtract(Literal(4), isoDow))),
           org.apache.spark.sql.types.LongType)
       }),
+    ("to_utf8", "to_utf8(s) - string as UTF-8 varbinary",
+      es => org.apache.spark.sql.catalyst.expressions.Encode(es.head,
+        org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))),
+    ("from_utf8", "from_utf8(b) - UTF-8 varbinary as string",
+      es => org.apache.spark.sql.catalyst.expressions.StringDecode(es.head,
+        org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))),
+    ("to_iso8601", "to_iso8601(d) - ISO-8601 text for a date or timestamp",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal}
+        if (es.head.dataType == org.apache.spark.sql.types.DateType)
+          DateFormatClass(cast(es.head,
+            org.apache.spark.sql.types.TimestampType), Literal("yyyy-MM-dd"))
+        else DateFormatClass(es.head, Literal("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      }),
+    ("from_unixtime",
+      "from_unixtime(epoch[, fmt]) - timestamp from epoch seconds (reference type); 2-arg is Spark's string form",
+      es =>
+        if (es.length == 1)
+          org.apache.spark.sql.catalyst.expressions.SecondsToTimestamp(es.head)
+        else org.apache.spark.sql.catalyst.expressions.FromUnixTime(
+          asLong(es(0)), es(1))),
+    ("values_at_quantiles",
+      "values_at_quantiles(qdigest, qs) - value_at_quantile for each q",
+      es => {
+        val v = NamedLambdaVariable("q",
+          org.apache.spark.sql.types.DoubleType, nullable = true)
+        org.apache.spark.sql.catalyst.expressions.ArrayTransform(
+          cast(es(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)),
+          LambdaFunction(ValueAtQuantile(es(0), v), Seq(v)))
+      }),
     ("quantiles_at_values",
       "quantiles_at_values(tdigest, values) - rank of each value in [0,1]",
       es => {

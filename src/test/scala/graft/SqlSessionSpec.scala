@@ -222,6 +222,25 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(one("SELECT find_first(array(1, 2), x -> x > 5)") == null)
   }
 
+  test("conversion spellings: base64/hex renames, to_iso8601, from_unixtime") {
+    def one(q: String): Any = session.sql(q).collect()(0).get(0)
+    assert(one("SELECT to_base64(to_utf8('abc'))") == "YWJj")
+    assert(one("SELECT from_utf8(from_base64('YWJj'))") == "abc")
+    assert(one("SELECT to_hex(to_utf8('AB'))") == "4142")
+    assert(one("SELECT from_utf8(from_hex('4142'))") == "AB")
+    assert(one("SELECT to_iso8601(DATE '1995-06-15')") == "1995-06-15")
+    assert(one("SELECT to_iso8601(TIMESTAMP '1995-06-15 10:30:00.5')")
+      == "1995-06-15T10:30:00.500")
+    // 1-arg from_unixtime is a TIMESTAMP (reference type), not a string
+    assert(one("SELECT typeof(from_unixtime(0))") == "timestamp")
+    assert(one("SELECT CAST(from_unixtime(86400) AS STRING)")
+      == "1970-01-02 00:00:00")
+    val vq = one("SELECT values_at_quantiles(qdigest_agg(CAST(id AS DOUBLE)), " +
+      "array(0.25, 0.75)) FROM range(1, 1001)")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(vq.size == 2 && vq(0) < vq(1) && math.abs(vq(0) - 250) < 50)
+  }
+
   test("SQL-invoked array/map helper names resolve from SQL text") {
     def one(q: String): Any = session.sql(q).collect()(0).get(0)
     assert(one("SELECT array_average(array(1.0, 3.0, NULL))") == 2.0)
