@@ -87,6 +87,14 @@ object Dialect {
     // repetition is concat-based in the reference); contains is array
     // membership (string containment is strpos > 0 there)
     "fail" -> "raise_error",
+    "is_nan" -> "isnan",
+    "jarowinkler_similarity" -> "jaro_winkler_similarity",
+    "sketch_theta_estimate" -> "theta_sketch_estimate",
+    "sketch_theta" -> "theta_sketch_agg",
+    "split_to_map" -> "str_to_map",
+    "bitwise_left_shift" -> "shiftleft",
+    "bitwise_right_shift_arithmetic" -> "shiftright",
+    "bitwise_right_shift" -> "shiftrightunsigned",
     "to_base64" -> "base64",
     "from_base64" -> "unbase64",
     "to_hex" -> "hex",

@@ -54,6 +54,53 @@ object BinConv {
     h
   }
 
+  // RFC 4648 base32 (reference VarbinaryFunctions to/from_base32)
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  def toBase32(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder((b.length + 4) / 5 * 8)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(5, b.length - i)
+      var buf = 0L
+      var j = 0
+      while (j < 5) { buf = (buf << 8) | (if (j < n) b(i + j) & 0xffL else 0L); j += 1 }
+      val chars = n * 8 / 5 + (if (n * 8 % 5 == 0) 0 else 1)
+      var k = 0
+      while (k < 8) {
+        if (k < chars) sb.append(B32.charAt(((buf >> (35 - 5 * k)) & 31).toInt))
+        else sb.append('=')
+        k += 1
+      }
+      i += 5
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def fromBase32(s: UTF8String): Array[Byte] = {
+    val t = s.toString.stripSuffix("=").stripSuffix("=").stripSuffix("=")
+      .stripSuffix("=").stripSuffix("=").stripSuffix("=")
+    val out = new java.io.ByteArrayOutputStream
+    var buf = 0L
+    var bits = 0
+    var i = 0
+    while (i < t.length) {
+      val v = B32.indexOf(t.charAt(i).toUpper)
+      require(v >= 0, s"invalid base32 character: ${t.charAt(i)}")
+      buf = (buf << 5) | v
+      bits += 5
+      if (bits >= 8) { out.write(((buf >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  def toBase64Url(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(java.util.Base64.getUrlEncoder.encodeToString(b))
+
+  def fromBase64Url(s: UTF8String): Array[Byte] =
+    java.util.Base64.getUrlDecoder.decode(s.toString)
+
   /** Longest common prefix by code point (StringFunctions.java
     * longestCommonPrefix). */
   def lcp(a: UTF8String, b: UTF8String): UTF8String = {
@@ -71,6 +118,10 @@ object BinConv {
 /** One thin codegen'd expression per conversion op (see BinConv). */
 case class BinConvExpr(child: Expression, op: String) extends UnaryExpression {
   private val (inType: DataType, outType: DataType) = op match {
+    case "to_base32" => (BinaryType, StringType)
+    case "from_base32" => (StringType, BinaryType)
+    case "to_base64url" => (BinaryType, StringType)
+    case "from_base64url" => (StringType, BinaryType)
     case "to_big_endian_64" => (LongType, BinaryType)
     case "from_big_endian_64" => (BinaryType, LongType)
     case "to_big_endian_32" => (IntegerType, BinaryType)
@@ -92,6 +143,10 @@ case class BinConvExpr(child: Expression, op: String) extends UnaryExpression {
   override def prettyName: String = op
 
   private def helper: String = op match {
+    case "to_base32" => "toBase32"
+    case "from_base32" => "fromBase32"
+    case "to_base64url" => "toBase64Url"
+    case "from_base64url" => "fromBase64Url"
     case "to_big_endian_64" => "toBe64"
     case "from_big_endian_64" => "fromBe64"
     case "to_big_endian_32" => "toBe32"
@@ -104,6 +159,10 @@ case class BinConvExpr(child: Expression, op: String) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(v: Any): Any = op match {
+    case "to_base32" => BinConv.toBase32(v.asInstanceOf[Array[Byte]])
+    case "from_base32" => BinConv.fromBase32(v.asInstanceOf[UTF8String])
+    case "to_base64url" => BinConv.toBase64Url(v.asInstanceOf[Array[Byte]])
+    case "from_base64url" => BinConv.fromBase64Url(v.asInstanceOf[UTF8String])
     case "to_big_endian_64" => BinConv.toBe64(v.asInstanceOf[Long])
     case "from_big_endian_64" => BinConv.fromBe64(v.asInstanceOf[Array[Byte]])
     case "to_big_endian_32" => BinConv.toBe32(v.asInstanceOf[Int])

@@ -372,6 +372,43 @@ object GraftFunctions {
         Cast(Year(DateAdd(d, Subtract(Literal(4), isoDow))),
           org.apache.spark.sql.types.LongType)
       }),
+    ("to_base32", "to_base32(b) - RFC 4648 base32 text",
+      es => BinConvExpr(es.head, "to_base32")),
+    ("from_base32", "from_base32(s) - varbinary from base32 text",
+      es => BinConvExpr(es.head, "from_base32")),
+    ("to_base64url", "to_base64url(b) - URL-safe base64 text",
+      es => BinConvExpr(es.head, "to_base64url")),
+    ("from_base64url", "from_base64url(s) - varbinary from URL-safe base64",
+      es => BinConvExpr(es.head, "from_base64url")),
+    ("ngrams", "ngrams(a, n) - sliding n-element windows of an array",
+      es => {
+        val n = intArg(es(1), "ngrams")
+        require(n > 0, "ngrams: n must be positive")
+        rc({
+          val a = c(es(0))
+          transform(sequence(lit(1), greatest(size(a) - (n - 1), lit(1))),
+            i => slice(a, i, lit(n)))
+        })
+      }),
+    ("at_timezone", "at_timezone(ts, zone) - same instant rendered in zone",
+      es => org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(
+        es(0), es(1))),
+    ("with_timezone", "with_timezone(ts, zone) - wall time declared in zone",
+      es => org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
+        es(0), es(1))),
+    ("parse_duration", "parse_duration('<n> <unit>') - duration as milliseconds",
+      es => rc(graft.ops.Scalars.parseDurationMs(c(es.head)))),
+    ("truncate", "truncate(x[, n]) - round toward zero [to n decimals]",
+      es => rc {
+        val v = c(es.head)
+        if (es.length == 1) signum(v) * floor(abs(v))
+        else {
+          val p = pow(lit(10.0), c(dbl(es(1))))
+          signum(v) * floor(abs(v) * p) / p
+        }
+      }),
+    ("nan", "nan() - the double NaN value",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(Double.NaN)),
     ("to_utf8", "to_utf8(s) - string as UTF-8 varbinary",
       es => org.apache.spark.sql.catalyst.expressions.Encode(es.head,
         org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))),

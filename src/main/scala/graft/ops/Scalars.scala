@@ -339,7 +339,7 @@ object Scalars {
   /** parse_duration('<decimal> <unit>') → milliseconds (reference
     * DateTimeFunctions.java:1442-1467: value × msPerUnit + 0.5, floor).
     * Composed from builtins; unknown units raise like the reference. */
-  private def parseDurationMs(c: Column): Column = {
+  def parseDurationMs(c: Column): Column = {
     val pat = "^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$"
     val v = regexp_extract(c, pat, 1).cast("double")
     val u = lower(regexp_extract(c, pat, 2))

@@ -241,6 +241,34 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(vq.size == 2 && vq(0) < vq(1) && math.abs(vq(0) - 250) < 50)
   }
 
+  test("base32/base64url, ngrams, timezone, truncate, duration spellings") {
+    def one(q: String): Any = session.sql(q).collect()(0).get(0)
+    // RFC 4648 test vectors
+    assert(one("SELECT to_base32(to_utf8('foobar'))") == "MZXW6YTBOI======")
+    assert(one("SELECT to_base32(to_utf8('fo'))") == "MZXQ====")
+    assert(one("SELECT from_utf8(from_base32('MZXW6YTBOI======'))") == "foobar")
+    assert(one("SELECT from_utf8(from_base64url(to_base64url(to_utf8('a+b/c'))))")
+      == "a+b/c")
+    assert(one("SELECT ngrams(array(1, 2, 3, 4), 2)")
+      .asInstanceOf[scala.collection.Seq[_]].map(
+        _.asInstanceOf[scala.collection.Seq[_]].toList).toList
+      == List(List(1, 2), List(2, 3), List(3, 4)))
+    assert(one("SELECT size(ngrams(array(1, 2), 5))") == 1) // n > len: whole array
+    assert(one("SELECT CAST(at_timezone(TIMESTAMP '2020-01-01 12:00:00', " +
+      "'+05:30') AS STRING)") == "2020-01-01 17:30:00")
+    assert(one("SELECT CAST(with_timezone(TIMESTAMP '2020-01-01 17:30:00', " +
+      "'+05:30') AS STRING)") == "2020-01-01 12:00:00")
+    assert(one("SELECT truncate(-3.7)") == -3.0)
+    assert(one("SELECT truncate(3.789, 2)") == 3.78)
+    assert(one("SELECT parse_duration('2.5 s')") == 2500.0)
+    assert(one("SELECT is_nan(nan())") == true)
+    assert(one("SELECT split_to_map('a=1,b=2', ',', '=')['b']") == "2")
+    assert(one("SELECT bitwise_right_shift(-8, 1)")
+      .asInstanceOf[Number].longValue > 0L) // logical, zero-fill
+    assert(one("SELECT bitwise_right_shift_arithmetic(-8, 1)") == -4)
+    assert(one("SELECT bitwise_left_shift(3, 2)") == 12)
+  }
+
   test("SQL-invoked array/map helper names resolve from SQL text") {
     def one(q: String): Any = session.sql(q).collect()(0).get(0)
     assert(one("SELECT array_average(array(1.0, 3.0, NULL))") == 2.0)
