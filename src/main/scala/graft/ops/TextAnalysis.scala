@@ -178,7 +178,62 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** PII scrubbing: regex redaction of emails, E.164-ish phone numbers and
+    * IPv4 addresses into typed placeholder tokens — the standard
+    * pre-training privacy pass. A chain of codegen'd regexp_replace
+    * projections: per-row, zero shuffle, runs at scan speed at any scale.
+    * Patterns are ordered (emails before phones) so a match is consumed by
+    * the most specific category, same as the published CCNet/Dolma
+    * pipelines. The fixture corpus has no real PII, so the gate plants
+    * synthetic PII deterministically, then proves the scrub removes it. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .withColumn("dirty", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("dirty"), email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+    planted.select(
+      col("doc_id"),
+      scrubbed.as("clean"),
+      (scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") &&
+        scrubbed.contains("<IP>")).as("all_redacted"),
+      (!scrubbed.rlike(email) && !scrubbed.rlike(ip)).as("no_residual"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language target rates applied
+    * via a content-hash threshold — the language-balancing step of a
+    * training-data mix. Hash-gating (md5 of doc_id) makes the sample
+    * reproducible run-to-run and engine-independent (the oracle replays
+    * the same arithmetic), and it needs no shuffle at all: the filter
+    * pushes to the scan, unlike sort-based or reservoir sampling. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rates: Map[String, Int] = // percent kept per language
+      Map("en" -> 25, "de" -> 50, "es" -> 75, "fr" -> 100, "ja" -> 100)
+    val bucket = pmod(conv(substring(
+      md5(concat(lit("strat_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(100))
+    val rate = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> piiScrub,
+    "text_stratified_sample" -> stratifiedSample,
     "text_pipeline" -> pipeline,
     "text_langid" -> langId,
     "text_quality" -> quality,
@@ -193,6 +248,35 @@ object TextAnalysis {
     s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS dirty FROM documents),
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, clean,
+        | (clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%'
+        |   AND clean LIKE '%<IP>%') AS all_redacted,
+        | (NOT regexp_matches(clean,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |  AND NOT regexp_matches(clean, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        |   AS no_residual
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_stratified_sample" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST('0x' || substr(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |SELECT lang, count(*) AS kept FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50
+        |  WHEN 'es' THEN 75 WHEN 'fr' THEN 100 WHEN 'ja' THEN 100 ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_pipeline" ->
       s"""WITH f AS (SELECT doc_id, source, text, string_split(text, ' ') ws,
          |        len(text) nc,
