@@ -268,7 +268,97 @@ case class ParsePrestoDataSize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** destructure_tdigest(sketch) → row of internal state (reference
+  * TDigestFunctions.java:112 — centroid means/weights, compression,
+  * min, max, sum, count; weights are double here, matching our centroid
+  * model, where the reference narrows to integer). */
+case class DestructureTDigest(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"destructure_tdigest requires varbinary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_means", ArrayType(DoubleType, containsNull = false)),
+    StructField("centroid_weights", ArrayType(DoubleType, containsNull = false)),
+    StructField("compression", DoubleType),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType),
+    StructField("sum", DoubleType),
+    StructField("count", DoubleType)))
+  override def prettyName: String = "destructure_tdigest"
+  override protected def nullSafeEval(v: Any): Any =
+    BinConvSketch.destructureTdigest(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BinConvSketch.destructureTdigest($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** construct_tdigest(means, weights, compression, min, max) → sketch
+  * (TDigestFunctions.java:155). Inverse of DestructureTDigest. */
+case class ConstructTDigest(
+  means: Expression, weights: Expression,
+  compression: Expression, min: Expression, max: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(means, weights, compression, min, max)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "construct_tdigest"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = Seq(means, weights).forall(e => e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (arrOk && Seq(compression, min, max).forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "construct_tdigest requires (array<double>, array<double>, double, double, double), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) return null
+    BinConvSketch.constructTdigest(
+      vals(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vals(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vals(2).asInstanceOf[Double], vals(3).asInstanceOf[Double],
+      vals(4).asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): Expression =
+    copy(means = newChildren(0), weights = newChildren(1),
+      compression = newChildren(2), min = newChildren(3), max = newChildren(4))
+}
+
 object BinConvSketch {
+  def destructureTdigest(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = TDigest.deserialize(bytes)
+    var sum = 0.0
+    var i = 0
+    while (i < d.n) { sum += d.means(i) * d.weights(i); i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(d.means),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(d.weights),
+      d.compression, d.min, d.max, sum, d.totalWeight)
+  }
+
+  def constructTdigest(
+    means: org.apache.spark.sql.catalyst.util.ArrayData,
+    weights: org.apache.spark.sql.catalyst.util.ArrayData,
+    compression: Double, min: Double, max: Double): Array[Byte] = {
+    val ms = means.toDoubleArray()
+    val ws = weights.toDoubleArray()
+    require(ms.length == ws.length,
+      s"construct_tdigest: ${ms.length} means vs ${ws.length} weights")
+    TDigest.serialize(TDigest.Digest(compression, ms, ws, min, max))
+  }
+
   private val dataSizeFactors: Map[String, java.math.BigDecimal] = {
     def p(shift: Int) = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(shift))
     Map("B" -> p(0), "kB" -> p(10), "MB" -> p(20), "GB" -> p(30),

@@ -249,6 +249,12 @@ object GraftFunctions {
         "to_ieee754_32")),
     ("from_ieee754_32", "from_ieee754_32(b) - real from IEEE-754 bytes",
       es => BinConvExpr(es.head, "from_ieee754_32")),
+    ("destructure_tdigest",
+      "destructure_tdigest(sketch) - internal state row (means, weights, compression, min, max, sum, count)",
+      es => DestructureTDigest(es.head)),
+    ("construct_tdigest",
+      "construct_tdigest(means, weights, compression, min, max) - sketch from internal state",
+      es => ConstructTDigest(es(0), es(1), dbl(es(2)), dbl(es(3)), dbl(es(4)))),
     ("parse_presto_data_size",
       "parse_presto_data_size(s) - '1.5MB' to exact bytes as decimal(38,0)",
       es => ParsePrestoDataSize(es.head)),

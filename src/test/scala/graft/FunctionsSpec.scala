@@ -324,6 +324,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(BinConv.lcp(u("same"), u("same")).toString == "same")
   }
 
+  test("construct/destructure tdigest round-trips internal state") {
+    import graft.api.SqlSession
+    val session = SqlSession.wrap(spark)
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("td_rt")
+    val r = session.sql(
+      """WITH s AS (SELECT tdigest_agg(v) AS d FROM td_rt),
+        |x AS (SELECT d, destructure_tdigest(d) AS st FROM s)
+        |SELECT st.compression, st.min, st.max, st.count, st.sum,
+        |  tdigest_value_at_quantile(construct_tdigest(st.centroid_means,
+        |    st.centroid_weights, st.compression, st.min, st.max), 0.5) AS med_rt,
+        |  tdigest_value_at_quantile(d, 0.5) AS med
+        |FROM x""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 100.0) // default compression
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1000.0)
+    assert(r.getDouble(3) == 1000.0) // count = total weight
+    assert(math.abs(r.getDouble(4) - 500500.0) < 1e-6) // sum of 1..1000
+    assert(r.getDouble(5) == r.getDouble(6)) // identical reconstructed median
+  }
+
   test("scale_qdigest/scale_tdigest keep quantiles, quantiles_at_values maps") {
     import graft.functions.{BinConvSketch, QDigest, TDigest}
     var qd = QDigest.empty(100)
