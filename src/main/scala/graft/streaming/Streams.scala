@@ -122,7 +122,29 @@ object Streams {
       .orderBy("n_name")
   }
 
+  /** Windowed approximate distinct users via the mergeable HLL sketch —
+    * the sketch state is what a streaming aggregation keeps per window
+    * (KB-bounded, mergeable across partials and across late batches), in
+    * place of an exact distinct whose state grows with cardinality. The
+    * gate emits the exact count next to a bound check; StreamingSpec runs
+    * the same aggregate under readStream with a watermark. */
+  def approxDistinctWindow(df: DataFrame): DataFrame =
+    df.withColumn("w", window(eventTime(col("ts")), "1 hour"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(graft.functions.GraftFunctions.approxSet(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        (unix_timestamp(col("w.start")) / 3600).cast("long").as("bucket"),
+        col("event_type"), col("exact_users"),
+        // ±max(1, 5%): tiny windows may be off by one register collision
+        (abs(graft.functions.GraftFunctions.hllCardinality(col("sk"))
+          .cast("double") - col("exact_users")) <=
+          greatest(lit(1.0), col("exact_users") * 0.05)).as("ok"))
+      .orderBy("bucket", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_approx_distinct" -> ((s, dir) =>
+      approxDistinctWindow(t(s, dir, "events"))),
     "stream_static_join" -> staticEnrich,
     "stream_interval_join" -> ((s, dir) => intervalJoin(t(s, dir, "events"))),
     "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
@@ -131,6 +153,10 @@ object Streams {
     "stream_dedup" -> ((s, dir) => dedup(t(s, dir, "events"))))
 
   val oracle: Map[String, String] = Map(
+    "stream_approx_distinct" ->
+      """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+        | event_type, count(DISTINCT user_id) AS exact_users, true AS ok
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "stream_static_join" ->
       """SELECT n_name, count(*) AS n_events,
         | count(DISTINCT user_id) AS n_users,

@@ -36,6 +36,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregate runs as streaming state (windowed approx distinct)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("t", "user_id")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(graft.functions.GraftFunctions.approxSet(col("user_id")).as("sk"))
+      .select(col("window"),
+        graft.functions.GraftFunctions.hllCardinality(col("sk")).as("nd"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 3 distinct users in hour 0, one repeated — across separate batches,
+      // so the sketch state must merge across micro-batches
+      mem.addData((ts(5), 1L), (ts(10), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(20), 2L), (ts(30), 3L))
+      q.processAllAvailable()
+      mem.addData((ts(140), 9L)) // advance watermark, close hour 0
+      q.processAllAvailable()
+      val nd = spark.sql("SELECT nd FROM hll_stream_test").collect()
+        .map(_.getLong(0))
+      assert(nd.contains(3L), s"expected a closed window with 3 distinct, got ${nd.toSeq}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
