@@ -214,6 +214,42 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, the step a real dedup pipeline runs after candidate pairs —
+    * transitive chains (A~B, B~C) must collapse to one cluster with one
+    * canonical keeper even when A~C was never emitted. Iterative min-label
+    * propagation: each round is one distributed join + aggregate (the
+    * Pregel/HashToMin pattern), converging in O(component diameter)
+    * rounds — near-dup components are shallow, so a handful of rounds at
+    * any corpus size; lineage is cut per round with localCheckpoint. The
+    * oracle replays components with a recursive CTE over the same pairs. */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
+        .groupBy(col("doc_a").as("n2")).agg(min(col("label")).as("nbl"))
+      val updated = labels.join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("nl"))
+        .localCheckpoint()
+      changed = updated.filter(col("nl") < col("label")).count()
+      labels = updated.select(col("node"), col("nl").as("label"))
+      iter += 1
+    }
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
+      .select(col("cluster_id"), col("n_members"), col("keep_id"))
+      .orderBy("cluster_id")
+  }
+
   /** Double-precision cosine similarity of two float vectors: sequential
     * fold in element order so any engine computing the same fold gets the
     * same IEEE-754 bits (reference cosine_similarity:
@@ -231,7 +267,8 @@ object Dedup {
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> embeddingNearDup,
-    "dedup_embedding_lsh" -> embeddingLshNearDup)
+    "dedup_embedding_lsh" -> embeddingLshNearDup,
+    "dedup_clusters" -> nearDupClusters)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -266,6 +303,38 @@ object Dedup {
         |FROM ver JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) m
+        |       FROM (SELECT doc_id, unnest(s) g FROM sh)
+        |       CROSS JOIN (SELECT unnest(range(16)) seed) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, seed // 4 b,
+        |          md5(string_agg(m, ',' ORDER BY seed)) sig
+        |         FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id da, b2.doc_id db FROM band a
+        |         JOIN band b2 ON a.b = b2.b AND a.sig = b2.sig
+        |          AND a.doc_id < b2.doc_id),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |card AS (SELECT doc_id, len(s) n FROM sh),
+        |ver AS (SELECT da, db, count(*) inter FROM cand
+        |        JOIN e ea ON ea.doc_id = da
+        |        JOIN e eb ON eb.doc_id = db AND ea.g = eb.g GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM ver
+        |          JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8),
+        |edges AS (SELECT da a, db b FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(root) cluster_id FROM reach GROUP BY node)
+        |SELECT cluster_id, count(*) AS n_members, min(node) AS keep_id
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "dedup_simhash" ->
       """WITH h AS (SELECT doc_id,
         |        CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) hv

@@ -82,6 +82,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("near-dup clusters are transitive closures of the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every cluster id is its own min member (canonical keeper)
+    assert(clusters.forall { case (cid, _, keep) => cid == keep })
+    // total members equals distinct endpoints of the pair graph
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clusters.map(_._2).sum == nodes.length)
+    // union-find ground truth on the driver agrees with the distributed result
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = nodes.groupBy(find).map { case (_, ms) => (ms.min, ms.length) }.toSet
+    assert(clusters.map(c => (c._1, c._2.toInt)).toSet == truth)
+  }
+
   test("embedding LSH near-dup pairs are a subset of the brute-force pairs") {
     val brute = Dedup.embeddingNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
