@@ -130,6 +130,47 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** One Lloyd iteration of k-means over cosine cells: re-assign every
+    * vector to its nearest centroid, then replace each centroid with its
+    * cell's element-wise mean. This is the refinement the IVF index trains
+    * with at scale (ivfAnn keeps deterministic seed centroids so its
+    * DuckDB oracle can replay the assignment; this path carries the real
+    * index-training shape): one broadcast of K centroids + one shuffle of
+    * (cell, position, value) triples per iteration — never vector×vector.
+    * Returns (cell, cvec) refined centroids. */
+  def kmeansRefine(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    val assigned = e.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        Dedup.cosine(col("embedding"), col("cvec")).as("cs"))
+      .withColumn("crk", row_number().over(wA))
+      .filter(col("crk") === 1)
+    assigned
+      .select(col("cent_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(avg(col("x")).as("c"))
+      .groupBy("cent_id")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+  }
+
+  /** Mean distance-to-assigned-centroid (the k-means objective, cosine
+    * form: 1 − cos). Used by the spec to verify Lloyd monotonicity. */
+  def kmeansObjective(e: DataFrame, centroids: DataFrame): Double = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    e.join(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        Dedup.cosine(col("embedding"), col("cvec")).as("cs"))
+      .withColumn("crk", row_number().over(wA))
+      .filter(col("crk") === 1)
+      .agg(avg(lit(1.0) - col("cs")))
+      .collect()(0).getDouble(0)
+  }
+
   /** int8 embedding quantization — the 4× storage cut every 100 TB
     * embedding store takes (float32 → int8 + per-vector (min, scale)):
     * q_i = round((x_i − min)·255/(max − min)) − 128, reconstruction

@@ -82,6 +82,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("k-means refinement: Lloyd steps never increase the cosine objective") {
+    import graft.Tables
+    val e = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val obj0 = Similarity.kmeansObjective(e, seeds)
+    val r1 = Similarity.kmeansRefine(e, seeds)
+    val obj1 = Similarity.kmeansObjective(e, r1)
+    val r2 = Similarity.kmeansRefine(e, r1)
+    val obj2 = Similarity.kmeansObjective(e, r2)
+    // Lloyd monotonicity holds for squared-euclidean; on unit-ish cosine
+    // cells the refined centroids must still beat the raw seed vectors
+    assert(obj1 < obj0, s"refinement worsened objective: $obj0 -> $obj1")
+    assert(obj2 <= obj1 + 1e-9, s"second step worsened objective: $obj1 -> $obj2")
+    // refined centroids keep the full dimension and at most K cells
+    val cents = r1.collect()
+    assert(cents.length <= 8 &&
+      cents.forall(_.getSeq[Double](1).length == 64))
+  }
+
   test("near-dup clusters are transitive closures of the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
