@@ -28,8 +28,21 @@ import graft.functions.GraftFunctions
   */
 final class SqlSession private (val spark: SparkSession) {
 
-  /** Run reference-dialect SQL; returns a lazily-planned DataFrame. */
-  def sql(text: String): DataFrame = spark.sql(Dialect.translate(text))
+  /** Run reference-dialect SQL; returns a lazily-planned DataFrame.
+    * UNNEST(x) AS t(a, b) is textually ambiguous between the map form and
+    * array<row<a,b>> struct expansion — the map translation is tried
+    * first and the struct translation on analysis failure. */
+  def sql(text: String): DataFrame = {
+    val t1 = Dialect.translate(text)
+    try spark.sql(t1)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val t2 = Dialect.translate(text, unnestStructRows = true)
+        if (t2 == t1) throw e
+        else try spark.sql(t2)
+        catch { case _: org.apache.spark.sql.AnalysisException => throw e }
+    }
+  }
 
   /** Register every fixture table under `dir` as a temp view. */
   def loadTables(dir: String): SqlSession = {
@@ -47,6 +60,11 @@ object SqlSession {
   def wrap(spark: SparkSession): SqlSession = {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // reference `time` type (StandardTypes.java:45): Spark 4.1 ships a
+    // native TIME behind a flag — literals, casts, make_time, extraction
+    // and interval arithmetic all work once enabled. `time with time
+    // zone` stays unsupported with a clear dialect error.
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     GraftFunctions.register(spark)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.rules.CombineApproxPercentiles))
@@ -274,8 +292,15 @@ object Dialect {
     * argument aliased to two columns without ordinality is the map form
     * (key, value). The rewrite is purely textual on code spans — the
     * LATERAL subquery correlates to preceding FROM relations exactly like
-    * the reference's UNNEST sees them. */
-  private def rewriteUnnest(original: String): String = {
+    * the reference's UNNEST sees them.
+    *
+    * `structRows` resolves the textually-ambiguous 1-argument 2-column
+    * case: false → map (key, value); true → array<row<a,b>> positional
+    * struct expansion. The type isn't knowable from text alone, so
+    * `SqlSession.sql` tries the map translation first and retries with
+    * structRows=true on analysis failure. 1 argument with 3+ columns can
+    * only be the struct form and takes it directly. */
+  private def rewriteUnnest(original: String, structRows: Boolean = false): String = {
     val m = masked(original)
     val hit = unnestRel.findFirstMatchIn(m) match {
       case None => return original
@@ -297,20 +322,31 @@ object Dialect {
     val dataCols = if (hasOrd) cols.dropRight(1) else cols
     val ordSel = if (hasOrd) Seq(s"CAST(pos + 1 AS BIGINT) AS ${cols.last}")
       else Seq.empty
-    val inner =
-      if (args.length == 1 && dataCols.length == 2) // map form
-        (Seq(s"key AS ${dataCols(0)}", s"value AS ${dataCols(1)}") ++ ordSel)
-          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})")
+    val (inner, aliasSuffix) =
+      if (args.length == 1 && dataCols.length == 2 && !structRows) // map form
+        ((Seq(s"key AS ${dataCols(0)}", s"value AS ${dataCols(1)}") ++ ordSel)
+          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})"),
+          s" AS $alias")
       else if (args.length == 1 && dataCols.length == 1)
-        (Seq(s"col AS ${dataCols.head}") ++ ordSel)
-          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})")
-      else if (args.length == dataCols.length) {
+        ((Seq(s"col AS ${dataCols.head}") ++ ordSel)
+          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})"),
+          s" AS $alias")
+      else if (args.length == 1 && dataCols.length >= 2) {
+        // UNNEST(array<row<…>>) AS t(a, b): expand the struct's fields
+        // positionally; the subquery column-list alias renames whatever
+        // the struct's field names happen to be
+        val ordTail = if (hasOrd) Seq("CAST(pos + 1 AS BIGINT)") else Nil
+        ((Seq("col.*") ++ ordTail)
+          .mkString("SELECT ", ", ", s" FROM posexplode(${args.head})"),
+          s" AS $alias(${cols.mkString(", ")})")
+      } else if (args.length == dataCols.length) {
         val g = args.map(a => s"size($a)").mkString("greatest(", ", ", ")")
         val sel = args.zip(dataCols).map { case (a, c) =>
           s"try_element_at($a, idx) AS $c"
         } ++ (if (hasOrd) Seq(s"CAST(idx AS BIGINT) AS ${cols.last}") else Nil)
-        sel.mkString("SELECT ", ", ",
-          s" FROM (SELECT explode(slice(sequence(0, $g), 2, $g)) AS idx)")
+        (sel.mkString("SELECT ", ", ",
+          s" FROM (SELECT explode(slice(sequence(0, $g), 2, $g)) AS idx)"),
+          s" AS $alias")
       } else throw new UnsupportedOperationException(
         s"UNNEST arity mismatch: ${args.length} arguments vs " +
           s"${dataCols.length} data columns")
@@ -319,9 +355,9 @@ object Dialect {
     val connector =
       if (hit.group(1).equalsIgnoreCase("from")) "FROM (" else ", LATERAL ("
     val rewritten = original.substring(0, hit.start(1)) + connector +
-      inner + s") AS $alias" +
+      inner + ")" + aliasSuffix +
       original.substring(argsEnd + tail.end)
-    rewriteUnnest(rewritten) // handle multiple UNNESTs in one statement
+    rewriteUnnest(rewritten, structRows) // handle multiple UNNESTs in one statement
   }
 
   private val tableSample =
@@ -404,15 +440,35 @@ object Dialect {
       .getOrElse(throw new UnsupportedOperationException(
         "GROUPS frames need a plain FROM <table> source for the dialect rewrite"))
     val table = original.substring(from.start(1), from.end(1))
+    // Window frames evaluate AFTER row filtering, so a WHERE left in the
+    // outer query would punch gaps in __graft_grp and silently change the
+    // frame (r5 driver advice). A depth-0 WHERE therefore moves INTO the
+    // dense_rank subquery; anything else after FROM <table> (joins,
+    // aliases, GROUP BY/HAVING) raises the documented unsupported error.
+    val afterFrom =
+      "(?i)\\s*(WHERE\\b|ORDER\\s+BY\\b|LIMIT\\b|$)".r
+        .findPrefixMatchOf(m.subSequence(from.end, m.length))
+    val (fromSpanEnd, innerWhere) = afterFrom.map(_.group(1).toUpperCase) match {
+      case Some("WHERE") =>
+        val stop = "(?i)\\b(ORDER\\s+BY|LIMIT)\\b".r.findAllMatchIn(m)
+          .find(x => x.start >= from.end && depth(x.start) == 0)
+          .map(_.start).getOrElse(m.length)
+        (stop, " " + original.substring(from.end, stop).trim)
+      case Some(_) => (from.end, "")
+      case None => throw new UnsupportedOperationException(
+        "GROUPS frames: only WHERE/ORDER BY/LIMIT may follow the plain " +
+          "FROM <table> source in the dialect rewrite")
+    }
     val innerPart = partExpr.map(p => s"PARTITION BY $p ").getOrElse("")
     val innerFrom = s"FROM (SELECT *, dense_rank() OVER ($innerPart" +
-      s"ORDER BY $orderExpr) AS __graft_grp FROM $table) __graft_groups_src"
+      s"ORDER BY $orderExpr) AS __graft_grp FROM $table$innerWhere) " +
+      "__graft_groups_src " // trailing space: a moved WHERE makes the span end exactly where ORDER BY/LIMIT begins
     val newOver = s"OVER (${partExpr.map(p => s"PARTITION BY $p ").getOrElse("")}" +
       s"ORDER BY __graft_grp RANGE $frameSpec)"
     // splice right-to-left so earlier indices stay valid
     val (aStart, aEnd, aText, bStart, bEnd, bText) =
-      if (ovStart > from.start) (from.start, from.end, innerFrom, ovStart, close, newOver)
-      else (ovStart, close, newOver, from.start, from.end, innerFrom)
+      if (ovStart > from.start) (from.start, fromSpanEnd, innerFrom, ovStart, close, newOver)
+      else (ovStart, close, newOver, from.start, fromSpanEnd, innerFrom)
     original.substring(0, aStart) + aText +
       original.substring(aEnd, bStart) + bText + original.substring(bEnd)
   }
@@ -426,10 +482,42 @@ object Dialect {
   private def rewriteUnitCalls(original: String): String =
     unitCall.replaceAllIn(original, m => s"${m.group(1)}(${m.group(2)},")
 
-  def translate(text: String): String = {
+  private val timeWithTz = "(?i)\\bTIME\\s+WITH\\s+TIME\\s+ZONE\\b".r
+
+  private val excludeColumnsRe =
+    ("(?i)\\bexclude_columns\\s*\\(\\s*(?:input\\s*=>\\s*)?TABLE\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)\\s*,\\s*(?:columns\\s*=>\\s*)?" +
+      "DESCRIPTOR\\s*\\(([^)]*)\\)\\s*\\)").r
+
+  /** The reference's built-in exclude_columns table function
+    * (operator/table/ExcludeColumns.java:66):
+    * `exclude_columns([input =>] TABLE(t), [columns =>] DESCRIPTOR(a, b))`
+    * → Spark's star-except subquery `(SELECT * EXCEPT (a, b) FROM t)`.
+    * Pure pass-through projection, so the rewrite is exact. */
+  private def rewriteExcludeColumns(original: String): String = {
+    val m = masked(original)
+    val sb = new StringBuilder
+    var last = 0
+    for (hit <- excludeColumnsRe.findAllMatchIn(m)) {
+      sb.append(original.substring(last, hit.start))
+      val table = original.substring(hit.start(1), hit.end(1))
+      val cols = original.substring(hit.start(2), hit.end(2)).trim
+      sb.append(s"(SELECT * EXCEPT ($cols) FROM $table)")
+      last = hit.end
+    }
+    sb.append(original.substring(last))
+    sb.toString
+  }
+
+  def translate(text: String, unnestStructRows: Boolean = false): String = {
     checkStrposArity(text)
+    if (timeWithTz.findFirstIn(masked(text)).isDefined)
+      throw new UnsupportedOperationException(
+        "time with time zone is not supported (documented gap — " +
+          "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
-      rewriteGroupsFrame(rewriteUnitCalls(text)))))).map {
+      rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(text)))),
+      unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>
         renames.foldLeft(seg) { case (t, (from, to)) =>

@@ -204,6 +204,29 @@ case class LongestCommonPrefix(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** combine_hash(h1, h2) → 31*h1 + h2 with Java wrapping semantics
+  * (CombineHashFunction.java) — NOT Catalyst Add/Multiply, which under
+  * Spark 4's default ANSI mode throw ARITHMETIC_OVERFLOW for typical
+  * 64-bit hash inputs (e.g. xxhash64 outputs). */
+case class CombineHash(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "combine_hash requires two bigints, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "combine_hash"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    31L * l.asInstanceOf[Long] + r.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(31L * $a + $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** scale_qdigest(sketch, factor) → sketch with all weights scaled
   * (QuantileDigestFunctions.scaleQuantileDigest — quantiles unchanged,
   * counts multiplied). */

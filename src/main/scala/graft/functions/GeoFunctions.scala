@@ -320,4 +320,204 @@ object GeoFunctions {
         concat(lit("POLYGON (("), txt(concat(pts, slice(pts, lit(1), lit(1)))),
           lit("))")))
   }
+
+  // ---- Relation predicates beyond Contains/Intersects (GeoFunctions.java
+  // ST_Within, ST_Touches, ST_Crosses, ST_Overlaps, ST_Disjoint) for
+  // simple single-ring polygons and open paths. Piecewise-linear DE-9IM
+  // approximations: interior intersection is witnessed by a strictly
+  // interior vertex or a proper (non-collinear) edge crossing — exact for
+  // polygons whose vertices avoid the partner's boundary (equal rings and
+  // boundary-incident vertices are engine-deterministic but, as with the
+  // reference's boundary pixels, not contractual). All tests are
+  // cross-product orientation arithmetic: no division, engine-exact on
+  // dyadic inputs. ----
+
+  /** Proper segment crossing only — strict orientation signs, collinear
+    * touching excluded (the interior-intersection witness). */
+  private def segSegProper(p1: Column, q1: Column,
+                           p2: Column, q2: Column): Column = {
+    def cross3(o: Column, a: Column, b: Column): Column =
+      (stX(a) - stX(o)) * (stY(b) - stY(o)) -
+        (stY(a) - stY(o)) * (stX(b) - stX(o))
+    val d1 = cross3(p2, q2, p1)
+    val d2 = cross3(p2, q2, q1)
+    val d3 = cross3(p1, q1, p2)
+    val d4 = cross3(p1, q1, q2)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  private def anyProperCross(segsA: Column, segsB: Column): Column =
+    exists(segsA, sa => exists(segsB, sb =>
+      segSegProper(sa.getField("p"), sa.getField("q"),
+        sb.getField("p"), sb.getField("q"))))
+
+  /** Point exactly on the ring's boundary (collinear with an edge and
+    * inside its bbox) — cross-product arithmetic only, no division. The
+    * ray-cast parity test alone is half-open (bottom/left boundaries
+    * count as inside), so DE-9IM interior tests subtract the boundary
+    * explicitly. */
+  private def onRingBoundary(ring: Column, p: Column): Column =
+    exists(ringEdges(ring), s => {
+      val a = s.getField("p"); val b = s.getField("q")
+      val cr = (stX(b) - stX(a)) * (stY(p) - stY(a)) -
+        (stY(b) - stY(a)) * (stX(p) - stX(a))
+      cr === 0 &&
+        stX(p).between(least(stX(a), stX(b)), greatest(stX(a), stX(b))) &&
+        stY(p).between(least(stY(a), stY(b)), greatest(stY(a), stY(b)))
+    })
+
+  private def strictlyInside(ring: Column, p: Column): Column =
+    !onRingBoundary(ring, p) && stContainsPoint(ring, p)
+
+  /** ST_Contains(polygon, polygon): every vertex of b inside or on the
+    * boundary of a, and no proper edge crossing (so contains(A, A) holds,
+    * as DE-9IM requires). */
+  def stPolygonContains(a: Column, b: Column): Column =
+    forall(b, v => stContainsPoint(a, v) || onRingBoundary(a, v)) &&
+      !anyProperCross(ringEdges(a), ringEdges(b))
+
+  /** ST_Within(a, b) = ST_Contains(b, a). */
+  def stPolygonWithin(a: Column, b: Column): Column = stPolygonContains(b, a)
+
+  /** ST_Disjoint for two simple polygons. */
+  def stPolygonDisjoint(a: Column, b: Column): Column =
+    !stPolygonIntersects(a, b)
+
+  private def interiorsIntersect(a: Column, b: Column): Column =
+    exists(b, v => strictlyInside(a, v)) ||
+      exists(a, v => strictlyInside(b, v)) ||
+      anyProperCross(ringEdges(a), ringEdges(b))
+
+  /** ST_Touches: boundaries meet but interiors stay disjoint (shared
+    * edges and corner contacts; overlapping interiors → false). */
+  def stPolygonTouches(a: Column, b: Column): Column =
+    stPolygonIntersects(a, b) && !interiorsIntersect(a, b)
+
+  /** ST_Overlaps: interiors intersect but neither polygon contains the
+    * other. */
+  def stPolygonOverlaps(a: Column, b: Column): Column =
+    interiorsIntersect(a, b) &&
+      !stPolygonContains(a, b) && !stPolygonContains(b, a)
+
+  /** ST_Crosses(linestring, polygon): the path passes through the
+    * interior AND the exterior — a proper edge crossing, or vertices on
+    * both sides. */
+  def stLineCrossesPolygon(line: Column, ring: Column): Column =
+    anyProperCross(pathSegments(line), ringEdges(ring)) ||
+      (exists(line, v => strictlyInside(ring, v)) &&
+        exists(line, v => !stContainsPoint(ring, v) && !onRingBoundary(ring, v)))
+
+  // ---- Multi-geometries (GeoFunctions.java ST_NumGeometries,
+  // ST_GeometryN, GeometryType over MULTI* / GEOMETRYCOLLECTION WKT —
+  // reference geospatial/GeoFunctions.java:toMultiPoint area): a tagged
+  // COLLECTION struct<gtype, geoms: array<struct<gtype, pts>>> whose
+  // parts are the single tagged geometries above. Polygon parts carry one
+  // exterior ring (holes stay out of scope like the single-polygon
+  // surface). ----
+
+  private def taggedPart(gt: String, pts: Column): Column =
+    struct(lit(gt).as("gtype"), pts.as("pts"))
+
+  // WKT rings close explicitly; the internal ring representation is open
+  private def dropClosure(pts: Column): Column =
+    when(size(pts) > 1 &&
+      element_at(pts, 1) === element_at(pts, size(pts)),
+      slice(pts, lit(1), size(pts) - 1)).otherwise(pts)
+
+  /** ST_GeometryFromText for multi/collection WKT → tagged collection.
+    * Single-geometry WKT wraps as a 1-part collection of its own type so
+    * every geometry has a uniform ST_NumGeometries/ST_GeometryN view. */
+  def stMultiGeometryFromText(w: Column): Column = {
+    val t = upper(regexp_extract(w, "(?i)^\\s*([a-z]+)", 1))
+    // innermost paren groups: MULTILINESTRING parts and MULTIPOLYGON
+    // exterior rings are exactly the depth-innermost coordinate lists
+    val innerGroups = regexp_extract_all(w, lit("\\(([^()]+)\\)"), lit(1))
+    // balanced-to-depth-2 components of a GEOMETRYCOLLECTION
+    val components = regexp_extract_all(w,
+      lit("(?i)(?:POINT|LINESTRING|POLYGON)\\s*\\((?:[^()]|\\([^()]*\\))*\\)"),
+      lit(0))
+    val mpCoords = wktCoords(regexp_replace(
+      regexp_extract(w, "(?i)^\\s*MULTIPOINT\\s*\\((.*)\\)\\s*$", 1),
+      "[()]", ""))
+    val gtype = when(t === "MULTIPOINT", lit("ST_MultiPoint"))
+      .when(t === "MULTILINESTRING", lit("ST_MultiLineString"))
+      .when(t === "MULTIPOLYGON", lit("ST_MultiPolygon"))
+      .when(t === "GEOMETRYCOLLECTION", lit("ST_GeometryCollection"))
+      .otherwise(stGeometryType(stGeometryFromText(w)))
+    val geoms = when(t === "MULTIPOINT",
+      transform(mpCoords, p => taggedPart("ST_Point", array(p))))
+      .when(t === "MULTILINESTRING",
+        transform(innerGroups, s => taggedPart("ST_LineString", wktCoords(s))))
+      .when(t === "MULTIPOLYGON",
+        transform(innerGroups, s => taggedPart("ST_Polygon",
+          dropClosure(wktCoords(s)))))
+      .when(t === "GEOMETRYCOLLECTION",
+        transform(components, c => stGeometryFromText(c)))
+      .otherwise(array(stGeometryFromText(w)))
+    struct(gtype.as("gtype"), geoms.as("geoms"))
+  }
+
+  def stNumGeometries(g: Column): Column =
+    size(g.getField("geoms")).cast("long")
+
+  /** ST_GeometryN (1-based like the reference) → single tagged geometry. */
+  def stGeometryN(g: Column, n: Column): Column =
+    element_at(g.getField("geoms"), n)
+
+  /** ST_AsText for the tagged collection. */
+  def stAsTextMulti(g: Column): Column = {
+    val geoms = g.getField("geoms")
+    def coordTxt(ps: Column): Column = concat_ws(", ", transform(ps, p =>
+      concat_ws(" ", p.getField("x").cast("string"),
+        p.getField("y").cast("string"))))
+    def partTxt(p: Column): Column = coordTxt(p.getField("pts"))
+    def ringTxt(p: Column): Column = {
+      val pts = p.getField("pts")
+      coordTxt(concat(pts, slice(pts, lit(1), lit(1))))
+    }
+    when(g.getField("gtype") === "ST_MultiPoint",
+      concat(lit("MULTIPOINT (("),
+        concat_ws("), (", transform(geoms, p => partTxt(p))), lit("))")))
+      .when(g.getField("gtype") === "ST_MultiLineString",
+        concat(lit("MULTILINESTRING (("),
+          concat_ws("), (", transform(geoms, p => partTxt(p))), lit("))")))
+      .when(g.getField("gtype") === "ST_MultiPolygon",
+        concat(lit("MULTIPOLYGON ((("),
+          concat_ws(")), ((", transform(geoms, p => ringTxt(p))), lit(")))")))
+      .when(g.getField("gtype") === "ST_GeometryCollection",
+        concat(lit("GEOMETRYCOLLECTION ("),
+          concat_ws(", ", transform(geoms, p => stAsText(p))), lit(")")))
+      .otherwise(stAsText(element_at(geoms, 1)))
+  }
+
+  /** Sum of part areas (polygon parts). */
+  def stAreaMulti(g: Column): Column =
+    aggregate(transform(g.getField("geoms"),
+      p => stArea(p.getField("pts"))), lit(0.0), _ + _)
+
+  /** Sum of part perimeters (polygon parts). */
+  def stPerimeterMulti(g: Column): Column =
+    aggregate(transform(g.getField("geoms"),
+      p => stPerimeter(p.getField("pts"))), lit(0.0), _ + _)
+
+  /** Sum of part lengths (linestring parts). */
+  def stLengthMulti(g: Column): Column =
+    aggregate(transform(g.getField("geoms"),
+      p => stLineLength(p.getField("pts"))), lit(0.0), _ + _)
+
+  /** Envelope across every part's points. */
+  def stEnvelopeMulti(g: Column): Column =
+    stEnvelope(flatten(transform(g.getField("geoms"), _.getField("pts"))))
+
+  /** geometry_union_agg (reference geospatial/aggregation/
+    * GeometryUnionAgg.java) over pairwise-DISJOINT parts: the union of
+    * disjoint geometries IS their collection, returned as the tagged
+    * multi struct with parts sorted for engine determinism. Dissolving
+    * overlapping boundaries needs full polygon clipping — documented out
+    * of scope (SURVEY known gaps); at 100 TB this is a KB-bounded
+    * collect_list per group, mergeable map-side like any collection agg. */
+  def geometryUnionAgg(g: Column): Column =
+    struct(lit("ST_GeometryCollection").as("gtype"),
+      sort_array(collect_list(g)).as("geoms"))
 }

@@ -262,11 +262,8 @@ object GraftFunctions {
     ("fnv1_64", "fnv1_64(b) - FNV-1 64-bit hash", es => BinConvExpr(es.head, "fnv1_64")),
     ("fnv1a_32", "fnv1a_32(b) - FNV-1a 32-bit hash", es => BinConvExpr(es.head, "fnv1a_32")),
     ("fnv1a_64", "fnv1a_64(b) - FNV-1a 64-bit hash", es => BinConvExpr(es.head, "fnv1a_64")),
-    ("combine_hash", "combine_hash(h1, h2) - 31*h1 + h2 (reference CombineHashFunction)",
-      es => {
-        import org.apache.spark.sql.catalyst.expressions.{Add, Literal, Multiply}
-        Add(Multiply(Literal(31L), asLong(es(0))), asLong(es(1)))
-      }),
+    ("combine_hash", "combine_hash(h1, h2) - 31*h1 + h2, Java wrapping (reference CombineHashFunction)",
+      es => CombineHash(asLong(es(0)), asLong(es(1)))),
     ("longest_common_prefix", "longest_common_prefix(a, b) - shared code-point prefix",
       es => LongestCommonPrefix(es(0), es(1))),
     ("strrpos", "strrpos(s, sub) - 1-based index of the LAST occurrence, 0 if absent",
@@ -361,13 +358,16 @@ object GraftFunctions {
           LambdaFunction(Add(acc, Coalesce(Seq(v, Literal(0.0)))), Seq(acc, v)),
           LambdaFunction(acc, Seq(acc)))
       }),
-    ("trim_array", "trim_array(a, n) - array without its last n elements",
+    ("trim_array", "trim_array(a, n) - array without its last n elements; errors when n > cardinality",
       es => {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Greatest, Literal, Size, Slice, Subtract}
-        Slice(es(0), Literal(1), Greatest(Seq(
-          Subtract(Size(es(0)),
-            Cast(es(1), org.apache.spark.sql.types.IntegerType)),
-          Literal(0))))
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, GreaterThan, Literal, RaiseError, Size, Slice, Subtract}
+        val n = Cast(es(1), org.apache.spark.sql.types.IntegerType)
+        // reference ArrayTrimFunction raises INVALID_FUNCTION_ARGUMENT when
+        // n exceeds the cardinality — error-contract parity, not a clamp
+        CaseWhen(
+          Seq((GreaterThan(n, Size(es(0))), RaiseError(Literal(
+            "size must not exceed array cardinality")))),
+          Some(Slice(es(0), Literal(1), Subtract(Size(es(0)), n))))
       }),
     ("year_of_week", "year_of_week(d) - ISO-8601 week-numbering year",
       es => {
@@ -486,9 +486,6 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           s"regexp_replace requires 2 or 3 arguments, got ${es.length}")
       }),
-    ("split_to_table",
-      "split_to_table(str, delim) - generator of (ord, value) split rows",
-      es => SplitToTable(es(0), es(1))),
     ("khyperloglog_agg",
       "khyperloglog_agg(value, uii) - KHyperLogLog joinability/uniqueness sketch",
       es => KhllAgg(es(0), es(1)).toAggregateExpression()),
@@ -731,20 +728,46 @@ object GraftFunctions {
     else org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.LongType)
 
+  /** Polymorphic table-function registry — the role of the reference's
+    * TableFunctionOperator registration surface
+    * (MAIN/operator/TableFunctionOperator.java:44 + operator/table classes).
+    * One entry = one TVF: the builder lands in the FROM-position
+    * table-function registry and, when `exprPos`, also in the expression
+    * registry (LATERAL VIEW / SELECT position). Adding the next TVF costs
+    * one Generator class plus one line here. */
+  val tableFunctions: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.expressions.Generator, Boolean)] = Seq(
+    ("split_to_table",
+      es => SplitToTable(es(0), es(1)), true),
+    // reference operator/table/Sequence.java:73 — sequence(stop) /
+    // (start, stop) / (start, stop, step), inclusive, direction-checked.
+    // Expression position stays with Spark's scalar sequence() (arrays).
+    ("sequence", es => es.map(asLong) match {
+      case Seq(stop1) => SequenceTable(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), stop1,
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+      case Seq(a, b) => SequenceTable(a, b,
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+      case Seq(a, b, st) => SequenceTable(a, b, st)
+      case other => throw new IllegalArgumentException(
+        s"sequence table function takes 1-3 arguments, got ${other.length}")
+    }, false))
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, usage, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    // FROM-position table function: SELECT * FROM split_to_table('a b', ' ')
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "split_to_table",
-      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.plans.logical.Generate(
-        SplitToTable(es(0), es(1)), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Nil,
-        child = org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()),
-      "scala_udf")
+    tableFunctions.foreach { case (name, builder, exprPos) =>
+      if (exprPos) reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name,
+        (es: Seq[Expression]) => org.apache.spark.sql.catalyst.plans.logical.Generate(
+          builder(es), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Nil,
+          child = org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()),
+        "scala_udf")
+    }
   }
 
   // ---- DataFrame/Column API ----

@@ -157,7 +157,10 @@ case class IpExpr(args: Seq[Expression], op: String)
       args.zip(expect).forall { case (a, t) =>
         a.dataType == t ||
           (t == ArrayType(StringType, containsNull = true) &&
-            a.dataType.isInstanceOf[ArrayType])
+            (a.dataType match { // element type must be string, any nullability
+              case ArrayType(StringType, _) => true
+              case _ => false
+            }))
       }) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$op argument types: got ${args.map(_.dataType.simpleString).mkString(", ")}")

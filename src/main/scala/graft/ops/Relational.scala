@@ -318,6 +318,23 @@ object Relational {
         |ORDER BY k, ord""".stripMargin)
   }
 
+  /** The generic TVF registry seam (GraftFunctions.tableFunctions —
+    * reference TableFunctionOperator.java:44): the reference's built-in
+    * Sequence TVF (operator/table/Sequence.java:73, FROM position,
+    * `sequential_number` output, inclusive bounds + step) crossed with
+    * exclude_columns (operator/table/ExcludeColumns.java:66, table
+    * argument + DESCRIPTOR → star-except projection). */
+  def tvfRegistry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_tvfr")
+    graft.api.SqlSession.wrap(s).sql(
+      """SELECT x.sequential_number AS n, e.n_nationkey, e.n_regionkey
+        |FROM sequence(1, 7, 3) x
+        |CROSS JOIN exclude_columns(input => TABLE(nation_tvfr),
+        |                           columns => DESCRIPTOR(n_name)) e
+        |WHERE e.n_nationkey < 10
+        |ORDER BY n, n_nationkey""".stripMargin)
+  }
+
   /** Multi-array zip UNNEST as SQL text: parallel arrays pad with NULL to
     * the longest (UnnestNode zip contract), ordinality 1-based BIGINT. */
   def sqlUnnestZip(s: SparkSession, dir: String): DataFrame = {
@@ -388,7 +405,7 @@ object Relational {
     "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
-    "tvf_split" -> tvfSplit)
+    "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry)
 
   val oracle: Map[String, String] = Map(
     "join_salted" ->
@@ -567,6 +584,12 @@ object Relational {
         |FROM (SELECT p_partkey, string_split(p_type, ' ') ws FROM part
         |      WHERE p_partkey <= 100)
         |ORDER BY k, ord""".stripMargin,
+    "tvf_registry" ->
+      """SELECT x.n, e.n_nationkey, e.n_regionkey
+        |FROM (SELECT generate_series AS n FROM generate_series(1, 7, 3)) x
+        |CROSS JOIN (SELECT n_nationkey, n_regionkey FROM nation) e
+        |WHERE e.n_nationkey < 10
+        |ORDER BY n, n_nationkey""".stripMargin,
     "tvf_split" ->
       """SELECT p_partkey AS k, generate_subscripts(ws, 1) AS ord,
         | unnest(ws) AS word

@@ -158,6 +158,7 @@ object Scalars {
     * equivalent C specifiers. */
   def mysqlDateFmt(s: SparkSession, dir: String): DataFrame = {
     import GraftFunctions.mysqlDateFormat
+    GraftFunctions.register(s)
     t(s, dir, "orders").filter(col("o_orderkey") <= 500)
       .select(
         col("o_orderkey").as("k"),
@@ -167,7 +168,12 @@ object Scalars {
         mysqlDateFormat(col("o_orderdate"), "%H:%i:%s").as("hms"),
         mysqlDateFormat(col("o_orderdate"), "%b").as("mon"),
         mysqlDateFormat(col("o_orderdate"), "%W").as("weekday"),
-        mysqlDateFormat(col("o_orderdate"), "y=%Y 100%%").as("mixed"))
+        mysqlDateFormat(col("o_orderdate"), "y=%Y 100%%").as("mixed"),
+        // format from a COLUMN, not a literal — the per-row
+        // MySqlPatternToJava path (reference MysqlDateFormat-style
+        // functions accept any varchar expression)
+        expr("mysql_date_format(o_orderdate, CASE WHEN o_orderkey % 2 = 0 " +
+          "THEN '%Y-%m-%d' ELSE '%d/%m/%Y' END)").as("dyn"))
       .orderBy("k")
   }
 
@@ -1087,7 +1093,181 @@ object Scalars {
     perNation.unionAll(algebra).unionAll(bound).orderBy("k", "metric")
   }
 
+  /** Multi-geometries (reference geospatial/GeoFunctions.java MULTI* WKT,
+    * ST_NumGeometries, ST_GeometryN, GeometryType): two disjoint
+    * axis-aligned squares per key as a MULTIPOLYGON, a two-part
+    * MULTILINESTRING (horizontal run + 3-4-5 diagonal), and a
+    * point+polygon GEOMETRYCOLLECTION — all coordinates dyadic, so every
+    * area/perimeter/length closed form is exact and the oracle replays
+    * arithmetic, not geometry. The WKT round-trip is checked Spark-side
+    * (parse∘print = identity on the tagged struct). */
+  def geoMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (lit(1.0) + col("c_custkey") % 3).as("a"),
+        (lit(0.5) + (col("c_custkey") % 2) * 0.5).as("b"),
+        (lit(0.25) + (col("c_custkey") % 4) * 0.25).as("gap"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    def pt(x: Column, y: Column): Column =
+      concat_ws(" ", x.cast("string"), y.cast("string"))
+    def ringTxt(x: Column, y: Column, sz: Column): Column = concat_ws(", ",
+      pt(x, y), pt(x + sz, y), pt(x + sz, y + sz), pt(x, y + sz), pt(x, y))
+    val a = col("a"); val b = col("b"); val cx = col("cx"); val cy = col("cy")
+    val x2 = cx + a + col("gap")
+    val mpWkt = concat(lit("MULTIPOLYGON ((("), ringTxt(cx, cy, a),
+      lit(")), (("), ringTxt(x2, cy, b), lit(")))"))
+    val mlWkt = concat(lit("MULTILINESTRING (("),
+      pt(cx, cy), lit(", "), pt(cx + a, cy), lit("), ("),
+      pt(cx, cy + 1), lit(", "), pt(cx + b * 3, cy + 1 + b * 4), lit("))"))
+    val gcWkt = concat(lit("GEOMETRYCOLLECTION (POINT ("), pt(cx, cy),
+      lit("), POLYGON (("), ringTxt(cx + 1, cy + 1, b), lit(")))"))
+    val mg = stMultiGeometryFromText(mpWkt)
+    val ml = stMultiGeometryFromText(mlWkt)
+    val gc = stMultiGeometryFromText(gcWkt)
+    g.select(col("k"),
+      stGeometryType(mg).as("mp_t"),
+      stNumGeometries(mg).as("mp_n"),
+      round(stAreaMulti(mg), 4).as("mp_area"),
+      round(stPerimeterMulti(mg), 4).as("mp_perim"),
+      round(stArea(stGeometryN(mg, lit(2)).getField("pts")), 4).as("part2_area"),
+      stGeometryType(stGeometryN(mg, lit(1))).as("part1_t"),
+      stNumGeometries(ml).as("ml_n"),
+      round(stLengthMulti(ml), 4).as("ml_len"),
+      stGeometryType(gc).as("gc_t"),
+      stNumGeometries(gc).as("gc_n"),
+      stGeometryType(stGeometryN(gc, lit(1))).as("gc1_t"),
+      round(stArea(stGeometryN(gc, lit(2)).getField("pts")), 4).as("gc2_area"),
+      stEnvelopeMulti(mg).getField("xmax").as("env_xmax"),
+      (stMultiGeometryFromText(stAsTextMulti(mg)) === mg).as("wkt_rt"))
+      .orderBy("k")
+  }
+
+  /** Relation predicates (reference GeoFunctions.java ST_Within,
+    * ST_Touches, ST_Crosses, ST_Overlaps, ST_Disjoint): a fixed square A
+    * against a second square B placed by k%5 into exactly one DE-9IM
+    * class — nested (contains/within), partial overlap, shared edge
+    * (touches), disjoint, corner contact (touches) — plus a line through
+    * A (crosses) and one strictly inside (not crosses). The Spark side
+    * computes the general orientation-arithmetic predicates; the oracle
+    * replays the closed-form class membership. */
+  def geoPred(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") % 5).as("m"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m")
+    def sq(x: Column, y: Column, sz: Column): Column =
+      org.apache.spark.sql.functions.array(
+        stPoint(x, y), stPoint(x + sz, y),
+        stPoint(x + sz, y + sz), stPoint(x, y + sz))
+    val ringA = sq(cx, cy, lit(2.0))
+    val bx = when(m === 0, cx + 0.5).when(m === 1, cx + 1.0)
+      .when(m === 2, cx + 2.0).when(m === 3, cx + 3.0).otherwise(cx + 2.0)
+    val by = when(m === 0, cy + 0.5).when(m === 1, cy + 1.0)
+      .when(m === 2, cy + 0.5).when(m === 3, cy + 3.0).otherwise(cy + 2.0)
+    val bs = when(m === 0, 1.0).when(m === 1, 2.0)
+      .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
+    val ringB = sq(bx, by, bs)
+    val lineThru = org.apache.spark.sql.functions.array(
+      stPoint(cx - 0.5, cy + 1.0), stPoint(cx + 2.5, cy + 1.0))
+    val lineIn = org.apache.spark.sql.functions.array(
+      stPoint(cx + 0.5, cy + 1.0), stPoint(cx + 1.5, cy + 1.0))
+    g.select(col("k"),
+      stPolygonContains(ringA, ringB).as("contains_ab"),
+      stPolygonWithin(ringB, ringA).as("within_ba"),
+      stPolygonDisjoint(ringA, ringB).as("disjoint_ab"),
+      stPolygonTouches(ringA, ringB).as("touches_ab"),
+      stPolygonOverlaps(ringA, ringB).as("overlaps_ab"),
+      stLineCrossesPolygon(lineThru, ringA).as("crosses_thru"),
+      stLineCrossesPolygon(lineIn, ringA).as("crosses_inner"))
+      .orderBy("k")
+  }
+
+  /** geometry_union_agg (reference geospatial/aggregation/
+    * GeometryUnionAgg.java) over per-group DISJOINT squares: the union of
+    * disjoint parts is their collection, so count/area/envelope of the
+    * aggregated geometry reduce to per-group closed forms the oracle can
+    * replay. Squares are spaced 2× their max size apart by construction. */
+  def geoUnionAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select((col("c_custkey") % 10).as("g"),
+        (col("c_custkey") * 2).cast("double").as("x0"),
+        ((col("c_custkey") % 10) * 5).cast("double").as("y0"),
+        (lit(0.5) + (col("c_custkey") % 2) * 0.5).as("sz"))
+    val ring = org.apache.spark.sql.functions.array(
+      stPoint(col("x0"), col("y0")),
+      stPoint(col("x0") + col("sz"), col("y0")),
+      stPoint(col("x0") + col("sz"), col("y0") + col("sz")),
+      stPoint(col("x0"), col("y0") + col("sz")))
+    val geom = struct(lit("ST_Polygon").as("gtype"), ring.as("pts"))
+    g.select(col("g"), geom.as("geom"))
+      .groupBy("g").agg(geometryUnionAgg(col("geom")).as("u"))
+      .select(col("g"),
+        stGeometryType(col("u")).as("u_t"),
+        stNumGeometries(col("u")).as("n"),
+        round(stAreaMulti(col("u")), 4).as("area"),
+        stEnvelopeMulti(col("u")).getField("xmin").as("xmin"),
+        stEnvelopeMulti(col("u")).getField("xmax").as("xmax"))
+      .orderBy("g")
+  }
+
+  /** convex_hull_agg (reference geospatial/aggregation convex-hull area):
+    * each group aggregates a 5×5 lattice scaled per group, so the hull is
+    * the enclosing square — 4 vertices after collinear-point elimination,
+    * area (4·scale)², first vertex the lattice origin. Exercises the
+    * mergeable TypedImperativeAggregate across partitions; the oracle
+    * replays the closed forms. */
+  def convexHullAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val base = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select((col("c_custkey") % 8).as("g"))
+      .withColumn("sc", lit(1.0) + col("g") % 3)
+      .withColumn("i", explode(sequence(lit(0), lit(24))))
+      .select(col("g"), stPoint(
+        col("g") + (col("i") % 5) * col("sc"),
+        col("g") * 2 + floor(col("i") / 5) * col("sc")).as("p"))
+    base.groupBy("g")
+      .agg(graft.functions.ConvexHullAgg.column(col("p")).as("h"))
+      .select(col("g"),
+        size(col("h")).cast("long").as("nv"),
+        round(stArea(col("h")), 4).as("area"),
+        element_at(col("h"), 1).getField("x").as("v1x"),
+        element_at(col("h"), 2).getField("x").as("v2x"),
+        element_at(col("h"), 2).getField("y").as("v2y"))
+      .orderBy("g")
+  }
+
+  /** `time` type through the dialect (reference StandardTypes.java:45):
+    * Spark 4.1's native TIME (enabled by SqlSession) — literal, make_time
+    * construction, hour/minute/second extraction, interval arithmetic and
+    * the varchar cast, hash-compared against DuckDB's native TIME (the
+    * TIME(6) parquet annotation reads back as TIME on the oracle side).
+    * Seconds-of-day stay below 80000 so +30min never wraps midnight.
+    * `time with time zone` raises the documented dialect error
+    * (SqlSessionSpec). */
+  def timeOps(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_time")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 80000 AS s
+        |           FROM orders_time WHERE o_orderkey <= 500),
+        |tt AS (SELECT k, make_time(CAST(FLOOR(s / 3600) AS INT),
+        |                CAST(FLOOR(s / 60) AS INT) % 60,
+        |                CAST(s % 60 AS DOUBLE)) AS t FROM b)
+        |SELECT k, t, TIME '08:30:15' AS t_lit,
+        |  CAST(hour(t) AS BIGINT) AS h, CAST(minute(t) AS BIGINT) AS m,
+        |  CAST(second(t) AS BIGINT) AS sec,
+        |  t + INTERVAL 30 MINUTE AS t2,
+        |  CAST(t AS STRING) AS st
+        |FROM tt ORDER BY k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_time" -> timeOps,
     "fn_qdigest" -> qdigestSketch,
     "fn_tdigest" -> tdigestSketch,
     "fn_kll" -> kllSketch,
@@ -1112,6 +1292,10 @@ object Scalars {
     "fn_base" -> baseConv,
     "fn_geo_poly" -> geoPoly,
     "fn_geo_line" -> geoLine,
+    "fn_geo_multi" -> geoMulti,
+    "fn_geo_pred" -> geoPred,
+    "agg_geo_union" -> geoUnionAgg,
+    "agg_convex_hull" -> convexHullAgg,
     "fn_conv" -> conv,
     "fn_split_map" -> splitMap,
     "fn_conditional" -> conditional,
@@ -1985,6 +2169,59 @@ object Scalars {
         | cr_in % 2 = 1 AS inside,
         | cr_out % 2 = 1 AS outside
         |FROM m ORDER BY k""".stripMargin,
+    "fn_time" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 80000 AS s
+        |           FROM orders WHERE o_orderkey <= 500),
+        |tt AS (SELECT k, make_time(CAST(FLOOR(s / 3600) AS INT),
+        |                CAST(FLOOR(s / 60) AS INT) % 60,
+        |                CAST(s % 60 AS DOUBLE)) AS t FROM b)
+        |SELECT k, t, TIME '08:30:15' AS t_lit,
+        |  CAST(hour(t) AS BIGINT) AS h, CAST(minute(t) AS BIGINT) AS m,
+        |  CAST(second(t) AS BIGINT) AS sec,
+        |  t + INTERVAL 30 MINUTE AS t2,
+        |  CAST(t AS VARCHAR) AS st
+        |FROM tt ORDER BY k""".stripMargin,
+    "fn_geo_multi" ->
+      """WITH g AS (SELECT c_custkey k,
+        |  CAST(1.0 + c_custkey % 3 AS DOUBLE) a,
+        |  CAST(0.5 + (c_custkey % 2) * 0.5 AS DOUBLE) b,
+        |  CAST(0.25 + (c_custkey % 4) * 0.25 AS DOUBLE) gap,
+        |  CAST((c_custkey % 100) / 8.0 AS DOUBLE) cx
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k, 'ST_MultiPolygon' AS mp_t, CAST(2 AS BIGINT) AS mp_n,
+        | ROUND(a * a + b * b, 4) AS mp_area,
+        | ROUND(4 * a + 4 * b, 4) AS mp_perim,
+        | ROUND(b * b, 4) AS part2_area, 'ST_Polygon' AS part1_t,
+        | CAST(2 AS BIGINT) AS ml_n, ROUND(a + 5 * b, 4) AS ml_len,
+        | 'ST_GeometryCollection' AS gc_t, CAST(2 AS BIGINT) AS gc_n,
+        | 'ST_Point' AS gc1_t, ROUND(b * b, 4) AS gc2_area,
+        | cx + a + gap + b AS env_xmax, true AS wkt_rt
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_pred" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 5 m
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k, m = 0 AS contains_ab, m = 0 AS within_ba,
+        | m = 3 AS disjoint_ab, m IN (2, 4) AS touches_ab,
+        | m = 1 AS overlaps_ab, true AS crosses_thru,
+        | false AS crosses_inner
+        |FROM g ORDER BY k""".stripMargin,
+    "agg_geo_union" ->
+      """WITH g AS (SELECT c_custkey % 10 g,
+        |  CAST(c_custkey * 2 AS DOUBLE) x0,
+        |  CAST(0.5 + (c_custkey % 2) * 0.5 AS DOUBLE) sz
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT g, 'ST_GeometryCollection' AS u_t, COUNT(*) AS n,
+        | ROUND(SUM(sz * sz), 4) AS area,
+        | MIN(x0) AS xmin, MAX(x0 + sz) AS xmax
+        |FROM g GROUP BY g ORDER BY g""".stripMargin,
+    "agg_convex_hull" ->
+      """WITH g AS (SELECT DISTINCT c_custkey % 8 g
+        | FROM customer WHERE c_custkey <= 200),
+        |s AS (SELECT g, CAST(1.0 + g % 3 AS DOUBLE) sc FROM g)
+        |SELECT g, CAST(4 AS BIGINT) AS nv, ROUND(16 * sc * sc, 4) AS area,
+        | CAST(g AS DOUBLE) AS v1x, CAST(g + 4 * sc AS DOUBLE) AS v2x,
+        | CAST(2 * g AS DOUBLE) AS v2y
+        |FROM s ORDER BY g""".stripMargin,
     "fn_geo_line" ->
       """WITH g AS (SELECT c_custkey k,
         |            (c_custkey % 100) / 8.0 cx, (c_custkey % 77) / 4.0 cy,
@@ -2083,7 +2320,9 @@ object Scalars {
         | strftime(o_orderdate, '%H:%M:%S') AS hms,
         | strftime(o_orderdate, '%b') AS mon,
         | strftime(o_orderdate, '%A') AS weekday,
-        | 'y=' || strftime(o_orderdate, '%Y') || ' 100%' AS mixed
+        | 'y=' || strftime(o_orderdate, '%Y') || ' 100%' AS mixed,
+        | CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      ELSE strftime(o_orderdate, '%d/%m/%Y') END AS dyn
         |FROM orders WHERE o_orderkey <= 500 ORDER BY k""".stripMargin,
     "fn_datetime2" ->
       """SELECT o_orderkey AS k,

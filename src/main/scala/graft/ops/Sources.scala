@@ -138,7 +138,29 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** JDBC source/sink round-trip (the reference's base-jdbc connector
+    * family — presto-base-jdbc; SURVEY §2.2): write supplier to an
+    * embedded Derby database via spark.write.jdbc, read it back via
+    * spark.read.jdbc, verify against the original parquet. On a cluster
+    * the same code paths partition reads by `partitionColumn` bounds;
+    * Derby here stands in for any JDBC endpoint (the driver is in Spark's
+    * own jars). Doubles survive exactly (Derby DOUBLE is IEEE binary64). */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmp("derby_db")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode("overwrite").jdbc(url, "SUPPLIER_RT", props)
+    s.read.jdbc(url, "SUPPLIER_RT", props)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
@@ -149,6 +171,9 @@ object Sources {
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "src_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_json_roundtrip" ->

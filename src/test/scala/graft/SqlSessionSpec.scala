@@ -323,4 +323,81 @@ class SqlSessionSpec extends AnyFunSuite {
         |WHERE n_nationkey < 5""".stripMargin).collect()
     assert(lat.nonEmpty && lat.forall(_.getLong(1) >= 1))
   }
+
+  test("GROUPS frame with WHERE: filter moves inside the dense_rank subquery") {
+    // 15 filtered rows, 5 peer groups of 3 by n_nationkey % 5: the first
+    // group's frame holds 3 rows, every later group 1 PRECEDING+CURRENT = 6.
+    // If the WHERE stayed outside, dense_rank over the unfiltered table
+    // would punch gaps and the counts would be wrong (r5 driver advice).
+    val rows = session.sql(
+      """SELECT n_nationkey, count(*) OVER (ORDER BY n_nationkey % 5
+        |   GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+        |FROM nation WHERE n_nationkey >= 10
+        |ORDER BY n_nationkey""".stripMargin).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r =>
+      r.getLong(1) == (if (r.getInt(0) % 5 == 0) 3L else 6L)))
+    // joins/aliases after FROM <table> raise the documented error
+    val e = intercept[UnsupportedOperationException](session.sql(
+      """SELECT count(*) OVER (ORDER BY r_name
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey"""
+        .stripMargin))
+    assert(e.getMessage.contains("FROM"))
+  }
+
+  test("UNNEST(array<row>) AS t(a, b) expands struct fields positionally") {
+    val rows = session.sql(
+      """SELECT t.a, t.b FROM
+        |  (SELECT array(named_struct('x', 1, 'y', 'p'),
+        |                named_struct('x', 2, 'y', 'q')) AS arr) s
+        |CROSS JOIN UNNEST(arr) AS t(a, b)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "p"), (2, "q")))
+    // with ordinality, 3-field struct takes the struct path directly
+    val ord = session.sql(
+      """SELECT t.a, t.c, t.n FROM
+        |  (SELECT array(named_struct('x', 1, 'y', 'p', 'z', true)) AS arr) s
+        |CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(a, c, z, n)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(ord.toSeq == Seq((1, "p", 1L)))
+    // the map form is still the first translation tried
+    val mp = session.sql(
+      """SELECT t.k, t.v FROM (SELECT map('a', 1, 'b', 2) AS m) s
+        |CROSS JOIN UNNEST(m) AS t(k, v) ORDER BY t.k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(mp.toSeq == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("TIME type: literal + extraction resolve; WITH TIME ZONE raises clearly") {
+    val r = session.sql(
+      "SELECT CAST(TIME '08:30:15' AS STRING) AS st, hour(TIME '23:01:02') AS h")
+      .collect()(0)
+    assert(r.getString(0) == "08:30:15" && r.getInt(1) == 23)
+    val e = intercept[UnsupportedOperationException](session.sql(
+      "SELECT CAST('12:00:00+05:30' AS TIME WITH TIME ZONE)"))
+    assert(e.getMessage.contains("time with time zone"))
+  }
+
+  test("combine_hash wraps like Java long arithmetic (no ANSI overflow)") {
+    val r = session.sql(
+      """SELECT combine_hash(xxhash64(to_utf8('hello')),
+        |                    xxhash64(to_utf8('world'))) AS ch,
+        |       xxhash64(to_utf8('hello')) AS h1,
+        |       xxhash64(to_utf8('world')) AS h2""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 31L * r.getLong(1) + r.getLong(2))
+  }
+
+  test("trim_array raises when n exceeds cardinality; ip_prefix_collapse type-checks") {
+    val ok = session.sql("SELECT trim_array(array(1, 2, 3), 1) AS a")
+      .collect()(0).getSeq[Int](0)
+    assert(ok == Seq(1, 2))
+    val e = intercept[Exception](
+      session.sql("SELECT trim_array(array(1, 2, 3), 4)").collect())
+    assert(e.getMessage.contains("cardinality"))
+    // wrong element type is an analysis error, not a runtime ClassCast
+    val t = intercept[org.apache.spark.sql.AnalysisException](
+      session.sql("SELECT ip_prefix_collapse(array(1, 2))").collect())
+    assert(t.getMessage.contains("ip_prefix_collapse"))
+  }
 }
