@@ -19,20 +19,31 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Best-ever per-query seconds across every committed BENCH_r*.json in the
     * cwd (both the median map and the min map — crude regex, no JSON dep).
-    */
-  private def historicalBest(): Map[String, Double] = {
+    * History is LAYOUT-KEYED: a single-file-era minimum is not comparable to
+    * an 8-file-relayout minimum (the r6 false-flags on q16/q17/q22 were
+    * exactly this cross-layout comparison), so only artifacts recorded under
+    * the same layout as the current run participate. Artifacts predating the
+    * "layout" field benched the fixture as given → "as-given". */
+  private def historicalBest(layout: String): Map[String, Double] = {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     // The driver wraps the bench JSON line inside a JSON string field, so in
     // the committed artifact every quote is escaped (\"q01\":1.2) — the
     // optional backslashes make the scan work on both raw and wrapped forms.
     val pat = """\\?"(q\d\d)\\?":([0-9][0-9.Ee+-]*)""".r
+    val layoutPat = """\\?"layout\\?":\\?"([A-Za-z0-9_-]+)\\?"""".r
     files.toSeq
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f)
-        try pat.findAllMatchIn(src.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toList
-        finally src.close()
+        try {
+          val text = src.mkString
+          val fileLayout = layoutPat.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse("as-given")
+          if (fileLayout == layout)
+            pat.findAllMatchIn(text)
+              .map(m => m.group(1) -> m.group(2).toDouble).toList
+          else Nil
+        } finally src.close()
       }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
@@ -112,7 +123,7 @@ object Bench {
       val (med, min) = measure(spark, benchDir, fn)
       (name, med, min)
     }
-    val hist = historicalBest()
+    val hist = historicalBest(layout)
     def crossFlag(name: String, min: Double): Boolean =
       hist.get(name).exists(h => min > 1.5 * h)
     // One cooled-down re-measurement per flagged query (either detector).

@@ -14,7 +14,7 @@ object SparkEntry {
       ops.Aggregates.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
       ops.Scalars.queries ++ ops.Subqueries.queries ++ ops.Sources.queries ++
-      ops.Spatial.queries ++ streaming.Streams.queries
+      ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
       ops.Aggregates.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
       ops.Scalars.oracle ++ ops.Subqueries.oracle ++ ops.Sources.oracle ++
-      ops.Spatial.oracle ++ streaming.Streams.oracle
+      ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle
 }

@@ -520,4 +520,198 @@ object GeoFunctions {
   def geometryUnionAgg(g: Column): Column =
     struct(lit("ST_GeometryCollection").as("gtype"),
       sort_array(collect_list(g)).as("geoms"))
+
+  // ---- Scalar set operations (reference geospatial/GeoFunctions.java
+  // ST_Union / ST_Intersection / ST_Difference, Esri-backed there) for
+  // CONVEX single-ring polygons, as pure Catalyst HOF expressions:
+  //  * ST_Intersection — Sutherland–Hodgman: fold a half-plane clip of A
+  //    over B's edges. Exact region semantics for convex ∩ convex.
+  //  * ST_Difference — wedge decomposition: A\B = ⋃_i (A ∩ outside(e_i) ∩
+  //    inside(e_0..i−1)) over B's edges; the pieces are convex, disjoint,
+  //    and cover A\B exactly, returned as a multi-part collection.
+  //  * ST_Union — A ⊎ (B\A): region-correct disjoint decomposition.
+  //    DEVIATION from the reference: overlapping unions return the
+  //    decomposition, not the dissolved single outline — area/envelope/
+  //    numGeometries/contains agree; canonical WKT does not.
+  // Rings are CCW (the repo's square builders emit CCW); all arithmetic is
+  // cross-product orientation + one division per clip vertex.
+
+  private def ringEdgesOf(ring: Column): Column =
+    zip_with(ring, rotatedRing(ring),
+      (a, b) => struct(a.as("p"), b.as("q")))
+
+  /** Clip a convex CCW ring to the half-plane left-of (p→q); degenerate
+    * output (area 0) is returned as-is and filtered by emptiness checks. */
+  private def halfPlaneClip(ring: Column, p: Column, q: Column,
+      keepLeft: Boolean): Column = {
+    def side(v: Column): Column = {
+      val s = (stX(q) - stX(p)) * (stY(v) - stY(p)) -
+        (stY(q) - stY(p)) * (stX(v) - stX(p))
+      if (keepLeft) s else -s
+    }
+    val verts = aggregate(
+      ringEdgesOf(ring),
+      expr("array()").cast("array<struct<x:double,y:double>>"),
+      (acc, e) => {
+        val a = e.getField("p"); val b = e.getField("q")
+        val sa = side(a); val sb = side(b)
+        val t = sa / (sa - sb)
+        val ix = struct(
+          (stX(a) + t * (stX(b) - stX(a))).as("x"),
+          (stY(a) + t * (stY(b) - stY(a))).as("y"))
+        val withA = when(sa >= 0, concat(acc, array(a))).otherwise(acc)
+        // differing strict sides ⇒ sa ≠ sb, so the division in `t` is safe
+        when((sa >= 0) =!= (sb >= 0),
+          concat(withA, array(ix))).otherwise(withA)
+      })
+    // drop consecutive duplicates introduced by vertices on the clip line
+    filter(verts, (v, i) =>
+      i === 0 || v =!= element_at(verts, i.cast("int")))
+  }
+
+  /** ST_Intersection for convex CCW rings → tagged polygon ('ST_Empty'
+    * when the clipped region is degenerate). */
+  def stIntersectionConvex(ringA: Column, ringB: Column): Column = {
+    val clipped = aggregate(ringEdgesOf(ringB), ringA,
+      (acc, e) => halfPlaneClip(acc, e.getField("p"), e.getField("q"),
+        keepLeft = true))
+    when(size(clipped) >= 3 && stArea(clipped) > 1e-12,
+      struct(lit("ST_Polygon").as("gtype"), clipped.as("pts")))
+      .otherwise(struct(lit("ST_Empty").as("gtype"),
+        expr("array()").cast("array<struct<x:double,y:double>>").as("pts")))
+  }
+
+  /** ST_Difference for convex CCW rings → tagged collection of the wedge
+    * pieces (empty collection when A ⊆ B). */
+  def stDifferenceConvex(ringA: Column, ringB: Column): Column = {
+    val edgesB = ringEdgesOf(ringB)
+    val n = size(edgesB)
+    val pieces = transform(sequence(lit(1), n), i => {
+      val outsideEdge = element_at(edgesB, i)
+      val out = halfPlaneClip(ringA, outsideEdge.getField("p"),
+        outsideEdge.getField("q"), keepLeft = false)
+      aggregate(slice(edgesB, lit(1), (i - 1).cast("int")), out,
+        (acc, e) => halfPlaneClip(acc, e.getField("p"), e.getField("q"),
+          keepLeft = true))
+    })
+    val live = filter(pieces, p => size(p) >= 3 && stArea(p) > 1e-12)
+    struct(lit("ST_GeometryCollection").as("gtype"),
+      transform(live, p =>
+        struct(lit("ST_Polygon").as("gtype"), p.as("pts"))).as("geoms"))
+  }
+
+  /** ST_Union for convex CCW rings → region-correct disjoint decomposition
+    * A ⊎ (B\A) as a tagged collection. */
+  def stUnionConvex(ringA: Column, ringB: Column): Column = {
+    val bMinusA = stDifferenceConvex(ringB, ringA)
+    struct(lit("ST_GeometryCollection").as("gtype"),
+      concat(array(struct(lit("ST_Polygon").as("gtype"), ringA.as("pts"))),
+        bMinusA.getField("geoms")).as("geoms"))
+  }
+
+  /** ST_Union over point rows (the other common reference use): distinct
+    * points as a MULTIPOINT. */
+  def stUnionPoints(pts: Column): Column =
+    struct(lit("ST_MultiPoint").as("gtype"),
+      transform(array_sort(array_distinct(pts)),
+        p => struct(lit("ST_Point").as("gtype"), array(p).as("pts"))).as("geoms"))
+
+  // ---- SphericalGeography slice (reference geospatial/
+  // SphericalGeoFunctions.java): to_spherical_geography re-tags a
+  // lon/lat geometry; ST_Distance returns METERS on the sphere via
+  // haversine with the reference's earth radius. sinh/atan-free formula
+  // so both engines evaluate the identical double expression tree. ----
+
+  private val EarthRadiusM = 6371010.0 // SphericalGeoFunctions.java EARTH_RADIUS_M
+
+  /** to_spherical_geography: validates lon/lat domain, re-tags the struct. */
+  def toSphericalGeography(g: Column): Column = {
+    val pts = g.getField("pts")
+    val ok = forall(pts, p =>
+      abs(stX(p)) <= 180.0 && abs(stY(p)) <= 90.0)
+    when(ok, struct(concat(lit("Spherical:"), g.getField("gtype")).as("gtype"),
+      pts.as("pts")))
+      .otherwise(raise_error(concat(lit(
+        "to_spherical_geography: longitude/latitude out of range in "),
+        g.getField("gtype"))))
+  }
+
+  /** Haversine distance in meters between two lon/lat points. */
+  def sphericalDistanceM(a: Column, b: Column): Column = {
+    val lat1 = radians(stY(a)); val lat2 = radians(stY(b))
+    val dLat = lat2 - lat1
+    val dLon = radians(stX(b)) - radians(stX(a))
+    val h = pow(sin(dLat / 2), 2) +
+      cos(lat1) * cos(lat2) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusM) * asin(least(lit(1.0), sqrt(h)))
+  }
+
+  /** ST_Distance on SphericalGeography points (meters). */
+  def stSphericalDistance(ga: Column, gb: Column): Column =
+    sphericalDistanceM(element_at(ga.getField("pts"), 1),
+      element_at(gb.getField("pts"), 1))
+
+  /** ST_Length on a SphericalGeography linestring (meters). */
+  def stSphericalLength(g: Column): Column = {
+    val pts = g.getField("pts")
+    // equal-length slices: zip_with pads the shorter side with nulls,
+    // which least(1.0, null) would silently turn into antipodal distances
+    aggregate(
+      zip_with(slice(pts, lit(1), size(pts) - 1),
+        slice(pts, lit(2), size(pts) - 1),
+        (a, b) => sphericalDistanceM(a, b)),
+      lit(0.0), _ + _)
+  }
+
+  // ---- Bing tile completions (reference geospatial/BingTileFunctions.java
+  // bingTilePolygon / geometryToBingTiles). ----
+
+  private def num2lon(x: Column, zoom: Column): Column =
+    x / pow(lit(2.0), zoom) * 360.0 - 180.0
+
+  /** Inverse web-mercator: tile row → latitude. sinh spelled as
+    * (e^n − e^−n)/2 so Spark and any SQL oracle share the exact double
+    * expression tree. */
+  private def num2lat(y: Column, zoom: Column): Column = {
+    val n = lit(math.Pi) * (lit(1.0) - lit(2.0) * y / pow(lit(2.0), zoom))
+    degrees(atan((exp(n) - exp(-n)) / 2.0))
+  }
+
+  /** bing_tile_polygon(tile) → tagged CCW polygon of the tile envelope
+    * (BingTileFunctions.java tilePolygon). */
+  def bingTilePolygon(tile: Column): Column = {
+    val x = tile.getField("x").cast("double")
+    val y = tile.getField("y").cast("double")
+    val z = tile.getField("zoom").cast("double")
+    val lonW = num2lon(x, z); val lonE = num2lon(x + 1, z)
+    val latN = num2lat(y, z); val latS = num2lat(y + 1, z)
+    struct(lit("ST_Polygon").as("gtype"), array(
+      stPoint(lonW, latS), stPoint(lonE, latS),
+      stPoint(lonE, latN), stPoint(lonW, latN)).as("pts"))
+  }
+
+  private def lon2tileX(lon: Column, zoom: Column): Column =
+    floor((lon + 180.0) / 360.0 * pow(lit(2.0), zoom)).cast("long")
+
+  private def lat2tileY(lat: Column, zoom: Column): Column = {
+    val rad = radians(lat)
+    floor((lit(1.0) - log(tan(rad) + lit(1.0) / cos(rad)) / lit(math.Pi)) /
+      2.0 * pow(lit(2.0), zoom)).cast("long")
+  }
+
+  /** geometry_to_bing_tiles(geometry, zoom): every tile whose envelope
+    * meets the geometry's envelope (BingTileFunctions.java covers by
+    * envelope at tile granularity). Returns array<struct<x,y,zoom>> in
+    * row-major order. */
+  def geometryToBingTiles(g: Column, zoom: Column): Column = {
+    val env = stEnvelope(g.getField("pts"))
+    val x0 = lon2tileX(env.getField("xmin"), zoom)
+    val x1 = lon2tileX(env.getField("xmax"), zoom)
+    val y0 = lat2tileY(env.getField("ymax"), zoom) // north → smaller row
+    val y1 = lat2tileY(env.getField("ymin"), zoom)
+    flatten(transform(sequence(y0, y1), y =>
+      transform(sequence(x0, x1), x =>
+        struct(x.cast("int").as("x"), y.cast("int").as("y"),
+          zoom.cast("int").as("zoom")))))
+  }
 }

@@ -3,8 +3,10 @@ package graft.functions
 /** MySQL → Java datetime format-string translation (the reference's
   * date_format/date_parse use MySQL patterns — DateTimeFunctions.java
   * `%`-specifiers — while Spark's date_format takes Java patterns; SURVEY
-  * §2.5 flags the shim). Translation happens once at plan time (the format
-  * is required foldable), so execution is Spark's codegen'd date_format. */
+  * §2.5 flags the shim). Foldable formats translate once at plan time and
+  * execute as Spark's codegen'd date_format; non-foldable (per-row) formats
+  * go through `MySqlPatternToJava` below, which applies the same translation
+  * per row. */
 object MySqlFormat {
 
   private val map: Map[Char, String] = Map(

@@ -1242,6 +1242,116 @@ object Scalars {
       .orderBy("g")
   }
 
+  /** Scalar geometry set ops ST_Union / ST_Intersection / ST_Difference
+    * (reference geospatial/GeoFunctions.java, Esri-backed there; here the
+    * convex clipping machinery in GeoFunctions.scala — Sutherland–Hodgman
+    * intersection, wedge-decomposition difference, A⊎(B\A) union). Test
+    * families are the geoPred parametric squares: per m-class the region
+    * areas and piece counts have closed forms the oracle replays. */
+  def geoSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") % 5).as("m"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m")
+    def sq(x: Column, y: Column, sz: Column): Column =
+      org.apache.spark.sql.functions.array(
+        stPoint(x, y), stPoint(x + sz, y),
+        stPoint(x + sz, y + sz), stPoint(x, y + sz))
+    val ringA = sq(cx, cy, lit(2.0))
+    val bx = when(m === 0, cx + 0.5).when(m === 1, cx + 1.0)
+      .when(m === 2, cx + 2.0).when(m === 3, cx + 3.0).otherwise(cx + 2.0)
+    val by = when(m === 0, cy + 0.5).when(m === 1, cy + 1.0)
+      .when(m === 2, cy + 0.5).when(m === 3, cy + 3.0).otherwise(cy + 2.0)
+    val bs = when(m === 0, 1.0).when(m === 1, 2.0)
+      .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
+    val ringB = sq(bx, by, bs)
+    val inter = stIntersectionConvex(ringA, ringB)
+    val uni = stUnionConvex(ringA, ringB)
+    val diff = stDifferenceConvex(ringA, ringB)
+    val mp = stUnionPoints(org.apache.spark.sql.functions.array(
+      stPoint(cx, cy), stPoint(cx + (m % 2), cy)))
+    g.select(col("k"),
+      stGeometryType(inter).as("inter_t"),
+      round(when(stGeometryType(inter) === "ST_Empty", 0.0)
+        .otherwise(stArea(inter.getField("pts"))), 4).as("inter_area"),
+      stNumGeometries(uni).as("union_n"),
+      round(stAreaMulti(uni), 4).as("union_area"),
+      stGeometryType(diff).as("diff_t"),
+      stNumGeometries(diff).as("diff_n"),
+      round(stAreaMulti(diff), 4).as("diff_area"),
+      stNumGeometries(mp).as("mp_n"))
+      .orderBy("k")
+  }
+
+  /** SphericalGeography slice (reference geospatial/SphericalGeoFunctions
+    * .java): to_spherical_geography re-tag + ST_Distance / ST_Length in
+    * meters on the sphere (haversine, EARTH_RADIUS_M = 6371010). The
+    * oracle replays the identical double formula; outputs round to 1e-4 m
+    * so 1-ulp libm sin/cos differences can't flip the hash. */
+  def geoSphere(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") * 7 % 140) - 70 + 0.25).cast("double").as("lat1"),
+        ((col("c_custkey") * 13 % 300) - 150 + 0.25).cast("double").as("lon1"),
+        ((col("c_custkey") * 11 % 140) - 70 + 0.75).cast("double").as("lat2"),
+        ((col("c_custkey") * 17 % 300) - 150 + 0.75).cast("double").as("lon2"))
+    val p1 = struct(lit("ST_Point").as("gtype"),
+      org.apache.spark.sql.functions.array(stPoint(col("lon1"), col("lat1"))).as("pts"))
+    val p2 = struct(lit("ST_Point").as("gtype"),
+      org.apache.spark.sql.functions.array(stPoint(col("lon2"), col("lat2"))).as("pts"))
+    val line = struct(lit("ST_LineString").as("gtype"),
+      org.apache.spark.sql.functions.array(
+        stPoint(col("lon1"), col("lat1")), stPoint(col("lon2"), col("lat2")),
+        stPoint(col("lon1") + 1.0, col("lat1"))).as("pts"))
+    val sp1 = toSphericalGeography(p1)
+    g.select(col("k"),
+      stGeometryType(sp1).as("sp_t"),
+      round(stSphericalDistance(sp1, toSphericalGeography(p2)), 4).as("dist_m"),
+      round(stSphericalLength(toSphericalGeography(line)), 4).as("len_m"))
+      .orderBy("k")
+  }
+
+  /** Bing tile completions (reference geospatial/BingTileFunctions.java):
+    * bing_tile_polygon (tile envelope as a geometry) and
+    * geometry_to_bing_tiles (envelope tile cover at a zoom). Tile x
+    * bounds are dyadic-exact; latitude bounds round to 1e-9 degrees to
+    * absorb libm atan/exp ulps. */
+  def bingTile2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") * 7 % 140) - 70 + 0.25).cast("double").as("lat"),
+        ((col("c_custkey") * 13 % 300) - 150 + 0.25).cast("double").as("lon"),
+        (col("c_custkey") % 6 + 3).cast("int").as("zoom"),
+        (lit(0.5) + (col("c_custkey") % 3) * 0.5).as("dx"),
+        (lit(0.25) + (col("c_custkey") % 2) * 0.25).as("dy"))
+    val tile = bingTileAt(col("lat"), col("lon"), col("zoom"))
+    val tp = bingTilePolygon(tile)
+    def sqp(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+      struct(lit("ST_Polygon").as("gtype"),
+        org.apache.spark.sql.functions.array(
+          stPoint(x0, y0), stPoint(x1, y0),
+          stPoint(x1, y1), stPoint(x0, y1)).as("pts"))
+    val box = sqp(col("lon") - col("dx"), col("lat") - col("dy"),
+      col("lon") + col("dx"), col("lat") + col("dy"))
+    val tiles = geometryToBingTiles(box, col("zoom"))
+    g.select(col("k"), col("zoom"),
+      tile.getField("x").as("tile_x"), tile.getField("y").as("tile_y"),
+      stNumPoints(tp.getField("pts")).as("tp_n"),
+      element_at(tp.getField("pts"), 1).getField("x").as("tp_xmin"),
+      element_at(tp.getField("pts"), 2).getField("x").as("tp_xmax"),
+      round(element_at(tp.getField("pts"), 3).getField("y"), 9).as("tp_ymax"),
+      round(element_at(tp.getField("pts"), 1).getField("y"), 9).as("tp_ymin"),
+      size(tiles).cast("long").as("n_tiles"),
+      element_at(tiles, 1).getField("x").cast("long").as("t1_x"),
+      element_at(tiles, 1).getField("y").cast("long").as("t1_y"))
+      .orderBy("k")
+  }
+
   /** `time` type through the dialect (reference StandardTypes.java:45):
     * Spark 4.1's native TIME (enabled by SqlSession) — literal, make_time
     * construction, hour/minute/second extraction, interval arithmetic and
@@ -1294,6 +1404,9 @@ object Scalars {
     "fn_geo_line" -> geoLine,
     "fn_geo_multi" -> geoMulti,
     "fn_geo_pred" -> geoPred,
+    "fn_geo_setops" -> geoSetOps,
+    "fn_geo_sphere" -> geoSphere,
+    "fn_bingtile2" -> bingTile2,
     "agg_geo_union" -> geoUnionAgg,
     "agg_convex_hull" -> convexHullAgg,
     "fn_conv" -> conv,
@@ -2205,6 +2318,72 @@ object Scalars {
         | m = 1 AS overlaps_ab, true AS crosses_thru,
         | false AS crosses_inner
         |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_setops" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 5 m
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | CASE WHEN m IN (0, 1) THEN 'ST_Polygon' ELSE 'ST_Empty' END AS inter_t,
+        | CAST(CASE WHEN m IN (0, 1) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS inter_area,
+        | CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END AS BIGINT) AS union_n,
+        | CAST(CASE m WHEN 0 THEN 4.0 WHEN 1 THEN 7.0 ELSE 5.0 END AS DOUBLE) AS union_area,
+        | 'ST_GeometryCollection' AS diff_t,
+        | CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 1 END AS BIGINT) AS diff_n,
+        | CAST(CASE m WHEN 0 THEN 3.0 WHEN 1 THEN 3.0 ELSE 4.0 END AS DOUBLE) AS diff_area,
+        | CAST(CASE WHEN m % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS mp_n
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_sphere" ->
+      """WITH g AS (SELECT c_custkey k,
+        |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) lat1,
+        |  CAST(c_custkey * 13 % 300 - 150 + 0.25 AS DOUBLE) lon1,
+        |  CAST(c_custkey * 11 % 140 - 70 + 0.75 AS DOUBLE) lat2,
+        |  CAST(c_custkey * 17 % 300 - 150 + 0.75 AS DOUBLE) lon2
+        | FROM customer WHERE c_custkey <= 300),
+        |d AS (SELECT k, lat1, lon1, lat2, lon2,
+        |  2 * 6371010.0 * asin(least(1.0, sqrt(
+        |    pow(sin((radians(lat2) - radians(lat1)) / 2), 2) +
+        |    cos(radians(lat1)) * cos(radians(lat2)) *
+        |    pow(sin((radians(lon2) - radians(lon1)) / 2), 2)))) AS d12,
+        |  2 * 6371010.0 * asin(least(1.0, sqrt(
+        |    pow(sin((radians(lat1) - radians(lat2)) / 2), 2) +
+        |    cos(radians(lat2)) * cos(radians(lat1)) *
+        |    pow(sin((radians(lon1 + 1.0) - radians(lon2)) / 2), 2)))) AS d23
+        | FROM g)
+        |SELECT k, 'Spherical:ST_Point' AS sp_t,
+        | round(d12, 4) AS dist_m, round(d12 + d23, 4) AS len_m
+        |FROM d ORDER BY k""".stripMargin,
+    "fn_bingtile2" ->
+      """WITH g AS (SELECT c_custkey AS k,
+        |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) AS lat,
+        |  CAST(c_custkey * 13 % 300 - 150 + 0.25 AS DOUBLE) AS lon,
+        |  CAST(c_custkey % 6 + 3 AS INT) AS zoom,
+        |  CAST(0.5 + (c_custkey % 3) * 0.5 AS DOUBLE) AS dx,
+        |  CAST(0.25 + (c_custkey % 2) * 0.25 AS DOUBLE) AS dy
+        | FROM customer WHERE c_custkey <= 200),
+        |t AS (SELECT k, lat, lon, zoom, dx, dy,
+        |  CAST(least(greatest(floor((lon + 180.0) / 360.0 * pow(2.0, zoom)), 0),
+        |       pow(2.0, zoom) - 1) AS BIGINT) AS tile_x,
+        |  CAST(least(greatest(floor((0.5 - ln((1.0 + sin(radians(lat))) /
+        |       (1.0 - sin(radians(lat)))) / (4 * pi())) * pow(2.0, zoom)), 0),
+        |       pow(2.0, zoom) - 1) AS BIGINT) AS tile_y
+        | FROM g),
+        |c AS (SELECT *,
+        |  CAST(floor(((lon - dx) + 180.0) / 360.0 * pow(2.0, zoom)) AS BIGINT) AS x0,
+        |  CAST(floor(((lon + dx) + 180.0) / 360.0 * pow(2.0, zoom)) AS BIGINT) AS x1,
+        |  CAST(floor((1.0 - ln(tan(radians(lat + dy)) + 1.0 / cos(radians(lat + dy))) / pi())
+        |       / 2.0 * pow(2.0, zoom)) AS BIGINT) AS y0,
+        |  CAST(floor((1.0 - ln(tan(radians(lat - dy)) + 1.0 / cos(radians(lat - dy))) / pi())
+        |       / 2.0 * pow(2.0, zoom)) AS BIGINT) AS y1
+        | FROM t)
+        |SELECT k, zoom, tile_x, tile_y, CAST(4 AS BIGINT) AS tp_n,
+        | tile_x / pow(2.0, zoom) * 360.0 - 180.0 AS tp_xmin,
+        | (tile_x + 1) / pow(2.0, zoom) * 360.0 - 180.0 AS tp_xmax,
+        | round(degrees(atan((exp(pi() * (1.0 - 2.0 * tile_y / pow(2.0, zoom))) -
+        |   exp(-(pi() * (1.0 - 2.0 * tile_y / pow(2.0, zoom))))) / 2.0)), 9) AS tp_ymax,
+        | round(degrees(atan((exp(pi() * (1.0 - 2.0 * (tile_y + 1) / pow(2.0, zoom))) -
+        |   exp(-(pi() * (1.0 - 2.0 * (tile_y + 1) / pow(2.0, zoom))))) / 2.0)), 9) AS tp_ymin,
+        | CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS n_tiles,
+        | x0 AS t1_x, y0 AS t1_y
+        |FROM c ORDER BY k""".stripMargin,
     "agg_geo_union" ->
       """WITH g AS (SELECT c_custkey % 10 g,
         |  CAST(c_custkey * 2 AS DOUBLE) x0,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 
 /** Streaming-shaped operators over the `events` fixture. The reference has no
@@ -13,15 +13,34 @@ import graft.Tables
   * the DuckDB oracle here) and under `readStream` (exercised with watermarks
   * in StreamingSpec) — the core Structured Streaming contract.
   *
-  * `events.ts` arrives as nanosecond longs (spark.sql.legacy.parquet
-  * .nanosAsLong); `eventTime` converts to a proper timestamp for window().
+  * `events.ts` has shipped in two parquet encodings across fixture
+  * generations: TIMESTAMP(NANOS) read as a ns-long (under
+  * spark.sql.legacy.parquet.nanosAsLong) and native TIMESTAMP_MICROS read as
+  * TimestampType. All event-time access goes through the dtype-adaptive
+  * helpers below so every query runs against either encoding.
   */
 object Streams {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** ns-long → timestamp (micros, UTC session). */
-  def eventTime(c: Column): Column = timestamp_micros((c / 1000).cast("long"))
+  /** Event-time as TimestampType regardless of fixture encoding. */
+  def eventTime(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => timestamp_micros((col(c) / 1000).cast("long"))
+      case _        => col(c)
+    }
+
+  /** Event-time as epoch-MICROSECOND long — the unit-stable form for
+    * interval arithmetic across both fixture encodings. */
+  def eventMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => (col(c) / 1000).cast("long")
+      // fixtures may type ts as TIMESTAMP_NTZ; the NTZ→LTZ cast is the same
+      // instant under the UTC session zone, matching DuckDB's epoch_us
+      case _        => unix_micros(col(c).cast("timestamp"))
+    }
+
+  private val MIN_US = 60L * 1000000L
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
@@ -29,7 +48,7 @@ object Streams {
     * aggregation; under readStream this is an append-mode watermark query.
     * Output keys on the epoch-hour bucket id (engine-portable). */
   def tumbling(df: DataFrame): DataFrame =
-    df.withColumn("w", window(eventTime(col("ts")), "1 hour"))
+    df.withColumn("w", window(eventTime(df), "1 hour"))
       .groupBy(col("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(
@@ -39,7 +58,7 @@ object Streams {
 
   /** Sliding 1-hour window every 30 minutes: each event lands in 2 windows. */
   def sliding(df: DataFrame): DataFrame =
-    df.withColumn("w", window(eventTime(col("ts")), "1 hour", "30 minutes"))
+    df.withColumn("w", window(eventTime(df), "1 hour", "30 minutes"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(
@@ -53,16 +72,17 @@ object Streams {
     * session stats. */
   def sessions(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val newSession = when(
-      col("ts") - lag("ts", 1).over(byUser) > lit(30L * 60 * 1000000000L), 1L)
+      col("tus") - lag("tus", 1).over(byUser) > lit(30L * MIN_US), 1L)
       .otherwise(lit(0L))
-    df.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    df.select(col("user_id"), eventMicros(df).as("tus"), col("event_id"),
+        col("value"))
       .withColumn("session_id",
         sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"),
-        min("ts").as("start_ns"))
+        min("tus").as("start_us"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         max("n_events").as("max_session_events"),
@@ -88,14 +108,15 @@ object Streams {
     * the join key. Aggregated per user so the oracle is order-independent. */
   def intervalJoin(df: DataFrame): DataFrame = {
     val clicks = df.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .select(col("user_id"), eventMicros(df).as("c_ts"),
+        col("event_id").as("c_id"))
     val buys = df.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      .select(col("user_id").as("b_user"), eventMicros(df).as("b_ts"),
         col("value").as("b_value"))
     clicks.join(buys,
       col("user_id") === col("b_user") &&
         col("b_ts") >= col("c_ts") &&
-        col("b_ts") < col("c_ts") + lit(15L * 60 * 1000000000L))
+        col("b_ts") < col("c_ts") + lit(15L * MIN_US))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("c_id")).as("n_clicks_converted"),
@@ -129,7 +150,7 @@ object Streams {
     * gate emits the exact count next to a bound check; StreamingSpec runs
     * the same aggregate under readStream with a watermark. */
   def approxDistinctWindow(df: DataFrame): DataFrame =
-    df.withColumn("w", window(eventTime(col("ts")), "1 hour"))
+    df.withColumn("w", window(eventTime(df), "1 hour"))
       .groupBy(col("w"), col("event_type"))
       .agg(graft.functions.GraftFunctions.approxSet(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
@@ -152,9 +173,12 @@ object Streams {
     "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))),
     "stream_dedup" -> ((s, dir) => dedup(t(s, dir, "events"))))
 
+  // Oracles use epoch_us(ts): DuckDB reads both TIMESTAMP_NANOS and
+  // TIMESTAMP_MICROS parquet as timestamps, and epoch_us is unit-stable on
+  // either — matching the Spark-side eventMicros helper.
   val oracle: Map[String, String] = Map(
     "stream_approx_distinct" ->
-      """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+      """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
         | event_type, count(DISTINCT user_id) AS exact_users, true AS ok
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "stream_static_join" ->
@@ -164,26 +188,26 @@ object Streams {
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "stream_interval_join" ->
-      """WITH c AS (SELECT user_id, epoch_ns(ts) AS c_ts, event_id AS c_id
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_ts, event_id AS c_id
         |           FROM events WHERE event_type = 'click'),
-        |b AS (SELECT user_id AS b_user, epoch_ns(ts) AS b_ts, value AS b_value
+        |b AS (SELECT user_id AS b_user, epoch_us(ts) AS b_ts, value AS b_value
         |      FROM events WHERE event_type = 'purchase')
         |SELECT user_id, count(*) AS n_pairs,
         | count(DISTINCT c_id) AS n_clicks_converted,
         | CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         |FROM c JOIN b ON user_id = b_user
-        | AND b_ts >= c_ts AND b_ts < c_ts + 900000000000
+        | AND b_ts >= c_ts AND b_ts < c_ts + 900000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
-      """SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+      """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
         | event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     "stream_sliding" ->
-      """WITH e AS (SELECT epoch_ns(ts) // 60000000000 AS m, value FROM events),
+      """WITH e AS (SELECT epoch_us(ts) // 60000000 AS m, value FROM events),
         |w AS (SELECT (m // 30 - o) * 30 AS bucket_min, value
         |      FROM e CROSS JOIN (SELECT unnest([0, 1]) o)
         |      WHERE m - (m // 30 - o) * 30 < 60)
@@ -191,13 +215,13 @@ object Streams {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM w GROUP BY 1 ORDER BY bucket_min""".stripMargin,
     "stream_sessions" ->
-      """WITH x AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value,
-        |        CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+        |        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |          (PARTITION BY user_id ORDER BY ts, event_id)
-        |          > 1800000000000 THEN 1 ELSE 0 END AS ns
+        |          > 1800000000 THEN 1 ELSE 0 END AS ns
         |       FROM events),
         |sess AS (SELECT user_id, event_id, value,
-        |          SUM(ns) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
         |         FROM x),
         |per AS (SELECT user_id, sid, count(*) n_events,

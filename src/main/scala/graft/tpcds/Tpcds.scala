@@ -1,0 +1,604 @@
+package graft.tpcds
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.{dsum, davg}
+
+/** TPC-DS first slice — the reference treats TPC-DS as a first-class macro
+  * benchmark (presto-benchto-benchmarks/src/main/resources/benchmarks/presto/
+  * tpcds.yaml:1-20, query texts at …/sql/presto/tpcds/q0*.sql). The driver
+  * fixtures only carry the TPC-H-ish star schema, so the TPC-DS tables are
+  * DERIVED deterministically from them — identically on the Spark side (the
+  * DataFrames below) and the DuckDB-oracle side (the WITH-prelude in
+  * `prelude`) — and each query keeps its canonical TPC-DS operator shape:
+  * star joins through date_dim/item/store/demographics, ROLLUP (q27),
+  * per-ticket HAVING counts (q34/q73), multi-channel UNION re-aggregation
+  * (q60), city-mismatch self-star (q68), windowed revenue ratio (q98).
+  *
+  * Scale notes (100 TB discipline): every dimension here is O(1)–O(|part|)
+  * and broadcast; store_sales is the single fact and each query shuffles it
+  * at most once (for its final aggregation). The lineitem⋈orders derivation
+  * join is on l_orderkey — the natural co-partition key at scale.
+  *
+  * Determinism: all double aggregates go through Tables.dsum/davg (exact
+  * decimal accumulation), every ORDER BY carries a unique tie-break, all
+  * integer outputs are BIGINT on both engines.
+  */
+object Tpcds {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val Base = "1995-01-01" // fixture shipdates span 1995-01-02..2001-11-04
+
+  // ---- derived dimensions -------------------------------------------------
+
+  /** 1995-01-01..2001-12-31 calendar, d_date_sk = days since Base. */
+  def dateDim(s: SparkSession): DataFrame =
+    s.range(0, 2557).select(
+        col("id").as("d_date_sk"),
+        date_add(to_date(lit(Base)), col("id").cast("int")).as("d_date"))
+      .select(col("d_date_sk"), col("d_date"),
+        year(col("d_date")).cast("long").as("d_year"),
+        month(col("d_date")).cast("long").as("d_moy"),
+        dayofmonth(col("d_date")).cast("long").as("d_dom"),
+        quarter(col("d_date")).cast("long").as("d_qoy"))
+
+  def item(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").as("i_item_sk"),
+      concat(lit("ITEM_"), lpad(col("p_partkey").cast("string"), 8, "0")).as("i_item_id"),
+      col("p_brand").as("i_brand"),
+      expr("cast(substring(p_brand, 7) as bigint)").as("i_brand_id"),
+      col("p_type").as("i_category"),
+      (col("p_partkey") % 10).as("i_category_id"),
+      concat(lit("CLASS_"), (col("p_partkey") % 8)).as("i_class"),
+      (col("p_partkey") % 100).as("i_manufact_id"),
+      (col("p_partkey") % 50).as("i_manager_id"),
+      col("p_retailprice").as("i_current_price"))
+
+  def store(s: SparkSession): DataFrame =
+    s.range(0, 10).select(
+      col("id").as("s_store_sk"),
+      concat(lit("Store_"), col("id")).as("s_store_name"),
+      concat(lit("S"), col("id") % 4).as("s_state"),
+      concat(lit("City_"), col("id") % 5).as("s_city"),
+      concat(lit("County_"), col("id") % 3).as("s_county"),
+      lpad(((col("id") * 17) % 100000).cast("string"), 5, "0").as("s_zip"))
+
+  def customerDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("c_customer_sk"),
+      col("c_name").as("c_customer_id"),
+      concat(lit("FN_"), col("c_custkey") % 50).as("c_first_name"),
+      expr("substring(c_name, 10)").as("c_last_name"),
+      col("c_custkey").as("c_current_addr_sk"),
+      (col("c_custkey") % 100).as("c_current_cdemo_sk"),
+      (col("c_custkey") % 50).as("c_current_hdemo_sk"))
+
+  def customerAddress(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("ca_address_sk"),
+      concat(lit("City_"), col("c_custkey") % 40).as("ca_city"),
+      concat(lit("County_"), col("c_custkey") % 15).as("ca_county"),
+      concat(lit("S"), col("c_custkey") % 4).as("ca_state"),
+      lpad(((col("c_custkey") * 13) % 100000).cast("string"), 5, "0").as("ca_zip"))
+
+  def customerDemographics(s: SparkSession): DataFrame =
+    s.range(0, 100).select(
+      col("id").as("cd_demo_sk"),
+      when(col("id") % 2 === 0, "M").otherwise("F").as("cd_gender"),
+      expr("CASE (id div 2) % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END")
+        .as("cd_marital_status"),
+      expr("CASE (id div 10) % 5 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College' WHEN 3 THEN '4 yr Degree' ELSE 'Advanced Degree' END")
+        .as("cd_education_status"))
+
+  def householdDemographics(s: SparkSession): DataFrame =
+    s.range(0, 50).select(
+      col("id").as("hd_demo_sk"),
+      (col("id") % 10).as("hd_dep_count"),
+      (col("id") % 5).as("hd_vehicle_count"),
+      expr("CASE id % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END")
+        .as("hd_buy_potential"))
+
+  def promotion(s: SparkSession): DataFrame =
+    s.range(0, 20).select(
+      col("id").as("p_promo_sk"),
+      concat(lit("promo_"), col("id")).as("p_promo_name"),
+      when(col("id") % 2 === 0, "N").otherwise("Y").as("p_channel_email"),
+      when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"))
+
+  // ---- derived facts ------------------------------------------------------
+
+  /** The store_sales fact: lineitem enriched with the order's customer (the
+    * l_orderkey join is co-partitioned at scale). ss_addr_sk intentionally
+    * shifts to the neighbouring custkey on odd suppkeys so q68's
+    * bought-city ≠ home-city predicate has matches (inner joins drop the
+    * out-of-range tail key identically on both engines). */
+  def storeSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(col("l_shipdate").cast("date"), to_date(lit(Base))).cast("long")
+          .as("ss_sold_date_sk"),
+        col("l_partkey").as("ss_item_sk"),
+        (col("l_suppkey") % 10).as("ss_store_sk"),
+        col("o_custkey").as("ss_customer_sk"),
+        ((col("l_orderkey") * 7 + col("l_linenumber")) % 100).as("ss_cdemo_sk"),
+        ((col("l_orderkey") * 3 + col("l_linenumber")) % 50).as("ss_hdemo_sk"),
+        (col("o_custkey") + col("l_suppkey") % 2).as("ss_addr_sk"),
+        (col("l_partkey") % 20).as("ss_promo_sk"),
+        col("l_orderkey").as("ss_ticket_number"),
+        col("l_quantity").as("ss_quantity"),
+        col("l_extendedprice").as("ss_ext_sales_price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("ss_sales_price"),
+        (col("l_extendedprice") * col("l_discount")).as("ss_coupon_amt"),
+        (col("l_extendedprice") * (lit(1) + col("l_tax"))).as("ss_list_price"),
+        (col("l_extendedprice") * lit(0.8)).as("ss_wholesale_cost"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("l_extendedprice") * lit(0.8)).as("ss_net_profit"))
+
+  /** Catalog / web channels: deterministic line-number split of the fact. */
+  def catalogSales(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 1)
+      .select(col("ss_sold_date_sk").as("cs_sold_date_sk"),
+        col("ss_item_sk").as("cs_item_sk"),
+        col("ss_customer_sk").as("cs_bill_customer_sk"),
+        col("ss_ext_sales_price").as("cs_ext_sales_price"),
+        col("ss_quantity").as("cs_quantity"))
+
+  def webSales(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 2)
+      .select(col("ss_sold_date_sk").as("ws_sold_date_sk"),
+        col("ss_item_sk").as("ws_item_sk"),
+        col("ss_customer_sk").as("ws_bill_customer_sk"),
+        col("ss_ext_sales_price").as("ws_ext_sales_price"),
+        col("ss_quantity").as("ws_quantity"))
+
+  // ---- queries ------------------------------------------------------------
+
+  /** q3: year × brand revenue for one manufacturer in November
+    * (…/sql/presto/tpcds/q03.sql shape). */
+  def q3(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_moy") === 11)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(col("i_manufact_id") === 28)),
+        col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("d_year", "i_brand_id", "i_brand")
+      .agg(dsum(col("ss_ext_sales_price"), "sum_agg"))
+      .orderBy(asc("d_year"), desc("sum_agg"), asc("i_brand_id"))
+
+  /** q7: demographic + promotion star with four averages (q07.sql shape). */
+  def q7(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(customerDemographics(s).filter(
+          col("cd_gender") === "M" && col("cd_marital_status") === "S" &&
+            col("cd_education_status") === "College")),
+        col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(promotion(s).filter(
+          col("p_channel_email") === "N" || col("p_channel_event") === "N")),
+        col("ss_promo_sk") === col("p_promo_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id")
+      .agg(davg(col("ss_quantity"), "agg1"), davg(col("ss_list_price"), "agg2"),
+        davg(col("ss_coupon_amt"), "agg3"), davg(col("ss_sales_price"), "agg4"))
+      .orderBy("i_item_id")
+      .limit(100)
+
+  /** q19: brand revenue where the customer's zip prefix differs from the
+    * store's (q19.sql shape). */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_moy") === 11 && col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(col("i_manager_id") === 7)),
+        col("ss_item_sk") === col("i_item_sk"))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir), col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .filter(substring(col("ca_zip"), 1, 3) =!= substring(col("s_zip"), 1, 3))
+      .groupBy("i_brand_id", "i_brand", "i_manufact_id")
+      .agg(dsum(col("ss_ext_sales_price"), "ext_price"))
+      .orderBy(desc("ext_price"), asc("i_brand_id"), asc("i_manufact_id"))
+
+  /** q27: ROLLUP(i_item_id, s_state) over a demographic slice (q27.sql).
+    * Subtotal NULLs are COALESCEd to 'ALL' on both engines so the sort is
+    * NULL-ordering-independent. */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(customerDemographics(s).filter(
+          col("cd_gender") === "F" && col("cd_marital_status") === "M" &&
+            col("cd_education_status") === "Secondary")),
+        col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_item_id").as("g_item"), col("s_state").as("g_state"))
+      .agg(count(lit(1)).as("cnt"),
+        davg(col("ss_quantity"), "agg1"), davg(col("ss_list_price"), "agg2"),
+        davg(col("ss_coupon_amt"), "agg3"), davg(col("ss_sales_price"), "agg4"))
+      .select(coalesce(col("g_item"), lit("ALL")).as("i_item_id"),
+        coalesce(col("g_state"), lit("ALL")).as("s_state"),
+        col("cnt"), col("agg1"), col("agg2"), col("agg3"), col("agg4"))
+      .orderBy("i_item_id", "s_state")
+
+  private def ticketCounts(s: SparkSession, dir: String, domLo: Int, domHi: Int,
+      hdFilter: Column): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(
+          col("d_dom").between(domLo, domHi) &&
+            col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(householdDemographics(s).filter(hdFilter)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+
+  /** q34: customers with per-ticket item counts in a band (q34.sql shape;
+    * band shrunk to the fixture's ≤7 lines per ticket). */
+  def q34(s: SparkSession, dir: String): DataFrame =
+    ticketCounts(s, dir, 1, 3,
+      col("hd_buy_potential") === ">10000" && col("hd_vehicle_count") > 0)
+      .join(broadcast(store(s).filter(col("s_county").isin("County_0", "County_1"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("ss_ticket_number", "ss_customer_sk")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, 7))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .select("c_last_name", "c_first_name", "ss_ticket_number", "cnt")
+      .orderBy("c_last_name", "c_first_name", "ss_ticket_number")
+
+  private def brandAgg(s: SparkSession, dir: String, manager: Int, moy: Int,
+      yr: Int): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_moy") === moy && col("d_year") === yr)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(col("i_manager_id") === manager)),
+        col("ss_item_sk") === col("i_item_sk"))
+
+  /** q42: category revenue for one manager-month (q42.sql shape). */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    brandAgg(s, dir, 8, 12, 1998)
+      .groupBy("d_year", "i_category_id", "i_category")
+      .agg(dsum(col("ss_ext_sales_price"), "total_sales"))
+      .orderBy(desc("total_sales"), asc("d_year"), asc("i_category_id"), asc("i_category"))
+
+  /** q52: brand revenue for one manager-month, year kept (q52.sql shape). */
+  def q52(s: SparkSession, dir: String): DataFrame =
+    brandAgg(s, dir, 13, 11, 2000)
+      .groupBy("d_year", "i_brand_id", "i_brand")
+      .agg(dsum(col("ss_ext_sales_price"), "ext_price"))
+      .orderBy(asc("d_year"), desc("ext_price"), asc("i_brand_id"))
+
+  /** q55: brand revenue for one manager-month (q55.sql shape). */
+  def q55(s: SparkSession, dir: String): DataFrame =
+    brandAgg(s, dir, 33, 12, 1999)
+      .groupBy("i_brand_id", "i_brand")
+      .agg(dsum(col("ss_ext_sales_price"), "ext_price"))
+      .orderBy(desc("ext_price"), asc("i_brand_id"))
+
+  /** q60: per-item quantity totals re-aggregated across the three sales
+    * channels (q60.sql shape: UNION ALL of channel aggregates, then a
+    * second aggregation). Quantity sums keep every addition exact. */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999 && col("d_moy") === 9))
+    val it = broadcast(item(s, dir).filter(col("i_category") === "ECONOMY"))
+    def channel(f: DataFrame, dateK: String, itemK: String, qty: String) =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .join(it, col(itemK) === col("i_item_sk"))
+        .groupBy("i_item_id").agg(dsum(col(qty), "total"))
+    channel(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk", "ss_quantity")
+      .unionAll(channel(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk", "cs_quantity"))
+      .unionAll(channel(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk", "ws_quantity"))
+      .groupBy("i_item_id").agg(dsum(col("total"), "total_sales"))
+      .orderBy("i_item_id")
+  }
+
+  /** q68: per-ticket coupon/profit sums where the bought city differs from
+    * the customer's home city (q68.sql shape). */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val dn = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(
+          col("d_dom").between(1, 2) && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s).filter(col("s_city").isin("City_0", "City_1"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(householdDemographics(s).filter(
+          col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(customerAddress(s, dir), col("ss_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ca_city").as("bought_city"))
+      .agg(dsum(col("ss_coupon_amt"), "amt"), dsum(col("ss_net_profit"), "profit"))
+    dn.join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir).withColumnRenamed("ca_city", "home_city"),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .filter(col("home_city") =!= col("bought_city"))
+      .select("c_last_name", "c_first_name", "home_city", "bought_city",
+        "ss_ticket_number", "amt", "profit")
+      .orderBy("c_last_name", "ss_ticket_number")
+  }
+
+  /** q73: per-ticket counts 1..5 with a buy-potential slice (q73.sql). */
+  def q73(s: SparkSession, dir: String): DataFrame =
+    ticketCounts(s, dir, 1, 2,
+      col("hd_buy_potential").isin(">10000", "5001-10000") &&
+        col("hd_dep_count") > 2)
+      .join(broadcast(store(s).filter(col("s_county").isin("County_0", "County_2"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("ss_ticket_number", "ss_customer_sk")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(1, 5))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .select("c_last_name", "c_first_name", "ss_ticket_number", "cnt")
+      .orderBy(desc("cnt"), asc("c_last_name"), asc("ss_ticket_number"))
+
+  /** q98: item revenue with its share of the class total via an unordered
+    * window sum (q98.sql shape); decimal-accumulated on both engines. */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val grouped = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(
+          col("d_date") >= lit("1999-02-01").cast("date") &&
+            col("d_date") <= lit("1999-03-01").cast("date"))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(
+          col("i_category").isin("SMALL", "LARGE", "MEDIUM"))),
+        col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "i_category", "i_class", "i_current_price")
+      .agg(dsum(col("ss_ext_sales_price"), "itemrevenue"))
+    val byClass = Window.partitionBy("i_class")
+    grouped.select(col("i_item_id"), col("i_category"), col("i_class"),
+        col("i_current_price"), col("itemrevenue"),
+        (col("itemrevenue") * 100 /
+          sum(col("itemrevenue").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(byClass).cast("double")).as("revenueratio"))
+      .orderBy("i_category", "i_class", "i_item_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_q03" -> q3, "ds_q07" -> q7, "ds_q19" -> q19, "ds_q27" -> q27,
+    "ds_q34" -> q34, "ds_q42" -> q42, "ds_q52" -> q52, "ds_q55" -> q55,
+    "ds_q60" -> q60, "ds_q68" -> q68, "ds_q73" -> q73, "ds_q98" -> q98)
+
+  // ---- oracle -------------------------------------------------------------
+
+  /** The same derivations in DuckDB SQL, prepended to every oracle. */
+  private val prelude: String =
+    """date_dim AS (
+      |  SELECT CAST(range AS BIGINT) AS d_date_sk,
+      |         DATE '1995-01-01' + CAST(range AS INT) AS d_date,
+      |         CAST(year(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_year,
+      |         CAST(month(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_moy,
+      |         CAST(day(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_dom,
+      |         CAST(quarter(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_qoy
+      |  FROM range(0, 2557)),
+      |item AS (
+      |  SELECT p_partkey AS i_item_sk,
+      |         'ITEM_' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS i_item_id,
+      |         p_brand AS i_brand,
+      |         CAST(substr(p_brand, 7) AS BIGINT) AS i_brand_id,
+      |         p_type AS i_category,
+      |         p_partkey % 10 AS i_category_id,
+      |         'CLASS_' || CAST(p_partkey % 8 AS VARCHAR) AS i_class,
+      |         p_partkey % 100 AS i_manufact_id,
+      |         p_partkey % 50 AS i_manager_id,
+      |         p_retailprice AS i_current_price
+      |  FROM part),
+      |store AS (
+      |  SELECT CAST(range AS BIGINT) AS s_store_sk,
+      |         'Store_' || CAST(range AS VARCHAR) AS s_store_name,
+      |         'S' || CAST(range % 4 AS VARCHAR) AS s_state,
+      |         'City_' || CAST(range % 5 AS VARCHAR) AS s_city,
+      |         'County_' || CAST(range % 3 AS VARCHAR) AS s_county,
+      |         lpad(CAST((range * 17) % 100000 AS VARCHAR), 5, '0') AS s_zip
+      |  FROM range(0, 10)),
+      |customer_dim AS (
+      |  SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,
+      |         'FN_' || CAST(c_custkey % 50 AS VARCHAR) AS c_first_name,
+      |         substr(c_name, 10) AS c_last_name,
+      |         c_custkey AS c_current_addr_sk,
+      |         c_custkey % 100 AS c_current_cdemo_sk,
+      |         c_custkey % 50 AS c_current_hdemo_sk
+      |  FROM customer),
+      |customer_address AS (
+      |  SELECT c_custkey AS ca_address_sk,
+      |         'City_' || CAST(c_custkey % 40 AS VARCHAR) AS ca_city,
+      |         'County_' || CAST(c_custkey % 15 AS VARCHAR) AS ca_county,
+      |         'S' || CAST(c_custkey % 4 AS VARCHAR) AS ca_state,
+      |         lpad(CAST((c_custkey * 13) % 100000 AS VARCHAR), 5, '0') AS ca_zip
+      |  FROM customer),
+      |customer_demographics AS (
+      |  SELECT CAST(range AS BIGINT) AS cd_demo_sk,
+      |         CASE WHEN range % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+      |         CASE (range // 2) % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+      |         CASE (range // 10) % 5 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College' WHEN 3 THEN '4 yr Degree' ELSE 'Advanced Degree' END AS cd_education_status
+      |  FROM range(0, 100)),
+      |household_demographics AS (
+      |  SELECT CAST(range AS BIGINT) AS hd_demo_sk,
+      |         range % 10 AS hd_dep_count, range % 5 AS hd_vehicle_count,
+      |         CASE range % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END AS hd_buy_potential
+      |  FROM range(0, 50)),
+      |promotion AS (
+      |  SELECT CAST(range AS BIGINT) AS p_promo_sk,
+      |         'promo_' || CAST(range AS VARCHAR) AS p_promo_name,
+      |         CASE WHEN range % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+      |         CASE WHEN range % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+      |  FROM range(0, 20)),
+      |store_sales AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ss_sold_date_sk,
+      |         l_partkey AS ss_item_sk,
+      |         l_suppkey % 10 AS ss_store_sk,
+      |         o_custkey AS ss_customer_sk,
+      |         (l_orderkey * 7 + l_linenumber) % 100 AS ss_cdemo_sk,
+      |         (l_orderkey * 3 + l_linenumber) % 50 AS ss_hdemo_sk,
+      |         o_custkey + l_suppkey % 2 AS ss_addr_sk,
+      |         l_partkey % 20 AS ss_promo_sk,
+      |         l_orderkey AS ss_ticket_number,
+      |         l_quantity AS ss_quantity,
+      |         l_extendedprice AS ss_ext_sales_price,
+      |         l_extendedprice * (1 - l_discount) AS ss_sales_price,
+      |         l_extendedprice * l_discount AS ss_coupon_amt,
+      |         l_extendedprice * (1 + l_tax) AS ss_list_price,
+      |         l_extendedprice * 0.8 AS ss_wholesale_cost,
+      |         l_extendedprice * (1 - l_discount) - l_extendedprice * 0.8 AS ss_net_profit
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |catalog_sales AS (
+      |  SELECT ss_sold_date_sk AS cs_sold_date_sk, ss_item_sk AS cs_item_sk,
+      |         ss_customer_sk AS cs_bill_customer_sk,
+      |         ss_ext_sales_price AS cs_ext_sales_price, ss_quantity AS cs_quantity
+      |  FROM store_sales WHERE ss_ticket_number % 3 = 1),
+      |web_sales AS (
+      |  SELECT ss_sold_date_sk AS ws_sold_date_sk, ss_item_sk AS ws_item_sk,
+      |         ss_customer_sk AS ws_bill_customer_sk,
+      |         ss_ext_sales_price AS ws_ext_sales_price, ss_quantity AS ws_quantity
+      |  FROM store_sales WHERE ss_ticket_number % 3 = 2)""".stripMargin
+
+  private def ds(body: String): String = s"WITH $prelude\n$body"
+
+  private val dsumS = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+  private def ds_sum(c: String, a: String) = dsumS.format(c) + s" AS $a"
+  private def ds_avg(c: String, a: String) =
+    dsumS.format(c) + s" / count($c) AS $a"
+
+  val oracle: Map[String, String] = Map(
+    "ds_q03" -> ds(s"""
+      |SELECT d_year, i_brand_id, i_brand, ${ds_sum("ss_ext_sales_price", "sum_agg")}
+      |FROM store_sales, date_dim, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND d_moy = 11 AND i_manufact_id = 28
+      |GROUP BY d_year, i_brand_id, i_brand
+      |ORDER BY d_year, sum_agg DESC, i_brand_id""".stripMargin),
+    "ds_q07" -> ds(s"""
+      |SELECT i_item_id, ${ds_avg("ss_quantity", "agg1")},
+      |  ${ds_avg("ss_list_price", "agg2")}, ${ds_avg("ss_coupon_amt", "agg3")},
+      |  ${ds_avg("ss_sales_price", "agg4")}
+      |FROM store_sales, customer_demographics, date_dim, item, promotion
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+      |  AND cd_gender = 'M' AND cd_marital_status = 'S'
+      |  AND cd_education_status = 'College'
+      |  AND (p_channel_email = 'N' OR p_channel_event = 'N') AND d_year = 1998
+      |GROUP BY i_item_id ORDER BY i_item_id LIMIT 100""".stripMargin),
+    "ds_q19" -> ds(s"""
+      |SELECT i_brand_id, i_brand, i_manufact_id, ${ds_sum("ss_ext_sales_price", "ext_price")}
+      |FROM date_dim, store_sales, item, customer_dim, customer_address, store
+      |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manager_id = 7 AND d_moy = 11 AND d_year = 1999
+      |  AND ss_customer_sk = c_customer_sk AND c_current_addr_sk = ca_address_sk
+      |  AND substr(ca_zip, 1, 3) <> substr(s_zip, 1, 3) AND ss_store_sk = s_store_sk
+      |GROUP BY i_brand_id, i_brand, i_manufact_id
+      |ORDER BY ext_price DESC, i_brand_id, i_manufact_id""".stripMargin),
+    "ds_q27" -> ds(s"""
+      |SELECT COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |  COALESCE(s_state, 'ALL') AS s_state, count(*) AS cnt,
+      |  ${ds_avg("ss_quantity", "agg1")}, ${ds_avg("ss_list_price", "agg2")},
+      |  ${ds_avg("ss_coupon_amt", "agg3")}, ${ds_avg("ss_sales_price", "agg4")}
+      |FROM store_sales, customer_demographics, date_dim, store, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+      |  AND cd_gender = 'F' AND cd_marital_status = 'M'
+      |  AND cd_education_status = 'Secondary' AND d_year = 1998
+      |GROUP BY ROLLUP(item.i_item_id, store.s_state)
+      |ORDER BY i_item_id, s_state""".stripMargin),
+    "ds_q34" -> ds(s"""
+      |SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+      |      FROM store_sales, date_dim, store, household_demographics
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk AND d_dom BETWEEN 1 AND 3
+      |        AND d_year IN (1998, 1999, 2000)
+      |        AND hd_buy_potential = '>10000' AND hd_vehicle_count > 0
+      |        AND s_county IN ('County_0', 'County_1')
+      |      GROUP BY ss_ticket_number, ss_customer_sk) dn
+      |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      |WHERE cnt BETWEEN 2 AND 7
+      |ORDER BY c_last_name, c_first_name, ss_ticket_number""".stripMargin),
+    "ds_q42" -> ds(s"""
+      |SELECT d_year, i_category_id, i_category, ${ds_sum("ss_ext_sales_price", "total_sales")}
+      |FROM date_dim, store_sales, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manager_id = 8 AND d_moy = 12 AND d_year = 1998
+      |GROUP BY d_year, i_category_id, i_category
+      |ORDER BY total_sales DESC, d_year, i_category_id, i_category""".stripMargin),
+    "ds_q52" -> ds(s"""
+      |SELECT d_year, i_brand_id, i_brand, ${ds_sum("ss_ext_sales_price", "ext_price")}
+      |FROM date_dim, store_sales, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manager_id = 13 AND d_moy = 11 AND d_year = 2000
+      |GROUP BY d_year, i_brand_id, i_brand
+      |ORDER BY d_year, ext_price DESC, i_brand_id""".stripMargin),
+    "ds_q55" -> ds(s"""
+      |SELECT i_brand_id, i_brand, ${ds_sum("ss_ext_sales_price", "ext_price")}
+      |FROM date_dim, store_sales, item
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |  AND i_manager_id = 33 AND d_moy = 12 AND d_year = 1999
+      |GROUP BY i_brand_id, i_brand
+      |ORDER BY ext_price DESC, i_brand_id""".stripMargin),
+    "ds_q60" -> ds(s"""
+      |SELECT i_item_id, ${ds_sum("total", "total_sales")}
+      |FROM (
+      |  SELECT i_item_id, ${ds_sum("ss_quantity", "total")}
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 AND i_category = 'ECONOMY'
+      |  GROUP BY i_item_id
+      |  UNION ALL
+      |  SELECT i_item_id, ${ds_sum("cs_quantity", "total")}
+      |  FROM catalog_sales, date_dim, item
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 AND i_category = 'ECONOMY'
+      |  GROUP BY i_item_id
+      |  UNION ALL
+      |  SELECT i_item_id, ${ds_sum("ws_quantity", "total")}
+      |  FROM web_sales, date_dim, item
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 AND i_category = 'ECONOMY'
+      |  GROUP BY i_item_id) channels
+      |GROUP BY i_item_id ORDER BY i_item_id""".stripMargin),
+    "ds_q68" -> ds(s"""
+      |SELECT c_last_name, c_first_name, ca2.ca_city AS home_city, bought_city,
+      |  ss_ticket_number, amt, profit
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+      |        ${ds_sum("ss_coupon_amt", "amt")}, ${ds_sum("ss_net_profit", "profit")}
+      |      FROM store_sales, date_dim, store, household_demographics, customer_address
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+      |        AND d_dom BETWEEN 1 AND 2 AND d_year IN (1998, 1999, 2000)
+      |        AND s_city IN ('City_0', 'City_1')
+      |        AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+      |      GROUP BY ss_ticket_number, ss_customer_sk, ca_city) dn
+      |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      |JOIN customer_address ca2 ON c_current_addr_sk = ca2.ca_address_sk
+      |WHERE ca2.ca_city <> bought_city
+      |ORDER BY c_last_name, ss_ticket_number""".stripMargin),
+    "ds_q73" -> ds(s"""
+      |SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+      |      FROM store_sales, date_dim, store, household_demographics
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk AND d_dom BETWEEN 1 AND 2
+      |        AND d_year IN (1998, 1999, 2000)
+      |        AND hd_buy_potential IN ('>10000', '5001-10000')
+      |        AND hd_dep_count > 2
+      |        AND s_county IN ('County_0', 'County_2')
+      |      GROUP BY ss_ticket_number, ss_customer_sk) dj
+      |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      |WHERE cnt BETWEEN 1 AND 5
+      |ORDER BY cnt DESC, c_last_name, ss_ticket_number""".stripMargin),
+    "ds_q98" -> ds(s"""
+      |SELECT i_item_id, i_category, i_class, i_current_price, itemrevenue,
+      |  itemrevenue * 100 / CAST(SUM(CAST(itemrevenue AS DECIMAL(18,6)))
+      |    OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+      |FROM (SELECT i_item_id, i_category, i_class, i_current_price,
+      |        ${ds_sum("ss_ext_sales_price", "itemrevenue")}
+      |      FROM store_sales, item, date_dim
+      |      WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+      |        AND i_category IN ('SMALL', 'LARGE', 'MEDIUM')
+      |        AND d_date BETWEEN DATE '1999-02-01' AND DATE '1999-03-01'
+      |      GROUP BY i_item_id, i_category, i_class, i_current_price) g
+      |ORDER BY i_category, i_class, i_item_id""".stripMargin))
+}
