@@ -231,7 +231,7 @@ object Dialect {
     var last = 0
     for (mt <- subscript.findAllMatchIn(m)) {
       sb.append(original.substring(last, mt.start))
-      sb.append("element_at(")
+      sb.append("strict_subscript(")
         .append(original.substring(mt.start(1), mt.end(1)))
         .append(", ")
         .append(original.substring(mt.start(2), mt.end(2)))
@@ -240,6 +240,40 @@ object Dialect {
     }
     sb.append(original.substring(last))
     sb.toString
+  }
+
+  /** Reference char(n) semantics (COMMON/type/CharType.java): a char value
+    * IS space-padded to its declared length — length() returns n and a
+    * char never equals the unpadded varchar. Spark's CAST AS CHAR(n)
+    * keeps the string unpadded, so the dialect rewrites
+    * CAST(x AS CHAR(n)) → rpad(CAST(x AS STRING), n, ' '). Known
+    * deviation: comparing chars of two DIFFERENT declared lengths is
+    * false here (the reference pads both to the longer length first). */
+  private val castOpen = "(?i)\\bCAST\\s*\\(".r
+  // single \s before AS: masked literals read as spaces, so a greedy \s+
+  // would swallow the cast content when it is a string literal
+  private val charCastTail = "(?is)\\sAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)$".r
+  private def rewriteCharCast(original: String): String = {
+    var cur = original
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val m = masked(cur)
+      val hit = castOpen.findAllMatchIn(m).flatMap { mt =>
+        val end = matchParen(m, mt.end - 1)
+        val span = m.substring(mt.start, end)
+        charCastTail.findFirstMatchIn(span).map(t =>
+          (mt.start, end, mt.end, mt.start + t.start, t.group(1)))
+      }.nextOption()
+      hit.foreach { case (start, end, cFrom, cTo, n) =>
+        cur = cur.substring(0, start) +
+          s"rpad(CAST(${cur.substring(cFrom, cTo)} AS STRING), $n, ' ')" +
+          cur.substring(end)
+        changed = true
+      }
+    }
+    cur
   }
 
   /** End index (exclusive) of the parenthesized group opening at `open`
@@ -516,7 +550,8 @@ object Dialect {
         "time with time zone is not supported (documented gap — " +
           "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
-      rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(text)))),
+      rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
+        rewriteCharCast(text))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>

@@ -651,6 +651,24 @@ object GeoFunctions {
     sphericalDistanceM(element_at(ga.getField("pts"), 1),
       element_at(gb.getField("pts"), 1))
 
+  /** ST_Area on SphericalGeography polygons (SphericalGeoFunctions.java:134
+    * + SphericalExcessCalculator:333): cyclic per-edge excess sum
+    * 2·atan2(tan(Δλ/2)·(tan(φ1/2)+tan(φ2/2)), 1+tan(φ1/2)·tan(φ2/2)),
+    * area = |excess|·R² in m². The reference's pole-enclosure correction
+    * (courseDelta ±2π bookkeeping) is out of this slice — rings crossing
+    * or enclosing a pole are not supported. */
+  def stSphericalArea(g: Column): Column = {
+    val pts = g.getField("pts")
+    val excess = aggregate(
+      zip_with(pts, rotatedRing(pts), (a, b) => {
+        val t1 = tan(radians(stY(a)) / 2)
+        val t2 = tan(radians(stY(b)) / 2)
+        val dl = radians(stX(b)) - radians(stX(a))
+        lit(2.0) * atan2(tan(dl / 2) * (t1 + t2), lit(1.0) + t1 * t2)
+      }), lit(0.0), _ + _)
+    abs(excess) * lit(EarthRadiusM * EarthRadiusM)
+  }
+
   /** ST_Length on a SphericalGeography linestring (meters). */
   def stSphericalLength(g: Column): Column = {
     val pts = g.getField("pts")

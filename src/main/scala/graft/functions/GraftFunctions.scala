@@ -39,6 +39,9 @@ object GraftFunctions {
       es => WordStem(es.head)),
     ("try_expr", "try_expr(expr) - NULL instead of failure on runtime error",
       es => TryExpression(es.head)),
+    ("strict_subscript",
+      "strict_subscript(x, i) - reference-contract x[i]: raises on OOB index / missing map key",
+      es => StrictSubscript(es(0), es(1))),
     ("mysql_date_format",
       "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
       es => {

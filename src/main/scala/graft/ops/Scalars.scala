@@ -1308,10 +1308,18 @@ object Scalars {
         stPoint(col("lon1"), col("lat1")), stPoint(col("lon2"), col("lat2")),
         stPoint(col("lon1") + 1.0, col("lat1"))).as("pts"))
     val sp1 = toSphericalGeography(p1)
+    val dx = lit(1.0) + (col("k") % 3) * lit(0.5)
+    val sqRing = struct(lit("ST_Polygon").as("gtype"),
+      org.apache.spark.sql.functions.array(
+        stPoint(col("lon1"), col("lat1")),
+        stPoint(col("lon1") + dx, col("lat1")),
+        stPoint(col("lon1") + dx, col("lat1") + 0.75),
+        stPoint(col("lon1"), col("lat1") + 0.75)).as("pts"))
     g.select(col("k"),
       stGeometryType(sp1).as("sp_t"),
       round(stSphericalDistance(sp1, toSphericalGeography(p2)), 4).as("dist_m"),
-      round(stSphericalLength(toSphericalGeography(line)), 4).as("len_m"))
+      round(stSphericalLength(toSphericalGeography(line)), 4).as("len_m"),
+      round(stSphericalArea(toSphericalGeography(sqRing)) / 1e6, 6).as("area_km2"))
       .orderBy("k")
   }
 
@@ -1352,6 +1360,32 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Error-contract parity (reference ArraySubscriptOperator.java,
+    * MapSubscriptOperator.java, COMMON/type/CharType.java): out-of-bounds
+    * and zero array subscripts RAISE (recoverable via TRY → NULL, exactly
+    * the reference pairing), missing map keys RAISE, and char(n) values
+    * are space-padded to their declared length so length() = n and
+    * char ≠ unpadded varchar. The raise paths themselves are asserted in
+    * FunctionsSpec; this gate verifies the TRY-visible surface. */
+  def errContracts(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_err")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT o_orderkey AS k,
+        |  array(o_orderkey, o_orderkey + 1, o_orderkey + 2) AS a,
+        |  map('k1', o_orderkey, 'k2', o_orderkey * 2) AS mp
+        | FROM orders_err WHERE o_orderkey <= 200)
+        |SELECT k,
+        |  a[2] AS a2,
+        |  TRY(a[5]) AS a_oob,
+        |  TRY(a[0]) AS a_zero,
+        |  mp['k2'] AS m_hit,
+        |  TRY(mp['nope']) AS m_miss,
+        |  CAST(length(CAST('ab' AS CHAR(5))) AS BIGINT) AS char_len,
+        |  CAST('ab' AS CHAR(5)) = 'ab' AS char_vs_varchar,
+        |  CAST('ab' AS CHAR(5)) = CAST('ab' AS CHAR(5)) AS char_eq
+        |FROM b ORDER BY k""".stripMargin)
+  }
+
   /** `time` type through the dialect (reference StandardTypes.java:45):
     * Spark 4.1's native TIME (enabled by SqlSession) — literal, make_time
     * construction, hour/minute/second extraction, interval arithmetic and
@@ -1377,6 +1411,7 @@ object Scalars {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_err_contracts" -> errContracts,
     "fn_time" -> timeOps,
     "fn_qdigest" -> qdigestSketch,
     "fn_tdigest" -> tdigestSketch,
@@ -2282,6 +2317,13 @@ object Scalars {
         | cr_in % 2 = 1 AS inside,
         | cr_out % 2 = 1 AS outside
         |FROM m ORDER BY k""".stripMargin,
+    "fn_err_contracts" ->
+      """SELECT o_orderkey AS k, o_orderkey + 1 AS a2,
+        | CAST(NULL AS BIGINT) AS a_oob, CAST(NULL AS BIGINT) AS a_zero,
+        | o_orderkey * 2 AS m_hit, CAST(NULL AS BIGINT) AS m_miss,
+        | CAST(5 AS BIGINT) AS char_len, false AS char_vs_varchar,
+        | true AS char_eq
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY k""".stripMargin,
     "fn_time" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderkey % 80000 AS s
         |           FROM orders WHERE o_orderkey <= 500),
@@ -2347,10 +2389,28 @@ object Scalars {
         |    pow(sin((radians(lat1) - radians(lat2)) / 2), 2) +
         |    cos(radians(lat2)) * cos(radians(lat1)) *
         |    pow(sin((radians(lon1 + 1.0) - radians(lon2)) / 2), 2)))) AS d23
-        | FROM g)
+        | FROM g),
+        |e AS (SELECT k, lat1, lon1, d12, d23,
+        |  lon1 + (1.0 + (k % 3) * 0.5) AS lonr, lat1 + 0.75 AS latt
+        | FROM d),
+        |x AS (SELECT k, d12, d23,
+        |  2 * atan2(tan((radians(lonr) - radians(lon1)) / 2) *
+        |      (tan(radians(lat1) / 2) + tan(radians(lat1) / 2)),
+        |    1 + tan(radians(lat1) / 2) * tan(radians(lat1) / 2)) +
+        |  2 * atan2(tan((radians(lonr) - radians(lonr)) / 2) *
+        |      (tan(radians(lat1) / 2) + tan(radians(latt) / 2)),
+        |    1 + tan(radians(lat1) / 2) * tan(radians(latt) / 2)) +
+        |  2 * atan2(tan((radians(lon1) - radians(lonr)) / 2) *
+        |      (tan(radians(latt) / 2) + tan(radians(latt) / 2)),
+        |    1 + tan(radians(latt) / 2) * tan(radians(latt) / 2)) +
+        |  2 * atan2(tan((radians(lon1) - radians(lon1)) / 2) *
+        |      (tan(radians(latt) / 2) + tan(radians(lat1) / 2)),
+        |    1 + tan(radians(latt) / 2) * tan(radians(lat1) / 2)) AS excess
+        | FROM e)
         |SELECT k, 'Spherical:ST_Point' AS sp_t,
-        | round(d12, 4) AS dist_m, round(d12 + d23, 4) AS len_m
-        |FROM d ORDER BY k""".stripMargin,
+        | round(d12, 4) AS dist_m, round(d12 + d23, 4) AS len_m,
+        | round(abs(excess) * (6371010.0 * 6371010.0) / 1000000.0, 6) AS area_km2
+        |FROM x ORDER BY k""".stripMargin,
     "fn_bingtile2" ->
       """WITH g AS (SELECT c_custkey AS k,
         |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) AS lat,

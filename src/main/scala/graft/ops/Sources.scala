@@ -159,7 +159,52 @@ object Sources {
       .orderBy("s_suppkey")
   }
 
+  /** Kafka topic-as-table scan semantics (reference presto-kafka/…/
+    * KafkaRecordSet.java:52: each Kafka record surfaces as a row with
+    * binary key/value plus topic/partition/offset metadata columns, value
+    * decoded by a row decoder). The spark-sql-kafka connector jar is not
+    * in this environment (zero egress), so the BROKER is stood in by a
+    * file-backed topic in Spark's own Kafka batch-source schema — key/
+    * value binary, topic, partition, offset, timestamp — written once,
+    * scanned as a table, keys/values decoded and offset-bounded exactly
+    * like the reference's record set; the identical DataFrame also runs
+    * under readStream in SourcesSpec. On a real cluster only the
+    * `format("parquet")` → `format("kafka")` line changes. */
+  def kafkaBatch(s: SparkSession, dir: String): DataFrame = {
+    val topicDir = tmp("kafka_topic_events")
+    // produce: events → 4-partition topic keyed by user, offsets
+    // monotone per partition (the broker contract the scan relies on)
+    t(s, dir, "events").filter(col("event_id") <= 2000)
+      .select(
+        col("user_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).cast("binary").as("value"),
+        lit("events").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id") % 4).orderBy("event_id"))
+          .cast("long").as("offset"),
+        col("ts").cast("timestamp").as("timestamp"))
+      .write.mode("overwrite").parquet(topicDir)
+    // consume: offset-bounded scan (start-offset predicate pushes to the
+    // scan like the reference's OFFSET_TIMESTAMP filtering), decode the
+    // value payload, aggregate per event type
+    val payload = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double")
+    s.read.parquet(topicDir)
+      .filter(col("topic") === "events" && col("offset") >= 1)
+      .select(col("key").cast("string").cast("long").as("key_user"),
+        from_json(col("value").cast("string"), payload).as("v"))
+      .filter(col("key_user") === col("v.user_id")) // key/value coherence
+      .groupBy(col("v.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("v.value"), "total"),
+        countDistinct(col("key_user")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_kafka_batch" -> kafkaBatch,
     "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
@@ -171,6 +216,12 @@ object Sources {
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_kafka_batch" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id <= 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "src_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

@@ -43,7 +43,8 @@ object Tpcds {
         year(col("d_date")).cast("long").as("d_year"),
         month(col("d_date")).cast("long").as("d_moy"),
         dayofmonth(col("d_date")).cast("long").as("d_dom"),
-        quarter(col("d_date")).cast("long").as("d_qoy"))
+        quarter(col("d_date")).cast("long").as("d_qoy"),
+        (col("d_date_sk") % 7).as("d_dow"))
 
   def item(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
@@ -156,6 +157,24 @@ object Tpcds {
         col("ss_customer_sk").as("ws_bill_customer_sk"),
         col("ss_ext_sales_price").as("ws_ext_sales_price"),
         col("ss_quantity").as("ws_quantity"))
+
+  /** Returns channel: returned lineitems (l_returnflag = 'R') as
+    * store_returns — lets the returns-joining report shapes (q5 family)
+    * run without a generated returns table. */
+  def storeReturns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(col("l_shipdate").cast("date"), to_date(lit(Base))).cast("long")
+          .as("sr_returned_date_sk"),
+        col("l_partkey").as("sr_item_sk"),
+        (col("l_suppkey") % 10).as("sr_store_sk"),
+        col("o_custkey").as("sr_customer_sk"),
+        col("l_orderkey").as("sr_ticket_number"),
+        col("l_quantity").as("sr_return_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sr_return_amt"),
+        (col("l_extendedprice") * lit(0.1)).as("sr_net_loss"))
 
   // ---- queries ------------------------------------------------------------
 
@@ -359,7 +378,161 @@ object Tpcds {
       .orderBy("i_category", "i_class", "i_item_id")
   }
 
+  /** q5-lite: per-store sales vs returns profit report with ROLLUP over
+    * store (q5's channel-report shape on the store channel; returns from
+    * the derived store_returns). */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1998))
+    val sales = storeSales(s, dir)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_store_sk").as("store_sk"))
+      .agg(dsum(col("ss_ext_sales_price"), "sales"),
+        dsum(col("ss_net_profit"), "profit"))
+    val returns = storeReturns(s, dir)
+      .join(dd, col("sr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("sr_store_sk").as("r_store_sk"))
+      .agg(dsum(col("sr_return_amt"), "returns"),
+        dsum(col("sr_net_loss"), "profit_loss"))
+    sales.join(returns, col("store_sk") === col("r_store_sk"), "left")
+      .join(broadcast(store(s)), col("store_sk") === col("s_store_sk"))
+      .rollup(col("s_state").as("g_state"), col("s_store_name").as("g_store"))
+      .agg(dsum(col("sales"), "total_sales"),
+        dsum(coalesce(col("returns"), lit(0.0)), "total_returns"),
+        dsum(col("profit") - coalesce(col("profit_loss"), lit(0.0)), "total_profit"))
+      .select(coalesce(col("g_state"), lit("ALL")).as("s_state"),
+        coalesce(col("g_store"), lit("ALL")).as("s_store_name"),
+        col("total_sales"), col("total_returns"), col("total_profit"))
+      .orderBy("s_state", "s_store_name")
+  }
+
+  /** q15: per-zip catalog revenue for qualifying customers (zip prefix OR
+    * state OR big ticket — q15.sql's OR-of-predicates shape). */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    catalogSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_qoy") === 1 && col("d_year") === 1999)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(customerDim(s, dir), col("cs_bill_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir), col("c_current_addr_sk") === col("ca_address_sk"))
+      .filter(substring(col("ca_zip"), 1, 2).isin("85", "86", "88") ||
+        col("ca_state").isin("S0", "S3") || col("cs_ext_sales_price") > 40000)
+      .groupBy("ca_zip")
+      .agg(dsum(col("cs_ext_sales_price"), "total_sales"))
+      .orderBy("ca_zip")
+
+  /** q23-lite: frequent items (bought in ≥4 distinct months) × best
+    * customers (top-spend quartile) → cross-channel revenue. Keeps q23's
+    * two-CTE IN-filter shape at fixture scale. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s))
+    val frequent = storeSales(s, dir)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_item_sk").as("f_item"))
+      .agg(countDistinct(col("d_year") * 12 + col("d_moy")).as("months"))
+      .filter(col("months") >= 4).select("f_item")
+    val spend = storeSales(s, dir)
+      .groupBy(col("ss_customer_sk").as("b_cust"))
+      .agg(dsum(col("ss_sales_price"), "spend"))
+    val cutoff = spend.agg(
+      expr("percentile(spend, 0.75)").as("c")).select("c")
+    val best = spend.join(broadcast(cutoff)).filter(col("spend") >= col("c"))
+      .select("b_cust")
+    catalogSales(s, dir)
+      .join(frequent, col("cs_item_sk") === col("f_item"), "left_semi")
+      .join(best, col("cs_bill_customer_sk") === col("b_cust"), "left_semi")
+      .agg(dsum(col("cs_ext_sales_price"), "total_sales"),
+        count(lit(1)).as("n_sales"))
+  }
+
+  /** q79: each customer's single most profitable ticket (q79.sql shape:
+    * per-ticket aggregate, then per-customer max via a window). */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val perTicket = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_dom").between(1, 5) &&
+          col("d_year").isin(1998, 1999))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(householdDemographics(s).filter(
+          col("hd_dep_count") === 6 || col("hd_vehicle_count") > 2)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy("ss_ticket_number", "ss_customer_sk")
+      .agg(dsum(col("ss_coupon_amt"), "amt"), dsum(col("ss_net_profit"), "profit"))
+    val byCust = Window.partitionBy("ss_customer_sk")
+    perTicket
+      .withColumn("max_profit", max("profit").over(byCust))
+      .filter(col("profit") === col("max_profit"))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .select("c_last_name", "c_first_name", "ss_ticket_number", "amt", "profit")
+      .orderBy("c_last_name", "ss_ticket_number")
+  }
+
+  /** q88: eight independent band counts cross-joined into one row
+    * (q88.sql's 8-scalar-subquery shape, bands on day-of-month). */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val base = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s).filter(col("s_county") === "County_0")),
+        col("ss_store_sk") === col("s_store_sk"))
+    def band(i: Int): DataFrame =
+      base.filter(col("d_dom").between(i * 4 + 1, i * 4 + 4))
+        .agg(count(lit(1)).as(s"h$i"))
+    (0 until 8).map(band).reduce(_.crossJoin(_))
+  }
+
+  /** q89: rolling 3-month average vs monthly sales per (category, store),
+    * keeping months that deviate ≥10% (q89.sql's windowed-avg shape). */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val monthly = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("i_category", "s_store_name", "d_moy")
+      .agg(dsum(col("ss_ext_sales_price"), "sum_sales"))
+    val w = Window.partitionBy("i_category", "s_store_name")
+      .orderBy("d_moy").rowsBetween(-2, 0)
+    monthly
+      .withColumn("avg_monthly",
+        (sum(col("sum_sales").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double") / count(lit(1)).over(w)))
+      .filter(abs(col("sum_sales") - col("avg_monthly")) > col("avg_monthly") * 0.1)
+      .select(col("i_category"), col("s_store_name"), col("d_moy"),
+        col("sum_sales"), round(col("avg_monthly"), 4).as("avg_monthly"))
+      .orderBy("i_category", "s_store_name", "d_moy")
+  }
+
+  /** q96: plain qualifying count through the demographic star (q96.sql). */
+  def q96(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(householdDemographics(s).filter(col("hd_dep_count") === 5)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_dow") === 2)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s).filter(col("s_city") === "City_2")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q61: promoted vs total revenue ratio as two cross-joined scalar
+    * aggregates (q61.sql shape). */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val base = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999 && col("d_moy") === 11)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(col("i_category") === "STANDARD")),
+        col("ss_item_sk") === col("i_item_sk"))
+    val promoted = base
+      .join(broadcast(promotion(s).filter(
+          col("p_channel_email") === "Y" || col("p_channel_event") === "Y")),
+        col("ss_promo_sk") === col("p_promo_sk"))
+      .agg(dsum(col("ss_ext_sales_price"), "promotions"))
+    val total = base.agg(dsum(col("ss_ext_sales_price"), "total"))
+    promoted.crossJoin(total)
+      .select(col("promotions"), col("total"),
+        round(col("promotions") / col("total") * 100, 6).as("promo_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_q05" -> q5, "ds_q15" -> q15, "ds_q23" -> q23, "ds_q61" -> q61,
+    "ds_q79" -> q79, "ds_q88" -> q88, "ds_q89" -> q89, "ds_q96" -> q96,
     "ds_q03" -> q3, "ds_q07" -> q7, "ds_q19" -> q19, "ds_q27" -> q27,
     "ds_q34" -> q34, "ds_q42" -> q42, "ds_q52" -> q52, "ds_q55" -> q55,
     "ds_q60" -> q60, "ds_q68" -> q68, "ds_q73" -> q73, "ds_q98" -> q98)
@@ -374,7 +547,8 @@ object Tpcds {
       |         CAST(year(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_year,
       |         CAST(month(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_moy,
       |         CAST(day(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_dom,
-      |         CAST(quarter(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_qoy
+      |         CAST(quarter(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_qoy,
+      |         CAST(range % 7 AS BIGINT) AS d_dow
       |  FROM range(0, 2557)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
@@ -455,7 +629,16 @@ object Tpcds {
       |  SELECT ss_sold_date_sk AS ws_sold_date_sk, ss_item_sk AS ws_item_sk,
       |         ss_customer_sk AS ws_bill_customer_sk,
       |         ss_ext_sales_price AS ws_ext_sales_price, ss_quantity AS ws_quantity
-      |  FROM store_sales WHERE ss_ticket_number % 3 = 2)""".stripMargin
+      |  FROM store_sales WHERE ss_ticket_number % 3 = 2),
+      |store_returns AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS sr_returned_date_sk,
+      |         l_partkey AS sr_item_sk, l_suppkey % 10 AS sr_store_sk,
+      |         o_custkey AS sr_customer_sk, l_orderkey AS sr_ticket_number,
+      |         l_quantity AS sr_return_quantity,
+      |         l_extendedprice * (1 - l_discount) AS sr_return_amt,
+      |         l_extendedprice * 0.1 AS sr_net_loss
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R')""".stripMargin
 
   private def ds(body: String): String = s"WITH $prelude\n$body"
 
@@ -465,6 +648,129 @@ object Tpcds {
     dsumS.format(c) + s" / count($c) AS $a"
 
   val oracle: Map[String, String] = Map(
+    "ds_q05" -> ds(s"""
+      |SELECT COALESCE(s_state, 'ALL') AS s_state,
+      |  COALESCE(s_store_name, 'ALL') AS s_store_name,
+      |  ${ds_sum("sales", "total_sales")}, ${ds_sum("r_amt", "total_returns")},
+      |  ${ds_sum("net", "total_profit")}
+      |FROM (
+      |  SELECT s_state, s_store_name, sales,
+      |    COALESCE(r_amt, CAST(0 AS DOUBLE)) AS r_amt,
+      |    profit - COALESCE(r_loss, CAST(0 AS DOUBLE)) AS net
+      |  FROM (SELECT ss_store_sk AS store_sk,
+      |          ${ds_sum("ss_ext_sales_price", "sales")},
+      |          ${ds_sum("ss_net_profit", "profit")}
+      |        FROM store_sales, date_dim
+      |        WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |        GROUP BY 1) sl
+      |  LEFT JOIN (SELECT sr_store_sk,
+      |          ${ds_sum("sr_return_amt", "r_amt")},
+      |          ${ds_sum("sr_net_loss", "r_loss")}
+      |        FROM store_returns, date_dim
+      |        WHERE sr_returned_date_sk = d_date_sk AND d_year = 1998
+      |        GROUP BY 1) rt ON store_sk = sr_store_sk
+      |  JOIN store ON store_sk = s_store_sk) j
+      |GROUP BY ROLLUP(j.s_state, j.s_store_name)
+      |ORDER BY s_state, s_store_name""".stripMargin),
+    "ds_q15" -> ds(s"""
+      |SELECT ca_zip, ${ds_sum("cs_ext_sales_price", "total_sales")}
+      |FROM catalog_sales, date_dim, customer_dim, customer_address
+      |WHERE cs_sold_date_sk = d_date_sk
+      |  AND cs_bill_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND d_qoy = 1 AND d_year = 1999
+      |  AND (substr(ca_zip, 1, 2) IN ('85', '86', '88')
+      |       OR ca_state IN ('S0', 'S3') OR cs_ext_sales_price > 40000)
+      |GROUP BY ca_zip ORDER BY ca_zip""".stripMargin),
+    "ds_q23" -> ds(s"""
+      |SELECT ${ds_sum("cs_ext_sales_price", "total_sales")},
+      |  count(*) AS n_sales
+      |FROM catalog_sales
+      |WHERE cs_item_sk IN (
+      |    SELECT ss_item_sk FROM store_sales, date_dim
+      |    WHERE ss_sold_date_sk = d_date_sk GROUP BY ss_item_sk
+      |    HAVING count(DISTINCT d_year * 12 + d_moy) >= 4)
+      |  AND cs_bill_customer_sk IN (
+      |    SELECT b_cust FROM
+      |      (SELECT ss_customer_sk AS b_cust, ${ds_sum("ss_sales_price", "spend")}
+      |       FROM store_sales GROUP BY 1) sp,
+      |      (SELECT quantile_cont(spend, 0.75) AS c FROM
+      |        (SELECT ss_customer_sk AS b_cust, ${ds_sum("ss_sales_price", "spend")}
+      |         FROM store_sales GROUP BY 1) sp2) cut
+      |    WHERE spend >= c)""".stripMargin),
+    "ds_q61" -> ds(s"""
+      |, base AS (SELECT ss_promo_sk, ss_ext_sales_price
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 11 AND i_category = 'STANDARD')
+      |SELECT promotions, total,
+      |  round(promotions / total * 100, 6) AS promo_pct
+      |FROM (SELECT ${ds_sum("ss_ext_sales_price", "promotions")}
+      |      FROM base, promotion WHERE ss_promo_sk = p_promo_sk
+      |        AND (p_channel_email = 'Y' OR p_channel_event = 'Y')) p,
+      |     (SELECT ${ds_sum("ss_ext_sales_price", "total")} FROM base) t""".stripMargin),
+    "ds_q79" -> ds(s"""
+      |SELECT c_last_name, c_first_name, ss_ticket_number, amt, profit
+      |FROM (SELECT *, max(profit) OVER (PARTITION BY ss_customer_sk) AS mp
+      |      FROM (SELECT ss_ticket_number, ss_customer_sk,
+      |              ${ds_sum("ss_coupon_amt", "amt")},
+      |              ${ds_sum("ss_net_profit", "profit")}
+      |            FROM store_sales, date_dim, household_demographics
+      |            WHERE ss_sold_date_sk = d_date_sk AND ss_hdemo_sk = hd_demo_sk
+      |              AND d_dom BETWEEN 1 AND 5 AND d_year IN (1998, 1999)
+      |              AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+      |            GROUP BY 1, 2) pt) mx
+      |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      |WHERE profit = mp
+      |ORDER BY c_last_name, ss_ticket_number""".stripMargin),
+    "ds_q88" -> ds(s"""
+      |SELECT * FROM
+      | (SELECT count(*) AS h0 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 1 AND 4) s0,
+      | (SELECT count(*) AS h1 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 5 AND 8) s1,
+      | (SELECT count(*) AS h2 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 9 AND 12) s2,
+      | (SELECT count(*) AS h3 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 13 AND 16) s3,
+      | (SELECT count(*) AS h4 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 17 AND 20) s4,
+      | (SELECT count(*) AS h5 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 21 AND 24) s5,
+      | (SELECT count(*) AS h6 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 25 AND 28) s6,
+      | (SELECT count(*) AS h7 FROM (SELECT d_dom FROM store_sales, date_dim, store
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |     AND d_year = 1998 AND s_county = 'County_0') b WHERE d_dom BETWEEN 29 AND 32) s7""".stripMargin),
+    "ds_q89" -> ds(s"""
+      |SELECT i_category, s_store_name, d_moy, sum_sales,
+      |  round(avg_monthly, 4) AS avg_monthly
+      |FROM (
+      |  SELECT *, CAST(SUM(CAST(sum_sales AS DECIMAL(18,6))) OVER win AS DOUBLE)
+      |         / count(*) OVER win AS avg_monthly
+      |  FROM (SELECT i_category, s_store_name, d_moy,
+      |          ${ds_sum("ss_ext_sales_price", "sum_sales")}
+      |        FROM store_sales, date_dim, item, store
+      |        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |          AND ss_store_sk = s_store_sk AND d_year = 1998
+      |        GROUP BY 1, 2, 3) monthly
+      |  WINDOW win AS (PARTITION BY i_category, s_store_name ORDER BY d_moy
+      |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) w
+      |WHERE abs(sum_sales - avg_monthly) > avg_monthly * 0.1
+      |ORDER BY i_category, s_store_name, d_moy""".stripMargin),
+    "ds_q96" -> ds(s"""
+      |SELECT count(*) AS cnt
+      |FROM store_sales, household_demographics, date_dim, store
+      |WHERE ss_hdemo_sk = hd_demo_sk AND ss_sold_date_sk = d_date_sk
+      |  AND ss_store_sk = s_store_sk AND hd_dep_count = 5
+      |  AND d_dow = 2 AND s_city = 'City_2'""".stripMargin),
     "ds_q03" -> ds(s"""
       |SELECT d_year, i_brand_id, i_brand, ${ds_sum("ss_ext_sales_price", "sum_agg")}
       |FROM store_sales, date_dim, item

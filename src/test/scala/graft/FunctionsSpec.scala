@@ -951,4 +951,36 @@ class FunctionsSpec extends AnyFunSuite {
     val d = ops.Scalars.isoDuration(spark, sf).limit(1).collect()(0)
     assert(d.getBoolean(3) && d.getBoolean(4)) // both round trips hold
   }
+
+  test("strict subscript raises the reference error contracts") {
+    val ses = api.SqlSession.wrap(spark)
+    def err(sql: String): String =
+      intercept[Exception] { ses.sql(sql).collect() }.getMessage
+    assert(err("SELECT a[5] FROM (SELECT array(1, 2, 3) AS a)")
+      .contains("Array subscript out of bounds"))
+    assert(err("SELECT a[0] FROM (SELECT array(1, 2, 3) AS a)")
+      .contains("SQL array indices start at 1"))
+    assert(err("SELECT a[-1] FROM (SELECT array(1, 2, 3) AS a)")
+      .contains("Array subscript is negative"))
+    assert(err("SELECT m['zz'] FROM (SELECT map('a', 1) AS m)")
+      .contains("Key not present in map"))
+    // valid paths + SQL null propagation stay intact
+    val ok = ses.sql(
+      """SELECT a[3], m['a'], a[CAST(NULL AS INT)]
+        |FROM (SELECT array(1, 2, 3) AS a, map('a', 7) AS m)""".stripMargin)
+      .collect()(0)
+    assert(ok.getInt(0) == 3 && ok.getInt(1) == 7 && ok.isNullAt(2))
+  }
+
+  test("char(n) values pad to declared length through the dialect") {
+    val ses = api.SqlSession.wrap(spark)
+    val r = ses.sql(
+      """SELECT CAST('ab' AS CHAR(5)), length(CAST('ab' AS CHAR(5))),
+        |       CAST('ab' AS CHAR(5)) = 'ab',
+        |       CAST(concat('a', 'b') AS CHAR(4)) = 'ab  '""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "ab   ")
+    assert(r.getInt(1) == 5)
+    assert(!r.getBoolean(2) && r.getBoolean(3))
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Source-connector specs beyond the oracle gates: the file-backed Kafka
+  * topic stand-in must behave like a stream source too — the same
+  * topic-shaped data consumed via readStream with the same decode. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("kafka-shaped topic consumes identically in batch and readStream") {
+    // materialize the topic via the batch gate (also sanity-checks rows)
+    val batch = ops.Sources.kafkaBatch(spark, sf).collect()
+    assert(batch.nonEmpty, "batch consume returned rows")
+    val topicDir = "/tmp/graft_sources/kafka_topic_events"
+    val schema = spark.read.parquet(topicDir).schema
+    val payload = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("event_type", "string").add("value", "double")
+    val streamed = spark.readStream.schema(schema).parquet(topicDir)
+      .filter(col("topic") === "events" && col("offset") >= 1)
+      .select(from_json(col("value").cast("string"), payload).as("v"))
+      .groupBy(col("v.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("kafka_stand_in")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_type, n FROM kafka_stand_in")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batch.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+}

@@ -104,12 +104,12 @@ class SqlSessionSpec extends AnyFunSuite {
       "SELECT instr(s, 'x, y') FROM t")
   }
 
-  test("subscripts are 1-based element_at (arrays and maps)") {
+  test("subscripts are 1-based strict_subscript (arrays and maps)") {
     import graft.api.Dialect
     assert(Dialect.translate("SELECT a[1] FROM t") ==
-      "SELECT element_at(a, 1) FROM t")
+      "SELECT strict_subscript(a, 1) FROM t")
     assert(Dialect.translate("SELECT m['k'] FROM t") ==
-      "SELECT element_at(m, 'k') FROM t")
+      "SELECT strict_subscript(m, 'k') FROM t")
     // ARRAY[...] literal constructor is not a subscript
     assert(Dialect.translate("SELECT ARRAY[1, 2]") == "SELECT ARRAY[1, 2]")
     val r = session.sql(
