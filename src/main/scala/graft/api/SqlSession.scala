@@ -90,8 +90,8 @@ object SqlSession {
   * regions ('…' with '' escapes, "…" identifiers, `--` line and slash-star
   * block comments) — renames only ever touch code, so `SELECT 'call
   * arbitrary(x)'` keeps its literal intact. A 3-arg `strpos(s, sub, n)`
-  * (occurrence variant — no Spark equivalent) raises a clear unsupported
-  * error instead of silently renaming to 2-arg `instr` and failing analysis. */
+  * (occurrence variant — no Spark builtin) routes to the registered
+  * `graft_strpos3` expression instead of the 2-arg `instr` rename. */
 object Dialect {
 
   private val renames: Seq[(String, String)] = Seq(
@@ -191,10 +191,15 @@ object Dialect {
 
   private val strposCall = "(?i)\\bstrpos\\s*\\(".r
 
-  /** Reject the 3-arg occurrence variant with a clear error (arity counted
-    * on the masked text so commas in string literals don't miscount). */
-  private def checkStrposArity(text: String): Unit = {
-    val m = masked(text)
+  /** Route the 3-arg occurrence variant to the registered
+    * `graft_strpos3` (reference StringFunctions.java stringPosition with
+    * instance) before the generic strpos→instr rename; 2-arg calls are
+    * untouched. Arity is counted on the masked text so commas in string
+    * literals don't miscount. */
+  private def rewriteStrpos3(original: String): String = {
+    val m = masked(original)
+    val sb = new StringBuilder
+    var last = 0
     strposCall.findAllMatchIn(m).foreach { hit =>
       var depth = 1
       var commas = 0
@@ -208,10 +213,13 @@ object Dialect {
         }
         i += 1
       }
-      if (commas >= 2) throw new UnsupportedOperationException(
-        "strpos(string, substring, instance) with an instance argument is not " +
-          "supported by this engine; rewrite with 2-arg strpos/instr")
+      if (commas >= 2) {
+        sb.append(original.substring(last, hit.start))
+          .append("graft_strpos3(")
+        last = hit.end
+      }
     }
+    sb.append(original.substring(last)).toString
   }
 
   /** Reference subscripts are 1-based `expr[i]` (ArraySubscriptOperator;
@@ -544,14 +552,13 @@ object Dialect {
   }
 
   def translate(text: String, unnestStructRows: Boolean = false): String = {
-    checkStrposArity(text)
     if (timeWithTz.findFirstIn(masked(text)).isDefined)
       throw new UnsupportedOperationException(
         "time with time zone is not supported (documented gap — " +
           "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
-        rewriteCharCast(text))))),
+        rewriteCharCast(rewriteStrpos3(text)))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>

@@ -732,4 +732,425 @@ object GeoFunctions {
         struct(x.cast("int").as("x"), y.cast("int").as("y"),
           zoom.cast("int").as("zoom")))))
   }
+
+  // ---- Geometry accessors + validity (reference GeoFunctions.java
+  // ST_X/ST_Y:536, ST_XMin/XMax/YMin/YMax, ST_IsClosed, ST_IsEmpty,
+  // ST_IsSimple, ST_IsRing, ST_IsValid/geometry_invalid_reason,
+  // ST_Dimension, ST_CoordDim, ST_Boundary, ST_Points, ST_EnvelopeAsPts).
+  // All over the tagged struct<gtype,pts> — composed from codegen'd
+  // built-ins, no UDFs; type-contract violations raise (TRY-recoverable)
+  // exactly like the reference's @SqlType guards. ----
+
+  private def gPts(g: Column): Column = g.getField("pts")
+  private def gType(g: Column): Column = g.getField("gtype")
+
+  /** ST_X(point geometry) — raises on non-points like the reference. */
+  def stXOf(g: Column): Column =
+    when(gType(g) === "ST_Point", stX(element_at(gPts(g), 1)))
+      .otherwise(raise_error(
+        concat(lit("ST_X: expected ST_Point, got "), gType(g))).cast("double"))
+
+  /** ST_Y(point geometry). */
+  def stYOf(g: Column): Column =
+    when(gType(g) === "ST_Point", stY(element_at(gPts(g), 1)))
+      .otherwise(raise_error(
+        concat(lit("ST_Y: expected ST_Point, got "), gType(g))).cast("double"))
+
+  def stXMin(g: Column): Column = array_min(transform(gPts(g), stX(_)))
+  def stXMax(g: Column): Column = array_max(transform(gPts(g), stX(_)))
+  def stYMin(g: Column): Column = array_min(transform(gPts(g), stY(_)))
+  def stYMax(g: Column): Column = array_max(transform(gPts(g), stY(_)))
+
+  /** ST_IsEmpty: no coordinates (EMPTY WKT parses to an empty array). */
+  def stIsEmpty(g: Column): Column = size(gPts(g)) <= 0
+
+  /** ST_IsClosed on a LineString: first vertex equals last. */
+  def stIsClosed(g: Column): Column =
+    when(gType(g) === "ST_LineString",
+      element_at(gPts(g), 1) === element_at(gPts(g), -1))
+      .otherwise(raise_error(concat(
+        lit("ST_IsClosed: expected ST_LineString, got "),
+        gType(g))).cast("boolean"))
+
+  /** Any two NON-ADJACENT segments of the path intersect, or any two
+    * adjacent segments overlap beyond the shared vertex (spike/backtrack).
+    * The self-intersection core of ST_IsSimple / ST_IsRing / ST_IsValid.
+    * O(n²) pair scan inside codegen'd HOFs — rings are small. */
+  private def pathSelfIntersects(pts: Column, closed: Column): Column = {
+    val segs = pathSegments(pts)
+    val n = size(segs)
+    // sequence(1, 0) would DESCEND; guard the degenerate path explicitly
+    val idx = sequence(lit(1), greatest(n, lit(1)))
+    n >= 3 && exists(idx, i => exists(idx, j => {
+      // unordered pairs once; adjacency wraps when the path is closed
+      val adjacent = (j - i === 1) ||
+        (closed && i === 1 && j === n)
+      val si = element_at(segs, i); val sj = element_at(segs, j)
+      val touch = segSeg(si.getField("p"), si.getField("q"),
+        sj.getField("p"), sj.getField("q"))
+      (j > i) && !adjacent && touch
+    }))
+  }
+
+  /** ST_IsSimple: points always; linestrings iff no self-intersection
+    * (consecutive duplicate vertices also break simplicity). */
+  def stIsSimple(g: Column): Column = {
+    val pts = gPts(g)
+    val dupConsec = exists(
+      zip_with(slice(pts, lit(1), greatest(size(pts) - 1, lit(0))),
+        slice(pts, lit(2), greatest(size(pts) - 1, lit(0))),
+        (a, b) => a === b), x => x)
+    when(gType(g) === "ST_Point", lit(true))
+      .when(gType(g) === "ST_LineString",
+        !dupConsec && !pathSelfIntersects(pts,
+          element_at(pts, 1) === element_at(pts, -1)))
+      .when(gType(g) === "ST_Polygon",
+        !pathSelfIntersects(concat(pts, slice(pts, lit(1), lit(1))), lit(true)))
+      .otherwise(lit(false))
+  }
+
+  /** ST_IsRing: closed AND simple linestring. */
+  def stIsRing(g: Column): Column = stIsClosed(g) && stIsSimple(g)
+
+  /** geometry_invalid_reason (reference GeoFunctions.java invalid/
+    * non-simple reporting): NULL when valid, else the first failing
+    * contract. ST_IsValid = reason IS NULL. Polygons: ≥3 distinct
+    * vertices, non-zero area, no ring self-crossing. */
+  def geometryInvalidReason(g: Column): Column = {
+    val pts = gPts(g)
+    val ring = concat(pts, slice(pts, lit(1), lit(1)))
+    when(gType(g) === "ST_Polygon" &&
+        size(array_distinct(pts)) < 3, lit("Polygon has fewer than 3 distinct vertices"))
+      .when(gType(g) === "ST_Polygon" && stArea(pts) === 0.0,
+        lit("Polygon is degenerate (zero area)"))
+      .when(gType(g) === "ST_Polygon" && pathSelfIntersects(ring, lit(true)),
+        lit("Polygon ring self-intersects"))
+      .when(gType(g) === "ST_LineString" && size(pts) < 2,
+        lit("LineString has fewer than 2 points"))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  def stIsValid(g: Column): Column = geometryInvalidReason(g).isNull
+
+  /** ST_Dimension: 0 point, 1 line, 2 polygon. */
+  def stDimension(g: Column): Column =
+    when(gType(g).endsWith("Point"), lit(0))
+      .when(gType(g).endsWith("LineString"), lit(1))
+      .otherwise(lit(2)).cast("int")
+
+  /** ST_CoordDim — the tagged struct is always planar x/y. */
+  def stCoordDim(g: Column): Column = lit(2).cast("int")
+
+  /** ST_Boundary: point → empty collection, open line → its two
+    * endpoints as MULTIPOINT (closed → empty), polygon → the closed
+    * ring as LINESTRING. Matches the reference's Esri boundary shapes. */
+  def stBoundary(g: Column): Column = {
+    val pts = gPts(g)
+    val emptyParts = array().cast("array<struct<gtype:string,pts:array<struct<x:double,y:double>>>>")
+    val closed = element_at(pts, 1) === element_at(pts, -1)
+    when(gType(g) === "ST_Point",
+      struct(lit("ST_GeometryCollection").as("gtype"), emptyParts.as("geoms")))
+      .when(gType(g) === "ST_LineString" && closed,
+        struct(lit("ST_MultiPoint").as("gtype"), emptyParts.as("geoms")))
+      .when(gType(g) === "ST_LineString",
+        struct(lit("ST_MultiPoint").as("gtype"), array(
+          struct(lit("ST_Point").as("gtype"), slice(pts, lit(1), lit(1)).as("pts")),
+          struct(lit("ST_Point").as("gtype"),
+            slice(pts, size(pts), lit(1)).as("pts"))).as("geoms")))
+      .otherwise( // polygon: ring closes explicitly, like WKT output
+        struct(lit("ST_MultiLineString").as("gtype"), array(
+          struct(lit("ST_LineString").as("gtype"),
+            concat(pts, slice(pts, lit(1), lit(1))).as("pts"))).as("geoms")))
+  }
+
+  /** ST_Points: every vertex, in order, as an array of point geometries
+    * (reference returns ARRAY(Geometry)). */
+  def stPoints(g: Column): Column =
+    transform(gPts(g), p =>
+      struct(lit("ST_Point").as("gtype"), array(p).as("pts")))
+
+  /** ST_EnvelopeAsPts: [bottom-left, top-right] corner points. */
+  def stEnvelopeAsPts(g: Column): Column = {
+    val e = stEnvelope(gPts(g))
+    array(
+      struct(lit("ST_Point").as("gtype"),
+        array(stPoint(e.getField("xmin"), e.getField("ymin"))).as("pts")),
+      struct(lit("ST_Point").as("gtype"),
+        array(stPoint(e.getField("xmax"), e.getField("ymax"))).as("pts")))
+  }
+
+  // ---- ST_ConvexHull (scalar, GeoFunctions.java ST_ConvexHull), ST_Equals,
+  // ST_SymDifference — monotone chain spelled entirely in HOFs so the hull
+  // stays inside whole-stage codegen. ----
+
+  /** One monotone-chain half-hull sweep: fold points in, popping while the
+    * last two hull points and the incoming one make a non-left turn. The
+    * inner pop-while is a bounded fold over the current hull size (hull
+    * can shrink at most size(h) times per insert). */
+  private def halfHull(sorted: Column): Column = {
+    def crossT(o: Column, a: Column, b: Column): Column =
+      (stX(a) - stX(o)) * (stY(b) - stY(o)) -
+        (stY(a) - stY(o)) * (stX(b) - stX(o))
+    val empty = array().cast("array<struct<x:double,y:double>>")
+    aggregate(sorted, empty, (h, p) => {
+      val pruned = aggregate(sequence(lit(1), greatest(size(h), lit(1))), h,
+        (acc, _) => when(size(acc) >= 2 &&
+            crossT(element_at(acc, size(acc) - 1),
+              element_at(acc, size(acc)), p) <= 0.0,
+          slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+      concat(pruned, array(p))
+    })
+  }
+
+  /** ST_ConvexHull over any vertex set → CCW ring (unclosed, starting at
+    * the lexicographically smallest vertex — Andrew's monotone chain,
+    * the same contract as convex_hull_agg). Degenerate inputs (<3 hull
+    * points) return the distinct vertex set. */
+  def stConvexHullRing(pts: Column): Column = {
+    // struct comparison is field-order lexicographic: (x, y) — exactly
+    // the monotone-chain sort key
+    val sorted = array_sort(array_distinct(pts))
+    val lower = halfHull(sorted)
+    val upper = halfHull(reverse(sorted))
+    when(size(sorted) <= 2, sorted).otherwise(
+      concat(slice(lower, lit(1), size(lower) - 1),
+        slice(upper, lit(1), size(upper) - 1)))
+  }
+
+  /** ST_ConvexHull on a tagged geometry → tagged polygon (or the input
+    * when degenerate). */
+  def stConvexHull(g: Column): Column = {
+    val hull = stConvexHullRing(gPts(g))
+    when(size(hull) >= 3,
+      struct(lit("ST_Polygon").as("gtype"), hull.as("pts")))
+      .otherwise(g)
+  }
+
+  /** ST_Equals: same point set. Points compare directly; linestrings up
+    * to direction reversal; polygon rings by mutual containment (so
+    * rotation + orientation insensitive). */
+  def stEquals(a: Column, b: Column): Column = {
+    val pa = gPts(a); val pb = gPts(b)
+    when(gType(a) =!= gType(b), lit(false))
+      .when(gType(a) === "ST_Point", element_at(pa, 1) === element_at(pb, 1))
+      .when(gType(a) === "ST_LineString", pa === pb || pa === reverse(pb))
+      .otherwise(stPolygonContains(pa, pb) && stPolygonContains(pb, pa))
+  }
+
+  /** ST_SymDifference for convex CCW rings: (A\B) ⊎ (B\A) as a tagged
+    * collection (GeoFunctions.java ST_SymDifference via Esri). */
+  def stSymDifferenceConvex(ringA: Column, ringB: Column): Column = {
+    val aMinusB = stDifferenceConvex(ringA, ringB)
+    val bMinusA = stDifferenceConvex(ringB, ringA)
+    struct(lit("ST_GeometryCollection").as("gtype"),
+      concat(aMinusB.getField("geoms"), bMinusA.getField("geoms")).as("geoms"))
+  }
+
+  // ---- Polygons with interior rings (holes): WKT POLYGON ((outer),
+  // (hole)…) → struct<gtype, rings: array<array<point>>>. Reference:
+  // GeoFunctions.java ST_ExteriorRing, ST_InteriorRingN,
+  // ST_NumInteriorRing, ST_InteriorRings; area/contains subtract holes. ----
+
+  /** Parse POLYGON WKT with optional interior rings. Rings keep WKT order
+    * (exterior first); closure vertices are dropped like the single-ring
+    * parser. */
+  def stPolygonWithHoles(w: Column): Column = {
+    val groups = regexp_extract_all(w, lit("\\(([^()]+)\\)"), lit(1))
+    struct(lit("ST_Polygon").as("gtype"),
+      transform(groups, s => dropClosure(wktCoords(s))).as("rings"))
+  }
+
+  /** ST_ExteriorRing → the closed outer ring as a LINESTRING geometry. */
+  def stExteriorRing(g: Column): Column = {
+    val outer = element_at(g.getField("rings"), 1)
+    struct(lit("ST_LineString").as("gtype"),
+      concat(outer, slice(outer, lit(1), lit(1))).as("pts"))
+  }
+
+  def stNumInteriorRing(g: Column): Column =
+    greatest(size(g.getField("rings")) - 1, lit(0)).cast("long")
+
+  /** ST_InteriorRingN (1-based) → closed LINESTRING. */
+  def stInteriorRingN(g: Column, n: Column): Column = {
+    val ring = element_at(g.getField("rings"), n + 1)
+    struct(lit("ST_LineString").as("gtype"),
+      concat(ring, slice(ring, lit(1), lit(1))).as("pts"))
+  }
+
+  /** ST_InteriorRings → array of closed LINESTRING geometries. */
+  def stInteriorRings(g: Column): Column =
+    transform(slice(g.getField("rings"), lit(2),
+      greatest(size(g.getField("rings")) - 1, lit(0))), ring =>
+      struct(lit("ST_LineString").as("gtype"),
+        concat(ring, slice(ring, lit(1), lit(1))).as("pts")))
+
+  /** ST_Area of a polygon with holes: |outer| − Σ|holes| (rings must not
+    * overlap — the WKT validity contract). */
+  def stAreaWithHoles(g: Column): Column =
+    aggregate(
+      zip_with(g.getField("rings"),
+        sequence(lit(1), size(g.getField("rings"))),
+        (ring, i) => when(i === 1, stArea(ring)).otherwise(-stArea(ring))),
+      lit(0.0), _ + _)
+
+  /** ST_Contains(polygon-with-holes, point): inside the outer ring and
+    * outside every hole. */
+  def stContainsPointWithHoles(g: Column, p: Column): Column = {
+    val rings = g.getField("rings")
+    stContainsPoint(element_at(rings, 1), p) &&
+      !exists(slice(rings, lit(2), greatest(size(rings) - 1, lit(0))),
+        hole => stContainsPoint(hole, p))
+  }
+
+  // ---- line_locate_point / line_interpolate_point (reference
+  // GeoFunctions.java lineLocatePoint:1368, lineInterpolatePoint): both a
+  // single fold over the segment list carrying (cumulative length, best)
+  // state — no UDF, stays in codegen. ----
+
+  /** line_locate_point(line, point) → fraction in [0,1] of the line's
+    * length at the point closest to `point`. */
+  def lineLocatePoint(line: Column, p: Column): Column = {
+    val segs = pathSegments(line)
+    val total = stLineLength(line)
+    def d2(a: Column, b: Column): Column =
+      pow(stX(a) - stX(b), 2) + pow(stY(a) - stY(b), 2)
+    // fold state: (cum length so far, best squared distance, arc length at best)
+    val init = struct(lit(0.0).as("cum"), lit(Double.MaxValue).as("best"),
+      lit(0.0).as("at"))
+    val state = aggregate(segs, init, (st, s) => {
+      val a = s.getField("p"); val b = s.getField("q")
+      val len = sqrt(d2(a, b))
+      // projection parameter clamped to the segment
+      val t = when(len === 0.0, lit(0.0)).otherwise(
+        least(lit(1.0), greatest(lit(0.0),
+          ((stX(p) - stX(a)) * (stX(b) - stX(a)) +
+           (stY(p) - stY(a)) * (stY(b) - stY(a))) / (len * len))))
+      val proj = stPoint(stX(a) + t * (stX(b) - stX(a)),
+        stY(a) + t * (stY(b) - stY(a)))
+      val dist = d2(p, proj)
+      struct(
+        (st.getField("cum") + len).as("cum"),
+        when(dist < st.getField("best"), dist)
+          .otherwise(st.getField("best")).as("best"),
+        when(dist < st.getField("best"), st.getField("cum") + t * len)
+          .otherwise(st.getField("at")).as("at"))
+    })
+    when(total === 0.0, lit(0.0)).otherwise(state.getField("at") / total)
+  }
+
+  /** line_interpolate_point(line, fraction) → the point at `fraction` of
+    * the line's total length. Fraction outside [0,1] raises like the
+    * reference. */
+  def lineInterpolatePoint(line: Column, frac: Column): Column = {
+    val segs = pathSegments(line)
+    val target = stLineLength(line) * frac
+    val init = struct(lit(0.0).as("cum"),
+      lit(null).cast("struct<x:double,y:double>").as("pt"))
+    val state = aggregate(segs, init, (st, s) => {
+      val a = s.getField("p"); val b = s.getField("q")
+      val len = sqrt(pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2))
+      val endCum = st.getField("cum") + len
+      val t = when(len === 0.0, lit(0.0))
+        .otherwise((target - st.getField("cum")) / len)
+      val here = stPoint(stX(a) + t * (stX(b) - stX(a)),
+        stY(a) + t * (stY(b) - stY(a)))
+      struct(endCum.as("cum"),
+        when(st.getField("pt").isNull && target <= endCum, here)
+          .otherwise(st.getField("pt")).as("pt"))
+    })
+    val res = coalesce(state.getField("pt"), element_at(line, -1))
+    when(frac < 0.0 || frac > 1.0,
+      raise_error(lit("line_interpolate_point: fraction must be in [0, 1]"))
+        .cast("struct<gtype:string,pts:array<struct<x:double,y:double>>>"))
+      .otherwise(struct(lit("ST_Point").as("gtype"), array(res).as("pts")))
+  }
+
+  // ---- WKB + simplify (reference GeoFunctions.java ST_AsBinary /
+  // ST_GeomFromBinary / simplifyGeometry). ----
+
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** ST_AsBinary(tagged geometry) → big-endian OGC WKB. */
+  def stAsBinary(g: Column): Column =
+    Bridge.column(WkbEncode(Bridge.expression(g)))
+
+  /** ST_GeomFromBinary(varbinary) → tagged geometry (either endianness). */
+  def stGeomFromBinary(b: Column): Column =
+    Bridge.column(WkbDecode(Bridge.expression(b)))
+
+  /** simplify_geometry: Douglas–Peucker on the vertex path, tag kept.
+    * Points pass through unchanged. */
+  def simplifyGeometry(g: Column, tol: Column): Column =
+    struct(gType(g).as("gtype"),
+      Bridge.column(SimplifyPath(Bridge.expression(gPts(g)),
+        Bridge.expression(tol.cast("double")))).as("pts"))
+
+  /** ST_Geometries: the component list of a multi-geometry (reference
+    * returns ARRAY(Geometry); NULL for empty like the reference). */
+  def stGeometries(g: Column): Column =
+    when(size(g.getField("geoms")) > 0, g.getField("geoms"))
+      .otherwise(lit(null))
+
+  // ---- ST_Relate (reference GeoFunctions.java ST_Relate via Esri
+  // relate): DE-9IM intersection matrix for SIMPLE SINGLE-RING POLYGON
+  // pairs, synthesized from the same division-free orientation witnesses
+  // the relation predicates use. Entries are exact for polygons whose
+  // boundaries meet in finitely many points or whole collinear edges
+  // (the same contract as ST_Touches/Overlaps above). ----
+
+  /** Two edges collinear with >0-length overlap (the BB='1' witness). */
+  private def collinearEdgeOverlap(edgesA: Column, edgesB: Column): Column =
+    exists(edgesA, ea => exists(edgesB, eb => {
+      val p = ea.getField("p"); val q = ea.getField("q")
+      val r = eb.getField("p"); val s = eb.getField("q")
+      def cross3(o: Column, a: Column, b: Column): Column =
+        (stX(a) - stX(o)) * (stY(b) - stY(o)) -
+          (stY(a) - stY(o)) * (stX(b) - stX(o))
+      val dr = (stX(r) - stX(p)) * (stX(q) - stX(p)) +
+        (stY(r) - stY(p)) * (stY(q) - stY(p))
+      val dsv = (stX(s) - stX(p)) * (stX(q) - stX(p)) +
+        (stY(s) - stY(p)) * (stY(q) - stY(p))
+      val len2 = pow(stX(q) - stX(p), 2) + pow(stY(q) - stY(p), 2)
+      cross3(p, q, r) === 0 && cross3(p, q, s) === 0 &&
+        greatest(lit(0.0), least(dr, dsv)) < least(len2, greatest(dr, dsv))
+    }))
+
+  /** DE-9IM matrix (row-major IIxIB…EE, '0'/'1'/'2'/'F') for two simple
+    * polygon rings. */
+  def stRelateMatrix(ringA: Column, ringB: Column): Column = {
+    val ab = stPolygonContains(ringA, ringB) // A covers B
+    val ba = stPolygonContains(ringB, ringA)
+    val ii = interiorsIntersect(ringA, ringB) || ab || ba
+    val properOrInsideAB = // I(a) ∩ B(b) witness: B's boundary enters A's interior
+      exists(ringB, v => strictlyInside(ringA, v)) ||
+        anyProperCross(ringEdges(ringA), ringEdges(ringB))
+    val properOrInsideBA =
+      exists(ringA, v => strictlyInside(ringB, v)) ||
+        anyProperCross(ringEdges(ringA), ringEdges(ringB))
+    val edgeOverlap = collinearEdgeOverlap(ringEdges(ringA), ringEdges(ringB))
+    val boundariesTouch = anySegPair(ringEdges(ringA), ringEdges(ringB))
+    concat(
+      when(ii, "2").otherwise("F"),
+      when(properOrInsideAB, "1").otherwise("F"),
+      when(ba, "F").otherwise("2"),
+      when(properOrInsideBA, "1").otherwise("F"),
+      when(edgeOverlap, "1").when(boundariesTouch, "0").otherwise("F"),
+      when(ba, "F").otherwise("1"),
+      when(ab, "F").otherwise("2"),
+      when(ab, "F").otherwise("1"),
+      lit("2"))
+  }
+
+  /** ST_Relate(a, b, pattern): DE-9IM pattern match — 'T' = any non-F,
+    * 'F' = F, '*' = anything, digit = exact dimension. */
+  def stRelate(ringA: Column, ringB: Column, pattern: Column): Column = {
+    val m = stRelateMatrix(ringA, ringB)
+    forall(sequence(lit(1), lit(9)), i => {
+      val have = m.substr(i.cast("int"), lit(1))
+      val want = upper(pattern.substr(i.cast("int"), lit(1)))
+      (want === "*") ||
+        (want === "T" && have =!= "F") ||
+        (want === have)
+    })
+  }
 }

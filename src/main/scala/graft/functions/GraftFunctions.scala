@@ -42,6 +42,9 @@ object GraftFunctions {
     ("strict_subscript",
       "strict_subscript(x, i) - reference-contract x[i]: raises on OOB index / missing map key",
       es => StrictSubscript(es(0), es(1))),
+    ("graft_strpos3",
+      "graft_strpos3(s, sub, n) - reference strpos occurrence variant (n-th match, negative = from end)",
+      es => StrPosInstance(es(0), es(1), es(2))),
     ("mysql_date_format",
       "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
       es => {

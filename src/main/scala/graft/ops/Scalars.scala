@@ -1323,6 +1323,253 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Geometry accessors + validity (reference GeoFunctions.java ST_X/ST_Y,
+    * ST_XMin…ST_YMax, ST_IsEmpty/IsClosed/IsRing/IsSimple/IsValid,
+    * geometry_invalid_reason, ST_Dimension/CoordDim, ST_Boundary,
+    * ST_Points, ST_EnvelopeAsPts). Per key: a point, an L-shaped open
+    * path (3-4 legs), its closed square variant, a bowtie self-crossing
+    * path, and degenerate/self-crossing polygons — every output a dyadic
+    * closed form the oracle replays. */
+  def geoAccess(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val pt = struct(lit("ST_Point").as("gtype"),
+      arr(stPoint(cx, cy)).as("pts"))
+    val lineL = struct(lit("ST_LineString").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 3, cy), stPoint(cx + 3, cy + 4)).as("pts"))
+    val sq = arr(stPoint(cx, cy), stPoint(cx + 2, cy),
+      stPoint(cx + 2, cy + 2), stPoint(cx, cy + 2))
+    val closedSq = struct(lit("ST_LineString").as("gtype"),
+      concat(sq, slice(sq, lit(1), lit(1))).as("pts"))
+    val bowtie = struct(lit("ST_LineString").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 2, cy + 2),
+        stPoint(cx + 2, cy), stPoint(cx, cy + 2)).as("pts"))
+    val poly = struct(lit("ST_Polygon").as("gtype"), sq.as("pts"))
+    val degen = struct(lit("ST_Polygon").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 1, cy + 1), stPoint(cx + 2, cy + 2)).as("pts"))
+    val selfx = struct(lit("ST_Polygon").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 4, cy),
+        stPoint(cx + 1, cy + 2), stPoint(cx + 3, cy + 2)).as("pts"))
+    g.select(col("k"),
+      stXOf(pt).as("px"), stYOf(pt).as("py"),
+      stXMin(lineL).as("xmin"), stXMax(lineL).as("xmax"),
+      stYMin(lineL).as("ymin"), stYMax(lineL).as("ymax"),
+      stIsEmpty(pt).as("p_empty"),
+      stIsClosed(lineL).as("l_closed"),
+      stIsClosed(closedSq).as("sq_closed"),
+      stIsRing(closedSq).as("sq_ring"),
+      stIsSimple(lineL).as("l_simple"),
+      stIsSimple(bowtie).as("bow_simple"),
+      stDimension(pt).as("dim_p"), stDimension(lineL).as("dim_l"),
+      stDimension(poly).as("dim_pg"), stCoordDim(poly).as("cdim"),
+      stGeometryType(stBoundary(lineL)).as("bnd_l_t"),
+      stNumGeometries(stBoundary(lineL)).as("bnd_l_n"),
+      stGeometryType(stBoundary(poly)).as("bnd_pg_t"),
+      stNumGeometries(stBoundary(closedSq)).as("bnd_csq_n"),
+      size(stPoints(lineL)).cast("long").as("npts"),
+      stXOf(element_at(stEnvelopeAsPts(lineL), 2)).as("env_hi_x"),
+      stIsValid(poly).as("pg_valid"),
+      geometryInvalidReason(degen).as("degen_why"),
+      geometryInvalidReason(selfx).as("selfx_why"))
+      .orderBy("k")
+  }
+
+  /** Polygons with interior rings (reference GeoFunctions.java
+    * ST_ExteriorRing/ST_InteriorRingN/ST_NumInteriorRing/ST_InteriorRings;
+    * area and point-containment subtract holes). Outer 4×4 square, 1 or 2
+    * unit holes by k parity — all closed forms dyadic. */
+  def geoHoles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"), (col("c_custkey") % 2).as("m"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m")
+    def ptTxt(x: Column, y: Column): Column =
+      concat_ws(" ", x.cast("string"), y.cast("string"))
+    def ringTxt(x: Column, y: Column, sz: Column): Column = concat_ws(", ",
+      ptTxt(x, y), ptTxt(x + sz, y), ptTxt(x + sz, y + sz),
+      ptTxt(x, y + sz), ptTxt(x, y))
+    val hole2 = concat(lit(", ("), ringTxt(cx + 2.5, cy + 2.5, lit(1.0)), lit(")"))
+    val wkt = concat(lit("POLYGON (("), ringTxt(cx, cy, lit(4.0)),
+      lit("), ("), ringTxt(cx + 1, cy + 1, lit(1.0)), lit(")"),
+      when(m === 1, hole2).otherwise(lit("")), lit(")"))
+    val pg = stPolygonWithHoles(wkt)
+    g.select(col("k"),
+      stNumInteriorRing(pg).as("n_holes"),
+      round(stAreaWithHoles(pg), 4).as("area"),
+      stGeometryType(stExteriorRing(pg)).as("ext_t"),
+      size(stExteriorRing(pg).getField("pts")).cast("long").as("ext_npts"),
+      round(stLineLength(stInteriorRingN(pg, lit(1)).getField("pts")), 4)
+        .as("hole1_perim"),
+      size(stInteriorRings(pg)).cast("long").as("int_rings_n"),
+      stContainsPointWithHoles(pg, stPoint(cx + 0.5, cy + 0.5)).as("in_shell"),
+      stContainsPointWithHoles(pg, stPoint(cx + 1.5, cy + 1.5)).as("in_hole1"),
+      stContainsPointWithHoles(pg, stPoint(cx + 3.0, cy + 3.75)).as("near_edge"))
+      .orderBy("k")
+  }
+
+  /** ST_ConvexHull (scalar monotone chain in HOFs), ST_Equals
+    * (orientation/rotation-insensitive), ST_SymDifference for convex
+    * rings — reference GeoFunctions.java ST_ConvexHull/ST_Equals/
+    * ST_SymDifference. Hull inputs: square corners + interior points
+    * (hull = the 4 corners, area a²); collinear degenerate keeps the
+    * distinct vertex count. SymDiff replays the fn_geo_setops m-class
+    * areas: (A\B) + (B\A). */
+  def geoHull(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"), (col("c_custkey") % 5).as("m"),
+        (lit(1.0) + col("c_custkey") % 3).as("a"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m"); val a = col("a")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val scatter = arr(
+      stPoint(cx + a / 2, cy + a / 2), stPoint(cx + a, cy),
+      stPoint(cx, cy), stPoint(cx + a, cy + a),
+      stPoint(cx + a / 4, cy + a / 2), stPoint(cx, cy + a))
+    val hull = stConvexHullRing(scatter)
+    val collinear = arr(stPoint(cx, cy), stPoint(cx + 1, cy + 1),
+      stPoint(cx + 2, cy + 2), stPoint(cx + 1, cy + 1))
+    def sq(x: Column, y: Column, sz: Column): Column =
+      arr(stPoint(x, y), stPoint(x + sz, y),
+        stPoint(x + sz, y + sz), stPoint(x, y + sz))
+    val ringA = sq(cx, cy, lit(2.0))
+    // same m-class placement as fn_geo_setops/fn_geo_pred
+    val bx = when(m === 0, cx + 0.5).when(m === 1, cx + 1.0)
+      .when(m === 2, cx + 2.0).when(m === 3, cx + 3.0).otherwise(cx + 2.0)
+    val by = when(m === 0, cy + 0.5).when(m === 1, cy + 1.0)
+      .when(m === 2, cy + 0.5).when(m === 3, cy + 3.0).otherwise(cy + 2.0)
+    val bs = when(m === 0, 1.0).when(m === 1, 2.0)
+      .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
+    val ringB = sq(bx, by, bs)
+    val gA = struct(lit("ST_Polygon").as("gtype"), ringA.as("pts"))
+    // rotated + reversed spelling of the same square ring
+    val ringA2 = reverse(arr(stPoint(cx + 2, cy + 2), stPoint(cx, cy + 2),
+      stPoint(cx, cy), stPoint(cx + 2, cy)))
+    val gA2 = struct(lit("ST_Polygon").as("gtype"), ringA2.as("pts"))
+    val gB = struct(lit("ST_Polygon").as("gtype"), ringB.as("pts"))
+    val symd = stSymDifferenceConvex(ringA, ringB)
+    g.select(col("k"),
+      size(hull).cast("long").as("hull_n"),
+      round(stArea(hull), 4).as("hull_area"),
+      stGeometryType(stConvexHull(struct(lit("ST_Polygon").as("gtype"),
+        scatter.as("pts")))).as("hull_t"),
+      size(stConvexHullRing(collinear)).cast("long").as("coll_n"),
+      stEquals(gA, gA2).as("eq_same"),
+      stEquals(gA, gB).as("eq_other"),
+      stGeometryType(symd).as("symd_t"),
+      round(stAreaMulti(symd), 4).as("symd_area"))
+      .orderBy("k")
+  }
+
+  /** line_locate_point / line_interpolate_point (reference
+    * GeoFunctions.java lineLocatePoint/lineInterpolatePoint): a 3-4
+    * L-path gives exact arc closed forms; fractions sweep start/bend/
+    * mid-leg/end. */
+  def geoLineOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val line = arr(stPoint(cx, cy), stPoint(cx + 3, cy), stPoint(cx + 3, cy + 4))
+    g.select(col("k"),
+      round(lineLocatePoint(line, stPoint(cx + 1, cy - 1)), 6).as("loc_leg1"),
+      round(lineLocatePoint(line, stPoint(cx + 4, cy + 2)), 6).as("loc_leg2"),
+      round(lineLocatePoint(line, stPoint(cx, cy)), 6).as("loc_start"),
+      round(lineLocatePoint(line, stPoint(cx + 3, cy + 4)), 6).as("loc_end"),
+      round(stXOf(lineInterpolatePoint(line, lit(3.0 / 7.0))) - cx, 6).as("interp_bend_dx"),
+      round(stYOf(lineInterpolatePoint(line, lit(5.0 / 7.0))) - cy, 6).as("interp_mid_dy"),
+      round(stXOf(lineInterpolatePoint(line, lit(0.0))) - cx, 6).as("interp_0_dx"),
+      round(stYOf(lineInterpolatePoint(line, lit(1.0))) - cy, 6).as("interp_1_dy"))
+      .orderBy("k")
+  }
+
+  /** ST_Relate (reference GeoFunctions.java ST_Relate): DE-9IM matrix +
+    * pattern match over the same m-class square pairs as fn_geo_pred —
+    * nested, overlapping, edge-shared, disjoint, corner-touching — plus
+    * the identity pair. Every matrix is a closed form per class. */
+  def geoRelate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"), (col("c_custkey") % 5).as("m"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m")
+    def sq(x: Column, y: Column, sz: Column): Column =
+      org.apache.spark.sql.functions.array(
+        stPoint(x, y), stPoint(x + sz, y),
+        stPoint(x + sz, y + sz), stPoint(x, y + sz))
+    val ringA = sq(cx, cy, lit(2.0))
+    val bx = when(m === 0, cx + 0.5).when(m === 1, cx + 1.0)
+      .when(m === 2, cx + 2.0).when(m === 3, cx + 3.0).otherwise(cx + 2.0)
+    val by = when(m === 0, cy + 0.5).when(m === 1, cy + 1.0)
+      .when(m === 2, cy + 0.5).when(m === 3, cy + 3.0).otherwise(cy + 2.0)
+    val bs = when(m === 0, 1.0).when(m === 1, 2.0)
+      .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
+    val ringB = sq(bx, by, bs)
+    g.select(col("k"),
+      stRelateMatrix(ringA, ringB).as("de9im"),
+      stRelateMatrix(ringA, ringA).as("de9im_self"),
+      stRelate(ringA, ringA, lit("T*F**FFF*")).as("rel_equals"),
+      stRelate(ringA, ringB, lit("T*****FF*")).as("rel_contains"),
+      stRelate(ringA, ringB, lit("T*T***T**")).as("rel_overlaps"),
+      stRelate(ringA, ringB, lit("FF*FF****")).as("rel_disjoint"))
+      .orderBy("k")
+  }
+
+  /** WKB codec + simplify_geometry + ST_Geometries (reference
+    * GeoFunctions.java ST_AsBinary/ST_GeomFromBinary/simplifyGeometry/
+    * ST_Geometries). The oracle replays the OGC frame sizes (21/9+16n/
+    * 13+16(n+1) bytes), the byte-order/type header hex, round-trip
+    * identity, and the Douglas–Peucker keep counts for a dyadic zigzag
+    * (max deviation 0.25 → collapses under tol 0.5, survives tol 0.1). */
+  def geoWkb(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val pt = struct(lit("ST_Point").as("gtype"), arr(stPoint(cx, cy)).as("pts"))
+    val line = struct(lit("ST_LineString").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 3, cy), stPoint(cx + 3, cy + 4)).as("pts"))
+    val poly = struct(lit("ST_Polygon").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 2, cy),
+        stPoint(cx + 2, cy + 2), stPoint(cx, cy + 2)).as("pts"))
+    val zig = struct(lit("ST_LineString").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 1, cy + 0.25), stPoint(cx + 2, cy),
+        stPoint(cx + 3, cy + 0.25), stPoint(cx + 4, cy)).as("pts"))
+    val ml = stMultiGeometryFromText(concat(lit("MULTIPOINT ("),
+      concat_ws(" ", cx.cast("string"), cy.cast("string")), lit(", "),
+      concat_ws(" ", (cx + 1).cast("string"), cy.cast("string")), lit(")")))
+    val wpt = stAsBinary(pt); val wline = stAsBinary(line); val wpg = stAsBinary(poly)
+    g.select(col("k"),
+      length(wpt).as("pt_len"), length(wline).as("line_len"),
+      length(wpg).as("pg_len"),
+      hex(substring(wpt, 1, 5)).as("pt_hdr"),
+      hex(substring(wpg, 1, 9)).as("pg_hdr"),
+      (stGeomFromBinary(wpt) === pt).as("rt_pt"),
+      (stGeomFromBinary(wline) === line).as("rt_line"),
+      (stGeomFromBinary(wpg) === poly).as("rt_pg"),
+      size(simplifyGeometry(zig, lit(0.5)).getField("pts")).as("n_tol_big"),
+      size(simplifyGeometry(zig, lit(0.1)).getField("pts")).as("n_tol_small"),
+      stGeometryType(simplifyGeometry(zig, lit(0.5))).as("simp_t"),
+      size(stGeometries(ml)).cast("long").as("n_geoms"),
+      stGeometries(stBoundary(pt)).isNull.as("empty_geoms_null"))
+      .orderBy("k")
+  }
+
   /** Bing tile completions (reference geospatial/BingTileFunctions.java):
     * bing_tile_polygon (tile envelope as a geometry) and
     * geometry_to_bing_tiles (envelope tile cover at a zoom). Tile x
@@ -1441,6 +1688,12 @@ object Scalars {
     "fn_geo_pred" -> geoPred,
     "fn_geo_setops" -> geoSetOps,
     "fn_geo_sphere" -> geoSphere,
+    "fn_geo_access" -> geoAccess,
+    "fn_geo_holes" -> geoHoles,
+    "fn_geo_hull" -> geoHull,
+    "fn_geo_lineops" -> geoLineOps,
+    "fn_geo_wkb" -> geoWkb,
+    "fn_geo_relate" -> geoRelate,
     "fn_bingtile2" -> bingTile2,
     "agg_geo_union" -> geoUnionAgg,
     "agg_convex_hull" -> convexHullAgg,
@@ -2373,6 +2626,87 @@ object Scalars {
         | CAST(CASE m WHEN 0 THEN 3.0 WHEN 1 THEN 3.0 ELSE 4.0 END AS DOUBLE) AS diff_area,
         | CAST(CASE WHEN m % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS mp_n
         |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_access" ->
+      """WITH g AS (SELECT c_custkey k,
+        | CAST(c_custkey % 100 AS DOUBLE) / 8.0 AS cx,
+        | CAST(c_custkey % 77 AS DOUBLE) / 4.0 AS cy
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | cx AS px, cy AS py,
+        | cx AS xmin, cx + 3 AS xmax, cy AS ymin, cy + 4 AS ymax,
+        | FALSE AS p_empty, FALSE AS l_closed,
+        | TRUE AS sq_closed, TRUE AS sq_ring,
+        | TRUE AS l_simple, FALSE AS bow_simple,
+        | CAST(0 AS INTEGER) AS dim_p, CAST(1 AS INTEGER) AS dim_l,
+        | CAST(2 AS INTEGER) AS dim_pg, CAST(2 AS INTEGER) AS cdim,
+        | 'ST_MultiPoint' AS bnd_l_t, CAST(2 AS BIGINT) AS bnd_l_n,
+        | 'ST_MultiLineString' AS bnd_pg_t, CAST(0 AS BIGINT) AS bnd_csq_n,
+        | CAST(3 AS BIGINT) AS npts, cx + 3 AS env_hi_x,
+        | TRUE AS pg_valid,
+        | 'Polygon is degenerate (zero area)' AS degen_why,
+        | 'Polygon ring self-intersects' AS selfx_why
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_holes" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 2 m
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | CAST(1 + m AS BIGINT) AS n_holes,
+        | CAST(16.0 - 1 - m AS DOUBLE) AS area,
+        | 'ST_LineString' AS ext_t, CAST(5 AS BIGINT) AS ext_npts,
+        | CAST(4.0 AS DOUBLE) AS hole1_perim,
+        | CAST(1 + m AS BIGINT) AS int_rings_n,
+        | TRUE AS in_shell, FALSE AS in_hole1, TRUE AS near_edge
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_hull" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 5 m,
+        | CAST(1 + c_custkey % 3 AS DOUBLE) a
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | CAST(4 AS BIGINT) AS hull_n,
+        | CAST(a * a AS DOUBLE) AS hull_area,
+        | 'ST_Polygon' AS hull_t,
+        | CAST(2 AS BIGINT) AS coll_n,
+        | TRUE AS eq_same, FALSE AS eq_other,
+        | 'ST_GeometryCollection' AS symd_t,
+        | CAST(CASE m WHEN 0 THEN 3.0 WHEN 1 THEN 6.0 ELSE 5.0 END AS DOUBLE)
+        |   AS symd_area
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_lineops" ->
+      """SELECT c_custkey AS k,
+        | round(1.0 / 7.0, 6) AS loc_leg1,
+        | round(5.0 / 7.0, 6) AS loc_leg2,
+        | CAST(0.0 AS DOUBLE) AS loc_start, CAST(1.0 AS DOUBLE) AS loc_end,
+        | CAST(3.0 AS DOUBLE) AS interp_bend_dx,
+        | CAST(2.0 AS DOUBLE) AS interp_mid_dy,
+        | CAST(0.0 AS DOUBLE) AS interp_0_dx,
+        | CAST(4.0 AS DOUBLE) AS interp_1_dy
+        |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_geo_relate" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 5 m
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | CASE m WHEN 0 THEN '212FF1FF2' WHEN 1 THEN '212101212'
+        |        WHEN 2 THEN 'FF2F11212' WHEN 3 THEN 'FF2FF1212'
+        |        ELSE 'FF2F01212' END AS de9im,
+        | '2FFF1FFF2' AS de9im_self,
+        | TRUE AS rel_equals,
+        | m = 0 AS rel_contains,
+        | m = 1 AS rel_overlaps,
+        | m = 3 AS rel_disjoint
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_wkb" ->
+      """SELECT c_custkey AS k,
+        | CAST(21 AS INTEGER) AS pt_len,
+        | CAST(9 + 16 * 3 AS INTEGER) AS line_len,
+        | CAST(13 + 16 * 5 AS INTEGER) AS pg_len,
+        | '0000000001' AS pt_hdr,
+        | '000000000300000001' AS pg_hdr,
+        | TRUE AS rt_pt, TRUE AS rt_line, TRUE AS rt_pg,
+        | CAST(2 AS INTEGER) AS n_tol_big, CAST(5 AS INTEGER) AS n_tol_small,
+        | 'ST_LineString' AS simp_t,
+        | CAST(2 AS BIGINT) AS n_geoms,
+        | TRUE AS empty_geoms_null
+        |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
     "fn_geo_sphere" ->
       """WITH g AS (SELECT c_custkey k,
         |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) lat1,

@@ -530,7 +530,340 @@ object Tpcds {
         round(col("promotions") / col("total") * 100, 6).as("promo_pct"))
   }
 
+  /** q6: states where ≥10 customers bought items priced above 1.02× their
+    * category's average price (q06.sql shape: correlated scalar subquery
+    * decorrelated into a category-average broadcast; the canonical 1.2×
+    * threshold is unreachable against the fixture's 900–1000 uniform
+    * retail prices, so the multiplier is scaled to keep the filter live). */
+  def q6(s: SparkSession, dir: String): DataFrame = {
+    val catAvg = item(s, dir).groupBy(col("i_category").as("j_category"))
+      .agg(davg(col("i_current_price"), "cat_avg"))
+    val pricey = item(s, dir)
+      .join(broadcast(catAvg), col("i_category") === col("j_category"))
+      .filter(col("i_current_price") > col("cat_avg") * 1.02)
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(pricey.select("i_item_sk")),
+        col("ss_item_sk") === col("i_item_sk"))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir), col("c_current_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ca_state").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .orderBy("cnt", "state")
+  }
+
+  /** q36: gross-margin ROLLUP(category, class) with the reference's
+    * lochierarchy = grouping(cat)+grouping(class) and RANK within the
+    * parent grouping level (q36.sql shape). Margin is a division of two
+    * decimal-exact sums, so rank keys are bit-identical across engines;
+    * the rank ORDER BY carries the category/class tie-break. */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val base = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(store(s).filter(col("s_state").isin("S0", "S1"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg((dsum(col("ss_net_profit")) /
+          dsum(col("ss_ext_sales_price"))).as("gross_margin"),
+        (grouping(col("i_category")) + grouping(col("i_class"))).cast("long")
+          .as("lochierarchy"),
+        grouping(col("i_class")).as("g_class"))
+    val w = Window.partitionBy(col("lochierarchy"),
+        when(col("g_class") === 0, col("i_category")))
+      .orderBy(asc("gross_margin"), asc_nulls_first("i_category"),
+        asc_nulls_first("i_class"))
+    base.select(
+        round(col("gross_margin"), 8).as("gross_margin"),
+        coalesce(col("i_category"), lit("ALL")).as("i_category"),
+        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        col("lochierarchy"),
+        rank().over(w).cast("long").as("rank_within_parent"))
+      .orderBy(desc("lochierarchy"), asc("i_category"), asc("i_class"))
+  }
+
+  /** q38: customers active in all three channels in a quarter —
+    * INTERSECT of the per-channel distinct (name, date) sets (q38.sql). */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999 && col("d_qoy") === 2))
+    val cd = customerDim(s, dir)
+    def channel(f: DataFrame, dateK: String, custK: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .join(cd, col(custK) === col("c_customer_sk"))
+        .select("c_last_name", "c_first_name", "d_date").distinct()
+    channel(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk")
+      .intersect(channel(catalogSales(s, dir), "cs_sold_date_sk", "cs_bill_customer_sk"))
+      .intersect(channel(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q44: best vs worst items by average net profit at one store — an
+    * ascending and a descending rank joined on rank position (q44.sql
+    * shape; item_sk tie-breaks both rank orders so the pairing is total). */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val perItem = storeSales(s, dir).filter(col("ss_store_sk") === 2)
+      .groupBy(col("ss_item_sk").as("item_sk"))
+      .agg(davg(col("ss_net_profit"), "rank_col"))
+    val asc10 = perItem.select(col("item_sk").as("b_item"),
+      rank().over(Window.orderBy(asc("rank_col"), asc("item_sk"))).as("rnk"))
+      .filter(col("rnk") <= 10)
+    val desc10 = perItem.select(col("item_sk").as("w_item"),
+      rank().over(Window.orderBy(desc("rank_col"), asc("item_sk"))).as("rnk"))
+      .filter(col("rnk") <= 10)
+    val it = item(s, dir)
+    asc10.join(desc10, "rnk")
+      .join(broadcast(it.select(col("i_item_sk"), col("i_item_id").as("best_performing"))),
+        col("b_item") === col("i_item_sk"))
+      .join(broadcast(it.select(col("i_item_sk").as("i2"), col("i_item_id").as("worst_performing"))),
+        col("w_item") === col("i2"))
+      .select(col("rnk").cast("long").as("rnk"),
+        col("best_performing"), col("worst_performing"))
+      .orderBy("rnk")
+  }
+
+  /** q48: one quantity total under OR-of-band predicates (demographics ×
+    * price band, state set × profit band — q48.sql shape). */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(customerDemographics(s)),
+        col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir), col("c_current_addr_sk") === col("ca_address_sk"))
+      .filter(
+        (col("cd_marital_status") === "M" &&
+          col("cd_education_status") === "4 yr Degree" &&
+          col("ss_sales_price").between(10000, 40000)) ||
+        (col("cd_marital_status") === "D" &&
+          col("cd_education_status") === "Secondary" &&
+          col("ss_sales_price").between(40000, 70000)) ||
+        (col("cd_marital_status") === "S" &&
+          col("cd_education_status") === "College" &&
+          col("ss_sales_price").between(70000, 100000)))
+      .filter(
+        (col("ca_state").isin("S0", "S1") && col("ss_net_profit").between(0, 2000)) ||
+        (col("ca_state") === "S2" && col("ss_net_profit").between(2000, 10000)) ||
+        (col("ca_state") === "S3" && col("ss_net_profit").between(10000, 20000)))
+      .agg(dsum(col("ss_quantity"), "total_quantity"), count(lit(1)).as("cnt"))
+
+  /** q51: cumulative channel revenue per item over days, FULL OUTER
+    * joined, keeping days where one cumulative overtakes the other
+    * (q51.sql shape; web vs catalog rather than web vs store so the two
+    * ticket-number-split channels are of comparable size and the overtake
+    * set is non-trivial). Cumulations stay decimal-exact until the final
+    * cast. */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 2000 && col("d_moy") <= 2))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    def cumulate(f: DataFrame, dateK: String, itemK: String, rev: String,
+        item: String, d: String, cum: String): DataFrame = {
+      val daily = f.join(dd, col(dateK) === col("d_date_sk"))
+        .filter(col(itemK) % 5 === 0)
+        .groupBy(col(itemK).as(item), col("d_date").as(d))
+        .agg(sum(col(rev).cast(dec)).as("rev"))
+      daily.select(col(item), col(d),
+        sum(col("rev")).over(Window.partitionBy(item).orderBy(d)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as(cum))
+    }
+    val web = cumulate(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+      "ws_ext_sales_price", "w_item", "w_date", "web_cumulative")
+    val cat = cumulate(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+      "cs_ext_sales_price", "s_item", "s_date", "catalog_cumulative")
+    web.join(cat, col("w_item") === col("s_item") && col("w_date") === col("s_date"),
+        "full_outer")
+      .select(coalesce(col("w_item"), col("s_item")).as("item_sk"),
+        coalesce(col("w_date"), col("s_date")).as("d_date"),
+        coalesce(col("web_cumulative"), lit(0.0)).as("web_cumulative"),
+        coalesce(col("catalog_cumulative"), lit(0.0)).as("catalog_cumulative"))
+      .filter(col("web_cumulative") > col("catalog_cumulative"))
+      .orderBy("item_sk", "d_date")
+  }
+
+  /** q62: days-to-ship buckets by return flag and year (q62.sql's
+    * CASE-bucket lag-report shape; the fixture has no l_receiptdate, so
+    * the lag is order date → ship date over the co-partitioned
+    * lineitem⋈orders join). */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date"))
+    def bucket(c: Column, a: String): Column =
+      sum(when(c, 1).otherwise(0)).cast("long").as(a)
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        year(col("l_shipdate").cast("date")).cast("long").as("ship_year"),
+        lag.as("lag"))
+      .groupBy("l_returnflag", "ship_year")
+      .agg(bucket(col("lag") <= 30, "d30"),
+        bucket(col("lag") > 30 && col("lag") <= 60, "d60"),
+        bucket(col("lag") > 60 && col("lag") <= 90, "d90"),
+        bucket(col("lag") > 90 && col("lag") <= 120, "d120"),
+        bucket(col("lag") > 120, "dmore"))
+      .orderBy("l_returnflag", "ship_year")
+  }
+
+  /** q65: store-item pairs whose revenue is at most 10% of that store's
+    * average per-item revenue (q65.sql shape: re-aggregated average
+    * broadcast back against the per-pair aggregate). */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1998 && col("d_moy") <= 6))
+    val perPair = storeSales(s, dir)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_store_sk").as("store_sk"), col("ss_item_sk").as("item_sk"))
+      .agg(dsum(col("ss_sales_price"), "revenue"))
+    val perStore = perPair.groupBy(col("store_sk").as("a_store"))
+      .agg(davg(col("revenue"), "ave"))
+    perPair.join(broadcast(perStore), col("store_sk") === col("a_store"))
+      .filter(col("revenue") <= col("ave") * 0.1)
+      .join(broadcast(store(s)), col("store_sk") === col("s_store_sk"))
+      .join(broadcast(item(s, dir)), col("item_sk") === col("i_item_sk"))
+      .select(col("s_store_name"), col("i_item_id"), col("revenue"),
+        round(col("ave"), 6).as("store_avg"))
+      .orderBy("s_store_name", "i_item_id")
+  }
+
+  /** q74: customers whose store-channel year-over-year spend growth beats
+    * their web-channel growth (q74/q11 four-way self-join shape on the
+    * per-(customer, year, channel) totals). */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    def yearTotal(f: DataFrame, dateK: String, custK: String, rev: String,
+        yr: Int, cust: String, tot: String): DataFrame =
+      f.join(broadcast(dateDim(s).filter(col("d_year") === yr)),
+          col(dateK) === col("d_date_sk"))
+        .groupBy(col(custK).as(cust))
+        .agg(dsum(col(rev), tot))
+    val ss = storeSales(s, dir); val ws = webSales(s, dir)
+    val s1 = yearTotal(ss, "ss_sold_date_sk", "ss_customer_sk",
+      "ss_net_profit", 1999, "s1_cust", "s1_tot").filter(col("s1_tot") > 0)
+    val s2 = yearTotal(ss, "ss_sold_date_sk", "ss_customer_sk",
+      "ss_net_profit", 2000, "s2_cust", "s2_tot")
+    val w1 = yearTotal(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price", 1999, "w1_cust", "w1_tot").filter(col("w1_tot") > 0)
+    val w2 = yearTotal(ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price", 2000, "w2_cust", "w2_tot")
+    s1.join(s2, col("s1_cust") === col("s2_cust"))
+      .join(w1, col("s1_cust") === col("w1_cust"))
+      .join(w2, col("s1_cust") === col("w2_cust"))
+      .filter(col("s2_tot") / col("s1_tot") > col("w2_tot") / col("w1_tot"))
+      .join(customerDim(s, dir), col("s1_cust") === col("c_customer_sk"))
+      .select(col("c_customer_id").as("customer_id"),
+        col("c_first_name"), col("c_last_name"))
+      .orderBy("customer_id")
+  }
+
+  /** q97: store/catalog (customer, item) pair overlap via FULL OUTER JOIN
+    * — counts of store-only, catalog-only, and both (q97.sql shape). */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999))
+    val ssci = storeSales(s, dir)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk").as("s_cust"), col("ss_item_sk").as("s_item"))
+      .distinct()
+    val csci = catalogSales(s, dir)
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .select(col("cs_bill_customer_sk").as("c_cust"), col("cs_item_sk").as("c_item"))
+      .distinct()
+    ssci.join(csci, col("s_cust") === col("c_cust") && col("s_item") === col("c_item"),
+        "full_outer")
+      .agg(
+        sum(when(col("s_cust").isNotNull && col("c_cust").isNull, 1).otherwise(0))
+          .cast("long").as("store_only"),
+        sum(when(col("s_cust").isNull && col("c_cust").isNotNull, 1).otherwise(0))
+          .cast("long").as("catalog_only"),
+        sum(when(col("s_cust").isNotNull && col("c_cust").isNotNull, 1).otherwise(0))
+          .cast("long").as("store_and_catalog"))
+  }
+
+  /** q31: county-level quarter-over-quarter revenue growth, store channel
+    * vs web channel (q31.sql's six-aggregate self-join shape). The two
+    * base aggregates shuffle once each; the six quarter slices are then
+    * small-broadcast joins on county. Growth ratios divide decimal-exact
+    * sums, so the cross-engine comparison is bit-stable. */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999 &&
+      col("d_qoy").between(1, 3)))
+    val ca = customerAddress(s, dir)
+    val cd = customerDim(s, dir)
+    def channel(f: DataFrame, dateK: String, custK: String, rev: String) =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .join(cd, col(custK) === col("c_customer_sk"))
+        .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+        .groupBy(col("ca_county").as("county"), col("d_qoy").as("qoy"))
+        .agg(dsum(col(rev), "rev"))
+    val ss = channel(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ext_sales_price")
+    val ws = channel(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price")
+    def slice(base: DataFrame, q: Int, c: String, r: String) =
+      base.filter(col("qoy") === q)
+        .select(col("county").as(c), col("rev").as(r))
+    slice(ss, 1, "county", "ss1")
+      .join(slice(ss, 2, "c2", "ss2"), col("county") === col("c2"))
+      .join(slice(ss, 3, "c3", "ss3"), col("county") === col("c3"))
+      .join(slice(ws, 1, "c4", "ws1"), col("county") === col("c4"))
+      .join(slice(ws, 2, "c5", "ws2"), col("county") === col("c5"))
+      .join(slice(ws, 3, "c6", "ws3"), col("county") === col("c6"))
+      .filter(col("ss1") > 0 && col("ss2") > 0 && col("ws1") > 0 && col("ws2") > 0)
+      .filter(col("ws2") / col("ws1") > col("ss2") / col("ss1"))
+      .select(col("county"),
+        round(col("ss2") / col("ss1"), 6).as("store_q1_q2_increase"),
+        round(col("ws2") / col("ws1"), 6).as("web_q1_q2_increase"),
+        round(col("ss3") / col("ss2"), 6).as("store_q2_q3_increase"),
+        round(col("ws3") / col("ws2"), 6).as("web_q2_q3_increase"))
+      .orderBy("county")
+  }
+
+  /** q45: web revenue by zip where the zip prefix is in a fixed list OR
+    * the item is in a key subquery (q45.sql's OR-of-IN-subquery shape —
+    * the semi-join becomes a left join + flag so it can disjoin with the
+    * local predicate). */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val hot = item(s, dir).filter(col("i_item_sk") % 97 === 0)
+      .select(col("i_item_sk").as("hot_item"), lit(true).as("is_hot"))
+    webSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999 && col("d_qoy") === 1)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(customerDim(s, dir), col("ws_bill_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir), col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(hot), col("ws_item_sk") === col("hot_item"), "left")
+      .filter(substring(col("ca_zip"), 1, 2).isin("80", "81", "85") ||
+        coalesce(col("is_hot"), lit(false)))
+      .groupBy("ca_zip")
+      .agg(dsum(col("ws_ext_sales_price"), "total_sales"))
+      .orderBy("ca_zip")
+  }
+
+  /** q93: per-customer revenue net of returns — store_sales LEFT JOIN
+    * store_returns on (ticket, item), paid quantity = sold − returned
+    * (q93.sql shape). The join key is the ticket number both facts derive
+    * from l_orderkey, so it co-partitions at scale. */
+  def q93(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(storeReturns(s, dir)
+          .select(col("sr_ticket_number"), col("sr_item_sk"),
+            col("sr_return_quantity")),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left")
+      .select(col("ss_customer_sk"),
+        ((col("ss_quantity") - coalesce(col("sr_return_quantity"), lit(0.0))) *
+          col("ss_sales_price")).as("act_sales"))
+      .groupBy("ss_customer_sk")
+      .agg(dsum(col("act_sales"), "sumsales"))
+      .filter(col("sumsales") > 0)
+      .orderBy(desc("sumsales"), asc("ss_customer_sk"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_q31" -> q31, "ds_q45" -> q45, "ds_q93" -> q93,
+    "ds_q06" -> q6, "ds_q36" -> q36, "ds_q38" -> q38, "ds_q44" -> q44,
+    "ds_q48" -> q48, "ds_q51" -> q51, "ds_q62" -> q62, "ds_q65" -> q65,
+    "ds_q74" -> q74, "ds_q97" -> q97,
     "ds_q05" -> q5, "ds_q15" -> q15, "ds_q23" -> q23, "ds_q61" -> q61,
     "ds_q79" -> q79, "ds_q88" -> q88, "ds_q89" -> q89, "ds_q96" -> q96,
     "ds_q03" -> q3, "ds_q07" -> q7, "ds_q19" -> q19, "ds_q27" -> q27,
@@ -648,6 +981,219 @@ object Tpcds {
     dsumS.format(c) + s" / count($c) AS $a"
 
   val oracle: Map[String, String] = Map(
+    "ds_q31" -> ds(s"""
+      |, ss31 AS (SELECT ca_county AS county, d_qoy AS qoy,
+      |    ${ds_sum("ss_ext_sales_price", "rev")}
+      |  FROM store_sales, date_dim, customer_dim, customer_address
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999
+      |    AND d_qoy BETWEEN 1 AND 3 AND ss_customer_sk = c_customer_sk
+      |    AND c_current_addr_sk = ca_address_sk
+      |  GROUP BY 1, 2),
+      |ws31 AS (SELECT ca_county AS county, d_qoy AS qoy,
+      |    ${ds_sum("ws_ext_sales_price", "rev")}
+      |  FROM web_sales, date_dim, customer_dim, customer_address
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999
+      |    AND d_qoy BETWEEN 1 AND 3 AND ws_bill_customer_sk = c_customer_sk
+      |    AND c_current_addr_sk = ca_address_sk
+      |  GROUP BY 1, 2)
+      |SELECT s1.county,
+      |  round(s2.rev / s1.rev, 6) AS store_q1_q2_increase,
+      |  round(w2.rev / w1.rev, 6) AS web_q1_q2_increase,
+      |  round(s3.rev / s2.rev, 6) AS store_q2_q3_increase,
+      |  round(w3.rev / w2.rev, 6) AS web_q2_q3_increase
+      |FROM ss31 s1, ss31 s2, ss31 s3, ws31 w1, ws31 w2, ws31 w3
+      |WHERE s1.qoy = 1 AND s2.qoy = 2 AND s3.qoy = 3
+      |  AND w1.qoy = 1 AND w2.qoy = 2 AND w3.qoy = 3
+      |  AND s1.county = s2.county AND s1.county = s3.county
+      |  AND s1.county = w1.county AND s1.county = w2.county
+      |  AND s1.county = w3.county
+      |  AND s1.rev > 0 AND s2.rev > 0 AND w1.rev > 0 AND w2.rev > 0
+      |  AND w2.rev / w1.rev > s2.rev / s1.rev
+      |ORDER BY s1.county""".stripMargin),
+    "ds_q45" -> ds(s"""
+      |SELECT ca_zip, ${ds_sum("ws_ext_sales_price", "total_sales")}
+      |FROM web_sales, date_dim, customer_dim, customer_address
+      |WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999 AND d_qoy = 1
+      |  AND ws_bill_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND (substr(ca_zip, 1, 2) IN ('80', '81', '85')
+      |    OR ws_item_sk IN (SELECT i_item_sk FROM item WHERE i_item_sk % 97 = 0))
+      |GROUP BY ca_zip ORDER BY ca_zip""".stripMargin),
+    "ds_q93" -> ds(s"""
+      |SELECT ss_customer_sk, sumsales FROM (
+      |  SELECT ss_customer_sk, ${ds_sum("act_sales", "sumsales")}
+      |  FROM (SELECT ss_customer_sk,
+      |      (ss_quantity - COALESCE(sr_return_quantity, 0.0)) * ss_sales_price
+      |        AS act_sales
+      |    FROM store_sales LEFT JOIN store_returns
+      |      ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk) t
+      |  GROUP BY ss_customer_sk) g
+      |WHERE sumsales > 0
+      |ORDER BY sumsales DESC, ss_customer_sk LIMIT 100""".stripMargin),
+    "ds_q06" -> ds(s"""
+      |, cat_avg AS (SELECT i_category AS j_category,
+      |    ${ds_avg("i_current_price", "cat_avg")}
+      |  FROM item GROUP BY 1),
+      |pricey AS (SELECT i_item_sk FROM item JOIN cat_avg
+      |  ON i_category = j_category WHERE i_current_price > cat_avg * 1.02)
+      |SELECT ca_state AS state, count(*) AS cnt
+      |FROM store_sales, date_dim, pricey, customer_dim, customer_address
+      |WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999
+      |  AND ss_item_sk = i_item_sk AND ss_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |GROUP BY 1 HAVING count(*) >= 10 ORDER BY cnt, state""".stripMargin),
+    "ds_q36" -> ds(s"""
+      |, base36 AS (
+      |  SELECT ${dsumS.format("ss_net_profit")} /
+      |      ${dsumS.format("ss_ext_sales_price")} AS gross_margin,
+      |    i_category, i_class,
+      |    CAST(GROUPING(i_category) + GROUPING(i_class) AS BIGINT) AS lochierarchy,
+      |    GROUPING(i_class) AS g_class
+      |  FROM store_sales, date_dim, item, store
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |    AND ss_item_sk = i_item_sk AND ss_store_sk = s_store_sk
+      |    AND s_state IN ('S0', 'S1')
+      |  GROUP BY ROLLUP(i_category, i_class))
+      |SELECT round(gross_margin, 8) AS gross_margin,
+      |  COALESCE(i_category, 'ALL') AS i_category,
+      |  COALESCE(i_class, 'ALL') AS i_class, lochierarchy,
+      |  CAST(RANK() OVER (PARTITION BY lochierarchy,
+      |      CASE WHEN g_class = 0 THEN i_category END
+      |    ORDER BY gross_margin ASC, i_category ASC NULLS FIRST,
+      |      i_class ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+      |FROM base36 ORDER BY lochierarchy DESC, i_category, i_class""".stripMargin),
+    "ds_q38" -> ds(s"""
+      |SELECT count(*) AS cnt FROM (
+      |  SELECT DISTINCT c_last_name, c_first_name, d_date
+      |  FROM store_sales, date_dim, customer_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999 AND d_qoy = 2
+      |    AND ss_customer_sk = c_customer_sk
+      |  INTERSECT
+      |  SELECT DISTINCT c_last_name, c_first_name, d_date
+      |  FROM catalog_sales, date_dim, customer_dim
+      |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999 AND d_qoy = 2
+      |    AND cs_bill_customer_sk = c_customer_sk
+      |  INTERSECT
+      |  SELECT DISTINCT c_last_name, c_first_name, d_date
+      |  FROM web_sales, date_dim, customer_dim
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999 AND d_qoy = 2
+      |    AND ws_bill_customer_sk = c_customer_sk) hot""".stripMargin),
+    "ds_q44" -> ds(s"""
+      |, per_item AS (SELECT ss_item_sk AS item_sk,
+      |    ${ds_avg("ss_net_profit", "rank_col")}
+      |  FROM store_sales WHERE ss_store_sk = 2 GROUP BY 1),
+      |asc10 AS (SELECT item_sk AS b_item,
+      |    RANK() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk FROM per_item),
+      |desc10 AS (SELECT item_sk AS w_item,
+      |    RANK() OVER (ORDER BY rank_col DESC, item_sk ASC) AS rnk FROM per_item)
+      |SELECT CAST(a.rnk AS BIGINT) AS rnk,
+      |  i1.i_item_id AS best_performing, i2.i_item_id AS worst_performing
+      |FROM asc10 a JOIN desc10 d ON a.rnk = d.rnk
+      |JOIN item i1 ON a.b_item = i1.i_item_sk
+      |JOIN item i2 ON d.w_item = i2.i_item_sk
+      |WHERE a.rnk <= 10 ORDER BY rnk""".stripMargin),
+    "ds_q48" -> ds(s"""
+      |SELECT ${ds_sum("ss_quantity", "total_quantity")}, count(*) AS cnt
+      |FROM store_sales, date_dim, customer_demographics, customer_dim,
+      |  customer_address
+      |WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999
+      |  AND ss_cdemo_sk = cd_demo_sk AND ss_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND ((cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+      |        AND ss_sales_price BETWEEN 10000 AND 40000)
+      |    OR (cd_marital_status = 'D' AND cd_education_status = 'Secondary'
+      |        AND ss_sales_price BETWEEN 40000 AND 70000)
+      |    OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+      |        AND ss_sales_price BETWEEN 70000 AND 100000))
+      |  AND ((ca_state IN ('S0', 'S1') AND ss_net_profit BETWEEN 0 AND 2000)
+      |    OR (ca_state = 'S2' AND ss_net_profit BETWEEN 2000 AND 10000)
+      |    OR (ca_state = 'S3' AND ss_net_profit BETWEEN 10000 AND 20000))""".stripMargin),
+    "ds_q51" -> ds(s"""
+      |, web51 AS (
+      |  SELECT ws_item_sk AS w_item, d_date AS w_date,
+      |    CAST(SUM(SUM(CAST(ws_ext_sales_price AS DECIMAL(18,6))))
+      |      OVER (PARTITION BY ws_item_sk ORDER BY d_date
+      |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS web_cumulative
+      |  FROM web_sales, date_dim
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy <= 2
+      |    AND ws_item_sk % 5 = 0
+      |  GROUP BY ws_item_sk, d_date),
+      |cat51 AS (
+      |  SELECT cs_item_sk AS s_item, d_date AS s_date,
+      |    CAST(SUM(SUM(CAST(cs_ext_sales_price AS DECIMAL(18,6))))
+      |      OVER (PARTITION BY cs_item_sk ORDER BY d_date
+      |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS catalog_cumulative
+      |  FROM catalog_sales, date_dim
+      |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 2000 AND d_moy <= 2
+      |    AND cs_item_sk % 5 = 0
+      |  GROUP BY cs_item_sk, d_date)
+      |SELECT COALESCE(w_item, s_item) AS item_sk,
+      |  COALESCE(w_date, s_date) AS d_date,
+      |  COALESCE(web_cumulative, CAST(0 AS DOUBLE)) AS web_cumulative,
+      |  COALESCE(catalog_cumulative, CAST(0 AS DOUBLE)) AS catalog_cumulative
+      |FROM web51 FULL OUTER JOIN cat51 ON w_item = s_item AND w_date = s_date
+      |WHERE COALESCE(web_cumulative, CAST(0 AS DOUBLE)) >
+      |  COALESCE(catalog_cumulative, CAST(0 AS DOUBLE))
+      |ORDER BY item_sk, d_date""".stripMargin),
+    "ds_q62" -> s"""
+      |SELECT l_returnflag,
+      |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+      |  CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN lag > 30 AND lag <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN lag > 60 AND lag <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN lag > 90 AND lag <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN lag > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+      |FROM (SELECT l_returnflag, l_shipdate,
+      |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ds_q65" -> ds(s"""
+      |, per_pair AS (SELECT ss_store_sk AS store_sk, ss_item_sk AS item_sk,
+      |    ${ds_sum("ss_sales_price", "revenue")}
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998 AND d_moy <= 6
+      |  GROUP BY 1, 2),
+      |per_store AS (SELECT store_sk AS a_store, ${ds_avg("revenue", "ave")}
+      |  FROM per_pair GROUP BY 1)
+      |SELECT s_store_name, i_item_id, revenue, round(ave, 6) AS store_avg
+      |FROM per_pair, per_store, store, item
+      |WHERE store_sk = a_store AND store_sk = s_store_sk
+      |  AND item_sk = i_item_sk AND revenue <= ave * 0.1
+      |ORDER BY s_store_name, i_item_id""".stripMargin),
+    "ds_q74" -> ds(s"""
+      |, ss1 AS (SELECT ss_customer_sk AS c1, ${ds_sum("ss_net_profit", "t1")}
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999 GROUP BY 1),
+      |ss2 AS (SELECT ss_customer_sk AS c2, ${ds_sum("ss_net_profit", "t2")}
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 2000 GROUP BY 1),
+      |ww1 AS (SELECT ws_bill_customer_sk AS c3, ${ds_sum("ws_ext_sales_price", "t3")}
+      |  FROM web_sales, date_dim
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999 GROUP BY 1),
+      |ww2 AS (SELECT ws_bill_customer_sk AS c4, ${ds_sum("ws_ext_sales_price", "t4")}
+      |  FROM web_sales, date_dim
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 2000 GROUP BY 1)
+      |SELECT c_customer_id AS customer_id, c_first_name, c_last_name
+      |FROM ss1, ss2, ww1, ww2, customer_dim
+      |WHERE c1 = c2 AND c1 = c3 AND c1 = c4 AND c1 = c_customer_sk
+      |  AND t1 > 0 AND t3 > 0 AND t2 / t1 > t4 / t3
+      |ORDER BY customer_id""".stripMargin),
+    "ds_q97" -> ds(s"""
+      |, ssci AS (SELECT DISTINCT ss_customer_sk AS s_cust, ss_item_sk AS s_item
+      |  FROM store_sales, date_dim
+      |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999),
+      |csci AS (SELECT DISTINCT cs_bill_customer_sk AS c_cust, cs_item_sk AS c_item
+      |  FROM catalog_sales, date_dim
+      |  WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999)
+      |SELECT
+      |  CAST(SUM(CASE WHEN s_cust IS NOT NULL AND c_cust IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+      |  CAST(SUM(CASE WHEN s_cust IS NULL AND c_cust IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+      |  CAST(SUM(CASE WHEN s_cust IS NOT NULL AND c_cust IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+      |FROM ssci FULL OUTER JOIN csci
+      |  ON s_cust = c_cust AND s_item = c_item""".stripMargin),
     "ds_q05" -> ds(s"""
       |SELECT COALESCE(s_state, 'ALL') AS s_state,
       |  COALESCE(s_store_name, 'ALL') AS s_store_name,

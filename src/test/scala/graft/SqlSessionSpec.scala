@@ -93,15 +93,23 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(ns.sql("SELECT try_expr(1/0) AS v").collect()(0).isNullAt(0))
   }
 
-  test("3-arg strpos raises a clear unsupported error") {
+  test("3-arg strpos routes to the occurrence variant; 2-arg stays instr") {
     import graft.api.Dialect
-    val e = intercept[UnsupportedOperationException] {
-      Dialect.translate("SELECT strpos(s, 'x, y', 2) FROM t")
-    }
-    assert(e.getMessage.contains("instance"))
-    // commas inside literals must not trigger the arity check
+    assert(Dialect.translate("SELECT strpos(s, 'x, y', 2) FROM t") ==
+      "SELECT graft_strpos3(s, 'x, y', 2) FROM t")
+    // commas inside literals must not trigger the arity rewrite
     assert(Dialect.translate("SELECT strpos(s, 'x, y') FROM t") ==
       "SELECT instr(s, 'x, y') FROM t")
+    // reference semantics (StringFunctions.java stringPosition w/ instance):
+    // n-th occurrence from the start, negative from the end, 0 raises
+    val r = session.sql("SELECT strpos('high high hog', 'h', 3) AS a, " +
+      "strpos('high high hog', 'h', -1) AS b, " +
+      "strpos('aaa', 'aa', 2) AS c, strpos('abc', 'z', 2) AS z").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 11L &&
+      r.getLong(2) == 2L && r.getLong(3) == 0L)
+    intercept[Exception] {
+      session.sql("SELECT strpos('abc', 'a', 0) AS v").collect()
+    }
   }
 
   test("subscripts are 1-based strict_subscript (arrays and maps)") {

@@ -56,4 +56,42 @@ class TpcdsSpec extends AnyFunSuite {
     val plan = Tpcds.q60(spark, sf).queryExecution.optimizedPlan.toString
     assert(plan.contains("Union"), "union of channels survives optimization")
   }
+
+  test("q36 rollup hierarchy: one grand total at lochierarchy 2, ranks restart per parent") {
+    val rows = Tpcds.q36(spark, sf).collect()
+    if (rows.nonEmpty) {
+      val grand = rows.filter(_.getLong(3) == 2L)
+      assert(grand.length == 1, "exactly one grand-total row")
+      assert(grand(0).getString(1) == "ALL" && grand(0).getString(2) == "ALL")
+      // every (lochierarchy, parent) rank sequence starts at 1
+      rows.groupBy(r => (r.getLong(3), if (r.getLong(3) == 0) r.getString(1) else ""))
+        .foreach { case (_, rs) => assert(rs.map(_.getLong(4)).min == 1L) }
+    }
+  }
+
+  test("q97 full-outer counts are consistent with the channel pair sets") {
+    val r = Tpcds.q97(spark, sf).collect()(0)
+    val dd = Tpcds.dateDim(spark).filter(col("d_year") === 1999)
+    val storePairs = Tpcds.storeSales(spark, sf)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .select("ss_customer_sk", "ss_item_sk").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == storePairs,
+      "store_only + both = distinct store pairs")
+  }
+
+  test("q62 lag buckets partition every lineitem exactly once") {
+    val rows = Tpcds.q62(spark, sf).collect()
+    val total = rows.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4) +
+      r.getLong(5) + r.getLong(6)).sum
+    assert(total == Tables(spark, sf, "lineitem").count(), "buckets exhaustive")
+  }
+
+  test("q51 cumulative columns are non-decreasing per item") {
+    val rows = Tpcds.q51(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cums = rs.sortBy(_.getDate(1).toString).map(_.getDouble(2))
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => b >= a },
+        "web cumulative never decreases")
+    }
+  }
 }
