@@ -106,6 +106,8 @@ object Dialect {
     // membership (string containment is strpos > 0 there)
     "fail" -> "raise_error",
     "is_nan" -> "isnan",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
     "jarowinkler_similarity" -> "jaro_winkler_similarity",
     "sketch_theta_estimate" -> "theta_sketch_estimate",
     "sketch_theta" -> "theta_sketch_agg",

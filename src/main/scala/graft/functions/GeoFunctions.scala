@@ -1153,4 +1153,128 @@ object GeoFunctions {
         (want === have)
     })
   }
+
+  // ---- Bing tile family completions (BingTileFunctions.java bingTile
+  // constructors, bingTileCoordinates, bingTileZoomLevel, parent/children,
+  // quadkey decode). All dyadic integer arithmetic on the struct. ----
+
+  /** bing_tile(x, y, zoom) — validated constructor. */
+  def bingTile(x: Column, y: Column, zoom: Column): Column = {
+    val n = pow(lit(2.0), zoom.cast("double"))
+    when(zoom.between(0, 23) && x >= 0 && y >= 0 && x < n && y < n,
+      struct(x.cast("int").as("x"), y.cast("int").as("y"),
+        zoom.cast("int").as("zoom")))
+      .otherwise(raise_error(lit("bing_tile: coordinates out of range for zoom"))
+        .cast("struct<x:int,y:int,zoom:int>"))
+  }
+
+  /** bing_tile(quadkey) — base-4 digit fold: each level shifts x/y left
+    * and adds the digit's bit pair. */
+  def bingTileFromQuadkey(qk: Column): Column = {
+    val digits = split(qk, "")
+    val folded = aggregate(digits,
+      struct(lit(0L).as("x"), lit(0L).as("y")),
+      (acc, ch) => {
+        val d = ch.cast("int")
+        struct((acc.getField("x") * 2 + (d % 2)).as("x"),
+          (acc.getField("y") * 2 + (d.cast("int") / 2).cast("int")).as("y"))
+      })
+    when(length(qk).between(1, 23) && qk.rlike("^[0-3]+$"),
+      struct(folded.getField("x").cast("int").as("x"),
+        folded.getField("y").cast("int").as("y"),
+        length(qk).cast("int").as("zoom")))
+      .otherwise(raise_error(lit("bing_tile: invalid quadkey"))
+        .cast("struct<x:int,y:int,zoom:int>"))
+  }
+
+  def bingTileCoordinates(t: Column): Column =
+    struct(t.getField("x").as("x"), t.getField("y").as("y"))
+
+  def bingTileZoomLevel(t: Column): Column = t.getField("zoom")
+
+  /** bing_tile_parent(tile[, newZoom]) — ancestor at a coarser zoom. */
+  def bingTileParent(t: Column, newZoom: Column): Column = {
+    val dz = t.getField("zoom") - newZoom
+    val scale = pow(lit(2.0), dz.cast("double"))
+    when(newZoom.between(0, 23) && dz >= 0,
+      struct(floor(t.getField("x") / scale).cast("int").as("x"),
+        floor(t.getField("y") / scale).cast("int").as("y"),
+        newZoom.cast("int").as("zoom")))
+      .otherwise(raise_error(lit("bing_tile_parent: newZoom above tile zoom"))
+        .cast("struct<x:int,y:int,zoom:int>"))
+  }
+  def bingTileParent(t: Column): Column =
+    bingTileParent(t, t.getField("zoom") - 1)
+
+  /** bing_tile_children(tile) — the 4 tiles one level finer, row-major. */
+  def bingTileChildren(t: Column): Column = {
+    val x2 = t.getField("x") * 2; val y2 = t.getField("y") * 2
+    val z = t.getField("zoom") + 1
+    transform(sequence(lit(0), lit(3)), i =>
+      struct((x2 + i % 2).cast("int").as("x"),
+        (y2 + (i / 2).cast("int")).cast("int").as("y"), z.cast("int").as("zoom")))
+  }
+
+  // ---- GeoJSON (GeoFunctions.java geometryAsGeoJson / geometryFromGeoJson
+  // via Esri's OGCGeometry GeoJSON import/export): composed from string/
+  // regexp builtins over the tagged struct. ----
+
+  /** geometry_as_geojson(geometry) → RFC 7946 text. */
+  def geometryAsGeoJson(g: Column): Column = {
+    val pts = gPts(g)
+    def xy(p: Column): Column =
+      concat(lit("["), stX(p).cast("string"), lit(","),
+        stY(p).cast("string"), lit("]"))
+    def list(ps: Column): Column = concat_ws(",", transform(ps, xy(_)))
+    when(gType(g) === "ST_Point",
+      concat(lit("""{"type":"Point","coordinates":"""),
+        xy(element_at(pts, 1)), lit("}")))
+      .when(gType(g) === "ST_LineString",
+        concat(lit("""{"type":"LineString","coordinates":["""),
+          list(pts), lit("]}")))
+      .when(gType(g) === "ST_Polygon", // ring closes explicitly per RFC 7946
+        concat(lit("""{"type":"Polygon","coordinates":[["""),
+          list(concat(pts, slice(pts, lit(1), lit(1)))), lit("]]}")))
+  }
+
+  /** geometry_from_geojson(json) → tagged geometry. Coordinates are read
+    * positionally (GeoJSON nests but never reorders them); polygon
+    * closure re-opens like the WKT parser. */
+  def geometryFromGeoJson(j: Column): Column = {
+    val t = get_json_object(j, "$.type")
+    val gtype = when(t === "Point", lit("ST_Point"))
+      .when(t === "LineString", lit("ST_LineString"))
+      .when(t === "Polygon", lit("ST_Polygon"))
+    val coordText = regexp_extract(j, """(?s)"coordinates"\s*:\s*(.*)\s*\}\s*$""", 1)
+    val nums = regexp_extract_all(coordText,
+      lit("-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"), lit(0))
+    val pairs = transform(sequence(lit(1), (size(nums) / 2).cast("int")), i =>
+      struct(element_at(nums, i * 2 - 1).cast("double").as("x"),
+        element_at(nums, i * 2).cast("double").as("y")))
+    val pts = when(gtype === "ST_Polygon", dropClosure(pairs)).otherwise(pairs)
+    struct(gtype.as("gtype"), pts.as("pts"))
+  }
+
+  /** expand_envelope(geometry, distance) → the envelope grown by
+    * `distance` on every side, as a CCW polygon (GeoFunctions.java
+    * expandEnvelope). Negative distance raises like the reference. */
+  def expandEnvelope(g: Column, d: Column): Column = {
+    val e = stEnvelope(gPts(g))
+    val ring = array(
+      stPoint(e.getField("xmin") - d, e.getField("ymin") - d),
+      stPoint(e.getField("xmax") + d, e.getField("ymin") - d),
+      stPoint(e.getField("xmax") + d, e.getField("ymax") + d),
+      stPoint(e.getField("xmin") - d, e.getField("ymax") + d))
+    when(d < 0, raise_error(lit("expand_envelope: distance is negative"))
+      .cast("struct<gtype:string,pts:array<struct<x:double,y:double>>>"))
+      .otherwise(struct(lit("ST_Polygon").as("gtype"), ring.as("pts")))
+  }
+
+  /** geometry_union(array<geometry>) — scalar n-ary union
+    * (GeoFunctions.java geometryUnion): the disjoint-decomposition
+    * collection of all parts, single-level flatten. */
+  def geometryUnionScalar(gs: Column): Column =
+    struct(lit("ST_GeometryCollection").as("gtype"),
+      transform(gs, g => struct(gType(g).as("gtype"), gPts(g).as("pts")))
+        .as("geoms"))
 }

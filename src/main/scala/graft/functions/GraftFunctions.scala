@@ -45,6 +45,24 @@ object GraftFunctions {
     ("graft_strpos3",
       "graft_strpos3(s, sub, n) - reference strpos occurrence variant (n-th match, negative = from end)",
       es => StrPosInstance(es(0), es(1), es(2))),
+    ("murmur3_x64_128",
+      "murmur3_x64_128(varbinary) - 16-byte MurmurHash3 x64 128 digest",
+      es => Murmur3Hash128(es.head)),
+    ("google_polyline_encode",
+      "google_polyline_encode(array<point>) - Google encoded polyline",
+      es => PolylineEncode(es.head)),
+    ("google_polyline_decode",
+      "google_polyline_decode(varchar) - decode polyline to point array",
+      es => PolylineDecode(es.head)),
+    ("secure_random",
+      "secure_random(lower, upper) - SecureRandom double in [lower, upper)",
+      es => SecureRandomExpr(dbl(es(0)), dbl(es(1)))),
+    ("to_milliseconds",
+      "to_milliseconds(interval day to second) - total milliseconds",
+      es => IntervalMillis(es.head)),
+    ("sketch_theta_summary",
+      "sketch_theta_summary(sketch) - row(estimate, theta, bounds, retained)",
+      es => ThetaSummary(es.head)),
     ("mysql_date_format",
       "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
       es => {
@@ -126,8 +144,10 @@ object GraftFunctions {
       es => KllQuantile(es(0), dbl(es(1)))),
     ("kll_rank", "kll_rank(sketch, x) - fraction of values <= x",
       es => KllRank(es(0), dbl(es(1)))),
-    ("theta_sketch_agg", "theta_sketch_agg(x) - mergeable theta sketch (set-algebra distinct count)",
-      es => ThetaSketchAgg(es.head).toAggregateExpression()),
+    ("theta_sketch_agg", "theta_sketch_agg(x[, k]) - mergeable theta sketch (set-algebra distinct count)",
+      es =>
+        (if (es.length > 1) ThetaSketchAgg(es.head, intArg(es(1), "theta_sketch_agg"))
+         else ThetaSketchAgg(es.head)).toAggregateExpression()),
     ("merge_theta", "merge_theta(sketch) - aggregate union of theta sketches",
       es => ThetaMergeAgg(es.head).toAggregateExpression()),
     ("theta_sketch_estimate", "theta_sketch_estimate(sketch) - distinct-count estimate",

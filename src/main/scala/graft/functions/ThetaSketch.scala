@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -232,6 +232,41 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression {
     Theta.estimateOf(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Theta.estimateOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** sketch_theta_summary(sketch) → row(estimate, theta, upper_bound_std,
+  * lower_bound_std, retained_entries) — reference ThetaSketchFunctions.java:55.
+  * Bounds use the textbook theta-sketch estimator variance
+  * var(est) ≈ n(1−θ)/θ² (est = n/θ), one standard deviation — a
+  * clean-room stand-in for DataSketches' exact binomial bounds; exact
+  * sketches report the retained count with zero-width bounds. */
+case class ThetaSummary(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sketch_theta_summary requires varbinary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType), StructField("theta", DoubleType),
+    StructField("upper_bound_std", DoubleType),
+    StructField("lower_bound_std", DoubleType),
+    StructField("retained_entries", IntegerType)))
+  override def prettyName: String = "sketch_theta_summary"
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = Theta.deserialize(v.asInstanceOf[Array[Byte]])
+    val est = Theta.estimate(sk)
+    val n = sk.hashes.length
+    val thetaFrac =
+      if (sk.isExact) 1.0
+      else (sk.theta >>> 11).toDouble / 9007199254740992.0
+    val std =
+      if (sk.isExact || n == 0) 0.0
+      else math.sqrt(n * (1.0 - thetaFrac)) / thetaFrac
+    org.apache.spark.sql.catalyst.InternalRow(
+      est, thetaFrac, est + std, math.max(0.0, est - std), n)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -1570,6 +1570,102 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Bing tile family completions (BingTileFunctions.java bing_tile
+    * constructors, coordinates/zoom accessors, parent/children): quadkey
+    * round-trip, parent/child containment — all dyadic integer closed
+    * forms. */
+  def bingTile3(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") % 6 + 2).cast("int").as("z"),
+        (col("c_custkey") % 50 + 1).cast("int").as("tx"),
+        (col("c_custkey") % 30 + 1).cast("int").as("ty"))
+    val z = col("z"); val tx = col("tx"); val ty = col("ty")
+    // keep coordinates inside the 2^z grid: x,y < 2^z guaranteed by % below
+    val x = (tx % pow(lit(2.0), z).cast("int")).cast("int")
+    val y = (ty % pow(lit(2.0), z).cast("int")).cast("int")
+    val tile = graft.functions.GeoFunctions.bingTile(x, y, z)
+    val qk = bingTileQuadkey(tile)
+    val rt = bingTileFromQuadkey(qk)
+    val parent = bingTileParent(tile)
+    val kids = bingTileChildren(tile)
+    g.select(col("k"),
+      bingTileZoomLevel(tile).as("zoom"),
+      bingTileCoordinates(tile).getField("x").as("cx_"),
+      bingTileCoordinates(tile).getField("y").as("cy_"),
+      (rt === tile).as("qk_roundtrip"),
+      length(qk).as("qk_len"),
+      parent.getField("x").as("px"),
+      parent.getField("zoom").as("pz"),
+      size(kids).as("n_kids"),
+      (element_at(kids, 1).getField("x") === x * 2).as("kid1_x_ok"),
+      forall(kids, c => bingTileParent(c) === tile).as("kids_parent_ok"))
+      .orderBy("k")
+  }
+
+  /** GeoJSON codec + envelope expansion + scalar union + tz offsets +
+    * to_milliseconds + polyline/murmur3/secure_random parity batch
+    * (reference GeoFunctions.java geometryAsGeoJson/FromGeoJson/
+    * expandEnvelope/geometryUnion, DateTimeFunctions.java timezone_hour/
+    * minute + toMilliseconds, HashFunctions.java murmur3_x64_128,
+    * MathFunctions.java secureRandom). Every output either a closed form
+    * or an engine-checked invariant (round-trips, bounds). */
+  def parityMisc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    GraftFunctions.register(s)
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val pt = struct(lit("ST_Point").as("gtype"), arr(stPoint(cx, cy)).as("pts"))
+    val line = struct(lit("ST_LineString").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 3, cy), stPoint(cx + 3, cy + 4)).as("pts"))
+    val poly = struct(lit("ST_Polygon").as("gtype"),
+      arr(stPoint(cx, cy), stPoint(cx + 2, cy),
+        stPoint(cx + 2, cy + 2), stPoint(cx, cy + 2)).as("pts"))
+    val gj = geometryAsGeoJson(pt)
+    val exp = expandEnvelope(line, lit(1.0))
+    val uni = geometryUnionScalar(arr(poly,
+      struct(lit("ST_Polygon").as("gtype"),
+        arr(stPoint(cx + 10, cy), stPoint(cx + 11, cy),
+          stPoint(cx + 11, cy + 1), stPoint(cx + 10, cy + 1)).as("pts"))))
+    val ts = to_timestamp(lit("2021-06-15 12:00:00"))
+    def tzOffset(zone: Column): Column =
+      from_utc_timestamp(ts, zone).cast("long") - ts.cast("long")
+    val offIst = tzOffset(lit("+05:30")); val offPst = tzOffset(lit("-08:00"))
+    val iv = expr("INTERVAL '1 02:03:04.567' DAY TO SECOND")
+    val pl = call_function("google_polyline_encode", line.getField("pts"))
+    val plDec = call_function("google_polyline_decode", pl)
+    val plOk = forall(zip_with(line.getField("pts"), plDec, (a, b) =>
+      abs(a.getField("x") - b.getField("x")) < 1e-5 &&
+        abs(a.getField("y") - b.getField("y")) < 1e-5), x => x)
+    val mm = call_function("murmur3_x64_128", call_function("to_utf8",
+      concat(lit("k"), col("k").cast("string"))))
+    val sr = call_function("secure_random", lit(2.0), lit(5.0))
+    g.select(col("k"),
+      gj.as("geojson"),
+      (geometryFromGeoJson(gj) === pt).as("gj_rt_pt"),
+      (geometryFromGeoJson(geometryAsGeoJson(line)) === line).as("gj_rt_line"),
+      (geometryFromGeoJson(geometryAsGeoJson(poly)) === poly).as("gj_rt_pg"),
+      round(stArea(exp.getField("pts")), 4).as("exp_area"),
+      stNumGeometries(uni).as("uni_n"),
+      round(stAreaMulti(uni), 4).as("uni_area"),
+      (offIst / 3600).cast("long").as("tz_h_ist"),
+      ((offIst % 3600) / 60).cast("long").as("tz_m_ist"),
+      (offPst / 3600).cast("long").as("tz_h_pst"),
+      ((offPst % 3600) / 60).cast("long").as("tz_m_pst"),
+      call_function("to_milliseconds", iv).as("iv_ms"),
+      plOk.as("polyline_rt"),
+      length(mm).as("mm_len"),
+      hex(call_function("murmur3_x64_128", call_function("to_utf8", lit(""))))
+        .as("mm_empty"),
+      (sr >= 2.0 && sr < 5.0).as("sr_in_range"))
+      .orderBy("k")
+  }
+
   /** Bing tile completions (reference geospatial/BingTileFunctions.java):
     * bing_tile_polygon (tile envelope as a geometry) and
     * geometry_to_bing_tiles (envelope tile cover at a zoom). Tile x
@@ -1695,6 +1791,8 @@ object Scalars {
     "fn_geo_wkb" -> geoWkb,
     "fn_geo_relate" -> geoRelate,
     "fn_bingtile2" -> bingTile2,
+    "fn_bingtile3" -> bingTile3,
+    "fn_parity_misc" -> parityMisc,
     "agg_geo_union" -> geoUnionAgg,
     "agg_convex_hull" -> convexHullAgg,
     "fn_conv" -> conv,
@@ -2681,6 +2779,39 @@ object Scalars {
         | CAST(0.0 AS DOUBLE) AS interp_0_dx,
         | CAST(4.0 AS DOUBLE) AS interp_1_dy
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_bingtile3" ->
+      """WITH g AS (SELECT c_custkey k,
+        |  CAST(c_custkey % 6 + 2 AS INTEGER) z,
+        |  CAST(c_custkey % 50 + 1 AS INTEGER) tx,
+        |  CAST(c_custkey % 30 + 1 AS INTEGER) ty
+        | FROM customer WHERE c_custkey <= 200),
+        |h AS (SELECT k, z, tx % (1 << z) AS x, ty % (1 << z) AS y FROM g)
+        |SELECT k,
+        | z AS zoom, CAST(x AS INTEGER) AS cx_, CAST(y AS INTEGER) AS cy_,
+        | TRUE AS qk_roundtrip, z AS qk_len,
+        | CAST(x // 2 AS INTEGER) AS px, CAST(z - 1 AS INTEGER) AS pz,
+        | CAST(4 AS INTEGER) AS n_kids,
+        | TRUE AS kid1_x_ok, TRUE AS kids_parent_ok
+        |FROM h ORDER BY k""".stripMargin,
+    "fn_parity_misc" ->
+      """WITH g AS (SELECT c_custkey k,
+        | CAST(c_custkey % 100 AS DOUBLE) / 8.0 AS cx,
+        | CAST(c_custkey % 77 AS DOUBLE) / 4.0 AS cy
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | '{"type":"Point","coordinates":[' || CAST(cx AS VARCHAR) || ','
+        |   || CAST(cy AS VARCHAR) || ']}' AS geojson,
+        | TRUE AS gj_rt_pt, TRUE AS gj_rt_line, TRUE AS gj_rt_pg,
+        | CAST(30.0 AS DOUBLE) AS exp_area,
+        | CAST(2 AS BIGINT) AS uni_n, CAST(5.0 AS DOUBLE) AS uni_area,
+        | CAST(5 AS BIGINT) AS tz_h_ist, CAST(30 AS BIGINT) AS tz_m_ist,
+        | CAST(-8 AS BIGINT) AS tz_h_pst, CAST(0 AS BIGINT) AS tz_m_pst,
+        | CAST(93784567 AS BIGINT) AS iv_ms,
+        | TRUE AS polyline_rt,
+        | CAST(16 AS INTEGER) AS mm_len,
+        | '00000000000000000000000000000000' AS mm_empty,
+        | TRUE AS sr_in_range
+        |FROM g ORDER BY k""".stripMargin,
     "fn_geo_relate" ->
       """WITH g AS (SELECT c_custkey k, c_custkey % 5 m
         | FROM customer WHERE c_custkey <= 200)

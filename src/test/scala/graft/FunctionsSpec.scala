@@ -983,4 +983,64 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 5)
     assert(!r.getBoolean(2) && r.getBoolean(3))
   }
+
+  test("murmur3_x64_128 matches the canonical algorithm's fixed points") {
+    import graft.functions.Murmur3x64_128.hash
+    // empty input with seed 0: h1 = h2 = 0 (no blocks, no tail, fmix(0)=0)
+    assert(hash(Array.empty[Byte]).forall(_ == 0))
+    assert(hash("a".getBytes("UTF-8")).length == 16)
+    // tail-size boundaries (15/16/17 bytes) all differ pairwise
+    val a15 = hash(("x" * 15).getBytes); val a16 = hash(("x" * 16).getBytes)
+    val a17 = hash(("x" * 17).getBytes)
+    assert(!a15.sameElements(a16) && !a16.sameElements(a17) &&
+      !a15.sameElements(a17))
+    // deterministic
+    assert(hash("hello".getBytes).sameElements(hash("hello".getBytes)))
+  }
+
+  test("google polyline encodes the documented Maps example") {
+    import graft.functions.Polyline
+    // developers.google.com polyline algorithm reference example
+    val pts = Seq((-120.2, 38.5), (-120.95, 40.7), (-126.453, 43.252))
+    assert(Polyline.encode(pts) == "_p~iF~ps|U_ulLnnqC_mqNvxq`@")
+    val dec = Polyline.decode("_p~iF~ps|U_ulLnnqC_mqNvxq`@")
+    assert(dec.zip(pts).forall { case (a, b) =>
+      math.abs(a._1 - b._1) < 1e-5 && math.abs(a._2 - b._2) < 1e-5 })
+  }
+
+  test("to_milliseconds, secure_random, sketch_theta_summary via SQL registry") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT to_milliseconds(INTERVAL '1 02:03:04.567' DAY TO SECOND) AS ms,
+        |       secure_random(CAST(2 AS DOUBLE), CAST(5 AS DOUBLE)) AS sr""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 93784567L)
+    assert(r.getDouble(1) >= 2.0 && r.getDouble(1) < 5.0)
+    import spark.implicits._
+    val summ = (1 to 1000).toDF("x")
+      .selectExpr("theta_sketch_agg(x, 128) AS sk")
+      .selectExpr("sketch_theta_summary(sk) AS s")
+      .select("s.estimate", "s.theta", "s.upper_bound_std",
+        "s.lower_bound_std", "s.retained_entries").collect()(0)
+    val est = summ.getDouble(0)
+    assert(math.abs(est - 1000) < 200, s"estimate $est within 20%")
+    assert(summ.getDouble(1) > 0 && summ.getDouble(1) <= 1.0)
+    assert(summ.getDouble(2) >= est && summ.getDouble(3) <= est)
+    assert(summ.getInt(4) <= 128 * 2)
+    // exact regime: zero-width bounds, retained = n
+    val exact = (1 to 10).toDF("x")
+      .selectExpr("theta_sketch_agg(x) AS sk")
+      .selectExpr("sketch_theta_summary(sk) AS s")
+      .select("s.estimate", "s.upper_bound_std", "s.retained_entries").collect()(0)
+    assert(exact.getDouble(0) == 10.0 && exact.getDouble(1) == 10.0 &&
+      exact.getInt(2) == 10)
+  }
+
+  test("starts_with / ends_with reference spellings reach Spark builtins") {
+    val ses = api.SqlSession.wrap(spark)
+    val r = ses.sql("SELECT starts_with('presto', 'pre') AS a, " +
+      "ends_with('presto', 'sto') AS b, starts_with('presto', 'x') AS c")
+      .collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
 }
