@@ -162,4 +162,36 @@ object ArrayMapExtras {
   def noKeysMatch(m: Column, f: Column => Column): Column = !exists(map_keys(m), f)
   def anyValuesMatch(m: Column, f: Column => Column): Column = exists(map_values(m), f)
   def noValuesMatch(m: Column, f: Column => Column): Column = !exists(map_values(m), f)
+
+  /** map_int_keys_to_array(m) — MapSqlFunctions.java:171: positions 1..max
+    * key (≤10k), NULL where absent; non-positive or >10k keys raise. */
+  def mapIntKeysToArray(m: Column): Column = {
+    val keys = map_keys(m)
+    when(array_max(keys) > 10000, raise_error(lit(
+      "Max key value must be <= 10k for map_int_keys_to_array function")))
+      .when(array_min(keys) <= 0, raise_error(concat(lit(
+        "Only positive keys allowed in map_int_keys_to_array function, but got: "),
+        array_min(keys).cast("string"))))
+      .otherwise(transform(sequence(lit(1), array_max(keys)),
+        k => element_at(m, k)))
+  }
+
+  /** array_to_map_int_keys(a) — MapSqlFunctions.java:186: 1-based index →
+    * non-null element. */
+  def arrayToMapIntKeys(a: Column): Column =
+    when(size(a) > 10000, raise_error(lit(
+      "Max number of elements must be <= 10k for array_to_map_int_keys function")))
+      .otherwise(map_from_entries(removeNulls(
+        transform(sequence(lit(1), greatest(size(a), lit(1))), i =>
+          when(element_at(a, i).isNotNull,
+            struct(i.as("key"), element_at(a, i).as("value")))))))
+
+  /** key_sampling_percent(s) — SimpleSamplingPercent.java:25: stable
+    * [0, 1) bucket from the xxhash64 bits of the string, the reference's
+    * key-based-sampling hook (SystemSessionProperties.java:1817). The
+    * reference reinterprets the 8 hash bytes as an IEEE double
+    * (from_ieee754_64∘xxhash64); Spark's xxhash64 yields the long
+    * directly, so the bit reinterpretation is one codegen'd call. */
+  def keySamplingPercent(s: Column): Column =
+    abs(graft.functions.GraftFunctions.fromIeee754Bits(xxhash64(s)) % 100) / 100.0
 }

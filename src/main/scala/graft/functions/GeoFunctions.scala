@@ -1277,4 +1277,106 @@ object GeoFunctions {
     struct(lit("ST_GeometryCollection").as("gtype"),
       transform(gs, g => struct(gType(g).as("gtype"), gPts(g).as("pts")))
         .as("geoms"))
+
+  /** to_geometry(SphericalGeography) — re-tag back to the planar domain
+    * (SphericalGeoFunctions.java toGeometry, inverse of
+    * to_spherical_geography). */
+  def toGeometry(g: Column): Column =
+    struct(regexp_replace(gType(g), "^Spherical:", "").as("gtype"),
+      gPts(g).as("pts"))
+
+  /** flatten_geometry_collections(collection) → its leaf parts. The
+    * tagged collection representation is single-level by construction
+    * (geoms elements are leaf geometries), so the reference's recursive
+    * case (GeoFunctions.java flattenGeometryCollections) cannot arise —
+    * flattening is the component list. */
+  def flattenGeometryCollections(g: Column): Column = g.getField("geoms")
+
+  // ---- geometry_nearest_points (GeoFunctions.java geometryNearestPoints
+  // via Esri proximity): the closest pair between two vertex paths is a
+  // vertex of one projected onto a segment of the other (or a crossing,
+  // which callers detect via ST_Intersects first). Two symmetric folds,
+  // all codegen'd. ----
+
+  /** Closest point to `p` over a segment list → struct<d2, pt>. */
+  private def closestOnPath(p: Column, segs: Column): Column = {
+    val init = struct(lit(Double.MaxValue).as("d2"),
+      lit(null).cast("struct<x:double,y:double>").as("pt"))
+    aggregate(segs, init, (best, s) => {
+      val a = s.getField("p"); val b = s.getField("q")
+      val len2 = pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2)
+      val t = when(len2 === 0.0, lit(0.0)).otherwise(
+        least(lit(1.0), greatest(lit(0.0),
+          ((stX(p) - stX(a)) * (stX(b) - stX(a)) +
+            (stY(p) - stY(a)) * (stY(b) - stY(a))) / len2)))
+      val proj = stPoint(stX(a) + t * (stX(b) - stX(a)),
+        stY(a) + t * (stY(b) - stY(a)))
+      val d2 = pow(stX(p) - stX(proj), 2) + pow(stY(p) - stY(proj), 2)
+      when(d2 < best.getField("d2"),
+        struct(d2.as("d2"), proj.as("pt"))).otherwise(best)
+    })
+  }
+
+  /** geometry_nearest_points(a, b) over vertex paths (open path or ring —
+    * rings pass their closed edge list) → array [point-on-a, point-on-b]
+    * as tagged point geometries. */
+  def geometryNearestPoints(ptsA: Column, ptsB: Column,
+      closedA: Boolean = false, closedB: Boolean = false): Column = {
+    val segsA = if (closedA) ringEdges(ptsA) else pathSegments(ptsA)
+    val segsB = if (closedB) ringEdges(ptsB) else pathSegments(ptsB)
+    val init = struct(lit(Double.MaxValue).as("d2"),
+      lit(null).cast("struct<x:double,y:double>").as("pa"),
+      lit(null).cast("struct<x:double,y:double>").as("pb"))
+    // vertices of A against B's segments
+    val bestA = aggregate(ptsA, init, (best, v) => {
+      val c = closestOnPath(v, segsB)
+      when(c.getField("d2") < best.getField("d2"),
+        struct(c.getField("d2").as("d2"), v.as("pa"),
+          c.getField("pt").as("pb"))).otherwise(best)
+    })
+    // vertices of B against A's segments
+    val bestBoth = aggregate(ptsB, bestA, (best, v) => {
+      val c = closestOnPath(v, segsA)
+      when(c.getField("d2") < best.getField("d2"),
+        struct(c.getField("d2").as("d2"), c.getField("pt").as("pa"),
+          v.as("pb"))).otherwise(best)
+    })
+    array(
+      struct(lit("ST_Point").as("gtype"),
+        array(bestBoth.getField("pa")).as("pts")),
+      struct(lit("ST_Point").as("gtype"),
+        array(bestBoth.getField("pb")).as("pts")))
+  }
+
+  /** geometry_to_dissolved_bing_tiles(geometry, zoom)
+    * (BingTileFunctions.java geometryToDissolvedBingTiles): the envelope
+    * tile cover with every complete 4-tile sibling quad replaced by its
+    * parent, applied bottom-up through all levels. One fold pass per
+    * level; tile counts here are envelope covers, so each pass is a small
+    * array scan. */
+  def geometryToDissolvedBingTiles(g: Column, zoom: Column): Column = {
+    val cover = geometryToBingTiles(g, zoom)
+    def parentOf(t: Column): Column = struct(
+      (t.getField("x").cast("int") / 2).cast("int").as("x"),
+      (t.getField("y").cast("int") / 2).cast("int").as("y"),
+      (t.getField("zoom") - 1).cast("int").as("zoom"))
+    def childrenOf(t: Column): Column = {
+      val x2 = t.getField("x") * 2; val y2 = t.getField("y") * 2
+      transform(sequence(lit(0), lit(3)), i =>
+        struct((x2 + i % 2).cast("int").as("x"),
+          (y2 + (i / 2).cast("int")).cast("int").as("y"),
+          (t.getField("zoom") + 1).cast("int").as("zoom")))
+    }
+    def pass(tiles: Column): Column = {
+      val finest = array_max(transform(tiles, _.getField("zoom")))
+      val atF = filter(tiles, t => t.getField("zoom") === finest)
+      val rest = filter(tiles, t => t.getField("zoom") =!= finest)
+      val fullParents = filter(array_distinct(transform(atF, parentOf(_))),
+        p => forall(childrenOf(p), c => array_contains(atF, c)))
+      val keep = filter(atF, t => !array_contains(fullParents, parentOf(t)))
+      concat(rest, keep, fullParents)
+    }
+    aggregate(sequence(lit(1), greatest(zoom, lit(1))), cover,
+      (acc, _) => pass(acc))
+  }
 }

@@ -63,6 +63,27 @@ object GraftFunctions {
     ("sketch_theta_summary",
       "sketch_theta_summary(sketch) - row(estimate, theta, bounds, retained)",
       es => ThetaSummary(es.head)),
+    ("geometric_mean",
+      "geometric_mean(x) - exp of the mean of ln(x) (reference GeometricMeanAggregations)",
+      es => org.apache.spark.sql.catalyst.expressions.Exp(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+          org.apache.spark.sql.catalyst.expressions.Log(dbl(es.head)))
+          .toAggregateExpression())),
+    ("classification_precision",
+      "classification_precision(buckets, outcome, pred[, weight]) - precision sweep array",
+      es => classificationAgg(es, "precision")),
+    ("classification_recall",
+      "classification_recall(buckets, outcome, pred[, weight]) - recall sweep array",
+      es => classificationAgg(es, "recall")),
+    ("classification_miss_rate",
+      "classification_miss_rate(buckets, outcome, pred[, weight]) - miss-rate sweep array",
+      es => classificationAgg(es, "miss_rate")),
+    ("classification_fall_out",
+      "classification_fall_out(buckets, outcome, pred[, weight]) - fall-out sweep array",
+      es => classificationAgg(es, "fall_out")),
+    ("classification_thresholds",
+      "classification_thresholds(buckets, outcome, pred[, weight]) - threshold array",
+      es => classificationAgg(es, "thresholds")),
     ("mysql_date_format",
       "mysql_date_format(ts, '%Y-%m-%d') - reference-dialect date_format (MySQL patterns)",
       es => {
@@ -344,6 +365,15 @@ object GraftFunctions {
       es => rc(ArrayMapExtras.mapNormalize(c(es.head)))),
     ("map_subset", "map_subset(m, keys) - entries whose key is in keys",
       es => rc(ArrayMapExtras.mapSubset(c(es(0)), c(es(1))))),
+    ("map_int_keys_to_array",
+      "map_int_keys_to_array(m) - positions 1..max key, NULL where absent",
+      es => rc(ArrayMapExtras.mapIntKeysToArray(c(es.head)))),
+    ("array_to_map_int_keys",
+      "array_to_map_int_keys(a) - 1-based index -> non-null element map",
+      es => rc(ArrayMapExtras.arrayToMapIntKeys(c(es.head)))),
+    ("key_sampling_percent",
+      "key_sampling_percent(s) - stable [0,1) hash bucket for key-based sampling",
+      es => rc(ArrayMapExtras.keySamplingPercent(c(es.head)))),
     ("all_keys_match", "all_keys_match(m, f) - every key satisfies the lambda",
       es => org.apache.spark.sql.catalyst.expressions.ArrayForAll(
         org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
@@ -722,6 +752,12 @@ object GraftFunctions {
     if (e.dataType == dt) e
     else org.apache.spark.sql.catalyst.expressions.Cast(e, dt)
 
+  private def classificationAgg(es: Seq[Expression], metric: String): Expression =
+    ClassificationMetricAgg(es(0),
+      cast(es(1), org.apache.spark.sql.types.BooleanType), dbl(es(2)),
+      if (es.length > 3) Some(dbl(es(3))) else None, metric)
+      .toAggregateExpression()
+
   /** Eager Column→Expression conversion for builders composed with
     * `functions._` (a lazy ColumnNode from the plain bridge would reach
     * execution unconverted when returned from a FunctionRegistry builder). */
@@ -801,6 +837,10 @@ object GraftFunctions {
   private def x(col: Column): Expression = Bridge.expression(col)
 
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinklerSimilarity(x(a), x(b)))
+  /** Reinterpret a BIGINT's bits as an IEEE double (long → bytes → double,
+    * both legs codegen'd BinConvExpr ops). */
+  def fromIeee754Bits(a: Column): Column =
+    c(BinConvExpr(BinConvExpr(x(a), "to_big_endian_64"), "from_ieee754_64"))
   def wordStem(a: Column): Column = c(WordStem(x(a)))
   def tryExpr(a: Column): Column = c(TryExpression(x(a)))
   def mysqlDateFormat(ts: Column, fmt: String): Column =

@@ -517,7 +517,30 @@ object Aggregates {
         .as("mle_bits"))
       .orderBy("l_linestatus")
 
+  /** The reference's SQL classification aggregates
+    * (PrecisionRecallAggregation.java subclasses): fixed-histogram
+    * threshold sweeps returned as arrays — precision, recall, miss rate,
+    * fall-out, thresholds, plus the 4-arg weighted precision. The oracle
+    * replays the prefix-scan over the same 4-bin histogram; scores sit on
+    * dyadic bucket boundaries only at exactly-representable points so the
+    * binning is cross-engine stable. */
+  def classification2(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders")
+      .select(((col("o_orderkey") % 100) / 100.0).as("score"),
+        (col("o_totalprice") > 200000).as("label"),
+        (lit(1.0) + col("o_orderkey") % 3).as("w"))
+      .agg(
+        expr("classification_thresholds(4, label, score)").as("ths"),
+        expr("transform(classification_precision(4, label, score), x -> round(x, 6))").as("prec"),
+        expr("transform(classification_recall(4, label, score), x -> round(x, 6))").as("rec"),
+        expr("transform(classification_miss_rate(4, label, score), x -> round(x, 6))").as("miss"),
+        expr("transform(classification_fall_out(4, label, score), x -> round(x, 6))").as("fo"),
+        expr("transform(classification_precision(4, label, score, w), x -> round(x, 6))").as("prec_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_classification2" -> classification2,
     "agg_entropy_vasicek" -> entropyVasicek,
     "agg_entropy_mle" -> entropyMle,
     "agg_noisy" -> noisy,
@@ -567,6 +590,44 @@ object Aggregates {
       .orderBy("l_linestatus", "bucket")
 
   val oracle: Map[String, String] = Map(
+    "agg_classification2" ->
+      """WITH base AS (SELECT (o_orderkey % 100) / 100.0 AS score,
+        |    o_totalprice > 200000 AS label, 1.0 + o_orderkey % 3 AS w
+        |  FROM orders),
+        |b AS (SELECT LEAST(CAST(FLOOR(score * 4) AS INT), 3) AS i, label, w
+        |  FROM base),
+        |r AS (SELECT CAST(range AS INT) AS i FROM range(4)),
+        |h0 AS (SELECT i,
+        |    SUM(CASE WHEN label THEN 1.0 ELSE 0 END) tw,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1.0 END) fw,
+        |    SUM(CASE WHEN label THEN w ELSE 0 END) tww,
+        |    SUM(CASE WHEN label THEN 0 ELSE w END) fww
+        |  FROM b GROUP BY i),
+        |h AS (SELECT r.i AS i, COALESCE(tw, 0) tw, COALESCE(fw, 0) fw,
+        |    COALESCE(tww, 0) tww, COALESCE(fww, 0) fww
+        |  FROM r LEFT JOIN h0 ON h0.i = r.i),
+        |s AS (SELECT i, tw, fw, tww, fww,
+        |    COALESCE(SUM(tw) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) runT,
+        |    COALESCE(SUM(fw) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) runF,
+        |    COALESCE(SUM(tww) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) runTW,
+        |    COALESCE(SUM(fww) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) runFW,
+        |    SUM(tw) OVER () totT, SUM(fw) OVER () totF,
+        |    SUM(tww) OVER () totTW, SUM(fww) OVER () totFW
+        |  FROM h),
+        |e AS (SELECT * FROM s WHERE totT > runT)
+        |SELECT list(i / 4.0 ORDER BY i) AS ths,
+        | list(round((totT - runT) / ((totT - runT) + (totF - runF)), 6)
+        |   ORDER BY i) AS prec,
+        | list(round((totT - runT) / totT, 6) ORDER BY i) AS rec,
+        | list(round(runT / totT, 6) ORDER BY i) AS miss,
+        | list(round((totF - runF) / totF, 6) ORDER BY i) AS fo,
+        | list(round((totTW - runTW) / ((totTW - runTW) + (totFW - runFW)), 6)
+        |   ORDER BY i) AS prec_w
+        |FROM e""".stripMargin,
     "agg_entropy_vasicek" ->
       """WITH s AS (SELECT c_mktsegment g, CAST(c_acctbal AS DOUBLE) x FROM customer),
         |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i,

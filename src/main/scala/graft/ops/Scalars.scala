@@ -730,6 +730,34 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Int-key map↔array converters + key_sampling_percent (reference
+    * presto-sql-helpers MapSqlFunctions.java:171,186 +
+    * SimpleSamplingPercent.java:25). Array/map round-trips are closed
+    * forms per key class; the sampling percent is oracle-checked by its
+    * contract (stable, in [0, 1)) since DuckDB has no xxhash64. */
+  def mapAdv2(s: SparkSession, dir: String): DataFrame = {
+    val X = graft.functions.ArrayMapExtras
+    val g = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+      .select(col("s_suppkey").as("k"), (col("s_suppkey") % 3).as("m3"),
+        concat(lit("v"), (col("s_suppkey") % 5).cast("string")).as("v"))
+    val intMap = map_from_arrays(
+      F.array(lit(1), (col("m3") + 2).cast("int")),
+      F.array(col("v"), lit("w")))
+    val arr = F.array(lit("x"), lit(null).cast("string"), lit("y"))
+    val a2m = X.arrayToMapIntKeys(arr)
+    val ksp = X.keySamplingPercent(col("v"))
+    g.select(col("k"),
+      array_join(X.mapIntKeysToArray(intMap), ",", "null").as("intarr"),
+      array_join(transform(array_sort(map_entries(a2m)),
+        e => concat(e.getField("key").cast("string"), lit(":"),
+          e.getField("value"))), ",").as("a2m"),
+      (ksp >= 0.0 && ksp < 1.0).as("ksp_range"),
+      (ksp === X.keySamplingPercent(col("v"))).as("ksp_stable"),
+      // same key class → same bucket everywhere (the sampling contract)
+      (abs(ksp * 100 - floor(ksp * 100)) < 1e-9).as("ksp_centile"))
+      .orderBy("k")
+  }
+
   /** Color/presentation functions (ColorFunctions.java): named + #rgb
     * shorthand colors, packed rgb, single-color bars and renders — the
     * oracle rebuilds the exact ANSI escape strings from the documented
@@ -1570,6 +1598,87 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** geometry_nearest_points + geometry_to_dissolved_bing_tiles +
+    * to_geometry + flatten_geometry_collections (reference
+    * GeoFunctions.java geometryNearestPoints/flattenGeometryCollections,
+    * SphericalGeoFunctions.java toGeometry, BingTileFunctions.java
+    * geometryToDissolvedBingTiles). Nearest pairs use shapes with a
+    * unique minimizer (corner-corner diagonal, apex-to-edge); the
+    * dissolve case insets a parent tile's envelope by a quarter tile so
+    * the zoom-z cover is exactly the 4 children → dissolves to the
+    * parent. */
+  def geoNearest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"),
+        (col("c_custkey") % 4 + 3).cast("int").as("z"),
+        (col("c_custkey") % 20 + 1).cast("int").as("tx"),
+        (col("c_custkey") % 12 + 1).cast("int").as("ty"))
+    val cx = col("cx"); val cy = col("cy"); val z = col("z")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val sqA = arr(stPoint(cx, cy), stPoint(cx + 2, cy),
+      stPoint(cx + 2, cy + 2), stPoint(cx, cy + 2))
+    val sqB = arr(stPoint(cx + 5, cy + 5), stPoint(cx + 7, cy + 5),
+      stPoint(cx + 7, cy + 7), stPoint(cx + 5, cy + 7))
+    val tri = arr(stPoint(cx + 4, cy + 1), stPoint(cx + 6, cy),
+      stPoint(cx + 6, cy + 2))
+    val np1 = geometryNearestPoints(sqA, sqB, closedA = true, closedB = true)
+    val np2 = geometryNearestPoints(sqA, tri, closedA = true, closedB = true)
+    // dissolve fixture: inset envelope of parent tile (px, py, z-1).
+    // Staged through withColumn so the envelope/inset/cover trees stay
+    // attribute references instead of inlining the tile-polygon expression
+    // a hundred times over (CollapseProject keeps non-cheap reused
+    // projections separate).
+    val pz = (z - 1).cast("int")
+    val half = pow(lit(2.0), pz.cast("double")).cast("int")
+    val px = (col("tx") % half).cast("int"); val py = (col("ty") % half).cast("int")
+    val staged = g
+      .withColumn("parent_poly", bingTilePolygon(
+        graft.functions.GeoFunctions.bingTile(px, py, pz)))
+      .withColumn("env", stEnvelope(col("parent_poly").getField("pts")))
+      .withColumn("w4",
+        (col("env").getField("xmax") - col("env").getField("xmin")) / 4.0)
+      .withColumn("h4",
+        (col("env").getField("ymax") - col("env").getField("ymin")) / 4.0)
+      .withColumn("inset", struct(lit("ST_Polygon").as("gtype"), arr(
+        stPoint(col("env").getField("xmin") + col("w4"),
+          col("env").getField("ymin") + col("h4")),
+        stPoint(col("env").getField("xmax") - col("w4"),
+          col("env").getField("ymin") + col("h4")),
+        stPoint(col("env").getField("xmax") - col("w4"),
+          col("env").getField("ymax") - col("h4")),
+        stPoint(col("env").getField("xmin") + col("w4"),
+          col("env").getField("ymax") - col("h4"))).as("pts")))
+      .withColumn("cover", geometryToBingTiles(col("inset"), z))
+      .withColumn("dis", geometryToDissolvedBingTiles(col("inset"), z))
+    val cover = col("cover")
+    val dis = col("dis")
+    val sph = toSphericalGeography(struct(lit("ST_Point").as("gtype"),
+      arr(stPoint(cx, cy * 2 - 60)).as("pts")))
+    val mlt = stMultiGeometryFromText(concat(lit("MULTIPOINT ("),
+      concat_ws(" ", cx.cast("string"), cy.cast("string")), lit(", "),
+      concat_ws(" ", (cx + 1).cast("string"), cy.cast("string")), lit(")")))
+    staged.select(col("k"),
+      round(stXOf(element_at(np1, 1)) - cx, 6).as("np1_ax"),
+      round(stYOf(element_at(np1, 1)) - cy, 6).as("np1_ay"),
+      round(stXOf(element_at(np1, 2)) - cx, 6).as("np1_bx"),
+      round(stYOf(element_at(np1, 2)) - cy, 6).as("np1_by"),
+      round(stXOf(element_at(np2, 1)) - cx, 6).as("np2_ax"),
+      round(stYOf(element_at(np2, 1)) - cy, 6).as("np2_ay"),
+      round(stXOf(element_at(np2, 2)) - cx, 6).as("np2_bx"),
+      round(stYOf(element_at(np2, 2)) - cy, 6).as("np2_by"),
+      size(cover).as("n_cover"), size(dis).as("n_dissolved"),
+      element_at(dis, 1).getField("zoom").as("dis_zoom"),
+      element_at(dis, 1).getField("x").as("dis_x"),
+      stGeometryType(toGeometry(sph)).as("tg_type"),
+      size(flattenGeometryCollections(mlt)).as("flat_n"),
+      stGeometryType(element_at(flattenGeometryCollections(mlt), 1))
+        .as("flat_leaf_t"))
+      .orderBy("k")
+  }
+
   /** Bing tile family completions (BingTileFunctions.java bing_tile
     * constructors, coordinates/zoom accessors, parent/children): quadkey
     * round-trip, parent/child containment — all dyadic integer closed
@@ -1793,6 +1902,7 @@ object Scalars {
     "fn_bingtile2" -> bingTile2,
     "fn_bingtile3" -> bingTile3,
     "fn_parity_misc" -> parityMisc,
+    "fn_geo_nearest" -> geoNearest,
     "agg_geo_union" -> geoUnionAgg,
     "agg_convex_hull" -> convexHullAgg,
     "fn_conv" -> conv,
@@ -1819,6 +1929,7 @@ object Scalars {
     "fn_cdf" -> cdfKat,
     "fn_array_adv2" -> arrayAdv2,
     "fn_map_adv" -> mapAdv,
+    "fn_map_adv2" -> mapAdv2,
     "fn_color" -> colorFns,
     "fn_string_sql" -> stringSql)
 
@@ -2226,6 +2337,16 @@ object Scalars {
         |   pair -> '[' || array_to_string(list_transform(pair,
         |     x -> coalesce(CAST(x AS VARCHAR), 'null')), ',') || ']'), ';') AS comb2
         |FROM c ORDER BY k""".stripMargin,
+    "fn_map_adv2" ->
+      """SELECT s_suppkey AS k,
+        | CASE s_suppkey % 3
+        |   WHEN 0 THEN 'v' || CAST(s_suppkey % 5 AS VARCHAR) || ',w'
+        |   WHEN 1 THEN 'v' || CAST(s_suppkey % 5 AS VARCHAR) || ',null,w'
+        |   ELSE 'v' || CAST(s_suppkey % 5 AS VARCHAR) || ',null,null,w'
+        | END AS intarr,
+        | '1:x,3:y' AS a2m,
+        | TRUE AS ksp_range, TRUE AS ksp_stable, TRUE AS ksp_centile
+        |FROM supplier WHERE s_suppkey <= 100 ORDER BY k""".stripMargin,
     "fn_map_adv" ->
       """WITH s0 AS (SELECT s_suppkey AS k,
         |   CAST(s_suppkey % 100 AS DOUBLE) AS v1,
@@ -2778,6 +2899,19 @@ object Scalars {
         | CAST(2.0 AS DOUBLE) AS interp_mid_dy,
         | CAST(0.0 AS DOUBLE) AS interp_0_dx,
         | CAST(4.0 AS DOUBLE) AS interp_1_dy
+        |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_geo_nearest" ->
+      """SELECT c_custkey AS k,
+        | CAST(2.0 AS DOUBLE) AS np1_ax, CAST(2.0 AS DOUBLE) AS np1_ay,
+        | CAST(5.0 AS DOUBLE) AS np1_bx, CAST(5.0 AS DOUBLE) AS np1_by,
+        | CAST(2.0 AS DOUBLE) AS np2_ax, CAST(1.0 AS DOUBLE) AS np2_ay,
+        | CAST(4.0 AS DOUBLE) AS np2_bx, CAST(1.0 AS DOUBLE) AS np2_by,
+        | CAST(4 AS INTEGER) AS n_cover, CAST(1 AS INTEGER) AS n_dissolved,
+        | CAST(c_custkey % 4 + 2 AS INTEGER) AS dis_zoom,
+        | CAST((c_custkey % 20 + 1) % (1 << (c_custkey % 4 + 2)) AS INTEGER)
+        |   AS dis_x,
+        | 'ST_Point' AS tg_type, CAST(2 AS INTEGER) AS flat_n,
+        | 'ST_Point' AS flat_leaf_t
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
     "fn_bingtile3" ->
       """WITH g AS (SELECT c_custkey k,
