@@ -859,7 +859,151 @@ object Tpcds {
       .orderBy(desc("sumsales"), asc("ss_customer_sk"))
       .limit(100)
 
+  /** q16: tickets spanning ≥2 stores with no return — EXISTS (another
+    * line, different store) + NOT EXISTS (return) + COUNT(DISTINCT)
+    * (q16.sql's order-count shape on the store fact). */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val base = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999 && col("d_qoy") === 1)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+    // EXISTS(other line, different store) is date-unconstrained in the
+    // canonical text — computed over the full fact, not the date slice
+    val multiStore = storeSales(s, dir)
+      .groupBy(col("ss_ticket_number").as("t"))
+      .agg(countDistinct(col("ss_store_sk")).as("nstores"))
+      .filter(col("nstores") >= 2).select("t")
+    val returned = storeReturns(s, dir)
+      .select(col("sr_ticket_number").as("rt")).distinct()
+    base
+      .join(multiStore, col("ss_ticket_number") === col("t"), "left_semi")
+      .join(returned, col("ss_ticket_number") === col("rt"), "left_anti")
+      .agg(countDistinct(col("ss_ticket_number")).as("order_count"),
+        dsum(col("ss_ext_sales_price"), "total_shipping_cost"),
+        dsum(col("ss_net_profit"), "total_net_profit"))
+  }
+
+  /** q25: bought, returned, then re-bought by the same customer through
+    * the catalog channel — the ss ⋈ sr ⋈ cs three-fact chain (q25.sql).
+    * sr joins ss on (ticket, item) — the co-partitioned derivation key —
+    * and cs joins on (customer, item). */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1998))
+    val ss = storeSales(s, dir)
+      .join(dd.select(col("d_date_sk").as("d1")), col("ss_sold_date_sk") === col("d1"))
+    val sr = storeReturns(s, dir)
+      .join(dd.select(col("d_date_sk").as("d2")),
+        col("sr_returned_date_sk") === col("d2"))
+      .select("sr_ticket_number", "sr_item_sk", "sr_customer_sk", "sr_net_loss")
+    val cs = catalogSales(s, dir)
+      .join(dd.select(col("d_date_sk").as("d3")), col("cs_sold_date_sk") === col("d3"))
+      .select("cs_bill_customer_sk", "cs_item_sk", "cs_ext_sales_price")
+    ss.join(sr, col("ss_ticket_number") === col("sr_ticket_number") &&
+        col("ss_item_sk") === col("sr_item_sk"))
+      .join(cs, col("sr_customer_sk") === col("cs_bill_customer_sk") &&
+        col("sr_item_sk") === col("cs_item_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("i_item_id", "s_store_name")
+      .agg(dsum(col("ss_net_profit"), "store_sales_profit"),
+        dsum(col("sr_net_loss"), "store_returns_loss"),
+        dsum(col("cs_ext_sales_price"), "catalog_sales_rev"))
+      .orderBy("i_item_id", "s_store_name")
+  }
+
+  /** q28: six independent quantity-band aggregates (avg price, row count,
+    * distinct price count) cross-joined into one row (q28.sql). */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val base = storeSales(s, dir)
+    def band(i: Int, lo: Int, hi: Int): DataFrame =
+      base.filter(col("ss_quantity").between(lo, hi))
+        .agg(davg(col("ss_list_price"), s"b${i}_lp"),
+          count(lit(1)).as(s"b${i}_cnt"),
+          countDistinct(col("ss_list_price")).as(s"b${i}_cntd"))
+    band(1, 0, 5).crossJoin(band(2, 6, 10)).crossJoin(band(3, 11, 15))
+      .crossJoin(band(4, 16, 20)).crossJoin(band(5, 21, 25))
+      .crossJoin(band(6, 26, 30))
+  }
+
+  /** q35: customers active in store AND (web OR catalog), grouped by
+    * gender × marital status with dependent-count stats (q35.sql's
+    * EXISTS AND (EXISTS OR EXISTS) shape as semi-joins over distinct
+    * customer sets). */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999))
+    def buyers(f: DataFrame, dateK: String, custK: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(custK).as("b_cust")).distinct()
+    val storeB = buyers(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk")
+    val otherB = buyers(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk")
+      .union(buyers(catalogSales(s, dir), "cs_sold_date_sk", "cs_bill_customer_sk"))
+      .distinct()
+    customerDim(s, dir)
+      .join(storeB, col("c_customer_sk") === storeB("b_cust"), "left_semi")
+      .join(otherB, col("c_customer_sk") === otherB("b_cust"), "left_semi")
+      .join(broadcast(customerDemographics(s)),
+        col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(householdDemographics(s)),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy("cd_gender", "cd_marital_status")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("hd_dep_count")).as("min_dep"),
+        max(col("hd_dep_count")).as("max_dep"),
+        davg(col("hd_dep_count"), "avg_dep"))
+      .orderBy("cd_gender", "cd_marital_status")
+  }
+
+  /** q49: worst items by return ratio OR by returned-amount ratio — two
+    * rank orders over the ss ⋈ sr per-item aggregate, top-10 of either,
+    * tagged and unioned (q49.sql's dual-rank union shape on the store
+    * channel; ranks tie-break on item for a total order). */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1998))
+    val perItem = storeSales(s, dir)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(storeReturns(s, dir)
+          .select("sr_ticket_number", "sr_item_sk", "sr_return_quantity",
+            "sr_return_amt"),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left")
+      .groupBy(col("ss_item_sk").as("item"))
+      .agg(dsum(coalesce(col("sr_return_quantity"), lit(0.0)), "ret_qty"),
+        dsum(col("ss_quantity"), "sold_qty"),
+        dsum(coalesce(col("sr_return_amt"), lit(0.0)), "ret_amt"),
+        dsum(col("ss_ext_sales_price"), "sold_amt"))
+      .filter(col("sold_qty") > 0 && col("sold_amt") > 0)
+      .withColumn("qty_ratio", col("ret_qty") / col("sold_qty"))
+      .withColumn("amt_ratio", col("ret_amt") / col("sold_amt"))
+    val byQty = perItem.withColumn("rnk",
+      rank().over(Window.orderBy(desc("qty_ratio"), asc("item"))))
+      .filter(col("rnk") <= 10).withColumn("which", lit("quantity"))
+    val byAmt = perItem.withColumn("rnk",
+      rank().over(Window.orderBy(desc("amt_ratio"), asc("item"))))
+      .filter(col("rnk") <= 10).withColumn("which", lit("amount"))
+    byQty.unionAll(byAmt)
+      .select(col("which"), col("rnk").cast("long").as("rnk"), col("item"),
+        round(col("qty_ratio"), 6).as("qty_ratio"),
+        round(col("amt_ratio"), 6).as("amt_ratio"))
+      .orderBy("which", "rnk", "item")
+  }
+
+  /** q54-lite: count of customers per revenue segment — an aggregate of
+    * an aggregate (per-customer revenue → floor(rev/5000) histogram,
+    * q54.sql's segment-count tail shape). */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(dsum(col("ss_ext_sales_price"), "revenue"))
+      .select(floor(col("revenue") / 5000).cast("long").as("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("num_customers"))
+      .withColumn("segment_base", col("segment") * 5000)
+      .orderBy("segment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_q16" -> q16, "ds_q25" -> q25, "ds_q28" -> q28, "ds_q35" -> q35,
+    "ds_q49" -> q49, "ds_q54" -> q54,
     "ds_q31" -> q31, "ds_q45" -> q45, "ds_q93" -> q93,
     "ds_q06" -> q6, "ds_q36" -> q36, "ds_q38" -> q38, "ds_q44" -> q44,
     "ds_q48" -> q48, "ds_q51" -> q51, "ds_q62" -> q62, "ds_q65" -> q65,
@@ -981,6 +1125,105 @@ object Tpcds {
     dsumS.format(c) + s" / count($c) AS $a"
 
   val oracle: Map[String, String] = Map(
+    "ds_q16" -> ds(s"""
+      |SELECT CAST(count(DISTINCT ss_ticket_number) AS BIGINT) AS order_count,
+      |  ${ds_sum("ss_ext_sales_price", "total_shipping_cost")},
+      |  ${ds_sum("ss_net_profit", "total_net_profit")}
+      |FROM store_sales ss1, date_dim
+      |WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999 AND d_qoy = 1
+      |  AND EXISTS (SELECT 1 FROM store_sales ss2
+      |    WHERE ss1.ss_ticket_number = ss2.ss_ticket_number
+      |      AND ss1.ss_store_sk <> ss2.ss_store_sk)
+      |  AND NOT EXISTS (SELECT 1 FROM store_returns sr
+      |    WHERE ss1.ss_ticket_number = sr.sr_ticket_number)""".stripMargin),
+    "ds_q25" -> ds(s"""
+      |SELECT i_item_id, s_store_name,
+      |  ${ds_sum("ss_net_profit", "store_sales_profit")},
+      |  ${ds_sum("sr_net_loss", "store_returns_loss")},
+      |  ${ds_sum("cs_ext_sales_price", "catalog_sales_rev")}
+      |FROM store_sales, store_returns, catalog_sales, item, store,
+      |  date_dim d1, date_dim d2, date_dim d3
+      |WHERE ss_sold_date_sk = d1.d_date_sk AND d1.d_year = 1998
+      |  AND sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 1998
+      |  AND cs_sold_date_sk = d3.d_date_sk AND d3.d_year = 1998
+      |  AND ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+      |  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+      |  AND ss_item_sk = i_item_sk AND ss_store_sk = s_store_sk
+      |GROUP BY i_item_id, s_store_name
+      |ORDER BY i_item_id, s_store_name""".stripMargin),
+    "ds_q28" -> ds(s"""
+      |SELECT * FROM
+      | (SELECT ${ds_avg("ss_list_price", "b1_lp")}, count(*) AS b1_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b1_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 0 AND 5) b1,
+      | (SELECT ${ds_avg("ss_list_price", "b2_lp")}, count(*) AS b2_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b2_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 6 AND 10) b2,
+      | (SELECT ${ds_avg("ss_list_price", "b3_lp")}, count(*) AS b3_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b3_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 11 AND 15) b3,
+      | (SELECT ${ds_avg("ss_list_price", "b4_lp")}, count(*) AS b4_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b4_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 16 AND 20) b4,
+      | (SELECT ${ds_avg("ss_list_price", "b5_lp")}, count(*) AS b5_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b5_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 21 AND 25) b5,
+      | (SELECT ${ds_avg("ss_list_price", "b6_lp")}, count(*) AS b6_cnt,
+      |    CAST(count(DISTINCT ss_list_price) AS BIGINT) AS b6_cntd
+      |  FROM store_sales WHERE ss_quantity BETWEEN 26 AND 30) b6""".stripMargin),
+    "ds_q35" -> ds(s"""
+      |SELECT cd_gender, cd_marital_status, count(*) AS cnt,
+      |  min(hd_dep_count) AS min_dep, max(hd_dep_count) AS max_dep,
+      |  ${ds_avg("hd_dep_count", "avg_dep")}
+      |FROM customer_dim c, customer_demographics, household_demographics
+      |WHERE c_current_cdemo_sk = cd_demo_sk
+      |  AND c_current_hdemo_sk = hd_demo_sk
+      |  AND EXISTS (SELECT 1 FROM store_sales, date_dim
+      |    WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999
+      |      AND c.c_customer_sk = ss_customer_sk)
+      |  AND (EXISTS (SELECT 1 FROM web_sales, date_dim
+      |      WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999
+      |        AND c.c_customer_sk = ws_bill_customer_sk)
+      |    OR EXISTS (SELECT 1 FROM catalog_sales, date_dim
+      |      WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999
+      |        AND c.c_customer_sk = cs_bill_customer_sk))
+      |GROUP BY cd_gender, cd_marital_status
+      |ORDER BY cd_gender, cd_marital_status""".stripMargin),
+    "ds_q49" -> ds(s"""
+      |, per_item AS (
+      |  SELECT ss_item_sk AS item,
+      |    ${ds_sum("COALESCE(sr_return_quantity, 0.0)", "ret_qty")},
+      |    ${ds_sum("ss_quantity", "sold_qty")},
+      |    ${ds_sum("COALESCE(sr_return_amt, 0.0)", "ret_amt")},
+      |    ${ds_sum("ss_ext_sales_price", "sold_amt")}
+      |  FROM store_sales
+      |  JOIN date_dim ON ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |  LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+      |    AND ss_item_sk = sr_item_sk
+      |  GROUP BY 1),
+      |rated AS (SELECT item, ret_qty / sold_qty AS qty_ratio,
+      |    ret_amt / sold_amt AS amt_ratio
+      |  FROM per_item WHERE sold_qty > 0 AND sold_amt > 0),
+      |by_qty AS (SELECT 'quantity' AS which,
+      |    RANK() OVER (ORDER BY qty_ratio DESC, item ASC) AS rnk, item,
+      |    qty_ratio, amt_ratio FROM rated),
+      |by_amt AS (SELECT 'amount' AS which,
+      |    RANK() OVER (ORDER BY amt_ratio DESC, item ASC) AS rnk, item,
+      |    qty_ratio, amt_ratio FROM rated)
+      |SELECT which, CAST(rnk AS BIGINT) AS rnk, item,
+      |  round(qty_ratio, 6) AS qty_ratio, round(amt_ratio, 6) AS amt_ratio
+      |FROM (SELECT * FROM by_qty WHERE rnk <= 10
+      |      UNION ALL SELECT * FROM by_amt WHERE rnk <= 10) u
+      |ORDER BY which, rnk, item""".stripMargin),
+    "ds_q54" -> ds(s"""
+      |SELECT segment, count(*) AS num_customers,
+      |  segment * 5000 AS segment_base
+      |FROM (SELECT CAST(FLOOR(rev / 5000) AS BIGINT) AS segment
+      |  FROM (SELECT ss_customer_sk, ${ds_sum("ss_ext_sales_price", "rev")}
+      |    FROM store_sales, date_dim
+      |    WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999
+      |    GROUP BY 1) pc) seg
+      |GROUP BY segment ORDER BY segment""".stripMargin),
     "ds_q31" -> ds(s"""
       |, ss31 AS (SELECT ca_county AS county, d_qoy AS qoy,
       |    ${ds_sum("ss_ext_sales_price", "rev")}
