@@ -111,7 +111,13 @@ object Bench {
     }
     val layout = if (singleFile) "x8-relayout" else "as-given"
 
-    val queries = tpch.Tpch.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_SUITE=tpcds benches the TPC-DS slice instead (dev/judge
+    // evidence runs; the driver's per-round artifact stays TPC-H). DS keys
+    // (ds_qNN) never collide with the TPC-H cross-round history scan.
+    val suite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "tpch")
+    val queries =
+      (if (suite == "tpcds") tpcds.Tpcds.queries else tpch.Tpch.queries)
+        .toSeq.sortBy(_._1)
     // Benchto protocol (tpch.yaml:1-31): 2 prewarm runs (JVM/JIT + codegen +
     // parquet footer caches, not measured) + 6 measured runs, report median.
     (1 to 2).foreach { _ =>
@@ -153,7 +159,7 @@ object Bench {
     val total = results.map(_._2).sum
     val flagged = loaded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contam = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_min":$mins,"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","suite":"$suite","queries":$qs,"query_min":$mins,"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -385,7 +385,43 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice"), "total"))
       .orderBy("o_orderpriority")
 
+  /** Materialized-view rewrite end-to-end (reference SPI/plan/
+    * MaterializedViewScanNode + MaterializedViewOptimizer): materialize a
+    * (returnflag, linestatus) rollup of lineitem, register it, and answer
+    * a coarser-grain aggregate through the rewrite rule. The gate output
+    * carries `used_mv`, asserted from the optimized plan, so the oracle
+    * verifies BOTH the values (against the base table) and that the MV
+    * scan actually happened. Quantities are integral-valued doubles, so
+    * the re-aggregated sums are exact — value-identical, not just close. */
+  def mvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.rules.MaterializedViewRewrite
+    val base = t(s, dir, "lineitem")
+    val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mv_" + Integer.toHexString(dir.hashCode)).getPath
+    base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("s_qty"), count(lit(1)).as("cnt"),
+        min("l_quantity").as("mn_qty"), max("l_quantity").as("mx_qty"))
+      .write.mode("overwrite").parquet(mvPath)
+    MaterializedViewRewrite.register("gate_li_rollup",
+      s.read.parquet(mvPath), base,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(("sum", "l_quantity", "s_qty"), ("count", "*", "cnt"),
+        ("min", "l_quantity", "mn_qty"), ("max", "l_quantity", "mx_qty")))
+    val prev = s.experimental.extraOptimizations
+    if (!prev.contains(MaterializedViewRewrite))
+      s.experimental.extraOptimizations = prev :+ MaterializedViewRewrite
+    val q = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    val usedMv = q.queryExecution.optimizedPlan.toString.contains("s_qty")
+    q.withColumn("used_mv", lit(usedMv)).orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite" -> mvRewrite,
     "join_salted" -> joinSalted,
     "cte_reuse" -> cteReuse,
     "assign_unique_id" -> uniqueId,
@@ -408,6 +444,16 @@ object Relational {
     "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry)
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | count(*) AS cnt,
+        | CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        | CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        | CAST(SUM(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+        | TRUE AS used_mv
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total

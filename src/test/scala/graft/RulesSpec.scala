@@ -118,4 +118,59 @@ class RulesSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("materialized-view rewrite answers derivable rollups from the MV") {
+    import graft.rules.MaterializedViewRewrite
+    val base = Tables(spark, sf, "lineitem")
+    val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_mv").getPath
+    base.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("s_qty"), count(lit(1)).as("cnt"),
+        min("l_quantity").as("mn_qty"), max("l_quantity").as("mx_qty"))
+      .write.mode("overwrite").parquet(mvPath)
+    MaterializedViewRewrite.clear()
+    MaterializedViewRewrite.register("li_rollup",
+      spark.read.parquet(mvPath), base,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(("sum", "l_quantity", "s_qty"), ("count", "*", "cnt"),
+        ("min", "l_quantity", "mn_qty"), ("max", "l_quantity", "mx_qty")))
+    spark.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+    try {
+      val q = Tables(spark, sf, "lineitem") // a FRESH read — path matching
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"),
+          min("l_quantity").as("mn"), avg("l_quantity").as("a"))
+      // the MV relation surfaces via its partial columns (s_qty/cnt)
+      assert(q.queryExecution.optimizedPlan.toString.contains("s_qty"),
+        "rollup query scans the MV")
+      spark.experimental.extraOptimizations = Nil
+      val direct = Tables(spark, sf, "lineitem")
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"),
+          min("l_quantity").as("mn"), avg("l_quantity").as("a"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      spark.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+      q.collect().foreach { r =>
+        val d = direct(r.getString(0))
+        // quantities are integral-valued doubles: sums are exact, so the
+        // MV re-aggregation is value-identical, not merely close
+        assert(r.getDouble(1) == d.getDouble(1) && r.getLong(2) == d.getLong(2))
+        assert(r.getDouble(3) == d.getDouble(3) && r.getDouble(4) == d.getDouble(4))
+      }
+      // non-derivable aggregate (sum of a non-covered column) stays on base
+      val miss = Tables(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(sum("l_extendedprice").as("p"))
+      assert(!miss.queryExecution.optimizedPlan.toString.contains("s_qty"))
+      // filter over a non-group column stays on base
+      val badFilter = Tables(spark, sf, "lineitem")
+        .filter(col("l_quantity") > 10).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("q"))
+      assert(!badFilter.queryExecution.optimizedPlan.toString.contains("s_qty"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      MaterializedViewRewrite.clear()
+    }
+  }
 }
