@@ -374,6 +374,28 @@ object GraftFunctions {
     ("key_sampling_percent",
       "key_sampling_percent(s) - stable [0,1) hash bucket for key-based sampling",
       es => rc(ArrayMapExtras.keySamplingPercent(c(es.head)))),
+    // ---- Teradata compatibility (presto-teradata-functions) ----
+    ("index", "index(string, substring) - 1-based position, 0 if absent (Teradata)",
+      es => asLong(org.apache.spark.sql.catalyst.expressions.StringInstr(es(0), es(1)))),
+    ("char2hexint", "char2hexint(s) - uppercase hex of the UTF-16BE encoding",
+      es => Char2HexInt(es.head)),
+    ("to_char",
+      "to_char(ts, 'YYYY-MM-DD') - Teradata-format datetime print (numeric falls through to Spark)",
+      es => teradataToChar(es)),
+    ("to_date",
+      "to_date(s[, 'YYYY-MM-DD']) - Teradata-format date parse (java patterns pass through)",
+      es =>
+        if (es.length == 1)
+          new org.apache.spark.sql.catalyst.expressions.ParseToDate(es(0))
+        else new org.apache.spark.sql.catalyst.expressions.ParseToDate(es(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(teradataFmt(es(1))))),
+    ("to_timestamp",
+      "to_timestamp(s[, 'YYYY-MM-DD HH24:MI:SS']) - Teradata-format timestamp parse",
+      es =>
+        if (es.length == 1)
+          new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(es(0))
+        else new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(es(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(teradataFmt(es(1))))),
     ("all_keys_match", "all_keys_match(m, f) - every key satisfies the lambda",
       es => org.apache.spark.sql.catalyst.expressions.ArrayForAll(
         org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
@@ -757,6 +779,37 @@ object GraftFunctions {
       cast(es(1), org.apache.spark.sql.types.BooleanType), dbl(es(2)),
       if (es.length > 3) Some(dbl(es(3))) else None, metric)
       .toAggregateExpression()
+
+  /** Teradata/java format literal, translated when it uses the Teradata
+    * element vocabulary. Children may be unresolved in registry builders,
+    * so only plain literals are inspected. */
+  private def teradataFmt(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      val raw = String.valueOf(v)
+      if (TeradataFormat.looksTeradata(raw)) TeradataFormat.toJava(raw) else raw
+    case _ => throw new IllegalArgumentException(
+      "Teradata format argument must be a string literal")
+  }
+
+  /** Dispatch on the FORMAT (children may still be unresolved here): a
+    * Teradata datetime vocabulary → date_format; anything else falls
+    * through to Spark's numeric to_char. */
+  private def teradataToChar(es: Seq[Expression]): Expression = {
+    val tdFmt = es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null && TeradataFormat.looksTeradata(String.valueOf(v)) =>
+        Some(TeradataFormat.toJava(String.valueOf(v)))
+      case _ => None
+    }
+    tdFmt match {
+      case Some(fmt) =>
+        rc(org.apache.spark.sql.functions.date_format(c(es(0)), fmt))
+      case None => // numeric/native path — direct expression, NOT
+        // functions.to_char (which would re-resolve into this builder)
+        org.apache.spark.sql.catalyst.expressions.ToCharacterBuilder
+          .build("to_char", es)
+    }
+  }
 
   /** Eager Column→Expression conversion for builders composed with
     * `functions._` (a lazy ColumnNode from the plain bridge would reach

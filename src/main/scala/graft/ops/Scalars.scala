@@ -1679,6 +1679,28 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** Teradata-compatibility functions (reference presto-teradata-functions:
+    * TeradataStringFunctions.java index/char2hexint,
+    * TeradataDateFunctions.java to_char/to_date/to_timestamp over the
+    * YYYY/MM/DD/HH24/HH/MI/SS element vocabulary). to_char round-trips
+    * through to_date; char2hexint pins the UTF-16BE hex encoding. */
+  def teradata(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").as("k"),
+        expr("index(o_orderpriority, 'URGENT')").as("idx"),
+        expr("index(o_orderpriority, 'zz')").as("idx0"),
+        expr("char2hexint('abc')").as("hex_abc"),
+        expr("char2hexint(substring(o_orderpriority, 1, 1))").as("hex_first"),
+        expr("to_char(cast(o_orderdate as timestamp), 'YYYY-MM-DD')").as("tc"),
+        expr("to_char(cast(o_orderdate as timestamp), 'HH24:MI:SS')").as("tc_time"),
+        (expr("to_date(to_char(cast(o_orderdate as timestamp), 'YYYY/MM/DD'), 'YYYY/MM/DD')")
+          === col("o_orderdate").cast("date")).as("rt"),
+        expr("cast(to_timestamp('1992-01-03 04:05:06', 'YYYY-MM-DD HH24:MI:SS') as string)")
+          .as("tts"))
+      .orderBy("k")
+  }
+
   /** Bing tile family completions (BingTileFunctions.java bing_tile
     * constructors, coordinates/zoom accessors, parent/children): quadkey
     * round-trip, parent/child containment — all dyadic integer closed
@@ -1903,6 +1925,7 @@ object Scalars {
     "fn_bingtile3" -> bingTile3,
     "fn_parity_misc" -> parityMisc,
     "fn_geo_nearest" -> geoNearest,
+    "fn_teradata" -> teradata,
     "agg_geo_union" -> geoUnionAgg,
     "agg_convex_hull" -> convexHullAgg,
     "fn_conv" -> conv,
@@ -2900,6 +2923,17 @@ object Scalars {
         | CAST(0.0 AS DOUBLE) AS interp_0_dx,
         | CAST(4.0 AS DOUBLE) AS interp_1_dy
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_teradata" ->
+      """SELECT o_orderkey AS k,
+        | CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS idx,
+        | CAST(0 AS BIGINT) AS idx0,
+        | '006100620063' AS hex_abc,
+        | '00' || hex(substr(o_orderpriority, 1, 1)) AS hex_first,
+        | strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS tc,
+        | '00:00:00' AS tc_time,
+        | TRUE AS rt,
+        | '1992-01-03 04:05:06' AS tts
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY k""".stripMargin,
     "fn_geo_nearest" ->
       """SELECT c_custkey AS k,
         | CAST(2.0 AS DOUBLE) AS np1_ax, CAST(2.0 AS DOUBLE) AS np1_ay,
