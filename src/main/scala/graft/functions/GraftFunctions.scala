@@ -388,14 +388,14 @@ object GraftFunctions {
         if (es.length == 1)
           new org.apache.spark.sql.catalyst.expressions.ParseToDate(es(0))
         else new org.apache.spark.sql.catalyst.expressions.ParseToDate(es(0),
-          org.apache.spark.sql.catalyst.expressions.Literal(teradataFmt(es(1))))),
+          teradataFmt(es(1)))),
     ("to_timestamp",
       "to_timestamp(s[, 'YYYY-MM-DD HH24:MI:SS']) - Teradata-format timestamp parse",
       es =>
         if (es.length == 1)
           new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(es(0))
         else new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(es(0),
-          org.apache.spark.sql.catalyst.expressions.Literal(teradataFmt(es(1))))),
+          teradataFmt(es(1)))),
     ("all_keys_match", "all_keys_match(m, f) - every key satisfies the lambda",
       es => org.apache.spark.sql.catalyst.expressions.ArrayForAll(
         org.apache.spark.sql.catalyst.expressions.MapKeys(es(0)), es(1))),
@@ -783,12 +783,15 @@ object GraftFunctions {
   /** Teradata/java format literal, translated when it uses the Teradata
     * element vocabulary. Children may be unresolved in registry builders,
     * so only plain literals are inspected. */
-  private def teradataFmt(e: Expression): String = e match {
+  private def teradataFmt(e: Expression): Expression = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
       val raw = String.valueOf(v)
-      if (TeradataFormat.looksTeradata(raw)) TeradataFormat.toJava(raw) else raw
-    case _ => throw new IllegalArgumentException(
-      "Teradata format argument must be a string literal")
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (TeradataFormat.looksTeradata(raw)) TeradataFormat.toJava(raw)
+          else raw),
+        org.apache.spark.sql.types.StringType)
+    case other => other // non-literal format: builtin semantics untouched
   }
 
   /** Dispatch on the FORMAT (children may still be unresolved here): a

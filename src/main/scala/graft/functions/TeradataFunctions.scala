@@ -20,10 +20,14 @@ object TeradataFormat {
     "HH24" -> "HH", "HH" -> "hh", "MI" -> "mm", "SS" -> "ss")
 
   /** Does the format use any Teradata-specific element spelling? (DD and
-    * YYYY are Teradata day/year; java's are day-of-year/week-year — a
-    * format containing them is read as Teradata.) */
+    * YYYY are Teradata day/year; java's are day-of-year/week-year.) Any
+    * lowercase letter marks the format as a Java pattern: Teradata elements
+    * are all-uppercase, and treating mixed-case strings as Teradata would
+    * hijack Java patterns like yyyy-MM-dd'T'HH:mm:ss.SSS that reach the
+    * overridden to_date/to_timestamp names from the DataFrame API. */
   def looksTeradata(fmt: String): Boolean =
-    Seq("YYYY", "YY", "DD", "HH24", "HH", "MI", "SS").exists(fmt.contains)
+    !fmt.exists(_.isLower) &&
+      Seq("YYYY", "YY", "DD", "HH24", "HH", "MI", "SS").exists(fmt.contains)
 
   /** Teradata format → java DateTimeFormatter pattern. Non-element
     * letters are single-quoted so they stay literal. */

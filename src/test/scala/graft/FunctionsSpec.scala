@@ -1043,4 +1043,23 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
   }
+
+  test("Teradata to_date/to_timestamp overrides leave Java patterns intact") {
+    functions.GraftFunctions.register(spark)
+    // mixed-case = Java pattern: must NOT be run through the Teradata
+    // translator (regression: the session-wide override once mangled
+    // yyyy-MM-dd'T'HH:mm:ss.SSS reached via the DataFrame API)
+    val r = spark.sql(
+      "SELECT to_timestamp('2024-03-05T06:07:08.125', " +
+        "\"yyyy-MM-dd'T'HH:mm:ss.SSS\") AS ts, " +
+        "to_date('2024-03-05', 'yyyy-MM-dd') AS d, " +
+        "to_date('2024/03/05', 'YYYY/MM/DD') AS td").collect()(0)
+    assert(r.getTimestamp(0).toString == "2024-03-05 06:07:08.125")
+    assert(r.getDate(1).toString == "2024-03-05")
+    assert(r.getDate(2).toString == "2024-03-05")
+    // non-literal format argument keeps builtin semantics (no translation)
+    val n = spark.sql("SELECT to_date('2024-03-05', fmt) AS d FROM " +
+      "(SELECT 'yyyy-MM-dd' AS fmt)").collect()(0)
+    assert(n.getDate(0).toString == "2024-03-05")
+  }
 }
