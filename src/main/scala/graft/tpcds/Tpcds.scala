@@ -44,7 +44,11 @@ object Tpcds {
         month(col("d_date")).cast("long").as("d_moy"),
         dayofmonth(col("d_date")).cast("long").as("d_dom"),
         quarter(col("d_date")).cast("long").as("d_qoy"),
-        (col("d_date_sk") % 7).as("d_dow"))
+        (col("d_date_sk") % 7).as("d_dow"),
+        floor(col("d_date_sk") / 7).cast("long").as("d_week_seq"),
+        expr("""CASE d_date_sk % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+          WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+          WHEN 5 THEN 'Friday' ELSE 'Saturday' END""").as("d_day_name"))
 
   def item(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
@@ -76,7 +80,9 @@ object Tpcds {
       expr("substring(c_name, 10)").as("c_last_name"),
       col("c_custkey").as("c_current_addr_sk"),
       (col("c_custkey") % 100).as("c_current_cdemo_sk"),
-      (col("c_custkey") % 50).as("c_current_hdemo_sk"))
+      (col("c_custkey") % 50).as("c_current_hdemo_sk"),
+      when(col("c_custkey") % 3 === 0, "Y").otherwise("N")
+        .as("c_preferred_cust_flag"))
 
   def customerAddress(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
@@ -101,7 +107,14 @@ object Tpcds {
       (col("id") % 10).as("hd_dep_count"),
       (col("id") % 5).as("hd_vehicle_count"),
       expr("CASE id % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END")
-        .as("hd_buy_potential"))
+        .as("hd_buy_potential"),
+      (col("id") % 20).as("hd_income_band_sk"))
+
+  def incomeBand(s: SparkSession): DataFrame =
+    s.range(0, 20).select(
+      col("id").as("ib_income_band_sk"),
+      (col("id") * 10000).as("ib_lower_bound"),
+      ((col("id") + 1) * 10000 - 1).as("ib_upper_bound"))
 
   def promotion(s: SparkSession): DataFrame =
     s.range(0, 20).select(
@@ -109,6 +122,43 @@ object Tpcds {
       concat(lit("promo_"), col("id")).as("p_promo_name"),
       when(col("id") % 2 === 0, "N").otherwise("Y").as("p_channel_email"),
       when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"))
+
+  def warehouse(s: SparkSession): DataFrame =
+    s.range(0, 5).select(
+      col("id").as("w_warehouse_sk"),
+      concat(lit("Warehouse_"), col("id")).as("w_warehouse_name"),
+      concat(lit("S"), col("id") % 4).as("w_state"),
+      (col("id") * 1000 + 500).as("w_warehouse_sq_ft"))
+
+  /** Seconds-of-day dimension (86 400 rows — broadcastable like the
+    * reference's tpcds time_dim). */
+  def timeDim(s: SparkSession): DataFrame =
+    s.range(0, 86400).select(
+      col("id").as("t_time_sk"),
+      (col("id") / 3600).cast("long").as("t_hour"),
+      ((col("id") / 60) % 60).cast("long").as("t_minute"))
+
+  def reason(s: SparkSession): DataFrame =
+    s.range(0, 10).select(
+      col("id").as("r_reason_sk"),
+      concat(lit("reason_"), col("id")).as("r_reason_desc"))
+
+  def shipMode(s: SparkSession): DataFrame =
+    s.range(0, 4).select(
+      col("id").as("sm_ship_mode_sk"),
+      expr("CASE id WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR' " +
+        "WHEN 2 THEN 'SURFACE' ELSE 'SEA' END").as("sm_type"))
+
+  /** Weekly inventory snapshots: item × 366 week-grid, deterministic
+    * on-hand quantity. inv_date_sk lands on the d_date_sk weekly grid
+    * (multiples of 7), so date_dim filters prune whole snapshot weeks. */
+  def inventory(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey").as("inv_item_sk"))
+      .crossJoin(broadcast(s.range(0, 366).select(col("id").as("w"))))
+      .select(col("inv_item_sk"), (col("w") * 7).as("inv_date_sk"),
+        (col("inv_item_sk") % 5).as("inv_warehouse_sk"),
+        ((col("inv_item_sk") * 31 + col("w") * 17) % 1000)
+          .as("inv_quantity_on_hand"))
 
   // ---- derived facts ------------------------------------------------------
 
@@ -131,6 +181,8 @@ object Tpcds {
         ((col("l_orderkey") * 3 + col("l_linenumber")) % 50).as("ss_hdemo_sk"),
         (col("o_custkey") + col("l_suppkey") % 2).as("ss_addr_sk"),
         (col("l_partkey") % 20).as("ss_promo_sk"),
+        ((col("l_orderkey") * 2063 + col("l_linenumber") * 7919) % 86400)
+          .as("ss_sold_time_sk"),
         col("l_orderkey").as("ss_ticket_number"),
         col("l_quantity").as("ss_quantity"),
         col("l_extendedprice").as("ss_ext_sales_price"),
@@ -148,7 +200,16 @@ object Tpcds {
         col("ss_item_sk").as("cs_item_sk"),
         col("ss_customer_sk").as("cs_bill_customer_sk"),
         col("ss_ext_sales_price").as("cs_ext_sales_price"),
-        col("ss_quantity").as("cs_quantity"))
+        col("ss_quantity").as("cs_quantity"),
+        col("ss_coupon_amt").as("cs_ext_discount_amt"),
+        (col("ss_store_sk") % 5).as("cs_warehouse_sk"),
+        col("ss_ticket_number").as("cs_order_number"),
+        col("ss_sales_price").as("cs_sales_price"),
+        col("ss_cdemo_sk").as("cs_bill_cdemo_sk"),
+        col("ss_promo_sk").as("cs_promo_sk"),
+        col("ss_sold_time_sk").as("cs_sold_time_sk"),
+        (col("ss_ticket_number") % 4).as("cs_ship_mode_sk"),
+        col("ss_list_price").as("cs_list_price"))
 
   def webSales(s: SparkSession, dir: String): DataFrame =
     storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 2)
@@ -156,7 +217,12 @@ object Tpcds {
         col("ss_item_sk").as("ws_item_sk"),
         col("ss_customer_sk").as("ws_bill_customer_sk"),
         col("ss_ext_sales_price").as("ws_ext_sales_price"),
-        col("ss_quantity").as("ws_quantity"))
+        col("ss_quantity").as("ws_quantity"),
+        col("ss_sold_time_sk").as("ws_sold_time_sk"),
+        col("ss_hdemo_sk").as("ws_ship_hdemo_sk"),
+        (col("ss_store_sk") % 5).as("ws_warehouse_sk"),
+        (col("ss_ticket_number") % 4).as("ws_ship_mode_sk"),
+        col("ss_ticket_number").as("ws_order_number"))
 
   /** Returns channel: returned lineitems (l_returnflag = 'R') as
     * store_returns — lets the returns-joining report shapes (q5 family)
@@ -174,7 +240,32 @@ object Tpcds {
         col("l_orderkey").as("sr_ticket_number"),
         col("l_quantity").as("sr_return_quantity"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sr_return_amt"),
-        (col("l_extendedprice") * lit(0.1)).as("sr_net_loss"))
+        (col("l_extendedprice") * lit(0.1)).as("sr_net_loss"),
+        // settlement lags the return by a deterministic 0..119-day spread so
+        // latency-bucket shapes (q50) have non-degenerate buckets
+        (datediff(col("l_shipdate").cast("date"), to_date(lit(Base))).cast("long")
+          + col("l_orderkey") % 120).as("sr_settled_date_sk"))
+
+  /** Catalog returns channel: the ticket-split of store_returns aligned with
+    * catalog_sales' split, cr-prefixed. */
+  def catalogReturns(s: SparkSession, dir: String): DataFrame =
+    storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 1)
+      .select(col("sr_returned_date_sk").as("cr_returned_date_sk"),
+        col("sr_item_sk").as("cr_item_sk"),
+        col("sr_ticket_number").as("cr_order_number"),
+        col("sr_customer_sk").as("cr_returning_customer_sk"),
+        col("sr_return_quantity").as("cr_return_quantity"),
+        col("sr_return_amt").as("cr_return_amount"))
+
+  /** Web returns channel: the %3=2 ticket-split, wr-prefixed. */
+  def webReturns(s: SparkSession, dir: String): DataFrame =
+    storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 2)
+      .select(col("sr_returned_date_sk").as("wr_returned_date_sk"),
+        col("sr_item_sk").as("wr_item_sk"),
+        col("sr_ticket_number").as("wr_order_number"),
+        col("sr_customer_sk").as("wr_returning_customer_sk"),
+        col("sr_return_quantity").as("wr_return_quantity"),
+        col("sr_return_amt").as("wr_return_amt"))
 
   // ---- queries ------------------------------------------------------------
 
@@ -1001,6 +1092,720 @@ object Tpcds {
       .withColumn("segment_base", col("segment") * 5000)
       .orderBy("segment")
 
+  // ---- second slice (round-7): returns, inventory, time-dim, set-op shapes
+
+  private def decSum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+
+  /** Day-name pivot cell: decimal-exact conditional sum emitted as double. */
+  private def dayPivot(day: String, c: String, a: String): Column =
+    decSum(when(col("d_day_name") === day, col(c))).cast("double").as(a)
+
+  /** q1: customers whose store returns exceed 1.2× their store's average —
+    * CTE reuse + per-store correlated scalar average (q01.sql shape). The
+    * correlated subquery becomes one extra aggregation over the SAME
+    * customer_total_return frame, joined back broadcast (store-count rows),
+    * so the fact shuffles once. */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val ctr = storeReturns(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("sr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("sr_customer_sk"), col("sr_store_sk"))
+      .agg(dsum(col("sr_return_amt"), "ctr_total_return"))
+      .select(col("sr_customer_sk").as("ctr_customer_sk"),
+        col("sr_store_sk").as("ctr_store_sk"), col("ctr_total_return"))
+    val perStore = ctr.groupBy(col("ctr_store_sk").as("a_store_sk"))
+      .agg((davg(col("ctr_total_return")) * 1.2).as("return_threshold"))
+    ctr.join(broadcast(perStore), col("ctr_store_sk") === col("a_store_sk"))
+      .filter(col("ctr_total_return") > col("return_threshold"))
+      .join(broadcast(store(s).filter(col("s_state") === "S0")),
+        col("ctr_store_sk") === col("s_store_sk"))
+      .join(customerDim(s, dir),
+        col("ctr_customer_sk") === col("c_customer_sk"))
+      .select(col("c_customer_id"))
+      .orderBy("c_customer_id").limit(100)
+  }
+
+  /** q13: single-row averages under OR-of-AND demographic/address/price
+    * bands (q13.sql shape) — the disjunction can't push below the joins, so
+    * the planner keeps the star broadcast and filters post-join. */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(customerDemographics(s)),
+        col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(householdDemographics(s)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(customerAddress(s, dir), col("ss_addr_sk") === col("ca_address_sk"))
+      .filter(
+        ((col("cd_marital_status") === "M" &&
+            col("cd_education_status") === "4 yr Degree" &&
+            col("ss_sales_price").between(1000, 30000) &&
+            col("hd_dep_count") === 3) ||
+          (col("cd_marital_status") === "S" &&
+            col("cd_education_status") === "College" &&
+            col("ss_sales_price").between(30000, 60000) &&
+            col("hd_dep_count") === 1) ||
+          (col("cd_marital_status") === "W" &&
+            col("cd_education_status") === "Primary" &&
+            col("ss_sales_price").between(60000, 90000) &&
+            col("hd_dep_count") === 5)) &&
+        ((col("ca_state").isin("S0", "S1") &&
+            col("ss_net_profit").between(-5000, 10000)) ||
+          (col("ca_state") === "S2" &&
+            col("ss_net_profit").between(0, 20000))))
+      .agg(davg(col("ss_quantity"), "avg_qty"),
+        davg(col("ss_ext_sales_price"), "avg_sales"),
+        davg(col("ss_wholesale_cost"), "avg_cost"),
+        dsum(col("ss_wholesale_cost"), "sum_cost"))
+
+  /** q32: excess catalog discount — rows whose discount beats 1.3× the
+    * per-item window average (q32.sql correlated-avg shape); the correlated
+    * average is one aggregation of the shared date-filtered frame. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val cs = catalogSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-03-01"), Tables.d("1998-05-30")))),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .select("cs_item_sk", "cs_ext_discount_amt")
+    val perItem = cs.groupBy(col("cs_item_sk").as("a_item_sk"))
+      .agg((davg(col("cs_ext_discount_amt")) * 1.3).as("discount_threshold"))
+    cs.join(broadcast(item(s, dir).filter(col("i_manufact_id") === 7)),
+        col("cs_item_sk") === col("i_item_sk"))
+      .join(perItem, col("cs_item_sk") === col("a_item_sk"))
+      .filter(col("cs_ext_discount_amt") > col("discount_threshold"))
+      .agg(dsum(col("cs_ext_discount_amt"), "excess_discount_amount"))
+  }
+
+  /** q43: per-store day-of-week pivot over a year of sales (q43.sql). */
+  def q43(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("s_store_name", "s_store_sk")
+      .agg(dayPivot("Sunday", "ss_sales_price", "sun_sales"),
+        dayPivot("Monday", "ss_sales_price", "mon_sales"),
+        dayPivot("Tuesday", "ss_sales_price", "tue_sales"),
+        dayPivot("Wednesday", "ss_sales_price", "wed_sales"),
+        dayPivot("Thursday", "ss_sales_price", "thu_sales"),
+        dayPivot("Friday", "ss_sales_price", "fri_sales"),
+        dayPivot("Saturday", "ss_sales_price", "sat_sales"))
+      .orderBy("s_store_name")
+
+  /** q87: customers who bought in-store but never by catalog or web in the
+    * quarter — a three-way EXCEPT DISTINCT at fact scale (q87.sql). */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val d = broadcast(dateDim(s)
+      .filter(col("d_year") === 1998 && col("d_moy").between(4, 6)))
+    def chan(df: DataFrame, dateCol: String, custCol: String): DataFrame =
+      df.join(d, col(dateCol) === col("d_date_sk"))
+        .join(customerDim(s, dir), col(custCol) === col("c_customer_sk"))
+        .select(col("c_last_name"), col("c_first_name"), col("d_date"))
+        .distinct()
+    chan(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk")
+      .except(chan(catalogSales(s, dir), "cs_sold_date_sk", "cs_bill_customer_sk"))
+      .except(chan(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk"))
+      .agg(count(lit(1)).as("num_cool"))
+  }
+
+  /** q90: morning/evening web-sales ratio through the time dimension
+    * (q90.sql). One scan with conditional counts instead of the text's two
+    * scalar subqueries — same values, half the fact reads. */
+  def q90(s: SparkSession, dir: String): DataFrame =
+    webSales(s, dir)
+      .join(broadcast(timeDim(s)), col("ws_sold_time_sk") === col("t_time_sk"))
+      .join(broadcast(householdDemographics(s).filter(col("hd_dep_count") === 3)),
+        col("ws_ship_hdemo_sk") === col("hd_demo_sk"))
+      .agg(sum(when(col("t_hour").between(8, 9), 1L).otherwise(0L)).as("amc"),
+        sum(when(col("t_hour").between(19, 20), 1L).otherwise(0L)).as("pmc"))
+      .select(when(col("pmc") === 0, lit(null))
+        .otherwise(col("amc").cast("double") / col("pmc").cast("double"))
+        .as("am_pm_ratio"))
+
+  /** q2: catalog+web weekly day-name pivot, this-year vs next-year ratio —
+    * the union-then-self-join-on-shifted-week shape (q02.sql). Weeks are
+    * keyed by their starting Sunday's year so the boundary week lands in
+    * exactly one side. */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val wscs = webSales(s, dir)
+      .select(col("ws_sold_date_sk").as("sold_date_sk"),
+        col("ws_ext_sales_price").as("sales_price"))
+      .unionAll(catalogSales(s, dir)
+        .select(col("cs_sold_date_sk"), col("cs_ext_sales_price")))
+    val weekly = wscs
+      .join(broadcast(dateDim(s)), col("sold_date_sk") === col("d_date_sk"))
+      .groupBy("d_week_seq")
+      .agg(dayPivot("Sunday", "sales_price", "sun_sales"),
+        dayPivot("Monday", "sales_price", "mon_sales"),
+        dayPivot("Tuesday", "sales_price", "tue_sales"),
+        dayPivot("Wednesday", "sales_price", "wed_sales"),
+        dayPivot("Thursday", "sales_price", "thu_sales"),
+        dayPivot("Friday", "sales_price", "fri_sales"),
+        dayPivot("Saturday", "sales_price", "sat_sales"))
+    def weeksOf(yr: Int) = broadcast(dateDim(s)
+      .filter(col("d_year") === yr && col("d_date_sk") % 7 === 0)
+      .select("d_week_seq"))
+    val names = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val y = weekly.join(weeksOf(1998), "d_week_seq")
+    val z = weekly.join(weeksOf(1999), "d_week_seq").select(
+      col("d_week_seq").as("z_week_seq") +:
+        names.map(n => col(s"${n}_sales").as(s"${n}_sales2")): _*)
+    y.join(z, col("d_week_seq") + 52 === col("z_week_seq"))
+      .select(col("d_week_seq") +: names.map { n =>
+        val (a, b) = (col(s"${n}_sales"), col(s"${n}_sales2"))
+        when(b.isNull || b === 0, lit(null)).otherwise(a / b)
+          .as(s"${n}_ratio")
+      }: _*)
+      .orderBy("d_week_seq")
+  }
+
+  /** q8: store profit restricted to zip prefixes that are BOTH in a literal
+    * zip list and dense in preferred customers — INTERSECT + HAVING + IN
+    * pushed into a broadcast semi-join (q08.sql). */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val ca = customerAddress(s, dir)
+    val a1 = ca.filter(col("ca_zip").isin("00013", "00026", "00039", "00052",
+        "00065", "00078", "00091", "01300", "02600", "03900"))
+      .select(substring(col("ca_zip"), 1, 2).as("zip2")).distinct()
+    val a2 = ca
+      .join(customerDim(s, dir).filter(col("c_preferred_cust_flag") === "Y"),
+        col("ca_address_sk") === col("c_current_addr_sk"))
+      .groupBy(substring(col("ca_zip"), 1, 2).as("zip2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 5).select("zip2")
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s)
+          .filter(col("d_qoy") === 2 && col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(a1.intersect(a2)),
+        substring(col("s_zip"), 1, 2) === col("zip2"), "leftsemi")
+      .groupBy("s_store_name")
+      .agg(dsum(col("ss_net_profit"), "net_profit"))
+      .orderBy("s_store_name")
+  }
+
+  /** q9: five quantity-band buckets choosing avg(sales) vs avg(profit) by
+    * band row count (q09.sql). The text's 15 scalar subqueries (15 fact
+    * scans) fold into ONE conditional-aggregate scan — same values. */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val bands = Seq((1, 10), (21, 30), (41, 50), (11, 20), (31, 40))
+      .sortBy(_._1)
+    val thresholds = Seq(10000L, 12000L, 14000L, 16000L, 18000L)
+    val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      val inB = col("ss_quantity").between(lo, hi)
+      Seq(sum(when(inB, 1L).otherwise(0L)).as(s"cnt${i + 1}"),
+        decSum(when(inB, col("ss_ext_sales_price"))).cast("double").as(s"sp${i + 1}"),
+        decSum(when(inB, col("ss_net_profit"))).cast("double").as(s"np${i + 1}"))
+    }
+    val g = storeSales(s, dir).agg(aggs.head, aggs.tail: _*)
+    broadcast(reason(s).filter(col("r_reason_sk") === 1).select("r_reason_sk"))
+      .crossJoin(g)
+      .select(col("r_reason_sk") +: bands.indices.map { i =>
+        when(col(s"cnt${i + 1}") > thresholds(i),
+          col(s"sp${i + 1}") / col(s"cnt${i + 1}"))
+          .otherwise(col(s"np${i + 1}") / col(s"cnt${i + 1}"))
+          .as(s"bucket${i + 1}")
+      }: _*)
+  }
+
+  /** q21: warehouse inventory before/after a cutover date with a bounded
+    * drift ratio (q21.sql) — conditional sums over the weekly snapshots. */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    inventory(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-05-01"), Tables.d("1998-07-01")))),
+        col("inv_date_sk") === col("d_date_sk"))
+      .join(broadcast(warehouse(s)),
+        col("inv_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(item(s, dir)
+          .filter(col("i_current_price").between(900, 1500))),
+        col("inv_item_sk") === col("i_item_sk"))
+      .groupBy("w_warehouse_name", "i_item_id")
+      .agg(sum(when(col("d_date") < Tables.d("1998-06-01"),
+          col("inv_quantity_on_hand")).otherwise(0L)).as("inv_before"),
+        sum(when(col("d_date") >= Tables.d("1998-06-01"),
+          col("inv_quantity_on_hand")).otherwise(0L)).as("inv_after"))
+      .filter(col("inv_before") > 0 &&
+        (col("inv_after").cast("double") / col("inv_before").cast("double"))
+          .between(lit(2.0) / 3.0, lit(3.0) / 2.0))
+      .orderBy("w_warehouse_name", "i_item_id")
+      .limit(100)
+
+  /** q37: items in a price/manufacturer band with mid-range on-hand stock
+    * that actually sold by catalog — inventory × item with an IN-subquery
+    * semi-join on the sales channel (q37.sql). */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    item(s, dir)
+      .filter(col("i_current_price").between(920, 980) &&
+        col("i_manufact_id").isin(10, 20, 30, 40))
+      .join(inventory(s, dir), col("i_item_sk") === col("inv_item_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-06-01"), Tables.d("1998-07-30")))),
+        col("inv_date_sk") === col("d_date_sk"))
+      .filter(col("inv_quantity_on_hand").between(100, 500))
+      .join(catalogSales(s, dir).select("cs_item_sk"),
+        col("i_item_sk") === col("cs_item_sk"), "leftsemi")
+      .select("i_item_id", "i_current_price").distinct()
+      .orderBy("i_item_id")
+      .limit(100)
+
+  /** q39: month-over-month inventory demand variability — per item ×
+    * warehouse coefficient of variation for two adjacent months, self-joined
+    * (q39.sql). The stdev comes from exact integer sums
+    * (sqrt((n·Σx²−(Σx)²)/(n(n−1)))), so both engines emit bit-identical
+    * doubles — no floating accumulation order anywhere. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val monthly = inventory(s, dir)
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_moy").isin(3, 4))),
+        col("inv_date_sk") === col("d_date_sk"))
+      .groupBy("inv_warehouse_sk", "inv_item_sk", "d_moy")
+      .agg(count(lit(1)).as("n"), sum("inv_quantity_on_hand").as("s"),
+        sum(col("inv_quantity_on_hand") * col("inv_quantity_on_hand")).as("ssq"))
+      .filter(col("n") > 1)
+      .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("cov",
+        sqrt((col("n") * col("ssq") - col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) / col("mean"))
+      .filter(col("cov") > 0.5)
+    val m1 = monthly.filter(col("d_moy") === 3).select(
+      col("inv_warehouse_sk").as("w_warehouse_sk"),
+      col("inv_item_sk").as("i_item_sk"),
+      col("mean").as("mean1"), col("cov").as("cov1"))
+    val m2 = monthly.filter(col("d_moy") === 4).select(
+      col("inv_warehouse_sk").as("w2"), col("inv_item_sk").as("i2"),
+      col("mean").as("mean2"), col("cov").as("cov2"))
+    m1.join(m2, col("w_warehouse_sk") === col("w2") && col("i_item_sk") === col("i2"))
+      .select("w_warehouse_sk", "i_item_sk", "mean1", "cov1", "mean2", "cov2")
+      .orderBy("w_warehouse_sk", "i_item_sk")
+  }
+
+  /** q40: catalog sales net of returns, split before/after a cutover date
+    * per warehouse state (q40.sql). Returns pre-aggregate per (order, item)
+    * so the LEFT JOIN cannot fan out sales rows. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val cr = catalogReturns(s, dir)
+      .groupBy("cr_order_number", "cr_item_sk")
+      .agg(dsum(col("cr_return_amount"), "cr_amt"))
+    val net = when(col("d_date") < Tables.d("1998-06-01"),
+        col("cs_sales_price") - coalesce(col("cr_amt"), lit(0.0)))
+    val netAfter = when(col("d_date") >= Tables.d("1998-06-01"),
+        col("cs_sales_price") - coalesce(col("cr_amt"), lit(0.0)))
+    catalogSales(s, dir)
+      .join(cr, col("cs_order_number") === col("cr_order_number") &&
+        col("cs_item_sk") === col("cr_item_sk"), "left")
+      .join(broadcast(warehouse(s)),
+        col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(item(s, dir)
+          .filter(col("i_current_price").between(920, 980))),
+        col("cs_item_sk") === col("i_item_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-05-01"), Tables.d("1998-07-01")))),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .groupBy("w_state", "i_item_id")
+      .agg(decSum(net).cast("double").as("sales_before"),
+        decSum(netAfter).cast("double").as("sales_after"))
+      .orderBy("w_state", "i_item_id")
+      .limit(100)
+  }
+
+  /** q47: monthly brand×store sales deviating >10% from the yearly average,
+    * with previous/next month alongside (q47.sql). The text's two extra
+    * self-joins on a rank column become lag/lead over the same sort — one
+    * window pass, no re-shuffle, same values. */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val monthly = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("i_category", "i_brand", "s_store_name", "d_year", "d_moy")
+      .agg(dsum(col("ss_sales_price"), "sum_sales"))
+    val byYear = Window.partitionBy("i_category", "i_brand", "s_store_name", "d_year")
+    val bySeq = Window.partitionBy("i_category", "i_brand", "s_store_name")
+      .orderBy("d_year", "d_moy")
+    monthly
+      .withColumn("avg_monthly_sales",
+        decSum(col("sum_sales")).over(byYear).cast("double") /
+          count(lit(1)).over(byYear))
+      .withColumn("psum", lag("sum_sales", 1).over(bySeq))
+      .withColumn("nsum", lead("sum_sales", 1).over(bySeq))
+      .filter(col("d_year") === 1999 && col("avg_monthly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
+      .select("i_category", "i_brand", "s_store_name", "d_year", "d_moy",
+        "sum_sales", "avg_monthly_sales", "psum", "nsum")
+      .orderBy("i_category", "i_brand", "s_store_name", "d_moy")
+  }
+
+  /** q50: return-settlement latency buckets per store — sales joined to
+    * their returns on the (ticket, item, customer) compound key, counting
+    * 30/60/90/120-day settlement bands (q50.sql shape over the derived
+    * sr_settled_date_sk). */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val lat = col("sr_settled_date_sk") - col("ss_sold_date_sk")
+    def band(c: Column, a: String) =
+      sum(when(c, 1L).otherwise(0L)).as(a)
+    storeSales(s, dir)
+      .join(storeReturns(s, dir),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_moy") === 8)
+          .select(col("d_date_sk").as("d2_sk"))),
+        col("sr_settled_date_sk") === col("d2_sk"))
+      .groupBy("s_store_name", "s_state")
+      .agg(band(lat <= 30, "d30"),
+        band(lat > 30 && lat <= 60, "d31_60"),
+        band(lat > 60 && lat <= 90, "d61_90"),
+        band(lat > 90 && lat <= 120, "d91_120"),
+        band(lat > 120, "dgt120"))
+      .orderBy("s_store_name", "s_state")
+  }
+
+  /** q67: six-level ROLLUP over category/class/brand/item/quarter/month
+    * ranked within category, top 10 per category (q67.sql). The rank's
+    * ORDER BY carries the full dim chain (NULLS FIRST) so ties at equal
+    * sumsales stay deterministic across engines. */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val results = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"), col("i_brand"),
+        col("i_item_id"), col("d_qoy"), col("d_moy"))
+      .agg(decSum(col("ss_sales_price") * col("ss_quantity"))
+        .cast("double").as("sumsales"))
+    val w = Window.partitionBy("i_category")
+      .orderBy(desc("sumsales"), asc_nulls_first("i_class"),
+        asc_nulls_first("i_brand"), asc_nulls_first("i_item_id"),
+        asc_nulls_first("d_qoy"), asc_nulls_first("d_moy"))
+    results.withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(coalesce(col("i_category"), lit("ALL")).as("i_category"),
+        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        coalesce(col("i_brand"), lit("ALL")).as("i_brand"),
+        coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
+        col("d_qoy"), col("d_moy"), col("sumsales"), col("rk"))
+      .orderBy(asc("i_category"), asc("rk"), asc("i_class"), asc("i_brand"),
+        asc("i_item_id"), asc_nulls_first("d_qoy"), asc_nulls_first("d_moy"))
+  }
+
+  /** q26: catalog demographic + promotion star with four averages —
+    * the catalog-channel analogue of q7 (q26.sql). */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    catalogSales(s, dir)
+      .join(broadcast(customerDemographics(s).filter(
+          col("cd_gender") === "F" && col("cd_marital_status") === "D" &&
+            col("cd_education_status") === "Secondary")),
+        col("cs_bill_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1999)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(promotion(s).filter(
+          col("p_channel_email") === "N" || col("p_channel_event") === "N")),
+        col("cs_promo_sk") === col("p_promo_sk"))
+      .join(broadcast(item(s, dir)), col("cs_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id")
+      .agg(davg(col("cs_quantity"), "agg1"),
+        davg(col("cs_list_price"), "agg2"),
+        davg(col("cs_ext_discount_amt"), "agg3"),
+        davg(col("cs_sales_price"), "agg4"))
+      .orderBy("i_item_id")
+      .limit(100)
+
+  /** q53: quarterly manufacturer sales deviating from the manufacturer's
+    * average (q53.sql) — window average over the quarterly aggregate. */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("i_manufact_id")
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_manufact_id", "d_qoy")
+      .agg(dsum(col("ss_sales_price"), "sum_sales"))
+      .withColumn("avg_quarterly_sales",
+        decSum(col("sum_sales")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("avg_quarterly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_quarterly_sales")) /
+          col("avg_quarterly_sales") > 0.1)
+      .select("i_manufact_id", "d_qoy", "sum_sales", "avg_quarterly_sales")
+      .orderBy("i_manufact_id", "d_qoy")
+  }
+
+  /** q58: items whose 1998 revenue is within ±20% across all three
+    * channels — three per-item aggregates pairwise band-joined (q58.sql).
+    * The store side takes the ticket%3=0 slice so all three channels are
+    * same-scale disjoint partitions of the derived fact (our catalog/web
+    * are the %3=1/2 slices — against the FULL store fact every ratio
+    * would sit near 3 and the band would be vacuous). */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val d = broadcast(dateDim(s).filter(col("d_year") === 1998))
+    def rev(df: DataFrame, dateCol: String, itemCol: String, a: String) =
+      df.join(d, col(dateCol) === col("d_date_sk"))
+        .join(broadcast(item(s, dir)), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_item_id").as(s"${a}_item_id"))
+        .agg(dsum(col(df.columns.find(_.endsWith("ext_sales_price")).get),
+          s"${a}_rev"))
+    val ss = rev(storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 0),
+      "ss_sold_date_sk", "ss_item_sk", "ss")
+    val cs = rev(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk", "cs")
+    val ws = rev(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk", "ws")
+    ss.join(cs, col("ss_item_id") === col("cs_item_id"))
+      .join(ws, col("ss_item_id") === col("ws_item_id"))
+      .filter(
+        col("ss_rev").between(col("cs_rev") * 0.8, col("cs_rev") * 1.2) &&
+        col("ss_rev").between(col("ws_rev") * 0.8, col("ws_rev") * 1.2) &&
+        col("cs_rev").between(col("ss_rev") * 0.8, col("ss_rev") * 1.2) &&
+        col("cs_rev").between(col("ws_rev") * 0.8, col("ws_rev") * 1.2) &&
+        col("ws_rev").between(col("ss_rev") * 0.8, col("ss_rev") * 1.2) &&
+        col("ws_rev").between(col("cs_rev") * 0.8, col("cs_rev") * 1.2))
+      .select(col("ss_item_id").as("item_id"), col("ss_rev"), col("cs_rev"),
+        col("ws_rev"),
+        ((col("ss_rev") + col("cs_rev") + col("ws_rev")) / 3.0).as("average"))
+      .orderBy("item_id")
+      .limit(100)
+  }
+
+  /** q59: week-over-year store revenue ratios — the per-store version of
+    * q2's shifted-week self-join, through the store dimension (q59.sql). */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val weekly = storeSales(s, dir)
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy("ss_store_sk", "d_week_seq")
+      .agg(dayPivot("Sunday", "ss_sales_price", "sun_sales"),
+        dayPivot("Monday", "ss_sales_price", "mon_sales"),
+        dayPivot("Tuesday", "ss_sales_price", "tue_sales"),
+        dayPivot("Wednesday", "ss_sales_price", "wed_sales"),
+        dayPivot("Thursday", "ss_sales_price", "thu_sales"),
+        dayPivot("Friday", "ss_sales_price", "fri_sales"),
+        dayPivot("Saturday", "ss_sales_price", "sat_sales"))
+    def weeksOf(yr: Int) = broadcast(dateDim(s)
+      .filter(col("d_year") === yr && col("d_date_sk") % 7 === 0)
+      .select("d_week_seq"))
+    val y = weekly.join(weeksOf(1998), "d_week_seq")
+    val z = weekly.join(weeksOf(1999), "d_week_seq").select(
+      Seq(col("d_week_seq").as("z_week_seq"),
+        col("ss_store_sk").as("z_store_sk")) ++
+        names.map(n => col(s"${n}_sales").as(s"${n}_sales2")): _*)
+    y.join(z, col("d_week_seq") + 52 === col("z_week_seq") &&
+        col("ss_store_sk") === col("z_store_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .select(Seq(col("s_store_name"), col("d_week_seq")) ++ names.map { n =>
+        val (a, b) = (col(s"${n}_sales"), col(s"${n}_sales2"))
+        when(b.isNull || b === 0, lit(null)).otherwise(a / b).as(s"${n}_ratio")
+      }: _*)
+      .orderBy("s_store_name", "d_week_seq")
+  }
+
+  /** q66: warehouse-level monthly sales pivot over the web+catalog union,
+    * restricted to a time-of-day band and two ship modes (q66.sql). */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val web = webSales(s, dir).select(
+      col("ws_warehouse_sk").as("wsk"), col("ws_sold_date_sk").as("dsk"),
+      col("ws_sold_time_sk").as("tsk"), col("ws_ship_mode_sk").as("smk"),
+      (col("ws_ext_sales_price") * col("ws_quantity")).as("sales"))
+    val cat = catalogSales(s, dir).select(
+      col("cs_warehouse_sk"), col("cs_sold_date_sk"),
+      col("cs_sold_time_sk"), col("cs_ship_mode_sk"),
+      (col("cs_ext_sales_price") * col("cs_quantity")).as("sales"))
+    def month(m: Int): Column =
+      decSum(when(col("d_moy") === m, col("sales"))).cast("double")
+        .as(s"m${m}_sales")
+    web.unionAll(cat)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("dsk") === col("d_date_sk"))
+      .join(broadcast(timeDim(s)
+          .filter(col("t_hour") >= 7 && col("t_hour") <= 13)),
+        col("tsk") === col("t_time_sk"))
+      .join(broadcast(shipMode(s).filter(col("sm_type").isin("EXPRESS", "SEA"))),
+        col("smk") === col("sm_ship_mode_sk"))
+      .join(broadcast(warehouse(s)), col("wsk") === col("w_warehouse_sk"))
+      .groupBy("w_warehouse_name", "w_warehouse_sq_ft")
+      .agg(month(1), month(2), month(3), month(4), month(5), month(6),
+        month(7), month(8), month(9), month(10), month(11), month(12))
+      .orderBy("w_warehouse_name")
+  }
+
+  /** q70: profit ROLLUP over state/county restricted to the top-profit
+    * states, rank within hierarchy level (q70.sql) — the top-states
+    * pre-selection is itself a windowed aggregate semi-join. */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val topStates = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("s_state").as("top_state"))
+      .agg(dsum(col("ss_net_profit"), "state_profit"))
+      .withColumn("rk", rank().over(
+        Window.orderBy(desc("state_profit"), asc("top_state"))))
+      .filter(col("rk") <= 2).select("top_state")
+    val base = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(topStates), col("s_state") === col("top_state"), "leftsemi")
+      .rollup(col("s_state"), col("s_county"))
+      .agg(dsum(col("ss_net_profit"), "total_sum"),
+        (grouping(col("s_state")) + grouping(col("s_county"))).cast("long")
+          .as("lochierarchy"),
+        grouping(col("s_county")).as("g_county"))
+    val w = Window.partitionBy(col("lochierarchy"),
+        when(col("g_county") === 0, col("s_state")))
+      .orderBy(desc("total_sum"), asc_nulls_first("s_state"),
+        asc_nulls_first("s_county"))
+    base.select(col("total_sum"),
+        coalesce(col("s_state"), lit("ALL")).as("s_state"),
+        coalesce(col("s_county"), lit("ALL")).as("s_county"),
+        col("lochierarchy"),
+        rank().over(w).cast("long").as("rank_within_parent"))
+      .orderBy(desc("lochierarchy"), asc("s_state"), asc("s_county"))
+  }
+
+  /** q22: average on-hand inventory over a 4-level item ROLLUP (q22.sql). */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    inventory(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("inv_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("inv_item_sk") === col("i_item_sk"))
+      .rollup(col("i_item_id"), col("i_brand"), col("i_class"), col("i_category"))
+      .agg(davg(col("inv_quantity_on_hand")).as("qoh"))
+      .select(coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
+        coalesce(col("i_brand"), lit("ALL")).as("i_brand"),
+        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        coalesce(col("i_category"), lit("ALL")).as("i_category"), col("qoh"))
+      .orderBy("qoh", "i_item_id", "i_brand", "i_class", "i_category")
+      .limit(100)
+
+  /** q72: catalog orders short on same-week inventory, split by promotion
+    * presence (q72.sql). The inventory side joins on (item, week) as ONE
+    * equi-join — item-only first would cross every order with 366 snapshot
+    * weeks before the week filter could run. */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val inv = inventory(s, dir)
+      .withColumn("inv_week", floor(col("inv_date_sk") / 7).cast("long"))
+    catalogSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)
+          .select(col("d_date_sk").as("d1_sk"), col("d_week_seq"))),
+        col("cs_sold_date_sk") === col("d1_sk"))
+      .join(inv, col("cs_item_sk") === col("inv_item_sk") &&
+        col("d_week_seq") === col("inv_week"))
+      .filter(col("inv_quantity_on_hand") < col("cs_quantity"))
+      .join(broadcast(warehouse(s)),
+        col("inv_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(promotion(s)
+          .select(col("p_promo_sk"), col("p_channel_email"))),
+        col("cs_promo_sk") === col("p_promo_sk") &&
+          col("p_channel_email") === "N", "left")
+      .join(broadcast(item(s, dir)), col("cs_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "w_warehouse_name", "d_week_seq")
+      .agg(sum(when(col("p_promo_sk").isNull, 1L).otherwise(0L)).as("no_promo"),
+        sum(when(col("p_promo_sk").isNotNull, 1L).otherwise(0L)).as("promo"),
+        count(lit(1)).as("total_cnt"))
+      .orderBy("i_item_id", "w_warehouse_name", "d_week_seq")
+      .limit(100)
+  }
+
+  /** q75: brands whose net sold quantity (sales minus returns, all three
+    * channels) dropped below 90% of the prior year (q75.sql). */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val it = broadcast(item(s, dir).filter(col("i_category") === "PROMO")
+      .select("i_item_sk", "i_brand_id"))
+    val dd = broadcast(dateDim(s).select("d_date_sk", "d_year"))
+    def chan(sales: DataFrame, ret: DataFrame, dCol: String, iCol: String,
+        qCol: String, oCol: String, rO: String, rI: String, rQ: String) =
+      sales.join(
+          ret.groupBy(col(rO).as("r_o"), col(rI).as("r_i"))
+            .agg(decSum(col(rQ)).cast("double").as("r_qty")),
+          col(oCol) === col("r_o") && col(iCol) === col("r_i"), "left")
+        .join(dd, col(dCol) === col("d_date_sk"))
+        .join(it, col(iCol) === col("i_item_sk"))
+        .select(col("d_year"), col("i_brand_id"),
+          (col(qCol) - coalesce(col("r_qty"), lit(0.0))).as("net_qty"))
+    val all =
+      chan(storeSales(s, dir), storeReturns(s, dir), "ss_sold_date_sk",
+        "ss_item_sk", "ss_quantity", "ss_ticket_number",
+        "sr_ticket_number", "sr_item_sk", "sr_return_quantity")
+      .unionAll(chan(catalogSales(s, dir), catalogReturns(s, dir),
+        "cs_sold_date_sk", "cs_item_sk", "cs_quantity", "cs_order_number",
+        "cr_order_number", "cr_item_sk", "cr_return_quantity"))
+      .unionAll(chan(webSales(s, dir), webReturns(s, dir),
+        "ws_sold_date_sk", "ws_item_sk", "ws_quantity", "ws_order_number",
+        "wr_order_number", "wr_item_sk", "wr_return_quantity"))
+    val tot = all.groupBy("d_year", "i_brand_id")
+      .agg(decSum(col("net_qty")).cast("double").as("sales_cnt"))
+    val curr = tot.filter(col("d_year") === 1999)
+      .select(col("i_brand_id").as("b"), col("sales_cnt").as("curr_cnt"))
+    val prev = tot.filter(col("d_year") === 1998)
+      .select(col("i_brand_id").as("pb"), col("sales_cnt").as("prev_cnt"))
+    curr.join(prev, col("b") === col("pb"))
+      .filter(col("prev_cnt") > 0 &&
+        col("curr_cnt") / col("prev_cnt") < 0.9)
+      .select(lit(1998L).as("prev_year"), lit(1999L).as("curr_year"),
+        col("b").as("i_brand_id"), col("prev_cnt"), col("curr_cnt"),
+        (col("curr_cnt") / col("prev_cnt")).as("sales_ratio"))
+      .orderBy("i_brand_id")
+  }
+
+  /** q78: store-vs-web per-item yearly quantities over UNRETURNED sales —
+    * anti-join each channel against its returns, then ratio (q78.sql). */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).select("d_date_sk", "d_year"))
+    val ss = storeSales(s, dir)
+      .join(storeReturns(s, dir)
+          .select(col("sr_ticket_number").as("r_t"), col("sr_item_sk").as("r_i")),
+        col("ss_ticket_number") === col("r_t") &&
+          col("ss_item_sk") === col("r_i"), "leftanti")
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_year").as("ss_year"), col("ss_item_sk"))
+      .agg(decSum(col("ss_quantity")).cast("double").as("ss_qty"),
+        dsum(col("ss_ext_sales_price"), "ss_amt"))
+    val ws = webSales(s, dir)
+      .join(webReturns(s, dir)
+          .select(col("wr_order_number").as("r_o"), col("wr_item_sk").as("r_i")),
+        col("ws_order_number") === col("r_o") &&
+          col("ws_item_sk") === col("r_i"), "leftanti")
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_year").as("ws_year"), col("ws_item_sk"))
+      .agg(decSum(col("ws_quantity")).cast("double").as("ws_qty"),
+        dsum(col("ws_ext_sales_price"), "ws_amt"))
+    ss.join(ws, col("ss_year") === col("ws_year") &&
+        col("ss_item_sk") === col("ws_item_sk"))
+      .filter(col("ws_qty") > 0)
+      .select(col("ss_year").as("d_year"), col("ss_item_sk").as("i_item_sk"),
+        (col("ss_qty") / col("ws_qty")).as("ratio"),
+        col("ss_qty"), col("ws_qty"), col("ss_amt"), col("ws_amt"))
+      .orderBy("d_year", "i_item_sk")
+      .limit(100)
+  }
+
+  /** q84: customers in one city within an income band who returned in
+    * store — the customer→address→household→income_band dimension chain
+    * closed by a returns semi-join (q84.sql). */
+  def q84(s: SparkSession, dir: String): DataFrame =
+    customerDim(s, dir)
+      .join(customerAddress(s, dir).filter(col("ca_city") === "City_5"),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(householdDemographics(s)),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(incomeBand(s).filter(
+          col("ib_lower_bound") >= 30000 && col("ib_upper_bound") <= 80000)),
+        col("hd_income_band_sk") === col("ib_income_band_sk"))
+      .join(storeReturns(s, dir).select(col("sr_customer_sk")),
+        col("c_customer_sk") === col("sr_customer_sk"), "leftsemi")
+      .select(col("c_customer_id").as("customer_id"),
+        concat(col("c_last_name"), lit(", "), col("c_first_name"))
+          .as("customername"))
+      .orderBy("customer_id")
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_q16" -> q16, "ds_q25" -> q25, "ds_q28" -> q28, "ds_q35" -> q35,
     "ds_q49" -> q49, "ds_q54" -> q54,
@@ -1012,7 +1817,16 @@ object Tpcds {
     "ds_q79" -> q79, "ds_q88" -> q88, "ds_q89" -> q89, "ds_q96" -> q96,
     "ds_q03" -> q3, "ds_q07" -> q7, "ds_q19" -> q19, "ds_q27" -> q27,
     "ds_q34" -> q34, "ds_q42" -> q42, "ds_q52" -> q52, "ds_q55" -> q55,
-    "ds_q60" -> q60, "ds_q68" -> q68, "ds_q73" -> q73, "ds_q98" -> q98)
+    "ds_q60" -> q60, "ds_q68" -> q68, "ds_q73" -> q73, "ds_q98" -> q98,
+    "ds_q01" -> q1, "ds_q13" -> q13, "ds_q32" -> q32, "ds_q43" -> q43,
+    "ds_q87" -> q87, "ds_q90" -> q90,
+    "ds_q02" -> q2, "ds_q08" -> q8, "ds_q09" -> q9, "ds_q21" -> q21,
+    "ds_q37" -> q37, "ds_q39" -> q39,
+    "ds_q40" -> q40, "ds_q47" -> q47, "ds_q50" -> q50, "ds_q67" -> q67,
+    "ds_q26" -> q26, "ds_q53" -> q53, "ds_q58" -> q58, "ds_q59" -> q59,
+    "ds_q66" -> q66, "ds_q70" -> q70,
+    "ds_q22" -> q22, "ds_q72" -> q72, "ds_q75" -> q75, "ds_q78" -> q78,
+    "ds_q84" -> q84)
 
   // ---- oracle -------------------------------------------------------------
 
@@ -1025,7 +1839,11 @@ object Tpcds {
       |         CAST(month(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_moy,
       |         CAST(day(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_dom,
       |         CAST(quarter(DATE '1995-01-01' + CAST(range AS INT)) AS BIGINT) AS d_qoy,
-      |         CAST(range % 7 AS BIGINT) AS d_dow
+      |         CAST(range % 7 AS BIGINT) AS d_dow,
+      |         CAST(range // 7 AS BIGINT) AS d_week_seq,
+      |         CASE range % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+      |           WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+      |           WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name
       |  FROM range(0, 2557)),
       |item AS (
       |  SELECT p_partkey AS i_item_sk,
@@ -1053,7 +1871,8 @@ object Tpcds {
       |         substr(c_name, 10) AS c_last_name,
       |         c_custkey AS c_current_addr_sk,
       |         c_custkey % 100 AS c_current_cdemo_sk,
-      |         c_custkey % 50 AS c_current_hdemo_sk
+      |         c_custkey % 50 AS c_current_hdemo_sk,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
       |  FROM customer),
       |customer_address AS (
       |  SELECT c_custkey AS ca_address_sk,
@@ -1071,14 +1890,45 @@ object Tpcds {
       |household_demographics AS (
       |  SELECT CAST(range AS BIGINT) AS hd_demo_sk,
       |         range % 10 AS hd_dep_count, range % 5 AS hd_vehicle_count,
-      |         CASE range % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END AS hd_buy_potential
+      |         CASE range % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END AS hd_buy_potential,
+      |         range % 20 AS hd_income_band_sk
       |  FROM range(0, 50)),
+      |income_band AS (
+      |  SELECT CAST(range AS BIGINT) AS ib_income_band_sk,
+      |         range * 10000 AS ib_lower_bound,
+      |         (range + 1) * 10000 - 1 AS ib_upper_bound
+      |  FROM range(0, 20)),
       |promotion AS (
       |  SELECT CAST(range AS BIGINT) AS p_promo_sk,
       |         'promo_' || CAST(range AS VARCHAR) AS p_promo_name,
       |         CASE WHEN range % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
       |         CASE WHEN range % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
       |  FROM range(0, 20)),
+      |warehouse AS (
+      |  SELECT CAST(range AS BIGINT) AS w_warehouse_sk,
+      |         'Warehouse_' || CAST(range AS VARCHAR) AS w_warehouse_name,
+      |         'S' || CAST(range % 4 AS VARCHAR) AS w_state,
+      |         range * 1000 + 500 AS w_warehouse_sq_ft
+      |  FROM range(0, 5)),
+      |time_dim AS (
+      |  SELECT CAST(range AS BIGINT) AS t_time_sk,
+      |         CAST(range // 3600 AS BIGINT) AS t_hour,
+      |         CAST((range // 60) % 60 AS BIGINT) AS t_minute
+      |  FROM range(0, 86400)),
+      |reason AS (
+      |  SELECT CAST(range AS BIGINT) AS r_reason_sk,
+      |         'reason_' || CAST(range AS VARCHAR) AS r_reason_desc
+      |  FROM range(0, 10)),
+      |ship_mode AS (
+      |  SELECT CAST(range AS BIGINT) AS sm_ship_mode_sk,
+      |         CASE range WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR'
+      |           WHEN 2 THEN 'SURFACE' ELSE 'SEA' END AS sm_type
+      |  FROM range(0, 4)),
+      |inventory AS (
+      |  SELECT p_partkey AS inv_item_sk, CAST(w.range * 7 AS BIGINT) AS inv_date_sk,
+      |         p_partkey % 5 AS inv_warehouse_sk,
+      |         (p_partkey * 31 + w.range * 17) % 1000 AS inv_quantity_on_hand
+      |  FROM part CROSS JOIN range(0, 366) w),
       |store_sales AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ss_sold_date_sk,
       |         l_partkey AS ss_item_sk,
@@ -1088,6 +1938,7 @@ object Tpcds {
       |         (l_orderkey * 3 + l_linenumber) % 50 AS ss_hdemo_sk,
       |         o_custkey + l_suppkey % 2 AS ss_addr_sk,
       |         l_partkey % 20 AS ss_promo_sk,
+      |         (l_orderkey * 2063 + l_linenumber * 7919) % 86400 AS ss_sold_time_sk,
       |         l_orderkey AS ss_ticket_number,
       |         l_quantity AS ss_quantity,
       |         l_extendedprice AS ss_ext_sales_price,
@@ -1100,12 +1951,25 @@ object Tpcds {
       |catalog_sales AS (
       |  SELECT ss_sold_date_sk AS cs_sold_date_sk, ss_item_sk AS cs_item_sk,
       |         ss_customer_sk AS cs_bill_customer_sk,
-      |         ss_ext_sales_price AS cs_ext_sales_price, ss_quantity AS cs_quantity
+      |         ss_ext_sales_price AS cs_ext_sales_price, ss_quantity AS cs_quantity,
+      |         ss_coupon_amt AS cs_ext_discount_amt,
+      |         ss_store_sk % 5 AS cs_warehouse_sk,
+      |         ss_ticket_number AS cs_order_number,
+      |         ss_sales_price AS cs_sales_price,
+      |         ss_cdemo_sk AS cs_bill_cdemo_sk,
+      |         ss_promo_sk AS cs_promo_sk,
+      |         ss_sold_time_sk AS cs_sold_time_sk,
+      |         ss_ticket_number % 4 AS cs_ship_mode_sk,
+      |         ss_list_price AS cs_list_price
       |  FROM store_sales WHERE ss_ticket_number % 3 = 1),
       |web_sales AS (
       |  SELECT ss_sold_date_sk AS ws_sold_date_sk, ss_item_sk AS ws_item_sk,
       |         ss_customer_sk AS ws_bill_customer_sk,
-      |         ss_ext_sales_price AS ws_ext_sales_price, ss_quantity AS ws_quantity
+      |         ss_ext_sales_price AS ws_ext_sales_price, ss_quantity AS ws_quantity,
+      |         ss_sold_time_sk AS ws_sold_time_sk, ss_hdemo_sk AS ws_ship_hdemo_sk,
+      |         ss_store_sk % 5 AS ws_warehouse_sk,
+      |         ss_ticket_number % 4 AS ws_ship_mode_sk,
+      |         ss_ticket_number AS ws_order_number
       |  FROM store_sales WHERE ss_ticket_number % 3 = 2),
       |store_returns AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS sr_returned_date_sk,
@@ -1113,14 +1977,32 @@ object Tpcds {
       |         o_custkey AS sr_customer_sk, l_orderkey AS sr_ticket_number,
       |         l_quantity AS sr_return_quantity,
       |         l_extendedprice * (1 - l_discount) AS sr_return_amt,
-      |         l_extendedprice * 0.1 AS sr_net_loss
+      |         l_extendedprice * 0.1 AS sr_net_loss,
+      |         CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+      |           + l_orderkey % 120 AS BIGINT) AS sr_settled_date_sk
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  WHERE l_returnflag = 'R')""".stripMargin
+      |  WHERE l_returnflag = 'R'),
+      |catalog_returns AS (
+      |  SELECT sr_returned_date_sk AS cr_returned_date_sk,
+      |         sr_item_sk AS cr_item_sk, sr_ticket_number AS cr_order_number,
+      |         sr_customer_sk AS cr_returning_customer_sk,
+      |         sr_return_quantity AS cr_return_quantity,
+      |         sr_return_amt AS cr_return_amount
+      |  FROM store_returns WHERE sr_ticket_number % 3 = 1),
+      |web_returns AS (
+      |  SELECT sr_returned_date_sk AS wr_returned_date_sk,
+      |         sr_item_sk AS wr_item_sk, sr_ticket_number AS wr_order_number,
+      |         sr_customer_sk AS wr_returning_customer_sk,
+      |         sr_return_quantity AS wr_return_quantity,
+      |         sr_return_amt AS wr_return_amt
+      |  FROM store_returns WHERE sr_ticket_number % 3 = 2)""".stripMargin
 
   private def ds(body: String): String = s"WITH $prelude\n$body"
 
   private val dsumS = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
   private def ds_sum(c: String, a: String) = dsumS.format(c) + s" AS $a"
+  private def ds_day(day: String, c: String, a: String) =
+    s"CAST(SUM(CASE WHEN d_day_name = '$day' THEN CAST($c AS DECIMAL(18,6)) END) AS DOUBLE) AS $a"
   private def ds_avg(c: String, a: String) =
     dsumS.format(c) + s" / count($c) AS $a"
 
@@ -1695,5 +2577,520 @@ object Tpcds {
       |        AND i_category IN ('SMALL', 'LARGE', 'MEDIUM')
       |        AND d_date BETWEEN DATE '1999-02-01' AND DATE '1999-03-01'
       |      GROUP BY i_item_id, i_category, i_class, i_current_price) g
-      |ORDER BY i_category, i_class, i_item_id""".stripMargin))
+      |ORDER BY i_category, i_class, i_item_id""".stripMargin),
+    "ds_q01" -> ds(s"""
+      |, ctr AS (
+      |  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+      |    ${ds_sum("sr_return_amt", "ctr_total_return")}
+      |  FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
+      |  WHERE d_year = 1998 GROUP BY 1, 2)
+      |SELECT c_customer_id FROM ctr a
+      |JOIN store ON s_store_sk = a.ctr_store_sk
+      |JOIN customer_dim ON a.ctr_customer_sk = c_customer_sk
+      |WHERE s_state = 'S0'
+      |  AND a.ctr_total_return > (
+      |    SELECT ${dsumS.format("ctr_total_return")} / count(ctr_total_return) * 1.2
+      |    FROM ctr b WHERE b.ctr_store_sk = a.ctr_store_sk)
+      |ORDER BY c_customer_id LIMIT 100""".stripMargin),
+    "ds_q13" -> ds(s"""
+      |SELECT ${ds_avg("ss_quantity", "avg_qty")},
+      |  ${ds_avg("ss_ext_sales_price", "avg_sales")},
+      |  ${ds_avg("ss_wholesale_cost", "avg_cost")},
+      |  ${ds_sum("ss_wholesale_cost", "sum_cost")}
+      |FROM store_sales, date_dim, store, customer_demographics,
+      |  household_demographics, customer_address
+      |WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
+      |  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+      |  AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+      |  AND ((cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+      |        AND ss_sales_price BETWEEN 1000 AND 30000 AND hd_dep_count = 3)
+      |    OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+      |        AND ss_sales_price BETWEEN 30000 AND 60000 AND hd_dep_count = 1)
+      |    OR (cd_marital_status = 'W' AND cd_education_status = 'Primary'
+      |        AND ss_sales_price BETWEEN 60000 AND 90000 AND hd_dep_count = 5))
+      |  AND ((ca_state IN ('S0', 'S1') AND ss_net_profit BETWEEN -5000 AND 10000)
+      |    OR (ca_state = 'S2' AND ss_net_profit BETWEEN 0 AND 20000))""".stripMargin),
+    "ds_q32" -> ds(s"""
+      |, cs32 AS (
+      |  SELECT cs_item_sk, cs_ext_discount_amt
+      |  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      |  WHERE d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30')
+      |SELECT ${ds_sum("cs_ext_discount_amt", "excess_discount_amount")}
+      |FROM cs32 a JOIN item ON a.cs_item_sk = i_item_sk
+      |WHERE i_manufact_id = 7
+      |  AND a.cs_ext_discount_amt > (
+      |    SELECT ${dsumS.format("cs_ext_discount_amt")} / count(cs_ext_discount_amt) * 1.3
+      |    FROM cs32 b WHERE b.cs_item_sk = a.cs_item_sk)""".stripMargin),
+    "ds_q43" -> ds(s"""
+      |SELECT s_store_name, s_store_sk,
+      |  ${ds_day("Sunday", "ss_sales_price", "sun_sales")},
+      |  ${ds_day("Monday", "ss_sales_price", "mon_sales")},
+      |  ${ds_day("Tuesday", "ss_sales_price", "tue_sales")},
+      |  ${ds_day("Wednesday", "ss_sales_price", "wed_sales")},
+      |  ${ds_day("Thursday", "ss_sales_price", "thu_sales")},
+      |  ${ds_day("Friday", "ss_sales_price", "fri_sales")},
+      |  ${ds_day("Saturday", "ss_sales_price", "sat_sales")}
+      |FROM store_sales, date_dim, store
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |  AND d_year = 1998
+      |GROUP BY s_store_name, s_store_sk
+      |ORDER BY s_store_name""".stripMargin),
+    "ds_q87" -> ds(s"""
+      |SELECT count(*) AS num_cool FROM (
+      |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+      |   FROM store_sales, date_dim, customer_dim
+      |   WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+      |     AND d_year = 1998 AND d_moy BETWEEN 4 AND 6)
+      |  EXCEPT
+      |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+      |   FROM catalog_sales, date_dim, customer_dim
+      |   WHERE cs_sold_date_sk = d_date_sk AND cs_bill_customer_sk = c_customer_sk
+      |     AND d_year = 1998 AND d_moy BETWEEN 4 AND 6)
+      |  EXCEPT
+      |  (SELECT DISTINCT c_last_name, c_first_name, d_date
+      |   FROM web_sales, date_dim, customer_dim
+      |   WHERE ws_sold_date_sk = d_date_sk AND ws_bill_customer_sk = c_customer_sk
+      |     AND d_year = 1998 AND d_moy BETWEEN 4 AND 6)) cool""".stripMargin),
+    "ds_q90" -> ds(s"""
+      |SELECT CASE WHEN pmc = 0 THEN NULL
+      |  ELSE CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) END AS am_pm_ratio
+      |FROM (SELECT
+      |    CAST(SUM(CASE WHEN t_hour BETWEEN 8 AND 9 THEN 1 ELSE 0 END) AS BIGINT) AS amc,
+      |    CAST(SUM(CASE WHEN t_hour BETWEEN 19 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS pmc
+      |  FROM web_sales
+      |  JOIN time_dim ON ws_sold_time_sk = t_time_sk
+      |  JOIN household_demographics ON ws_ship_hdemo_sk = hd_demo_sk
+      |  WHERE hd_dep_count = 3) x""".stripMargin),
+    "ds_q02" -> ds(s"""
+      |, wscs AS (
+      |  SELECT ws_sold_date_sk AS sold_date_sk, ws_ext_sales_price AS sales_price
+      |  FROM web_sales
+      |  UNION ALL
+      |  SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales),
+      |wswscs AS (
+      |  SELECT d_week_seq,
+      |    ${ds_day("Sunday", "sales_price", "sun_sales")},
+      |    ${ds_day("Monday", "sales_price", "mon_sales")},
+      |    ${ds_day("Tuesday", "sales_price", "tue_sales")},
+      |    ${ds_day("Wednesday", "sales_price", "wed_sales")},
+      |    ${ds_day("Thursday", "sales_price", "thu_sales")},
+      |    ${ds_day("Friday", "sales_price", "fri_sales")},
+      |    ${ds_day("Saturday", "sales_price", "sat_sales")}
+      |  FROM wscs JOIN date_dim ON sold_date_sk = d_date_sk
+      |  GROUP BY d_week_seq)
+      |SELECT y.d_week_seq AS d_week_seq,
+      |  ${Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat").map(n =>
+            s"CASE WHEN z.${n}_sales IS NULL OR z.${n}_sales = 0 THEN NULL " +
+            s"ELSE y.${n}_sales / z.${n}_sales END AS ${n}_ratio").mkString(",\n      |  ")}
+      |FROM wswscs y JOIN wswscs z ON y.d_week_seq + 52 = z.d_week_seq
+      |WHERE y.d_week_seq IN (SELECT d_week_seq FROM date_dim
+      |    WHERE d_year = 1998 AND d_date_sk % 7 = 0)
+      |  AND z.d_week_seq IN (SELECT d_week_seq FROM date_dim
+      |    WHERE d_year = 1999 AND d_date_sk % 7 = 0)
+      |ORDER BY d_week_seq""".stripMargin),
+    "ds_q08" -> ds(s"""
+      |SELECT s_store_name, ${ds_sum("ss_net_profit", "net_profit")}
+      |FROM store_sales, date_dim, store
+      |WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |  AND d_qoy = 2 AND d_year = 1998
+      |  AND substr(s_zip, 1, 2) IN (
+      |    SELECT DISTINCT substr(ca_zip, 1, 2) FROM customer_address
+      |    WHERE ca_zip IN ('00013', '00026', '00039', '00052', '00065',
+      |                     '00078', '00091', '01300', '02600', '03900')
+      |    INTERSECT
+      |    SELECT zip2 FROM (
+      |      SELECT substr(ca_zip, 1, 2) AS zip2, count(*) AS cnt
+      |      FROM customer_address
+      |      JOIN customer_dim ON ca_address_sk = c_current_addr_sk
+      |      WHERE c_preferred_cust_flag = 'Y'
+      |      GROUP BY 1 HAVING count(*) > 5) p)
+      |GROUP BY s_store_name ORDER BY s_store_name""".stripMargin),
+    "ds_q09" -> ds(s"""
+      |SELECT r_reason_sk,
+      |  ${Seq((1, 10, 10000L), (11, 20, 12000L), (21, 30, 14000L),
+            (31, 40, 16000L), (41, 50, 18000L)).zipWithIndex.map {
+            case ((lo, hi, thr), i) =>
+              s"CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN $lo AND $hi) > $thr\n" +
+              s"      | THEN (SELECT ${dsumS.format("ss_ext_sales_price")} / count(ss_ext_sales_price) FROM store_sales WHERE ss_quantity BETWEEN $lo AND $hi)\n" +
+              s"      | ELSE (SELECT ${dsumS.format("ss_net_profit")} / count(ss_net_profit) FROM store_sales WHERE ss_quantity BETWEEN $lo AND $hi) END AS bucket${i + 1}"
+          }.mkString(",\n      |  ")}
+      |FROM reason WHERE r_reason_sk = 1""".stripMargin),
+    "ds_q21" -> ds(s"""
+      |SELECT w_warehouse_name, i_item_id,
+      |  CAST(SUM(CASE WHEN d_date < DATE '1998-06-01'
+      |    THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+      |  CAST(SUM(CASE WHEN d_date >= DATE '1998-06-01'
+      |    THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+      |FROM inventory, warehouse, item, date_dim
+      |WHERE inv_date_sk = d_date_sk AND inv_warehouse_sk = w_warehouse_sk
+      |  AND inv_item_sk = i_item_sk
+      |  AND d_date BETWEEN DATE '1998-05-01' AND DATE '1998-07-01'
+      |  AND i_current_price BETWEEN 900 AND 1500
+      |GROUP BY w_warehouse_name, i_item_id
+      |HAVING inv_before > 0
+      |  AND CAST(inv_after AS DOUBLE) / CAST(inv_before AS DOUBLE)
+      |    BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+      |ORDER BY w_warehouse_name, i_item_id LIMIT 100""".stripMargin),
+    "ds_q37" -> ds(s"""
+      |SELECT i_item_id, i_current_price
+      |FROM item, inventory, date_dim
+      |WHERE i_current_price BETWEEN 920 AND 980
+      |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+      |  AND d_date BETWEEN DATE '1998-06-01' AND DATE '1998-07-30'
+      |  AND i_manufact_id IN (10, 20, 30, 40)
+      |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+      |  AND i_item_sk IN (SELECT cs_item_sk FROM catalog_sales)
+      |GROUP BY i_item_id, i_current_price
+      |ORDER BY i_item_id LIMIT 100""".stripMargin),
+    "ds_q39" -> ds(s"""
+      |, inv39 AS (
+      |  SELECT inv_warehouse_sk, inv_item_sk, d_moy, count(*) AS n,
+      |    CAST(SUM(inv_quantity_on_hand) AS BIGINT) AS s,
+      |    CAST(SUM(inv_quantity_on_hand * inv_quantity_on_hand) AS BIGINT) AS ssq
+      |  FROM inventory JOIN date_dim ON inv_date_sk = d_date_sk
+      |  WHERE d_year = 1998 AND d_moy IN (3, 4)
+      |  GROUP BY 1, 2, 3 HAVING count(*) > 1),
+      |m39 AS (
+      |  SELECT inv_warehouse_sk, inv_item_sk, d_moy,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(n * ssq - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) /
+      |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+      |  FROM inv39)
+      |SELECT m1.inv_warehouse_sk AS w_warehouse_sk,
+      |  m1.inv_item_sk AS i_item_sk,
+      |  m1.mean AS mean1, m1.cov AS cov1, m2.mean AS mean2, m2.cov AS cov2
+      |FROM m39 m1 JOIN m39 m2
+      |  ON m1.inv_warehouse_sk = m2.inv_warehouse_sk
+      | AND m1.inv_item_sk = m2.inv_item_sk
+      |WHERE m1.d_moy = 3 AND m2.d_moy = 4
+      |  AND m1.cov > 0.5 AND m2.cov > 0.5
+      |ORDER BY w_warehouse_sk, i_item_sk""".stripMargin),
+    "ds_q40" -> ds(s"""
+      |, cr40 AS (
+      |  SELECT cr_order_number, cr_item_sk,
+      |    ${ds_sum("cr_return_amount", "cr_amt")}
+      |  FROM catalog_returns GROUP BY 1, 2)
+      |SELECT w_state, i_item_id,
+      |  CAST(SUM(CASE WHEN d_date < DATE '1998-06-01'
+      |    THEN CAST(cs_sales_price - COALESCE(cr_amt, 0.0) AS DECIMAL(18,6))
+      |    END) AS DOUBLE) AS sales_before,
+      |  CAST(SUM(CASE WHEN d_date >= DATE '1998-06-01'
+      |    THEN CAST(cs_sales_price - COALESCE(cr_amt, 0.0) AS DECIMAL(18,6))
+      |    END) AS DOUBLE) AS sales_after
+      |FROM catalog_sales
+      |LEFT JOIN cr40 ON cs_order_number = cr_order_number
+      |  AND catalog_sales.cs_item_sk = cr40.cr_item_sk
+      |JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+      |JOIN item ON cs_item_sk = i_item_sk
+      |JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      |WHERE i_current_price BETWEEN 920 AND 980
+      |  AND d_date BETWEEN DATE '1998-05-01' AND DATE '1998-07-01'
+      |GROUP BY w_state, i_item_id
+      |ORDER BY w_state, i_item_id LIMIT 100""".stripMargin),
+    "ds_q47" -> ds(s"""
+      |, v1 AS (
+      |  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+      |    ${ds_sum("ss_sales_price", "sum_sales")}
+      |  FROM store_sales, date_dim, item, store
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND ss_store_sk = s_store_sk AND d_year IN (1998, 1999, 2000)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |v2 AS (
+      |  SELECT i_category, i_brand, s_store_name, d_year, d_moy, sum_sales,
+      |    CAST(SUM(CAST(sum_sales AS DECIMAL(18,6))) OVER wy AS DOUBLE)
+      |      / COUNT(*) OVER wy AS avg_monthly_sales,
+      |    LAG(sum_sales) OVER ws AS psum, LEAD(sum_sales) OVER ws AS nsum
+      |  FROM v1
+      |  WINDOW wy AS (PARTITION BY i_category, i_brand, s_store_name, d_year),
+      |         ws AS (PARTITION BY i_category, i_brand, s_store_name
+      |                ORDER BY d_year, d_moy))
+      |SELECT i_category, i_brand, s_store_name, d_year, d_moy, sum_sales,
+      |  avg_monthly_sales, psum, nsum
+      |FROM v2
+      |WHERE d_year = 1999 AND avg_monthly_sales > 0
+      |  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      |ORDER BY i_category, i_brand, s_store_name, d_moy""".stripMargin),
+    "ds_q50" -> ds(s"""
+      |SELECT s_store_name, s_state,
+      |  CAST(SUM(CASE WHEN sr_settled_date_sk - ss_sold_date_sk <= 30
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN sr_settled_date_sk - ss_sold_date_sk > 30
+      |    AND sr_settled_date_sk - ss_sold_date_sk <= 60
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+      |  CAST(SUM(CASE WHEN sr_settled_date_sk - ss_sold_date_sk > 60
+      |    AND sr_settled_date_sk - ss_sold_date_sk <= 90
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+      |  CAST(SUM(CASE WHEN sr_settled_date_sk - ss_sold_date_sk > 90
+      |    AND sr_settled_date_sk - ss_sold_date_sk <= 120
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+      |  CAST(SUM(CASE WHEN sr_settled_date_sk - ss_sold_date_sk > 120
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
+      |FROM store_sales
+      |JOIN store_returns ON ss_ticket_number = sr_ticket_number
+      |  AND ss_item_sk = sr_item_sk AND ss_customer_sk = sr_customer_sk
+      |JOIN store ON ss_store_sk = s_store_sk
+      |JOIN date_dim d2 ON sr_settled_date_sk = d2.d_date_sk
+      |WHERE d2.d_year = 1998 AND d2.d_moy = 8
+      |GROUP BY s_store_name, s_state
+      |ORDER BY s_store_name, s_state""".stripMargin),
+    "ds_q67" -> ds(s"""
+      |, res AS (
+      |  SELECT i_category, i_class, i_brand, i_item_id, d_qoy, d_moy,
+      |    CAST(SUM(CAST(ss_sales_price * ss_quantity AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS sumsales
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1998
+      |  GROUP BY ROLLUP(i_category, i_class, i_brand, i_item_id, d_qoy, d_moy)),
+      |ranked AS (
+      |  SELECT *, CAST(RANK() OVER (PARTITION BY i_category
+      |    ORDER BY sumsales DESC, i_class ASC NULLS FIRST,
+      |      i_brand ASC NULLS FIRST, i_item_id ASC NULLS FIRST,
+      |      d_qoy ASC NULLS FIRST, d_moy ASC NULLS FIRST) AS BIGINT) AS rk
+      |  FROM res)
+      |SELECT COALESCE(i_category, 'ALL') AS i_category,
+      |  COALESCE(i_class, 'ALL') AS i_class,
+      |  COALESCE(i_brand, 'ALL') AS i_brand,
+      |  COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |  d_qoy, d_moy, sumsales, rk
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY i_category, rk, i_class, i_brand, i_item_id,
+      |  d_qoy NULLS FIRST, d_moy NULLS FIRST""".stripMargin),
+    "ds_q26" -> ds(s"""
+      |SELECT i_item_id, ${ds_avg("cs_quantity", "agg1")},
+      |  ${ds_avg("cs_list_price", "agg2")},
+      |  ${ds_avg("cs_ext_discount_amt", "agg3")},
+      |  ${ds_avg("cs_sales_price", "agg4")}
+      |FROM catalog_sales, customer_demographics, date_dim, promotion, item
+      |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+      |  AND cd_gender = 'F' AND cd_marital_status = 'D'
+      |  AND cd_education_status = 'Secondary' AND d_year = 1999
+      |  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      |GROUP BY i_item_id ORDER BY i_item_id LIMIT 100""".stripMargin),
+    "ds_q53" -> ds(s"""
+      |, q53 AS (
+      |  SELECT i_manufact_id, d_qoy, ${ds_sum("ss_sales_price", "sum_sales")}
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1998
+      |  GROUP BY i_manufact_id, d_qoy),
+      |w53 AS (
+      |  SELECT i_manufact_id, d_qoy, sum_sales,
+      |    CAST(SUM(CAST(sum_sales AS DECIMAL(18,6)))
+      |        OVER (PARTITION BY i_manufact_id) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+      |  FROM q53)
+      |SELECT i_manufact_id, d_qoy, sum_sales, avg_quarterly_sales
+      |FROM w53
+      |WHERE avg_quarterly_sales > 0
+      |  AND abs(sum_sales - avg_quarterly_sales) / avg_quarterly_sales > 0.1
+      |ORDER BY i_manufact_id, d_qoy""".stripMargin),
+    "ds_q58" -> ds(s"""
+      |, ssr AS (
+      |  SELECT i_item_id AS ss_item_id, ${ds_sum("ss_ext_sales_price", "ss_rev")}
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_ticket_number % 3 = 0 AND ss_sold_date_sk = d_date_sk
+      |    AND ss_item_sk = i_item_sk AND d_year = 1998 GROUP BY 1),
+      |csr AS (
+      |  SELECT i_item_id AS cs_item_id, ${ds_sum("cs_ext_sales_price", "cs_rev")}
+      |  FROM catalog_sales, date_dim, item
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND d_year = 1998 GROUP BY 1),
+      |wsr AS (
+      |  SELECT i_item_id AS ws_item_id, ${ds_sum("ws_ext_sales_price", "ws_rev")}
+      |  FROM web_sales, date_dim, item
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |    AND d_year = 1998 GROUP BY 1)
+      |SELECT ss_item_id AS item_id, ss_rev, cs_rev, ws_rev,
+      |  (ss_rev + cs_rev + ws_rev) / 3.0 AS average
+      |FROM ssr JOIN csr ON ss_item_id = cs_item_id
+      |JOIN wsr ON ss_item_id = ws_item_id
+      |WHERE ss_rev BETWEEN cs_rev * 0.8 AND cs_rev * 1.2
+      |  AND ss_rev BETWEEN ws_rev * 0.8 AND ws_rev * 1.2
+      |  AND cs_rev BETWEEN ss_rev * 0.8 AND ss_rev * 1.2
+      |  AND cs_rev BETWEEN ws_rev * 0.8 AND ws_rev * 1.2
+      |  AND ws_rev BETWEEN ss_rev * 0.8 AND ss_rev * 1.2
+      |  AND ws_rev BETWEEN cs_rev * 0.8 AND cs_rev * 1.2
+      |ORDER BY item_id LIMIT 100""".stripMargin),
+    "ds_q59" -> ds(s"""
+      |, wss AS (
+      |  SELECT ss_store_sk, d_week_seq,
+      |    ${ds_day("Sunday", "ss_sales_price", "sun_sales")},
+      |    ${ds_day("Monday", "ss_sales_price", "mon_sales")},
+      |    ${ds_day("Tuesday", "ss_sales_price", "tue_sales")},
+      |    ${ds_day("Wednesday", "ss_sales_price", "wed_sales")},
+      |    ${ds_day("Thursday", "ss_sales_price", "thu_sales")},
+      |    ${ds_day("Friday", "ss_sales_price", "fri_sales")},
+      |    ${ds_day("Saturday", "ss_sales_price", "sat_sales")}
+      |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |  GROUP BY ss_store_sk, d_week_seq)
+      |SELECT s_store_name, y.d_week_seq AS d_week_seq,
+      |  ${Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat").map(n =>
+            s"CASE WHEN z.${n}_sales IS NULL OR z.${n}_sales = 0 THEN NULL " +
+            s"ELSE y.${n}_sales / z.${n}_sales END AS ${n}_ratio").mkString(",\n      |  ")}
+      |FROM wss y
+      |JOIN wss z ON y.d_week_seq + 52 = z.d_week_seq
+      |  AND y.ss_store_sk = z.ss_store_sk
+      |JOIN store ON y.ss_store_sk = s_store_sk
+      |WHERE y.d_week_seq IN (SELECT d_week_seq FROM date_dim
+      |    WHERE d_year = 1998 AND d_date_sk % 7 = 0)
+      |  AND z.d_week_seq IN (SELECT d_week_seq FROM date_dim
+      |    WHERE d_year = 1999 AND d_date_sk % 7 = 0)
+      |ORDER BY s_store_name, d_week_seq""".stripMargin),
+    "ds_q66" -> ds(s"""
+      |, u66 AS (
+      |  SELECT ws_warehouse_sk AS wsk, ws_sold_date_sk AS dsk,
+      |    ws_sold_time_sk AS tsk, ws_ship_mode_sk AS smk,
+      |    ws_ext_sales_price * ws_quantity AS sales
+      |  FROM web_sales
+      |  UNION ALL
+      |  SELECT cs_warehouse_sk, cs_sold_date_sk, cs_sold_time_sk,
+      |    cs_ship_mode_sk, cs_ext_sales_price * cs_quantity
+      |  FROM catalog_sales)
+      |SELECT w_warehouse_name, w_warehouse_sq_ft,
+      |  ${(1 to 12).map(m =>
+            s"CAST(SUM(CASE WHEN d_moy = $m THEN CAST(sales AS DECIMAL(18,6)) END) AS DOUBLE) AS m${m}_sales")
+            .mkString(",\n      |  ")}
+      |FROM u66, date_dim, time_dim, ship_mode, warehouse
+      |WHERE dsk = d_date_sk AND tsk = t_time_sk AND smk = sm_ship_mode_sk
+      |  AND wsk = w_warehouse_sk AND d_year = 1998
+      |  AND t_hour BETWEEN 7 AND 13 AND sm_type IN ('EXPRESS', 'SEA')
+      |GROUP BY w_warehouse_name, w_warehouse_sq_ft
+      |ORDER BY w_warehouse_name""".stripMargin),
+    "ds_q70" -> ds(s"""
+      |, tops AS (
+      |  SELECT top_state FROM (
+      |    SELECT s_state AS top_state,
+      |      ${ds_sum("ss_net_profit", "state_profit")},
+      |      RANK() OVER (ORDER BY ${dsumS.format("ss_net_profit")} DESC,
+      |        s_state ASC) AS rk
+      |    FROM store_sales, date_dim, store
+      |    WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |      AND d_year = 1998
+      |    GROUP BY s_state) r WHERE rk <= 2),
+      |base70 AS (
+      |  SELECT ${ds_sum("ss_net_profit", "total_sum")},
+      |    s_state, s_county,
+      |    CAST(GROUPING(s_state) + GROUPING(s_county) AS BIGINT) AS lochierarchy,
+      |    GROUPING(s_county) AS g_county
+      |  FROM store_sales, date_dim, store
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |    AND d_year = 1998 AND s_state IN (SELECT top_state FROM tops)
+      |  GROUP BY ROLLUP(s_state, s_county))
+      |SELECT total_sum, COALESCE(s_state, 'ALL') AS s_state,
+      |  COALESCE(s_county, 'ALL') AS s_county, lochierarchy,
+      |  CAST(RANK() OVER (PARTITION BY lochierarchy,
+      |      CASE WHEN g_county = 0 THEN s_state END
+      |    ORDER BY total_sum DESC, s_state ASC NULLS FIRST,
+      |      s_county ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+      |FROM base70
+      |ORDER BY lochierarchy DESC, s_state, s_county""".stripMargin),
+    "ds_q22" -> ds(s"""
+      |SELECT COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |  COALESCE(i_brand, 'ALL') AS i_brand,
+      |  COALESCE(i_class, 'ALL') AS i_class,
+      |  COALESCE(i_category, 'ALL') AS i_category,
+      |  ${ds_avg("inv_quantity_on_hand", "qoh")}
+      |FROM inventory, date_dim, item
+      |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+      |  AND d_year = 1998
+      |GROUP BY ROLLUP(i_item_id, i_brand, i_class, i_category)
+      |ORDER BY qoh, i_item_id, i_brand, i_class, i_category
+      |LIMIT 100""".stripMargin),
+    "ds_q72" -> ds(s"""
+      |SELECT i_item_id, w_warehouse_name, d1.d_week_seq AS d_week_seq,
+      |  CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS no_promo,
+      |  CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS promo,
+      |  count(*) AS total_cnt
+      |FROM catalog_sales
+      |JOIN date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+      |JOIN inventory ON cs_item_sk = inv_item_sk
+      |JOIN date_dim d2 ON inv_date_sk = d2.d_date_sk
+      |  AND d1.d_week_seq = d2.d_week_seq
+      |JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+      |LEFT JOIN promotion ON cs_promo_sk = p_promo_sk
+      |  AND p_channel_email = 'N'
+      |JOIN item ON cs_item_sk = i_item_sk
+      |WHERE d1.d_year = 1998 AND inv_quantity_on_hand < cs_quantity
+      |GROUP BY i_item_id, w_warehouse_name, d1.d_week_seq
+      |ORDER BY i_item_id, w_warehouse_name, d_week_seq LIMIT 100""".stripMargin),
+    "ds_q75" -> ds(s"""
+      |, prom_items AS (
+      |  SELECT i_item_sk, i_brand_id FROM item WHERE i_category = 'PROMO'),
+      |nets AS (
+      |  SELECT d_year, i_brand_id,
+      |    ss_quantity - COALESCE(r_qty, 0.0) AS net_qty
+      |  FROM store_sales
+      |  LEFT JOIN (SELECT sr_ticket_number AS r_o, sr_item_sk AS r_i,
+      |      ${ds_sum("sr_return_quantity", "r_qty")}
+      |    FROM store_returns GROUP BY 1, 2) r
+      |    ON ss_ticket_number = r_o AND ss_item_sk = r_i
+      |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |  JOIN prom_items ON ss_item_sk = i_item_sk
+      |  UNION ALL
+      |  SELECT d_year, i_brand_id, cs_quantity - COALESCE(r_qty, 0.0)
+      |  FROM catalog_sales
+      |  LEFT JOIN (SELECT cr_order_number AS r_o, cr_item_sk AS r_i,
+      |      ${ds_sum("cr_return_quantity", "r_qty")}
+      |    FROM catalog_returns GROUP BY 1, 2) r
+      |    ON cs_order_number = r_o AND cs_item_sk = r_i
+      |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      |  JOIN prom_items ON cs_item_sk = i_item_sk
+      |  UNION ALL
+      |  SELECT d_year, i_brand_id, ws_quantity - COALESCE(r_qty, 0.0)
+      |  FROM web_sales
+      |  LEFT JOIN (SELECT wr_order_number AS r_o, wr_item_sk AS r_i,
+      |      ${ds_sum("wr_return_quantity", "r_qty")}
+      |    FROM web_returns GROUP BY 1, 2) r
+      |    ON ws_order_number = r_o AND ws_item_sk = r_i
+      |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |  JOIN prom_items ON ws_item_sk = i_item_sk),
+      |tot AS (
+      |  SELECT d_year, i_brand_id, ${ds_sum("net_qty", "sales_cnt")}
+      |  FROM nets GROUP BY 1, 2)
+      |SELECT CAST(1998 AS BIGINT) AS prev_year, CAST(1999 AS BIGINT) AS curr_year,
+      |  c.i_brand_id, p.sales_cnt AS prev_cnt, c.sales_cnt AS curr_cnt,
+      |  c.sales_cnt / p.sales_cnt AS sales_ratio
+      |FROM tot c JOIN tot p ON c.i_brand_id = p.i_brand_id
+      |WHERE c.d_year = 1999 AND p.d_year = 1998
+      |  AND p.sales_cnt > 0 AND c.sales_cnt / p.sales_cnt < 0.9
+      |ORDER BY c.i_brand_id""".stripMargin),
+    "ds_q78" -> ds(s"""
+      |, ss78 AS (
+      |  SELECT d_year AS ss_year, ss_item_sk,
+      |    ${ds_sum("ss_quantity", "ss_qty")},
+      |    ${ds_sum("ss_ext_sales_price", "ss_amt")}
+      |  FROM store_sales
+      |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |  WHERE NOT EXISTS (SELECT 1 FROM store_returns
+      |    WHERE sr_ticket_number = ss_ticket_number AND sr_item_sk = ss_item_sk)
+      |  GROUP BY 1, 2),
+      |ws78 AS (
+      |  SELECT d_year AS ws_year, ws_item_sk,
+      |    ${ds_sum("ws_quantity", "ws_qty")},
+      |    ${ds_sum("ws_ext_sales_price", "ws_amt")}
+      |  FROM web_sales
+      |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |  WHERE NOT EXISTS (SELECT 1 FROM web_returns
+      |    WHERE wr_order_number = ws_order_number AND wr_item_sk = ws_item_sk)
+      |  GROUP BY 1, 2)
+      |SELECT ss_year AS d_year, ss_item_sk AS i_item_sk,
+      |  ss_qty / ws_qty AS ratio, ss_qty, ws_qty, ss_amt, ws_amt
+      |FROM ss78 JOIN ws78 ON ss_year = ws_year AND ss_item_sk = ws_item_sk
+      |WHERE ws_qty > 0
+      |ORDER BY d_year, i_item_sk LIMIT 100""".stripMargin),
+    "ds_q84" -> ds(s"""
+      |SELECT c_customer_id AS customer_id,
+      |  c_last_name || ', ' || c_first_name AS customername
+      |FROM customer_dim
+      |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+      |JOIN income_band ON hd_income_band_sk = ib_income_band_sk
+      |WHERE ca_city = 'City_5'
+      |  AND ib_lower_bound >= 30000 AND ib_upper_bound <= 80000
+      |  AND c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)
+      |ORDER BY customer_id LIMIT 100""".stripMargin))
 }
