@@ -32,17 +32,18 @@ final class SqlSession private (val spark: SparkSession) {
     * UNNEST(x) AS t(a, b) is textually ambiguous between the map form and
     * array<row<a,b>> struct expansion — the map translation is tried
     * first and the struct translation on analysis failure. */
-  def sql(text: String): DataFrame = {
-    val t1 = Dialect.translate(text)
-    try spark.sql(t1)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        val t2 = Dialect.translate(text, unnestStructRows = true)
-        if (t2 == t1) throw e
-        else try spark.sql(t2)
-        catch { case _: org.apache.spark.sql.AnalysisException => throw e }
+  def sql(text: String): DataFrame =
+    SessionStatements.dispatch(this, text).getOrElse {
+      val t1 = Dialect.translate(text)
+      try spark.sql(t1)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          val t2 = Dialect.translate(text, unnestStructRows = true)
+          if (t2 == t1) throw e
+          else try spark.sql(t2)
+          catch { case _: org.apache.spark.sql.AnalysisException => throw e }
+      }
     }
-  }
 
   /** Register every fixture table under `dir` as a temp view. */
   def loadTables(dir: String): SqlSession = {

@@ -441,9 +441,31 @@ object Relational {
     "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
-    "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry)
+    "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry,
+    "sql_prepared" -> sqlPrepared)
+
+  /** PREPARE / EXECUTE USING through the session-statement layer
+    * (reference PrepareTask.java + the ? parameter rewrite,
+    * ParameterRewriter.java): the prepared text carries two positional
+    * parameters bound at EXECUTE time; DESCRIBE INPUT/OUTPUT and
+    * SET/SHOW SESSION on the same surface are pinned in SqlSessionSpec. */
+  def sqlPrepared(s: SparkSession, dir: String): DataFrame = {
+    val ses = graft.api.SqlSession.wrap(s)
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    ses.sql("""PREPARE ps_gate FROM
+      |SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_quantity < ? AND l_shipdate <= ?
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ses.sql("EXECUTE ps_gate USING 25, DATE '1997-01-01'")
+  }
 
   val oracle: Map[String, String] = Map(
+    "sql_prepared" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_quantity < 25 AND l_shipdate <= DATE '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mv_rewrite" ->
       """SELECT l_returnflag,
         | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

@@ -408,4 +408,49 @@ class SqlSessionSpec extends AnyFunSuite {
       session.sql("SELECT ip_prefix_collapse(array(1, 2))").collect())
     assert(t.getMessage.contains("ip_prefix_collapse"))
   }
+
+  test("PREPARE / EXECUTE USING / DEALLOCATE statement lifecycle") {
+    session.sql("PREPARE ps1 FROM SELECT n_nationkey, n_name FROM nation " +
+      "WHERE n_regionkey = ? AND n_nationkey < ? ORDER BY n_nationkey")
+    val rows = session.sql("EXECUTE ps1 USING 1, 20").collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getAs[Number](0).longValue < 20))
+    // parameter arity is checked
+    assert(intercept[IllegalArgumentException](
+      session.sql("EXECUTE ps1 USING 1")).getMessage.contains("parameters"))
+    session.sql("DEALLOCATE PREPARE ps1")
+    val gone = intercept[IllegalArgumentException](
+      session.sql("EXECUTE ps1 USING 1, 20"))
+    assert(gone.getMessage.contains("not found"))
+    // string parameters keep their quotes through substitution
+    session.sql("PREPARE ps2 FROM SELECT n_name FROM nation WHERE n_name = ?")
+    assert(session.sql("EXECUTE ps2 USING 'NATION_7'").collect().length == 1)
+  }
+
+  test("DESCRIBE INPUT and DESCRIBE OUTPUT report parameters and schema") {
+    session.sql("PREPARE psd FROM SELECT n_name, count(*) AS cnt FROM nation " +
+      "WHERE n_regionkey = ? GROUP BY n_name")
+    val in = session.sql("DESCRIBE INPUT psd").collect()
+    assert(in.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "unknown")))
+    val out = session.sql("DESCRIBE OUTPUT psd").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("n_name", "string"), ("cnt", "bigint")))
+  }
+
+  test("SET / SHOW / RESET SESSION with the hash_partition_count bridge") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    session.sql("SET SESSION hash_partition_count = 7")
+    session.sql("SET SESSION optimize_hash_generation = 'true'")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    val shown = session.sql("SHOW SESSION").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown("hash_partition_count") == "7" &&
+      shown("optimize_hash_generation") == "true")
+    session.sql("RESET SESSION hash_partition_count")
+    session.sql("RESET SESSION optimize_hash_generation")
+    assert(!session.sql("SHOW SESSION").collect()
+      .exists(_.getString(0) == "hash_partition_count"))
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
