@@ -265,7 +265,11 @@ object Tpcds {
         col("sr_ticket_number").as("wr_order_number"),
         col("sr_customer_sk").as("wr_returning_customer_sk"),
         col("sr_return_quantity").as("wr_return_quantity"),
-        col("sr_return_amt").as("wr_return_amt"))
+        col("sr_return_amt").as("wr_return_amt"),
+        col("sr_net_loss").as("wr_net_loss"),
+        (col("sr_store_sk") % 5).as("wr_warehouse_sk"),
+        ((col("sr_ticket_number") * 11) % 10).as("wr_reason_sk"),
+        (col("sr_customer_sk") % 100).as("wr_refunded_cdemo_sk"))
 
   // ---- queries ------------------------------------------------------------
 
@@ -1806,6 +1810,197 @@ object Tpcds {
       .orderBy("customer_id")
       .limit(100)
 
+  /** q17: store sale → its return → catalog re-purchase, with count/avg/
+    * coefficient-of-variation per leg (q17.sql). Stats come from exact
+    * decimal sums of x and x² so both engines emit identical doubles. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    def leg(c: Column, p: String): Seq[Column] = {
+      val n = count(c)
+      val sm = decSum(c).cast("double")
+      val sq = decSum(c * c).cast("double")
+      val mean = sm / n.cast("double")
+      val cov = when(n > 1,
+        sqrt((n.cast("double") * sq - sm * sm) /
+          (n.cast("double") * (n.cast("double") - 1.0))) / mean)
+      Seq(n.cast("long").as(s"${p}_count"), mean.as(s"${p}_avg"),
+        cov.as(s"${p}_cov"))
+    }
+    storeSales(s, dir)
+      .join(storeReturns(s, dir),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(catalogSales(s, dir),
+        col("sr_customer_sk") === col("cs_bill_customer_sk") &&
+          col("sr_item_sk") === col("cs_item_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_qoy") === 1)
+          .select(col("d_date_sk").as("d1_sk"))),
+        col("ss_sold_date_sk") === col("d1_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_qoy").between(1, 3))
+          .select(col("d_date_sk").as("d2_sk"))),
+        col("sr_returned_date_sk") === col("d2_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_qoy").between(1, 3))
+          .select(col("d_date_sk").as("d3_sk"))),
+        col("cs_sold_date_sk") === col("d3_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "s_state")
+      .agg(leg(col("ss_quantity"), "ss").head,
+        (leg(col("ss_quantity"), "ss").tail ++
+          leg(col("sr_return_quantity"), "sr") ++
+          leg(col("cs_quantity"), "cs")): _*)
+      .orderBy("i_item_id", "s_state")
+      .limit(100)
+  }
+
+  /** q41: distinct items of manufacturers that carry at least one item in
+    * the given category/class combinations (q41.sql) — the correlated
+    * count > 0 becomes a semi-join on the qualifying manufacturer set. */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val qual = item(s, dir).filter(
+        (col("i_category") === "SMALL" &&
+          col("i_class").isin("CLASS_1", "CLASS_3")) ||
+        (col("i_category") === "LARGE" &&
+          col("i_class").isin("CLASS_2", "CLASS_5")) ||
+        (col("i_category") === "PROMO" &&
+          col("i_class").isin("CLASS_0", "CLASS_7")))
+      .select(col("i_manufact_id").as("qm")).distinct()
+    item(s, dir).filter(col("i_manufact_id").between(20, 60))
+      .join(broadcast(qual), col("i_manufact_id") === col("qm"), "leftsemi")
+      .select("i_item_id").distinct()
+      .orderBy("i_item_id").limit(100)
+  }
+
+  /** q71: brand revenue in the breakfast/dinner hours across all three
+    * channels — union through item, date and time dimensions (q71.sql). */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val union = webSales(s, dir).select(
+        col("ws_ext_sales_price").as("ext_price"),
+        col("ws_item_sk").as("sold_item_sk"),
+        col("ws_sold_time_sk").as("time_sk"),
+        col("ws_sold_date_sk").as("sold_date_sk"))
+      .unionAll(catalogSales(s, dir).select(col("cs_ext_sales_price"),
+        col("cs_item_sk"), col("cs_sold_time_sk"), col("cs_sold_date_sk")))
+      .unionAll(storeSales(s, dir).select(col("ss_ext_sales_price"),
+        col("ss_item_sk"), col("ss_sold_time_sk"), col("ss_sold_date_sk")))
+    union
+      .join(broadcast(dateDim(s)
+          .filter(col("d_moy") === 11 && col("d_year") === 1998)),
+        col("sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(col("i_manager_id") === 7)),
+        col("sold_item_sk") === col("i_item_sk"))
+      .join(broadcast(timeDim(s).filter(
+          col("t_hour").between(8, 9) || col("t_hour").between(19, 20))),
+        col("time_sk") === col("t_time_sk"))
+      .groupBy("i_brand_id", "i_brand", "t_hour", "t_minute")
+      .agg(dsum(col("ext_price"), "ext_price"))
+      .orderBy(desc("ext_price"), asc("i_brand_id"), asc("t_hour"),
+        asc("t_minute"))
+  }
+
+  /** q77: per-channel sales vs returns profit report — sales and returns
+    * aggregated per channel key, joined (left for keyed returns, cross for
+    * the catalog totals), unioned, then a channel ROLLUP (q77.sql). */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val d = broadcast(dateDim(s).filter(col("d_date")
+        .between(Tables.d("1998-08-01"), Tables.d("1998-09-30")))
+      .select("d_date_sk"))
+    val ssP = storeSales(s, dir).join(d, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_store_sk").as("id"))
+      .agg(dsum(col("ss_ext_sales_price"), "sales"),
+        dsum(col("ss_net_profit"), "gross_profit"))
+    val srP = storeReturns(s, dir).join(d, col("sr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("sr_store_sk").as("rid"))
+      .agg(dsum(col("sr_return_amt"), "returns_"),
+        dsum(col("sr_net_loss"), "loss"))
+    val storeCh = ssP.join(srP, col("id") === col("rid"), "left")
+      .select(lit("store channel").as("channel"), col("id"), col("sales"),
+        coalesce(col("returns_"), lit(0.0)).as("returns_"),
+        (col("gross_profit") - coalesce(col("loss"), lit(0.0))).as("profit"))
+    val csP = catalogSales(s, dir).join(d, col("cs_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("cs_warehouse_sk").as("id"))
+      .agg(dsum(col("cs_ext_sales_price"), "sales"),
+        dsum(col("cs_sales_price"), "gross_profit"))
+    val crT = catalogReturns(s, dir).join(d, col("cr_returned_date_sk") === col("d_date_sk"))
+      .agg(dsum(col("cr_return_amount"), "returns_"),
+        dsum(col("cr_return_amount"), "loss"))
+    val catalogCh = csP.crossJoin(broadcast(crT))
+      .select(lit("catalog channel").as("channel"), col("id"), col("sales"),
+        coalesce(col("returns_"), lit(0.0)).as("returns_"),
+        (col("gross_profit") - coalesce(col("loss"), lit(0.0))).as("profit"))
+    val wsP = webSales(s, dir).join(d, col("ws_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ws_warehouse_sk").as("id"))
+      .agg(dsum(col("ws_ext_sales_price"), "sales"),
+        dsum(col("ws_ext_sales_price"), "gross_profit"))
+    val wrP = webReturns(s, dir).join(d, col("wr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("wr_warehouse_sk").as("rid"))
+      .agg(dsum(col("wr_return_amt"), "returns_"),
+        dsum(col("wr_net_loss"), "loss"))
+    val webCh = wsP.join(wrP, col("id") === col("rid"), "left")
+      .select(lit("web channel").as("channel"), col("id"), col("sales"),
+        coalesce(col("returns_"), lit(0.0)).as("returns_"),
+        (col("gross_profit") - coalesce(col("loss"), lit(0.0))).as("profit"))
+    storeCh.unionAll(catalogCh).unionAll(webCh)
+      .rollup(col("channel"), col("id"))
+      .agg(decSum(col("sales")).cast("double").as("sales"),
+        decSum(col("returns_")).cast("double").as("returns_"),
+        decSum(col("profit")).cast("double").as("profit"))
+      .select(coalesce(col("channel"), lit("ALL")).as("channel"), col("id"),
+        col("sales"), col("returns_"), col("profit"))
+      .orderBy(asc("channel"), asc_nulls_first("id"))
+      .limit(100)
+  }
+
+  /** q85: web returns through reason and refunding-demographic bands —
+    * quantity-band OR predicates over the returns join, averaged per
+    * return reason (q85.sql). */
+  def q85(s: SparkSession, dir: String): DataFrame =
+    webSales(s, dir)
+      .join(webReturns(s, dir),
+        col("ws_order_number") === col("wr_order_number") &&
+          col("ws_item_sk") === col("wr_item_sk"))
+      .join(broadcast(reason(s)), col("wr_reason_sk") === col("r_reason_sk"))
+      .join(broadcast(customerDemographics(s)),
+        col("wr_refunded_cdemo_sk") === col("cd_demo_sk"))
+      .filter(
+        (col("cd_marital_status") === "M" &&
+          col("cd_education_status") === "4 yr Degree" &&
+          col("ws_quantity").between(1, 20)) ||
+        (col("cd_marital_status") === "S" &&
+          col("cd_education_status") === "College" &&
+          col("ws_quantity").between(21, 35)) ||
+        (col("cd_marital_status") === "W" &&
+          col("cd_education_status") === "Primary" &&
+          col("ws_quantity").between(36, 50)))
+      .groupBy("r_reason_desc")
+      .agg(davg(col("ws_quantity"), "avg_qty"),
+        davg(col("wr_return_amt"), "avg_refund"))
+      .orderBy("r_reason_desc")
+
+  /** q95: returned web orders that shipped from more than one warehouse —
+    * a self-join multi-warehouse set, a returns semi-join, and distinct
+    * order counting (q95.sql). */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val ws = webSales(s, dir)
+    val multiWh = ws.select(col("ws_order_number").as("o1"),
+        col("ws_warehouse_sk").as("w1"))
+      .join(ws.select(col("ws_order_number").as("o2"),
+          col("ws_warehouse_sk").as("w2")),
+        col("o1") === col("o2") && col("w1") =!= col("w2"))
+      .select(col("o1").as("mw_order")).distinct()
+    ws.join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-02-01"), Tables.d("1998-03-31")))),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "leftsemi")
+      .join(webReturns(s, dir).select("wr_order_number"),
+        col("ws_order_number") === col("wr_order_number"), "leftsemi")
+      .agg(countDistinct(col("ws_order_number")).as("order_count"),
+        dsum(col("ws_ext_sales_price"), "total_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_q16" -> q16, "ds_q25" -> q25, "ds_q28" -> q28, "ds_q35" -> q35,
     "ds_q49" -> q49, "ds_q54" -> q54,
@@ -1826,7 +2021,9 @@ object Tpcds {
     "ds_q26" -> q26, "ds_q53" -> q53, "ds_q58" -> q58, "ds_q59" -> q59,
     "ds_q66" -> q66, "ds_q70" -> q70,
     "ds_q22" -> q22, "ds_q72" -> q72, "ds_q75" -> q75, "ds_q78" -> q78,
-    "ds_q84" -> q84)
+    "ds_q84" -> q84,
+    "ds_q17" -> q17, "ds_q41" -> q41, "ds_q71" -> q71, "ds_q77" -> q77,
+    "ds_q85" -> q85, "ds_q95" -> q95)
 
   // ---- oracle -------------------------------------------------------------
 
@@ -1994,13 +2191,29 @@ object Tpcds {
       |         sr_item_sk AS wr_item_sk, sr_ticket_number AS wr_order_number,
       |         sr_customer_sk AS wr_returning_customer_sk,
       |         sr_return_quantity AS wr_return_quantity,
-      |         sr_return_amt AS wr_return_amt
+      |         sr_return_amt AS wr_return_amt,
+      |         sr_net_loss AS wr_net_loss,
+      |         sr_store_sk % 5 AS wr_warehouse_sk,
+      |         (sr_ticket_number * 11) % 10 AS wr_reason_sk,
+      |         sr_customer_sk % 100 AS wr_refunded_cdemo_sk
       |  FROM store_returns WHERE sr_ticket_number % 3 = 2)""".stripMargin
 
   private def ds(body: String): String = s"WITH $prelude\n$body"
 
   private val dsumS = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
   private def ds_sum(c: String, a: String) = dsumS.format(c) + s" AS $a"
+  /** q17's per-leg stats: count, exact-decimal mean, CoV from exact sums —
+    * textually mirrors the Column expressions in q17. */
+  private def q17leg(c: String, p: String): String = {
+    val n = s"count($c)"
+    val sm = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+    val sq = s"CAST(SUM(CAST($c * $c AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST($n AS BIGINT) AS ${p}_count, $sm / CAST($n AS DOUBLE) AS ${p}_avg, " +
+      s"CASE WHEN $n > 1 THEN sqrt((CAST($n AS DOUBLE) * $sq - $sm * $sm) / " +
+      s"(CAST($n AS DOUBLE) * (CAST($n AS DOUBLE) - 1.0))) / " +
+      s"($sm / CAST($n AS DOUBLE)) END AS ${p}_cov"
+  }
+
   private def ds_day(day: String, c: String, a: String) =
     s"CAST(SUM(CASE WHEN d_day_name = '$day' THEN CAST($c AS DECIMAL(18,6)) END) AS DOUBLE) AS $a"
   private def ds_avg(c: String, a: String) =
@@ -3092,5 +3305,119 @@ object Tpcds {
       |WHERE ca_city = 'City_5'
       |  AND ib_lower_bound >= 30000 AND ib_upper_bound <= 80000
       |  AND c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)
-      |ORDER BY customer_id LIMIT 100""".stripMargin))
+      |ORDER BY customer_id LIMIT 100""".stripMargin),
+    "ds_q17" -> ds(s"""
+      |SELECT i_item_id, s_state,
+      |  ${q17leg("ss_quantity", "ss")},
+      |  ${q17leg("sr_return_quantity", "sr")},
+      |  ${q17leg("cs_quantity", "cs")}
+      |FROM store_sales
+      |JOIN store_returns ON ss_ticket_number = sr_ticket_number
+      |  AND ss_item_sk = sr_item_sk AND ss_customer_sk = sr_customer_sk
+      |JOIN catalog_sales ON sr_customer_sk = cs_bill_customer_sk
+      |  AND sr_item_sk = cs_item_sk
+      |JOIN date_dim d1 ON ss_sold_date_sk = d1.d_date_sk
+      |JOIN date_dim d2 ON sr_returned_date_sk = d2.d_date_sk
+      |JOIN date_dim d3 ON cs_sold_date_sk = d3.d_date_sk
+      |JOIN store ON ss_store_sk = s_store_sk
+      |JOIN item ON ss_item_sk = i_item_sk
+      |WHERE d1.d_year = 1998 AND d1.d_qoy = 1
+      |  AND d2.d_year = 1998 AND d2.d_qoy BETWEEN 1 AND 3
+      |  AND d3.d_year = 1998 AND d3.d_qoy BETWEEN 1 AND 3
+      |GROUP BY i_item_id, s_state
+      |ORDER BY i_item_id, s_state LIMIT 100""".stripMargin),
+    "ds_q41" -> ds(s"""
+      |SELECT DISTINCT i_item_id FROM item i1
+      |WHERE i_manufact_id BETWEEN 20 AND 60
+      |  AND (SELECT count(*) FROM item i2
+      |    WHERE i2.i_manufact_id = i1.i_manufact_id
+      |      AND ((i2.i_category = 'SMALL' AND i2.i_class IN ('CLASS_1', 'CLASS_3'))
+      |        OR (i2.i_category = 'LARGE' AND i2.i_class IN ('CLASS_2', 'CLASS_5'))
+      |        OR (i2.i_category = 'PROMO' AND i2.i_class IN ('CLASS_0', 'CLASS_7')))) > 0
+      |ORDER BY i_item_id LIMIT 100""".stripMargin),
+    "ds_q71" -> ds(s"""
+      |, u71 AS (
+      |  SELECT ws_ext_sales_price AS ext_price, ws_item_sk AS sold_item_sk,
+      |    ws_sold_time_sk AS time_sk, ws_sold_date_sk AS sold_date_sk
+      |  FROM web_sales
+      |  UNION ALL
+      |  SELECT cs_ext_sales_price, cs_item_sk, cs_sold_time_sk, cs_sold_date_sk
+      |  FROM catalog_sales
+      |  UNION ALL
+      |  SELECT ss_ext_sales_price, ss_item_sk, ss_sold_time_sk, ss_sold_date_sk
+      |  FROM store_sales)
+      |SELECT i_brand_id, i_brand, t_hour, t_minute,
+      |  ${ds_sum("ext_price", "ext_price")}
+      |FROM u71, date_dim, item, time_dim
+      |WHERE sold_date_sk = d_date_sk AND sold_item_sk = i_item_sk
+      |  AND time_sk = t_time_sk AND d_moy = 11 AND d_year = 1998
+      |  AND i_manager_id = 7
+      |  AND (t_hour BETWEEN 8 AND 9 OR t_hour BETWEEN 19 AND 20)
+      |GROUP BY i_brand_id, i_brand, t_hour, t_minute
+      |ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute""".stripMargin),
+    "ds_q77" -> ds(s"""
+      |, dr AS (SELECT d_date_sk FROM date_dim
+      |    WHERE d_date BETWEEN DATE '1998-08-01' AND DATE '1998-09-30'),
+      |ssp AS (SELECT ss_store_sk AS id, ${ds_sum("ss_ext_sales_price", "sales")},
+      |    ${ds_sum("ss_net_profit", "gross_profit")}
+      |  FROM store_sales JOIN dr ON ss_sold_date_sk = d_date_sk GROUP BY 1),
+      |srp AS (SELECT sr_store_sk AS rid, ${ds_sum("sr_return_amt", "returns_")},
+      |    ${ds_sum("sr_net_loss", "loss")}
+      |  FROM store_returns JOIN dr ON sr_returned_date_sk = d_date_sk GROUP BY 1),
+      |csp AS (SELECT cs_warehouse_sk AS id, ${ds_sum("cs_ext_sales_price", "sales")},
+      |    ${ds_sum("cs_sales_price", "gross_profit")}
+      |  FROM catalog_sales JOIN dr ON cs_sold_date_sk = d_date_sk GROUP BY 1),
+      |crt AS (SELECT ${ds_sum("cr_return_amount", "returns_")},
+      |    ${ds_sum("cr_return_amount", "loss")}
+      |  FROM catalog_returns JOIN dr ON cr_returned_date_sk = d_date_sk),
+      |wsp AS (SELECT ws_warehouse_sk AS id, ${ds_sum("ws_ext_sales_price", "sales")},
+      |    ${ds_sum("ws_ext_sales_price", "gross_profit")}
+      |  FROM web_sales JOIN dr ON ws_sold_date_sk = d_date_sk GROUP BY 1),
+      |wrp AS (SELECT wr_warehouse_sk AS rid, ${ds_sum("wr_return_amt", "returns_")},
+      |    ${ds_sum("wr_net_loss", "loss")}
+      |  FROM web_returns JOIN dr ON wr_returned_date_sk = d_date_sk GROUP BY 1),
+      |chans AS (
+      |  SELECT 'store channel' AS channel, id, sales,
+      |    COALESCE(returns_, 0.0) AS returns_,
+      |    gross_profit - COALESCE(loss, 0.0) AS profit
+      |  FROM ssp LEFT JOIN srp ON id = rid
+      |  UNION ALL
+      |  SELECT 'catalog channel', id, sales, COALESCE(returns_, 0.0),
+      |    gross_profit - COALESCE(loss, 0.0)
+      |  FROM csp CROSS JOIN crt
+      |  UNION ALL
+      |  SELECT 'web channel', id, sales, COALESCE(returns_, 0.0),
+      |    gross_profit - COALESCE(loss, 0.0)
+      |  FROM wsp LEFT JOIN wrp ON id = rid)
+      |SELECT COALESCE(channel, 'ALL') AS channel, id,
+      |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
+      |  ${ds_sum("profit", "profit")}
+      |FROM chans GROUP BY ROLLUP(channel, id)
+      |ORDER BY channel, id NULLS FIRST LIMIT 100""".stripMargin),
+    "ds_q85" -> ds(s"""
+      |SELECT r_reason_desc, ${ds_avg("ws_quantity", "avg_qty")},
+      |  ${ds_avg("wr_return_amt", "avg_refund")}
+      |FROM web_sales
+      |JOIN web_returns ON ws_order_number = wr_order_number
+      |  AND ws_item_sk = wr_item_sk
+      |JOIN reason ON wr_reason_sk = r_reason_sk
+      |JOIN customer_demographics ON wr_refunded_cdemo_sk = cd_demo_sk
+      |WHERE (cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+      |    AND ws_quantity BETWEEN 1 AND 20)
+      |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+      |    AND ws_quantity BETWEEN 21 AND 35)
+      |  OR (cd_marital_status = 'W' AND cd_education_status = 'Primary'
+      |    AND ws_quantity BETWEEN 36 AND 50)
+      |GROUP BY r_reason_desc ORDER BY r_reason_desc""".stripMargin),
+    "ds_q95" -> ds(s"""
+      |, ws_wh AS (
+      |  SELECT DISTINCT ws1.ws_order_number AS o FROM web_sales ws1
+      |  JOIN web_sales ws2 ON ws1.ws_order_number = ws2.ws_order_number
+      |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      |SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+      |  ${ds_sum("ws_ext_sales_price", "total_price")}
+      |FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-03-31'
+      |  AND ws_order_number IN (SELECT o FROM ws_wh)
+      |  AND ws_order_number IN (SELECT wr_order_number FROM web_returns)""".stripMargin))
 }
