@@ -143,6 +143,12 @@ object Tpcds {
       col("id").as("r_reason_sk"),
       concat(lit("reason_"), col("id")).as("r_reason_desc"))
 
+  def callCenter(s: SparkSession): DataFrame =
+    s.range(0, 4).select(
+      col("id").as("cc_call_center_sk"),
+      concat(lit("CC_"), col("id")).as("cc_name"),
+      concat(lit("Manager_"), col("id") % 3).as("cc_manager"))
+
   def shipMode(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("sm_ship_mode_sk"),
@@ -209,7 +215,9 @@ object Tpcds {
         col("ss_promo_sk").as("cs_promo_sk"),
         col("ss_sold_time_sk").as("cs_sold_time_sk"),
         (col("ss_ticket_number") % 4).as("cs_ship_mode_sk"),
-        col("ss_list_price").as("cs_list_price"))
+        col("ss_list_price").as("cs_list_price"),
+        (col("ss_sold_date_sk") + col("ss_ticket_number") % 120)
+          .as("cs_ship_date_sk"))
 
   def webSales(s: SparkSession, dir: String): DataFrame =
     storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 2)
@@ -222,7 +230,10 @@ object Tpcds {
         col("ss_hdemo_sk").as("ws_ship_hdemo_sk"),
         (col("ss_store_sk") % 5).as("ws_warehouse_sk"),
         (col("ss_ticket_number") % 4).as("ws_ship_mode_sk"),
-        col("ss_ticket_number").as("ws_order_number"))
+        col("ss_ticket_number").as("ws_order_number"),
+        col("ss_coupon_amt").as("ws_ext_discount_amt"),
+        col("ss_net_profit").as("ws_net_profit"),
+        col("ss_promo_sk").as("ws_promo_sk"))
 
   /** Returns channel: returned lineitems (l_returnflag = 'R') as
     * store_returns — lets the returns-joining report shapes (q5 family)
@@ -255,7 +266,9 @@ object Tpcds {
         col("sr_ticket_number").as("cr_order_number"),
         col("sr_customer_sk").as("cr_returning_customer_sk"),
         col("sr_return_quantity").as("cr_return_quantity"),
-        col("sr_return_amt").as("cr_return_amount"))
+        col("sr_return_amt").as("cr_return_amount"),
+        col("sr_net_loss").as("cr_net_loss"),
+        ((col("sr_ticket_number") * 7) % 4).as("cr_call_center_sk"))
 
   /** Web returns channel: the %3=2 ticket-split, wr-prefixed. */
   def webReturns(s: SparkSession, dir: String): DataFrame =
@@ -2001,6 +2014,679 @@ object Tpcds {
         dsum(col("ws_ext_sales_price"), "total_price"))
   }
 
+  // ---- channel-analog completions: the reference suite repeats several
+  // templates once per channel (q12/q20/q98, q32/q92, q37/q82, q53/q63,
+  // q47/q57, q36/q86, q33/q56/q60, q1/q30/q81, q62/q99, q68/q46, q94/q95,
+  // q35/q69). The shared template is ONE parameterized builder here; each
+  // qNN entry instantiates it with its channel's fact/keys/filters.
+
+  /** q12/q20 template: class-partitioned revenue ratio (q98's shape). */
+  private def revenueRatio(s: SparkSession, dir: String, f: DataFrame,
+      dateK: String, itemK: String, priceC: String): DataFrame = {
+    val grouped = f
+      .join(broadcast(dateDim(s).filter(
+          col("d_date") >= Tables.d("1999-02-01") &&
+            col("d_date") <= Tables.d("1999-03-01"))),
+        col(dateK) === col("d_date_sk"))
+      .join(broadcast(item(s, dir).filter(
+          col("i_category").isin("SMALL", "LARGE", "MEDIUM"))),
+        col(itemK) === col("i_item_sk"))
+      .groupBy("i_item_id", "i_category", "i_class", "i_current_price")
+      .agg(dsum(col(priceC), "itemrevenue"))
+    grouped.select(col("i_item_id"), col("i_category"), col("i_class"),
+        col("i_current_price"), col("itemrevenue"),
+        (col("itemrevenue") * 100 /
+          decSum(col("itemrevenue")).over(Window.partitionBy("i_class"))
+            .cast("double")).as("revenueratio"))
+      .orderBy("i_category", "i_class", "i_item_id")
+  }
+
+  def q12(s: SparkSession, dir: String): DataFrame =
+    revenueRatio(s, dir, webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+      "ws_ext_sales_price")
+
+  def q20(s: SparkSession, dir: String): DataFrame =
+    revenueRatio(s, dir, catalogSales(s, dir), "cs_sold_date_sk",
+      "cs_item_sk", "cs_ext_sales_price")
+
+  /** q63: q53's deviation template on the store-manager rollout months. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("i_manager_id")
+    storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_manager_id", "d_moy")
+      .agg(dsum(col("ss_sales_price"), "sum_sales"))
+      .withColumn("avg_monthly_sales",
+        decSum(col("sum_sales")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("avg_monthly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
+      .select("i_manager_id", "d_moy", "sum_sales", "avg_monthly_sales")
+      .orderBy("i_manager_id", "d_moy")
+  }
+
+  /** q82: q37's stock/price-band template on the store channel. */
+  def q82(s: SparkSession, dir: String): DataFrame =
+    item(s, dir)
+      .filter(col("i_current_price").between(920, 980) &&
+        col("i_manufact_id").isin(15, 25, 35, 45))
+      .join(inventory(s, dir), col("i_item_sk") === col("inv_item_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-06-01"), Tables.d("1998-07-30")))),
+        col("inv_date_sk") === col("d_date_sk"))
+      .filter(col("inv_quantity_on_hand").between(100, 500))
+      .join(storeSales(s, dir).select("ss_item_sk"),
+        col("i_item_sk") === col("ss_item_sk"), "leftsemi")
+      .select("i_item_id", "i_current_price").distinct()
+      .orderBy("i_item_id")
+      .limit(100)
+
+  /** q92: q32's excess-discount template on the web channel. */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val ws = webSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-03-01"), Tables.d("1998-05-30")))),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .select("ws_item_sk", "ws_ext_discount_amt")
+    val perItem = ws.groupBy(col("ws_item_sk").as("a_item_sk"))
+      .agg((davg(col("ws_ext_discount_amt")) * 1.3).as("discount_threshold"))
+    ws.join(broadcast(item(s, dir).filter(col("i_manufact_id") === 9)),
+        col("ws_item_sk") === col("i_item_sk"))
+      .join(perItem, col("ws_item_sk") === col("a_item_sk"))
+      .filter(col("ws_ext_discount_amt") > col("discount_threshold"))
+      .agg(dsum(col("ws_ext_discount_amt"), "excess_discount_amount"))
+  }
+
+  /** q99: q62's latency-bucket template on catalog, keyed by warehouse and
+    * ship mode over the derived cs_ship_date_sk. */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val lag = col("cs_ship_date_sk") - col("cs_sold_date_sk")
+    def bucket(c: Column, a: String): Column =
+      sum(when(c, 1L).otherwise(0L)).as(a)
+    catalogSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(warehouse(s)),
+        col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(shipMode(s)),
+        col("cs_ship_mode_sk") === col("sm_ship_mode_sk"))
+      .groupBy("w_warehouse_name", "sm_type")
+      .agg(bucket(lag <= 30, "d30"),
+        bucket(lag > 30 && lag <= 60, "d60"),
+        bucket(lag > 60 && lag <= 90, "d90"),
+        bucket(lag > 90 && lag <= 120, "d120"),
+        bucket(lag > 120, "dmore"))
+      .orderBy("w_warehouse_name", "sm_type")
+  }
+
+  /** q86: q36's gross-margin ROLLUP rank on the web channel. */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val base = webSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("ws_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg((dsum(col("ws_net_profit")) /
+          dsum(col("ws_ext_sales_price"))).as("gross_margin"),
+        (grouping(col("i_category")) + grouping(col("i_class"))).cast("long")
+          .as("lochierarchy"),
+        grouping(col("i_class")).as("g_class"))
+    val w = Window.partitionBy(col("lochierarchy"),
+        when(col("g_class") === 0, col("i_category")))
+      .orderBy(asc("gross_margin"), asc_nulls_first("i_category"),
+        asc_nulls_first("i_class"))
+    base.select(round(col("gross_margin"), 8).as("gross_margin"),
+        coalesce(col("i_category"), lit("ALL")).as("i_category"),
+        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        col("lochierarchy"),
+        rank().over(w).cast("long").as("rank_within_parent"))
+      .orderBy(desc("lochierarchy"), asc("i_category"), asc("i_class"))
+  }
+
+  /** q33/q56 template: three-channel union re-aggregated on an item
+    * attribute (q60's shape on a different key). */
+  private def unionByItemAttr(s: SparkSession, dir: String, attr: String,
+      itemFilter: Column): DataFrame = {
+    val dd = broadcast(dateDim(s)
+      .filter(col("d_year") === 1999 && col("d_moy") === 9))
+    val it = broadcast(item(s, dir).filter(itemFilter))
+    def channel(f: DataFrame, dateK: String, itemK: String, price: String) =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .join(it, col(itemK) === col("i_item_sk"))
+        .groupBy(attr).agg(dsum(col(price), "total"))
+    channel(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
+        "ss_ext_sales_price")
+      .unionAll(channel(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+        "cs_ext_sales_price"))
+      .unionAll(channel(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+        "ws_ext_sales_price"))
+      .groupBy(attr).agg(decSum(col("total")).cast("double").as("total_sales"))
+      .orderBy(attr)
+  }
+
+  def q33(s: SparkSession, dir: String): DataFrame =
+    unionByItemAttr(s, dir, "i_manufact_id", col("i_category") === "ECONOMY")
+
+  def q56(s: SparkSession, dir: String): DataFrame =
+    unionByItemAttr(s, dir, "i_class",
+      col("i_category").isin("SMALL", "PROMO"))
+
+  /** q30/q81 template: customers returning over 1.2× their state's average
+    * (q1's correlated-average shape keyed by the customer's state). */
+  private def stateReturners(s: SparkSession, dir: String, ret: DataFrame,
+      custK: String, amtK: String): DataFrame = {
+    val ctr = ret
+      .join(customerDim(s, dir), col(custK) === col("c_customer_sk"))
+      .join(customerAddress(s, dir),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .groupBy(col(custK), col("ca_state"))
+      .agg(dsum(col(amtK), "ctr_total_return"))
+      .select(col(custK).as("ctr_customer_sk"),
+        col("ca_state").as("ctr_state"), col("ctr_total_return"))
+    val perState = ctr.groupBy(col("ctr_state").as("a_state"))
+      .agg((davg(col("ctr_total_return")) * 1.2).as("return_threshold"))
+    ctr.join(broadcast(perState), col("ctr_state") === col("a_state"))
+      .filter(col("ctr_total_return") > col("return_threshold"))
+      .join(customerDim(s, dir),
+        col("ctr_customer_sk") === col("c_customer_sk"))
+      .select(col("c_customer_id"), col("c_last_name"), col("c_first_name"),
+        col("ctr_state"), col("ctr_total_return"))
+      .orderBy("c_customer_id", "ctr_state")
+      .limit(100)
+  }
+
+  def q81(s: SparkSession, dir: String): DataFrame =
+    stateReturners(s, dir, catalogReturns(s, dir),
+      "cr_returning_customer_sk", "cr_return_amount")
+
+  def q30(s: SparkSession, dir: String): DataFrame =
+    stateReturners(s, dir, webReturns(s, dir),
+      "wr_returning_customer_sk", "wr_return_amt")
+
+  /** q46: q68's bought-city/home-city template on weekend tickets. */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val dn = storeSales(s, dir)
+      .join(broadcast(dateDim(s).filter(
+          col("d_dow").isin(0, 6) && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(store(s).filter(col("s_city").isin("City_2", "City_3"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(householdDemographics(s).filter(
+          col("hd_dep_count") === 5 || col("hd_vehicle_count") === 2)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(customerAddress(s, dir), col("ss_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ca_city").as("bought_city"))
+      .agg(dsum(col("ss_coupon_amt"), "amt"),
+        dsum(col("ss_net_profit"), "profit"))
+    dn.join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir).withColumnRenamed("ca_city", "home_city"),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .filter(col("home_city") =!= col("bought_city"))
+      .select("c_last_name", "c_first_name", "home_city", "bought_city",
+        "ss_ticket_number", "amt", "profit")
+      .orderBy("c_last_name", "ss_ticket_number")
+  }
+
+  /** q57: q47's lag/lead deviation template on the catalog channel keyed
+    * by warehouse. */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val monthly = catalogSales(s, dir)
+      .join(broadcast(dateDim(s).filter(col("d_year").isin(1998, 1999, 2000))),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s, dir)), col("cs_item_sk") === col("i_item_sk"))
+      .join(broadcast(warehouse(s)),
+        col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .groupBy("i_category", "i_brand", "w_warehouse_name", "d_year", "d_moy")
+      .agg(dsum(col("cs_sales_price"), "sum_sales"))
+    val byYear = Window.partitionBy("i_category", "i_brand",
+      "w_warehouse_name", "d_year")
+    val bySeq = Window.partitionBy("i_category", "i_brand", "w_warehouse_name")
+      .orderBy("d_year", "d_moy")
+    monthly
+      .withColumn("avg_monthly_sales",
+        decSum(col("sum_sales")).over(byYear).cast("double") /
+          count(lit(1)).over(byYear))
+      .withColumn("psum", lag("sum_sales", 1).over(bySeq))
+      .withColumn("nsum", lead("sum_sales", 1).over(bySeq))
+      .filter(col("d_year") === 1999 && col("avg_monthly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
+      .select("i_category", "i_brand", "w_warehouse_name", "d_year", "d_moy",
+        "sum_sales", "avg_monthly_sales", "psum", "nsum")
+      .orderBy("i_category", "i_brand", "w_warehouse_name", "d_moy")
+  }
+
+  /** q94: q95's multi-warehouse template with the returns side NEGATED —
+    * shipped orders never returned. */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val ws = webSales(s, dir)
+    val multiWh = ws.select(col("ws_order_number").as("o1"),
+        col("ws_warehouse_sk").as("w1"))
+      .join(ws.select(col("ws_order_number").as("o2"),
+          col("ws_warehouse_sk").as("w2")),
+        col("o1") === col("o2") && col("w1") =!= col("w2"))
+      .select(col("o1").as("mw_order")).distinct()
+    ws.join(broadcast(dateDim(s).filter(col("d_date")
+          .between(Tables.d("1998-02-01"), Tables.d("1998-03-31")))),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "leftsemi")
+      .join(webReturns(s, dir).select("wr_order_number"),
+        col("ws_order_number") === col("wr_order_number"), "leftanti")
+      .agg(countDistinct(col("ws_order_number")).as("order_count"),
+        dsum(col("ws_ext_sales_price"), "total_price"))
+  }
+
+  /** q18: catalog averages over a 3-level geography ROLLUP through the
+    * bill-customer demographic slice (q18.sql). */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    catalogSales(s, dir)
+      .join(broadcast(customerDemographics(s).filter(
+          col("cd_gender") === "M" && col("cd_education_status") === "College")),
+        col("cs_bill_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(customerDim(s, dir),
+        col("cs_bill_customer_sk") === col("c_customer_sk"))
+      .join(customerAddress(s, dir),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(item(s, dir)), col("cs_item_sk") === col("i_item_sk"))
+      .rollup(col("ca_state"), col("ca_county"), col("i_item_id"))
+      .agg(davg(col("cs_quantity"), "agg1"),
+        davg(col("cs_list_price"), "agg2"),
+        davg(col("cs_ext_discount_amt"), "agg3"),
+        davg(col("cs_sales_price"), "agg4"))
+      .select(coalesce(col("ca_state"), lit("ALL")).as("ca_state"),
+        coalesce(col("ca_county"), lit("ALL")).as("ca_county"),
+        coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
+        col("agg1"), col("agg2"), col("agg3"), col("agg4"))
+      .orderBy("ca_state", "ca_county", "i_item_id")
+      .limit(100)
+
+  /** q69: q35's demographic census with the other channels NEGATED —
+    * store buyers with no web or catalog purchase in the year. */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999))
+    def buyers(f: DataFrame, dateK: String, custK: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(custK).as("b_cust")).distinct()
+    val storeB = buyers(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk")
+    val otherB = buyers(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk")
+      .union(buyers(catalogSales(s, dir), "cs_sold_date_sk", "cs_bill_customer_sk"))
+      .distinct()
+    customerDim(s, dir)
+      .join(storeB, col("c_customer_sk") === storeB("b_cust"), "left_semi")
+      .join(otherB, col("c_customer_sk") === otherB("b_cust"), "left_anti")
+      .join(broadcast(customerDemographics(s)),
+        col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .groupBy("cd_gender", "cd_marital_status", "cd_education_status")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
+  }
+
+  /** q4/q11 template: per-customer per-channel year totals. */
+  private def yearTotal4(s: SparkSession, f: DataFrame, dateK: String,
+      custK: String, rev: Column, yr: Int, p: String): DataFrame =
+    f.join(broadcast(dateDim(s).filter(col("d_year") === yr)),
+        col(dateK) === col("d_date_sk"))
+      .groupBy(col(custK).as(s"${p}_cust"))
+      .agg(dsum(rev, s"${p}_tot"))
+
+  /** q4: customers whose catalog growth outpaces BOTH store and web growth
+    * — six per-channel year totals joined on the customer (q04.sql). */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val ss = storeSales(s, dir); val cs = catalogSales(s, dir)
+    val ws = webSales(s, dir)
+    val ss1 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
+      col("ss_ext_sales_price"), 1998, "ss1").filter(col("ss1_tot") > 0)
+    val ss2 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
+      col("ss_ext_sales_price"), 1999, "ss2")
+    val cs1 = yearTotal4(s, cs, "cs_sold_date_sk", "cs_bill_customer_sk",
+      col("cs_ext_sales_price"), 1998, "cs1").filter(col("cs1_tot") > 0)
+    val cs2 = yearTotal4(s, cs, "cs_sold_date_sk", "cs_bill_customer_sk",
+      col("cs_ext_sales_price"), 1999, "cs2")
+    val ws1 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      col("ws_ext_sales_price"), 1998, "ws1").filter(col("ws1_tot") > 0)
+    val ws2 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      col("ws_ext_sales_price"), 1999, "ws2")
+    ss1.join(ss2, col("ss1_cust") === col("ss2_cust"))
+      .join(cs1, col("ss1_cust") === col("cs1_cust"))
+      .join(cs2, col("ss1_cust") === col("cs2_cust"))
+      .join(ws1, col("ss1_cust") === col("ws1_cust"))
+      .join(ws2, col("ss1_cust") === col("ws2_cust"))
+      .filter(col("cs2_tot") / col("cs1_tot") > col("ss2_tot") / col("ss1_tot") &&
+        col("cs2_tot") / col("cs1_tot") > col("ws2_tot") / col("ws1_tot"))
+      .join(customerDim(s, dir), col("ss1_cust") === col("c_customer_sk"))
+      .select(col("c_customer_id").as("customer_id"), col("c_first_name"),
+        col("c_last_name"))
+      .orderBy("customer_id")
+  }
+
+  /** q11: q74's store-vs-web growth on the list-minus-discount metric. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val ss = storeSales(s, dir); val ws = webSales(s, dir)
+    val ssRev = col("ss_list_price") - col("ss_coupon_amt")
+    val wsRev = col("ws_ext_sales_price")
+    val s1 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
+      ssRev, 1998, "s1").filter(col("s1_tot") > 0)
+    val s2 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
+      ssRev, 1999, "s2")
+    val w1 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      wsRev, 1998, "w1").filter(col("w1_tot") > 0)
+    val w2 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
+      wsRev, 1999, "w2")
+    s1.join(s2, col("s1_cust") === col("s2_cust"))
+      .join(w1, col("s1_cust") === col("w1_cust"))
+      .join(w2, col("s1_cust") === col("w2_cust"))
+      .filter(col("w2_tot") / col("w1_tot") > col("s2_tot") / col("s1_tot"))
+      .join(customerDim(s, dir), col("s1_cust") === col("c_customer_sk"))
+      .select(col("c_customer_id").as("customer_id"), col("c_first_name"),
+        col("c_last_name"))
+      .orderBy("customer_id")
+  }
+
+  /** q10: demographic census of county residents who bought in store AND
+    * in at least one of web/catalog (q10.sql — q35 with an OR side). */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year") === 1999))
+    def buyers(f: DataFrame, dateK: String, custK: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(custK).as("b_cust")).distinct()
+    val storeB = buyers(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk")
+    val otherB = buyers(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk")
+      .union(buyers(catalogSales(s, dir), "cs_sold_date_sk",
+        "cs_bill_customer_sk")).distinct()
+    customerDim(s, dir)
+      .join(customerAddress(s, dir)
+          .filter(col("ca_county").isin("County_1", "County_4", "County_7")),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(storeB, col("c_customer_sk") === storeB("b_cust"), "left_semi")
+      .join(otherB, col("c_customer_sk") === otherB("b_cust"), "left_semi")
+      .join(broadcast(customerDemographics(s)),
+        col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .groupBy("cd_gender", "cd_marital_status", "cd_education_status")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
+  }
+
+  /** q14: items sold through ALL three channels (INTERSECT), channel
+    * sales over that cross-item set against the global per-item-year
+    * average, re-aggregated by ROLLUP (q14.sql's cross_items + avg_sales
+    * skeleton). */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_year").between(1998, 2000)))
+    def itemsOf(f: DataFrame, dateK: String, itemK: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(itemK).as("cross_item")).distinct()
+    val cross = itemsOf(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk")
+      .intersect(itemsOf(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk"))
+      .intersect(itemsOf(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk"))
+    def rows(f: DataFrame, dateK: String, itemK: String, price: String,
+        qty: String): DataFrame =
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(itemK).as("i"), col("d_year"),
+          (col(price) * col(qty)).as("v"))
+    val avgS = rows(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
+        "ss_list_price", "ss_quantity")
+      .unionAll(rows(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+        "cs_list_price", "cs_quantity"))
+      .unionAll(rows(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+        "ws_ext_sales_price", "ws_quantity"))
+      .groupBy("i", "d_year")
+      .agg(decSum(col("v")).cast("double").as("sv"))
+      .agg(davg(col("sv")).as("avg_sales"))
+    val dDec = broadcast(dateDim(s)
+      .filter(col("d_year") === 1999 && col("d_moy") === 12))
+    def chan(f: DataFrame, dateK: String, itemK: String, price: String,
+        qty: String, name: String): DataFrame =
+      f.join(dDec, col(dateK) === col("d_date_sk"))
+        .join(cross, col(itemK) === col("cross_item"), "leftsemi")
+        .join(broadcast(item(s, dir)), col(itemK) === col("i_item_sk"))
+        .groupBy(lit(name).as("channel"), col("i_brand_id"))
+        .agg(decSum(col(price) * col(qty)).cast("double").as("sales"),
+          count(lit(1)).as("number_sales"))
+    chan(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
+        "ss_list_price", "ss_quantity", "store")
+      .unionAll(chan(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+        "cs_list_price", "cs_quantity", "catalog"))
+      .unionAll(chan(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+        "ws_ext_sales_price", "ws_quantity", "web"))
+      .crossJoin(broadcast(avgS))
+      .filter(col("sales") > col("avg_sales"))
+      .rollup(col("channel"), col("i_brand_id"))
+      .agg(decSum(col("sales")).cast("double").as("sum_sales"),
+        sum(col("number_sales")).as("sum_number_sales"))
+      .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+        col("i_brand_id"), col("sum_sales"), col("sum_number_sales"))
+      .orderBy(asc("channel"), asc_nulls_first("i_brand_id"))
+      .limit(100)
+  }
+
+  /** q24: customer/store returns-linked sales exceeding 5% of the global
+    * average (q24.sql's ssales + scalar-threshold shape). */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val ssales = storeSales(s, dir)
+      .join(storeReturns(s, dir)
+          .select("sr_ticket_number", "sr_item_sk").distinct(),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "leftsemi")
+      .join(broadcast(store(s).filter(col("s_state") === "S0")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
+      .groupBy("c_last_name", "c_first_name", "s_store_name", "i_category")
+      .agg(dsum(col("ss_sales_price"), "netpaid"))
+    val thr = ssales.agg((davg(col("netpaid")) * 0.05).as("thr"))
+    ssales.crossJoin(broadcast(thr))
+      .filter(col("netpaid") > col("thr"))
+      .select("c_last_name", "c_first_name", "s_store_name", "i_category",
+        "netpaid")
+      .orderBy("c_last_name", "c_first_name", "s_store_name", "i_category")
+      .limit(100)
+  }
+
+  /** q29: the q17 chain with plain quantity sums and month windows. */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, dir)
+      .join(storeReturns(s, dir),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(catalogSales(s, dir),
+        col("sr_customer_sk") === col("cs_bill_customer_sk") &&
+          col("sr_item_sk") === col("cs_item_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_moy") === 4)
+          .select(col("d_date_sk").as("d1_sk"))),
+        col("ss_sold_date_sk") === col("d1_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year") === 1998 && col("d_moy").between(4, 7))
+          .select(col("d_date_sk").as("d2_sk"))),
+        col("sr_returned_date_sk") === col("d2_sk"))
+      .join(broadcast(dateDim(s)
+          .filter(col("d_year").isin(1998, 1999, 2000))
+          .select(col("d_date_sk").as("d3_sk"))),
+        col("cs_sold_date_sk") === col("d3_sk"))
+      .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "s_store_name")
+      .agg(dsum(col("ss_quantity"), "store_sales_quantity"),
+        dsum(col("sr_return_quantity"), "store_returns_quantity"),
+        dsum(col("cs_quantity"), "catalog_sales_quantity"))
+      .orderBy("i_item_id", "s_store_name")
+      .limit(100)
+
+  /** q64: returned store items of excess-refund catalog products, compared
+    * across two years on the same (item, store) — the monster query's
+    * cs_ui + cross_sales self-join skeleton (q64.sql). */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val refunds = catalogReturns(s, dir)
+      .groupBy(col("cr_item_sk"))
+      .agg(dsum(col("cr_return_amount"), "refund"))
+    val csUi = catalogSales(s, dir)
+      .groupBy(col("cs_item_sk").as("u_item"))
+      .agg(dsum(col("cs_ext_sales_price"), "sale"))
+      .join(refunds, col("u_item") === col("cr_item_sk"))
+      .filter(col("sale") > col("refund") * 2)
+      .select("u_item")
+    def crossSales(yr: Int, p: String): DataFrame =
+      storeSales(s, dir)
+        .join(storeReturns(s, dir)
+            .select("sr_ticket_number", "sr_item_sk").distinct(),
+          col("ss_ticket_number") === col("sr_ticket_number") &&
+            col("ss_item_sk") === col("sr_item_sk"), "leftsemi")
+        .join(csUi, col("ss_item_sk") === col("u_item"), "leftsemi")
+        .join(broadcast(dateDim(s).filter(col("d_year") === yr)),
+          col("ss_sold_date_sk") === col("d_date_sk"))
+        .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
+        .groupBy(col("ss_item_sk").as(s"${p}_item"),
+          col("s_store_name").as(s"${p}_store"))
+        .agg(count(lit(1)).as(s"${p}_cnt"),
+          dsum(col("ss_sales_price"), s"${p}_price"))
+    crossSales(1998, "y1")
+      .join(crossSales(1999, "y2"),
+        col("y1_item") === col("y2_item") && col("y1_store") === col("y2_store"))
+      .filter(col("y2_cnt") <= col("y1_cnt"))
+      .join(broadcast(item(s, dir)), col("y1_item") === col("i_item_sk"))
+      .select(col("i_item_id"), col("y1_store").as("store_name"),
+        col("y1_cnt"), col("y1_price"), col("y2_cnt"), col("y2_price"))
+      .orderBy("i_item_id", "store_name")
+      .limit(100)
+  }
+
+  /** q76: per-channel counts of fact rows with a missing dimension key —
+    * the derived facts are dense, so a deterministic slice plays the NULL
+    * role via the same CASE on both engines (q76.sql shape). */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    def chan(f: DataFrame, dateK: String, itemK: String, priceC: String,
+        nullK: String, name: String, colName: String): DataFrame =
+      f.withColumn("nk",
+          when(col(nullK) % 13 === 0, lit(null)).otherwise(col(nullK)))
+        .filter(col("nk").isNull)
+        .join(broadcast(dateDim(s)), col(dateK) === col("d_date_sk"))
+        .join(broadcast(item(s, dir)), col(itemK) === col("i_item_sk"))
+        .select(lit(name).as("channel"), lit(colName).as("col_name"),
+          col("d_year"), col("d_qoy"), col("i_category"),
+          col(priceC).as("ext_sales_price"))
+    chan(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
+        "ss_ext_sales_price", "ss_hdemo_sk", "store", "ss_hdemo_sk")
+      .unionAll(chan(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+        "ws_ext_sales_price", "ws_ship_hdemo_sk", "web", "ws_ship_hdemo_sk"))
+      .unionAll(chan(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+        "cs_ext_sales_price", "cs_bill_cdemo_sk", "catalog", "cs_bill_cdemo_sk"))
+      .groupBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+      .agg(count(lit(1)).as("sales_cnt"),
+        dsum(col("ext_sales_price"), "sales_amt"))
+      .orderBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+      .limit(100)
+  }
+
+  /** q80: q77's channel report with item/promotion slices and per-
+    * transaction returns joins, ROLLUP over (channel, id) (q80.sql). */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s).filter(col("d_date")
+        .between(Tables.d("1998-08-01"), Tables.d("1998-09-30")))
+      .select("d_date_sk"))
+    val it = broadcast(item(s, dir).filter(col("i_current_price") > 950)
+      .select("i_item_sk"))
+    val pr = broadcast(promotion(s).filter(col("p_channel_event") === "N")
+      .select("p_promo_sk"))
+    def chan(f: DataFrame, dateK: String, itemK: String, promoK: String,
+        idC: String, price: String, profit: String, ret: DataFrame,
+        rO: String, rI: String, rAmt: String, rLoss: String, oC: String,
+        name: String): DataFrame = {
+      val r = ret.groupBy(col(rO).as("r_o"), col(rI).as("r_i"))
+        .agg(dsum(col(rAmt), "r_amt"), dsum(col(rLoss), "r_loss"))
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .join(it, col(itemK) === col("i_item_sk"), "leftsemi")
+        .join(pr, col(promoK) === col("p_promo_sk"), "leftsemi")
+        .join(r, col(oC) === col("r_o") && col(itemK) === col("r_i"), "left")
+        .groupBy(col(idC).as("id"))
+        .agg(dsum(col(price), "sales"),
+          decSum(coalesce(col("r_amt"), lit(0.0))).cast("double").as("returns_"),
+          decSum(col(profit) - coalesce(col("r_loss"), lit(0.0)))
+            .cast("double").as("profit"))
+        .select(lit(name).as("channel"), col("id"), col("sales"),
+          col("returns_"), col("profit"))
+    }
+    chan(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk", "ss_promo_sk",
+        "ss_store_sk", "ss_ext_sales_price", "ss_net_profit",
+        storeReturns(s, dir), "sr_ticket_number", "sr_item_sk",
+        "sr_return_amt", "sr_net_loss", "ss_ticket_number", "store channel")
+      .unionAll(chan(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+        "cs_promo_sk", "cs_warehouse_sk", "cs_ext_sales_price",
+        "cs_sales_price", catalogReturns(s, dir), "cr_order_number",
+        "cr_item_sk", "cr_return_amount", "cr_net_loss", "cs_order_number",
+        "catalog channel"))
+      .unionAll(chan(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+        "ws_promo_sk", "ws_warehouse_sk", "ws_ext_sales_price",
+        "ws_net_profit", webReturns(s, dir), "wr_order_number",
+        "wr_item_sk", "wr_return_amt", "wr_net_loss", "ws_order_number",
+        "web channel"))
+      .rollup(col("channel"), col("id"))
+      .agg(decSum(col("sales")).cast("double").as("sales"),
+        decSum(col("returns_")).cast("double").as("returns_"),
+        decSum(col("profit")).cast("double").as("profit"))
+      .select(coalesce(col("channel"), lit("ALL")).as("channel"), col("id"),
+        col("sales"), col("returns_"), col("profit"))
+      .orderBy(asc("channel"), asc_nulls_first("id"))
+      .limit(100)
+  }
+
+  /** q83: per-item returned quantities balanced across the three channels
+    * (q83.sql's three-CTE deviation join). */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val dd = broadcast(dateDim(s)
+      .filter(col("d_year") === 1998 && col("d_moy") === 6))
+    def rqty(ret: DataFrame, dateK: String, itemK: String, qty: String,
+        p: String): DataFrame =
+      ret.join(dd, col(dateK) === col("d_date_sk"))
+        .join(broadcast(item(s, dir)), col(itemK) === col("i_item_sk"))
+        .groupBy(col("i_item_id").as(s"${p}_item_id"))
+        .agg(dsum(col(qty), s"${p}_qty"))
+    val sr = rqty(storeReturns(s, dir), "sr_returned_date_sk", "sr_item_sk",
+      "sr_return_quantity", "sr")
+    val cr = rqty(catalogReturns(s, dir), "cr_returned_date_sk", "cr_item_sk",
+      "cr_return_quantity", "cr")
+    val wr = rqty(webReturns(s, dir), "wr_returned_date_sk", "wr_item_sk",
+      "wr_return_quantity", "wr")
+    sr.join(cr, col("sr_item_id") === col("cr_item_id"))
+      .join(wr, col("sr_item_id") === col("wr_item_id"))
+      .withColumn("average",
+        (col("sr_qty") + col("cr_qty") + col("wr_qty")) / 3.0)
+      .select(col("sr_item_id").as("item_id"), col("sr_qty"),
+        (col("sr_qty") / col("average") * 100).as("sr_dev"),
+        col("cr_qty"), (col("cr_qty") / col("average") * 100).as("cr_dev"),
+        col("wr_qty"), (col("wr_qty") / col("average") * 100).as("wr_dev"),
+        col("average"))
+      .orderBy("item_id")
+      .limit(100)
+  }
+
+  /** q91: call-center catalog-return losses for a demographic slice
+    * (q91.sql) through the new call_center dimension. */
+  def q91(s: SparkSession, dir: String): DataFrame =
+    catalogReturns(s, dir)
+      .join(broadcast(callCenter(s)),
+        col("cr_call_center_sk") === col("cc_call_center_sk"))
+      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
+        col("cr_returned_date_sk") === col("d_date_sk"))
+      .join(customerDim(s, dir),
+        col("cr_returning_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(customerDemographics(s).filter(
+          col("cd_marital_status") === "W" &&
+            col("cd_education_status") === "Primary")),
+        col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(householdDemographics(s)
+          .filter(col("hd_buy_potential") === ">10000")),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy("cc_name", "cc_manager")
+      .agg(dsum(col("cr_net_loss"), "returns_loss"))
+      .orderBy("cc_name", "cc_manager")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_q16" -> q16, "ds_q25" -> q25, "ds_q28" -> q28, "ds_q35" -> q35,
     "ds_q49" -> q49, "ds_q54" -> q54,
@@ -2023,7 +2709,14 @@ object Tpcds {
     "ds_q22" -> q22, "ds_q72" -> q72, "ds_q75" -> q75, "ds_q78" -> q78,
     "ds_q84" -> q84,
     "ds_q17" -> q17, "ds_q41" -> q41, "ds_q71" -> q71, "ds_q77" -> q77,
-    "ds_q85" -> q85, "ds_q95" -> q95)
+    "ds_q85" -> q85, "ds_q95" -> q95,
+    "ds_q12" -> q12, "ds_q18" -> q18, "ds_q20" -> q20, "ds_q30" -> q30,
+    "ds_q33" -> q33, "ds_q46" -> q46, "ds_q56" -> q56, "ds_q57" -> q57,
+    "ds_q63" -> q63, "ds_q69" -> q69, "ds_q81" -> q81, "ds_q82" -> q82,
+    "ds_q86" -> q86, "ds_q92" -> q92, "ds_q94" -> q94, "ds_q99" -> q99,
+    "ds_q04" -> q4, "ds_q10" -> q10, "ds_q11" -> q11, "ds_q14" -> q14,
+    "ds_q24" -> q24, "ds_q29" -> q29, "ds_q64" -> q64, "ds_q76" -> q76,
+    "ds_q80" -> q80, "ds_q83" -> q83, "ds_q91" -> q91)
 
   // ---- oracle -------------------------------------------------------------
 
@@ -2116,6 +2809,11 @@ object Tpcds {
       |  SELECT CAST(range AS BIGINT) AS r_reason_sk,
       |         'reason_' || CAST(range AS VARCHAR) AS r_reason_desc
       |  FROM range(0, 10)),
+      |call_center AS (
+      |  SELECT CAST(range AS BIGINT) AS cc_call_center_sk,
+      |         'CC_' || CAST(range AS VARCHAR) AS cc_name,
+      |         'Manager_' || CAST(range % 3 AS VARCHAR) AS cc_manager
+      |  FROM range(0, 4)),
       |ship_mode AS (
       |  SELECT CAST(range AS BIGINT) AS sm_ship_mode_sk,
       |         CASE range WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR'
@@ -2157,7 +2855,8 @@ object Tpcds {
       |         ss_promo_sk AS cs_promo_sk,
       |         ss_sold_time_sk AS cs_sold_time_sk,
       |         ss_ticket_number % 4 AS cs_ship_mode_sk,
-      |         ss_list_price AS cs_list_price
+      |         ss_list_price AS cs_list_price,
+      |         ss_sold_date_sk + ss_ticket_number % 120 AS cs_ship_date_sk
       |  FROM store_sales WHERE ss_ticket_number % 3 = 1),
       |web_sales AS (
       |  SELECT ss_sold_date_sk AS ws_sold_date_sk, ss_item_sk AS ws_item_sk,
@@ -2166,7 +2865,10 @@ object Tpcds {
       |         ss_sold_time_sk AS ws_sold_time_sk, ss_hdemo_sk AS ws_ship_hdemo_sk,
       |         ss_store_sk % 5 AS ws_warehouse_sk,
       |         ss_ticket_number % 4 AS ws_ship_mode_sk,
-      |         ss_ticket_number AS ws_order_number
+      |         ss_ticket_number AS ws_order_number,
+      |         ss_coupon_amt AS ws_ext_discount_amt,
+      |         ss_net_profit AS ws_net_profit,
+      |         ss_promo_sk AS ws_promo_sk
       |  FROM store_sales WHERE ss_ticket_number % 3 = 2),
       |store_returns AS (
       |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS sr_returned_date_sk,
@@ -2184,7 +2886,9 @@ object Tpcds {
       |         sr_item_sk AS cr_item_sk, sr_ticket_number AS cr_order_number,
       |         sr_customer_sk AS cr_returning_customer_sk,
       |         sr_return_quantity AS cr_return_quantity,
-      |         sr_return_amt AS cr_return_amount
+      |         sr_return_amt AS cr_return_amount,
+      |         sr_net_loss AS cr_net_loss,
+      |         (sr_ticket_number * 7) % 4 AS cr_call_center_sk
       |  FROM store_returns WHERE sr_ticket_number % 3 = 1),
       |web_returns AS (
       |  SELECT sr_returned_date_sk AS wr_returned_date_sk,
@@ -2202,6 +2906,65 @@ object Tpcds {
 
   private val dsumS = "CAST(SUM(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
   private def ds_sum(c: String, a: String) = dsumS.format(c) + s" AS $a"
+  /** q12/q20 oracle template (mirrors `revenueRatio`). */
+  private def revenueRatioSql(fact: String, dateK: String, itemK: String,
+      priceC: String): String =
+    s"""
+      |, grp AS (
+      |  SELECT i_item_id, i_category, i_class, i_current_price,
+      |    ${ds_sum(priceC, "itemrevenue")}
+      |  FROM $fact, date_dim, item
+      |  WHERE $dateK = d_date_sk AND $itemK = i_item_sk
+      |    AND i_category IN ('SMALL', 'LARGE', 'MEDIUM')
+      |    AND d_date BETWEEN DATE '1999-02-01' AND DATE '1999-03-01'
+      |  GROUP BY i_item_id, i_category, i_class, i_current_price)
+      |SELECT i_item_id, i_category, i_class, i_current_price, itemrevenue,
+      |  itemrevenue * 100 / CAST(SUM(CAST(itemrevenue AS DECIMAL(18,6)))
+      |    OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+      |FROM grp
+      |ORDER BY i_category, i_class, i_item_id""".stripMargin
+
+  /** q33/q56 oracle template (mirrors `unionByItemAttr`). */
+  private def unionByItemAttrSql(attr: String, itemPred: String): String =
+    s"""
+      |, it AS (SELECT i_item_sk, $attr AS k FROM item WHERE $itemPred),
+      |chans AS (
+      |  SELECT k, ${ds_sum("ss_ext_sales_price", "total")}
+      |  FROM store_sales, date_dim, it
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 GROUP BY k
+      |  UNION ALL
+      |  SELECT k, ${ds_sum("cs_ext_sales_price", "total")}
+      |  FROM catalog_sales, date_dim, it
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 GROUP BY k
+      |  UNION ALL
+      |  SELECT k, ${ds_sum("ws_ext_sales_price", "total")}
+      |  FROM web_sales, date_dim, it
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 9 GROUP BY k)
+      |SELECT k AS $attr, ${ds_sum("total", "total_sales")}
+      |FROM chans GROUP BY k ORDER BY k""".stripMargin
+
+  /** q30/q81 oracle template (mirrors `stateReturners`). */
+  private def stateReturnersSql(ret: String, custK: String,
+      amtK: String): String =
+    s"""
+      |, ctr AS (
+      |  SELECT $custK AS ctr_customer_sk, ca_state AS ctr_state,
+      |    ${ds_sum(amtK, "ctr_total_return")}
+      |  FROM $ret
+      |  JOIN customer_dim ON $custK = c_customer_sk
+      |  JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      |  GROUP BY 1, 2)
+      |SELECT c_customer_id, c_last_name, c_first_name, ctr_state,
+      |  ctr_total_return
+      |FROM ctr a JOIN customer_dim ON a.ctr_customer_sk = c_customer_sk
+      |WHERE a.ctr_total_return > (
+      |  SELECT ${dsumS.format("ctr_total_return")} / count(ctr_total_return) * 1.2
+      |  FROM ctr b WHERE b.ctr_state = a.ctr_state)
+      |ORDER BY c_customer_id, ctr_state LIMIT 100""".stripMargin
+
   /** q17's per-leg stats: count, exact-decimal mean, CoV from exact sums —
     * textually mirrors the Column expressions in q17. */
   private def q17leg(c: String, p: String): String = {
@@ -3419,5 +4182,468 @@ object Tpcds {
       |FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
       |WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-03-31'
       |  AND ws_order_number IN (SELECT o FROM ws_wh)
-      |  AND ws_order_number IN (SELECT wr_order_number FROM web_returns)""".stripMargin))
+      |  AND ws_order_number IN (SELECT wr_order_number FROM web_returns)""".stripMargin),
+    "ds_q12" -> ds(revenueRatioSql("web_sales", "ws_sold_date_sk",
+      "ws_item_sk", "ws_ext_sales_price")),
+    "ds_q20" -> ds(revenueRatioSql("catalog_sales", "cs_sold_date_sk",
+      "cs_item_sk", "cs_ext_sales_price")),
+    "ds_q63" -> ds(s"""
+      |, q63 AS (
+      |  SELECT i_manager_id, d_moy, ${ds_sum("ss_sales_price", "sum_sales")}
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1998
+      |  GROUP BY i_manager_id, d_moy),
+      |w63 AS (
+      |  SELECT i_manager_id, d_moy, sum_sales,
+      |    CAST(SUM(CAST(sum_sales AS DECIMAL(18,6)))
+      |        OVER (PARTITION BY i_manager_id) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+      |  FROM q63)
+      |SELECT i_manager_id, d_moy, sum_sales, avg_monthly_sales
+      |FROM w63
+      |WHERE avg_monthly_sales > 0
+      |  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      |ORDER BY i_manager_id, d_moy""".stripMargin),
+    "ds_q82" -> ds(s"""
+      |SELECT i_item_id, i_current_price
+      |FROM item, inventory, date_dim
+      |WHERE i_current_price BETWEEN 920 AND 980
+      |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+      |  AND d_date BETWEEN DATE '1998-06-01' AND DATE '1998-07-30'
+      |  AND i_manufact_id IN (15, 25, 35, 45)
+      |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+      |  AND i_item_sk IN (SELECT ss_item_sk FROM store_sales)
+      |GROUP BY i_item_id, i_current_price
+      |ORDER BY i_item_id LIMIT 100""".stripMargin),
+    "ds_q92" -> ds(s"""
+      |, ws92 AS (
+      |  SELECT ws_item_sk, ws_ext_discount_amt
+      |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |  WHERE d_date BETWEEN DATE '1998-03-01' AND DATE '1998-05-30')
+      |SELECT ${ds_sum("ws_ext_discount_amt", "excess_discount_amount")}
+      |FROM ws92 a JOIN item ON a.ws_item_sk = i_item_sk
+      |WHERE i_manufact_id = 9
+      |  AND a.ws_ext_discount_amt > (
+      |    SELECT ${dsumS.format("ws_ext_discount_amt")} / count(ws_ext_discount_amt) * 1.3
+      |    FROM ws92 b WHERE b.ws_item_sk = a.ws_item_sk)""".stripMargin),
+    "ds_q99" -> ds(s"""
+      |SELECT w_warehouse_name, sm_type,
+      |  CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+      |    AND cs_ship_date_sk - cs_sold_date_sk <= 60 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+      |    AND cs_ship_date_sk - cs_sold_date_sk <= 90 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+      |    AND cs_ship_date_sk - cs_sold_date_sk <= 120 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+      |FROM catalog_sales, date_dim, warehouse, ship_mode
+      |WHERE cs_sold_date_sk = d_date_sk AND d_year = 1998
+      |  AND cs_warehouse_sk = w_warehouse_sk
+      |  AND cs_ship_mode_sk = sm_ship_mode_sk
+      |GROUP BY w_warehouse_name, sm_type
+      |ORDER BY w_warehouse_name, sm_type""".stripMargin),
+    "ds_q86" -> ds(s"""
+      |, base86 AS (
+      |  SELECT ${dsumS.format("ws_net_profit")} /
+      |      ${dsumS.format("ws_ext_sales_price")} AS gross_margin,
+      |    i_category, i_class,
+      |    CAST(GROUPING(i_category) + GROUPING(i_class) AS BIGINT) AS lochierarchy,
+      |    GROUPING(i_class) AS g_class
+      |  FROM web_sales, date_dim, item
+      |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
+      |    AND ws_item_sk = i_item_sk
+      |  GROUP BY ROLLUP(i_category, i_class))
+      |SELECT round(gross_margin, 8) AS gross_margin,
+      |  COALESCE(i_category, 'ALL') AS i_category,
+      |  COALESCE(i_class, 'ALL') AS i_class, lochierarchy,
+      |  CAST(RANK() OVER (PARTITION BY lochierarchy,
+      |      CASE WHEN g_class = 0 THEN i_category END
+      |    ORDER BY gross_margin ASC, i_category ASC NULLS FIRST,
+      |      i_class ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+      |FROM base86
+      |ORDER BY lochierarchy DESC, i_category, i_class""".stripMargin),
+    "ds_q33" -> ds(unionByItemAttrSql("i_manufact_id",
+      "i_category = 'ECONOMY'")),
+    "ds_q56" -> ds(unionByItemAttrSql("i_class",
+      "i_category IN ('SMALL', 'PROMO')")),
+    "ds_q81" -> ds(stateReturnersSql("catalog_returns",
+      "cr_returning_customer_sk", "cr_return_amount")),
+    "ds_q30" -> ds(stateReturnersSql("web_returns",
+      "wr_returning_customer_sk", "wr_return_amt")),
+    "ds_q46" -> ds(s"""
+      |SELECT c_last_name, c_first_name, ca2.ca_city AS home_city,
+      |  bought_city, ss_ticket_number, amt, profit
+      |FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+      |        ${ds_sum("ss_coupon_amt", "amt")},
+      |        ${ds_sum("ss_net_profit", "profit")}
+      |      FROM store_sales, date_dim, store, household_demographics,
+      |        customer_address
+      |      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |        AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+      |        AND d_dow IN (0, 6) AND d_year IN (1998, 1999, 2000)
+      |        AND s_city IN ('City_2', 'City_3')
+      |        AND (hd_dep_count = 5 OR hd_vehicle_count = 2)
+      |      GROUP BY ss_ticket_number, ss_customer_sk, ca_city) dn
+      |JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      |JOIN customer_address ca2 ON c_current_addr_sk = ca2.ca_address_sk
+      |WHERE ca2.ca_city <> bought_city
+      |ORDER BY c_last_name, ss_ticket_number""".stripMargin),
+    "ds_q57" -> ds(s"""
+      |, v1 AS (
+      |  SELECT i_category, i_brand, w_warehouse_name, d_year, d_moy,
+      |    ${ds_sum("cs_sales_price", "sum_sales")}
+      |  FROM catalog_sales, date_dim, item, warehouse
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND cs_warehouse_sk = w_warehouse_sk
+      |    AND d_year IN (1998, 1999, 2000)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |v2 AS (
+      |  SELECT i_category, i_brand, w_warehouse_name, d_year, d_moy, sum_sales,
+      |    CAST(SUM(CAST(sum_sales AS DECIMAL(18,6))) OVER wy AS DOUBLE)
+      |      / COUNT(*) OVER wy AS avg_monthly_sales,
+      |    LAG(sum_sales) OVER ws AS psum, LEAD(sum_sales) OVER ws AS nsum
+      |  FROM v1
+      |  WINDOW wy AS (PARTITION BY i_category, i_brand, w_warehouse_name, d_year),
+      |         ws AS (PARTITION BY i_category, i_brand, w_warehouse_name
+      |                ORDER BY d_year, d_moy))
+      |SELECT i_category, i_brand, w_warehouse_name, d_year, d_moy, sum_sales,
+      |  avg_monthly_sales, psum, nsum
+      |FROM v2
+      |WHERE d_year = 1999 AND avg_monthly_sales > 0
+      |  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+      |ORDER BY i_category, i_brand, w_warehouse_name, d_moy""".stripMargin),
+    "ds_q94" -> ds(s"""
+      |, ws_wh AS (
+      |  SELECT DISTINCT ws1.ws_order_number AS o FROM web_sales ws1
+      |  JOIN web_sales ws2 ON ws1.ws_order_number = ws2.ws_order_number
+      |    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      |SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+      |  ${ds_sum("ws_ext_sales_price", "total_price")}
+      |FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      |WHERE d_date BETWEEN DATE '1998-02-01' AND DATE '1998-03-31'
+      |  AND ws_order_number IN (SELECT o FROM ws_wh)
+      |  AND ws_order_number NOT IN (SELECT wr_order_number FROM web_returns)""".stripMargin),
+    "ds_q18" -> ds(s"""
+      |SELECT COALESCE(ca_state, 'ALL') AS ca_state,
+      |  COALESCE(ca_county, 'ALL') AS ca_county,
+      |  COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |  ${ds_avg("cs_quantity", "agg1")}, ${ds_avg("cs_list_price", "agg2")},
+      |  ${ds_avg("cs_ext_discount_amt", "agg3")},
+      |  ${ds_avg("cs_sales_price", "agg4")}
+      |FROM catalog_sales, customer_demographics, date_dim, customer_dim,
+      |  customer_address, item
+      |WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |  AND cs_bill_cdemo_sk = cd_demo_sk
+      |  AND cs_bill_customer_sk = c_customer_sk
+      |  AND c_current_addr_sk = ca_address_sk
+      |  AND cd_gender = 'M' AND cd_education_status = 'College'
+      |  AND d_year = 1998
+      |GROUP BY ROLLUP(ca_state, ca_county, i_item_id)
+      |ORDER BY ca_state, ca_county, i_item_id LIMIT 100""".stripMargin),
+    "ds_q69" -> ds(s"""
+      |SELECT cd_gender, cd_marital_status, cd_education_status,
+      |  count(*) AS cnt
+      |FROM customer_dim
+      |JOIN customer_demographics ON c_current_cdemo_sk = cd_demo_sk
+      |WHERE c_customer_sk IN (
+      |    SELECT ss_customer_sk FROM store_sales, date_dim
+      |    WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999)
+      |  AND c_customer_sk NOT IN (
+      |    SELECT ws_bill_customer_sk FROM web_sales, date_dim
+      |    WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999)
+      |  AND c_customer_sk NOT IN (
+      |    SELECT cs_bill_customer_sk FROM catalog_sales, date_dim
+      |    WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999)
+      |GROUP BY cd_gender, cd_marital_status, cd_education_status
+      |ORDER BY cd_gender, cd_marital_status, cd_education_status""".stripMargin),
+    "ds_q04" -> ds(s"""
+      |, ssy AS (SELECT ss_customer_sk AS cust, d_year,
+      |    ${ds_sum("ss_ext_sales_price", "tot")}
+      |  FROM store_sales, date_dim WHERE ss_sold_date_sk = d_date_sk
+      |    AND d_year IN (1998, 1999) GROUP BY 1, 2),
+      |csy AS (SELECT cs_bill_customer_sk AS cust, d_year,
+      |    ${ds_sum("cs_ext_sales_price", "tot")}
+      |  FROM catalog_sales, date_dim WHERE cs_sold_date_sk = d_date_sk
+      |    AND d_year IN (1998, 1999) GROUP BY 1, 2),
+      |wsy AS (SELECT ws_bill_customer_sk AS cust, d_year,
+      |    ${ds_sum("ws_ext_sales_price", "tot")}
+      |  FROM web_sales, date_dim WHERE ws_sold_date_sk = d_date_sk
+      |    AND d_year IN (1998, 1999) GROUP BY 1, 2)
+      |SELECT c_customer_id AS customer_id, c_first_name, c_last_name
+      |FROM (SELECT cust, tot FROM ssy WHERE d_year = 1998 AND tot > 0) s1
+      |JOIN (SELECT cust, tot FROM ssy WHERE d_year = 1999) s2 ON s1.cust = s2.cust
+      |JOIN (SELECT cust, tot FROM csy WHERE d_year = 1998 AND tot > 0) c1 ON s1.cust = c1.cust
+      |JOIN (SELECT cust, tot FROM csy WHERE d_year = 1999) c2 ON s1.cust = c2.cust
+      |JOIN (SELECT cust, tot FROM wsy WHERE d_year = 1998 AND tot > 0) w1 ON s1.cust = w1.cust
+      |JOIN (SELECT cust, tot FROM wsy WHERE d_year = 1999) w2 ON s1.cust = w2.cust
+      |JOIN customer_dim ON s1.cust = c_customer_sk
+      |WHERE c2.tot / c1.tot > s2.tot / s1.tot
+      |  AND c2.tot / c1.tot > w2.tot / w1.tot
+      |ORDER BY customer_id""".stripMargin),
+    "ds_q11" -> ds(s"""
+      |, ssy AS (SELECT ss_customer_sk AS cust, d_year,
+      |    ${ds_sum("ss_list_price - ss_coupon_amt", "tot")}
+      |  FROM store_sales, date_dim WHERE ss_sold_date_sk = d_date_sk
+      |    AND d_year IN (1998, 1999) GROUP BY 1, 2),
+      |wsy AS (SELECT ws_bill_customer_sk AS cust, d_year,
+      |    ${ds_sum("ws_ext_sales_price", "tot")}
+      |  FROM web_sales, date_dim WHERE ws_sold_date_sk = d_date_sk
+      |    AND d_year IN (1998, 1999) GROUP BY 1, 2)
+      |SELECT c_customer_id AS customer_id, c_first_name, c_last_name
+      |FROM (SELECT cust, tot FROM ssy WHERE d_year = 1998 AND tot > 0) s1
+      |JOIN (SELECT cust, tot FROM ssy WHERE d_year = 1999) s2 ON s1.cust = s2.cust
+      |JOIN (SELECT cust, tot FROM wsy WHERE d_year = 1998 AND tot > 0) w1 ON s1.cust = w1.cust
+      |JOIN (SELECT cust, tot FROM wsy WHERE d_year = 1999) w2 ON s1.cust = w2.cust
+      |JOIN customer_dim ON s1.cust = c_customer_sk
+      |WHERE w2.tot / w1.tot > s2.tot / s1.tot
+      |ORDER BY customer_id""".stripMargin),
+    "ds_q10" -> ds(s"""
+      |SELECT cd_gender, cd_marital_status, cd_education_status,
+      |  count(*) AS cnt
+      |FROM customer_dim
+      |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      |JOIN customer_demographics ON c_current_cdemo_sk = cd_demo_sk
+      |WHERE ca_county IN ('County_1', 'County_4', 'County_7')
+      |  AND c_customer_sk IN (
+      |    SELECT ss_customer_sk FROM store_sales, date_dim
+      |    WHERE ss_sold_date_sk = d_date_sk AND d_year = 1999)
+      |  AND c_customer_sk IN (
+      |    SELECT ws_bill_customer_sk FROM web_sales, date_dim
+      |    WHERE ws_sold_date_sk = d_date_sk AND d_year = 1999
+      |    UNION
+      |    SELECT cs_bill_customer_sk FROM catalog_sales, date_dim
+      |    WHERE cs_sold_date_sk = d_date_sk AND d_year = 1999)
+      |GROUP BY cd_gender, cd_marital_status, cd_education_status
+      |ORDER BY cd_gender, cd_marital_status, cd_education_status""".stripMargin),
+    "ds_q14" -> ds(s"""
+      |, dd14 AS (SELECT d_date_sk, d_year FROM date_dim
+      |    WHERE d_year BETWEEN 1998 AND 2000),
+      |cross_items AS (
+      |  SELECT ss_item_sk AS cross_item FROM store_sales
+      |    JOIN dd14 ON ss_sold_date_sk = d_date_sk
+      |  INTERSECT
+      |  SELECT cs_item_sk FROM catalog_sales JOIN dd14 ON cs_sold_date_sk = d_date_sk
+      |  INTERSECT
+      |  SELECT ws_item_sk FROM web_sales JOIN dd14 ON ws_sold_date_sk = d_date_sk),
+      |avg_sales AS (
+      |  SELECT ${dsumS.format("sv")} / count(sv) AS avg_sales FROM (
+      |    SELECT i, d_year, ${ds_sum("v", "sv")} FROM (
+      |      SELECT ss_item_sk AS i, d_year, ss_list_price * ss_quantity AS v
+      |      FROM store_sales JOIN dd14 ON ss_sold_date_sk = d_date_sk
+      |      UNION ALL
+      |      SELECT cs_item_sk, d_year, cs_list_price * cs_quantity
+      |      FROM catalog_sales JOIN dd14 ON cs_sold_date_sk = d_date_sk
+      |      UNION ALL
+      |      SELECT ws_item_sk, d_year, ws_ext_sales_price * ws_quantity
+      |      FROM web_sales JOIN dd14 ON ws_sold_date_sk = d_date_sk) r
+      |    GROUP BY i, d_year) g),
+      |chans AS (
+      |  SELECT 'store' AS channel, i_brand_id,
+      |    CAST(SUM(CAST(ss_list_price * ss_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sales,
+      |    count(*) AS number_sales
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 12
+      |    AND ss_item_sk IN (SELECT cross_item FROM cross_items)
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'catalog', i_brand_id,
+      |    CAST(SUM(CAST(cs_list_price * cs_quantity AS DECIMAL(18,6))) AS DOUBLE),
+      |    count(*)
+      |  FROM catalog_sales, date_dim, item
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 12
+      |    AND cs_item_sk IN (SELECT cross_item FROM cross_items)
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'web', i_brand_id,
+      |    CAST(SUM(CAST(ws_ext_sales_price * ws_quantity AS DECIMAL(18,6))) AS DOUBLE),
+      |    count(*)
+      |  FROM web_sales, date_dim, item
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |    AND d_year = 1999 AND d_moy = 12
+      |    AND ws_item_sk IN (SELECT cross_item FROM cross_items)
+      |  GROUP BY 2)
+      |SELECT COALESCE(channel, 'ALL') AS channel, i_brand_id,
+      |  ${ds_sum("sales", "sum_sales")},
+      |  CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
+      |FROM chans, avg_sales WHERE sales > avg_sales
+      |GROUP BY ROLLUP(channel, i_brand_id)
+      |ORDER BY channel, i_brand_id NULLS FIRST LIMIT 100""".stripMargin),
+    "ds_q24" -> ds(s"""
+      |, ssales AS (
+      |  SELECT c_last_name, c_first_name, s_store_name, i_category,
+      |    ${ds_sum("ss_sales_price", "netpaid")}
+      |  FROM store_sales, store, item, customer_dim
+      |  WHERE ss_store_sk = s_store_sk AND s_state = 'S0'
+      |    AND ss_item_sk = i_item_sk AND ss_customer_sk = c_customer_sk
+      |    AND EXISTS (SELECT 1 FROM store_returns
+      |      WHERE sr_ticket_number = ss_ticket_number AND sr_item_sk = ss_item_sk)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT c_last_name, c_first_name, s_store_name, i_category, netpaid
+      |FROM ssales,
+      |  (SELECT ${dsumS.format("netpaid")} / count(netpaid) * 0.05 AS thr
+      |   FROM ssales) t
+      |WHERE netpaid > thr
+      |ORDER BY c_last_name, c_first_name, s_store_name, i_category
+      |LIMIT 100""".stripMargin),
+    "ds_q29" -> ds(s"""
+      |SELECT i_item_id, s_store_name,
+      |  ${ds_sum("ss_quantity", "store_sales_quantity")},
+      |  ${ds_sum("sr_return_quantity", "store_returns_quantity")},
+      |  ${ds_sum("cs_quantity", "catalog_sales_quantity")}
+      |FROM store_sales
+      |JOIN store_returns ON ss_ticket_number = sr_ticket_number
+      |  AND ss_item_sk = sr_item_sk AND ss_customer_sk = sr_customer_sk
+      |JOIN catalog_sales ON sr_customer_sk = cs_bill_customer_sk
+      |  AND sr_item_sk = cs_item_sk
+      |JOIN date_dim d1 ON ss_sold_date_sk = d1.d_date_sk
+      |JOIN date_dim d2 ON sr_returned_date_sk = d2.d_date_sk
+      |JOIN date_dim d3 ON cs_sold_date_sk = d3.d_date_sk
+      |JOIN store ON ss_store_sk = s_store_sk
+      |JOIN item ON ss_item_sk = i_item_sk
+      |WHERE d1.d_year = 1998 AND d1.d_moy = 4
+      |  AND d2.d_year = 1998 AND d2.d_moy BETWEEN 4 AND 7
+      |  AND d3.d_year IN (1998, 1999, 2000)
+      |GROUP BY i_item_id, s_store_name
+      |ORDER BY i_item_id, s_store_name LIMIT 100""".stripMargin),
+    "ds_q64" -> ds(s"""
+      |, refunds AS (SELECT cr_item_sk, ${ds_sum("cr_return_amount", "refund")}
+      |  FROM catalog_returns GROUP BY 1),
+      |cs_ui AS (
+      |  SELECT u_item FROM (
+      |    SELECT cs_item_sk AS u_item, ${ds_sum("cs_ext_sales_price", "sale")}
+      |    FROM catalog_sales GROUP BY 1) sls
+      |  JOIN refunds ON u_item = cr_item_sk
+      |  WHERE sale > refund * 2),
+      |cross_y AS (
+      |  SELECT d_year, ss_item_sk AS itm, s_store_name AS store,
+      |    count(*) AS cnt, ${ds_sum("ss_sales_price", "price")}
+      |  FROM store_sales, date_dim, store
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+      |    AND d_year IN (1998, 1999)
+      |    AND EXISTS (SELECT 1 FROM store_returns
+      |      WHERE sr_ticket_number = ss_ticket_number AND sr_item_sk = ss_item_sk)
+      |    AND ss_item_sk IN (SELECT u_item FROM cs_ui)
+      |  GROUP BY 1, 2, 3)
+      |SELECT i_item_id, y1.store AS store_name,
+      |  CAST(y1.cnt AS BIGINT) AS y1_cnt, y1.price AS y1_price,
+      |  CAST(y2.cnt AS BIGINT) AS y2_cnt, y2.price AS y2_price
+      |FROM cross_y y1
+      |JOIN cross_y y2 ON y1.itm = y2.itm AND y1.store = y2.store
+      |JOIN item ON y1.itm = i_item_sk
+      |WHERE y1.d_year = 1998 AND y2.d_year = 1999 AND y2.cnt <= y1.cnt
+      |ORDER BY i_item_id, store_name LIMIT 100""".stripMargin),
+    "ds_q76" -> ds(s"""
+      |, u76 AS (
+      |  SELECT 'store' AS channel, 'ss_hdemo_sk' AS col_name, d_year, d_qoy,
+      |    i_category, ss_ext_sales_price AS ext_sales_price
+      |  FROM store_sales, date_dim, item
+      |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      |    AND (CASE WHEN ss_hdemo_sk % 13 = 0 THEN NULL ELSE ss_hdemo_sk END) IS NULL
+      |  UNION ALL
+      |  SELECT 'web', 'ws_ship_hdemo_sk', d_year, d_qoy, i_category,
+      |    ws_ext_sales_price
+      |  FROM web_sales, date_dim, item
+      |  WHERE ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+      |    AND (CASE WHEN ws_ship_hdemo_sk % 13 = 0 THEN NULL ELSE ws_ship_hdemo_sk END) IS NULL
+      |  UNION ALL
+      |  SELECT 'catalog', 'cs_bill_cdemo_sk', d_year, d_qoy, i_category,
+      |    cs_ext_sales_price
+      |  FROM catalog_sales, date_dim, item
+      |  WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      |    AND (CASE WHEN cs_bill_cdemo_sk % 13 = 0 THEN NULL ELSE cs_bill_cdemo_sk END) IS NULL)
+      |SELECT channel, col_name, d_year, d_qoy, i_category,
+      |  count(*) AS sales_cnt, ${ds_sum("ext_sales_price", "sales_amt")}
+      |FROM u76 GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY 1, 2, 3, 4, 5 LIMIT 100""".stripMargin),
+    "ds_q80" -> ds(s"""
+      |, dd80 AS (SELECT d_date_sk FROM date_dim
+      |    WHERE d_date BETWEEN DATE '1998-08-01' AND DATE '1998-09-30'),
+      |it80 AS (SELECT i_item_sk FROM item WHERE i_current_price > 950),
+      |pr80 AS (SELECT p_promo_sk FROM promotion WHERE p_channel_event = 'N'),
+      |sr80 AS (SELECT sr_ticket_number AS r_o, sr_item_sk AS r_i,
+      |    ${ds_sum("sr_return_amt", "r_amt")}, ${ds_sum("sr_net_loss", "r_loss")}
+      |  FROM store_returns GROUP BY 1, 2),
+      |cr80 AS (SELECT cr_order_number AS r_o, cr_item_sk AS r_i,
+      |    ${ds_sum("cr_return_amount", "r_amt")}, ${ds_sum("cr_net_loss", "r_loss")}
+      |  FROM catalog_returns GROUP BY 1, 2),
+      |wr80 AS (SELECT wr_order_number AS r_o, wr_item_sk AS r_i,
+      |    ${ds_sum("wr_return_amt", "r_amt")}, ${ds_sum("wr_net_loss", "r_loss")}
+      |  FROM web_returns GROUP BY 1, 2),
+      |chans AS (
+      |  SELECT 'store channel' AS channel, ss_store_sk AS id,
+      |    ${ds_sum("ss_ext_sales_price", "sales")},
+      |    CAST(SUM(CAST(COALESCE(r_amt, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS returns_,
+      |    CAST(SUM(CAST(ss_net_profit - COALESCE(r_loss, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+      |  FROM store_sales JOIN dd80 ON ss_sold_date_sk = d_date_sk
+      |  LEFT JOIN sr80 ON ss_ticket_number = r_o AND ss_item_sk = r_i
+      |  WHERE ss_item_sk IN (SELECT i_item_sk FROM it80)
+      |    AND ss_promo_sk IN (SELECT p_promo_sk FROM pr80)
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'catalog channel', cs_warehouse_sk,
+      |    ${ds_sum("cs_ext_sales_price", "sales")},
+      |    CAST(SUM(CAST(COALESCE(r_amt, 0.0) AS DECIMAL(18,6))) AS DOUBLE),
+      |    CAST(SUM(CAST(cs_sales_price - COALESCE(r_loss, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+      |  FROM catalog_sales JOIN dd80 ON cs_sold_date_sk = d_date_sk
+      |  LEFT JOIN cr80 ON cs_order_number = r_o AND cs_item_sk = r_i
+      |  WHERE cs_item_sk IN (SELECT i_item_sk FROM it80)
+      |    AND cs_promo_sk IN (SELECT p_promo_sk FROM pr80)
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'web channel', ws_warehouse_sk,
+      |    ${ds_sum("ws_ext_sales_price", "sales")},
+      |    CAST(SUM(CAST(COALESCE(r_amt, 0.0) AS DECIMAL(18,6))) AS DOUBLE),
+      |    CAST(SUM(CAST(ws_net_profit - COALESCE(r_loss, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+      |  FROM web_sales JOIN dd80 ON ws_sold_date_sk = d_date_sk
+      |  LEFT JOIN wr80 ON ws_order_number = r_o AND ws_item_sk = r_i
+      |  WHERE ws_item_sk IN (SELECT i_item_sk FROM it80)
+      |    AND ws_promo_sk IN (SELECT p_promo_sk FROM pr80)
+      |  GROUP BY 2)
+      |SELECT COALESCE(channel, 'ALL') AS channel, id,
+      |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
+      |  ${ds_sum("profit", "profit")}
+      |FROM chans GROUP BY ROLLUP(channel, id)
+      |ORDER BY channel, id NULLS FIRST LIMIT 100""".stripMargin),
+    "ds_q83" -> ds(s"""
+      |, dd83 AS (SELECT d_date_sk FROM date_dim
+      |    WHERE d_year = 1998 AND d_moy = 6),
+      |sri AS (SELECT i_item_id AS sr_item_id, ${ds_sum("sr_return_quantity", "sr_qty")}
+      |  FROM store_returns JOIN dd83 ON sr_returned_date_sk = d_date_sk
+      |  JOIN item ON sr_item_sk = i_item_sk GROUP BY 1),
+      |cri AS (SELECT i_item_id AS cr_item_id, ${ds_sum("cr_return_quantity", "cr_qty")}
+      |  FROM catalog_returns JOIN dd83 ON cr_returned_date_sk = d_date_sk
+      |  JOIN item ON cr_item_sk = i_item_sk GROUP BY 1),
+      |wri AS (SELECT i_item_id AS wr_item_id, ${ds_sum("wr_return_quantity", "wr_qty")}
+      |  FROM web_returns JOIN dd83 ON wr_returned_date_sk = d_date_sk
+      |  JOIN item ON wr_item_sk = i_item_sk GROUP BY 1)
+      |SELECT sr_item_id AS item_id, sr_qty,
+      |  sr_qty / ((sr_qty + cr_qty + wr_qty) / 3.0) * 100 AS sr_dev,
+      |  cr_qty, cr_qty / ((sr_qty + cr_qty + wr_qty) / 3.0) * 100 AS cr_dev,
+      |  wr_qty, wr_qty / ((sr_qty + cr_qty + wr_qty) / 3.0) * 100 AS wr_dev,
+      |  (sr_qty + cr_qty + wr_qty) / 3.0 AS average
+      |FROM sri JOIN cri ON sr_item_id = cr_item_id
+      |JOIN wri ON sr_item_id = wr_item_id
+      |ORDER BY item_id LIMIT 100""".stripMargin),
+    "ds_q91" -> ds(s"""
+      |SELECT cc_name, cc_manager, ${ds_sum("cr_net_loss", "returns_loss")}
+      |FROM catalog_returns, call_center, date_dim, customer_dim,
+      |  customer_demographics, household_demographics
+      |WHERE cr_call_center_sk = cc_call_center_sk
+      |  AND cr_returned_date_sk = d_date_sk
+      |  AND cr_returning_customer_sk = c_customer_sk
+      |  AND c_current_cdemo_sk = cd_demo_sk
+      |  AND c_current_hdemo_sk = hd_demo_sk
+      |  AND cd_marital_status = 'W' AND cd_education_status = 'Primary'
+      |  AND hd_buy_potential = '>10000'
+      |  AND d_year = 1998
+      |GROUP BY cc_name, cc_manager
+      |ORDER BY cc_name, cc_manager""".stripMargin))
 }
