@@ -1756,8 +1756,11 @@ object Tpcds {
       .unionAll(chan(webSales(s, dir), webReturns(s, dir),
         "ws_sold_date_sk", "ws_item_sk", "ws_quantity", "ws_order_number",
         "wr_order_number", "wr_item_sk", "wr_return_quantity"))
+    // tiny (year × brand) frame consumed twice (current + prior year) —
+    // cache it so the three-channel union underneath runs once, not twice
     val tot = all.groupBy("d_year", "i_brand_id")
       .agg(decSum(col("net_qty")).cast("double").as("sales_cnt"))
+      .persist()
     val curr = tot.filter(col("d_year") === 1999)
       .select(col("i_brand_id").as("b"), col("sales_cnt").as("curr_cnt"))
     val prev = tot.filter(col("d_year") === 1998)
@@ -2327,31 +2330,41 @@ object Tpcds {
       .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
   }
 
-  /** q4/q11 template: per-customer per-channel year totals. */
-  private def yearTotal4(s: SparkSession, f: DataFrame, dateK: String,
-      custK: String, rev: Column, yr: Int, p: String): DataFrame =
-    f.join(broadcast(dateDim(s).filter(col("d_year") === yr)),
+  /** q4/q11 template: per-customer per-channel totals for BOTH years in
+    * one cached pass over the fact (the text's per-year CTEs would scan
+    * each channel twice); `slice` then carves the year views out of the
+    * cached frame. */
+  private def yearTotals4(s: SparkSession, f: DataFrame, dateK: String,
+      custK: String, rev: Column): DataFrame =
+    f.join(broadcast(dateDim(s).filter(col("d_year").isin(1998, 1999))
+        .select("d_date_sk", "d_year")),
         col(dateK) === col("d_date_sk"))
-      .groupBy(col(custK).as(s"${p}_cust"))
-      .agg(dsum(rev, s"${p}_tot"))
+      .groupBy(col(custK).as("cust"), col("d_year"))
+      .agg(dsum(rev, "tot"))
+      .persist()
+
+  private def slice(yt: DataFrame, yr: Int, p: String,
+      positive: Boolean): DataFrame = {
+    val base = yt.filter(col("d_year") === yr)
+    (if (positive) base.filter(col("tot") > 0) else base)
+      .select(col("cust").as(s"${p}_cust"), col("tot").as(s"${p}_tot"))
+  }
 
   /** q4: customers whose catalog growth outpaces BOTH store and web growth
     * — six per-channel year totals joined on the customer (q04.sql). */
   def q4(s: SparkSession, dir: String): DataFrame = {
-    val ss = storeSales(s, dir); val cs = catalogSales(s, dir)
-    val ws = webSales(s, dir)
-    val ss1 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
-      col("ss_ext_sales_price"), 1998, "ss1").filter(col("ss1_tot") > 0)
-    val ss2 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
-      col("ss_ext_sales_price"), 1999, "ss2")
-    val cs1 = yearTotal4(s, cs, "cs_sold_date_sk", "cs_bill_customer_sk",
-      col("cs_ext_sales_price"), 1998, "cs1").filter(col("cs1_tot") > 0)
-    val cs2 = yearTotal4(s, cs, "cs_sold_date_sk", "cs_bill_customer_sk",
-      col("cs_ext_sales_price"), 1999, "cs2")
-    val ws1 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
-      col("ws_ext_sales_price"), 1998, "ws1").filter(col("ws1_tot") > 0)
-    val ws2 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
-      col("ws_ext_sales_price"), 1999, "ws2")
+    val ssy = yearTotals4(s, storeSales(s, dir), "ss_sold_date_sk",
+      "ss_customer_sk", col("ss_ext_sales_price"))
+    val csy = yearTotals4(s, catalogSales(s, dir), "cs_sold_date_sk",
+      "cs_bill_customer_sk", col("cs_ext_sales_price"))
+    val wsy = yearTotals4(s, webSales(s, dir), "ws_sold_date_sk",
+      "ws_bill_customer_sk", col("ws_ext_sales_price"))
+    val ss1 = slice(ssy, 1998, "ss1", positive = true)
+    val ss2 = slice(ssy, 1999, "ss2", positive = false)
+    val cs1 = slice(csy, 1998, "cs1", positive = true)
+    val cs2 = slice(csy, 1999, "cs2", positive = false)
+    val ws1 = slice(wsy, 1998, "ws1", positive = true)
+    val ws2 = slice(wsy, 1999, "ws2", positive = false)
     ss1.join(ss2, col("ss1_cust") === col("ss2_cust"))
       .join(cs1, col("ss1_cust") === col("cs1_cust"))
       .join(cs2, col("ss1_cust") === col("cs2_cust"))
@@ -2367,17 +2380,14 @@ object Tpcds {
 
   /** q11: q74's store-vs-web growth on the list-minus-discount metric. */
   def q11(s: SparkSession, dir: String): DataFrame = {
-    val ss = storeSales(s, dir); val ws = webSales(s, dir)
-    val ssRev = col("ss_list_price") - col("ss_coupon_amt")
-    val wsRev = col("ws_ext_sales_price")
-    val s1 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
-      ssRev, 1998, "s1").filter(col("s1_tot") > 0)
-    val s2 = yearTotal4(s, ss, "ss_sold_date_sk", "ss_customer_sk",
-      ssRev, 1999, "s2")
-    val w1 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
-      wsRev, 1998, "w1").filter(col("w1_tot") > 0)
-    val w2 = yearTotal4(s, ws, "ws_sold_date_sk", "ws_bill_customer_sk",
-      wsRev, 1999, "w2")
+    val ssy = yearTotals4(s, storeSales(s, dir), "ss_sold_date_sk",
+      "ss_customer_sk", col("ss_list_price") - col("ss_coupon_amt"))
+    val wsy = yearTotals4(s, webSales(s, dir), "ws_sold_date_sk",
+      "ws_bill_customer_sk", col("ws_ext_sales_price"))
+    val s1 = slice(ssy, 1998, "s1", positive = true)
+    val s2 = slice(ssy, 1999, "s2", positive = false)
+    val w1 = slice(wsy, 1998, "w1", positive = true)
+    val w2 = slice(wsy, 1999, "w2", positive = false)
     s1.join(s2, col("s1_cust") === col("s2_cust"))
       .join(w1, col("s1_cust") === col("w1_cust"))
       .join(w2, col("s1_cust") === col("w2_cust"))
@@ -2417,44 +2427,40 @@ object Tpcds {
     * average, re-aggregated by ROLLUP (q14.sql's cross_items + avg_sales
     * skeleton). */
   def q14(s: SparkSession, dir: String): DataFrame = {
-    val dd = broadcast(dateDim(s).filter(col("d_year").between(1998, 2000)))
-    def itemsOf(f: DataFrame, dateK: String, itemK: String): DataFrame =
-      f.join(dd, col(dateK) === col("d_date_sk"))
-        .select(col(itemK).as("cross_item")).distinct()
-    val cross = itemsOf(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk")
-      .intersect(itemsOf(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk"))
-      .intersect(itemsOf(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk"))
-    def rows(f: DataFrame, dateK: String, itemK: String, price: String,
-        qty: String): DataFrame =
-      f.join(dd, col(dateK) === col("d_date_sk"))
-        .select(col(itemK).as("i"), col("d_year"),
-          (col(price) * col(qty)).as("v"))
-    val avgS = rows(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
-        "ss_list_price", "ss_quantity")
-      .unionAll(rows(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
-        "cs_list_price", "cs_quantity"))
-      .unionAll(rows(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
-        "ws_ext_sales_price", "ws_quantity"))
-      .groupBy("i", "d_year")
-      .agg(decSum(col("v")).cast("double").as("sv"))
-      .agg(davg(col("sv")).as("avg_sales"))
-    val dDec = broadcast(dateDim(s)
-      .filter(col("d_year") === 1999 && col("d_moy") === 12))
-    def chan(f: DataFrame, dateK: String, itemK: String, price: String,
+    val dd = broadcast(dateDim(s).filter(col("d_year").between(1998, 2000))
+      .select("d_date_sk", "d_year", "d_moy"))
+    def tagged(f: DataFrame, dateK: String, itemK: String, price: String,
         qty: String, name: String): DataFrame =
-      f.join(dDec, col(dateK) === col("d_date_sk"))
-        .join(cross, col(itemK) === col("cross_item"), "leftsemi")
-        .join(broadcast(item(s, dir)), col(itemK) === col("i_item_sk"))
-        .groupBy(lit(name).as("channel"), col("i_brand_id"))
-        .agg(decSum(col(price) * col(qty)).cast("double").as("sales"),
-          count(lit(1)).as("number_sales"))
-    chan(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
+      f.join(dd, col(dateK) === col("d_date_sk"))
+        .select(lit(name).as("channel"), col(itemK).as("i"), col("d_year"),
+          col("d_moy"), (col(price) * col(qty)).as("v"))
+    // ONE pass over the three channel facts → a small per-(channel, item,
+    // month) DECIMAL pre-aggregate, cached and shared by all three
+    // consumers (cross-items, global average, December report). The text's
+    // formulation walks each fact three times; decimal partials re-sum
+    // exactly, so every downstream number is unchanged.
+    val g = tagged(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
         "ss_list_price", "ss_quantity", "store")
-      .unionAll(chan(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
+      .unionAll(tagged(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
         "cs_list_price", "cs_quantity", "catalog"))
-      .unionAll(chan(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
+      .unionAll(tagged(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
         "ws_ext_sales_price", "ws_quantity", "web"))
-      .crossJoin(broadcast(avgS))
+      .groupBy("channel", "i", "d_year", "d_moy")
+      .agg(decSum(col("v")).as("svd"), count(lit(1)).as("cnt"))
+      .persist()
+    val cross = g.groupBy("i")
+      .agg(countDistinct(col("channel")).as("nch"))
+      .filter(col("nch") === 3).select(col("i").as("cross_item"))
+    val avgS = g.groupBy("i", "d_year")
+      .agg(sum(col("svd")).cast("double").as("sv"))
+      .agg(davg(col("sv")).as("avg_sales"))
+    val chans = g.filter(col("d_year") === 1999 && col("d_moy") === 12)
+      .join(cross, col("i") === col("cross_item"), "leftsemi")
+      .join(broadcast(item(s, dir)), col("i") === col("i_item_sk"))
+      .groupBy("channel", "i_brand_id")
+      .agg(sum(col("svd")).cast("double").as("sales"),
+        sum(col("cnt")).as("number_sales"))
+    chans.crossJoin(broadcast(avgS))
       .filter(col("sales") > col("avg_sales"))
       .rollup(col("channel"), col("i_brand_id"))
       .agg(decSum(col("sales")).cast("double").as("sum_sales"),
