@@ -127,6 +127,11 @@ object Bench {
     }
     val first = queries.map { case (name, fn) =>
       val (med, min) = measure(spark, benchDir, fn)
+      // queries that persist() a shared pre-aggregate (ds_q04/11/14/75)
+      // would otherwise leak cached blocks into every LATER query's
+      // measurement (observed: +16 s spread over the suite) — each query
+      // is an independent benchto run, so it starts from a cold cache
+      spark.catalog.clearCache()
       (name, med, min)
     }
     val hist = historicalBest(layout)
@@ -141,6 +146,7 @@ object Bench {
         val fn = queries.find(_._1 == name).get._2
         try fn(spark, benchDir).count() catch { case _: Throwable => () } // rewarm
         val (med2, min2) = measure(spark, benchDir, fn)
+        spark.catalog.clearCache()
         if (min2 < min) (name, med2, min2) else (name, med, min)
       } else (name, med, min)
     }

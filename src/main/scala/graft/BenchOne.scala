@@ -30,6 +30,7 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"TIME $n%-10s median=${(runs(2) + runs(3)) / 2}%.3f min=${runs.head}%.3f max=${runs.last}%.3f")
+      spark.catalog.clearCache() // queries may persist() shared frames
     }
     spark.stop()
   }

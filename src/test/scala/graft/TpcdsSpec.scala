@@ -94,4 +94,20 @@ class TpcdsSpec extends AnyFunSuite {
         "web cumulative never decreases")
     }
   }
+
+  test("the COMPLETE 99-query suite is registered, each with an oracle") {
+    val keys = (1 to 99).map(i => f"ds_q$i%02d")
+    val missingQ = keys.filterNot(Tpcds.queries.contains)
+    val missingO = keys.filterNot(Tpcds.oracle.contains)
+    assert(missingQ.isEmpty, s"queries missing: $missingQ")
+    assert(missingO.isEmpty, s"oracles missing: $missingO")
+    assert(Tpcds.queries.size == 99 && Tpcds.oracle.size == 99,
+      "no stray keys beyond the suite")
+  }
+
+  test("q14's shared pre-aggregate is cached (one pass over the channels)") {
+    val plan = Tpcds.q14(spark, sf).queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      "cross-items/average/report reuse the cached per-item partials")
+  }
 }
