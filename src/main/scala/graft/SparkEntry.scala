@@ -14,7 +14,8 @@ object SparkEntry {
       ops.Aggregates.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
       ops.Scalars.queries ++ ops.Subqueries.queries ++ ops.Sources.queries ++
-      ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries
+      ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries ++
+      ops.Ddl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       ops.Aggregates.oracle ++ ops.Dedup.oracle ++ ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
       ops.Scalars.oracle ++ ops.Subqueries.oracle ++ ops.Sources.oracle ++
-      ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle
+      ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle ++
+      ops.Ddl.oracle
 }

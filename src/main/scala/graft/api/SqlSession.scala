@@ -33,7 +33,8 @@ final class SqlSession private (val spark: SparkSession) {
     * array<row<a,b>> struct expansion — the map translation is tried
     * first and the struct translation on analysis failure. */
   def sql(text: String): DataFrame =
-    SessionStatements.dispatch(this, text).getOrElse {
+    SessionStatements.dispatch(this, text)
+      .orElse(DdlStatements.dispatch(this, text)).getOrElse {
       val t1 = Dialect.translate(text)
       try spark.sql(t1)
       catch {

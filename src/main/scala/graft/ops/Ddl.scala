@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.SqlSession
+
+/** Correctness gates for the DDL / catalog statement surface
+  * (api/DdlStatements.scala) — the reference coordinator's
+  * CreateViewTask / CreateTableTask / insert plan / RenameTableTask and
+  * the ShowQueriesRewrite / ShowStatsRewrite catalog queries, driven
+  * end-to-end through SqlSession exactly as a user would. */
+object Ddl {
+
+  private def ses(s: SparkSession, dir: String, tables: String*): SqlSession = {
+    val x = SqlSession.wrap(s)
+    tables.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+    x
+  }
+
+  /** Full object lifecycle: a view over an aggregate, CTAS of half the
+    * view, INSERT of the other half (positional, type-coerced), RENAME,
+    * then a query joining the written table back to a dimension. The
+    * written table is real parquet — the final join scans it with
+    * pushdown/pruning like any source table. */
+  def lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val q = ses(s, dir, "orders", "customer")
+    q.sql("DROP TABLE IF EXISTS ddl_spend")
+    q.sql("DROP TABLE IF EXISTS ddl_top_t")
+    q.sql("DROP VIEW IF EXISTS ddl_rev_v")
+    q.sql("""CREATE VIEW ddl_rev_v AS
+      |SELECT o_custkey AS custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin)
+    q.sql("CREATE TABLE ddl_top_t AS SELECT * FROM ddl_rev_v WHERE custkey % 4 = 0")
+    q.sql("INSERT INTO ddl_top_t SELECT * FROM ddl_rev_v WHERE custkey % 4 = 1")
+    q.sql("ALTER TABLE ddl_top_t RENAME TO ddl_spend")
+    q.sql("""SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+      |  CAST(SUM(n_orders) AS BIGINT) AS total_orders
+      |FROM ddl_spend JOIN customer ON custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** SHOW COLUMNS (ShowQueriesRewrite.java visitShowColumns) with
+    * reference type spellings (varchar/integer/…). */
+  def showColumns(s: SparkSession, dir: String): DataFrame =
+    ses(s, dir, "nation").sql("SHOW COLUMNS FROM nation")
+      .orderBy("column_name")
+
+  /** SHOW STATS FOR t (ShowStatsRewrite.java): exact one-pass per-column
+    * statistics + the row_count summary row. */
+  def showStats(s: SparkSession, dir: String): DataFrame =
+    ses(s, dir, "nation").sql("SHOW STATS FOR nation")
+      .orderBy(col("column_name").asc_nulls_last)
+
+  /** SHOW FUNCTIONS LIKE pattern over the session registry — pinned on the
+    * classification_* aggregate family (stable, graft-registered). */
+  def showFunctions(s: SparkSession, dir: String): DataFrame =
+    ses(s, dir).sql("SHOW FUNCTIONS LIKE 'classification_%'")
+      .orderBy("function_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_ddl_lifecycle" -> lifecycle,
+    "sql_show_columns" -> showColumns,
+    "sql_show_stats" -> showStats,
+    "sql_show_functions" -> showFunctions)
+
+  val oracle: Map[String, String] = Map(
+    "sql_ddl_lifecycle" ->
+      """WITH rev AS (
+        | SELECT o_custkey AS custkey,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+        |   count(*) AS n_orders
+        | FROM orders GROUP BY o_custkey),
+        |spend AS (
+        | SELECT * FROM rev WHERE custkey % 4 = 0
+        | UNION ALL
+        | SELECT * FROM rev WHERE custkey % 4 = 1)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        |FROM spend JOIN customer ON custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sql_show_columns" ->
+      """SELECT * FROM (VALUES
+        | ('n_name', 'varchar', '', ''),
+        | ('n_nationkey', 'integer', '', ''),
+        | ('n_regionkey', 'integer', '', '')
+        |) AS t(column_name, data_type, extra, comment)
+        |ORDER BY column_name""".stripMargin,
+    "sql_show_stats" ->
+      """SELECT * FROM (
+        | SELECT 'n_name' AS column_name,
+        |   CAST(SUM(length(n_name)) AS DOUBLE) AS data_size,
+        |   CAST(COUNT(DISTINCT n_name) AS DOUBLE) AS distinct_values_count,
+        |   CAST(SUM(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / count(*) AS nulls_fraction,
+        |   CAST(NULL AS DOUBLE) AS row_count,
+        |   CAST(min(n_name) AS VARCHAR) AS low_value,
+        |   CAST(max(n_name) AS VARCHAR) AS high_value
+        | FROM nation
+        | UNION ALL
+        | SELECT 'n_nationkey', CAST(NULL AS DOUBLE),
+        |   CAST(COUNT(DISTINCT n_nationkey) AS DOUBLE),
+        |   CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / count(*),
+        |   CAST(NULL AS DOUBLE),
+        |   CAST(min(n_nationkey) AS VARCHAR), CAST(max(n_nationkey) AS VARCHAR)
+        | FROM nation
+        | UNION ALL
+        | SELECT 'n_regionkey', CAST(NULL AS DOUBLE),
+        |   CAST(COUNT(DISTINCT n_regionkey) AS DOUBLE),
+        |   CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / count(*),
+        |   CAST(NULL AS DOUBLE),
+        |   CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR)
+        | FROM nation
+        | UNION ALL
+        | SELECT CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |   CAST(count(*) AS DOUBLE),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        | FROM nation
+        |) ORDER BY column_name NULLS LAST""".stripMargin,
+    "sql_show_functions" ->
+      """SELECT * FROM (VALUES
+        | ('classification_fall_out'),
+        | ('classification_miss_rate'),
+        | ('classification_precision'),
+        | ('classification_recall'),
+        | ('classification_thresholds')
+        |) AS t(function_name) ORDER BY function_name""".stripMargin)
+}
