@@ -536,78 +536,32 @@ object GeoFunctions {
   // Rings are CCW (the repo's square builders emit CCW); all arithmetic is
   // cross-product orientation + one division per clip vertex.
 
-  private def ringEdgesOf(ring: Column): Column =
-    zip_with(ring, rotatedRing(ring),
-      (a, b) => struct(a.as("p"), b.as("q")))
-
-  /** Clip a convex CCW ring to the half-plane left-of (p→q); degenerate
-    * output (area 0) is returned as-is and filtered by emptiness checks. */
-  private def halfPlaneClip(ring: Column, p: Column, q: Column,
-      keepLeft: Boolean): Column = {
-    def side(v: Column): Column = {
-      val s = (stX(q) - stX(p)) * (stY(v) - stY(p)) -
-        (stY(q) - stY(p)) * (stX(v) - stX(p))
-      if (keepLeft) s else -s
-    }
-    val verts = aggregate(
-      ringEdgesOf(ring),
-      expr("array()").cast("array<struct<x:double,y:double>>"),
-      (acc, e) => {
-        val a = e.getField("p"); val b = e.getField("q")
-        val sa = side(a); val sb = side(b)
-        val t = sa / (sa - sb)
-        val ix = struct(
-          (stX(a) + t * (stX(b) - stX(a))).as("x"),
-          (stY(a) + t * (stY(b) - stY(a))).as("y"))
-        val withA = when(sa >= 0, concat(acc, array(a))).otherwise(acc)
-        // differing strict sides ⇒ sa ≠ sb, so the division in `t` is safe
-        when((sa >= 0) =!= (sb >= 0),
-          concat(withA, array(ix))).otherwise(withA)
-      })
-    // drop consecutive duplicates introduced by vertices on the clip line
-    filter(verts, (v, i) =>
-      i === 0 || v =!= element_at(verts, i.cast("int")))
-  }
-
   /** ST_Intersection for convex CCW rings → tagged polygon ('ST_Empty'
-    * when the clipped region is degenerate). */
-  def stIntersectionConvex(ringA: Column, ringB: Column): Column = {
-    val clipped = aggregate(ringEdgesOf(ringB), ringA,
-      (acc, e) => halfPlaneClip(acc, e.getField("p"), e.getField("q"),
-        keepLeft = true))
-    when(size(clipped) >= 3 && stArea(clipped) > 1e-12,
-      struct(lit("ST_Polygon").as("gtype"), clipped.as("pts")))
-      .otherwise(struct(lit("ST_Empty").as("gtype"),
-        expr("array()").cast("array<struct<x:double,y:double>>").as("pts")))
-  }
+    * when the clipped region is degenerate). Sutherland–Hodgman half-plane
+    * fold, evaluated by the native ConvexGeomOp kernel (GeomKernels.scala)
+    * — one expression node instead of a clip tower of HOF combinators. */
+  def stIntersectionConvex(ringA: Column, ringB: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(ConvexGeomOp(
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringA),
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringB),
+      "intersection"))
 
   /** ST_Difference for convex CCW rings → tagged collection of the wedge
-    * pieces (empty collection when A ⊆ B). */
-  def stDifferenceConvex(ringA: Column, ringB: Column): Column = {
-    val edgesB = ringEdgesOf(ringB)
-    val n = size(edgesB)
-    val pieces = transform(sequence(lit(1), n), i => {
-      val outsideEdge = element_at(edgesB, i)
-      val out = halfPlaneClip(ringA, outsideEdge.getField("p"),
-        outsideEdge.getField("q"), keepLeft = false)
-      aggregate(slice(edgesB, lit(1), (i - 1).cast("int")), out,
-        (acc, e) => halfPlaneClip(acc, e.getField("p"), e.getField("q"),
-          keepLeft = true))
-    })
-    val live = filter(pieces, p => size(p) >= 3 && stArea(p) > 1e-12)
-    struct(lit("ST_GeometryCollection").as("gtype"),
-      transform(live, p =>
-        struct(lit("ST_Polygon").as("gtype"), p.as("pts"))).as("geoms"))
-  }
+    * pieces A\B = ⋃_i (A ∩ outside(e_i) ∩ inside(e_0..i−1)); empty
+    * collection when A ⊆ B. Native ConvexGeomOp kernel. */
+  def stDifferenceConvex(ringA: Column, ringB: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(ConvexGeomOp(
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringA),
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringB),
+      "difference"))
 
   /** ST_Union for convex CCW rings → region-correct disjoint decomposition
-    * A ⊎ (B\A) as a tagged collection. */
-  def stUnionConvex(ringA: Column, ringB: Column): Column = {
-    val bMinusA = stDifferenceConvex(ringB, ringA)
-    struct(lit("ST_GeometryCollection").as("gtype"),
-      concat(array(struct(lit("ST_Polygon").as("gtype"), ringA.as("pts"))),
-        bMinusA.getField("geoms")).as("geoms"))
-  }
+    * A ⊎ (B\A) as a tagged collection. Native ConvexGeomOp kernel. */
+  def stUnionConvex(ringA: Column, ringB: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(ConvexGeomOp(
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringA),
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringB),
+      "union"))
 
   /** ST_Union over point rows (the other common reference use): distinct
     * points as a MULTIPOINT. */
@@ -774,23 +728,12 @@ object GeoFunctions {
 
   /** Any two NON-ADJACENT segments of the path intersect, or any two
     * adjacent segments overlap beyond the shared vertex (spike/backtrack).
-    * The self-intersection core of ST_IsSimple / ST_IsRing / ST_IsValid.
-    * O(n²) pair scan inside codegen'd HOFs — rings are small. */
-  private def pathSelfIntersects(pts: Column, closed: Column): Column = {
-    val segs = pathSegments(pts)
-    val n = size(segs)
-    // sequence(1, 0) would DESCEND; guard the degenerate path explicitly
-    val idx = sequence(lit(1), greatest(n, lit(1)))
-    n >= 3 && exists(idx, i => exists(idx, j => {
-      // unordered pairs once; adjacency wraps when the path is closed
-      val adjacent = (j - i === 1) ||
-        (closed && i === 1 && j === n)
-      val si = element_at(segs, i); val sj = element_at(segs, j)
-      val touch = segSeg(si.getField("p"), si.getField("q"),
-        sj.getField("p"), sj.getField("q"))
-      (j > i) && !adjacent && touch
-    }))
-  }
+    * The self-intersection core of ST_IsSimple / ST_IsRing / ST_IsValid —
+    * native O(n²) pair scan (GeomKernels.PathSelfIntersects). */
+  private def pathSelfIntersects(pts: Column, closed: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(PathSelfIntersects(
+      org.apache.spark.sql.graftbridge.Bridge.expression(pts),
+      org.apache.spark.sql.graftbridge.Bridge.expression(closed)))
 
   /** ST_IsSimple: points always; linestrings iff no self-intersection
     * (consecutive duplicate vertices also break simplicity). */
@@ -887,35 +830,14 @@ object GeoFunctions {
     * last two hull points and the incoming one make a non-left turn. The
     * inner pop-while is a bounded fold over the current hull size (hull
     * can shrink at most size(h) times per insert). */
-  private def halfHull(sorted: Column): Column = {
-    def crossT(o: Column, a: Column, b: Column): Column =
-      (stX(a) - stX(o)) * (stY(b) - stY(o)) -
-        (stY(a) - stY(o)) * (stX(b) - stX(o))
-    val empty = array().cast("array<struct<x:double,y:double>>")
-    aggregate(sorted, empty, (h, p) => {
-      val pruned = aggregate(sequence(lit(1), greatest(size(h), lit(1))), h,
-        (acc, _) => when(size(acc) >= 2 &&
-            crossT(element_at(acc, size(acc) - 1),
-              element_at(acc, size(acc)), p) <= 0.0,
-          slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
-      concat(pruned, array(p))
-    })
-  }
-
   /** ST_ConvexHull over any vertex set → CCW ring (unclosed, starting at
     * the lexicographically smallest vertex — Andrew's monotone chain,
     * the same contract as convex_hull_agg). Degenerate inputs (<3 hull
-    * points) return the distinct vertex set. */
-  def stConvexHullRing(pts: Column): Column = {
-    // struct comparison is field-order lexicographic: (x, y) — exactly
-    // the monotone-chain sort key
-    val sorted = array_sort(array_distinct(pts))
-    val lower = halfHull(sorted)
-    val upper = halfHull(reverse(sorted))
-    when(size(sorted) <= 2, sorted).otherwise(
-      concat(slice(lower, lit(1), size(lower) - 1),
-        slice(upper, lit(1), size(upper) - 1)))
-  }
+    * points) return the distinct vertex set. Native ConvexHullRing kernel
+    * (GeomKernels.scala). */
+  def stConvexHullRing(pts: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(ConvexHullRing(
+      org.apache.spark.sql.graftbridge.Bridge.expression(pts)))
 
   /** ST_ConvexHull on a tagged geometry → tagged polygon (or the input
     * when degenerate). */
@@ -938,13 +860,13 @@ object GeoFunctions {
   }
 
   /** ST_SymDifference for convex CCW rings: (A\B) ⊎ (B\A) as a tagged
-    * collection (GeoFunctions.java ST_SymDifference via Esri). */
-  def stSymDifferenceConvex(ringA: Column, ringB: Column): Column = {
-    val aMinusB = stDifferenceConvex(ringA, ringB)
-    val bMinusA = stDifferenceConvex(ringB, ringA)
-    struct(lit("ST_GeometryCollection").as("gtype"),
-      concat(aMinusB.getField("geoms"), bMinusA.getField("geoms")).as("geoms"))
-  }
+    * collection (GeoFunctions.java ST_SymDifference via Esri). Native
+    * ConvexGeomOp kernel. */
+  def stSymDifferenceConvex(ringA: Column, ringB: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(ConvexGeomOp(
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringA),
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringB),
+      "symdifference"))
 
   // ---- Polygons with interior rings (holes): WKT POLYGON ((outer),
   // (hole)…) → struct<gtype, rings: array<array<point>>>. Reference:
@@ -1143,8 +1065,13 @@ object GeoFunctions {
 
   /** ST_Relate(a, b, pattern): DE-9IM pattern match — 'T' = any non-F,
     * 'F' = F, '*' = anything, digit = exact dimension. */
-  def stRelate(ringA: Column, ringB: Column, pattern: Column): Column = {
-    val m = stRelateMatrix(ringA, ringB)
+  def stRelate(ringA: Column, ringB: Column, pattern: Column): Column =
+    stRelateOnMatrix(stRelateMatrix(ringA, ringB), pattern)
+
+  /** Pattern test over an ALREADY-computed DE-9IM matrix string — lets a
+    * caller evaluating several patterns against one pair compute the
+    * (expensive) matrix once and reuse the 9-char string. */
+  def stRelateOnMatrix(m: Column, pattern: Column): Column = {
     forall(sequence(lit(1), lit(9)), i => {
       val have = m.substr(i.cast("int"), lit(1))
       val want = upper(pattern.substr(i.cast("int"), lit(1)))

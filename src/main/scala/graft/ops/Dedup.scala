@@ -89,24 +89,28 @@ object Dedup {
   }
 
   /** SimHash near-dup detection: 60-bit signature from md5 word hashes
-    * (bit b gets +1/-1 per word, sign → bit), computed entirely inside one
-    * codegen'd expression per row. Pairs within Hamming distance 3 are found
-    * by the pigeonhole trick — split the signature into 4×15-bit chunks; any
-    * pair at distance ≤3 shares at least one exact chunk — so the self-join
-    * key is a 15-bit chunk, never a full scan. */
+    * (bit b gets +1/-1 per word, sign → bit). The signature is computed
+    * RELATIONALLY — explode words, then 60 conditional sums in one hash
+    * aggregation — instead of nested higher-order lambdas: HOFs are
+    * CodegenFallback (interpreted), while explode + sum(CASE…) stays
+    * inside whole-stage codegen and partial-aggregates map-side, so the
+    * per-doc signature costs one combinable pass at any scale. Pairs
+    * within Hamming distance 3 are found by the pigeonhole trick — split
+    * the signature into 4×15-bit chunks; any pair at distance ≤3 shares
+    * at least one exact chunk — so the self-join key is a 15-bit chunk,
+    * never a full scan. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("hashes",
-        expr("transform(words, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("bitsums", expr(
-        """transform(sequence(0, 59), b ->
-          |  aggregate(hashes, 0L, (acc, h) ->
-          |    acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 59), 0L, (acc, b) ->
-          |  acc + CASE WHEN bitsums[b] > 0 THEN shiftleft(1L, b) ELSE 0L END)"""
-          .stripMargin))
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val bitCols = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    val docs = words.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("simhash", (0 until 60).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
     val chunks = docs.select(
       col("doc_id"), col("simhash"),

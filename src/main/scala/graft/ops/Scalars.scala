@@ -1151,10 +1151,17 @@ object Scalars {
       pt(cx, cy + 1), lit(", "), pt(cx + b * 3, cy + 1 + b * 4), lit("))"))
     val gcWkt = concat(lit("GEOMETRYCOLLECTION (POINT ("), pt(cx, cy),
       lit("), POLYGON (("), ringTxt(cx + 1, cy + 1, b), lit(")))"))
-    val mg = stMultiGeometryFromText(mpWkt)
-    val ml = stMultiGeometryFromText(mlWkt)
-    val gc = stMultiGeometryFromText(gcWkt)
-    g.select(col("k"),
+    // Materialize each parsed geometry ONCE in a lower projection: the
+    // WKT parser is a large CodegenFallback combinator tree, and inlining
+    // it into every derived output column re-evaluates it per column
+    // (CollapseProject keeps multi-referenced non-cheap aliases, so this
+    // two-step select is a real per-row sharing boundary).
+    val parsed = g.select(col("k"),
+      stMultiGeometryFromText(mpWkt).as("mg"),
+      stMultiGeometryFromText(mlWkt).as("ml"),
+      stMultiGeometryFromText(gcWkt).as("gc"))
+    val mg = col("mg"); val ml = col("ml"); val gc = col("gc")
+    parsed.select(col("k"),
       stGeometryType(mg).as("mp_t"),
       stNumGeometries(mg).as("mp_n"),
       round(stAreaMulti(mg), 4).as("mp_area"),
@@ -1296,12 +1303,16 @@ object Scalars {
     val bs = when(m === 0, 1.0).when(m === 1, 2.0)
       .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
     val ringB = sq(bx, by, bs)
-    val inter = stIntersectionConvex(ringA, ringB)
-    val uni = stUnionConvex(ringA, ringB)
-    val diff = stDifferenceConvex(ringA, ringB)
-    val mp = stUnionPoints(org.apache.spark.sql.functions.array(
-      stPoint(cx, cy), stPoint(cx + (m % 2), cy)))
-    g.select(col("k"),
+    // clipping towers (intersection/union/difference) staged once per row
+    // behind a projection boundary instead of inlined per output column
+    val staged = g.select(col("k"),
+      stIntersectionConvex(ringA, ringB).as("inter"),
+      stUnionConvex(ringA, ringB).as("uni"),
+      stDifferenceConvex(ringA, ringB).as("diff"),
+      stUnionPoints(org.apache.spark.sql.functions.array(
+        stPoint(cx, cy), stPoint(cx + (m % 2), cy))).as("mp"))
+    val inter = col("inter"); val uni = col("uni"); val diff = col("diff")
+    staged.select(col("k"),
       stGeometryType(inter).as("inter_t"),
       round(when(stGeometryType(inter) === "ST_Empty", 0.0)
         .otherwise(stArea(inter.getField("pts"))), 4).as("inter_area"),
@@ -1310,7 +1321,7 @@ object Scalars {
       stGeometryType(diff).as("diff_t"),
       stNumGeometries(diff).as("diff_n"),
       round(stAreaMulti(diff), 4).as("diff_area"),
-      stNumGeometries(mp).as("mp_n"))
+      stNumGeometries(col("mp")).as("mp_n"))
       .orderBy("k")
   }
 
@@ -1483,17 +1494,22 @@ object Scalars {
       stPoint(cx, cy), stPoint(cx + 2, cy)))
     val gA2 = struct(lit("ST_Polygon").as("gtype"), ringA2.as("pts"))
     val gB = struct(lit("ST_Polygon").as("gtype"), ringB.as("pts"))
-    val symd = stSymDifferenceConvex(ringA, ringB)
-    g.select(col("k"),
-      size(hull).cast("long").as("hull_n"),
-      round(stArea(hull), 4).as("hull_area"),
+    // hull + symmetric-difference towers staged once per row (reused by
+    // the count/area/type outputs below)
+    val staged = g.select(col("k"),
+      hull.as("hull"),
+      stSymDifferenceConvex(ringA, ringB).as("symd"),
       stGeometryType(stConvexHull(struct(lit("ST_Polygon").as("gtype"),
         scatter.as("pts")))).as("hull_t"),
       size(stConvexHullRing(collinear)).cast("long").as("coll_n"),
       stEquals(gA, gA2).as("eq_same"),
-      stEquals(gA, gB).as("eq_other"),
-      stGeometryType(symd).as("symd_t"),
-      round(stAreaMulti(symd), 4).as("symd_area"))
+      stEquals(gA, gB).as("eq_other"))
+    staged.select(col("k"),
+      size(col("hull")).cast("long").as("hull_n"),
+      round(stArea(col("hull")), 4).as("hull_area"),
+      col("hull_t"), col("coll_n"), col("eq_same"), col("eq_other"),
+      stGeometryType(col("symd")).as("symd_t"),
+      round(stAreaMulti(col("symd")), 4).as("symd_area"))
       .orderBy("k")
   }
 
@@ -1545,13 +1561,17 @@ object Scalars {
     val bs = when(m === 0, 1.0).when(m === 1, 2.0)
       .when(m === 2, 1.0).when(m === 3, 1.0).otherwise(1.0)
     val ringB = sq(bx, by, bs)
+    // each DE-9IM matrix is an expensive orientation-arithmetic tower —
+    // compute the two matrices once and run every pattern against the
+    // 9-char strings (CollapseProject keeps the reused aliases staged)
     g.select(col("k"),
       stRelateMatrix(ringA, ringB).as("de9im"),
-      stRelateMatrix(ringA, ringA).as("de9im_self"),
-      stRelate(ringA, ringA, lit("T*F**FFF*")).as("rel_equals"),
-      stRelate(ringA, ringB, lit("T*****FF*")).as("rel_contains"),
-      stRelate(ringA, ringB, lit("T*T***T**")).as("rel_overlaps"),
-      stRelate(ringA, ringB, lit("FF*FF****")).as("rel_disjoint"))
+      stRelateMatrix(ringA, ringA).as("de9im_self"))
+      .select(col("k"), col("de9im"), col("de9im_self"),
+        stRelateOnMatrix(col("de9im_self"), lit("T*F**FFF*")).as("rel_equals"),
+        stRelateOnMatrix(col("de9im"), lit("T*****FF*")).as("rel_contains"),
+        stRelateOnMatrix(col("de9im"), lit("T*T***T**")).as("rel_overlaps"),
+        stRelateOnMatrix(col("de9im"), lit("FF*FF****")).as("rel_disjoint"))
       .orderBy("k")
   }
 
@@ -1624,8 +1644,6 @@ object Scalars {
       stPoint(cx + 7, cy + 7), stPoint(cx + 5, cy + 7))
     val tri = arr(stPoint(cx + 4, cy + 1), stPoint(cx + 6, cy),
       stPoint(cx + 6, cy + 2))
-    val np1 = geometryNearestPoints(sqA, sqB, closedA = true, closedB = true)
-    val np2 = geometryNearestPoints(sqA, tri, closedA = true, closedB = true)
     // dissolve fixture: inset envelope of parent tile (px, py, z-1).
     // Staged through withColumn so the envelope/inset/cover trees stay
     // attribute references instead of inlining the tile-polygon expression
@@ -1653,8 +1671,15 @@ object Scalars {
           col("env").getField("ymax") - col("h4"))).as("pts")))
       .withColumn("cover", geometryToBingTiles(col("inset"), z))
       .withColumn("dis", geometryToDissolvedBingTiles(col("inset"), z))
+      // nearest-points towers are read 4× each below — stage them too
+      .withColumn("np1",
+        geometryNearestPoints(sqA, sqB, closedA = true, closedB = true))
+      .withColumn("np2",
+        geometryNearestPoints(sqA, tri, closedA = true, closedB = true))
     val cover = col("cover")
     val dis = col("dis")
+    val np1 = col("np1")
+    val np2 = col("np2")
     val sph = toSphericalGeography(struct(lit("ST_Point").as("gtype"),
       arr(stPoint(cx, cy * 2 - 60)).as("pts")))
     val mlt = stMultiGeometryFromText(concat(lit("MULTIPOINT ("),
