@@ -32,6 +32,47 @@ object Tpcds {
 
   private val Base = "1995-01-01" // fixture shipdates span 1995-01-02..2001-11-04
 
+  /** Derived-fact access with an optional materialized layout: when the
+    * bench has written the derived TPC-DS facts under `dir/_tpcds/<name>`
+    * (Bench.scala, once, outside the timed region — the role of the
+    * reference's tpcds connector generating tables before benchto runs,
+    * presto-tpcds/.../TpcdsConnectorFactory.java), read the parquet;
+    * otherwise derive from the TPC-H fixtures. Correctness runs never
+    * materialize, so the oracle prelude and the Spark derivation stay the
+    * compared pair. */
+  private def mat(s: SparkSession, dir: String, name: String)
+      (derive: => DataFrame): DataFrame = {
+    val p = new java.io.File(dir, s"_tpcds/$name")
+    if (p.isDirectory) s.read.parquet(p.getAbsolutePath) else derive
+  }
+
+  /** The derived facts a bench run materializes (big enough to matter —
+    * dimensions stay cheap in-memory builders). */
+  val materializableFacts: Seq[String] = Seq(
+    "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+    "web_sales", "web_returns", "inventory")
+
+  /** Write the derived facts under `dir/_tpcds` once (idempotent). Order
+    * matters: the channel splits derive from store_sales/store_returns, so
+    * those materialize first and the splits then scan the written parquet
+    * instead of re-joining lineitem⋈orders. */
+  def materializeFacts(s: SparkSession, dir: String): Unit =
+    materializableFacts.foreach { n =>
+      val out = new java.io.File(dir, s"_tpcds/$n")
+      if (!out.isDirectory) {
+        val df = n match {
+          case "store_sales" => deriveStoreSales(s, dir)
+          case "store_returns" => deriveStoreReturns(s, dir)
+          case "inventory" => deriveInventory(s, dir)
+          case "catalog_sales" => catalogSales(s, dir)
+          case "catalog_returns" => catalogReturns(s, dir)
+          case "web_sales" => webSales(s, dir)
+          case "web_returns" => webReturns(s, dir)
+        }
+        df.write.mode("overwrite").parquet(out.getAbsolutePath)
+      }
+    }
+
   // ---- derived dimensions -------------------------------------------------
 
   /** 1995-01-01..2001-12-31 calendar, d_date_sk = days since Base. */
@@ -159,6 +200,9 @@ object Tpcds {
     * on-hand quantity. inv_date_sk lands on the d_date_sk weekly grid
     * (multiples of 7), so date_dim filters prune whole snapshot weeks. */
   def inventory(s: SparkSession, dir: String): DataFrame =
+    mat(s, dir, "inventory") { deriveInventory(s, dir) }
+
+  private def deriveInventory(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(col("p_partkey").as("inv_item_sk"))
       .crossJoin(broadcast(s.range(0, 366).select(col("id").as("w"))))
       .select(col("inv_item_sk"), (col("w") * 7).as("inv_date_sk"),
@@ -174,6 +218,9 @@ object Tpcds {
     * bought-city ≠ home-city predicate has matches (inner joins drop the
     * out-of-range tail key identically on both engines). */
   def storeSales(s: SparkSession, dir: String): DataFrame =
+    mat(s, dir, "store_sales") { deriveStoreSales(s, dir) }
+
+  private def deriveStoreSales(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -201,7 +248,8 @@ object Tpcds {
 
   /** Catalog / web channels: deterministic line-number split of the fact. */
   def catalogSales(s: SparkSession, dir: String): DataFrame =
-    storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 1)
+    mat(s, dir, "catalog_sales") {
+      storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 1)
       .select(col("ss_sold_date_sk").as("cs_sold_date_sk"),
         col("ss_item_sk").as("cs_item_sk"),
         col("ss_customer_sk").as("cs_bill_customer_sk"),
@@ -218,9 +266,11 @@ object Tpcds {
         col("ss_list_price").as("cs_list_price"),
         (col("ss_sold_date_sk") + col("ss_ticket_number") % 120)
           .as("cs_ship_date_sk"))
+    }
 
   def webSales(s: SparkSession, dir: String): DataFrame =
-    storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 2)
+    mat(s, dir, "web_sales") {
+      storeSales(s, dir).filter(col("ss_ticket_number") % 3 === 2)
       .select(col("ss_sold_date_sk").as("ws_sold_date_sk"),
         col("ss_item_sk").as("ws_item_sk"),
         col("ss_customer_sk").as("ws_bill_customer_sk"),
@@ -234,11 +284,15 @@ object Tpcds {
         col("ss_coupon_amt").as("ws_ext_discount_amt"),
         col("ss_net_profit").as("ws_net_profit"),
         col("ss_promo_sk").as("ws_promo_sk"))
+    }
 
   /** Returns channel: returned lineitems (l_returnflag = 'R') as
     * store_returns — lets the returns-joining report shapes (q5 family)
     * run without a generated returns table. */
   def storeReturns(s: SparkSession, dir: String): DataFrame =
+    mat(s, dir, "store_returns") { deriveStoreReturns(s, dir) }
+
+  private def deriveStoreReturns(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -260,7 +314,8 @@ object Tpcds {
   /** Catalog returns channel: the ticket-split of store_returns aligned with
     * catalog_sales' split, cr-prefixed. */
   def catalogReturns(s: SparkSession, dir: String): DataFrame =
-    storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 1)
+    mat(s, dir, "catalog_returns") {
+      storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 1)
       .select(col("sr_returned_date_sk").as("cr_returned_date_sk"),
         col("sr_item_sk").as("cr_item_sk"),
         col("sr_ticket_number").as("cr_order_number"),
@@ -269,10 +324,12 @@ object Tpcds {
         col("sr_return_amt").as("cr_return_amount"),
         col("sr_net_loss").as("cr_net_loss"),
         ((col("sr_ticket_number") * 7) % 4).as("cr_call_center_sk"))
+    }
 
   /** Web returns channel: the %3=2 ticket-split, wr-prefixed. */
   def webReturns(s: SparkSession, dir: String): DataFrame =
-    storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 2)
+    mat(s, dir, "web_returns") {
+      storeReturns(s, dir).filter(col("sr_ticket_number") % 3 === 2)
       .select(col("sr_returned_date_sk").as("wr_returned_date_sk"),
         col("sr_item_sk").as("wr_item_sk"),
         col("sr_ticket_number").as("wr_order_number"),
@@ -283,6 +340,7 @@ object Tpcds {
         (col("sr_store_sk") % 5).as("wr_warehouse_sk"),
         ((col("sr_ticket_number") * 11) % 10).as("wr_reason_sk"),
         (col("sr_customer_sk") % 100).as("wr_refunded_cdemo_sk"))
+    }
 
   // ---- queries ------------------------------------------------------------
 
@@ -1706,10 +1764,17 @@ object Tpcds {
     * equi-join — item-only first would cross every order with 366 snapshot
     * weeks before the week filter could run. */
   def q72(s: SparkSession, dir: String): DataFrame = {
+    val d1998 = dateDim(s).filter(col("d_year") === 1998)
+    // prune the inventory fact to the queried year's snapshot weeks BEFORE
+    // the (item, week) fact⋈fact join — a broadcast semi-filter on the
+    // week grid cuts ~7/8 of the snapshots at the scan, the same move a
+    // 100 TB plan needs (inventory carries every historical week)
     val inv = inventory(s, dir)
       .withColumn("inv_week", floor(col("inv_date_sk") / 7).cast("long"))
+      .join(broadcast(d1998.select(col("d_week_seq").as("wk")).distinct()),
+        col("inv_week") === col("wk"), "leftsemi")
     catalogSales(s, dir)
-      .join(broadcast(dateDim(s).filter(col("d_year") === 1998)
+      .join(broadcast(d1998
           .select(col("d_date_sk").as("d1_sk"), col("d_week_seq"))),
         col("cs_sold_date_sk") === col("d1_sk"))
       .join(inv, col("cs_item_sk") === col("inv_item_sk") &&

@@ -105,6 +105,25 @@ class TpcdsSpec extends AnyFunSuite {
       "no stray keys beyond the suite")
   }
 
+  test("materialized facts are bit-equivalent to the derivation they replace") {
+    // link the fixture tables into a writable dir, materialize _tpcds there,
+    // and check a query reads the parquet path and returns identical rows
+    val work = java.nio.file.Files.createTempDirectory("tpcds_mat").toFile
+    graft.Tables.names.foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(work, s"$n.parquet").toPath,
+        new java.io.File(s"$sf/$n.parquet").toPath)
+    }
+    val derived = Tpcds.q3(spark, sf).collect()
+    Tpcds.materializeFacts(spark, work.getAbsolutePath)
+    assert(new java.io.File(work, "_tpcds/store_sales").isDirectory)
+    val viaMat = Tpcds.q3(spark, work.getAbsolutePath)
+    assert(viaMat.queryExecution.executedPlan.toString.contains("_tpcds"),
+      "bench path scans the materialized parquet")
+    assert(viaMat.collect().toSeq == derived.toSeq,
+      "materialized facts answer identically to the derivation")
+  }
+
   test("q14's shared pre-aggregate is cached (one pass over the channels)") {
     val plan = Tpcds.q14(spark, sf).queryExecution.optimizedPlan.toString
     assert(plan.contains("InMemoryRelation"),
