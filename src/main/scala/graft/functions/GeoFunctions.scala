@@ -623,6 +623,39 @@ object GeoFunctions {
     abs(excess) * lit(EarthRadiusM * EarthRadiusM)
   }
 
+  /** ST_Centroid on SphericalGeography (SphericalGeoFunctions.java:256):
+    * POINT returns itself; MULTIPOINT sums the points' 3D unit vectors
+    * (x=cosφcosλ, y=cosφsinλ, z=sinφ), normalizes, and projects back to
+    * lon/lat — the reference's CartesianPoint average. Other types raise
+    * there (TODO'd) and here. */
+  def stSphericalCentroid(g: Column): Column = {
+    val pts = g.getField("pts")
+    def vx(p: Column) = cos(radians(stY(p))) * cos(radians(stX(p)))
+    def vy(p: Column) = cos(radians(stY(p))) * sin(radians(stX(p)))
+    def vz(p: Column) = sin(radians(stY(p)))
+    val xs = aggregate(pts, lit(0.0), (a, p) => a + vx(p))
+    val ys = aggregate(pts, lit(0.0), (a, p) => a + vy(p))
+    val zs = aggregate(pts, lit(0.0), (a, p) => a + vz(p))
+    val len = sqrt(xs * xs + ys * ys + zs * zs)
+    val lon = degrees(atan2(ys, xs))
+    val lat = degrees(asin(zs / len))
+    when(!g.getField("gtype").isin("Spherical:ST_Point", "Spherical:ST_MultiPoint"),
+      raise_error(concat(lit("ST_Centroid: unsupported spherical type "),
+        g.getField("gtype"))))
+      .when(size(pts) === 1,
+        struct(lit("Spherical:ST_Point").as("gtype"),
+          org.apache.spark.sql.functions.array(element_at(pts, 1)).as("pts")))
+      .otherwise(struct(lit("Spherical:ST_Point").as("gtype"),
+        org.apache.spark.sql.functions.array(stPoint(lon, lat)).as("pts")))
+  }
+
+  /** ST_AsText on SphericalGeography (SphericalGeoFunctions.java ST_AsText
+    * — same WKT as the planar geometry): untag and render. */
+  def stAsTextSpherical(g: Column): Column =
+    stAsText(struct(
+      regexp_replace(g.getField("gtype"), "^Spherical:", "").as("gtype"),
+      g.getField("pts").as("pts")))
+
   /** ST_Length on a SphericalGeography linestring (meters). */
   def stSphericalLength(g: Column): Column = {
     val pts = g.getField("pts")

@@ -1362,6 +1362,37 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** SphericalGeography completion (reference SphericalGeoFunctions.java
+    * ST_Centroid:256 + ST_AsText): multipoint centroid via normalized
+    * 3D unit-vector sum, point centroid identity, WKT text of a
+    * spherical point. Trig outputs round to 1e-6 so 1-ulp libm
+    * differences can't flip the hash (same convention as fn_geo_sphere). */
+  def geoSphere2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("k"),
+        ((col("c_custkey") * 7 % 140) - 70 + 0.25).cast("double").as("lat1"),
+        ((col("c_custkey") * 13 % 300) - 150 + 0.25).cast("double").as("lon1"))
+    val lat1 = col("lat1"); val lon1 = col("lon1")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    val mp = toSphericalGeography(struct(lit("ST_MultiPoint").as("gtype"),
+      arr(stPoint(lon1, lat1), stPoint(lon1 + 2, lat1 + 1),
+        stPoint(lon1 - 1, lat1 + 2)).as("pts")))
+    val single = toSphericalGeography(struct(lit("ST_Point").as("gtype"),
+      arr(stPoint(lon1, lat1)).as("pts")))
+    val cen = stSphericalCentroid(mp)
+    val cenPt = element_at(cen.getField("pts"), 1)
+    val cen1 = element_at(stSphericalCentroid(single).getField("pts"), 1)
+    g.select(col("k"),
+      stGeometryType(cen).as("cen_t"),
+      round(cenPt.getField("x"), 6).as("cen_lon"),
+      round(cenPt.getField("y"), 6).as("cen_lat"),
+      (cen1.getField("x") === lon1 && cen1.getField("y") === lat1)
+        .as("point_identity"),
+      stAsTextSpherical(single).as("wkt"))
+      .orderBy("k")
+  }
+
   /** Geometry accessors + validity (reference GeoFunctions.java ST_X/ST_Y,
     * ST_XMin…ST_YMax, ST_IsEmpty/IsClosed/IsRing/IsSimple/IsValid,
     * geometry_invalid_reason, ST_Dimension/CoordDim, ST_Boundary,
@@ -1940,6 +1971,7 @@ object Scalars {
     "fn_geo_pred" -> geoPred,
     "fn_geo_setops" -> geoSetOps,
     "fn_geo_sphere" -> geoSphere,
+    "fn_geo_sphere2" -> geoSphere2,
     "fn_geo_access" -> geoAccess,
     "fn_geo_holes" -> geoHoles,
     "fn_geo_hull" -> geoHull,
@@ -3031,6 +3063,29 @@ object Scalars {
         | CAST(2 AS BIGINT) AS n_geoms,
         | TRUE AS empty_geoms_null
         |FROM customer WHERE c_custkey <= 200 ORDER BY k""".stripMargin,
+    "fn_geo_sphere2" ->
+      """WITH g AS (SELECT c_custkey k,
+        |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) lat1,
+        |  CAST(c_custkey * 13 % 300 - 150 + 0.25 AS DOUBLE) lon1
+        | FROM customer WHERE c_custkey <= 300),
+        |v AS (SELECT k, lat1, lon1,
+        |  cos(radians(lat1)) * cos(radians(lon1)) +
+        |    cos(radians(lat1 + 1)) * cos(radians(lon1 + 2)) +
+        |    cos(radians(lat1 + 2)) * cos(radians(lon1 - 1)) AS xs,
+        |  cos(radians(lat1)) * sin(radians(lon1)) +
+        |    cos(radians(lat1 + 1)) * sin(radians(lon1 + 2)) +
+        |    cos(radians(lat1 + 2)) * sin(radians(lon1 - 1)) AS ys,
+        |  sin(radians(lat1)) + sin(radians(lat1 + 1)) +
+        |    sin(radians(lat1 + 2)) AS zs
+        | FROM g)
+        |SELECT k, 'Spherical:ST_Point' AS cen_t,
+        |  round(degrees(atan2(ys, xs)), 6) AS cen_lon,
+        |  round(degrees(asin(zs / sqrt(xs * xs + ys * ys + zs * zs))), 6)
+        |    AS cen_lat,
+        |  TRUE AS point_identity,
+        |  'POINT (' || CAST(lon1 AS VARCHAR) || ' ' || CAST(lat1 AS VARCHAR)
+        |    || ')' AS wkt
+        |FROM v ORDER BY k""".stripMargin,
     "fn_geo_sphere" ->
       """WITH g AS (SELECT c_custkey k,
         |  CAST(c_custkey * 7 % 140 - 70 + 0.25 AS DOUBLE) lat1,
