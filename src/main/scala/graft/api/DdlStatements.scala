@@ -33,7 +33,7 @@ import scala.collection.concurrent.TrieMap
 object DdlStatements {
 
   private sealed trait Entry
-  private case object ViewEntry extends Entry
+  private final case class ViewEntry(definition: String) extends Entry
   private final case class TableEntry(path: String) extends Entry
 
   private val objects = TrieMap.empty[(String, String), Entry]
@@ -55,6 +55,9 @@ object DdlStatements {
   private val Truncate =
     """(?is)\ATRUNCATE\s+TABLE\s+([\w.]+)\z""".r
   private val ShowTables = """(?is)\ASHOW\s+TABLES\z""".r
+  private val ShowCatalogs = """(?is)\ASHOW\s+CATALOGS\z""".r
+  private val ShowSchemas = """(?is)\ASHOW\s+SCHEMAS\z""".r
+  private val ShowCreateView = """(?is)\ASHOW\s+CREATE\s+VIEW\s+([\w.]+)\z""".r
   private val ShowColumns =
     """(?is)\A(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)\z""".r
   private val ShowFunctions =
@@ -72,12 +75,12 @@ object DdlStatements {
         if (orReplace == null && exists(spark, name))
           throw new IllegalArgumentException(s"View already exists: $name")
         ses.sql(query).createOrReplaceTempView(name)
-        objects.put((sid, name), ViewEntry)
+        objects.put((sid, name), ViewEntry(query.trim))
         Some(status(spark, "CREATE VIEW"))
       case DropView(ifExists, rawName) =>
         val name = local(rawName)
         objects.get((sid, name)) match {
-          case Some(ViewEntry) =>
+          case Some(_: ViewEntry) =>
             spark.catalog.dropTempView(name); objects.remove((sid, name))
             Some(status(spark, "DROP VIEW"))
           case Some(_: TableEntry) =>
@@ -107,7 +110,7 @@ object DdlStatements {
             spark.catalog.dropTempView(name); objects.remove((sid, name))
             deletePath(spark, path)
             Some(status(spark, "DROP TABLE"))
-          case Some(ViewEntry) =>
+          case Some(_: ViewEntry) =>
             throw new IllegalArgumentException(s"Not a table: $name (use DROP VIEW)")
           case None if ifExists != null => Some(status(spark, "DROP TABLE"))
           case None =>
@@ -133,7 +136,7 @@ object DdlStatements {
             spark.catalog.refreshByPath(path)
             spark.read.parquet(path).createOrReplaceTempView(name)
             Some(rowsResult(spark, n))
-          case Some(ViewEntry) =>
+          case Some(_: ViewEntry) =>
             throw new IllegalArgumentException(s"Inserting into views is not supported: $name")
           case None =>
             throw new IllegalArgumentException(s"Table not found: $name")
@@ -153,13 +156,13 @@ object DdlStatements {
       case RenameView(rawFrom, rawTo) =>
         val (from, to) = (local(rawFrom), local(rawTo))
         objects.get((sid, from)) match {
-          case Some(ViewEntry) =>
+          case Some(v: ViewEntry) =>
             if (exists(spark, to))
               throw new IllegalArgumentException(s"Target view already exists: $to")
             val plan = spark.table(from)
             spark.catalog.dropTempView(from); objects.remove((sid, from))
             plan.createOrReplaceTempView(to)
-            objects.put((sid, to), ViewEntry)
+            objects.put((sid, to), v)
             Some(status(spark, "RENAME VIEW"))
           case _ => throw new IllegalArgumentException(s"View not found: $from")
         }
@@ -180,6 +183,29 @@ object DdlStatements {
           .map(t => t.name.toLowerCase).sorted.map(Row(_)).toIndexedSeq
         Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
           StructType(Seq(StructField("table_name", StringType, nullable = false)))))
+      case ShowCatalogs() =>
+        // single-catalog engine (the coordinator's connector list —
+        // ShowQueriesRewrite visitShowCatalogs)
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row("graft")), 1),
+          StructType(Seq(StructField("catalog", StringType, nullable = false)))))
+      case ShowSchemas() =>
+        val rows = spark.catalog.listDatabases().collect()
+          .map(_.name.toLowerCase).sorted.map(Row(_)).toIndexedSeq
+        Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("schema", StringType, nullable = false)))))
+      case ShowCreateView(rawName) =>
+        val name = local(rawName)
+        objects.get((sid, name)) match {
+          case Some(ViewEntry(definition)) =>
+            Some(spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                Seq(Row(s"CREATE VIEW $name AS\n$definition")), 1),
+              StructType(Seq(
+                StructField("create_view", StringType, nullable = false)))))
+          case _ =>
+            throw new IllegalArgumentException(s"View not found: $name")
+        }
       case ShowColumns(rawName) =>
         val name = local(rawName)
         val rows = spark.table(name).schema.fields.toIndexedSeq.map { f =>

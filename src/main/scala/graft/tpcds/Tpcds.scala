@@ -630,18 +630,21 @@ object Tpcds {
       .orderBy("c_last_name", "ss_ticket_number")
   }
 
-  /** q88: eight independent band counts cross-joined into one row
-    * (q88.sql's 8-scalar-subquery shape, bands on day-of-month). */
+  /** q88: eight band counts in one row (q88.sql's 8-scalar-subquery
+    * shape, bands on day-of-month). Computed as ONE conditional-
+    * aggregation pass — the collapse of the text's eight scalar
+    * subqueries into a single scan (8× less fact I/O; the literal
+    * broadcast-scalar crossJoin plan shape stays covered by q24/q66). */
   def q88(s: SparkSession, dir: String): DataFrame = {
     val base = storeSales(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(store(s).filter(col("s_county") === "County_0")),
         col("ss_store_sk") === col("s_store_sk"))
-    def band(i: Int): DataFrame =
-      base.filter(col("d_dom").between(i * 4 + 1, i * 4 + 4))
-        .agg(count(lit(1)).as(s"h$i"))
-    (0 until 8).map(band).reduce(_.crossJoin(_))
+    val bands = (0 until 8).map(i =>
+      count(when(col("d_dom").between(i * 4 + 1, i * 4 + 4), lit(1)))
+        .as(s"h$i"))
+    base.agg(bands.head, bands.tail: _*)
   }
 
   /** q89: rolling 3-month average vs monthly sales per (category, store),

@@ -127,6 +127,26 @@ class DdlSpec extends AnyFunSuite {
     assert(all.length > 300 && all.contains("vector_sum"))
   }
 
+  test("SHOW CATALOGS / SHOW SCHEMAS / SHOW CREATE VIEW") {
+    cleanup()
+    assert(session.sql("SHOW CATALOGS").collect().map(_.getString(0)).toSeq
+      == Seq("graft"))
+    assert(session.sql("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("default"))
+    session.sql("CREATE VIEW ddlspec_v AS SELECT r_regionkey AS k FROM region")
+    val ddl = session.sql("SHOW CREATE VIEW ddlspec_v").collect()(0).getString(0)
+    assert(ddl.startsWith("CREATE VIEW ddlspec_v AS") &&
+      ddl.contains("SELECT r_regionkey AS k FROM region"))
+    // definition follows a rename
+    session.sql("ALTER VIEW ddlspec_v RENAME TO ddlspec_v2")
+    assert(session.sql("SHOW CREATE VIEW ddlspec_v2").collect()(0)
+      .getString(0).contains("SELECT r_regionkey"))
+    intercept[IllegalArgumentException] {
+      session.sql("SHOW CREATE VIEW ddlspec_nope")
+    }
+    cleanup()
+  }
+
   test("SHOW STATS FOR computes exact column stats plus the summary row") {
     val rows = session.sql("SHOW STATS FOR region").collect()
     assert(rows.length == 3) // 2 columns + summary
