@@ -23,15 +23,20 @@ object Bench {
     * an 8-file-relayout minimum (the r6 false-flags on q16/q17/q22 were
     * exactly this cross-layout comparison), so only artifacts recorded under
     * the same layout as the current run participate. Artifacts predating the
-    * "layout" field benched the fixture as given → "as-given". */
-  private def historicalBest(layout: String): Map[String, Double] = {
+    * "layout" field benched the fixture as given → "as-given". History is
+    * also SCALE-KEYED: an sf0.1 minimum is not comparable to an sf1 run
+    * (10× the rows), so only artifacts recorded against the same fixture
+    * basename participate; artifacts predating the "sf" field were all
+    * sf0.1. */
+  private def historicalBest(layout: String, sfName: String): Map[String, Double] = {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     // The driver wraps the bench JSON line inside a JSON string field, so in
     // the committed artifact every quote is escaped (\"q01\":1.2) — the
     // optional backslashes make the scan work on both raw and wrapped forms.
     val pat = """\\?"(q\d\d)\\?":([0-9][0-9.Ee+-]*)""".r
-    val layoutPat = """\\?"layout\\?":\\?"([A-Za-z0-9_-]+)\\?"""".r
+    val layoutPat = """\\?"layout\\?":\\?"([A-Za-z0-9_+-]+)\\?"""".r
+    val sfPat = """\\?"sf\\?":\\?"([^"\\]+)\\?"""".r
     files.toSeq
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f)
@@ -39,7 +44,9 @@ object Bench {
           val text = src.mkString
           val fileLayout = layoutPat.findFirstMatchIn(text)
             .map(_.group(1)).getOrElse("as-given")
-          if (fileLayout == layout)
+          val fileSf = sfPat.findFirstMatchIn(text).map(m =>
+            new java.io.File(m.group(1)).getName).getOrElse("sf0.1")
+          if (fileLayout == layout && fileSf == sfName)
             pat.findAllMatchIn(text)
               .map(m => m.group(1) -> m.group(2).toDouble).toList
           else Nil
@@ -138,7 +145,7 @@ object Bench {
       spark.catalog.clearCache()
       (name, med, min)
     }
-    val hist = historicalBest(layout)
+    val hist = historicalBest(layout, new java.io.File(sfDir).getName)
     def crossFlag(name: String, min: Double): Boolean =
       hist.get(name).exists(h => min > 1.5 * h)
     // One cooled-down re-measurement per flagged query (either detector).

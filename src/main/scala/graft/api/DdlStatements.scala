@@ -64,6 +64,8 @@ object DdlStatements {
     """(?is)\ASHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\z""".r
   private val ShowStats =
     """(?is)\ASHOW\s+STATS\s+FOR\s+([\w.]+)\z""".r
+  private val Explain =
+    """(?is)\AEXPLAIN\s+(?:\(\s*TYPE\s+(\w+)\s*\)\s+)?(?:(ANALYZE)\s+)?(.+)\z""".r
 
   /** Try to handle `text` as a DDL/catalog statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
@@ -229,7 +231,49 @@ object DdlStatements {
           StructType(Seq(StructField("function_name", StringType, nullable = false)))))
       case ShowStats(rawName) =>
         Some(showStats(spark, local(rawName)))
+      case Explain(typ, analyze, query) =>
+        Some(explain(ses, Option(typ).map(_.toUpperCase),
+          analyze != null, query))
       case _ => None
+    }
+  }
+
+  /** EXPLAIN [(TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO)] [ANALYZE] q — the
+    * reference's ExplainRewrite.java / ExplainTask mapped onto Catalyst:
+    * LOGICAL → the optimized logical plan, DISTRIBUTED (default) → the
+    * physical plan with its exchanges, VALIDATE → analysis only (row
+    * {valid: true}; analysis errors propagate), IO → the scanned paths +
+    * pruned read schema per source (IOPlanPrinter's catalog/columns
+    * view), ANALYZE → execute first, then report the plan plus the row
+    * count actually produced. */
+  private def explain(ses: SqlSession, typ: Option[String],
+      analyze: Boolean, query: String): DataFrame = {
+    val spark = ses.spark
+    val df = ses.sql(query)
+    def planRows(text: String): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(text)), 1),
+        StructType(Seq(StructField("query_plan", StringType, nullable = false))))
+    typ match {
+      case Some("VALIDATE") =>
+        df.queryExecution.assertAnalyzed()
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(true)), 1),
+          StructType(Seq(StructField("valid", BooleanType, nullable = false))))
+      case Some("IO") =>
+        val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Row(f.relation.location.rootPaths.mkString(", "),
+              f.requiredSchema.fieldNames.mkString(", "))
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(scans, 1),
+          StructType(Seq(StructField("source", StringType, nullable = false),
+            StructField("columns", StringType, nullable = false))))
+      case Some("LOGICAL") => planRows(df.queryExecution.optimizedPlan.toString)
+      case _ =>
+        if (analyze) {
+          val n = df.count()
+          planRows(df.queryExecution.executedPlan.toString + s"\nrows: $n")
+        } else planRows(df.queryExecution.executedPlan.toString)
     }
   }
 

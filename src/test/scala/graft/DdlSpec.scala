@@ -147,6 +147,23 @@ class DdlSpec extends AnyFunSuite {
     cleanup()
   }
 
+  test("EXPLAIN family: plan text, logical, validate, IO, analyze") {
+    val q = "SELECT r_name, count(*) AS n FROM region GROUP BY r_name"
+    val plan = session.sql(s"EXPLAIN $q").collect()(0).getString(0)
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+    val logical = session.sql(s"EXPLAIN (TYPE LOGICAL) $q").collect()(0).getString(0)
+    assert(logical.contains("Aggregate") && !logical.contains("Exchange"))
+    assert(session.sql(s"EXPLAIN (TYPE VALIDATE) $q").collect()(0).getBoolean(0))
+    intercept[Exception] {
+      session.sql("EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM region")
+    }
+    val io = session.sql("EXPLAIN (TYPE IO) SELECT r_name FROM region").collect()
+    assert(io.length == 1 && io(0).getString(0).contains("region") &&
+      io(0).getString(1) == "r_name", "pruned read schema surfaces")
+    val analyzed = session.sql(s"EXPLAIN ANALYZE $q").collect()(0).getString(0)
+    assert(analyzed.contains("rows: 5"))
+  }
+
   test("SHOW STATS FOR computes exact column stats plus the summary row") {
     val rows = session.sql("SHOW STATS FOR region").collect()
     assert(rows.length == 3) // 2 columns + summary
