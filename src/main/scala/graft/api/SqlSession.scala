@@ -566,9 +566,16 @@ object Dialect {
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>
-        renames.foldLeft(seg) { case (t, (from, to)) =>
+        val renamed = renames.foldLeft(seg) { case (t, (from, to)) =>
           t.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
         }
+        // reference bare niladic spellings Spark only accepts with parens
+        // (SqlBase.g4 specialDateTimeFunction: LOCALTIMESTAMP / LOCALTIME)
+        renamed
+          .replaceAll("(?i)\\blocaltimestamp\\b(?!\\s*\\()", "localtimestamp()")
+          .replaceAll("(?i)\\blocaltime\\b(?!\\s*\\()",
+            "make_time(hour(localtimestamp()), minute(localtimestamp()), " +
+              "CAST(extract(SECOND FROM localtimestamp()) AS DOUBLE))")
     }.mkString
   }
 }

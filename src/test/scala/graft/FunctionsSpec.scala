@@ -1062,4 +1062,44 @@ class FunctionsSpec extends AnyFunSuite {
       "(SELECT 'yyyy-MM-dd' AS fmt)").collect()(0)
     assert(n.getDate(0).toString == "2024-03-05")
   }
+
+  test("reference builtin names resolve through the session dialect") {
+    // the parity sweep's "missing from graft source" names that are in
+    // fact Spark builtins — pin that each reference spelling parses and
+    // evaluates through SqlSession (no shim needed, none silently lost)
+    val ses = api.SqlSession.wrap(spark)
+    val cases = Seq(
+      "CAST(ceiling(1.5) AS DOUBLE)" -> 2.0, "bit_length('a')" -> 8,
+      "ltrim(' x')" -> "x", "rtrim('x ')" -> "x",
+      "typeof(1)" -> "int",
+      "arrays_overlap(array(1), array(1))" -> true,
+      "array_union(array(1), array(2))" -> Seq(1, 2),
+      "array_intersect(array(1, 2), array(2))" -> Seq(2),
+      "array_except(array(1, 2), array(2))" -> Seq(1))
+    cases.foreach { case (exprTxt, expected) =>
+      val v = ses.sql(s"SELECT $exprTxt AS v").collect()(0).get(0)
+      val got = v match {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case other => other
+      }
+      assert(got == expected, s"$exprTxt -> $got")
+    }
+    // aggregate spellings (regr_* family exists natively since Spark 3.4)
+    val agg = ses.sql(
+      """SELECT regr_sxx(y, x) AS sxx, regr_sxy(y, x) AS sxy,
+        |  regr_syy(y, x) AS syy, regr_avgy(y, x) AS ay
+        |FROM (SELECT CAST(1.0 AS DOUBLE) AS x, CAST(2.0 AS DOUBLE) AS y
+        |      UNION ALL SELECT CAST(2.0 AS DOUBLE), CAST(4.0 AS DOUBLE))"""
+        .stripMargin).collect()(0)
+    assert(agg.getDouble(0) == 0.5 && agg.getDouble(1) == 1.0 &&
+      agg.getDouble(2) == 2.0 && agg.getDouble(3) == 3.0)
+    // session datetime spellings evaluate (values are clock-dependent);
+    // bare LOCALTIMESTAMP/LOCALTIME are reference grammar — the dialect
+    // adds the parens / TIME cast Spark requires
+    Seq("current_timestamp", "localtimestamp", "localtime").foreach { f =>
+      assert(ses.sql(s"SELECT $f AS v").collect().length == 1, f)
+    }
+    assert(ses.sql("SELECT localtime AS v").schema.head.dataType.sql
+      .toLowerCase.startsWith("time"), "localtime is a TIME value")
+  }
 }
