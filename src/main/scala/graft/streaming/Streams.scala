@@ -124,6 +124,33 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** LEFT OUTER interval stream-stream join: every click emits, matched
+    * or not — under readStream the unmatched side is held in state and
+    * released with nulls once BOTH watermarks pass the join window (the
+    * outer stream-stream contract, exercised with watermarks in
+    * StreamingSpec); in batch it is the identical left join + interval
+    * predicate. Aggregated per user: distinct clicks, matched pairs,
+    * clicks that never converted, value attributed (0 for no match). */
+  def outerIntervalJoin(df: DataFrame): DataFrame = {
+    val clicks = df.filter(col("event_type") === "click")
+      .select(col("user_id"), eventMicros(df).as("c_ts"),
+        col("event_id").as("c_id"))
+    val buys = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), eventMicros(df).as("b_ts"),
+        col("value").as("b_value"))
+    clicks.join(buys,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") < col("c_ts") + lit(15L * MIN_US), "left")
+      .groupBy("user_id")
+      .agg(countDistinct(col("c_id")).as("n_clicks"),
+        count(col("b_user")).as("n_pairs"),
+        countDistinct(when(col("b_user").isNull, col("c_id")))
+          .as("n_unconverted"),
+        dsum(coalesce(col("b_value"), lit(0.0))).as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment join: the unbounded event stream against a
     * small static dimension. Under readStream the static side needs no
     * watermark and no state store — it is broadcast into every micro-batch
@@ -168,6 +195,7 @@ object Streams {
       approxDistinctWindow(t(s, dir, "events"))),
     "stream_static_join" -> staticEnrich,
     "stream_interval_join" -> ((s, dir) => intervalJoin(t(s, dir, "events"))),
+    "stream_outer_join" -> ((s, dir) => outerIntervalJoin(t(s, dir, "events"))),
     "stream_tumbling" -> ((s, dir) => tumbling(t(s, dir, "events"))),
     "stream_sliding" -> ((s, dir) => sliding(t(s, dir, "events"))),
     "stream_sessions" -> ((s, dir) => sessions(t(s, dir, "events"))),
@@ -196,6 +224,20 @@ object Streams {
         | count(DISTINCT c_id) AS n_clicks_converted,
         | CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         |FROM c JOIN b ON user_id = b_user
+        | AND b_ts >= c_ts AND b_ts < c_ts + 900000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_outer_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS b_user, epoch_us(ts) AS b_ts, value AS b_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(DISTINCT c_id) AS n_clicks,
+        | count(b_user) AS n_pairs,
+        | count(DISTINCT CASE WHEN b_user IS NULL THEN c_id END)
+        |   AS n_unconverted,
+        | CAST(SUM(CAST(COALESCE(b_value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS attributed_value
+        |FROM c LEFT JOIN b ON user_id = b_user
         | AND b_ts >= c_ts AND b_ts < c_ts + 900000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->

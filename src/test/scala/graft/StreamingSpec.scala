@@ -183,6 +183,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join releases unmatched rows with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val c = clicks.toDF().toDF("c_t", "c_user", "c_id")
+      .withWatermark("c_t", "10 minutes")
+    val b = buys.toDF().toDF("b_t", "b_user", "b_value")
+      .withWatermark("b_t", "10 minutes")
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_t") >= col("c_t") &&
+        col("b_t") < col("c_t") + expr("INTERVAL 15 MINUTES"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssouter_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(60), 1L, 100L), (ts(60), 2L, 101L))
+      buys.addData((ts(65), 1L, 9.5)) // user 1 converts; user 2 never does
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the join window so the state
+      // store can emit user 2's click as an unmatched (null) outer row
+      clicks.addData((ts(200), 9L, 999L))
+      buys.addData((ts(200), 9L, 0.1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT c_id, b_value FROM ssouter_test WHERE c_id IN (100, 101)")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(rows == Set((100L, Some(9.5)), (101L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batch outer interval-join counts unconverted clicks") {
+    import spark.implicits._
+    val df = Seq(
+      ("click", 1L, 0L * 60000000000L, 1L, 0.0),
+      ("purchase", 1L, 5L * 60000000000L, 2L, 9.5),
+      ("click", 2L, 0L * 60000000000L, 4L, 0.0) // never converts
+    ).toDF("event_type", "user_id", "ts", "event_id", "value")
+    val r = graft.streaming.Streams.outerIntervalJoin(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(r == Set((1L, 1L, 1L, 0L, 9.5), (2L, 1L, 0L, 1L, 0.0)), s"got $r")
+  }
+
   test("batch interval-join logic matches a hand-computed case") {
     import spark.implicits._
     val df = Seq(
