@@ -64,8 +64,11 @@ object DdlStatements {
     """(?is)\ASHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\z""".r
   private val ShowStats =
     """(?is)\ASHOW\s+STATS\s+FOR\s+([\w.]+)\z""".r
+  // Spark-native modes (EXPLAIN COST/EXTENDED/FORMATTED/CODEGEN) pass
+  // through to spark.sql untouched — only the reference's (TYPE …) /
+  // ANALYZE / bare forms dispatch here.
   private val Explain =
-    """(?is)\AEXPLAIN\s+(?:\(\s*TYPE\s+(\w+)\s*\)\s+)?(?:(ANALYZE)\s+)?(.+)\z""".r
+    """(?is)\AEXPLAIN\s+(?!(?:COST|EXTENDED|FORMATTED|CODEGEN)\b)(?:\(\s*TYPE\s+(\w+)\s*\)\s+)?(?:(ANALYZE)\s+)?(.+)\z""".r
 
   /** Try to handle `text` as a DDL/catalog statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
