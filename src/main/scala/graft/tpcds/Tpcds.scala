@@ -2600,16 +2600,22 @@ object Tpcds {
     val refunds = catalogReturns(s, dir)
       .groupBy(col("cr_item_sk"))
       .agg(dsum(col("cr_return_amount"), "refund"))
+    // both year-branches semi-filter through the same two derived sets —
+    // cache them so the excess-refund item list and the returned-ticket
+    // keys are computed once, not per branch (Bench/Verify clear the
+    // cache between queries)
     val csUi = catalogSales(s, dir)
       .groupBy(col("cs_item_sk").as("u_item"))
       .agg(dsum(col("cs_ext_sales_price"), "sale"))
       .join(refunds, col("u_item") === col("cr_item_sk"))
       .filter(col("sale") > col("refund") * 2)
       .select("u_item")
+      .persist()
+    val srKeys = storeReturns(s, dir)
+      .select("sr_ticket_number", "sr_item_sk").distinct().persist()
     def crossSales(yr: Int, p: String): DataFrame =
       storeSales(s, dir)
-        .join(storeReturns(s, dir)
-            .select("sr_ticket_number", "sr_item_sk").distinct(),
+        .join(srKeys,
           col("ss_ticket_number") === col("sr_ticket_number") &&
             col("ss_item_sk") === col("sr_item_sk"), "leftsemi")
         .join(csUi, col("ss_item_sk") === col("u_item"), "leftsemi")
