@@ -2553,6 +2553,9 @@ object Tpcds {
       .join(customerDim(s, dir), col("ss_customer_sk") === col("c_customer_sk"))
       .groupBy("c_last_name", "c_first_name", "s_store_name", "i_category")
       .agg(dsum(col("ss_sales_price"), "netpaid"))
+      // consumed twice — as the per-customer rows and as the scalar
+      // threshold — so the joined aggregate materializes once
+      .persist()
     val thr = ssales.agg((davg(col("netpaid")) * 0.05).as("thr"))
     ssales.crossJoin(broadcast(thr))
       .filter(col("netpaid") > col("thr"))
