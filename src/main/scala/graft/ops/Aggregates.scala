@@ -523,7 +523,10 @@ object Aggregates {
     * fall-out, thresholds, plus the 4-arg weighted precision. The oracle
     * replays the prefix-scan over the same 4-bin histogram; scores sit on
     * dyadic bucket boundaries only at exactly-representable points so the
-    * binning is cross-engine stable. */
+    * binning is cross-engine stable. The parallel arrays are zipped and
+    * exploded to one scalar row per threshold — the aggregates' array shape
+    * is an engine detail, and scalar rows are the hash-comparable surface
+    * (array cells aren't sortable by the comparison harness). */
   def classification2(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, dir, "orders")
@@ -537,6 +540,12 @@ object Aggregates {
         expr("transform(classification_miss_rate(4, label, score), x -> round(x, 6))").as("miss"),
         expr("transform(classification_fall_out(4, label, score), x -> round(x, 6))").as("fo"),
         expr("transform(classification_precision(4, label, score, w), x -> round(x, 6))").as("prec_w"))
+      .select(posexplode(arrays_zip(col("ths"), col("prec"), col("rec"),
+        col("miss"), col("fo"), col("prec_w"))).as(Seq("i", "z")))
+      .select(col("i"), col("z.ths").as("threshold"),
+        col("z.prec").as("prec"), col("z.rec").as("rec"),
+        col("z.miss").as("miss"), col("z.fo").as("fo"),
+        col("z.prec_w").as("prec_w"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,15 +628,13 @@ object Aggregates {
         |    SUM(tww) OVER () totTW, SUM(fww) OVER () totFW
         |  FROM h),
         |e AS (SELECT * FROM s WHERE totT > runT)
-        |SELECT list(i / 4.0 ORDER BY i) AS ths,
-        | list(round((totT - runT) / ((totT - runT) + (totF - runF)), 6)
-        |   ORDER BY i) AS prec,
-        | list(round((totT - runT) / totT, 6) ORDER BY i) AS rec,
-        | list(round(runT / totT, 6) ORDER BY i) AS miss,
-        | list(round((totF - runF) / totF, 6) ORDER BY i) AS fo,
-        | list(round((totTW - runTW) / ((totTW - runTW) + (totFW - runFW)), 6)
-        |   ORDER BY i) AS prec_w
-        |FROM e""".stripMargin,
+        |SELECT CAST(i AS INT) AS i, i / 4.0 AS threshold,
+        | round((totT - runT) / ((totT - runT) + (totF - runF)), 6) AS prec,
+        | round((totT - runT) / totT, 6) AS rec,
+        | round(runT / totT, 6) AS miss,
+        | round((totF - runF) / totF, 6) AS fo,
+        | round((totTW - runTW) / ((totTW - runTW) + (totFW - runFW)), 6) AS prec_w
+        |FROM e ORDER BY i""".stripMargin,
     "agg_entropy_vasicek" ->
       """WITH s AS (SELECT c_mktsegment g, CAST(c_acctbal AS DOUBLE) x FROM customer),
         |o AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i,

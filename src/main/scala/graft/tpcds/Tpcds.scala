@@ -586,8 +586,9 @@ object Tpcds {
       .orderBy("ca_zip")
 
   /** q23-lite: frequent items (bought in ≥4 distinct months) × best
-    * customers (top-spend quartile) → cross-channel revenue. Keeps q23's
-    * two-CTE IN-filter shape at fixture scale. */
+    * customers (spend ≥ half the max spend — the text's max-derived scalar
+    * cutoff shape) → cross-channel revenue. Keeps q23's two-CTE IN-filter
+    * shape at fixture scale. */
   def q23(s: SparkSession, dir: String): DataFrame = {
     val dd = broadcast(dateDim(s))
     val frequent = storeSales(s, dir)
@@ -598,8 +599,12 @@ object Tpcds {
     val spend = storeSales(s, dir)
       .groupBy(col("ss_customer_sk").as("b_cust"))
       .agg(dsum(col("ss_sales_price"), "spend"))
-    val cutoff = spend.agg(
-      expr("percentile(spend, 0.75)").as("c")).select("c")
+    // Best-customer cutoff as a max-derived scalar (the reference q23 text's
+    // own shape: `> 95/100.0 * (select max(csales) ...)`, q23.sql:20). An
+    // exact percentile here would merge a value→count map into ONE final
+    // buffer — a multi-GB single-task hazard at 100× customers; max() has
+    // constant mergeable state.
+    val cutoff = spend.agg((max(col("spend")) * 0.5).as("c"))
     val best = spend.join(broadcast(cutoff)).filter(col("spend") >= col("c"))
       .select("b_cust")
     catalogSales(s, dir)
@@ -3424,7 +3429,7 @@ object Tpcds {
       |    SELECT b_cust FROM
       |      (SELECT ss_customer_sk AS b_cust, ${ds_sum("ss_sales_price", "spend")}
       |       FROM store_sales GROUP BY 1) sp,
-      |      (SELECT quantile_cont(spend, 0.75) AS c FROM
+      |      (SELECT 0.5 * max(spend) AS c FROM
       |        (SELECT ss_customer_sk AS b_cust, ${ds_sum("ss_sales_price", "spend")}
       |         FROM store_sales GROUP BY 1) sp2) cut
       |    WHERE spend >= c)""".stripMargin),

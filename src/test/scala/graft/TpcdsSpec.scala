@@ -124,6 +124,13 @@ class TpcdsSpec extends AnyFunSuite {
       "materialized facts answer identically to the derivation")
   }
 
+  test("q23's cutoff is a mergeable max, not an exact percentile") {
+    val plan = Tpcds.q23(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile"),
+      "no exact-percentile single-buffer merge in the plan")
+    assert(plan.contains("max(spend"), "max-derived scalar cutoff")
+  }
+
   test("q14's shared pre-aggregate is cached (one pass over the channels)") {
     val plan = Tpcds.q14(spark, sf).queryExecution.optimizedPlan.toString
     assert(plan.contains("InMemoryRelation"),

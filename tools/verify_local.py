@@ -77,6 +77,24 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # Harness-shape check: the driver sorts rows via pandas before
+        # hashing, and pandas' lexsort crashes on ndarray cells when it has
+        # to use a nested column as a sort key ("unhashable type:
+        # numpy.ndarray" — the r7 agg_classification2 incident). Empirically
+        # multi-row frames WITH scalar columns (agg_collect) survive, but a
+        # frame whose every column is nested has no usable sort key → hard
+        # FAIL here so it never reaches the driver.
+        nested = [c for c, t in gtypes.items()
+                  if str(t).startswith(("list", "large_list", "struct", "map"))]
+        if nested and len(nested) == len(gtypes):
+            print(f"FAIL {name}: all {len(nested)} output columns are nested "
+                  f"({nested}) — driver's pandas sort has no scalar key and "
+                  f"crashes; reshape to scalar rows (posexplode)")
+            n_fail += 1
+            continue
+        if nested and len(grows) > 1:
+            print(f"WARN {name}: nested columns {nested} in a {len(grows)}-row "
+                  f"frame — driver-sort risk; prefer scalar columns")
         # Type-level compare: the driver hashes binary values, so a DuckDB
         # HUGEINT vs Spark BIGINT mismatch fails there even when the Python
         # ints compare equal here (this is exactly how q12 slipped in r01).
