@@ -265,6 +265,13 @@ object Dialect {
   // single \s before AS: masked literals read as spaces, so a greedy \s+
   // would swallow the cast content when it is a string literal
   private val charCastTail = "(?is)\\sAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)$".r
+  /** Reference DECIMAL 'n.n' typed literals (SqlBase.g4 typeConstructor,
+    * e.g. `DECIMAL '1.2'` in the benchto TPC-DS texts) → Spark's
+    * BD-suffixed exact decimal literal. Runs pre-segmentation because the
+    * quoted number is lexically a string literal. */
+  private def rewriteDecimalLiteral(original: String): String =
+    original.replaceAll("(?i)\\bdecimal\\s+'(-?[0-9]+(?:\\.[0-9]+)?)'", "$1BD")
+
   private def rewriteCharCast(original: String): String = {
     var cur = original
     var changed = true
@@ -562,7 +569,7 @@ object Dialect {
           "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
-        rewriteCharCast(rewriteStrpos3(text)))))),
+        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(text))))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>
@@ -572,6 +579,9 @@ object Dialect {
         // reference bare niladic spellings Spark only accepts with parens
         // (SqlBase.g4 specialDateTimeFunction: LOCALTIMESTAMP / LOCALTIME)
         renamed
+          // reference's unbounded VARCHAR type name (StandardTypes.java:31)
+          // — Spark's varchar demands a length; STRING is the same type
+          .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "string")
           .replaceAll("(?i)\\blocaltimestamp\\b(?!\\s*\\()", "localtimestamp()")
           .replaceAll("(?i)\\blocaltime\\b(?!\\s*\\()",
             "make_time(hour(localtimestamp()), minute(localtimestamp()), " +

@@ -768,7 +768,8 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.Cast(
             es(0), org.apache.spark.sql.types.StringType), es(1)))),
     ("bar", "bar(fraction, width[, lowColor, highColor]) - ANSI bar chart cell",
-      es => ColorCall("bar", dbl(es(0)) +: es.drop(1))))
+      es => ColorCall("bar", dbl(es(0)) +: es.drop(1)))) ++
+    GeoSqlNames.entries // the ST_* geometry surface (GeoFunctions.java:144)
 
   private def cast(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
     if (e.dataType == dt) e

@@ -442,13 +442,44 @@ object Relational {
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
     "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry,
-    "sql_prepared" -> sqlPrepared)
+    "sql_prepared" -> sqlPrepared, "sql_geo" -> sqlGeo)
 
   /** PREPARE / EXECUTE USING through the session-statement layer
     * (reference PrepareTask.java + the ? parameter rewrite,
     * ParameterRewriter.java): the prepared text carries two positional
     * parameters bound at EXECUTE time; DESCRIBE INPUT/OUTPUT and
     * SET/SHOW SESSION on the same surface are pinned in SqlSessionSpec. */
+  /** The geometry surface through SQL TEXT (GeoSqlNames.scala): WKT
+    * construction, holed-polygon area/contains, line×polygon intersects,
+    * point distance, centroid WKT rendering, line referencing, bing
+    * quadkeys — all composed in one reference-dialect query through
+    * SqlSession.sql(), the way the reference's users call them
+    * (geospatial/GeoFunctions.java:144 registers each as a SQL function).
+    * Every value is arithmetic the DuckDB oracle replays exactly: integer
+    * side lengths, dyadic hole coordinates, correctly-rounded divisions. */
+  def sqlGeo(s: SparkSession, dir: String): DataFrame = {
+    val ses = graft.api.SqlSession.wrap(s)
+    t(s, dir, "supplier").createOrReplaceTempView("supplier")
+    def poly = "ST_GeometryFromText('POLYGON ((0 0, ' || CAST(side AS VARCHAR) ||" +
+      " ' 0, ' || CAST(side AS VARCHAR) || ' ' || CAST(side AS VARCHAR) ||" +
+      " ', 0 ' || CAST(side AS VARCHAR) ||" +
+      " ', 0 0), (0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))')"
+    ses.sql(s"""WITH g AS (SELECT s_suppkey AS k, s_suppkey % 7 + 1 AS side,
+      |    s_suppkey % 11 AS frac10, s_suppkey % 8 AS m
+      |  FROM supplier)
+      |SELECT k,
+      |  ST_Area($poly) AS area,
+      |  ST_Contains($poly, ST_Point(2.5, 2.5)) AS inside,
+      |  ST_Intersects($poly, ST_GeometryFromText(
+      |    'LINESTRING (-1 2.5, ' || CAST(side + 1 AS VARCHAR) || ' 2.5)')) AS crossed,
+      |  round(ST_Distance(ST_Point(0, 0), ST_Point(side, side)), 6) AS dist,
+      |  ST_AsText(ST_Centroid($poly)) AS cwkt,
+      |  round(line_locate_point(ST_GeometryFromText('LINESTRING (0 0, 10 0)'),
+      |    ST_Point(frac10, 5)), 6) AS locate,
+      |  bing_tile_quadkey(bing_tile(CAST(m AS INT), CAST(m AS INT), 3)) AS quad
+      |FROM g ORDER BY k""".stripMargin)
+  }
+
   def sqlPrepared(s: SparkSession, dir: String): DataFrame = {
     val ses = graft.api.SqlSession.wrap(s)
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -461,6 +492,22 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "sql_geo" ->
+      """WITH g AS (SELECT s_suppkey AS k, s_suppkey % 7 + 1 AS side,
+        |    s_suppkey % 11 AS frac10, s_suppkey % 8 AS m
+        |  FROM supplier)
+        |SELECT k,
+        |  CAST(side * side AS DOUBLE) - 0.25 AS area,
+        |  side > 2.5 AS inside,
+        |  side > 2.5 AS crossed,
+        |  round(sqrt(CAST(side * side + side * side AS DOUBLE)), 6) AS dist,
+        |  'POINT (' || CAST(CAST(side AS DOUBLE) / 2 AS VARCHAR) || ' '
+        |    || CAST(CAST(side AS DOUBLE) / 2 AS VARCHAR) || ')' AS cwkt,
+        |  round(CAST(frac10 AS DOUBLE) / 10, 6) AS locate,
+        |  (CASE WHEN m >= 4 THEN '3' ELSE '0' END)
+        |    || (CASE WHEN m % 4 >= 2 THEN '3' ELSE '0' END)
+        |    || (CASE WHEN m % 2 = 1 THEN '3' ELSE '0' END) AS quad
+        |FROM g ORDER BY k""".stripMargin,
     "sql_prepared" ->
       """SELECT l_returnflag AS flag, count(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
