@@ -73,7 +73,7 @@ object DdlStatements {
   /** Try to handle `text` as a DDL/catalog statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
     val spark = ses.spark
-    val sid = String.valueOf(System.identityHashCode(spark))
+    val sid = DdlStatements.sessionId(spark)
     text.trim.stripSuffix(";").trim match {
       case CreateView(orReplace, rawName, query) =>
         val name = local(rawName)
@@ -136,11 +136,17 @@ object DdlStatements {
             val aligned = src.select(src.columns.zip(target.fields).map {
               case (c, f) => col(c).cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
-            val n = aligned.count()
+            // single execution: count the table before and after the write
+            // (a separate count() would run the source query twice and
+            // could disagree with the appended rows for nondeterministic
+            // sources — the reference's insert row count is what LANDED,
+            // TableFinishOperator.java)
+            val before = spark.read.parquet(path).count()
             aligned.write.mode(SaveMode.Append).parquet(path)
             spark.catalog.refreshByPath(path)
-            spark.read.parquet(path).createOrReplaceTempView(name)
-            Some(rowsResult(spark, n))
+            val back = spark.read.parquet(path)
+            back.createOrReplaceTempView(name)
+            Some(rowsResult(spark, back.count() - before))
           case Some(_: ViewEntry) =>
             throw new IllegalArgumentException(s"Inserting into views is not supported: $name")
           case None =>
@@ -349,6 +355,17 @@ object DdlStatements {
         .mkString("row(", ", ", ")")
     case other => other.sql.toLowerCase
   }
+
+  /** Session key for state maps and on-disk table paths: a UUID assigned
+    * per SparkSession instance. Identity hashes are NOT unique — two
+    * sessions (or two JVMs sharing java.io.tmpdir/graft-tables) can
+    * collide, letting one session's CTAS overwrite or DROP delete
+    * another's data. The weak map lets sessions be collected. */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   private def local(name: String): String = name.split('.').last.toLowerCase
 

@@ -41,7 +41,7 @@ object SessionStatements {
   /** Try to handle `text` as a session statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
     val spark = ses.spark
-    val sid = String.valueOf(System.identityHashCode(spark))
+    val sid = DdlStatements.sessionId(spark)
     text.trim.stripSuffix(";").trim match {
       case Prepare(name, query) =>
         prepared.put((sid, name.toLowerCase), query.trim)
@@ -66,7 +66,10 @@ object SessionStatements {
           List.fill(countParameters(lookup(sid, name)))("NULL"))).schema
         Some(spark.createDataFrame(
           spark.sparkContext.parallelize(
-            schema.fields.map(f => Row(f.name, f.dataType.sql.toLowerCase)).toSeq, 1),
+            // reference type spellings (DescribeOutputRewrite emits varchar
+            // etc.), matching SHOW COLUMNS' vocabulary
+            schema.fields.map(f =>
+              Row(f.name, DdlStatements.prestoTypeName(f.dataType))).toSeq, 1),
           StructType(Seq(StructField("column_name", StringType, nullable = false),
             StructField("type", StringType, nullable = false)))))
       case SetSess(key, raw) =>

@@ -19,15 +19,20 @@ object TeradataFormat {
     "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DD" -> "dd",
     "HH24" -> "HH", "HH" -> "hh", "MI" -> "mm", "SS" -> "ss")
 
-  /** Does the format use any Teradata-specific element spelling? (DD and
-    * YYYY are Teradata day/year; java's are day-of-year/week-year.) Any
-    * lowercase letter marks the format as a Java pattern: Teradata elements
-    * are all-uppercase, and treating mixed-case strings as Teradata would
-    * hijack Java patterns like yyyy-MM-dd'T'HH:mm:ss.SSS that reach the
-    * overridden to_date/to_timestamp names from the DataFrame API. */
-  def looksTeradata(fmt: String): Boolean =
-    !fmt.exists(_.isLower) &&
-      Seq("YYYY", "YY", "DD", "HH24", "HH", "MI", "SS").exists(fmt.contains)
+  /** Does the format use the Teradata element vocabulary? The reference's
+    * tokenizer is case-insensitive (its own tests spell
+    * 'yyyy/mm/dd hh24:mi:ss' lowercase), so any SINGLE-CASED format —
+    * all-upper or all-lower — whose elements match is Teradata. Mixed case
+    * marks a Java pattern: treating it as Teradata would hijack patterns
+    * like yyyy-MM-dd'T'HH:mm:ss.SSS that reach the overridden
+    * to_date/to_timestamp names from the DataFrame API. */
+  def looksTeradata(fmt: String): Boolean = {
+    val letters = fmt.filter(_.isLetter)
+    val singleCased = letters.forall(_.isUpper) || letters.forall(_.isLower)
+    val up = fmt.toUpperCase
+    singleCased &&
+      Seq("YYYY", "YY", "DD", "HH24", "HH", "MI", "SS").exists(up.contains)
+  }
 
   /** Teradata format → java DateTimeFormatter pattern. Non-element
     * letters are single-quoted so they stay literal. */
@@ -35,7 +40,9 @@ object TeradataFormat {
     val sb = new StringBuilder
     var i = 0
     while (i < fmt.length) {
-      tokens.find { case (td, _) => fmt.startsWith(td, i) } match {
+      // case-insensitive element match (reference lexer), literal case kept
+      tokens.find { case (td, _) =>
+        fmt.regionMatches(true, i, td, 0, td.length) } match {
         case Some((td, j)) => sb.append(j); i += td.length
         case None =>
           val c = fmt.charAt(i)
