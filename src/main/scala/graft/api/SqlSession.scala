@@ -67,6 +67,9 @@ object SqlSession {
     // and interval arithmetic all work once enabled. `time with time
     // zone` stays unsupported with a clear dialect error.
     spark.conf.set("spark.sql.timeType.enabled", "true")
+    // reference identifiers are ANSI double-quoted ("table"."column" —
+    // every benchto text); strings are single-quoted in both dialects
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     GraftFunctions.register(spark)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.rules.CombineApproxPercentiles))
@@ -271,6 +274,26 @@ object Dialect {
     * quoted number is lexically a string literal. */
   private def rewriteDecimalLiteral(original: String): String =
     original.replaceAll("(?i)\\bdecimal\\s+'(-?[0-9]+(?:\\.[0-9]+)?)'", "$1BD")
+
+  /** ANSI double-quoted identifiers (`"table"."column"` — every reference
+    * text, SqlBase.g4 quotedIdentifier) → Spark backticks. Spark's
+    * doubleQuotedIdentifiers conf covers reference positions but not
+    * aliases (`expr "alias"`), so the dialect rewrites the quote character
+    * itself. Double quotes inside single-quoted strings are data and are
+    * left alone; the reference dialect has no double-quoted strings. */
+  private def rewriteAnsiQuotes(original: String): String = {
+    val sb = new StringBuilder(original.length)
+    var inStr = false
+    var i = 0
+    while (i < original.length) {
+      val c = original.charAt(i)
+      if (c == '\'') { inStr = !inStr; sb.append(c) }
+      else if (c == '"' && !inStr) sb.append('`')
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   private def rewriteCharCast(original: String): String = {
     var cur = original
@@ -569,7 +592,8 @@ object Dialect {
           "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
-        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(text))))))),
+        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(
+          rewriteAnsiQuotes(text)))))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>

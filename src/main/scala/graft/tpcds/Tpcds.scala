@@ -43,7 +43,18 @@ object Tpcds {
   private def mat(s: SparkSession, dir: String, name: String)
       (derive: => DataFrame): DataFrame = {
     val p = new java.io.File(dir, s"_tpcds/$name")
-    if (p.isDirectory) s.read.parquet(p.getAbsolutePath) else derive
+    // Reuse only a COMPLETE write (Hadoop's _SUCCESS marker) whose schema
+    // matches the current derivation — a builder change or a crashed write
+    // would otherwise silently serve stale/partial parquet.
+    if (new java.io.File(p, "_SUCCESS").isFile) {
+      val derived = derive
+      val onDisk = s.read.parquet(p.getAbsolutePath)
+      if (onDisk.columns.sameElements(derived.columns)) onDisk
+      else {
+        derived.write.mode("overwrite").parquet(p.getAbsolutePath)
+        s.read.parquet(p.getAbsolutePath)
+      }
+    } else derive
   }
 
   /** The derived facts a bench run materializes (big enough to matter —
@@ -59,7 +70,7 @@ object Tpcds {
   def materializeFacts(s: SparkSession, dir: String): Unit =
     materializableFacts.foreach { n =>
       val out = new java.io.File(dir, s"_tpcds/$n")
-      if (!out.isDirectory) {
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
         val df = n match {
           case "store_sales" => deriveStoreSales(s, dir)
           case "store_returns" => deriveStoreReturns(s, dir)
@@ -101,6 +112,8 @@ object Tpcds {
       (col("p_partkey") % 10).as("i_category_id"),
       concat(lit("CLASS_"), (col("p_partkey") % 8)).as("i_class"),
       (col("p_partkey") % 100).as("i_manufact_id"),
+      concat(lit("MFG_"), col("p_partkey") % 100).as("i_manufact"),
+      concat(lit("DESC_"), col("p_partkey")).as("i_item_desc"),
       (col("p_partkey") % 50).as("i_manager_id"),
       col("p_retailprice").as("i_current_price"))
 
@@ -122,6 +135,8 @@ object Tpcds {
       col("c_custkey").as("c_current_addr_sk"),
       (col("c_custkey") % 100).as("c_current_cdemo_sk"),
       (col("c_custkey") % 50).as("c_current_hdemo_sk"),
+      expr("CASE c_custkey % 4 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.' " +
+        "WHEN 2 THEN 'Ms.' ELSE 'Dr.' END").as("c_salutation"),
       when(col("c_custkey") % 3 === 0, "Y").otherwise("N")
         .as("c_preferred_cust_flag"))
 

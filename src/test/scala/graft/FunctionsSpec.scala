@@ -1050,8 +1050,11 @@ class FunctionsSpec extends AnyFunSuite {
     // translator (regression: the session-wide override once mangled
     // yyyy-MM-dd'T'HH:mm:ss.SSS reached via the DataFrame API)
     val r = spark.sql(
+      // single-quoted with '' escapes: the session runs with ANSI
+      // doubleQuotedIdentifiers (reference quoting), so "..." is an
+      // identifier, not a string
       "SELECT to_timestamp('2024-03-05T06:07:08.125', " +
-        "\"yyyy-MM-dd'T'HH:mm:ss.SSS\") AS ts, " +
+        "'yyyy-MM-dd''T''HH:mm:ss.SSS') AS ts, " +
         "to_date('2024-03-05', 'yyyy-MM-dd') AS d, " +
         "to_date('2024/03/05', 'YYYY/MM/DD') AS td").collect()(0)
     assert(r.getTimestamp(0).toString == "2024-03-05 06:07:08.125")

@@ -127,35 +127,61 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(r.getString(0) == "a" && r.getInt(1) == 7)
   }
 
-  test("reference benchto TPC-H texts run unmodified through SqlSession") {
+  test("ALL 22 reference benchto TPC-H texts run through SqlSession") {
     // benchto instantiates "${database}"."${schema}"."${prefix}table" via
     // template substitution and uses the tpch connector's UNPREFIXED column
-    // names (presto-tpch); the adapter views below are that instantiation.
-    val views = Map(
-      "part" -> "p_partkey partkey, p_name name, p_brand brand, p_type type, p_size size, p_retailprice retailprice",
-      "supplier" -> "s_suppkey suppkey, s_name name, s_nationkey nationkey, s_acctbal acctbal",
-      "customer" -> "c_custkey custkey, c_name name, c_nationkey nationkey, c_acctbal acctbal, c_mktsegment mktsegment",
-      "orders" -> "o_orderkey orderkey, o_custkey custkey, o_orderstatus orderstatus, o_totalprice totalprice, o_orderdate orderdate, o_orderpriority orderpriority",
-      "lineitem" -> "l_orderkey orderkey, l_partkey partkey, l_suppkey suppkey, l_linenumber linenumber, l_quantity quantity, l_extendedprice extendedprice, l_discount discount, l_tax tax, l_returnflag returnflag, l_linestatus linestatus, l_shipdate shipdate",
-      "nation" -> "n_nationkey nationkey, n_name name, n_regionkey regionkey",
-      "region" -> "r_regionkey regionkey, r_name name")
+    // names (presto-tpch); BenchtoSchema registers that instantiation,
+    // deriving the columns the fixture star schema lacks (partsupp,
+    // commit/receipt dates, ship modes, phones, containers, comments).
     session.table("lineitem") // force loadTables before the adapter views
-    views.foreach { case (t, cols) =>
-      spark.sql(s"CREATE OR REPLACE TEMP VIEW tpch_$t AS SELECT $cols FROM $t")
-    }
+    tpch.BenchtoSchema.register(spark, sf)
+    // fixture-domain parameter substitutions (same role as benchto's own
+    // template parameters): nations are NATION_<k>, part types/names are
+    // single-word domains
+    val params = Seq(
+      // nations picked to have suppliers in the fixture (10 suppliers
+      // spread over 25 nations leave most supplier-less)
+      "FRANCE" -> "NATION_19", "GERMANY" -> "NATION_20", "BRAZIL" -> "NATION_2",
+      "CANADA" -> "NATION_3", "SAUDI ARABIA" -> "NATION_20",
+      "%BRASS" -> "%PROMO", "ECONOMY ANODIZED STEEL" -> "ECONOMY",
+      "MEDIUM POLISHED%" -> "MEDIUM%", "%green%" -> "%widget%",
+      "forest%" -> "blue%",
+      // fixture calendar runs 1995-2001, not the kit's 1992-1998
+      "'1992-" -> "'1995-", "'1993-" -> "'1996-", "'1994-" -> "'1997-")
     val dir = "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpch"
-    // the subset whose columns exist in the fixture star schema (no
-    // partsupp / commitdate / shipmode / comment / phone / container)
-    val runnable = Seq("q01", "q05", "q06", "q07", "q08", "q14", "q18")
-    for (q <- runnable) {
+    val all = (1 to 22).map(i => f"q$i%02d")
+    var nonEmpty = 0
+    for (q <- all) {
       val raw = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/$q.sql")), "UTF-8")
-      val sql = raw
+      val sql = params.foldLeft(raw
         .replaceAll("\"\\$\\{database\\}\"\\.\"\\$\\{schema\\}\"\\.\"\\$\\{prefix\\}(\\w+)\"", "tpch_$1")
-        .trim.stripSuffix(";")
+        .trim.stripSuffix(";")) { case (t, (from, to)) => t.replace(from, to) }
       val rows = session.sql(sql).collect() // must plan + execute
       assert(rows != null, s"$q failed")
+      info(s"$q: ${rows.length} rows")
+      if (rows.nonEmpty) nonEmpty += 1
     }
+    // sf0.001 leaves a few highly selective queries legitimately empty;
+    // the bulk must return rows
+    assert(nonEmpty >= 16, s"only $nonEmpty/22 texts returned rows")
+  }
+
+  test("EVERY registry entry resolves from SQL text (full-surface sweep)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    functions.GraftFunctions.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    val missing = functions.GraftFunctions.all.map(_._1)
+      .filterNot(n => reg.functionExists(FunctionIdentifier(n.toLowerCase)))
+    assert(missing.isEmpty, s"registered but unresolvable: $missing")
+    val treg = spark.sessionState.tableFunctionRegistry
+    val tMissing = functions.GraftFunctions.tableFunctions.map(_._1)
+      .filterNot(n => treg.functionExists(FunctionIdentifier(n.toLowerCase)))
+    assert(tMissing.isEmpty, s"table functions unresolvable: $tMissing")
+    // registry scale pin: distributions + sketches + color + geo + breadth
+    // families all present (drop below this means a family fell out)
+    assert(functions.GraftFunctions.all.size >= 260,
+      s"registry shrank to ${functions.GraftFunctions.all.size} entries")
   }
 
   test("graft custom functions are available in the session") {
@@ -435,7 +461,9 @@ class SqlSessionSpec extends AnyFunSuite {
       Seq((1L, "unknown")))
     val out = session.sql("DESCRIBE OUTPUT psd").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    assert(out == Seq(("n_name", "string"), ("cnt", "bigint")))
+    // reference type vocabulary (varchar, not Catalyst's string), the same
+    // spellings SHOW COLUMNS reports
+    assert(out == Seq(("n_name", "varchar"), ("cnt", "bigint")))
   }
 
   test("SET / SHOW / RESET SESSION with the hash_partition_count bridge") {
