@@ -115,6 +115,35 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** MERGE into a MANAGED snapshot table (SnapshotTable.scala): the same
+    * matched-update / not-matched-insert semantics as dml_merge_rewrite,
+    * but against a versioned table with the reference's table-finish
+    * commit contract (TableFinishOperator.java:68) — the new snapshot
+    * becomes visible in one atomic pointer flip, old-or-new for any
+    * concurrent reader (atomicity itself is pinned in SourcesSpec). */
+  def dmlMergeManaged(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(tmp("orders_snapshot"))
+    SnapshotTable.drop(base) // idempotent gate: fresh table each run
+    SnapshotTable.write(s, base, t(s, dir, "orders"))
+    SnapshotTable.merge(s, base) { o =>
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") * 1.1).as("u_price"))
+      val inserts = o.filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), lit("9-NEW").as("o_orderpriority"))
+      o.join(updates, col("o_orderkey") === col("u_key"), "left")
+        .withColumn("o_totalprice", coalesce(col("u_price"), col("o_totalprice")))
+        .drop("u_key", "u_price")
+        .unionByName(inserts)
+    }
+    SnapshotTable.read(s, base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice"), "total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bucketed write + co-located join (reference grouped/bucketed execution,
     * MAIN/sql/planner/GroupedExecutionTagger.java): both sides bucketed on
     * the join key so the join plans with zero Exchange on either side — the
@@ -213,6 +242,7 @@ object Sources {
     "dml_delete_rewrite" -> dmlDeleteRewrite,
     "dml_update_rewrite" -> dmlUpdateRewrite,
     "dml_merge_rewrite" -> dmlMergeRewrite,
+    "dml_merge_managed" -> dmlMergeManaged,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
@@ -249,6 +279,18 @@ object Sources {
         |                    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dml_merge_rewrite" ->
+      """WITH merged AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS p
+        | FROM orders
+        | UNION ALL
+        | SELECT 'N' AS o_orderstatus, o_totalprice AS p
+        | FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dml_merge_managed" ->
       """WITH merged AS (
         | SELECT o_orderstatus,
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1

@@ -33,4 +33,32 @@ class SourcesSpec extends AnyFunSuite {
       assert(got == want, s"stream $got != batch $want")
     } finally q.stop()
   }
+
+  test("snapshot-table MERGE commits atomically: readers see old or new, never partial") {
+    import ops.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+    SnapshotTable.write(spark, base, spark.range(0, 1000).toDF("id"))
+    // reader polls throughout two merge commits; every observation must be
+    // one of the committed snapshot counts (old-or-new, the reference's
+    // TableFinishOperator contract)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) seen.add(SnapshotTable.read(spark, base).count())
+    })
+    reader.start()
+    try {
+      SnapshotTable.merge(spark, base)(df =>
+        df.unionByName(spark.range(1000, 1500).toDF("id")))
+      SnapshotTable.merge(spark, base)(df =>
+        df.filter(org.apache.spark.sql.functions.col("id") < 1200))
+    } finally { stop = true; reader.join() }
+    val allowed = Set(1000L, 1500L, 1200L)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty && seen.asScala.forall(allowed.contains),
+      s"reader observed non-snapshot counts: ${seen.asScala}")
+    assert(SnapshotTable.read(spark, base).count() == 1200L)
+    assert(SnapshotTable.currentVersion(base).contains(3))
+    SnapshotTable.drop(base)
+  }
 }
