@@ -768,7 +768,53 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.Cast(
             es(0), org.apache.spark.sql.types.StringType), es(1)))),
     ("bar", "bar(fraction, width[, lowColor, highColor]) - ANSI bar chart cell",
-      es => ColorCall("bar", dbl(es(0)) +: es.drop(1)))) ++
+      es => ColorCall("bar", dbl(es(0)) +: es.drop(1))),
+    // ---- ML surface (presto-ml; MlModel.scala re-designs training as
+    // mergeable sufficient statistics — the reference's combine throws) ----
+    ("features",
+      "features(d1[, d2, ...]) - map(bigint,double) feature vector with 0-based keys (MLFeaturesFunctions.java)",
+      es => {
+        if (es.isEmpty || es.length > 10) throw new IllegalArgumentException(
+          s"features takes 1-10 arguments, got ${es.length}")
+        org.apache.spark.sql.catalyst.expressions.CreateMap(
+          es.zipWithIndex.flatMap { case (e, i) => Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(i.toLong), dbl(e))
+          })
+      }),
+    ("learn_classifier",
+      "learn_classifier(label, features) - train a bigint-label classifier; returns a model varbinary",
+      es => LearnClassifierAgg(es(0), es(1), varcharLabels = false).toAggregateExpression()),
+    ("learn_varchar_classifier",
+      "learn_varchar_classifier(label, features) - train a varchar-label classifier",
+      es => LearnClassifierAgg(es(0), es(1), varcharLabels = true).toAggregateExpression()),
+    ("learn_regressor",
+      "learn_regressor(label, features) - train a linear regressor; returns a model varbinary",
+      es => LearnRegressorAgg(es(0), es(1)).toAggregateExpression()),
+    // The libsvm-named reference variants take a hyperparameter string
+    // (LearnLibSvmClassifierAggregation.java); the closed-form trainers
+    // here have no libsvm knobs, so the params argument is accepted and
+    // ignored — documented deviation.
+    ("learn_libsvm_classifier",
+      "learn_libsvm_classifier(label, features, params) - as learn_classifier; params ignored (closed-form trainer)",
+      es => LearnClassifierAgg(es(0), es(1), varcharLabels = false).toAggregateExpression()),
+    ("learn_libsvm_varchar_classifier",
+      "learn_libsvm_varchar_classifier(label, features, params) - as learn_varchar_classifier; params ignored",
+      es => LearnClassifierAgg(es(0), es(1), varcharLabels = true).toAggregateExpression()),
+    ("learn_libsvm_regressor",
+      "learn_libsvm_regressor(label, features, params) - as learn_regressor; params ignored",
+      es => LearnRegressorAgg(es(0), es(1)).toAggregateExpression()),
+    ("classify",
+      "classify(features, model) - apply a bigint-label classifier model (MLFunctions.java:54)",
+      es => MlClassify(es(0), es(1))),
+    ("classify_varchar",
+      "classify_varchar(features, model) - apply a varchar-label classifier (reference overloads classify on Classifier<varchar>)",
+      es => MlClassifyVarchar(es(0), es(1))),
+    ("regress",
+      "regress(features, model) - apply a regressor model (MLFunctions.java:65)",
+      es => MlRegress(es(0), es(1))),
+    ("evaluate_classifier_predictions",
+      "evaluate_classifier_predictions(prediction, truth) - accuracy/precision/recall summary string (EvaluateClassifierPredictionsAggregation.java:97)",
+      es => EvaluatePredictionsAgg(es(0), es(1)).toAggregateExpression())) ++
     GeoSqlNames.entries // the ST_* geometry surface (GeoFunctions.java:144)
 
   private def cast(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
