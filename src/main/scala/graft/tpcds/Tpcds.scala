@@ -98,6 +98,8 @@ object Tpcds {
         quarter(col("d_date")).cast("long").as("d_qoy"),
         (col("d_date_sk") % 7).as("d_dow"),
         floor(col("d_date_sk") / 7).cast("long").as("d_week_seq"),
+        (year(col("d_date")) * 12 + month(col("d_date")) - 1).cast("long")
+          .as("d_month_seq"),
         expr("""CASE d_date_sk % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
           WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
           WHEN 5 THEN 'Friday' ELSE 'Saturday' END""").as("d_day_name"))
@@ -114,16 +116,29 @@ object Tpcds {
       (col("p_partkey") % 100).as("i_manufact_id"),
       concat(lit("MFG_"), col("p_partkey") % 100).as("i_manufact"),
       concat(lit("DESC_"), col("p_partkey")).as("i_item_desc"),
+      col("p_name").as("i_product_name"),
+      // q41's attribute quad: color = the part name's leading color word;
+      // units/sizes cycle through the reference q41 vocabulary
+      split(col("p_name"), " ").getItem(0).as("i_color"),
+      element_at(typedLit(Seq("Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen",
+        "Box", "Pound")), (col("p_partkey") % 8 + 1).cast("int")).as("i_units"),
+      element_at(typedLit(Seq("medium", "extra large", "small", "N/A",
+        "petite", "large")), (col("p_partkey") % 6 + 1).cast("int")).as("i_size"),
       (col("p_partkey") % 50).as("i_manager_id"),
-      col("p_retailprice").as("i_current_price"))
+      col("p_retailprice").as("i_current_price"),
+      (col("p_retailprice") * 0.8).as("i_wholesale_cost"))
 
   def store(s: SparkSession): DataFrame =
     s.range(0, 10).select(
       col("id").as("s_store_sk"),
       concat(lit("Store_"), col("id")).as("s_store_name"),
+      concat(lit("SID_"), col("id")).as("s_store_id"),
+      concat(lit("Company_"), col("id") % 2).as("s_company_name"),
       concat(lit("S"), col("id") % 4).as("s_state"),
       concat(lit("City_"), col("id") % 5).as("s_city"),
       concat(lit("County_"), col("id") % 3).as("s_county"),
+      when(col("id") % 2 === 0, -5L).otherwise(-6L).as("s_gmt_offset"),
+      (col("id") * 10 + 200).as("s_number_employees"),
       lpad(((col("id") * 17) % 100000).cast("string"), 5, "0").as("s_zip"))
 
   def customerDim(s: SparkSession, dir: String): DataFrame =
@@ -146,7 +161,9 @@ object Tpcds {
       concat(lit("City_"), col("c_custkey") % 40).as("ca_city"),
       concat(lit("County_"), col("c_custkey") % 15).as("ca_county"),
       concat(lit("S"), col("c_custkey") % 4).as("ca_state"),
-      lpad(((col("c_custkey") * 13) % 100000).cast("string"), 5, "0").as("ca_zip"))
+      lpad(((col("c_custkey") * 13) % 100000).cast("string"), 5, "0").as("ca_zip"),
+      lit("United States").as("ca_country"),
+      when(col("c_custkey") % 2 === 0, -5L).otherwise(-6L).as("ca_gmt_offset"))
 
   def customerDemographics(s: SparkSession): DataFrame =
     s.range(0, 100).select(
@@ -177,7 +194,9 @@ object Tpcds {
       col("id").as("p_promo_sk"),
       concat(lit("promo_"), col("id")).as("p_promo_name"),
       when(col("id") % 2 === 0, "N").otherwise("Y").as("p_channel_email"),
-      when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"))
+      when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"),
+      when(col("id") % 5 === 0, "Y").otherwise("N").as("p_channel_dmail"),
+      when(col("id") % 7 === 0, "Y").otherwise("N").as("p_channel_tv"))
 
   def warehouse(s: SparkSession): DataFrame =
     s.range(0, 5).select(
@@ -192,7 +211,12 @@ object Tpcds {
     s.range(0, 86400).select(
       col("id").as("t_time_sk"),
       (col("id") / 3600).cast("long").as("t_hour"),
-      ((col("id") / 60) % 60).cast("long").as("t_minute"))
+      ((col("id") / 60) % 60).cast("long").as("t_minute"),
+      // the kit's meal-time bands (tpcds time dimension convention)
+      when((col("id") / 3600).between(6, 8), "breakfast")
+        .when((col("id") / 3600).between(11, 13), "lunch")
+        .when((col("id") / 3600).between(17, 19), "dinner")
+        .otherwise(lit(null).cast("string")).as("t_meal_time"))
 
   def reason(s: SparkSession): DataFrame =
     s.range(0, 10).select(
@@ -258,6 +282,10 @@ object Tpcds {
         (col("l_extendedprice") * col("l_discount")).as("ss_coupon_amt"),
         (col("l_extendedprice") * (lit(1) + col("l_tax"))).as("ss_list_price"),
         (col("l_extendedprice") * lit(0.8)).as("ss_wholesale_cost"),
+        (col("l_extendedprice") * lit(0.8)).as("ss_ext_wholesale_cost"),
+        (col("l_quantity") * col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("ss_net_paid"),
+        (col("l_extendedprice") * col("l_discount")).as("ss_ext_discount_amt"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))
           - col("l_extendedprice") * lit(0.8)).as("ss_net_profit"))
 
@@ -275,6 +303,8 @@ object Tpcds {
         col("ss_ticket_number").as("cs_order_number"),
         col("ss_sales_price").as("cs_sales_price"),
         col("ss_cdemo_sk").as("cs_bill_cdemo_sk"),
+        col("ss_addr_sk").as("cs_bill_addr_sk"),
+        col("ss_coupon_amt").as("cs_coupon_amt"),
         col("ss_promo_sk").as("cs_promo_sk"),
         col("ss_sold_time_sk").as("cs_sold_time_sk"),
         (col("ss_ticket_number") % 4).as("cs_ship_mode_sk"),
@@ -291,6 +321,8 @@ object Tpcds {
         col("ss_customer_sk").as("ws_bill_customer_sk"),
         col("ss_ext_sales_price").as("ws_ext_sales_price"),
         col("ss_quantity").as("ws_quantity"),
+        col("ss_sales_price").as("ws_sales_price"),
+        col("ss_addr_sk").as("ws_bill_addr_sk"),
         col("ss_sold_time_sk").as("ws_sold_time_sk"),
         col("ss_hdemo_sk").as("ws_ship_hdemo_sk"),
         (col("ss_store_sk") % 5).as("ws_warehouse_sk"),
@@ -318,6 +350,7 @@ object Tpcds {
         (col("l_suppkey") % 10).as("sr_store_sk"),
         col("o_custkey").as("sr_customer_sk"),
         col("l_orderkey").as("sr_ticket_number"),
+        (col("l_orderkey") % 10).as("sr_reason_sk"),
         col("l_quantity").as("sr_return_quantity"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sr_return_amt"),
         (col("l_extendedprice") * lit(0.1)).as("sr_net_loss"),
