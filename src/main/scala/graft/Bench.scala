@@ -34,7 +34,7 @@ object Bench {
     // The driver wraps the bench JSON line inside a JSON string field, so in
     // the committed artifact every quote is escaped (\"q01\":1.2) — the
     // optional backslashes make the scan work on both raw and wrapped forms.
-    val pat = """\\?"(q\d\d)\\?":([0-9][0-9.Ee+-]*)""".r
+    val pat = """\\?"((?:ds_)?q\d\d)\\?":([0-9][0-9.Ee+-]*)""".r
     val layoutPat = """\\?"layout\\?":\\?"([A-Za-z0-9_+-]+)\\?"""".r
     val sfPat = """\\?"sf\\?":\\?"([^"\\]+)\\?"""".r
     files.toSeq
@@ -116,19 +116,24 @@ object Bench {
       }
       dest.getPath
     }
-    // SPARK_GRAFT_SUITE=tpcds benches the TPC-DS slice instead (dev/judge
-    // evidence runs; the driver's per-round artifact stays TPC-H). DS keys
-    // (ds_qNN) never collide with the TPC-H cross-round history scan.
-    val suite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "tpch")
+    // SPARK_GRAFT_SUITE: "both" (default — the per-round artifact carries
+    // TPC-H AND TPC-DS so the cross-round min guard protects both suites),
+    // or "tpch"/"tpcds" for focused dev runs. Key families (qNN vs ds_qNN)
+    // never collide in the history scan.
+    val suite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "both")
     // TPC-DS: materialize the derived facts once, outside the timed region
     // (the reference's tpcds connector generates tables before benchto
     // runs); queries then scan parquet instead of re-deriving per run.
-    if (suite == "tpcds") tpcds.Tpcds.materializeFacts(spark, benchDir)
-    val layout = (if (singleFile) "x8-relayout" else "as-given") +
-      (if (suite == "tpcds") "+dsmat" else "")
-    val queries =
-      (if (suite == "tpcds") tpcds.Tpcds.queries else tpch.Tpch.queries)
-        .toSeq.sortBy(_._1)
+    // `layout` describes the INPUT layout only (uniform across suites —
+    // the ds materialization never changes the TPC-H inputs); the
+    // materialization itself is recorded in a separate "dsmat" field.
+    if (suite != "tpch") tpcds.Tpcds.materializeFacts(spark, benchDir)
+    val layout = if (singleFile) "x8-relayout" else "as-given"
+    val queries = (suite match {
+      case "tpch" => tpch.Tpch.queries.toSeq
+      case "tpcds" => tpcds.Tpcds.queries.toSeq
+      case _ => tpch.Tpch.queries.toSeq ++ tpcds.Tpcds.queries.toSeq
+    }).sortBy(_._1)
     // Benchto protocol (tpch.yaml:1-31): 2 prewarm runs (JVM/JIT + codegen +
     // parquet footer caches, not measured) + 6 measured runs, report median.
     (1 to 2).foreach { _ =>
@@ -173,10 +178,17 @@ object Bench {
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, m) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline value stays the TPC-H total (comparable across every prior
+    // round's artifact); the DS total is its own field
+    val tpchTotal = results.collect {
+      case (k, v, _) if !k.startsWith("ds_") => v }.sum
+    val dsTotal = results.collect {
+      case (k, v, _) if k.startsWith("ds_") => v }.sum
+    val total = if (suite == "tpcds") dsTotal else tpchTotal
     val flagged = loaded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contam = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","suite":"$suite","queries":$qs,"query_min":$mins,"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","sf":"$sfDir"}""")
+    val dsmat = suite != "tpch"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","suite":"$suite","tpcds_total":$dsTotal,"queries":$qs,"query_min":$mins,"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","dsmat":$dsmat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
