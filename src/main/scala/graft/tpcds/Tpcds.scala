@@ -40,6 +40,14 @@ object Tpcds {
     * otherwise derive from the TPC-H fixtures. Correctness runs never
     * materialize, so the oracle prelude and the Spark derivation stay the
     * compared pair. */
+  /** Paths whose on-disk schema already matched the current derivation this
+    * JVM: the mat() guard below builds the derivation plan and re-reads the
+    * parquet footer to compare columns, which costs real driver time — done
+    * per query call it added ~0.2-1s to EVERY benchmarked TPC-DS query.
+    * One validation per path per JVM keeps the guard and the timings. */
+  private val matValidated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def mat(s: SparkSession, dir: String, name: String)
       (derive: => DataFrame): DataFrame = {
     val p = new java.io.File(dir, s"_tpcds/$name")
@@ -47,12 +55,18 @@ object Tpcds {
     // matches the current derivation — a builder change or a crashed write
     // would otherwise silently serve stale/partial parquet.
     if (new java.io.File(p, "_SUCCESS").isFile) {
-      val derived = derive
-      val onDisk = s.read.parquet(p.getAbsolutePath)
-      if (onDisk.columns.sameElements(derived.columns)) onDisk
+      val path = p.getAbsolutePath
+      if (matValidated.contains(path)) s.read.parquet(path)
       else {
-        derived.write.mode("overwrite").parquet(p.getAbsolutePath)
-        s.read.parquet(p.getAbsolutePath)
+        val derived = derive
+        val onDisk = s.read.parquet(path)
+        if (onDisk.columns.sameElements(derived.columns)) {
+          matValidated.add(path); onDisk
+        } else {
+          derived.write.mode("overwrite").parquet(path)
+          matValidated.add(path)
+          s.read.parquet(path)
+        }
       }
     } else derive
   }
@@ -70,17 +84,26 @@ object Tpcds {
   def materializeFacts(s: SparkSession, dir: String): Unit =
     materializableFacts.foreach { n =>
       val out = new java.io.File(dir, s"_tpcds/$n")
-      if (!new java.io.File(out, "_SUCCESS").isFile) {
-        val df = n match {
-          case "store_sales" => deriveStoreSales(s, dir)
-          case "store_returns" => deriveStoreReturns(s, dir)
-          case "inventory" => deriveInventory(s, dir)
-          case "catalog_sales" => catalogSales(s, dir)
-          case "catalog_returns" => catalogReturns(s, dir)
-          case "web_sales" => webSales(s, dir)
-          case "web_returns" => webReturns(s, dir)
-        }
-        df.write.mode("overwrite").parquet(out.getAbsolutePath)
+      def build = n match {
+        case "store_sales" => deriveStoreSales(s, dir)
+        case "store_returns" => deriveStoreReturns(s, dir)
+        case "inventory" => deriveInventory(s, dir)
+        case "catalog_sales" => catalogSales(s, dir)
+        case "catalog_returns" => catalogReturns(s, dir)
+        case "web_sales" => webSales(s, dir)
+        case "web_returns" => webReturns(s, dir)
+      }
+      // refresh BOTH on missing _SUCCESS and on a schema change, so a
+      // builder update re-materializes here (outside the timed region)
+      // rather than inside the first query's mat() guard
+      val stale = !new java.io.File(out, "_SUCCESS").isFile || {
+        val derived = build
+        !s.read.parquet(out.getAbsolutePath).columns
+          .sameElements(derived.columns)
+      }
+      if (stale) {
+        build.write.mode("overwrite").parquet(out.getAbsolutePath)
+        matValidated.add(out.getAbsolutePath)
       }
     }
 
@@ -229,6 +252,17 @@ object Tpcds {
       concat(lit("CC_"), col("id")).as("cc_name"),
       concat(lit("Manager_"), col("id") % 3).as("cc_manager"))
 
+  def webSite(s: SparkSession): DataFrame =
+    s.range(0, 4).select(
+      col("id").as("web_site_sk"),
+      concat(lit("site_"), col("id")).as("web_name"),
+      concat(lit("Company_"), col("id") % 2).as("web_company_name"))
+
+  def webPage(s: SparkSession): DataFrame =
+    s.range(0, 20).select(
+      col("id").as("wp_web_page_sk"),
+      (col("id") * 100 + 4000).as("wp_char_count"))
+
   def shipMode(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("sm_ship_mode_sk"),
@@ -271,7 +305,12 @@ object Tpcds {
         col("o_custkey").as("ss_customer_sk"),
         ((col("l_orderkey") * 7 + col("l_linenumber")) % 100).as("ss_cdemo_sk"),
         ((col("l_orderkey") * 3 + col("l_linenumber")) % 50).as("ss_hdemo_sk"),
-        (col("o_custkey") + col("l_suppkey") % 2).as("ss_addr_sk"),
+        // ~1% NULL address keys: TPC-DS fact FKs are genuinely nullable and
+        // q44/q76-style shapes filter on IS NULL (orderkey-based so the
+        // slice is populated at every SF)
+        when((col("l_orderkey") + col("l_suppkey")) % 97 === 0,
+            lit(null).cast("long"))
+          .otherwise(col("o_custkey") + col("l_suppkey") % 2).as("ss_addr_sk"),
         (col("l_partkey") % 20).as("ss_promo_sk"),
         ((col("l_orderkey") * 2063 + col("l_linenumber") * 7919) % 86400)
           .as("ss_sold_time_sk"),
@@ -330,7 +369,14 @@ object Tpcds {
         col("ss_ticket_number").as("ws_order_number"),
         col("ss_coupon_amt").as("ws_ext_discount_amt"),
         col("ss_net_profit").as("ws_net_profit"),
-        col("ss_promo_sk").as("ws_promo_sk"))
+        col("ss_promo_sk").as("ws_promo_sk"),
+        (col("ss_sold_date_sk") + col("ss_ticket_number") % 150)
+          .as("ws_ship_date_sk"),
+        (col("ss_ticket_number") % 4).as("ws_web_site_sk"),
+        (col("ss_ticket_number") % 20).as("ws_web_page_sk"),
+        col("ss_net_paid").as("ws_net_paid"),
+        col("ss_addr_sk").as("ws_ship_addr_sk"),
+        (col("ss_ext_sales_price") * 0.05).as("ws_ext_ship_cost"))
     }
 
   /** Returns channel: returned lineitems (l_returnflag = 'R') as
@@ -2967,7 +3013,8 @@ object Tpcds {
       |         o_custkey AS ss_customer_sk,
       |         (l_orderkey * 7 + l_linenumber) % 100 AS ss_cdemo_sk,
       |         (l_orderkey * 3 + l_linenumber) % 50 AS ss_hdemo_sk,
-      |         o_custkey + l_suppkey % 2 AS ss_addr_sk,
+      |         CASE WHEN (l_orderkey + l_suppkey) % 97 = 0 THEN NULL
+      |              ELSE o_custkey + l_suppkey % 2 END AS ss_addr_sk,
       |         l_partkey % 20 AS ss_promo_sk,
       |         (l_orderkey * 2063 + l_linenumber * 7919) % 86400 AS ss_sold_time_sk,
       |         l_orderkey AS ss_ticket_number,

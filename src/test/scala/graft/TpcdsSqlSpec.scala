@@ -40,6 +40,12 @@ class TpcdsSqlSpec extends AnyFunSuite {
     Tpcds.householdDemographics(spark).createOrReplaceTempView("household_demographics")
     Tpcds.promotion(spark).createOrReplaceTempView("promotion")
     Tpcds.reason(spark).createOrReplaceTempView("reason")
+    Tpcds.warehouse(spark).createOrReplaceTempView("warehouse")
+    Tpcds.shipMode(spark).createOrReplaceTempView("ship_mode")
+    Tpcds.webSite(spark).createOrReplaceTempView("web_site")
+    Tpcds.webPage(spark).createOrReplaceTempView("web_page")
+    Tpcds.inventory(spark, sf).createOrReplaceTempView("inventory")
+    Tpcds.webReturns(spark, sf).createOrReplaceTempView("web_returns")
     SqlSession.wrap(spark)
   }
 
@@ -751,6 +757,416 @@ class TpcdsSqlSpec extends AnyFunSuite {
           .as("act_sales"))
       .groupBy("ss_customer_sk")
       .agg(sum("act_sales").as("sumsales"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q32: excess catalog discounts vs a correlated 1.3x-average subquery") {
+    session
+    val sql = text("q32", ("\"i_manufact_id\" = 977", "\"i_manufact_id\" = 7"),
+      stripLimit)
+    val dd = spark.table("date_dim")
+      .filter(col("d_date").between("2000-01-27", "2000-04-26"))
+      .select("d_date_sk")
+    val avgDisc = spark.table("catalog_sales")
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("cs_item_sk").as("a_item"))
+      .agg((avg("cs_ext_discount_amt") * 1.3).as("cutoff"))
+    val replica = spark.table("catalog_sales")
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("item").filter(col("i_manufact_id") === 7),
+        col("i_item_sk") === col("cs_item_sk"))
+      .join(avgDisc, col("cs_item_sk") === col("a_item"))
+      .filter(col("cs_ext_discount_amt") > col("cutoff"))
+      .agg(sum("cs_ext_discount_amt").as("excess"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q37: in-stock catalog items in a price/manufacturer band") {
+    session
+    val sql = text("q37",
+      ("BETWEEN 68 AND \\(68 \\+ 30\\)", "BETWEEN 905 AND (905 + 30)"),
+      ("IN \\(677, 940, 694, 808\\)", "IN (10, 20, 30, 40)"), stripLimit)
+    val replica = spark.table("item")
+      .filter(col("i_current_price").between(905, 935) &&
+        col("i_manufact_id").isin(10, 20, 30, 40))
+      .join(spark.table("inventory").filter(
+          col("inv_quantity_on_hand").between(100, 500)),
+        col("inv_item_sk") === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("2000-02-01", "2000-04-01")),
+        col("d_date_sk") === col("inv_date_sk"))
+      .join(spark.table("catalog_sales"), col("cs_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "i_item_desc", "i_current_price")
+      .agg(count(lit(1))).drop("count(1)")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q62: web shipping-latency buckets by warehouse/mode/site") {
+    session
+    val sql = text("q62",
+      ("BETWEEN 1200 AND \\(1200 \\+ 11\\)", "BETWEEN 23988 AND (23988 + 11)"),
+      stripLimit)
+    val lag = col("ws_ship_date_sk") - col("ws_sold_date_sk")
+    val replica = spark.table("web_sales")
+      .join(spark.table("date_dim").filter(
+          col("d_month_seq").between(23988, 23999)),
+        col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(spark.table("warehouse"), col("ws_warehouse_sk") === col("w_warehouse_sk"))
+      .join(spark.table("ship_mode"), col("ws_ship_mode_sk") === col("sm_ship_mode_sk"))
+      .join(spark.table("web_site"), col("ws_web_site_sk") === col("web_site_sk"))
+      .groupBy(substring(col("w_warehouse_name"), 1, 20).as("wh"),
+        col("sm_type"), col("web_name"))
+      .agg(sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).as("d60"),
+        sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).as("d90"),
+        sum(when(lag > 90 && lag <= 120, 1).otherwise(0)).as("d120"),
+        sum(when(lag > 120, 1).otherwise(0)).as("dmore"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q82: in-stock store items in a price/manufacturer band") {
+    session
+    val sql = text("q82",
+      ("BETWEEN 62 AND \\(62 \\+ 30\\)", "BETWEEN 900 AND (900 + 30)"),
+      ("IN \\(129, 270, 821, 423\\)", "IN (12, 27, 82, 42)"), stripLimit)
+    val replica = spark.table("item")
+      .filter(col("i_current_price").between(900, 930) &&
+        col("i_manufact_id").isin(12, 27, 82, 42))
+      .join(spark.table("inventory").filter(
+          col("inv_quantity_on_hand").between(100, 500)),
+        col("inv_item_sk") === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("2000-05-25", "2000-07-24")),
+        col("d_date_sk") === col("inv_date_sk"))
+      .join(spark.table("store_sales"), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("i_item_id", "i_item_desc", "i_current_price")
+      .agg(count(lit(1))).drop("count(1)")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q90: am/pm web traffic ratio via two cross-joined counts") {
+    session
+    val sql = text("q90", stripLimit)
+    def half(hLo: Int) = spark.table("web_sales")
+      .join(spark.table("time_dim").filter(col("t_hour").between(hLo, hLo + 1)),
+        col("ws_sold_time_sk") === col("t_time_sk"))
+      .join(spark.table("household_demographics").filter(col("hd_dep_count") === 6),
+        col("ws_ship_hdemo_sk") === col("hd_demo_sk"))
+      .join(spark.table("web_page").filter(
+          col("wp_char_count").between(5000, 5200)),
+        col("ws_web_page_sk") === col("wp_web_page_sk"))
+      .agg(count(lit(1)))
+    val replica = half(8).crossJoin(half(19)).toDF("amc", "pmc")
+      .select((col("amc") / col("pmc")).as("am_pm_ratio"))
+    assertClose(session.sql(sql).select("am_pm_ratio"), replica)
+  }
+
+  test("q92: excess web discounts vs a correlated 1.3x-average subquery") {
+    session
+    val sql = text("q92", ("\"i_manufact_id\" = 350", "\"i_manufact_id\" = 35"),
+      stripLimit)
+    val dd = spark.table("date_dim")
+      .filter(col("d_date").between("2000-01-27", "2000-04-26"))
+      .select("d_date_sk")
+    val avgDisc = spark.table("web_sales")
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ws_item_sk").as("a_item"))
+      .agg((avg("ws_ext_discount_amt") * 1.3).as("cutoff"))
+    val replica = spark.table("web_sales")
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("item").filter(col("i_manufact_id") === 35),
+        col("i_item_sk") === col("ws_item_sk"))
+      .join(avgDisc, col("ws_item_sk") === col("a_item"))
+      .filter(col("ws_ext_discount_amt") > col("cutoff"))
+      .agg(sum("ws_ext_discount_amt").as("excess"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q44: best/worst item ranks vs a null-address baseline subquery") {
+    session
+    val sql = text("q44", ("\"ss_store_sk\" = 4", "\"ss_store_sk\" = 4"),
+      stripLimit)
+    val ss = spark.table("store_sales").filter(col("ss_store_sk") === 4)
+    val baseline = ss.filter(col("ss_addr_sk").isNull)
+      .agg(avg("ss_net_profit")).collect()(0).getDouble(0)
+    val v = ss.groupBy(col("ss_item_sk").as("item_sk"))
+      .agg(avg("ss_net_profit").as("rank_col"))
+      .filter(col("rank_col") > baseline * 0.9)
+    import org.apache.spark.sql.expressions.Window
+    def ranked(asc: Boolean) = v.select(col("item_sk"),
+      rank().over(Window.orderBy(
+        if (asc) col("rank_col").asc else col("rank_col").desc)).as("rnk"))
+      .filter(col("rnk") < 11)
+    val i1 = spark.table("item").select(col("i_item_sk").as("sk1"),
+      col("i_product_name").as("best_performing"))
+    val i2 = spark.table("item").select(col("i_item_sk").as("sk2"),
+      col("i_product_name").as("worst_performing"))
+    val replica = ranked(asc = true).toDF("a_item", "rnk")
+      .join(ranked(asc = false).toDF("d_item", "d_rnk"),
+        col("rnk") === col("d_rnk"))
+      .join(i1, col("a_item") === col("sk1"))
+      .join(i2, col("d_item") === col("sk2"))
+      .select("rnk", "best_performing", "worst_performing")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q53: quarterly manufacturer sales vs windowed average") {
+    session
+    val sql = text("q53",
+      ("IN \\('Books'[^)]*\\)", "IN ('ECONOMY', 'PROMO', 'STANDARD')"),
+      ("IN \\('personal'[^)]*\\)", "IN ('CLASS_0', 'CLASS_1', 'CLASS_2', 'CLASS_3')"),
+      ("IN \\('scholaramalgamalg #14'[^)]*\\)",
+        "IN ('Brand#13', 'Brand#22', 'Brand#23', 'Brand#14')"),
+      ("IN \\('Women'[^)]*\\)", "IN ('LARGE', 'MEDIUM', 'SMALL')"),
+      ("IN \\('accessories'[^)]*\\)", "IN ('CLASS_4', 'CLASS_5', 'CLASS_6', 'CLASS_7')"),
+      ("IN \\('amalgimporto #1'[^)]*\\)",
+        "IN ('Brand#12', 'Brand#19', 'Brand#3', 'Brand#5')"),
+      ("1200", "23988"), stripLimit)
+    import org.apache.spark.sql.expressions.Window
+    val itemSel = spark.table("item").filter(
+      (col("i_category").isin("ECONOMY", "PROMO", "STANDARD") &&
+        col("i_class").isin("CLASS_0", "CLASS_1", "CLASS_2", "CLASS_3") &&
+        col("i_brand").isin("Brand#13", "Brand#22", "Brand#23", "Brand#14")) ||
+      (col("i_category").isin("LARGE", "MEDIUM", "SMALL") &&
+        col("i_class").isin("CLASS_4", "CLASS_5", "CLASS_6", "CLASS_7") &&
+        col("i_brand").isin("Brand#12", "Brand#19", "Brand#3", "Brand#5")))
+    val quarterly = spark.table("store_sales")
+      .join(itemSel, col("ss_item_sk") === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_month_seq").between(23988, 23999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("store"), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("i_manufact_id"), col("d_qoy"))
+      .agg(sum("ss_sales_price").as("sum_sales"))
+    val replica = quarterly
+      .select(col("i_manufact_id"), col("sum_sales"),
+        avg("sum_sales").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("i_manufact_id"))
+          .as("avg_quarterly_sales"))
+      .filter(when(col("avg_quarterly_sales") > 0,
+        abs(col("sum_sales") - col("avg_quarterly_sales")) /
+          col("avg_quarterly_sales")).otherwise(lit(null)) > 0.1)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q70: state-rank IN-subquery feeding a profit ROLLUP with rank") {
+    session
+    val sql = text("q70", ("1200", "23988"), stripLimit)
+    val dd = spark.table("date_dim")
+      .filter(col("d_month_seq").between(23988, 23999)).select("d_date_sk")
+    val base = Tpcds.storeSales(spark, sf)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(Tpcds.store(spark), col("s_store_sk") === col("ss_store_sk"))
+    import org.apache.spark.sql.expressions.Window
+    val topStates = base.groupBy(col("s_state").as("t_state"))
+      .agg(sum("ss_net_profit").as("p"))
+      .select(col("t_state"), rank().over(
+        Window.partitionBy("t_state").orderBy(col("p").desc)).as("ranking"))
+      .filter(col("ranking") <= 5).select("t_state")
+    val agged = base
+      .join(topStates, col("s_state") === col("t_state"), "left_semi")
+      .rollup(col("s_state"), col("s_county"))
+      .agg(sum("ss_net_profit").as("total_sum"))
+    agged.createOrReplaceTempView("q70_base")
+    val replica = spark.sql(
+      """SELECT total_sum, s_state, s_county,
+        |  CASE WHEN s_state IS NULL THEN 2
+        |       WHEN s_county IS NULL THEN 1 ELSE 0 END AS lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY (CASE WHEN s_state IS NULL THEN 2
+        |                       WHEN s_county IS NULL THEN 1 ELSE 0 END),
+        |      (CASE WHEN s_county IS NOT NULL THEN s_state END)
+        |    ORDER BY total_sum DESC) AS rank_within_parent
+        |FROM q70_base""".stripMargin)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q76: null-FK sales unioned across the three channels") {
+    session
+    // the fixture's nullable FKs live on the address keys
+    val sql = text("q76",
+      ("\"ss_store_sk\" IS NULL", "\"ss_addr_sk\" IS NULL"),
+      ("\"ws_ship_customer_sk\" IS NULL", "\"ws_bill_addr_sk\" IS NULL"),
+      ("\"cs_ship_addr_sk\" IS NULL", "\"cs_bill_addr_sk\" IS NULL"),
+      stripLimit)
+    def chan(fact: String, name: String, colName: String, nullCol: String,
+      date: String, item: String, price: String) =
+      spark.table(fact).filter(col(nullCol).isNull)
+        .join(spark.table("date_dim"), col(date) === col("d_date_sk"))
+        .join(spark.table("item"), col(item) === col("i_item_sk"))
+        .select(lit(name).as("channel"), lit(colName).as("col_name"),
+          col("d_year"), col("d_qoy"), col("i_category"),
+          col(price).as("ext_sales_price"))
+    val replica = chan("store_sales", "store", "ss_store_sk", "ss_addr_sk",
+        "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")
+      .unionByName(chan("web_sales", "web", "ws_ship_customer_sk",
+        "ws_bill_addr_sk", "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price"))
+      .unionByName(chan("catalog_sales", "catalog", "cs_ship_addr_sk",
+        "cs_bill_addr_sk", "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price"))
+      .groupBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+      .agg(count(lit(1)).as("sales_cnt"), sum("ext_sales_price").as("sales_amt"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  private def itemRevenueReplica(fact: String, date: String, item: String,
+    price: String) = {
+    import org.apache.spark.sql.expressions.Window
+    spark.table(fact)
+      .join(spark.table("item").filter(
+          col("i_category").isin("SMALL", "LARGE", "MEDIUM")),
+        col(item) === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("1999-02-22", "1999-03-24")),
+        col(date) === col("d_date_sk"))
+      .groupBy("i_item_id", "i_item_desc", "i_category", "i_class",
+        "i_current_price")
+      .agg(sum(price).as("itemrevenue"))
+      .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
+        col("i_class"), col("i_current_price"), col("itemrevenue"),
+        (col("itemrevenue") * 100 /
+          sum("itemrevenue").over(Window.partitionBy("i_class")))
+          .as("revenueratio"))
+  }
+
+  test("q12: web class revenue ratio via window-over-aggregate") {
+    session
+    val sql = text("q12",
+      ("IN \\('Sports', 'Books', 'Home'\\)", "IN ('SMALL', 'LARGE', 'MEDIUM')"),
+      stripLimit)
+    assertClose(session.sql(sql),
+      itemRevenueReplica("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_ext_sales_price"))
+  }
+
+  test("q20: catalog class revenue ratio via window-over-aggregate") {
+    session
+    val sql = text("q20",
+      ("IN \\('Sports', 'Books', 'Home'\\)", "IN ('SMALL', 'LARGE', 'MEDIUM')"),
+      stripLimit)
+    assertClose(session.sql(sql),
+      itemRevenueReplica("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+        "cs_ext_sales_price"))
+  }
+
+  test("q63: monthly manager sales vs windowed average") {
+    session
+    val sql = text("q63",
+      ("IN \\('Books'[^)]*\\)", "IN ('ECONOMY', 'PROMO', 'STANDARD')"),
+      ("IN \\('personal'[^)]*\\)", "IN ('CLASS_0', 'CLASS_1', 'CLASS_2', 'CLASS_3')"),
+      ("IN \\('scholaramalgamalg #14'[^)]*\\)",
+        "IN ('Brand#13', 'Brand#22', 'Brand#23', 'Brand#14')"),
+      ("IN \\('Women'[^)]*\\)", "IN ('LARGE', 'MEDIUM', 'SMALL')"),
+      ("IN \\('accessories'[^)]*\\)", "IN ('CLASS_4', 'CLASS_5', 'CLASS_6', 'CLASS_7')"),
+      ("IN \\('amalgimporto #1'[^)]*\\)",
+        "IN ('Brand#12', 'Brand#19', 'Brand#3', 'Brand#5')"),
+      ("1200", "23988"), stripLimit)
+    import org.apache.spark.sql.expressions.Window
+    val itemSel = spark.table("item").filter(
+      (col("i_category").isin("ECONOMY", "PROMO", "STANDARD") &&
+        col("i_class").isin("CLASS_0", "CLASS_1", "CLASS_2", "CLASS_3") &&
+        col("i_brand").isin("Brand#13", "Brand#22", "Brand#23", "Brand#14")) ||
+      (col("i_category").isin("LARGE", "MEDIUM", "SMALL") &&
+        col("i_class").isin("CLASS_4", "CLASS_5", "CLASS_6", "CLASS_7") &&
+        col("i_brand").isin("Brand#12", "Brand#19", "Brand#3", "Brand#5")))
+    val monthly = spark.table("store_sales")
+      .join(itemSel, col("ss_item_sk") === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_month_seq").between(23988, 23999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("store"), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("i_manager_id"), col("d_moy"))
+      .agg(sum("ss_sales_price").as("sum_sales"))
+    val replica = monthly
+      .select(col("i_manager_id"), col("sum_sales"),
+        avg("sum_sales").over(Window.partitionBy("i_manager_id"))
+          .as("avg_monthly_sales"))
+      .filter(when(col("avg_monthly_sales") > 0,
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales")).otherwise(lit(null)) > 0.1)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q86: web net-paid ROLLUP with GROUPING rank") {
+    session
+    val sql = text("q86", ("1200", "23988"), stripLimit)
+    val agged = Tpcds.webSales(spark, sf)
+      .join(Tpcds.dateDim(spark).filter(
+          col("d_month_seq").between(23988, 23999)),
+        col("d_date_sk") === col("ws_sold_date_sk"))
+      .join(Tpcds.item(spark, sf), col("i_item_sk") === col("ws_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg(sum("ws_net_paid").as("total_sum"))
+    agged.createOrReplaceTempView("q86_base")
+    val replica = spark.sql(
+      """SELECT total_sum, i_category, i_class,
+        |  CASE WHEN i_category IS NULL THEN 2
+        |       WHEN i_class IS NULL THEN 1 ELSE 0 END AS lochierarchy,
+        |  rank() OVER (
+        |    PARTITION BY (CASE WHEN i_category IS NULL THEN 2
+        |                       WHEN i_class IS NULL THEN 1 ELSE 0 END),
+        |      (CASE WHEN i_class IS NOT NULL THEN i_category END)
+        |    ORDER BY total_sum DESC) AS rank_within_parent
+        |FROM q86_base""".stripMargin)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q94: multi-warehouse unreturned web orders (EXISTS + NOT EXISTS)") {
+    session
+    val sql = text("q94",
+      ("'IL'", "'S1'"), ("'pri'", "'Company_1'"), stripLimit)
+    val ws = spark.table("web_sales")
+    val multiWh = ws.groupBy(col("ws_order_number").as("mw_order"))
+      .agg(countDistinct("ws_warehouse_sk").as("nwh"))
+      .filter(col("nwh") >= 2).select("mw_order")
+    val returned = spark.table("web_returns")
+      .select(col("wr_order_number").as("r_order")).distinct()
+    val replica = ws
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("1999-02-01", "1999-04-02")),
+        col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(spark.table("customer_address").filter(col("ca_state") === "S1"),
+        col("ws_ship_addr_sk") === col("ca_address_sk"))
+      .join(spark.table("web_site").filter(col("web_company_name") === "Company_1"),
+        col("ws_web_site_sk") === col("web_site_sk"))
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "left_semi")
+      .join(returned, col("ws_order_number") === col("r_order"), "left_anti")
+      .agg(countDistinct("ws_order_number").as("order_count"),
+        sum("ws_ext_ship_cost").as("ship_cost"),
+        sum("ws_net_profit").as("net_profit"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q47: lag/lead self-joined monthly category sales") {
+    session
+    val sql = text("q47", stripLimit)
+    import org.apache.spark.sql.expressions.Window
+    val v1 = spark.table("store_sales")
+      .join(spark.table("item"), col("ss_item_sk") === col("i_item_sk"))
+      .join(spark.table("date_dim").filter(col("d_year") === 1999 ||
+          (col("d_year") === 1998 && col("d_moy") === 12) ||
+          (col("d_year") === 2000 && col("d_moy") === 1)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("store"), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("i_category", "i_brand", "s_store_name", "s_company_name",
+        "d_year", "d_moy")
+      .agg(sum("ss_sales_price").as("sum_sales"))
+    val part = Window.partitionBy("i_category", "i_brand", "s_store_name",
+      "s_company_name")
+    val ordered = part.orderBy(col("d_year").asc, col("d_moy").asc)
+    // the text's rn±1 self-joins ARE lag/lead over the same ordering (rn is
+    // dense within each partition)
+    val replica = v1.select(col("i_category"), col("i_brand"),
+        col("s_store_name"), col("s_company_name"), col("d_year"),
+        col("d_moy"),
+        avg("sum_sales").over(Window.partitionBy("i_category", "i_brand",
+          "s_store_name", "s_company_name", "d_year")).as("avg_monthly_sales"),
+        col("sum_sales"),
+        lag("sum_sales", 1).over(ordered).as("psum"),
+        lead("sum_sales", 1).over(ordered).as("nsum"))
+      .filter(col("d_year") === 1999 && col("avg_monthly_sales") > 0 &&
+        col("psum").isNotNull && col("nsum").isNotNull &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
     assertClose(session.sql(sql), replica)
   }
 
