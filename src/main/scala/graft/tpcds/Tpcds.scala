@@ -123,6 +123,8 @@ object Tpcds {
         floor(col("d_date_sk") / 7).cast("long").as("d_week_seq"),
         (year(col("d_date")) * 12 + month(col("d_date")) - 1).cast("long")
           .as("d_month_seq"),
+        concat(year(col("d_date")), lit("Q"), quarter(col("d_date")))
+          .as("d_quarter_name"),
         expr("""CASE d_date_sk % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
           WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
           WHEN 5 THEN 'Friday' ELSE 'Saturday' END""").as("d_day_name"))
@@ -162,6 +164,11 @@ object Tpcds {
       concat(lit("County_"), col("id") % 3).as("s_county"),
       when(col("id") % 2 === 0, -5L).otherwise(-6L).as("s_gmt_offset"),
       (col("id") * 10 + 200).as("s_number_employees"),
+      (col("id") % 2).as("s_company_id"),
+      (col("id") * 100 + 1).cast("string").as("s_street_number"),
+      concat(lit("Street_"), col("id") % 4).as("s_street_name"),
+      lit("Blvd").as("s_street_type"),
+      concat(lit("Suite_"), col("id") % 3).as("s_suite_number"),
       lpad(((col("id") * 17) % 100000).cast("string"), 5, "0").as("s_zip"))
 
   def customerDim(s: SparkSession, dir: String): DataFrame =
@@ -347,6 +354,7 @@ object Tpcds {
         col("ss_promo_sk").as("cs_promo_sk"),
         col("ss_sold_time_sk").as("cs_sold_time_sk"),
         (col("ss_ticket_number") % 4).as("cs_ship_mode_sk"),
+        ((col("ss_ticket_number") + 1) % 4).as("cs_call_center_sk"),
         col("ss_list_price").as("cs_list_price"),
         (col("ss_sold_date_sk") + col("ss_ticket_number") % 120)
           .as("cs_ship_date_sk"))
@@ -417,6 +425,7 @@ object Tpcds {
         col("sr_return_quantity").as("cr_return_quantity"),
         col("sr_return_amt").as("cr_return_amount"),
         col("sr_net_loss").as("cr_net_loss"),
+        (col("sr_return_amt") * 0.9).as("cr_refunded_cash"),
         ((col("sr_ticket_number") * 7) % 4).as("cr_call_center_sk"))
     }
 

@@ -46,6 +46,8 @@ class TpcdsSqlSpec extends AnyFunSuite {
     Tpcds.webPage(spark).createOrReplaceTempView("web_page")
     Tpcds.inventory(spark, sf).createOrReplaceTempView("inventory")
     Tpcds.webReturns(spark, sf).createOrReplaceTempView("web_returns")
+    Tpcds.callCenter(spark).createOrReplaceTempView("call_center")
+    Tpcds.catalogReturns(spark, sf).createOrReplaceTempView("catalog_returns")
     SqlSession.wrap(spark)
   }
 
@@ -1167,6 +1169,324 @@ class TpcdsSqlSpec extends AnyFunSuite {
         col("psum").isNotNull && col("nsum").isNotNull &&
         abs(col("sum_sales") - col("avg_monthly_sales")) /
           col("avg_monthly_sales") > 0.1)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q21: inventory before/after a fence date with a ratio band") {
+    session
+    val sql = text("q21",
+      ("DECIMAL '0\\.99' AND DECIMAL '1\\.49'", "DECIMAL '900' AND DECIMAL '912'"),
+      stripLimit)
+    val before = sum(when(col("d_date") < "2000-03-11",
+      col("inv_quantity_on_hand")).otherwise(0)).as("inv_before")
+    val after = sum(when(col("d_date") >= "2000-03-11",
+      col("inv_quantity_on_hand")).otherwise(0)).as("inv_after")
+    val replica = spark.table("inventory")
+      .join(spark.table("warehouse"), col("inv_warehouse_sk") === col("w_warehouse_sk"))
+      .join(spark.table("item").filter(col("i_current_price").between(900, 912)),
+        col("i_item_sk") === col("inv_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("2000-02-10", "2000-04-10")),
+        col("inv_date_sk") === col("d_date_sk"))
+      .groupBy("w_warehouse_name", "i_item_id")
+      .agg(before, after)
+      .filter(when(col("inv_before") > 0, col("inv_after") / col("inv_before"))
+        .between(2.0 / 3.0, 3.0 / 2.0))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q22: four-level inventory quantity ROLLUP") {
+    session
+    val sql = text("q22", ("1200", "23988"), stripLimit)
+    val replica = Tpcds.inventory(spark, sf)
+      .join(Tpcds.dateDim(spark).filter(col("d_month_seq").between(23988, 23999)),
+        col("inv_date_sk") === col("d_date_sk"))
+      .join(Tpcds.item(spark, sf), col("inv_item_sk") === col("i_item_sk"))
+      .rollup(col("i_product_name"), col("i_brand"), col("i_class"),
+        col("i_category"))
+      .agg(avg("inv_quantity_on_hand").as("qoh"))
+      .select("i_product_name", "i_brand", "i_class", "i_category", "qoh")
+    assertClose(session.sql(sql).select("i_product_name", "i_brand",
+      "i_class", "i_category", "qoh"), replica)
+  }
+
+  test("q28: six quantity-band blocks of avg/count/count-distinct") {
+    session
+    val sql = text("q28",
+      ("BETWEEN 8 AND \\(8 \\+ 10\\)", "BETWEEN 1000 AND (1000 + 50000)"),
+      ("BETWEEN 90 AND \\(90 \\+ 10\\)", "BETWEEN 2000 AND (2000 + 50000)"),
+      ("BETWEEN 142 AND \\(142 \\+ 10\\)", "BETWEEN 3000 AND (3000 + 50000)"),
+      ("BETWEEN 135 AND \\(135 \\+ 10\\)", "BETWEEN 4000 AND (4000 + 50000)"),
+      ("BETWEEN 122 AND \\(122 \\+ 10\\)", "BETWEEN 5000 AND (5000 + 50000)"),
+      ("BETWEEN 154 AND \\(154 \\+ 10\\)", "BETWEEN 6000 AND (6000 + 50000)"),
+      ("BETWEEN 459 AND \\(459 \\+ 1000\\)", "BETWEEN 0 AND (0 + 2000)"),
+      ("BETWEEN 2323 AND \\(2323 \\+ 1000\\)", "BETWEEN 100 AND (100 + 2000)"),
+      ("BETWEEN 12214 AND \\(12214 \\+ 1000\\)", "BETWEEN 200 AND (200 + 2000)"),
+      ("BETWEEN 6071 AND \\(6071 \\+ 1000\\)", "BETWEEN 300 AND (300 + 2000)"),
+      ("BETWEEN 836 AND \\(836 \\+ 1000\\)", "BETWEEN 400 AND (400 + 2000)"),
+      ("BETWEEN 7326 AND \\(7326 \\+ 1000\\)", "BETWEEN 500 AND (500 + 2000)"),
+      ("BETWEEN 57 AND \\(57 \\+ 20\\)", "BETWEEN 800 AND (800 + 40000)"),
+      ("BETWEEN 31 AND \\(31 \\+ 20\\)", "BETWEEN 900 AND (900 + 40000)"),
+      ("BETWEEN 79 AND \\(79 \\+ 20\\)", "BETWEEN 1000 AND (1000 + 40000)"),
+      ("BETWEEN 38 AND \\(38 \\+ 20\\)", "BETWEEN 1100 AND (1100 + 40000)"),
+      ("BETWEEN 17 AND \\(17 \\+ 20\\)", "BETWEEN 1200 AND (1200 + 40000)"),
+      ("BETWEEN 7 AND \\(7 \\+ 20\\)", "BETWEEN 1300 AND (1300 + 40000)"),
+      stripLimit)
+    val ss = spark.table("store_sales")
+    def block(qLo: Int, qHi: Int, lp: Int, cp: Int, wc: Int) =
+      ss.filter(col("ss_quantity").between(qLo, qHi) &&
+          (col("ss_list_price").between(lp, lp + 50000) ||
+            col("ss_coupon_amt").between(cp, cp + 2000) ||
+            col("ss_wholesale_cost").between(wc, wc + 40000)))
+        .agg(avg("ss_list_price"), count("ss_list_price"),
+          countDistinct("ss_list_price"))
+    val replica = block(0, 5, 1000, 0, 800)
+      .crossJoin(block(6, 10, 2000, 100, 900))
+      .crossJoin(block(11, 15, 3000, 200, 1000))
+      .crossJoin(block(16, 20, 4000, 300, 1100))
+      .crossJoin(block(21, 25, 5000, 400, 1200))
+      .crossJoin(block(26, 30, 6000, 500, 1300))
+      .toDF("b1_lp", "b1_cnt", "b1_cntd", "b2_lp", "b2_cnt", "b2_cntd",
+        "b3_lp", "b3_cnt", "b3_cntd", "b4_lp", "b4_cnt", "b4_cntd",
+        "b5_lp", "b5_cnt", "b5_cntd", "b6_lp", "b6_cnt", "b6_cntd")
+    assertClose(session.sql(sql), replica)
+  }
+
+  private def channelCustomerDays(fact: String, date: String, cust: String) =
+    spark.table(fact)
+      .join(spark.table("date_dim").filter(col("d_month_seq").between(23988, 23999)),
+        col(date) === col("d_date_sk"))
+      .join(spark.table("customer"), col(cust) === col("c_customer_sk"))
+      .select("c_last_name", "c_first_name", "d_date").distinct()
+
+  test("q38: three-channel INTERSECT of customer-day tuples") {
+    session
+    val sql = text("q38", ("1200", "23988"), stripLimit)
+    val n = channelCustomerDays("store_sales", "ss_sold_date_sk", "ss_customer_sk")
+      .intersect(channelCustomerDays("catalog_sales", "cs_sold_date_sk",
+        "cs_bill_customer_sk"))
+      .intersect(channelCustomerDays("web_sales", "ws_sold_date_sk",
+        "ws_bill_customer_sk"))
+      .count()
+    import spark.implicits._
+    assertClose(session.sql(sql), Seq(n).toDF("cnt"))
+  }
+
+  test("q87: chained EXCEPT of customer-day tuples") {
+    session
+    val sql = text("q87", ("1200", "23988"), stripLimit)
+    val n = channelCustomerDays("store_sales", "ss_sold_date_sk", "ss_customer_sk")
+      .except(channelCustomerDays("catalog_sales", "cs_sold_date_sk",
+        "cs_bill_customer_sk"))
+      .except(channelCustomerDays("web_sales", "ws_sold_date_sk",
+        "ws_bill_customer_sk"))
+      .count()
+    import spark.implicits._
+    assertClose(session.sql(sql), Seq(n).toDF("cnt"))
+  }
+
+  test("q95: returned multi-warehouse web orders via a WITH self-join") {
+    session
+    val sql = text("q95",
+      ("'IL'", "'S1'"), ("'pri'", "'Company_1'"), stripLimit)
+    val ws = spark.table("web_sales")
+    val multiWh = ws.groupBy(col("ws_order_number").as("mw_order"))
+      .agg(countDistinct("ws_warehouse_sk").as("nwh"))
+      .filter(col("nwh") >= 2).select("mw_order")
+    val returnedMulti = spark.table("web_returns")
+      .join(multiWh, col("wr_order_number") === col("mw_order"), "left_semi")
+      .select(col("wr_order_number").as("r_order")).distinct()
+    val replica = ws
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("1999-02-01", "1999-04-02")),
+        col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(spark.table("customer_address").filter(col("ca_state") === "S1"),
+        col("ws_ship_addr_sk") === col("ca_address_sk"))
+      .join(spark.table("web_site").filter(col("web_company_name") === "Company_1"),
+        col("ws_web_site_sk") === col("web_site_sk"))
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "left_semi")
+      .join(returnedMulti, col("ws_order_number") === col("r_order"), "left_semi")
+      .agg(countDistinct("ws_order_number").as("order_count"),
+        sum("ws_ext_ship_cost").as("ship_cost"),
+        sum("ws_net_profit").as("net_profit"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q97: store/catalog buyer overlap via FULL JOIN") {
+    session
+    val sql = text("q97", ("1200", "23988"), stripLimit)
+    def ci(fact: String, date: String, cust: String, item: String) =
+      spark.table(fact)
+        .join(spark.table("date_dim").filter(
+            col("d_month_seq").between(23988, 23999)),
+          col(date) === col("d_date_sk"))
+        .select(col(cust).as("customer_sk"), col(item).as("item_sk")).distinct()
+    val s = ci("store_sales", "ss_sold_date_sk", "ss_customer_sk", "ss_item_sk")
+      .toDF("s_cust", "s_item")
+    val c = ci("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk",
+      "cs_item_sk").toDF("c_cust", "c_item")
+    val replica = s.join(c, col("s_cust") === col("c_cust") &&
+        col("s_item") === col("c_item"), "full")
+      .agg(sum(when(col("s_cust").isNotNull && col("c_cust").isNull, 1)
+          .otherwise(0)).as("store_only"),
+        sum(when(col("s_cust").isNull && col("c_cust").isNotNull, 1)
+          .otherwise(0)).as("catalog_only"),
+        sum(when(col("s_cust").isNotNull && col("c_cust").isNotNull, 1)
+          .otherwise(0)).as("store_and_catalog"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q99: catalog shipping-latency buckets by warehouse/mode/call-center") {
+    session
+    val sql = text("q99", ("1200", "23988"), stripLimit)
+    val lag = col("cs_ship_date_sk") - col("cs_sold_date_sk")
+    val replica = spark.table("catalog_sales")
+      .join(spark.table("date_dim").filter(
+          col("d_month_seq").between(23988, 23999)),
+        col("cs_ship_date_sk") === col("d_date_sk"))
+      .join(spark.table("warehouse"), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(spark.table("ship_mode"), col("cs_ship_mode_sk") === col("sm_ship_mode_sk"))
+      .join(spark.table("call_center"),
+        col("cs_call_center_sk") === col("cc_call_center_sk"))
+      .groupBy(substring(col("w_warehouse_name"), 1, 20).as("wh"),
+        col("sm_type"), col("cc_name"))
+      .agg(sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).as("d60"),
+        sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).as("d90"),
+        sum(when(lag > 90 && lag <= 120, 1).otherwise(0)).as("d120"),
+        sum(when(lag > 120, 1).otherwise(0)).as("dmore"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q17: sales/returns/repurchase quantity statistics across quarters") {
+    session
+    // IN-list substitution must run BEFORE the scalar '2001Q1' one — the
+    // scalar would rewrite the list's first element and unanchor the regex
+    val sql = text("q17",
+      ("IN \\('2001Q1', '2001Q2', '2001Q3'\\)", "IN ('1999Q1', '1999Q2', '1999Q3')"),
+      ("'2001Q1'", "'1999Q1'"),
+      stripLimit)
+    val d1 = spark.table("date_dim").filter(col("d_quarter_name") === "1999Q1")
+      .select(col("d_date_sk").as("d1_sk"))
+    val d23 = spark.table("date_dim").filter(
+      col("d_quarter_name").isin("1999Q1", "1999Q2", "1999Q3"))
+    val replica = spark.table("store_sales")
+      .join(d1, col("ss_sold_date_sk") === col("d1_sk"))
+      .join(spark.table("store_returns")
+          .join(d23.select(col("d_date_sk").as("d2_sk")),
+            col("sr_returned_date_sk") === col("d2_sk")),
+        col("ss_customer_sk") === col("sr_customer_sk") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_ticket_number") === col("sr_ticket_number"))
+      .join(spark.table("catalog_sales")
+          .join(d23.select(col("d_date_sk").as("d3_sk")),
+            col("cs_sold_date_sk") === col("d3_sk")),
+        col("sr_customer_sk") === col("cs_bill_customer_sk") &&
+          col("sr_item_sk") === col("cs_item_sk"))
+      .join(spark.table("store"), col("s_store_sk") === col("ss_store_sk"))
+      .join(spark.table("item"), col("i_item_sk") === col("ss_item_sk"))
+      .groupBy("i_item_id", "i_item_desc", "s_state")
+      .agg(count("ss_quantity").as("c1"), avg("ss_quantity").as("a1"),
+        stddev_samp("ss_quantity").as("s1"),
+        (stddev_samp("ss_quantity") / avg("ss_quantity")).as("v1"),
+        count("sr_return_quantity").as("c2"), avg("sr_return_quantity").as("a2"),
+        stddev_samp("sr_return_quantity").as("s2"),
+        (stddev_samp("sr_return_quantity") / avg("sr_return_quantity")).as("v2"),
+        count("cs_quantity").as("c3"), avg("cs_quantity").as("a3"),
+        stddev_samp("cs_quantity").as("s3"),
+        (stddev_samp("cs_quantity") / avg("cs_quantity")).as("v3"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q40: catalog sales net of refunds around a fence date by warehouse state") {
+    session
+    val sql = text("q40",
+      ("DECIMAL '0\\.99' AND DECIMAL '1\\.49'", "DECIMAL '900' AND DECIMAL '912'"),
+      stripLimit)
+    val cr = spark.table("catalog_returns")
+      .select(col("cr_order_number"), col("cr_item_sk").as("r_item"),
+        col("cr_refunded_cash"))
+    val net = col("cs_sales_price") - coalesce(col("cr_refunded_cash"), lit(0.0))
+    val replica = spark.table("catalog_sales")
+      .join(cr, col("cs_order_number") === col("cr_order_number") &&
+        col("cs_item_sk") === col("r_item"), "left")
+      .join(spark.table("warehouse"), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(spark.table("item").filter(col("i_current_price").between(900, 912)),
+        col("i_item_sk") === col("cs_item_sk"))
+      .join(spark.table("date_dim").filter(
+          col("d_date").between("2000-02-10", "2000-04-10")),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .groupBy("w_state", "i_item_id")
+      .agg(sum(when(col("d_date") < "2000-03-11", net).otherwise(0))
+          .as("sales_before"),
+        sum(when(col("d_date") >= "2000-03-11", net).otherwise(0))
+          .as("sales_after"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q50: store return-latency buckets over the full store address") {
+    session
+    val sql = text("q50",
+      ("\"d_year\" = 2001", "\"d_year\" = 1999"),
+      ("\"d_moy\" = 8", "\"d_moy\" = 8"), stripLimit)
+    val lag = col("sr_returned_date_sk") - col("ss_sold_date_sk")
+    val d2 = spark.table("date_dim")
+      .filter(col("d_year") === 1999 && col("d_moy") === 8)
+      .select(col("d_date_sk").as("d2_sk"))
+    val replica = spark.table("store_sales")
+      .join(spark.table("store_returns"),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(d2, col("sr_returned_date_sk") === col("d2_sk"))
+      .join(spark.table("store"), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy("s_store_name", "s_company_id", "s_street_number",
+        "s_street_name", "s_street_type", "s_suite_number", "s_city",
+        "s_county", "s_state", "s_zip")
+      .agg(sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(lag > 30 && lag <= 60, 1).otherwise(0)).as("d60"),
+        sum(when(lag > 60 && lag <= 90, 1).otherwise(0)).as("d90"),
+        sum(when(lag > 90 && lag <= 120, 1).otherwise(0)).as("d120"),
+        sum(when(lag > 120, 1).otherwise(0)).as("dmore"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q59: store week-pivot year-over-year ratios (week_seq - 52 join)") {
+    session
+    val sql = text("q59", ("1212", "23988"), stripLimit)
+    def day(n: String, suffix: String) =
+      sum(when(col("d_day_name") === n, col("ss_sales_price"))).as(n + suffix)
+    val wss = spark.table("store_sales")
+      .join(spark.table("date_dim"), col("d_date_sk") === col("ss_sold_date_sk"))
+      .groupBy("d_week_seq", "ss_store_sk")
+      .agg(day("Sunday", "_s"), day("Monday", "_s"), day("Tuesday", "_s"),
+        day("Wednesday", "_s"), day("Thursday", "_s"), day("Friday", "_s"),
+        day("Saturday", "_s"))
+    def yearSlice(lo: Int, hi: Int, tag: String) = {
+      // NO distinct: the text comma-joins date_dim on d_week_seq, so each
+      // of a week's 7 days duplicates the wss row — replicate that
+      val weeks = spark.table("date_dim")
+        .filter(col("d_month_seq").between(lo, hi))
+        .select(col("d_week_seq").as(s"w$tag"))
+      wss.join(weeks, col("d_week_seq") === col(s"w$tag"))
+        .join(spark.table("store"), col("ss_store_sk") === col("s_store_sk"))
+        .select(col("s_store_name").as(s"name$tag"),
+          col("s_store_id").as(s"id$tag"),
+          col("d_week_seq").as(s"seq$tag"),
+          col("Sunday_s").as(s"sun$tag"), col("Monday_s").as(s"mon$tag"),
+          col("Tuesday_s").as(s"tue$tag"), col("Wednesday_s").as(s"wed$tag"),
+          col("Thursday_s").as(s"thu$tag"), col("Friday_s").as(s"fri$tag"),
+          col("Saturday_s").as(s"sat$tag"))
+    }
+    val y = yearSlice(23988, 23999, "1")
+    val x = yearSlice(24000, 24011, "2")
+    val replica = y.join(x, col("id1") === col("id2") &&
+        col("seq1") === col("seq2") - 52)
+      .select(col("name1"), col("id1"), col("seq1"),
+        (col("sun1") / col("sun2")).as("r1"), (col("mon1") / col("mon2")).as("r2"),
+        (col("tue1") / col("tue2")).as("r3"), (col("wed1") / col("wed2")).as("r4"),
+        (col("thu1") / col("thu2")).as("r5"), (col("fri1") / col("fri2")).as("r6"),
+        (col("sat1") / col("sat2")).as("r7"))
     assertClose(session.sql(sql), replica)
   }
 
