@@ -1490,6 +1490,37 @@ class TpcdsSqlSpec extends AnyFunSuite {
     assertClose(session.sql(sql), replica)
   }
 
+  test("q46: weekend bought-city vs home-city tickets") {
+    session
+    val sql = text("q46",
+      ("IN \\('Fairview'[^)]*\\)", "IN ('City_0', 'City_1', 'City_2')"),
+      stripLimit)
+    val dn = spark.table("store_sales")
+      .join(spark.table("date_dim").filter(col("d_dow").isin(6, 0) &&
+          col("d_year").isin(1999, 2000, 2001)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("store").filter(
+          col("s_city").isin("City_0", "City_1", "City_2")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(spark.table("household_demographics").filter(
+          col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(spark.table("customer_address")
+          .select(col("ca_address_sk").as("b_addr"), col("ca_city").as("bought_city")),
+        col("ss_addr_sk") === col("b_addr"))
+      .groupBy("ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "bought_city")
+      .agg(sum("ss_coupon_amt").as("amt"), sum("ss_net_profit").as("profit"))
+    val replica = dn
+      .join(spark.table("customer"), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(spark.table("customer_address")
+          .select(col("ca_address_sk").as("h_addr"), col("ca_city")),
+        col("c_current_addr_sk") === col("h_addr"))
+      .filter(col("ca_city") =!= col("bought_city"))
+      .select("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "amt", "profit")
+    assertClose(session.sql(sql), replica)
+  }
+
   test("q98: window-over-aggregate revenue ratio") {
     val sql = text("q98",
       ("IN \\('Sports', 'Books', 'Home'\\)", "IN ('SMALL', 'LARGE', 'MEDIUM')"),
