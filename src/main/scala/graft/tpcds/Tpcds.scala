@@ -151,7 +151,9 @@ object Tpcds {
         "petite", "large")), (col("p_partkey") % 6 + 1).cast("int")).as("i_size"),
       (col("p_partkey") % 50).as("i_manager_id"),
       col("p_retailprice").as("i_current_price"),
-      (col("p_retailprice") * 0.8).as("i_wholesale_cost"))
+      (col("p_retailprice") * 0.8).as("i_wholesale_cost"),
+      // numeric twin of i_class (CLASS_%8) for the q14 class-id joins
+      (col("p_partkey") % 8).as("i_class_id"))
 
   def store(s: SparkSession): DataFrame =
     s.range(0, 10).select(
@@ -169,7 +171,10 @@ object Tpcds {
       concat(lit("Street_"), col("id") % 4).as("s_street_name"),
       lit("Blvd").as("s_street_type"),
       concat(lit("Suite_"), col("id") % 3).as("s_suite_number"),
-      lpad(((col("id") * 17) % 100000).cast("string"), 5, "0").as("s_zip"))
+      // *13 keeps store zips on the ca_zip lattice (custkey*13), so the
+      // q24-family s_zip = ca_zip join is populated (store id ↔ custkey id)
+      lpad(((col("id") * 13) % 100000).cast("string"), 5, "0").as("s_zip"),
+      (col("id") % 6).as("s_market_id"))
 
   def customerDim(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
@@ -183,7 +188,21 @@ object Tpcds {
       expr("CASE c_custkey % 4 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.' " +
         "WHEN 2 THEN 'Ms.' ELSE 'Dr.' END").as("c_salutation"),
       when(col("c_custkey") % 3 === 0, "Y").otherwise("N")
-        .as("c_preferred_cust_flag"))
+        .as("c_preferred_cust_flag"),
+      // q30/q64/q84-family demographics: birth fields, contact fields and
+      // first-purchase calendar keys, all deterministic in the custkey
+      (lit(1930) + col("c_custkey") % 60).as("c_birth_year"),
+      (lit(1) + col("c_custkey") % 12).as("c_birth_month"),
+      (lit(1) + col("c_custkey") % 28).as("c_birth_day"),
+      when(col("c_custkey") % 7 === 0, "UNITED STATES")
+        .otherwise(concat(lit("COUNTRY_"), col("c_custkey") % 7))
+        .as("c_birth_country"),
+      concat(lit("login_"), col("c_custkey") % 1000).as("c_login"),
+      concat(lit("EMAIL_"), col("c_custkey"), lit("@example.com"))
+        .as("c_email_address"),
+      (col("c_custkey") % 2557).as("c_last_review_date_sk"),
+      (col("c_custkey") % 2000).as("c_first_sales_date_sk"),
+      (col("c_custkey") % 2000 + 30).as("c_first_shipto_date_sk"))
 
   def customerAddress(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
@@ -193,7 +212,14 @@ object Tpcds {
       concat(lit("S"), col("c_custkey") % 4).as("ca_state"),
       lpad(((col("c_custkey") * 13) % 100000).cast("string"), 5, "0").as("ca_zip"),
       lit("United States").as("ca_country"),
-      when(col("c_custkey") % 2 === 0, -5L).otherwise(-6L).as("ca_gmt_offset"))
+      when(col("c_custkey") % 2 === 0, -5L).otherwise(-6L).as("ca_gmt_offset"),
+      ((col("c_custkey") * 7) % 1000).cast("string").as("ca_street_number"),
+      concat(lit("Street_"), col("c_custkey") % 12).as("ca_street_name"),
+      expr("CASE c_custkey % 4 WHEN 0 THEN 'Blvd' WHEN 1 THEN 'Ave' " +
+        "WHEN 2 THEN 'St' ELSE 'Way' END").as("ca_street_type"),
+      concat(lit("Suite_"), col("c_custkey") % 10).as("ca_suite_number"),
+      expr("CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo' " +
+        "ELSE 'single family' END").as("ca_location_type"))
 
   def customerDemographics(s: SparkSession): DataFrame =
     s.range(0, 100).select(
@@ -202,7 +228,13 @@ object Tpcds {
       expr("CASE (id div 2) % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END")
         .as("cd_marital_status"),
       expr("CASE (id div 10) % 5 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College' WHEN 3 THEN '4 yr Degree' ELSE 'Advanced Degree' END")
-        .as("cd_education_status"))
+        .as("cd_education_status"),
+      ((col("id") % 20) * 500 + 500).as("cd_purchase_estimate"),
+      expr("CASE id % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good' " +
+        "WHEN 2 THEN 'High Risk' ELSE 'Unknown' END").as("cd_credit_rating"),
+      (col("id") % 7).as("cd_dep_count"),
+      (col("id") % 5).as("cd_dep_employed_count"),
+      (col("id") % 3).as("cd_dep_college_count"))
 
   def householdDemographics(s: SparkSession): DataFrame =
     s.range(0, 50).select(
@@ -233,13 +265,17 @@ object Tpcds {
       col("id").as("w_warehouse_sk"),
       concat(lit("Warehouse_"), col("id")).as("w_warehouse_name"),
       concat(lit("S"), col("id") % 4).as("w_state"),
-      (col("id") * 1000 + 500).as("w_warehouse_sq_ft"))
+      (col("id") * 1000 + 500).as("w_warehouse_sq_ft"),
+      concat(lit("City_"), col("id") % 5).as("w_city"),
+      concat(lit("County_"), col("id") % 3).as("w_county"),
+      lit("United States").as("w_country"))
 
   /** Seconds-of-day dimension (86 400 rows — broadcastable like the
     * reference's tpcds time_dim). */
   def timeDim(s: SparkSession): DataFrame =
     s.range(0, 86400).select(
       col("id").as("t_time_sk"),
+      col("id").as("t_time"),
       (col("id") / 3600).cast("long").as("t_hour"),
       ((col("id") / 60) % 60).cast("long").as("t_minute"),
       // the kit's meal-time bands (tpcds time dimension convention)
@@ -257,13 +293,16 @@ object Tpcds {
     s.range(0, 4).select(
       col("id").as("cc_call_center_sk"),
       concat(lit("CC_"), col("id")).as("cc_name"),
-      concat(lit("Manager_"), col("id") % 3).as("cc_manager"))
+      concat(lit("Manager_"), col("id") % 3).as("cc_manager"),
+      concat(lit("CCID_"), col("id")).as("cc_call_center_id"),
+      concat(lit("County_"), col("id") % 3).as("cc_county"))
 
   def webSite(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("web_site_sk"),
       concat(lit("site_"), col("id")).as("web_name"),
-      concat(lit("Company_"), col("id") % 2).as("web_company_name"))
+      concat(lit("Company_"), col("id") % 2).as("web_company_name"),
+      concat(lit("WSID_"), col("id")).as("web_site_id"))
 
   def webPage(s: SparkSession): DataFrame =
     s.range(0, 20).select(
@@ -274,7 +313,15 @@ object Tpcds {
     s.range(0, 4).select(
       col("id").as("sm_ship_mode_sk"),
       expr("CASE id WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR' " +
-        "WHEN 2 THEN 'SURFACE' ELSE 'SEA' END").as("sm_type"))
+        "WHEN 2 THEN 'SURFACE' ELSE 'SEA' END").as("sm_type"),
+      expr("CASE id WHEN 0 THEN 'UPS' WHEN 1 THEN 'FEDEX' " +
+        "WHEN 2 THEN 'DHL' ELSE 'USPS' END").as("sm_carrier"))
+
+  /** Catalog-page dimension (q05/q80 page-level report keys). */
+  def catalogPage(s: SparkSession): DataFrame =
+    s.range(0, 20).select(
+      col("id").as("cp_catalog_page_sk"),
+      concat(lit("CPID_"), col("id")).as("cp_catalog_page_id"))
 
   /** Weekly inventory snapshots: item × 366 week-grid, deterministic
     * on-hand quantity. inv_date_sk lands on the d_date_sk weekly grid
@@ -333,7 +380,11 @@ object Tpcds {
           .as("ss_net_paid"),
         (col("l_extendedprice") * col("l_discount")).as("ss_ext_discount_amt"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - col("l_extendedprice") * lit(0.8)).as("ss_net_profit"))
+          - col("l_extendedprice") * lit(0.8)).as("ss_net_profit"),
+        // l_extendedprice is already quantity-extended, so the ext_list
+        // twin shares ss_list_price's formula; ext_tax is the tax delta
+        (col("l_extendedprice") * (lit(1) + col("l_tax"))).as("ss_ext_list_price"),
+        (col("l_extendedprice") * col("l_tax")).as("ss_ext_tax"))
 
   /** Catalog / web channels: deterministic line-number split of the fact. */
   def catalogSales(s: SparkSession, dir: String): DataFrame =
@@ -357,7 +408,18 @@ object Tpcds {
         ((col("ss_ticket_number") + 1) % 4).as("cs_call_center_sk"),
         col("ss_list_price").as("cs_list_price"),
         (col("ss_sold_date_sk") + col("ss_ticket_number") % 120)
-          .as("cs_ship_date_sk"))
+          .as("cs_ship_date_sk"),
+        col("ss_hdemo_sk").as("cs_bill_hdemo_sk"),
+        (col("ss_ticket_number") % 20).as("cs_catalog_page_sk"),
+        col("ss_ext_list_price").as("cs_ext_list_price"),
+        (col("ss_ext_sales_price") * 0.05).as("cs_ext_ship_cost"),
+        col("ss_ext_wholesale_cost").as("cs_ext_wholesale_cost"),
+        col("ss_wholesale_cost").as("cs_wholesale_cost"),
+        col("ss_net_paid").as("cs_net_paid"),
+        (col("ss_net_paid") + col("ss_ext_tax")).as("cs_net_paid_inc_tax"),
+        col("ss_net_profit").as("cs_net_profit"),
+        col("ss_addr_sk").as("cs_ship_addr_sk"),
+        col("ss_customer_sk").as("cs_ship_customer_sk"))
     }
 
   def webSales(s: SparkSession, dir: String): DataFrame =
@@ -384,7 +446,11 @@ object Tpcds {
         (col("ss_ticket_number") % 20).as("ws_web_page_sk"),
         col("ss_net_paid").as("ws_net_paid"),
         col("ss_addr_sk").as("ws_ship_addr_sk"),
-        (col("ss_ext_sales_price") * 0.05).as("ws_ext_ship_cost"))
+        (col("ss_ext_sales_price") * 0.05).as("ws_ext_ship_cost"),
+        col("ss_ext_list_price").as("ws_ext_list_price"),
+        col("ss_ext_wholesale_cost").as("ws_ext_wholesale_cost"),
+        col("ss_list_price").as("ws_list_price"),
+        col("ss_wholesale_cost").as("ws_wholesale_cost"))
     }
 
   /** Returns channel: returned lineitems (l_returnflag = 'R') as
@@ -411,7 +477,8 @@ object Tpcds {
         // settlement lags the return by a deterministic 0..119-day spread so
         // latency-bucket shapes (q50) have non-degenerate buckets
         (datediff(col("l_shipdate").cast("date"), to_date(lit(Base))).cast("long")
-          + col("l_orderkey") % 120).as("sr_settled_date_sk"))
+          + col("l_orderkey") % 120).as("sr_settled_date_sk"),
+        (col("o_custkey") % 100).as("sr_cdemo_sk"))
 
   /** Catalog returns channel: the ticket-split of store_returns aligned with
     * catalog_sales' split, cr-prefixed. */
@@ -426,7 +493,12 @@ object Tpcds {
         col("sr_return_amt").as("cr_return_amount"),
         col("sr_net_loss").as("cr_net_loss"),
         (col("sr_return_amt") * 0.9).as("cr_refunded_cash"),
-        ((col("sr_ticket_number") * 7) % 4).as("cr_call_center_sk"))
+        ((col("sr_ticket_number") * 7) % 4).as("cr_call_center_sk"),
+        (col("sr_ticket_number") % 20).as("cr_catalog_page_sk"),
+        (col("sr_return_amt") * 1.08).as("cr_return_amt_inc_tax"),
+        col("sr_customer_sk").as("cr_returning_addr_sk"),
+        (col("sr_return_amt") * 0.3).as("cr_reversed_charge"),
+        (col("sr_return_amt") * 0.2).as("cr_store_credit"))
     }
 
   /** Web returns channel: the %3=2 ticket-split, wr-prefixed. */
@@ -442,7 +514,13 @@ object Tpcds {
         col("sr_net_loss").as("wr_net_loss"),
         (col("sr_store_sk") % 5).as("wr_warehouse_sk"),
         ((col("sr_ticket_number") * 11) % 10).as("wr_reason_sk"),
-        (col("sr_customer_sk") % 100).as("wr_refunded_cdemo_sk"))
+        (col("sr_customer_sk") % 100).as("wr_refunded_cdemo_sk"),
+        (col("sr_return_amt") * 0.02).as("wr_fee"),
+        col("sr_customer_sk").as("wr_refunded_addr_sk"),
+        (col("sr_return_amt") * 0.9).as("wr_refunded_cash"),
+        col("sr_customer_sk").as("wr_returning_addr_sk"),
+        ((col("sr_customer_sk") * 3) % 100).as("wr_returning_cdemo_sk"),
+        (col("sr_ticket_number") % 20).as("wr_web_page_sk"))
     }
 
   // ---- queries ------------------------------------------------------------
@@ -2944,7 +3022,7 @@ object Tpcds {
       |         'S' || CAST(range % 4 AS VARCHAR) AS s_state,
       |         'City_' || CAST(range % 5 AS VARCHAR) AS s_city,
       |         'County_' || CAST(range % 3 AS VARCHAR) AS s_county,
-      |         lpad(CAST((range * 17) % 100000 AS VARCHAR), 5, '0') AS s_zip
+      |         lpad(CAST((range * 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
       |  FROM range(0, 10)),
       |customer_dim AS (
       |  SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,

@@ -22,112 +22,8 @@ class TpcdsSqlSpec extends AnyFunSuite {
   import TestSpark._
   import tpcds.Tpcds
 
-  private val dir =
-    "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds"
+  import TpcdsText.{session, text, stripLimit, assertSame, assertClose}
 
-  private lazy val session: SqlSession = {
-    Tpcds.dateDim(spark).createOrReplaceTempView("date_dim")
-    Tpcds.timeDim(spark).createOrReplaceTempView("time_dim")
-    Tpcds.item(spark, sf).createOrReplaceTempView("item")
-    Tpcds.storeSales(spark, sf).createOrReplaceTempView("store_sales")
-    Tpcds.catalogSales(spark, sf).createOrReplaceTempView("catalog_sales")
-    Tpcds.webSales(spark, sf).createOrReplaceTempView("web_sales")
-    Tpcds.storeReturns(spark, sf).createOrReplaceTempView("store_returns")
-    Tpcds.store(spark).createOrReplaceTempView("store")
-    Tpcds.customerDim(spark, sf).createOrReplaceTempView("customer")
-    Tpcds.customerAddress(spark, sf).createOrReplaceTempView("customer_address")
-    Tpcds.customerDemographics(spark).createOrReplaceTempView("customer_demographics")
-    Tpcds.householdDemographics(spark).createOrReplaceTempView("household_demographics")
-    Tpcds.promotion(spark).createOrReplaceTempView("promotion")
-    Tpcds.reason(spark).createOrReplaceTempView("reason")
-    Tpcds.warehouse(spark).createOrReplaceTempView("warehouse")
-    Tpcds.shipMode(spark).createOrReplaceTempView("ship_mode")
-    Tpcds.webSite(spark).createOrReplaceTempView("web_site")
-    Tpcds.webPage(spark).createOrReplaceTempView("web_page")
-    Tpcds.inventory(spark, sf).createOrReplaceTempView("inventory")
-    Tpcds.webReturns(spark, sf).createOrReplaceTempView("web_returns")
-    Tpcds.callCenter(spark).createOrReplaceTempView("call_center")
-    Tpcds.catalogReturns(spark, sf).createOrReplaceTempView("catalog_returns")
-    SqlSession.wrap(spark)
-  }
-
-  /** Read a reference text, substitute the benchto template refs and the
-    * per-query parameters. `subs` are regex → replacement pairs. */
-  private def text(q: String, subs: (String, String)*): String = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/$q.sql")), "UTF-8")
-    // collapse whitespace so parameter substitutions are line-break-proof
-    val t0 = raw.replaceAll("\\$\\{database\\}\\.\\$\\{schema\\}\\.", "")
-      .replaceAll("\\s+", " ").trim.stripSuffix(";")
-    subs.foldLeft(t0) { case (t, (from, to)) => t.replaceAll(from, to) }
-  }
-
-  private val stripLimit = ("(?i)LIMIT\\s+\\d+\\s*$", "")
-
-  /** Canonical compare: text columns renamed positionally to the gate's
-    * when arities match (aliases differ, semantics don't), doubles rounded
-    * to 2 dp, rows sorted. */
-  private def assertSame(textDf: DataFrame, gateDf: DataFrame): Unit = {
-    val aligned =
-      if (textDf.columns.length == gateDf.columns.length)
-        textDf.toDF(gateDf.columns.toIndexedSeq: _*)
-      else textDf
-    val cols = gateDf.columns.filter(aligned.columns.contains).toSeq
-    assert(cols.nonEmpty, s"no common columns: ${aligned.columns.toSeq} vs " +
-      s"${gateDf.columns.toSeq}")
-    def canon(df: DataFrame): Array[String] =
-      df.select(cols.map(col): _*).collect().map(_.toSeq.map {
-        case d: java.lang.Double =>
-          BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-        case d: java.math.BigDecimal =>
-          BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-        case x => String.valueOf(x)
-      }.mkString("|")).sorted
-    val t = canon(aligned); val g = canon(gateDf)
-    assert(t.length == g.length, s"rowcount ${t.length} vs ${g.length}")
-    t.zip(g).zipWithIndex.foreach { case ((a, b), i) =>
-      assert(a == b, s"row $i: text[$a] vs gate[$b]")
-    }
-  }
-
-  /** Tolerance compare for the replica tests: the text path sums raw
-    * doubles whose partial order differs from the replica plan's, so
-    * large aggregates can drift past a fixed 2-dp rounding. Rows pair up
-    * sorted by their non-floating key columns; floating cells must agree
-    * within max(0.05, 1e-8·|v|). */
-  private def assertClose(textDf: DataFrame, replicaDf: DataFrame): Unit = {
-    val aligned =
-      if (textDf.columns.length == replicaDf.columns.length)
-        textDf.toDF(replicaDf.columns.toIndexedSeq: _*)
-      else textDf
-    val cols = replicaDf.columns.toSeq
-    def rows(df: DataFrame): Array[Seq[Any]] =
-      df.select(cols.map(col): _*).collect().map(_.toSeq)
-        .sortBy(_.map {
-          // floats join the sort key ROUNDED so duplicate-keyed rows pair
-          // deterministically while sub-tolerance drift cannot reorder
-          case d: java.lang.Double => f"${math.rint(d * 100) / 100}%.2f"
-          case d: java.math.BigDecimal => f"${math.rint(d.doubleValue * 100) / 100}%.2f"
-          case x => String.valueOf(x)
-        }.mkString("|"))
-    val t = rows(aligned); val g = rows(replicaDf)
-    assert(g.nonEmpty, "replica returned no rows — vacuous compare")
-    assert(t.length == g.length, s"rowcount ${t.length} vs ${g.length}")
-    t.zip(g).zipWithIndex.foreach { case ((ra, rb), i) =>
-      ra.zip(rb).foreach { case (a, b) =>
-        (a, b) match {
-          case (x: Number, y: Number)
-            if a.isInstanceOf[java.lang.Double] || b.isInstanceOf[java.lang.Double] ||
-              a.isInstanceOf[java.math.BigDecimal] || b.isInstanceOf[java.math.BigDecimal] =>
-            val (dx, dy) = (x.doubleValue(), y.doubleValue())
-            assert(math.abs(dx - dy) <= math.max(0.05, 1e-8 * math.abs(dy)),
-              s"row $i: $dx vs $dy (cols $cols)\ntext=$ra\nreplica=$rb")
-          case _ => assert(String.valueOf(a) == String.valueOf(b),
-            s"row $i: $a vs $b\ntext=$ra\nreplica=$rb")
-        }
-      }
-    }
-  }
 
   test("q01: WITH chain + correlated scalar subquery + DECIMAL literal") {
     val sql = text("q01",
@@ -179,9 +75,28 @@ class TpcdsSqlSpec extends AnyFunSuite {
       ("\\(1999 , \\(1999 \\+ 1\\) , \\(1999 \\+ 2\\)\\)",
         "(1998, (1998 + 1), (1998 + 2))"),
       ("IN \\('Williamson County'[^)]*\\)", "IN ('County_0', 'County_1')"),
-      ("BETWEEN 15 AND 20", "BETWEEN 2 AND 7"))
-    val t = session.sql(sql).drop("c_salutation", "c_preferred_cust_flag")
-    assertSame(t, Tpcds.q34(spark, sf))
+      // the gate's 2-7 band is empty at sf0.001 — widen to 1-7 and compare
+      // against a replica so the assertion is non-vacuous
+      ("BETWEEN 15 AND 20", "BETWEEN 1 AND 7"))
+    session
+    val replica = spark.table("store_sales")
+      .join(spark.table("date_dim").filter(col("d_dom").between(1, 3) &&
+        col("d_year").isin(1998, 1999, 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("store").filter(
+        col("s_county").isin("County_0", "County_1")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(spark.table("household_demographics").filter(
+        (col("hd_buy_potential") === ">10000" ||
+          col("hd_buy_potential") === "Unknown") && col("hd_vehicle_count") > 0),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy("ss_ticket_number", "ss_customer_sk")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(1, 7))
+      .join(spark.table("customer"), col("ss_customer_sk") === col("c_customer_sk"))
+      .select("c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt")
+    assertSame(session.sql(sql), replica)
   }
 
   test("q42: category revenue for one manager-month") {
@@ -194,9 +109,21 @@ class TpcdsSqlSpec extends AnyFunSuite {
   }
 
   test("q52: brand revenue for one manager-month, year kept") {
+    // the gate's (13, 11, 2000) slice is empty at sf0.001 — aim the text at
+    // q42's populated (8, 12, 1998) slice and compare against a replica
     val sql = text("q52",
-      ("\"i_manager_id\" = 1", "\"i_manager_id\" = 13"), stripLimit)
-    assertSame(session.sql(sql), Tpcds.q52(spark, sf))
+      ("\"i_manager_id\" = 1", "\"i_manager_id\" = 8"),
+      ("\"d_moy\" = 11", "\"d_moy\" = 12"),
+      ("\"d_year\" = 2000", "\"d_year\" = 1998"), stripLimit)
+    session
+    val replica = spark.table("store_sales")
+      .join(spark.table("date_dim").filter(col("d_moy") === 12 &&
+        col("d_year") === 1998), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(spark.table("item").filter(col("i_manager_id") === 8),
+        col("ss_item_sk") === col("i_item_sk"))
+      .groupBy("d_year", "i_brand_id", "i_brand")
+      .agg(sum("ss_ext_sales_price").as("ext_price"))
+    assertClose(session.sql(sql), replica)
   }
 
   test("q55: brand revenue for one manager-month") {
