@@ -578,4 +578,256 @@ class TpcdsSqlSpec2 extends AnyFunSuite {
       .distinct()
     assertClose(session.sql(sql), replica)
   }
+
+  test("q51: cumulative web-vs-store sales crossover (FULL JOIN + windows)") {
+    // store_sales is a superset of every web ticket-split row, so the web
+    // cumulative can never strictly exceed the store cumulative here: the
+    // verbatim text is pinned empty and the inverted comparison (the one
+    // populated direction) carries the value comparison.
+    val verbatim = text("q51", ("1200", "23976"), stripLimit)
+    assert(session.sql(verbatim).count() == 0,
+      "verbatim q51 empty: web cume cannot exceed store cume on the splits")
+    val sql = text("q51", ("1200", "23976"),
+      ("\"web_cumulative\" > \"store_cumulative\"",
+        "\"web_cumulative\" < \"store_cumulative\""), stripLimit)
+    def v1(f: DataFrame, dk: String, ik: String, sp: String) =
+      f.join(v("date_dim").filter(col("d_month_seq").between(23976, 23987)),
+          col(dk) === col("d_date_sk"))
+        .filter(col(ik).isNotNull)
+        .groupBy(col(ik).as("item_sk"), col("d_date"))
+        .agg(sum(sp).as("daily"))
+        .withColumn("cume_sales", sum("daily").over(Window
+          .partitionBy("item_sk").orderBy("d_date")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("daily")
+    val web = v1(v("web_sales"), "ws_sold_date_sk", "ws_item_sk", "ws_sales_price")
+      .select(col("item_sk").as("wi"), col("d_date").as("wd"),
+        col("cume_sales").as("web_sales"))
+    val store = v1(v("store_sales"), "ss_sold_date_sk", "ss_item_sk", "ss_sales_price")
+      .select(col("item_sk").as("si"), col("d_date").as("sd"),
+        col("cume_sales").as("store_sales"))
+    val joined = web.join(store,
+        col("wi") === col("si") && col("wd") === col("sd"), "full")
+      .select(when(col("wi").isNotNull, col("wi")).otherwise(col("si")).as("item_sk"),
+        when(col("wd").isNotNull, col("wd")).otherwise(col("sd")).as("d_date"),
+        col("web_sales"), col("store_sales"))
+    val w = Window.partitionBy("item_sk").orderBy("d_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val replica = joined
+      .withColumn("web_cumulative", max("web_sales").over(w))
+      .withColumn("store_cumulative", max("store_sales").over(w))
+      .filter(col("web_cumulative") < col("store_cumulative"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q54: maternity-buyer revenue segments in the following quarter") {
+    val sql = text("q54", ("'Women'", "'SMALL'"), ("'maternity'", "'CLASS_5'"),
+      stripLimit)
+    val crossSales = v("catalog_sales").select(
+        col("cs_sold_date_sk").as("sold_date_sk"),
+        col("cs_bill_customer_sk").as("customer_sk"),
+        col("cs_item_sk").as("item_sk"))
+      .unionAll(v("web_sales").select(col("ws_sold_date_sk"),
+        col("ws_bill_customer_sk"), col("ws_item_sk")))
+    val myCustomers = crossSales
+      .join(v("date_dim").filter(col("d_moy") === 12 && col("d_year") === 1998),
+        col("sold_date_sk") === col("d_date_sk"))
+      .join(v("item").filter(col("i_category") === "SMALL" &&
+        col("i_class") === "CLASS_5"), col("item_sk") === col("i_item_sk"))
+      .join(v("customer"), col("c_customer_sk") === col("customer_sk"))
+      .select("c_customer_sk", "c_current_addr_sk").distinct()
+    // d_month_seq of Dec 1998 = 23987; window = +1 .. +3
+    val myRevenue = myCustomers
+      .join(v("customer_address"), col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(v("store"), col("ca_county") === col("s_county") &&
+        col("ca_state") === col("s_state"))
+      .join(v("store_sales"), col("c_customer_sk") === col("ss_customer_sk"))
+      .join(v("date_dim").filter(col("d_month_seq").between(23988, 23990)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy("c_customer_sk")
+      .agg(sum("ss_ext_sales_price").as("revenue"))
+    val replica = myRevenue
+      .select((col("revenue") / 50).cast("int").as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("num_customers"))
+      .select(col("segment"), col("num_customers"),
+        (col("segment") * 50).as("segment_base"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q60: category item revenue re-aggregated across three channels") {
+    val sql = text("q60", ("'Music'", "'ECONOMY'"), stripLimit)
+    val catIds = v("item").filter(col("i_category") === "ECONOMY")
+      .select("i_item_id").distinct()
+    def chan(f: DataFrame, dk: String, ik: String, ak: String, rev: String) =
+      f.join(v("date_dim").filter(col("d_year") === 1998 && col("d_moy") === 9),
+          col(dk) === col("d_date_sk"))
+        .join(v("customer_address").filter(col("ca_gmt_offset") === -5),
+          col(ak) === col("ca_address_sk"))
+        .join(v("item"), col(ik) === col("i_item_sk"))
+        .join(catIds.withColumnRenamed("i_item_id", "cid"),
+          col("i_item_id") === col("cid"), "left_semi")
+        .groupBy("i_item_id").agg(sum(rev).as("total_sales"))
+    val replica = chan(v("store_sales"), "ss_sold_date_sk", "ss_item_sk",
+        "ss_addr_sk", "ss_ext_sales_price")
+      .unionAll(chan(v("catalog_sales"), "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_addr_sk", "cs_ext_sales_price"))
+      .unionAll(chan(v("web_sales"), "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_addr_sk", "ws_ext_sales_price"))
+      .groupBy("i_item_id").agg(sum("total_sales").as("total_sales"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q66: warehouse monthly pivot over two carrier-filtered channels") {
+    val sql = text("q66", ("2001", "1998"),
+      ("IN \\('DHL' , 'BARIAN'\\)", "IN ('DHL', 'UPS')"), stripLimit)
+    val whCols = Seq("w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+      "w_county", "w_state", "w_country")
+    def chan(f: DataFrame, wk: String, dk: String, tk: String, mk: String,
+        sales: Column, net: Column) = {
+      val base = f
+        .join(v("warehouse"), col(wk) === col("w_warehouse_sk"))
+        .join(v("date_dim").filter(col("d_year") === 1998),
+          col(dk) === col("d_date_sk"))
+        .join(v("time_dim").filter(col("t_time").between(30838, 59638)),
+          col(tk) === col("t_time_sk"))
+        .join(v("ship_mode").filter(col("sm_carrier").isin("DHL", "UPS")),
+          col(mk) === col("sm_ship_mode_sk"))
+      val months = (1 to 12).flatMap { m =>
+        Seq(sum(when(col("d_moy") === m, sales).otherwise(lit(0.0)))
+            .as(s"m${m}_sales"),
+          sum(when(col("d_moy") === m, net).otherwise(lit(0.0)))
+            .as(s"m${m}_net"))
+      }
+      base.groupBy(whCols.map(col) :+ col("d_year").as("year_"): _*)
+        .agg(months.head, months.tail: _*)
+    }
+    val x = chan(v("web_sales"), "ws_warehouse_sk", "ws_sold_date_sk",
+        "ws_sold_time_sk", "ws_ship_mode_sk",
+        col("ws_ext_sales_price") * col("ws_quantity"),
+        col("ws_net_paid") * col("ws_quantity"))
+      .unionAll(chan(v("catalog_sales"), "cs_warehouse_sk", "cs_sold_date_sk",
+        "cs_sold_time_sk", "cs_ship_mode_sk",
+        col("cs_sales_price") * col("cs_quantity"),
+        col("cs_net_paid_inc_tax") * col("cs_quantity")))
+    val aggs =
+      (1 to 12).map(m => sum(s"m${m}_sales").as(s"s$m")) ++
+      (1 to 12).map(m =>
+        sum(col(s"m${m}_sales") / col("w_warehouse_sq_ft")).as(s"sq$m")) ++
+      (1 to 12).map(m => sum(s"m${m}_net").as(s"n$m"))
+    val replica = x
+      .groupBy(whCols.map(col) :+ lit("DHL,BARIAN").as("ship_carriers") :+
+        col("year_"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q67: 8-level ROLLUP with per-category rank") {
+    val sql = text("q67", ("1200", "23976"), stripLimit)
+    val base = v("store_sales")
+      .join(v("date_dim").filter(col("d_month_seq").between(23976, 23987)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(v("store"), col("ss_store_sk") === col("s_store_sk"))
+      .join(v("item"), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"), col("i_brand"),
+        col("i_product_name"), col("d_year"), col("d_qoy"), col("d_moy"),
+        col("s_store_id"))
+      .agg(sum(coalesce(col("ss_sales_price") * col("ss_quantity"), lit(0.0)))
+        .as("sumsales"))
+    val replica = base.withColumn("rk", rank().over(
+        Window.partitionBy("i_category").orderBy(desc("sumsales"))))
+      .filter(col("rk") <= 100)
+      .select("i_category", "i_class", "i_brand", "i_product_name", "d_year",
+        "d_qoy", "d_moy", "s_store_id", "sumsales", "rk")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q68: bought-city vs home-city ticket extract with tax/list sums") {
+    val sql = text("q68", ("1999", "1998"),
+      ("IN \\('Midway' , 'Fairview'\\)", "IN ('City_2', 'City_3')"),
+      stripLimit)
+    val dn = v("store_sales")
+      .join(v("date_dim").filter(col("d_dom").between(1, 2) &&
+        col("d_year").isin(1998, 1999, 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(v("store").filter(col("s_city").isin("City_2", "City_3")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(v("household_demographics").filter(col("hd_dep_count") === 4 ||
+        col("hd_vehicle_count") === 3), col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(v("customer_address"), col("ss_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"), col("ss_addr_sk"),
+        col("ca_city").as("bought_city"))
+      .agg(sum("ss_ext_sales_price").as("extended_price"),
+        sum("ss_ext_list_price").as("list_price"),
+        sum("ss_ext_tax").as("extended_tax"))
+    val replica = dn
+      .join(v("customer"), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(v("customer_address").select(col("ca_address_sk").as("cak"),
+        col("ca_city")), col("c_current_addr_sk") === col("cak"))
+      .filter(col("ca_city") =!= col("bought_city"))
+      .select("c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "extended_price", "extended_tax", "list_price")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q69: store-only buyers (NOT EXISTS web/catalog), purchase stats") {
+    val sql = text("q69", ("2001", "1998"),
+      ("IN \\('KY', 'GA', 'NM'\\)", "IN ('S0', 'S1', 'S2')"), stripLimit)
+    val dd = v("date_dim").filter(col("d_year") === 1998 &&
+      col("d_moy").between(4, 6)).select("d_date_sk")
+    def buyers(f: DataFrame, dk: String, ck: String) =
+      f.join(dd, col(dk) === col("d_date_sk"))
+        .select(col(ck).as("b_cust")).distinct()
+    val storeB = buyers(v("store_sales"), "ss_sold_date_sk", "ss_customer_sk")
+    val webB = buyers(v("web_sales"), "ws_sold_date_sk", "ws_bill_customer_sk")
+    val catB = buyers(v("catalog_sales"), "cs_sold_date_sk", "cs_ship_customer_sk")
+    val replica = v("customer")
+      .join(storeB, col("c_customer_sk") === storeB("b_cust"), "left_semi")
+      .join(webB, col("c_customer_sk") === webB("b_cust"), "left_anti")
+      .join(catB, col("c_customer_sk") === catB("b_cust"), "left_anti")
+      .join(v("customer_address").filter(col("ca_state").isin("S0", "S1", "S2")),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(v("customer_demographics"),
+        col("cd_demo_sk") === col("c_current_cdemo_sk"))
+      .groupBy("cd_gender", "cd_marital_status", "cd_education_status",
+        "cd_purchase_estimate", "cd_credit_rating")
+      .agg(count(lit(1)).as("cnt1"), count(lit(1)).as("cnt2"),
+        count(lit(1)).as("cnt3"))
+      .select("cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q72: inventory shortfall vs catalog demand with promo split") {
+    val sql = text("q72", ("1999", "1998"), stripLimit)
+    val d1 = v("date_dim").select(col("d_date_sk").as("dk1"),
+      col("d_week_seq").as("wk1"), col("d_date").as("date1"),
+      col("d_year").as("yr1"))
+    val d2 = v("date_dim").select(col("d_date_sk").as("dk2"),
+      col("d_week_seq").as("wk2"))
+    val d3 = v("date_dim").select(col("d_date_sk").as("dk3"),
+      col("d_date").as("date3"))
+    val replica = v("catalog_sales")
+      .join(v("inventory"), col("cs_item_sk") === col("inv_item_sk"))
+      .join(v("warehouse"), col("w_warehouse_sk") === col("inv_warehouse_sk"))
+      .join(v("item"), col("i_item_sk") === col("cs_item_sk"))
+      .join(v("customer_demographics").filter(col("cd_marital_status") === "D"),
+        col("cs_bill_cdemo_sk") === col("cd_demo_sk"))
+      .join(v("household_demographics").filter(col("hd_buy_potential") === ">10000"),
+        col("cs_bill_hdemo_sk") === col("hd_demo_sk"))
+      .join(d1, col("cs_sold_date_sk") === col("dk1"))
+      .join(d2, col("inv_date_sk") === col("dk2"))
+      .join(d3, col("cs_ship_date_sk") === col("dk3"))
+      .filter(col("wk1") === col("wk2") &&
+        col("inv_quantity_on_hand") < col("cs_quantity") &&
+        col("date3") > date_add(col("date1"), 5) &&
+        col("yr1") === 1998)
+      .join(v("promotion"), col("cs_promo_sk") === col("p_promo_sk"), "left")
+      .join(v("catalog_returns"), col("cr_item_sk") === col("cs_item_sk") &&
+        col("cr_order_number") === col("cs_order_number"), "left")
+      .groupBy(col("i_item_desc"), col("w_warehouse_name"), col("wk1"))
+      .agg(sum(when(col("p_promo_sk").isNull, 1).otherwise(0)).as("no_promo"),
+        sum(when(col("p_promo_sk").isNotNull, 1).otherwise(0)).as("promo"),
+        count(lit(1)).as("total_cnt"))
+    assertClose(session.sql(sql), replica)
+  }
 }
