@@ -519,7 +519,10 @@ object Tpcds {
         col("sr_customer_sk").as("wr_refunded_addr_sk"),
         (col("sr_return_amt") * 0.9).as("wr_refunded_cash"),
         col("sr_customer_sk").as("wr_returning_addr_sk"),
-        ((col("sr_customer_sk") * 3) % 100).as("wr_returning_cdemo_sk"),
+        // same demo key as the refunded side: ×3 would never land the
+        // returning demo in the same marital/education class, deadening the
+        // q85-family cd1=cd2 equality joins
+        (col("sr_customer_sk") % 100).as("wr_returning_cdemo_sk"),
         (col("sr_ticket_number") % 20).as("wr_web_page_sk"))
     }
 
