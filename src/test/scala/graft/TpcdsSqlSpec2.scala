@@ -1195,4 +1195,351 @@ class TpcdsSqlSpec2 extends AnyFunSuite {
       .select("cc_call_center_id", "cc_name", "cc_manager", "returns_loss")
     assertClose(session.sql(sql), replica)
   }
+
+  // ---- year_total family (q04 q11 q74): per-customer per-channel year
+  // totals self-joined on the customer across two years. The shared helper
+  // carries the text's customer attributes through the grouping so the
+  // final projection needs no re-join.
+  private def yearTotal(f: DataFrame, custK: String, dateK: String,
+      metric: Column, attrs: Seq[String]): DataFrame =
+    f.join(v("date_dim").filter(col("d_year").isin(1998, 1999))
+        .select("d_date_sk", "d_year"), col(dateK) === col("d_date_sk"))
+      .join(v("customer"), col(custK) === col("c_customer_sk"))
+      .groupBy((Seq("c_customer_id") ++ attrs :+ "d_year").map(col): _*)
+      .agg(sum(metric).as("tot"))
+
+  private def ytSlice(yt: DataFrame, yr: Int, p: String, attrs: Seq[String],
+      positive: Boolean): DataFrame = {
+    val base = yt.filter(col("d_year") === yr)
+    (if (positive) base.filter(col("tot") > 0) else base)
+      .select(col("c_customer_id").as(s"${p}_id") +:
+        (attrs.map(a => col(a).as(s"${p}_$a")) :+ col("tot").as(s"${p}_tot")): _*)
+  }
+
+  test("q74: store-vs-web net-paid growth (year_total family)") {
+    val sql = text("q74", ("2001", "1998"), stripLimit)
+    val attrs = Seq("c_first_name", "c_last_name")
+    val st = yearTotal(v("store_sales"), "ss_customer_sk", "ss_sold_date_sk",
+      col("ss_net_paid"), attrs)
+    val wb = yearTotal(v("web_sales"), "ws_bill_customer_sk", "ws_sold_date_sk",
+      col("ws_net_paid"), attrs)
+    val s1 = ytSlice(st, 1998, "s1", attrs, positive = true)
+    val s2 = ytSlice(st, 1999, "s2", attrs, positive = false)
+    val w1 = ytSlice(wb, 1998, "w1", attrs, positive = true)
+    val w2 = ytSlice(wb, 1999, "w2", attrs, positive = false)
+    val replica = s2.join(s1, col("s2_id") === col("s1_id"))
+      .join(w1, col("s1_id") === col("w1_id"))
+      .join(w2, col("s1_id") === col("w2_id"))
+      .filter(col("w2_tot") / col("w1_tot") > col("s2_tot") / col("s1_tot"))
+      .select(col("s2_id"), col("s2_c_first_name"), col("s2_c_last_name"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q11: list-minus-discount growth, store vs web (year_total family)") {
+    val sql = text("q11", ("2001", "1998"), stripLimit)
+    val attrs = Seq("c_first_name", "c_last_name", "c_preferred_cust_flag",
+      "c_birth_country", "c_login", "c_email_address")
+    val st = yearTotal(v("store_sales"), "ss_customer_sk", "ss_sold_date_sk",
+      col("ss_ext_list_price") - col("ss_ext_discount_amt"), attrs)
+    val wb = yearTotal(v("web_sales"), "ws_bill_customer_sk", "ws_sold_date_sk",
+      col("ws_ext_list_price") - col("ws_ext_discount_amt"), attrs)
+    val s1 = ytSlice(st, 1998, "s1", attrs, positive = true)
+    val s2 = ytSlice(st, 1999, "s2", attrs, positive = false)
+    val w1 = ytSlice(wb, 1998, "w1", attrs, positive = true)
+    val w2 = ytSlice(wb, 1999, "w2", attrs, positive = false)
+    val replica = s2.join(s1, col("s2_id") === col("s1_id"))
+      .join(w1, col("s1_id") === col("w1_id"))
+      .join(w2, col("s1_id") === col("w2_id"))
+      .filter(col("w2_tot") / col("w1_tot") > col("s2_tot") / col("s1_tot"))
+      .select(col("s2_id"), col("s2_c_first_name"), col("s2_c_last_name"),
+        col("s2_c_preferred_cust_flag"), col("s2_c_birth_country"),
+        col("s2_c_login"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q04: catalog growth outpacing both store and web (year_total family)") {
+    val sql = text("q04", ("2001", "1998"), stripLimit)
+    val attrs = Seq("c_first_name", "c_last_name", "c_preferred_cust_flag",
+      "c_birth_country", "c_login", "c_email_address")
+    def metric(p: String): Column =
+      (col(s"${p}_ext_list_price") - col(s"${p}_ext_wholesale_cost") -
+        col(s"${p}_ext_discount_amt") + col(s"${p}_ext_sales_price")) / 2
+    val st = yearTotal(v("store_sales"), "ss_customer_sk", "ss_sold_date_sk",
+      metric("ss"), attrs)
+    val ct = yearTotal(v("catalog_sales"), "cs_bill_customer_sk",
+      "cs_sold_date_sk", metric("cs"), attrs)
+    val wb = yearTotal(v("web_sales"), "ws_bill_customer_sk", "ws_sold_date_sk",
+      metric("ws"), attrs)
+    val s1 = ytSlice(st, 1998, "s1", attrs, positive = true)
+    val s2 = ytSlice(st, 1999, "s2", attrs, positive = false)
+    val c1 = ytSlice(ct, 1998, "c1", attrs, positive = true)
+    val c2 = ytSlice(ct, 1999, "c2", attrs, positive = false)
+    val w1 = ytSlice(wb, 1998, "w1", attrs, positive = true)
+    val w2 = ytSlice(wb, 1999, "w2", attrs, positive = false)
+    val replica = s2.join(s1, col("s2_id") === col("s1_id"))
+      .join(c2, col("s1_id") === col("c2_id"))
+      .join(c1, col("s1_id") === col("c1_id"))
+      .join(w1, col("s1_id") === col("w1_id"))
+      .join(w2, col("s1_id") === col("w2_id"))
+      .filter(col("c2_tot") / col("c1_tot") > col("s2_tot") / col("s1_tot") &&
+        col("c2_tot") / col("c1_tot") > col("w2_tot") / col("w1_tot"))
+      .select(col("s2_id"), col("s2_c_first_name"), col("s2_c_last_name"),
+        col("s2_c_preferred_cust_flag"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  // ---- q23: frequent-item / best-customer cross-channel sales. The
+  // fixture never sells one item >4 times on a single day (max is 2), so
+  // the frequency parameter drops to >1 — the only way the frequent-items
+  // CTE is non-degenerate at test scale; the 50% max-spend cutoff and the
+  // February slice stay verbatim.
+  private def q23Frequent: DataFrame =
+    v("store_sales")
+      .join(v("date_dim").filter(col("d_year").between(1998, 2001))
+        .select("d_date_sk", "d_date"), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(v("item"), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(substring(col("i_item_desc"), 1, 30).as("itemdesc"),
+        col("i_item_sk"), col("d_date"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("i_item_sk").as("f_item")).distinct()
+
+  private def q23Best: DataFrame = {
+    val spendAll = v("store_sales")
+      .join(v("customer"), col("ss_customer_sk") === col("c_customer_sk"))
+      .groupBy(col("c_customer_sk"))
+      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("ssales"))
+    val cmax = v("store_sales")
+      .join(v("date_dim").filter(col("d_year").between(1998, 2001))
+        .select("d_date_sk"), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(v("customer").select(col("c_customer_sk").as("mc_sk")),
+        col("ss_customer_sk") === col("mc_sk"))
+      .groupBy(col("mc_sk"))
+      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("csales"))
+      .agg(max("csales").as("cmax"))
+    spendAll.join(broadcast(cmax))
+      .filter(col("ssales") > col("cmax") * 0.5)
+      .select(col("c_customer_sk").as("b_cust"))
+  }
+
+  test("q23_1: frequent-item best-customer February cross-channel total") {
+    val sql = text("q23_1", ("2000", "1998"), ("> 4\\)", "> 1)"))
+    val freq = q23Frequent; val best = q23Best
+    val feb = v("date_dim").filter(col("d_year") === 1998 && col("d_moy") === 2)
+      .select("d_date_sk")
+    def chan(f: DataFrame, dateK: String, itemK: String, custK: String,
+        qty: String, price: String): DataFrame =
+      f.join(feb, col(dateK) === col("d_date_sk"))
+        .join(freq, col(itemK) === col("f_item"), "leftsemi")
+        .join(best, col(custK) === col("b_cust"), "leftsemi")
+        .select((col(qty) * col(price)).as("sales"))
+    val replica = chan(v("catalog_sales"), "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
+      .unionAll(chan(v("web_sales"), "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
+      .agg(sum("sales").as("total"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q23_2: best-customer February sales by customer name") {
+    val sql = text("q23_2", ("2000", "1998"), ("> 4\\)", "> 1)"), stripLimit)
+    val freq = q23Frequent; val best = q23Best
+    val feb = v("date_dim").filter(col("d_year") === 1998 && col("d_moy") === 2)
+      .select("d_date_sk")
+    def chan(f: DataFrame, dateK: String, itemK: String, custK: String,
+        qty: String, price: String): DataFrame =
+      f.join(feb, col(dateK) === col("d_date_sk"))
+        .join(freq, col(itemK) === col("f_item"), "leftsemi")
+        .join(best, col(custK) === col("b_cust"), "leftsemi")
+        .join(v("customer"), col(custK) === col("c_customer_sk"))
+        .groupBy("c_last_name", "c_first_name")
+        .agg(sum(col(qty) * col(price)).as("sales"))
+    val replica = chan(v("catalog_sales"), "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
+      .unionAll(chan(v("web_sales"), "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  // ---- q14: cross-channel INTERSECT of (brand, class, category) plus an
+  // average-sales HAVING cutoff. Shared pieces for both variants.
+  private def q14CrossItems: DataFrame = {
+    def bcc(f: DataFrame, itemK: String, dateK: String): DataFrame =
+      f.join(v("date_dim").filter(col("d_year").between(1998, 2000))
+          .select("d_date_sk"), col(dateK) === col("d_date_sk"))
+        .join(v("item"), col(itemK) === col("i_item_sk"))
+        .select("i_brand_id", "i_class_id", "i_category_id").distinct()
+    val common = bcc(v("store_sales"), "ss_item_sk", "ss_sold_date_sk")
+      .intersect(bcc(v("catalog_sales"), "cs_item_sk", "cs_sold_date_sk"))
+      .intersect(bcc(v("web_sales"), "ws_item_sk", "ws_sold_date_sk"))
+      .withColumnRenamed("i_brand_id", "xb")
+      .withColumnRenamed("i_class_id", "xc")
+      .withColumnRenamed("i_category_id", "xg")
+    v("item").join(common, col("i_brand_id") === col("xb") &&
+        col("i_class_id") === col("xc") && col("i_category_id") === col("xg"))
+      .select(col("i_item_sk").as("x_item"))
+  }
+
+  private def q14AvgSales: DataFrame = {
+    def qp(f: DataFrame, dateK: String, qty: String, price: String): DataFrame =
+      f.join(v("date_dim").filter(col("d_year").between(1998, 2000))
+          .select("d_date_sk"), col(dateK) === col("d_date_sk"))
+        .select((col(qty) * col(price)).as("qp"))
+    qp(v("store_sales"), "ss_sold_date_sk", "ss_quantity", "ss_list_price")
+      .unionAll(qp(v("catalog_sales"), "cs_sold_date_sk", "cs_quantity",
+        "cs_list_price"))
+      .unionAll(qp(v("web_sales"), "ws_sold_date_sk", "ws_quantity",
+        "ws_list_price"))
+      .agg(avg("qp").as("average_sales"))
+  }
+
+  private def q14Channel(f: DataFrame, name: String, itemK: String,
+      dateK: String, qty: String, price: String, dd: DataFrame,
+      cross: DataFrame, avgS: DataFrame): DataFrame =
+    f.join(dd, col(dateK) === col("d_date_sk"))
+      .join(cross, col(itemK) === col("x_item"), "leftsemi")
+      .join(v("item"), col(itemK) === col("i_item_sk"))
+      .groupBy("i_brand_id", "i_class_id", "i_category_id")
+      .agg(sum(col(qty) * col(price)).as("sales"),
+        count(lit(1)).as("number_sales"))
+      .join(broadcast(avgS))
+      .filter(col("sales") > col("average_sales"))
+      .select(lit(name).as("channel"), col("i_brand_id"), col("i_class_id"),
+        col("i_category_id"), col("sales"), col("number_sales"))
+
+  test("q14_1: cross-channel items November report with ROLLUP") {
+    val sql = text("q14_1", ("1999", "1998"), stripLimit)
+    val cross = q14CrossItems; val avgS = q14AvgSales
+    val nov = v("date_dim").filter(col("d_year") === 2000 && col("d_moy") === 11)
+      .select("d_date_sk")
+    val y = q14Channel(v("store_sales"), "store", "ss_item_sk",
+        "ss_sold_date_sk", "ss_quantity", "ss_list_price", nov, cross, avgS)
+      .unionAll(q14Channel(v("catalog_sales"), "catalog", "cs_item_sk",
+        "cs_sold_date_sk", "cs_quantity", "cs_list_price", nov, cross, avgS))
+      .unionAll(q14Channel(v("web_sales"), "web", "ws_item_sk",
+        "ws_sold_date_sk", "ws_quantity", "ws_list_price", nov, cross, avgS))
+    val replica = y.rollup(col("channel"), col("i_brand_id"),
+        col("i_class_id"), col("i_category_id"))
+      .agg(sum("sales").as("s"), sum("number_sales").as("n"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q14_2: this-week vs last-year-week store sales on cross-channel items") {
+    val sql = text("q14_2", ("1999", "1998"), stripLimit)
+    val cross = q14CrossItems; val avgS = q14AvgSales
+    def weekOf(yr: Int): DataFrame =
+      v("date_dim").filter(col("d_year") === yr && col("d_moy") === 12 &&
+        col("d_dom") === 11).select(col("d_week_seq").as("wk"))
+    def slice(yr: Int, p: String): DataFrame = {
+      val dd = v("date_dim").join(broadcast(weekOf(yr)),
+        col("d_week_seq") === col("wk")).select("d_date_sk")
+      q14Channel(v("store_sales"), "store", "ss_item_sk", "ss_sold_date_sk",
+          "ss_quantity", "ss_list_price", dd, cross, avgS)
+        .select(col("channel").as(s"${p}_channel"),
+          col("i_brand_id").as(s"${p}_brand"), col("i_class_id").as(s"${p}_class"),
+          col("i_category_id").as(s"${p}_cat"), col("sales").as(s"${p}_sales"),
+          col("number_sales").as(s"${p}_n"))
+    }
+    val replica = slice(1999, "t").join(slice(1998, "l"),
+        col("t_brand") === col("l_brand") && col("t_class") === col("l_class") &&
+          col("t_cat") === col("l_cat"))
+      .select(col("t_channel"), col("t_brand"), col("t_class"), col("t_cat"),
+        col("t_sales"), col("t_n"), col("l_channel"), col("l_brand"),
+        col("l_class"), col("l_cat"), col("l_sales"), col("l_n"))
+    assertClose(session.sql(sql), replica)
+  }
+
+  test("q64: two-year cross-sales self-join over the 17-table star") {
+    // Fixture re-aims: colors to the part-name lexicon, the price band onto
+    // p_retailprice's 900..920 span, years to 1998/1999, and the
+    // excess-refund multiplier 2 -> 0.8 (the derived refund is 1.4x the
+    // returned amount, so sale/refund lives in [0.71, 0.86] and an integer
+    // multiplier voids the CTE at every SF; 0.8 splits the items ~1:4).
+    val sql = text("q64",
+      ("'purple' , 'burlywood' , 'indian' , 'spring' , 'floral' , 'medium'",
+        "'cold', 'new', 'red', 'hot', 'blue', 'small'"),
+      ("\\(2 \\* ", "(0.8 * "),
+      ("1999", "1998"), ("64", "900"))
+    val csUi = v("catalog_sales")
+      .select(col("cs_item_sk"), col("cs_order_number"), col("cs_ext_list_price"))
+      .join(v("catalog_returns").select(col("cr_item_sk"), col("cr_order_number"),
+          (col("cr_refunded_cash") + col("cr_reversed_charge") +
+            col("cr_store_credit")).as("ref")),
+        col("cs_item_sk") === col("cr_item_sk") &&
+          col("cs_order_number") === col("cr_order_number"))
+      .groupBy(col("cs_item_sk").as("ui_item"))
+      .agg(sum("cs_ext_list_price").as("sale"), sum("ref").as("refund"))
+      .filter(col("sale") > col("refund") * 0.8)
+      .select("ui_item")
+    val it = v("item").filter(
+        col("i_color").isin("cold", "new", "red", "hot", "blue", "small") &&
+          col("i_current_price").between(900, 910) &&
+          col("i_current_price").between(901, 915))
+      .select("i_item_sk", "i_product_name")
+    def addr(p: String): DataFrame = v("customer_address").select(
+      col("ca_address_sk").as(s"${p}_sk"),
+      col("ca_street_number").as(s"${p}_street_number"),
+      col("ca_street_name").as(s"${p}_street_name"),
+      col("ca_city").as(s"${p}_city"), col("ca_zip").as(s"${p}_zip"))
+    def demo(p: String): DataFrame = v("customer_demographics").select(
+      col("cd_demo_sk").as(s"${p}_sk"), col("cd_marital_status").as(s"${p}_ms"))
+    def hdemo(p: String): DataFrame = v("household_demographics").select(
+      col("hd_demo_sk").as(s"${p}_sk"), col("hd_income_band_sk").as(s"${p}_ib"))
+    def dd(p: String): DataFrame = v("date_dim").select(
+      col("d_date_sk").as(s"${p}_sk"), col("d_year").as(s"${p}_year"))
+    def crossSales(yr: Int, p: String): DataFrame =
+      v("store_sales")
+        .join(v("store_returns").select("sr_item_sk", "sr_ticket_number"),
+          col("ss_item_sk") === col("sr_item_sk") &&
+            col("ss_ticket_number") === col("sr_ticket_number"))
+        .join(csUi, col("ss_item_sk") === col("ui_item"), "leftsemi")
+        .join(it, col("ss_item_sk") === col("i_item_sk"))
+        .join(broadcast(v("date_dim").filter(col("d_year") === yr)
+          .select("d_date_sk")), col("ss_sold_date_sk") === col("d_date_sk"))
+        .join(v("store").select("s_store_sk", "s_store_name", "s_zip"),
+          col("ss_store_sk") === col("s_store_sk"))
+        .join(v("customer").select("c_customer_sk", "c_current_cdemo_sk",
+          "c_current_hdemo_sk", "c_current_addr_sk", "c_first_sales_date_sk",
+          "c_first_shipto_date_sk"),
+          col("ss_customer_sk") === col("c_customer_sk"))
+        .join(demo("cd1"), col("ss_cdemo_sk") === col("cd1_sk"))
+        .join(demo("cd2"), col("c_current_cdemo_sk") === col("cd2_sk"))
+        .filter(col("cd1_ms") =!= col("cd2_ms"))
+        .join(v("promotion").select("p_promo_sk"),
+          col("ss_promo_sk") === col("p_promo_sk"))
+        .join(hdemo("hd1"), col("ss_hdemo_sk") === col("hd1_sk"))
+        .join(hdemo("hd2"), col("c_current_hdemo_sk") === col("hd2_sk"))
+        .join(v("income_band").select(col("ib_income_band_sk").as("ib1")),
+          col("hd1_ib") === col("ib1"))
+        .join(v("income_band").select(col("ib_income_band_sk").as("ib2")),
+          col("hd2_ib") === col("ib2"))
+        .join(addr("ad1"), col("ss_addr_sk") === col("ad1_sk"))
+        .join(addr("ad2"), col("c_current_addr_sk") === col("ad2_sk"))
+        .join(dd("d2"), col("c_first_sales_date_sk") === col("d2_sk"))
+        .join(dd("d3"), col("c_first_shipto_date_sk") === col("d3_sk"))
+        .groupBy(col("i_product_name").as(s"${p}_product"),
+          col("i_item_sk").as(s"${p}_item"),
+          col("s_store_name").as(s"${p}_store"), col("s_zip").as(s"${p}_szip"),
+          col("ad1_street_number").as(s"${p}_bsn"),
+          col("ad1_street_name").as(s"${p}_bst"), col("ad1_city").as(s"${p}_bc"),
+          col("ad1_zip").as(s"${p}_bz"), col("ad2_street_number").as(s"${p}_csn"),
+          col("ad2_street_name").as(s"${p}_cst"), col("ad2_city").as(s"${p}_cc"),
+          col("ad2_zip").as(s"${p}_cz"), col("d2_year").as(s"${p}_fsyear"),
+          col("d3_year").as(s"${p}_s2year"))
+        .agg(count(lit(1)).as(s"${p}_cnt"),
+          sum("ss_wholesale_cost").as(s"${p}_s1"),
+          sum("ss_list_price").as(s"${p}_s2"),
+          sum("ss_coupon_amt").as(s"${p}_s3"))
+    val replica = crossSales(1998, "a").join(crossSales(1999, "b"),
+        col("a_item") === col("b_item") && col("a_store") === col("b_store") &&
+          col("a_szip") === col("b_szip"))
+      .filter(col("b_cnt") <= col("a_cnt"))
+      .select(col("a_product"), col("a_store"), col("a_szip"),
+        col("a_bsn"), col("a_bst"), col("a_bc"), col("a_bz"),
+        col("a_csn"), col("a_cst"), col("a_cc"), col("a_cz"),
+        lit(1998L).as("syear"), col("a_cnt"),
+        col("a_s1"), col("a_s2"), col("a_s3"),
+        col("b_s1"), col("b_s2"), col("b_s3"),
+        lit(1999L).as("syear2"), col("b_cnt"))
+    assertClose(session.sql(sql), replica)
+  }
 }
