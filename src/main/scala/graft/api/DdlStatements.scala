@@ -232,8 +232,9 @@ object DdlStatements {
         val pat = Option(like).map(p =>
           ("(?i)\\A" + java.util.regex.Pattern.quote(p)
             .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "\\z").r)
-        val names = spark.catalog.listFunctions().collect()
-          .map(_.name.toLowerCase).distinct.sorted
+        val names = (spark.catalog.listFunctions().collect()
+          .map(_.name.toLowerCase) ++ SqlFunctions.list(sid))
+          .distinct.sorted
           .filter(n => pat.forall(_.findFirstIn(n).isDefined))
         Some(spark.createDataFrame(
           spark.sparkContext.parallelize(names.map(Row(_)).toIndexedSeq, 1),
@@ -389,4 +390,8 @@ object DdlStatements {
   private def status(spark: SparkSession, s: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(s)), 1),
       StructType(Seq(StructField("result", StringType, nullable = false))))
+
+  /** Status row for sibling dispatchers (SqlFunctions DDL). */
+  private[api] def statusResult(spark: SparkSession, s: String): DataFrame =
+    status(spark, s)
 }

@@ -34,12 +34,17 @@ final class SqlSession private (val spark: SparkSession) {
     * first and the struct translation on analysis failure. */
   def sql(text: String): DataFrame =
     SessionStatements.dispatch(this, text)
+      .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)
+        .map(DdlStatements.statusResult(spark, _)))
       .orElse(DdlStatements.dispatch(this, text)).getOrElse {
-      val t1 = Dialect.translate(text)
+      // SQL-invoked functions inline at translate time, the reference's
+      // InlineSqlFunctions strategy (no-op when none are registered)
+      val inlined = SqlFunctions.inline(DdlStatements.sessionId(spark), text)
+      val t1 = Dialect.translate(inlined)
       try spark.sql(t1)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
-          val t2 = Dialect.translate(text, unnestStructRows = true)
+          val t2 = Dialect.translate(inlined, unnestStructRows = true)
           if (t2 == t1) throw e
           else try spark.sql(t2)
           catch { case _: org.apache.spark.sql.AnalysisException => throw e }
