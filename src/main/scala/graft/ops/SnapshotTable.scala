@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Managed table with snapshot-and-swap commits — the reference's
   * table-finish protocol in miniature (SPI/plan/TableFinishNode.java,
@@ -8,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * versioned directory and becomes visible in one atomic pointer move, so
   * a concurrent reader sees the old snapshot or the new one, never a
   * partially-written mix. This is the same old-or-new contract
-  * copy-on-write table formats give MERGE.
+  * copy-on-write table formats give DELETE/UPDATE/MERGE.
   *
   * Layout: `<base>/v<N>/` parquet snapshots + `<base>/_current` holding
   * the committed version number. The pointer flip is
@@ -17,6 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's connectors do at 100 TB (the data files are immutable
   * either way, so the mechanism scales: commit cost is one pointer write,
   * not proportional to data).
+  *
+  * Writer-writer coordination: each writer CLAIMS its version directory
+  * with an atomic `Files.createDirectory` (colliding writers bump to the
+  * next number), and the pointer flip runs under an exclusive file lock
+  * with a version check — a plain write only moves the pointer forward,
+  * and a read-modify-write (delete/update/merge) only commits if the
+  * table is still at the version it read, else it raises
+  * ConcurrentModificationException (the optimistic-concurrency contract
+  * of copy-on-write table formats; the reference serializes commits in
+  * its table-finish layer).
   */
 object SnapshotTable {
   private def pointer(base: java.io.File) = new java.io.File(base, "_current")
@@ -32,18 +43,51 @@ object SnapshotTable {
   private def versionDir(base: java.io.File, v: Int) =
     new java.io.File(base, s"v$v")
 
-  /** Write `df` as the next snapshot and commit it atomically. Returns the
-    * committed version. */
-  def write(spark: SparkSession, base: java.io.File, df: DataFrame): Int = {
-    base.mkdirs()
-    val next = currentVersion(base).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(versionDir(base, next).getAbsolutePath)
-    // commit: write-temp + atomic rename (one pointer, old-or-new)
+  /** Atomically claim the next free version directory at or above `from`. */
+  private def claimVersion(base: java.io.File, from: Int): Int = {
+    var v = from
+    while (true) {
+      try {
+        java.nio.file.Files.createDirectory(versionDir(base, v).toPath)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    v // unreachable
+  }
+
+  /** Run `body` under the table's exclusive commit lock. */
+  private def withCommitLock[A](base: java.io.File)(body: => A): A = {
+    val lockFile = new java.io.File(base, "_lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
+  /** Flip the pointer to `next` atomically (write-temp + atomic rename). */
+  private def flipPointer(base: java.io.File, next: Int): Unit = {
     val tmp = new java.io.File(base, s"_current.tmp$next")
     java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, pointer(base).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` as the next snapshot and commit it atomically. Returns the
+    * committed version. Concurrent plain writes both land (distinct
+    * version dirs); the pointer only ever moves forward. */
+  def write(spark: SparkSession, base: java.io.File, df: DataFrame): Int = {
+    base.mkdirs()
+    val next = claimVersion(base, currentVersion(base).getOrElse(0) + 1)
+    df.write.mode("overwrite").parquet(versionDir(base, next).getAbsolutePath)
+    withCommitLock(base) {
+      if (currentVersion(base).forall(_ < next)) flipPointer(base, next)
+    }
     next
   }
 
@@ -54,12 +98,55 @@ object SnapshotTable {
     spark.read.parquet(versionDir(base, v).getAbsolutePath)
   }
 
-  /** MERGE: transform the committed snapshot and commit the result as the
-    * next version (copy-on-write). Readers concurrent with the merge see
-    * the old snapshot until the pointer flips. */
+  /** Copy-on-write read-modify-write: transform the committed snapshot and
+    * commit the result as the next version. Readers concurrent with the
+    * rewrite see the old snapshot until the pointer flips; a conflicting
+    * committer (version moved since we read) raises — retry from the new
+    * snapshot, never silently discard. */
+  def transformCommit(spark: SparkSession, base: java.io.File)
+      (transform: DataFrame => DataFrame): Int = {
+    val readV = currentVersion(base).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $base"))
+    val next = claimVersion(base, readV + 1)
+    transform(spark.read.parquet(versionDir(base, readV).getAbsolutePath))
+      .write.mode("overwrite").parquet(versionDir(base, next).getAbsolutePath)
+    withCommitLock(base) {
+      val cur = currentVersion(base)
+      if (cur != Some(readV))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot table $base moved v$readV -> v${cur.getOrElse(-1)} " +
+            "during rewrite; retry against the new snapshot")
+      flipPointer(base, next)
+    }
+    next
+  }
+
+  /** MERGE (matched-update / not-matched-insert composed by the caller). */
   def merge(spark: SparkSession, base: java.io.File)
       (transform: DataFrame => DataFrame): Int =
-    write(spark, base, transform(read(spark, base)))
+    transformCommit(spark, base)(transform)
+
+  /** DELETE WHERE cond — rows where cond is TRUE are removed (NULL keeps
+    * the row, the reference's DELETE contract, SPI/plan/DeleteNode.java). */
+  def delete(spark: SparkSession, base: java.io.File, cond: Column): Int =
+    transformCommit(spark, base)(_.filter(not(coalesce(cond, lit(false)))))
+
+  /** UPDATE SET col=expr, ... WHERE cond — every SET expression evaluates
+    * against the PRE-update row (ANSI UPDATE semantics; reference
+    * UpdateNode + LocalExecutionPlanner.java:3157), so one select computes
+    * all assignments simultaneously rather than chaining withColumn. */
+  def update(spark: SparkSession, base: java.io.File,
+      sets: Seq[(String, Column)], cond: Column): Int =
+    transformCommit(spark, base) { df =>
+      val setMap = sets.toMap
+      val hit = coalesce(cond, lit(false))
+      df.select(df.columns.toIndexedSeq.map { c =>
+        setMap.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
 
   /** Drop the table (all snapshots + pointer). */
   def drop(base: java.io.File): Unit = {

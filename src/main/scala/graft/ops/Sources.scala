@@ -144,6 +144,39 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** DELETE on a MANAGED snapshot table — the reference's DELETE verb
+    * (SPI/plan/DeleteNode.java, LocalExecutionPlanner.java:3124) carried
+    * by the same table-finish commit contract as MERGE: copy-on-write
+    * into a new version, one atomic pointer flip, old-or-new for
+    * concurrent readers. */
+  def dmlDeleteManaged(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(tmp("lineitem_snapshot_del"))
+    SnapshotTable.drop(base) // idempotent gate: fresh table each run
+    SnapshotTable.write(s, base, t(s, dir, "lineitem"))
+    SnapshotTable.delete(s, base, col("l_discount") > 0.06)
+    SnapshotTable.read(s, base)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("l_extendedprice"), "total"))
+      .orderBy("l_returnflag")
+  }
+
+  /** UPDATE on a MANAGED snapshot table (reference UpdateNode,
+    * LocalExecutionPlanner.java:3157): two SET assignments evaluated
+    * against the pre-update row, committed copy-on-write. */
+  def dmlUpdateManaged(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(tmp("orders_snapshot_upd"))
+    SnapshotTable.drop(base) // idempotent gate: fresh table each run
+    SnapshotTable.write(s, base, t(s, dir, "orders"))
+    SnapshotTable.update(s, base,
+      Seq("o_totalprice" -> (col("o_totalprice") * 0.9),
+        "o_orderpriority" -> lit("0-DISCOUNTED")),
+      col("o_orderstatus") === "F")
+    SnapshotTable.read(s, base)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice"), "total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** Bucketed write + co-located join (reference grouped/bucketed execution,
     * MAIN/sql/planner/GroupedExecutionTagger.java): both sides bucketed on
     * the join key so the join plans with zero Exchange on either side — the
@@ -243,6 +276,8 @@ object Sources {
     "dml_update_rewrite" -> dmlUpdateRewrite,
     "dml_merge_rewrite" -> dmlMergeRewrite,
     "dml_merge_managed" -> dmlMergeManaged,
+    "dml_delete_managed" -> dmlDeleteManaged,
+    "dml_update_managed" -> dmlUpdateManaged,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
@@ -290,6 +325,23 @@ object Sources {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dml_delete_managed" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM lineitem WHERE NOT (l_discount > 0.06)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dml_update_managed" ->
+      """WITH updated AS (
+        | SELECT o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN '0-DISCOUNTED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.9
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM updated GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "dml_merge_managed" ->
       """WITH merged AS (
         | SELECT o_orderstatus,

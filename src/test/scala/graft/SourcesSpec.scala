@@ -61,4 +61,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(SnapshotTable.currentVersion(base).contains(3))
     SnapshotTable.drop(base)
   }
+
+  test("snapshot-table DELETE: TRUE removes, NULL condition keeps the row") {
+    import ops.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_del").toFile
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("v", when(col("id") < 8, col("id")).otherwise(lit(null)))
+    SnapshotTable.write(spark, base, df)
+    // v > 4 is NULL for ids 8,9 — ANSI DELETE keeps NULL-condition rows
+    SnapshotTable.delete(spark, base, col("v") > 4)
+    val left = SnapshotTable.read(spark, base).collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L))
+    SnapshotTable.drop(base)
+  }
+
+  test("snapshot-table UPDATE: SET expressions read the pre-update row") {
+    import ops.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_upd").toFile
+    SnapshotTable.write(spark, base,
+      spark.range(0, 4).toDF("a").withColumn("b", col("a") * 10))
+    // swap: a=b, b=a must use ORIGINAL values simultaneously (ANSI UPDATE)
+    SnapshotTable.update(spark, base,
+      Seq("a" -> col("b"), "b" -> col("a")), col("a") >= 2)
+    val rows = SnapshotTable.read(spark, base)
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a<2 untouched: (0,0), (1,10); a>=2 swapped simultaneously
+    assert(rows.toSeq == Seq((0L, 0L), (20L, 2L), (30L, 3L), (1L, 10L)))
+    SnapshotTable.drop(base)
+  }
+
+  test("snapshot-table conflicting rewrites raise instead of losing updates") {
+    import ops.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_ww").toFile
+    SnapshotTable.write(spark, base, spark.range(0, 100).toDF("id"))
+    // a rewrite that commits while another rewrite is in flight: the
+    // in-flight one must see the conflict at commit, never clobber
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.transformCommit(spark, base) { df =>
+        SnapshotTable.write(spark, base,
+          spark.range(0, 50).toDF("id")) // interleaved commit
+        df.filter(col("id") < 10)
+      }
+    }
+    assert(e.getMessage.contains("retry"))
+    assert(SnapshotTable.read(spark, base).count() == 50L)
+    SnapshotTable.drop(base)
+  }
 }
