@@ -111,6 +111,31 @@ object GeoSqlNames {
         stY(p).between(least(stY(a), stY(b)), greatest(stY(a), stY(b)))
     })
 
+  /** Point intersects polygon, hole-aware and boundary-inclusive: in the
+    * interior (outside every hole — stContainsPointWithHoles) or ON any
+    * ring path including hole boundaries. Keeps ST_Intersects /
+    * ST_Disjoint / ST_Distance consistent with ST_Contains for holed
+    * polygons (a point inside a hole meets none of them). */
+  private def pointMeetsPolygon(p: Column, poly: Column): Column =
+    stContainsPointWithHoles(part1(poly), p) ||
+      exists(pRings(part1(poly)), ring =>
+        onPath(concat(ring, slice(ring, lit(1), lit(1))), p))
+
+  /** Min distance from a point to one ring's closed edge path. */
+  private def pointRingDist(p: Column, ring: Column): Column =
+    aggregate(segs(concat(ring, slice(ring, lit(1), lit(1)))),
+      lit(Double.MaxValue), (best, s) => {
+        val a = s.getField("p"); val b = s.getField("q")
+        val len2 = pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2)
+        val t = when(len2 === 0.0, lit(0.0)).otherwise(
+          least(lit(1.0), greatest(lit(0.0),
+            ((stX(p) - stX(a)) * (stX(b) - stX(a)) +
+              (stY(p) - stY(a)) * (stY(b) - stY(a))) / len2)))
+        val px = stX(a) + t * (stX(b) - stX(a))
+        val py = stY(a) + t * (stY(b) - stY(a))
+        least(best, sqrt(pow(stX(p) - px, 2) + pow(stY(p) - py, 2)))
+      })
+
   /** Exact min distance between two simple geometries' boundaries
     * (vertex-vs-segment symmetric folds — geometryNearestPoints). */
   private def nearestDist(a: Column, b: Column): Column = {
@@ -136,11 +161,9 @@ object GeoSqlNames {
       .when(ta === "ST_Polygon" && tb === "ST_LineString",
         stLinePolygonIntersects(pb, pa))
       .when(ta === "ST_Point" && tb === "ST_Polygon",
-        stContainsPoint(pb, element_at(pa, 1)) ||
-          onPath(closedPts(b), element_at(pa, 1)))
+        pointMeetsPolygon(element_at(pa, 1), b))
       .when(ta === "ST_Polygon" && tb === "ST_Point",
-        stContainsPoint(pa, element_at(pb, 1)) ||
-          onPath(closedPts(a), element_at(pb, 1)))
+        pointMeetsPolygon(element_at(pb, 1), a))
       .when(ta === "ST_Point" && tb === "ST_LineString",
         onPath(pb, element_at(pa, 1)))
       .when(ta === "ST_LineString" && tb === "ST_Point",
@@ -237,7 +260,52 @@ object GeoSqlNames {
         stDistance(onlyPoint(a), onlyPoint(b)))
       .when(!isSimpleType(gt(a)) || !isSimpleType(gt(b)),
         dblErr(pairErr("ST_Distance", a, b)))
+      // point × polygon: hole-aware — a point inside a hole is OUTSIDE the
+      // polygon, its distance is to the nearest ring (incl. the hole's)
+      .when(gt(a) === "ST_Point" && gt(b) === "ST_Polygon",
+        when(pointMeetsPolygon(onlyPoint(a), b), lit(0.0))
+          .otherwise(aggregate(pRings(part1(b)), lit(Double.MaxValue),
+            (best, ring) => least(best, pointRingDist(onlyPoint(a), ring)))))
+      .when(gt(a) === "ST_Polygon" && gt(b) === "ST_Point",
+        when(pointMeetsPolygon(onlyPoint(b), a), lit(0.0))
+          .otherwise(aggregate(pRings(part1(a)), lit(Double.MaxValue),
+            (best, ring) => least(best, pointRingDist(onlyPoint(b), ring)))))
       .otherwise(when(sIntersects(a, b), lit(0.0)).otherwise(nearestDist(a, b)))
+
+  /** struct<w,wx,wy> weighted-centroid accumulators. */
+  private def wSum(parts: Seq[Column]): Column = {
+    def fld(n: String) = parts.map(_.getField(n)).reduce(_ + _)
+    struct(fld("w").as("w"), fld("wx").as("wx"), fld("wy").as("wy"))
+  }
+  private def wZero: Column =
+    struct(lit(0.0).as("w"), lit(0.0).as("wx"), lit(0.0).as("wy"))
+  private def wPoint(acc: Column): Column =
+    stPoint(acc.getField("wx") / acc.getField("w"),
+      acc.getField("wy") / acc.getField("w"))
+
+  /** Area-weighted centroid terms of one polygon PART, all rings: the
+    * exterior contributes +|area|·centroid, every hole −|area|·centroid —
+    * the shoelace-weighted composition over rings (JTS getCentroid
+    * semantics for holed polygons, reference ST_Centroid). */
+  private def polyW(p: Column): Column =
+    aggregate(
+      zip_with(pRings(p), sequence(lit(1), size(pRings(p))), (ring, i) => {
+        val w = when(i === 1, stArea(ring)).otherwise(-stArea(ring))
+        val c = stCentroid(ring)
+        struct(w.as("w"), (w * stX(c)).as("wx"), (w * stY(c)).as("wy"))
+      }),
+      wZero, (acc, v) => wSum(Seq(acc, v)))
+
+  /** Length-weighted centroid terms of one line PART (segment midpoints —
+    * Esri's line-centroid contract). */
+  private def lineW(pts: Column): Column =
+    aggregate(segs(pts), wZero, (acc, s) => {
+      val a = s.getField("p"); val b = s.getField("q")
+      val len = sqrt(pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2))
+      wSum(Seq(acc, struct(len.as("w"),
+        ((stX(a) + stX(b)) / 2 * len).as("wx"),
+        ((stY(a) + stY(b)) / 2 * len).as("wy"))))
+    })
 
   private def centroidGeo(g: Column): Column = {
     val pts = allPts(g)
@@ -245,26 +313,17 @@ object GeoSqlNames {
     val meanPt = stPoint(
       aggregate(pts, lit(0.0), (acc, p) => acc + stX(p)) / n,
       aggregate(pts, lit(0.0), (acc, p) => acc + stY(p)) / n)
-    // line centroid: length-weighted segment midpoints (Esri's contract)
-    val sg = segs(pts1(g))
-    val totalLen = stLineLength(pts1(g))
-    def segLen(s: Column): Column = {
-      val a = s.getField("p"); val b = s.getField("q")
-      sqrt(pow(stX(b) - stX(a), 2) + pow(stY(b) - stY(a), 2))
-    }
-    val linePt = stPoint(
-      aggregate(sg, lit(0.0), (acc, s) => acc +
-        (stX(s.getField("p")) + stX(s.getField("q"))) / 2 * segLen(s)) / totalLen,
-      aggregate(sg, lit(0.0), (acc, s) => acc +
-        (stY(s.getField("p")) + stY(s.getField("q"))) / 2 * segLen(s)) / totalLen)
+    def overParts(f: Column => Column): Column =
+      wPoint(aggregate(parts(g), wZero, (acc, p) => wSum(Seq(acc, f(p)))))
     when(gt(g).isin("Spherical:ST_Point", "Spherical:ST_MultiPoint"),
       wrapS(stSphericalCentroid(
         struct(gt(g).as("gtype"), pts.as("pts")))))
       .when(gt(g) === "ST_Point", g)
       .when(gt(g) === "ST_MultiPoint", mkGeo("ST_Point", array(meanPt)))
-      .when(gt(g) === "ST_Polygon",
-        mkGeo("ST_Point", array(stCentroid(pts1(g)))))
-      .when(gt(g) === "ST_LineString", mkGeo("ST_Point", array(linePt)))
+      .when(gt(g).isin("ST_Polygon", "ST_MultiPolygon"),
+        mkGeo("ST_Point", array(overParts(polyW))))
+      .when(gt(g).isin("ST_LineString", "ST_MultiLineString"),
+        mkGeo("ST_Point", array(overParts(p => lineW(pPts(p))))))
       .otherwise(geoErr(typeErr("ST_Centroid", gt(g))))
   }
 

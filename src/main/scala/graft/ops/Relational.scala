@@ -442,7 +442,8 @@ object Relational {
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
     "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry,
-    "sql_prepared" -> sqlPrepared, "sql_geo" -> sqlGeo)
+    "sql_prepared" -> sqlPrepared, "sql_geo" -> sqlGeo,
+    "sql_create_function" -> sqlCreateFunction)
 
   /** PREPARE / EXECUTE USING through the session-statement layer
     * (reference PrepareTask.java + the ? parameter rewrite,
@@ -473,11 +474,38 @@ object Relational {
       |  ST_Intersects($poly, ST_GeometryFromText(
       |    'LINESTRING (-1 2.5, ' || CAST(side + 1 AS VARCHAR) || ' 2.5)')) AS crossed,
       |  round(ST_Distance(ST_Point(0, 0), ST_Point(side, side)), 6) AS dist,
-      |  ST_AsText(ST_Centroid($poly)) AS cwkt,
+      |  round(ST_X(ST_Centroid($poly)), 6) AS cx,
+      |  round(ST_Y(ST_Centroid($poly)), 6) AS cy,
       |  round(line_locate_point(ST_GeometryFromText('LINESTRING (0 0, 10 0)'),
       |    ST_Point(frac10, 5)), 6) AS locate,
       |  bing_tile_quadkey(bing_tile(CAST(m AS INT), CAST(m AS INT), 3)) AS quad
       |FROM g ORDER BY k""".stripMargin)
+  }
+
+  /** CREATE FUNCTION / SQL-invoked function DDL through the session
+    * (api/SqlFunctions.scala — the reference's SQL-language routines,
+    * InlineSqlFunctions.java): defines one scalar function, a second that
+    * calls the first (nested inlining), uses both in a query, and proves
+    * DROP by recreating under OR REPLACE. Decimal-cast sums keep the
+    * aggregation order-independent (round-7 determinism convention). */
+  def sqlCreateFunction(s: SparkSession, dir: String): DataFrame = {
+    val ses = graft.api.SqlSession.wrap(s)
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    ses.sql("DROP FUNCTION IF EXISTS disc_price")
+    ses.sql("DROP FUNCTION IF EXISTS charge")
+    ses.sql("""CREATE FUNCTION disc_price(p DOUBLE, d DOUBLE)
+      |RETURNS DOUBLE
+      |LANGUAGE SQL DETERMINISTIC RETURNS NULL ON NULL INPUT
+      |RETURN p * (1 - d)""".stripMargin)
+    ses.sql("""CREATE OR REPLACE FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE)
+      |RETURNS DOUBLE
+      |RETURN disc_price(p, d) * (1 + t)""".stripMargin)
+    ses.sql("""SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS disc_sum,
+      |  CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS charge_sum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
   def sqlPrepared(s: SparkSession, dir: String): DataFrame = {
@@ -501,13 +529,22 @@ object Relational {
         |  side > 2.5 AS inside,
         |  side > 2.5 AS crossed,
         |  round(sqrt(CAST(side * side + side * side AS DOUBLE)), 6) AS dist,
-        |  'POINT (' || CAST(CAST(side AS DOUBLE) / 2 AS VARCHAR) || ' '
-        |    || CAST(CAST(side AS DOUBLE) / 2 AS VARCHAR) || ')' AS cwkt,
+        |  round((CAST(side AS DOUBLE) * side * side / 2 - 0.125)
+        |    / (CAST(side AS DOUBLE) * side - 0.25), 6) AS cx,
+        |  round((CAST(side AS DOUBLE) * side * side / 2 - 0.125)
+        |    / (CAST(side AS DOUBLE) * side - 0.25), 6) AS cy,
         |  round(CAST(frac10 AS DOUBLE) / 10, 6) AS locate,
         |  (CASE WHEN m >= 4 THEN '3' ELSE '0' END)
         |    || (CASE WHEN m % 4 >= 2 THEN '3' ELSE '0' END)
         |    || (CASE WHEN m % 2 = 1 THEN '3' ELSE '0' END) AS quad
         |FROM g ORDER BY k""".stripMargin,
+    "sql_create_function" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS disc_sum,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS charge_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_prepared" ->
       """SELECT l_returnflag AS flag, count(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty

@@ -202,4 +202,48 @@ class GeoSqlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ST_X"))
     assert(one("try_expr(ST_Length(ST_Point(1, 1)))") == null)
   }
+
+  // 10×10 square with a 2×2 hole at (4,4)-(6,6), centered on (5,5)
+  private val holed = "ST_GeometryFromText('POLYGON ((0 0, 10 0, 10 10, " +
+    "0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')"
+
+  test("holed-polygon centroid weights every ring (JTS getCentroid parity)") {
+    // symmetric hole: centroid stays at (5,5) — but the weighting must
+    // come from +outer/−hole composition, checked by an OFFSET hole below
+    assert(one(s"ST_AsText(ST_Centroid($holed))") == "POINT (5.0 5.0)")
+    // hole at (1,1)-(3,3): centroid pulls AWAY from the hole:
+    // (100·5 − 4·2) / 96 = 5.125
+    val off = "ST_GeometryFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(1 1, 3 1, 3 3, 1 3, 1 1))')"
+    assert(oneD(s"round(ST_X(ST_Centroid($off)), 6)") == 5.125)
+    assert(oneD(s"round(ST_Y(ST_Centroid($off)), 6)") == 5.125)
+  }
+
+  test("multi-geometry centroids: area- and length-weighted over parts") {
+    // parts 2×2 at centroid (1,1) area 4, 1×1 at (5.5,5.5) area 1 → (1.9,1.9)
+    val mp = "ST_GeometryFromText('MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0))," +
+      " ((5 5, 6 5, 6 6, 5 6, 5 5)))')"
+    assert(oneD(s"round(ST_X(ST_Centroid($mp)), 6)") == 1.9)
+    // lines: len 4 mid (2,0) + len 2 mid (0,5) → ((8+0)/6, (0+10)/6)
+    val ml = "ST_GeometryFromText('MULTILINESTRING ((0 0, 4 0), (0 4, 0 6))')"
+    assert(oneD(s"round(ST_X(ST_Centroid($ml)), 6)") ==
+      math.rint(8.0 / 6 * 1e6) / 1e6)
+    assert(oneD(s"round(ST_Y(ST_Centroid($ml)), 6)") ==
+      math.rint(10.0 / 6 * 1e6) / 1e6)
+  }
+
+  test("point in a hole: Contains/Intersects/Disjoint/Distance all agree") {
+    val p = "ST_Point(5, 5)" // dead center of the hole
+    assert(one(s"ST_Contains($holed, $p)") == false)
+    assert(one(s"ST_Intersects($holed, $p)") == false)
+    assert(one(s"ST_Intersects($p, $holed)") == false)
+    assert(one(s"ST_Disjoint($holed, $p)") == true)
+    // nearest boundary is the hole ring, 1 unit away — not the outer ring
+    assert(oneD(s"ST_Distance($p, $holed)") == 1.0)
+    assert(oneD(s"ST_Distance($holed, $p)") == 1.0)
+    // a point ON the hole boundary is on the polygon's boundary: intersects
+    assert(one(s"ST_Intersects(ST_Point(4, 5), $holed)") == true)
+    assert(one(s"ST_Contains($holed, ST_Point(3, 5))") == true)
+    assert(oneD(s"ST_Distance(ST_Point(3, 5), $holed)") == 0.0)
+  }
 }
