@@ -16,7 +16,12 @@ object TpcdsText {
   val dir =
     "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds"
 
-  lazy val session: SqlSession = {
+  /** (Re-)register the derived ds views. Other suites sharing the
+    * SparkSession register raw fixture views under the SAME names
+    * (loadTables puts the 5-column tpch `customer` over our derived one),
+    * so registration must be re-applied per test, not once — it's
+    * metadata-only (plan swap, no execution), so per-call cost is nil. */
+  def registerViews(): Unit = {
     Tpcds.dateDim(spark).createOrReplaceTempView("date_dim")
     Tpcds.timeDim(spark).createOrReplaceTempView("time_dim")
     Tpcds.item(spark, sf).createOrReplaceTempView("item")
@@ -41,12 +46,18 @@ object TpcdsText {
     Tpcds.catalogReturns(spark, sf).createOrReplaceTempView("catalog_returns")
     Tpcds.incomeBand(spark).createOrReplaceTempView("income_band")
     Tpcds.catalogPage(spark).createOrReplaceTempView("catalog_page")
+  }
+
+  lazy val session: SqlSession = {
+    registerViews()
     SqlSession.wrap(spark)
   }
 
   /** Read a reference text, substitute the benchto template refs and the
-    * per-query parameters. `subs` are regex → replacement pairs. */
+    * per-query parameters. `subs` are regex → replacement pairs. Every
+    * test calls text() first, so view re-registration rides here. */
   def text(q: String, subs: (String, String)*): String = {
+    session; registerViews()
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/$q.sql")), "UTF-8")
     // collapse whitespace so parameter substitutions are line-break-proof
