@@ -460,6 +460,16 @@ object MlModel {
     case u: UTF8String => u.toString
     case other => other.toString
   }
+
+  /** Label key for the BIGINT classifier: the reference truncates double
+    * labels to int at training time (LearnClassifierAggregation input as
+    * DoubleType → intValue), so every stored label is a valid long and
+    * classify()'s bigint render can never throw at query time. */
+  def bigintLabelKey(v: Any): String = v match {
+    case d: Double => d.toLong.toString
+    case f: Float => f.toLong.toString
+    case other => labelKey(other)
+  }
 }
 
 // ===================== aggregate expressions ===========================
@@ -499,7 +509,10 @@ case class LearnClassifierAgg(
     val label = labelExpr.eval(input)
     val feats = featuresExpr.eval(input)
     if (label != null && feats != null)
-      st.update(MlModel.labelKey(label), feats.asInstanceOf[MapData])
+      st.update(
+        if (varcharLabels) MlModel.labelKey(label)
+        else MlModel.bigintLabelKey(label),
+        feats.asInstanceOf[MapData])
     st
   }
   override def merge(a: MlModel.LdaState, b: MlModel.LdaState): MlModel.LdaState = {

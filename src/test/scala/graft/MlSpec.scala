@@ -123,4 +123,20 @@ class MlSpec extends AnyFunSuite {
     MlModel.solveInPlace(a, 2, Array(b))
     assert(math.abs(b(0) - 3.0) < 1e-12 && math.abs(b(1) - 2.0) < 1e-12)
   }
+
+  test("non-integral double labels truncate at training (reference int cast)") {
+    val s = registered
+    import s.implicits._
+    // labels 0.5 and 2.5 — the reference casts double labels to int at
+    // training, so classify (bigint render) must return 0 or 2, not throw
+    val df = (0 to 200)
+      .map(i => (i.toDouble, if (i > 100) 2.5 else 0.5))
+      .toDF("v", "label").repartition(3)
+    val model = df.agg(expr("learn_classifier(label, features(v))").as("m"))
+    val preds = df.crossJoin(broadcast(model))
+      .select(col("v"), expr("classify(features(v), m)").as("p"))
+      .collect()
+    assert(preds.forall(r =>
+      r.getLong(1) == (if (r.getDouble(0) > 100) 2L else 0L)))
+  }
 }
