@@ -102,21 +102,20 @@ object Similarity {
     * and the probe-limited join (fan-out = corpus/K × nprobe instead of
     * corpus) are exactly what runs at 100 TB, with cells as the partition
     * key of the stored index. */
-  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+  /** Rank every vector against the (broadcast) centroids: columns
+    * (vec_id, embedding, cent_id, cs, crk) with crk=1 the assigned cell. */
+  private def centRank(e: DataFrame, cents: DataFrame): DataFrame = {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
-    val ranked = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         Dedup.cosine(col("embedding"), col("cvec")).as("cs"))
       .withColumn("crk", row_number().over(wA))
-    val cells = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < 5 && col("crk") <= 2)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("cent_id").as("probe"))
+  }
+
+  /** Probe-limited ANN over an assigned-cells index: each query compares
+    * only against its `probe` cells' members. */
+  private def probeJoin(probes: DataFrame, cells: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("c"), asc("vec_id"))
     broadcast(probes)
@@ -128,6 +127,56 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id").as("neighbor_id"), round(col("c"), 4).as("cosine"))
       .orderBy("query_id", "rk")
+  }
+
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val ranked = centRank(e, cents)
+    val cells = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crk") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cent_id").as("probe"))
+    probeJoin(probes, cells)
+  }
+
+  /** IVF index PERSISTED as snapshot tables (the reference's
+    * create_vector_index seed, CreateVectorIndexAggregation.java:33-38, and
+    * the Lance vector connector presto-lance/ — an index you build once and
+    * query many times): the corpus→cell assignment (the O(corpus × K) work)
+    * and the centroids commit via SnapshotTable.write; every subsequent ANN
+    * query reads the committed index, ranks only its QUERY vectors against
+    * the broadcast centroids (O(nq × K)), and probe-joins the stored cells —
+    * the re-cluster never re-runs. At 100 TB the stored cells are
+    * partitioned by `cell`, so a probe reads nprobe/K of the corpus. */
+  def ivfIndexReuse(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Integer.toHexString(dir.hashCode)
+    val cellsBase = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_cells_$suffix")
+    val centsBase = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_cents_$suffix")
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    if (SnapshotTable.currentVersion(cellsBase).isEmpty ||
+        SnapshotTable.currentVersion(centsBase).isEmpty) {
+      // index BUILD (once, outside the per-query path): full assignment
+      SnapshotTable.write(s, centsBase, cents)
+      SnapshotTable.write(s, cellsBase,
+        centRank(e, cents).filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+          .repartition(col("cell"))) // cell-partitioned, the probe-prune key
+    }
+    // query path: committed index only — no corpus-wide re-cluster
+    val idxCells = SnapshotTable.read(s, cellsBase)
+    val idxCents = SnapshotTable.read(s, centsBase)
+    val queriesDf = e.filter(col("vec_id") < 5)
+    val probes = centRank(queriesDf, idxCents).filter(col("crk") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cent_id").as("probe"))
+    probeJoin(probes, idxCells)
   }
 
   /** One Lloyd iteration of k-means over cosine cells: re-assign every
@@ -200,7 +249,8 @@ object Similarity {
     "sim_quantize" -> quantize,
     "sim_topk_brute" -> bruteTopK,
     "sim_lsh_ann" -> lshAnn,
-    "sim_ivf_ann" -> ivfAnn)
+    "sim_ivf_ann" -> ivfAnn,
+    "sim_ivf_index_reuse" -> ivfIndexReuse)
 
   private val cosineCte =
     """u AS (SELECT query_id, vec_id, unnest(qv) x, unnest(ev) y FROM p),
@@ -216,6 +266,31 @@ object Similarity {
       |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
       | ROUND(c, 4) AS cosine
       |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  private val ivfOracleSql =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+       |              FROM embeddings WHERE vec_id < 8),
+       |pc AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+       |       FROM embeddings e CROSS JOIN cent c),
+       |pu AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pc),
+       |pd AS (SELECT vec_id, cent_id,
+       |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+       |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+       |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+       |       FROM pu GROUP BY 1, 2),
+       |rkd AS (SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY dot / (na * nb) DESC, cent_id) crk
+       |        FROM pd),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS probe
+       |           FROM rkd WHERE vec_id < 5 AND crk <= 2),
+       |p AS (SELECT pr.query_id, qe.embedding qv, ce.vec_id vec_id, ee.embedding ev
+       |      FROM probes pr
+       |      JOIN cells ce ON ce.cell = pr.probe AND ce.vec_id <> pr.query_id
+       |      JOIN embeddings qe ON qe.vec_id = pr.query_id
+       |      JOIN embeddings ee ON ee.vec_id = ce.vec_id),
+       |$cosineCte""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_quantize" ->
@@ -243,30 +318,10 @@ object Similarity {
          |           FROM embeddings q JOIN embeddings e ON q.vec_id < 5
          |            AND e.vec_id <> q.vec_id),
          |$cosineCte""".stripMargin,
-    "sim_ivf_ann" ->
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
-         |              FROM embeddings WHERE vec_id < 8),
-         |pc AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
-         |       FROM embeddings e CROSS JOIN cent c),
-         |pu AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pc),
-         |pd AS (SELECT vec_id, cent_id,
-         |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
-         |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
-         |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
-         |       FROM pu GROUP BY 1, 2),
-         |rkd AS (SELECT vec_id, cent_id,
-         |         row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY dot / (na * nb) DESC, cent_id) crk
-         |        FROM pd),
-         |cells AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE crk = 1),
-         |probes AS (SELECT vec_id AS query_id, cent_id AS probe
-         |           FROM rkd WHERE vec_id < 5 AND crk <= 2),
-         |p AS (SELECT pr.query_id, qe.embedding qv, ce.vec_id vec_id, ee.embedding ev
-         |      FROM probes pr
-         |      JOIN cells ce ON ce.cell = pr.probe AND ce.vec_id <> pr.query_id
-         |      JOIN embeddings qe ON qe.vec_id = pr.query_id
-         |      JOIN embeddings ee ON ee.vec_id = ce.vec_id),
-         |$cosineCte""".stripMargin,
+    // the persisted-index path must return EXACTLY the per-query answers of
+    // the inline IVF (same centroids, same cells) — one oracle, two gates
+    "sim_ivf_index_reuse" -> ivfOracleSql,
+    "sim_ivf_ann" -> ivfOracleSql,
     "sim_lsh_ann" ->
       s"""WITH comp AS (
          |  SELECT p, j + 1 AS j,

@@ -102,6 +102,28 @@ class LlmOpsSpec extends AnyFunSuite {
       cents.forall(_.getSeq[Double](1).length == 64))
   }
 
+  test("persisted IVF index: same answers as inline IVF, build runs once") {
+    import graft.ops.SnapshotTable
+    val suffix = Integer.toHexString(sf.hashCode)
+    val cellsBase = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_cells_$suffix")
+    val centsBase = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_cents_$suffix")
+    SnapshotTable.drop(cellsBase); SnapshotTable.drop(centsBase)
+    val first = Similarity.ivfIndexReuse(spark, sf).collect()
+    val vCells = SnapshotTable.currentVersion(cellsBase)
+    assert(vCells.nonEmpty, "index build must commit a snapshot")
+    // second query: read-only — the committed index version must not move
+    val second = Similarity.ivfIndexReuse(spark, sf).collect()
+    assert(SnapshotTable.currentVersion(cellsBase) == vCells,
+      "repeat queries must reuse the committed index, not rebuild")
+    val inline = Similarity.ivfAnn(spark, sf).collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(first) == canon(inline) && canon(second) == canon(inline),
+      "index-read path must return the inline IVF answers")
+  }
+
   test("near-dup clusters are transitive closures of the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
