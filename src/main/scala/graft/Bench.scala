@@ -28,7 +28,8 @@ object Bench {
     * (10× the rows), so only artifacts recorded against the same fixture
     * basename participate; artifacts predating the "sf" field were all
     * sf0.1. */
-  private def historicalBest(layout: String, sfName: String): Map[String, Double] = {
+  private def historicalBest(layout: String, sfName: String,
+      cpus: String): Map[String, Double] = {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     // The driver wraps the bench JSON line inside a JSON string field, so in
@@ -37,6 +38,7 @@ object Bench {
     val pat = """\\?"((?:ds_)?q\d\d)\\?":([0-9][0-9.Ee+-]*)""".r
     val layoutPat = """\\?"layout\\?":\\?"([A-Za-z0-9_+-]+)\\?"""".r
     val sfPat = """\\?"sf\\?":\\?"([^"\\]+)\\?"""".r
+    val cpusPat = """\\?"cpus\\?":\\?"(\d+)\\?"""".r
     files.toSeq
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f)
@@ -46,7 +48,12 @@ object Bench {
             .map(_.group(1)).getOrElse("as-given")
           val fileSf = sfPat.findFirstMatchIn(text).map(m =>
             new java.io.File(m.group(1)).getName).getOrElse("sf0.1")
-          if (fileLayout == layout && fileSf == sfName)
+          // history is also CPU-keyed: an 8-core dev run is not comparable
+          // to the driver's 32-core artifacts (artifacts predating the
+          // "cpus" field were all driver runs at the default)
+          val fileCpus = cpusPat.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse(cpus)
+          if (fileLayout == layout && fileSf == sfName && fileCpus == cpus)
             pat.findAllMatchIn(text)
               .map(m => m.group(1) -> m.group(2).toDouble).toList
           else Nil
@@ -150,21 +157,29 @@ object Bench {
       spark.catalog.clearCache()
       (name, med, min)
     }
-    val hist = historicalBest(layout, new java.io.File(sfDir).getName)
+    val hist = historicalBest(layout, new java.io.File(sfDir).getName, cpus)
     def crossFlag(name: String, min: Double): Boolean =
       hist.get(name).exists(h => min > 1.5 * h)
-    // One cooled-down re-measurement per flagged query (either detector).
-    val results = first.map { case (name, med, min) =>
-      if (med > 1.5 * min || crossFlag(name, min)) {
-        System.err.println(s"[bench] re-measuring $name after cooldown " +
-          s"(med=$med min=$min hist=${hist.getOrElse(name, Double.NaN)})")
+    // Up to 3 cooled-down re-measurements per flagged query (either
+    // detector) — one re-run proved too few under sustained box load
+    // (r8 shipped 10 load_flagged DS rows that a later idle run erased).
+    val results = first.map { case (name, med0, min0) =>
+      var (med, min) = (med0, min0)
+      var attempt = 0
+      while (attempt < 3 && (med > 1.5 * min || crossFlag(name, min))) {
+        attempt += 1
+        System.err.println(s"[bench] re-measuring $name (attempt $attempt) " +
+          s"after cooldown (med=$med min=$min " +
+          s"hist=${hist.getOrElse(name, Double.NaN)})")
         Thread.sleep(5000); System.gc()
         val fn = queries.find(_._1 == name).get._2
         try fn(spark, benchDir).count() catch { case _: Throwable => () } // rewarm
         val (med2, min2) = measure(spark, benchDir, fn)
         spark.catalog.clearCache()
-        if (min2 < min) (name, med2, min2) else (name, med, min)
-      } else (name, med, min)
+        if (min2 < min) min = min2
+        if (med2 < med) med = med2
+      }
+      (name, med, min)
     }
     val loaded = results.collect { case (n, med, min) if med > 1.5 * min => n }
     val contaminated = results.collect { case (n, _, min) if crossFlag(n, min) => n }
@@ -174,9 +189,14 @@ object Bench {
     if (contaminated.nonEmpty)
       System.err.println("[bench] WARNING min >1.5x best-ever even after re-run " +
         s"(sustained load — discount these): ${contaminated.mkString(",")}")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 4-dp rendering keeps the line compact (the r8 artifact was truncated
+    // by the driver wrapper; headline fields also lead the object so any
+    // tail truncation eats per-query detail, never the headline)
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, m) => "\"" + k + "\":" + m }
+    val mins = results.map { case (k, _, m) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     // headline value stays the TPC-H total (comparable across every prior
     // round's artifact); the DS total is its own field
@@ -188,7 +208,16 @@ object Bench {
     val flagged = loaded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contam = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dsmat = suite != "tpch"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","suite":"$suite","tpcds_total":$dsTotal,"queries":$qs,"query_min":$mins,"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","dsmat":$dsmat,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","queries":$qs,"query_min":$mins}"""
+    // the JSON line goes out FIRST and flushed (before spark.stop() noise /
+    // the sbt epilogue), and a full copy lands in BENCH_LAST.json so a
+    // truncated wrapper can always be reconstructed
+    println(line)
+    System.out.flush()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
