@@ -37,6 +37,12 @@ object GraftFunctions {
       es => HammingDistance(es(0), es(1))),
     ("word_stem", "word_stem(word) - Porter stem of an English word",
       es => WordStem(es.head)),
+    ("myanmar_font_encoding",
+      "myanmar_font_encoding(s) - 'zawgyi' or 'unicode' font-encoding label",
+      es => MyanmarFontEncoding(es.head)),
+    ("myanmar_normalize_unicode",
+      "myanmar_normalize_unicode(s) - Zawgyi lines transliterated to Unicode",
+      es => MyanmarNormalizeUnicode(es.head)),
     ("try_expr", "try_expr(expr) - NULL instead of failure on runtime error",
       es => TryExpression(es.head)),
     ("strict_subscript",
