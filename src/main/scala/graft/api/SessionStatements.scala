@@ -115,6 +115,16 @@ object SessionStatements {
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
           case _ => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         }
+      // reference HBO toggles (SystemSessionProperties.java:
+      // track_history_based_plan_statistics /
+      // use_history_based_plan_statistics) — both map onto the one
+      // history store + hint rule in rules/HistoryBasedStats.scala
+      case "track_history_based_plan_statistics"
+         | "use_history_based_plan_statistics" =>
+        v.map(_.toLowerCase) match {
+          case Some("true") => graft.rules.HistoryBasedStats.install(spark)
+          case _ => graft.rules.HistoryBasedStats.enabled = false
+        }
       case _ => () // engine-agnostic property: recorded, surfaced by SHOW
     }
 
