@@ -91,6 +91,28 @@ object SnapshotTable {
     next
   }
 
+  /** Like write, but laid out as partition directories on `partitionCols`
+    * inside the version dir — the physical layout index lookups prune on
+    * (ops/IndexJoin.scala). Same atomic commit contract. */
+  def writePartitioned(spark: SparkSession, base: java.io.File,
+      df: DataFrame, partitionCols: Seq[String]): Int = {
+    base.mkdirs()
+    val next = claimVersion(base, currentVersion(base).getOrElse(0) + 1)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(versionDir(base, next).getAbsolutePath)
+    withCommitLock(base) {
+      if (currentVersion(base).forall(_ < next)) flipPointer(base, next)
+    }
+    next
+  }
+
+  /** Directory of the committed snapshot (for layout-aware readers). */
+  def committedDir(base: java.io.File): java.io.File = {
+    val v = currentVersion(base).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $base"))
+    versionDir(base, v)
+  }
+
   /** The committed snapshot. */
   def read(spark: SparkSession, base: java.io.File): DataFrame = {
     val v = currentVersion(base).getOrElse(
