@@ -281,8 +281,40 @@ object DdlStatements {
       case Some("LOGICAL") => planRows(df.queryExecution.optimizedPlan.toString)
       case _ =>
         if (analyze) {
-          val n = df.count()
-          planRows(df.queryExecution.executedPlan.toString + s"\nrows: $n")
+          // reference EXPLAIN ANALYZE (ExplainAnalyzeOperator /
+          // PlanPrinter.textDistributedPlan with actuals): execute the
+          // query, then render the final plan annotated with each
+          // operator's ACTUAL metrics (output rows, timing where the
+          // operator records it) — descending AQE query stages, whose
+          // materialized subtrees hang off the stage node.
+          // execute THIS plan (df.count() would build a different query
+          // whose run leaves these operators' metrics empty)
+          val n = df.queryExecution.toRdd.count()
+          val sb = new StringBuilder
+          def metricsOf(p: org.apache.spark.sql.execution.SparkPlan): String = {
+            val keep = p.metrics.toSeq.filter { case (k, m) =>
+              m.value > 0 && (k == "numOutputRows" || k == "numFiles" ||
+                k.endsWith("Time") || k == "spillSize" || k == "peakMemory")
+            }.sortBy(_._1)
+            if (keep.isEmpty) ""
+            else keep.map { case (k, m) => s"$k=${m.value}" }
+              .mkString(" [", ", ", "]")
+          }
+          def render(p: org.apache.spark.sql.execution.SparkPlan,
+              depth: Int): Unit = {
+            sb.append("  " * depth).append(p.nodeName)
+              .append(metricsOf(p)).append('\n')
+            p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => render(a.executedPlan, depth + 1)
+              case s: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => render(s.plan, depth + 1)
+              case _ => p.children.foreach(render(_, depth + 1))
+            }
+          }
+          render(df.queryExecution.executedPlan, 0)
+          sb.append(s"rows: $n")
+          planRows(sb.toString)
         } else planRows(df.queryExecution.executedPlan.toString)
     }
   }

@@ -420,8 +420,33 @@ object Relational {
     q.withColumn("used_mv", lit(usedMv)).orderBy("l_returnflag")
   }
 
+  /** contains(arr, key) cross-join predicate rewritten to an equi-join
+    * (rules/ArrayContainsJoin.scala — reference
+    * CrossJoinWithArrayContainsToInnerJoin.java): without the rule Spark
+    * can only nested-loop this join. The gate output carries
+    * `equi_planned`, asserted from the executed plan (no nested-loop, no
+    * cartesian), so the oracle verifies both the values and that the
+    * rewrite removed the O(|L|·|R|) join. */
+  def joinArrayContains(s: SparkSession, dir: String): DataFrame = {
+    import graft.rules.ArrayContainsJoin
+    val prev = s.experimental.extraOptimizations
+    if (!prev.contains(ArrayContainsJoin))
+      s.experimental.extraOptimizations = prev :+ ArrayContainsJoin
+    val custs = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        array(col("c_nationkey"), col("c_nationkey") + lit(1)).as("nats"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val q = custs.crossJoin(nat)
+      .filter(array_contains(col("nats"), col("n_nationkey")))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val plan = q.queryExecution.executedPlan.toString
+    val equi = !plan.contains("NestedLoop") && !plan.contains("Cartesian")
+    q.withColumn("equi_planned", lit(equi)).orderBy("c_custkey", "n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rewrite" -> mvRewrite,
+    "join_array_contains" -> joinArrayContains,
     "join_salted" -> joinSalted,
     "cte_reuse" -> cteReuse,
     "assign_unique_id" -> uniqueId,
@@ -560,6 +585,11 @@ object Relational {
         | TRUE AS used_mv
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_array_contains" ->
+      """SELECT c_custkey, n_nationkey, n_name, TRUE AS equi_planned
+        |FROM customer, nation
+        |WHERE c_custkey <= 500 AND n_nationkey IN (c_nationkey, c_nationkey + 1)
+        |ORDER BY c_custkey, n_nationkey""".stripMargin,
     "join_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total

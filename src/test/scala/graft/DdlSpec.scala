@@ -162,6 +162,10 @@ class DdlSpec extends AnyFunSuite {
       io(0).getString(1) == "r_name", "pruned read schema surfaces")
     val analyzed = session.sql(s"EXPLAIN ANALYZE $q").collect()(0).getString(0)
     assert(analyzed.contains("rows: 5"))
+    // per-operator actuals (reference ExplainAnalyzeOperator): at least
+    // one operator line carries its executed numOutputRows metric
+    assert(analyzed.contains("numOutputRows="),
+      s"per-operator actual metrics expected in:\n$analyzed")
   }
 
   test("SHOW STATS FOR computes exact column stats plus the summary row") {
