@@ -15,7 +15,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Multimodal.queries ++
       ops.Scalars.queries ++ ops.Subqueries.queries ++ ops.Sources.queries ++
       ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries ++
-      ops.Ddl.queries ++ ops.Ml.queries ++ ops.IndexJoin.queries
+      ops.Ddl.queries ++ ops.Ml.queries ++ ops.IndexJoin.queries ++
+      ops.Remote.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++
       ops.Scalars.oracle ++ ops.Subqueries.oracle ++ ops.Sources.oracle ++
       ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle ++
-      ops.Ddl.oracle ++ ops.Ml.oracle ++ ops.IndexJoin.oracle
+      ops.Ddl.oracle ++ ops.Ml.oracle ++ ops.IndexJoin.oracle ++
+      ops.Remote.oracle
 }
