@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   *  - extra conjuncts stay in the rewritten join condition.
   * Guards: deterministic array+key, atomic element type matching the key
   * type, array strictly from one side and key strictly from the other.
+  *
+  * Outer joins (reference LeftJoinWithArrayContainsToEquiJoinCondition):
+  * when the array is on the NON-preserved side of a LEFT (resp. RIGHT)
+  * join, that side can be unnested the same way — the preserved side's
+  * multiplicity is untouched, unmatched preserved rows still null-extend,
+  * and array_distinct keeps one match per pair. An array on the
+  * PRESERVED side is never rewritten (exploding it would duplicate
+  * preserved rows).
   */
 object ArrayContainsJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -38,18 +46,24 @@ object ArrayContainsJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
+    case j @ Join(left, right, jt @ (Inner | Cross | LeftOuter | RightOuter),
+        Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // the generated (exploded) side must not be row-preserved
+      val mayExplodeLeft = jt == Inner || jt == Cross || jt == RightOuter
+      val mayExplodeRight = jt == Inner || jt == Cross || jt == LeftOuter
       val hit = conjuncts.zipWithIndex.collectFirst {
         // array from the left, key from the right
-        case (ac @ ArrayContains(arr, key), i)
-          if arr.deterministic && key.deterministic && atomicElem(arr) &&
+        case (ArrayContains(arr, key), i)
+          if mayExplodeLeft &&
+            arr.deterministic && key.deterministic && atomicElem(arr) &&
             arr.references.subsetOf(left.outputSet) &&
             key.references.subsetOf(right.outputSet) && key.references.nonEmpty =>
           (i, arr, key, true)
         // mirrored: array from the right, key from the left
-        case (ac @ ArrayContains(arr, key), i)
-          if arr.deterministic && key.deterministic && atomicElem(arr) &&
+        case (ArrayContains(arr, key), i)
+          if mayExplodeRight &&
+            arr.deterministic && key.deterministic && atomicElem(arr) &&
             arr.references.subsetOf(right.outputSet) &&
             key.references.subsetOf(left.outputSet) && key.references.nonEmpty =>
           (i, arr, key, false)
@@ -62,15 +76,16 @@ object ArrayContainsJoin extends Rule[LogicalPlan] with PredicateHelper {
             at.containsNull)()
           val rest = conjuncts.patch(i, Nil, 1)
           val newCond = (EqualTo(elem, key) +: rest).reduce(And)
+          val newType = if (jt == Cross) Inner else jt
           val rewritten =
             if (arrOnLeft) {
               val gen = Generate(Explode(ArrayDistinct(arr)), Nil,
                 outer = false, None, Seq(elem), left)
-              Join(gen, right, Inner, Some(newCond), hint)
+              Join(gen, right, newType, Some(newCond), hint)
             } else {
               val gen = Generate(Explode(ArrayDistinct(arr)), Nil,
                 outer = false, None, Seq(elem), right)
-              Join(left, gen, Inner, Some(newCond), hint)
+              Join(left, gen, newType, Some(newCond), hint)
             }
           Project(j.output.toIndexedSeq, rewritten)
       }

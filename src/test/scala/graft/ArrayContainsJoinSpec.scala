@@ -63,6 +63,40 @@ class ArrayContainsJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT join with the array on the right rewrites and preserves rows") {
+    withRule {
+      val left = spark.range(5).select(col("id").cast("int").as("k"))
+      val right = spark.range(2).select(col("id").as("rid"),
+        array(col("id").cast("int"), lit(3)).as("arr"))
+      val q = left.join(right,
+        array_contains(col("arr"), col("k")), "left_outer")
+        .select("k", "rid")
+      assert(!planOf(q).contains("NestedLoop") && !planOf(q).contains("Cartesian"))
+      val rows = q.collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      // k=0 matches rid 0; k=1 matches rid 1; k=3 matches both; k=2,4 none
+      assert(rows == Seq((0, 0L), (1, 1L), (2, -1L), (3, 0L), (3, 1L), (4, -1L)))
+    }
+  }
+
+  test("LEFT join with the array on the PRESERVED side is NOT rewritten") {
+    withRule {
+      val left = spark.range(3).select(col("id").as("lid"),
+        array(col("id").cast("int")).as("arr"))
+      val right = spark.range(2).select(col("id").cast("int").as("rid"))
+      val q = left.join(right,
+        array_contains(col("arr"), col("rid")), "left_outer")
+        .select("lid", "rid")
+      // exploding the preserved side would duplicate it — must nested-loop
+      assert(planOf(q).contains("NestedLoop") || planOf(q).contains("Cartesian"))
+      val rows = q.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .sorted.toSeq
+      assert(rows == Seq((0L, 0), (1L, 1), (2L, -1)))
+    }
+  }
+
   test("extra conjuncts are preserved") {
     withRule {
       val left = spark.range(3).select(col("id").as("lid"),
