@@ -59,6 +59,33 @@ object HistoryBasedStats {
   /** Debug view of the recorded history (fingerprint → rows). */
   def dump: Seq[(Int, Long)] = history.toSeq
 
+  /** Persist / restore the history. The reference keeps its statistics
+    * store OUTSIDE the coordinator process (redis-hbo-provider /
+    * HistoryBasedPlanStatisticsProvider SPI) so history survives restarts
+    * and is shared across coordinators; a deployment of this engine
+    * points `save`/`load` at a shared path with the same effect.
+    * Fingerprints are hashes of canonicalized plans — deterministic
+    * murmur product-hashes of stable values (paths, schemas, normalized
+    * expression ids), so they remain valid across JVMs reading the same
+    * tables. */
+  def save(file: java.io.File): Unit = {
+    val text = history.toSeq.sorted
+      .map { case (k, v) => s"$k,$v" }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(file.getParentFile, file.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, text.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(file: java.io.File): Unit =
+    if (file.isFile)
+      new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          val c = line.indexOf(',')
+          if (c > 0) history.put(line.take(c).toInt, line.drop(c + 1).toLong)
+        }
+
   private def put(plan: LogicalPlan, rows: Long): Unit = {
     if (history.size >= MaxEntries) history.clear() // crude bound; rebuilt fast
     history.put(fingerprint(plan), rows)

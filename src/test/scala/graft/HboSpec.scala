@@ -67,6 +67,29 @@ class HboSpec extends AnyFunSuite {
     assert(!HistoryBasedStats.enabled)
   }
 
+  test("history survives a save/clear/load round-trip") {
+    HistoryBasedStats.clear()
+    val f = java.io.File.createTempFile("graft_hbo", ".csv")
+    try {
+      HistoryBasedStats.install(spark)
+      Tables(spark, sf, "region").select(col("r_regionkey")).collect()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (HistoryBasedStats.dump.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val before = HistoryBasedStats.dump.toMap
+      assert(before.nonEmpty && before.values.exists(_ == 5L))
+      HistoryBasedStats.save(f)
+      HistoryBasedStats.clear()
+      assert(HistoryBasedStats.dump.isEmpty)
+      HistoryBasedStats.load(f)
+      assert(HistoryBasedStats.dump.toMap == before)
+    } finally {
+      f.delete()
+      HistoryBasedStats.enabled = false
+      HistoryBasedStats.clear()
+    }
+  }
+
   test("big recorded sides never get hinted") {
     HistoryBasedStats.install(spark)
     HistoryBasedStats.clear()
