@@ -158,8 +158,27 @@ object Bench {
       (name, med, min)
     }
     val hist = historicalBest(layout, new java.io.File(sfDir).getName, cpus)
+    // Box-drift normalization (r9): the cross-round guard compares against
+    // best-EVER minimums, recorded on this box's fastest days. On a slower
+    // day (shared infra) EVERY query exceeds 1.5x history and the guard
+    // cascades into 3 re-measures x ~all queries (r8's 10 load_flagged rows
+    // + this round's r8-code control measuring 66.6s vs its committed
+    // 50.2s). Per-query regressions are DEVIATIONS from the suite-wide
+    // trend, so estimate today's uniform drift as the MEDIAN of per-query
+    // min/best ratios (a single slow query cannot move the median of 121)
+    // and flag only queries >1.5x the drift-scaled history. drift is
+    // clamped >= 1 (a faster box keeps the absolute standard) and reported
+    // in the artifact. A uniform suite-wide CODE regression is invisible
+    // to this detector by design — round-over-round totals catch that.
+    val firstRatios = first.flatMap { case (n, _, min) =>
+      hist.get(n).map(min / _) }.sorted
+    val drift = if (firstRatios.isEmpty) 1.0
+      else math.max(1.0, firstRatios(firstRatios.size / 2))
+    if (drift > 1.2)
+      System.err.println(f"[bench] box drift $drift%.2fx vs historical " +
+        "bests (shared-infra slowdown) — cross-round guard normalized")
     def crossFlag(name: String, min: Double): Boolean =
-      hist.get(name).exists(h => min > 1.5 * h)
+      hist.get(name).exists(h => min > 1.5 * drift * h)
     // Up to 3 cooled-down re-measurements per flagged query (either
     // detector) — one re-run proved too few under sustained box load
     // (r8 shipped 10 load_flagged DS rows that a later idle run erased).
@@ -208,7 +227,7 @@ object Bench {
     val flagged = loaded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contam = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dsmat = suite != "tpch"
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","queries":$qs,"query_min":$mins}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"box_drift":${fmt(drift)},"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","queries":$qs,"query_min":$mins}"""
     // the JSON line goes out FIRST and flushed (before spark.stop() noise /
     // the sbt epilogue), and a full copy lands in BENCH_LAST.json so a
     // truncated wrapper can always be reconstructed
