@@ -369,6 +369,8 @@ object DdlStatements {
     * VarcharType.java / IntegerType.java) for the catalog surfaces;
     * Catalyst names otherwise. */
   def prestoTypeName(dt: DataType): String = dt match {
+    case dt if graft.functions.TimeTzFunctions.isTimeTz(dt) =>
+      "time with time zone"
     case StringType => "varchar"
     case BinaryType => "varbinary"
     case IntegerType => "integer"

@@ -323,6 +323,48 @@ object Dialect {
     cur
   }
 
+  /** `TIME '<time> <zone>'` literals (per-value zone — the reference's
+    * TIME WITH TIME ZONE literal form, SqlBase.g4 + SqlTimeWithTimeZone)
+    * → the graft_timetz constructor. Zoneless TIME literals stay Spark
+    * TIME literals. Runs on the original text like the DECIMAL-literal
+    * rewrite: the zone lives inside the quotes, which masked() blanks. */
+  private val timeTzLit =
+    ("(?i)\\bTIME\\s+'(\\d{1,2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?" +
+      "(?:\\s+[^']+|[+-]\\d{1,2}:?\\d{2}))'").r
+
+  private def rewriteTimeTzLiteral(original: String): String =
+    timeTzLit.replaceAllIn(original, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"graft_timetz('${m.group(1)}')"))
+
+  private val timeTzCastTail =
+    "(?is)\\sAS\\s+TIME\\s+WITH\\s+TIME\\s+ZONE\\s*\\)$".r
+
+  /** `CAST(x AS TIME WITH TIME ZONE)` → graft_to_timetz(x) (type-dispatch
+    * happens in the builder on the resolved argument type). */
+  private def rewriteTimeTzCast(original: String): String = {
+    var cur = original
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val m = masked(cur)
+      val hit = castOpen.findAllMatchIn(m).flatMap { mt =>
+        val end = matchParen(m, mt.end - 1)
+        val span = m.substring(mt.start, end)
+        timeTzCastTail.findFirstMatchIn(span).map(t =>
+          (mt.start, end, mt.end, mt.start + t.start))
+      }.nextOption()
+      hit.foreach { case (start, end, cFrom, cTo) =>
+        cur = cur.substring(0, start) +
+          s"graft_to_timetz(${cur.substring(cFrom, cTo)})" +
+          cur.substring(end)
+        changed = true
+      }
+    }
+    cur
+  }
+
   /** End index (exclusive) of the parenthesized group opening at `open`
     * (index of '('), measured on the masked text. */
   private def matchParen(m: String, open: Int): Int = {
@@ -591,14 +633,20 @@ object Dialect {
   }
 
   def translate(text: String, unnestStructRows: Boolean = false): String = {
-    if (timeWithTz.findFirstIn(masked(text)).isDefined)
+    // time with time zone (per-value zones, TimeTzFunctions): zone-carrying
+    // TIME literals and CASTs desugar to the struct-tagged kernels first;
+    // any OTHER position of the type name (DDL column types) still raises
+    // a clear error rather than Spark's parse failure.
+    val base = rewriteTimeTzCast(rewriteTimeTzLiteral(rewriteAnsiQuotes(text)))
+    if (timeWithTz.findFirstIn(masked(base)).isDefined)
       throw new UnsupportedOperationException(
-        "time with time zone is not supported (documented gap — " +
-          "StandardTypes.java:46); use TIME (time-of-day) or TIMESTAMP")
+        "time with time zone is supported as a literal (TIME 'hh:mm:ss " +
+          "<zone>'), in CAST, and through its functions (hour/minute/" +
+          "second/timezone_hour/timezone_minute/at_timezone); it is not " +
+          "supported as a DDL column type")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
-        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(
-          rewriteAnsiQuotes(text)))))))),
+        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(base))))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>
@@ -612,6 +660,8 @@ object Dialect {
           // — Spark's varchar demands a length; STRING is the same type
           .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "string")
           .replaceAll("(?i)\\blocaltimestamp\\b(?!\\s*\\()", "localtimestamp()")
+          // reference CURRENT_TIME (niladic, returns time with time zone)
+          .replaceAll("(?i)\\bcurrent_time\\b(?!\\s*\\()", "current_time()")
           .replaceAll("(?i)\\blocaltime\\b(?!\\s*\\()",
             "make_time(hour(localtimestamp()), minute(localtimestamp()), " +
               "CAST(extract(SECOND FROM localtimestamp()) AS DOUBLE))")

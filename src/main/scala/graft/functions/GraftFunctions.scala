@@ -256,7 +256,9 @@ object GraftFunctions {
     ("millisecond", "millisecond(ts) - millisecond of the second",
       es => {
         import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, UnixMillis}
-        Pmod(UnixMillis(cast(es.head,
+        if (TimeTzFunctions.isTimeTz(es.head.dataType))
+          rc(TimeTzFunctions.millisecondTz(c(es.head)).cast("long"))
+        else Pmod(UnixMillis(cast(es.head,
           org.apache.spark.sql.types.TimestampType)), Literal(1000L))
       }),
     ("day_of_week", "day_of_week(d) - ISO day of week (Monday = 1)",
@@ -481,11 +483,48 @@ object GraftFunctions {
         })
       }),
     ("at_timezone", "at_timezone(ts, zone) - same instant rendered in zone",
-      es => org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(
-        es(0), es(1))),
+      es =>
+        if (TimeTzFunctions.isTimeTz(es.head.dataType))
+          rc(TimeTzFunctions.atTimezone(c(es(0)), c(es(1))))
+        else org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(
+          es(0), es(1))),
     ("with_timezone", "with_timezone(ts, zone) - wall time declared in zone",
       es => org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
         es(0), es(1))),
+    // ---- time with time zone (TimeTzFunctions; per-value zones) --------
+    ("graft_timetz",
+      "graft_timetz('H:MM[:SS[.fff]] zone') - time with time zone value",
+      es => rc(TimeTzFunctions.parse(c(es.head)))),
+    ("graft_to_timetz",
+      "graft_to_timetz(x) - CAST(x AS TIME WITH TIME ZONE) kernel",
+      es => rc(toTimeTz(es.head))),
+    ("graft_timetz_format",
+      "graft_timetz_format(t) - reference varchar rendering 'HH:mm:ss.SSS +HH:MM'",
+      es => rc(TimeTzFunctions.format(c(es.head)))),
+    ("hour", "hour(x) - hour of day (time with time zone: local hour)",
+      es => timeTzOverload("hour", es, TimeTzFunctions.hourTz)),
+    ("minute", "minute(x) - minute of hour (time with time zone: local)",
+      es => timeTzOverload("minute", es, TimeTzFunctions.minuteTz)),
+    ("second", "second(x) - second of minute (time with time zone: local)",
+      es => timeTzOverload("second", es, TimeTzFunctions.secondTz)),
+    ("timezone_hour",
+      "timezone_hour(t) - hour component of the zone offset (signed)",
+      es =>
+        if (TimeTzFunctions.isTimeTz(es.head.dataType))
+          rc(TimeTzFunctions.timezoneHour(c(es.head)))
+        else rc(sessionTzOffsetSec(c(es.head)).divide(3600d).cast("long"))),
+    ("timezone_minute",
+      "timezone_minute(t) - minute component of the zone offset (signed)",
+      es =>
+        if (TimeTzFunctions.isTimeTz(es.head.dataType))
+          rc(TimeTzFunctions.timezoneMinute(c(es.head)))
+        else rc({
+          val s = sessionTzOffsetSec(c(es.head))
+          (s.divide(60d)).cast("long") - s.divide(3600d).cast("long") * 60L
+        })),
+    ("current_time",
+      "current_time() - time of day now, with the session zone",
+      es => rc(TimeTzFunctions.currentTimeTz())),
     ("parse_duration", "parse_duration('<n> <unit>') - duration as milliseconds",
       es => rc(graft.ops.Scalars.parseDurationMs(c(es.head)))),
     ("truncate", "truncate(x[, n]) - round toward zero [to n decimals]",
@@ -871,6 +910,40 @@ object GraftFunctions {
     * `functions._` (a lazy ColumnNode from the plain bridge would reach
     * execution unconverted when returned from a FunctionRegistry builder). */
   private def rc(col: Column): Expression = Bridge.resolvedExpression(col)
+
+  /** time-with-time-zone overload: struct-tagged values route to the
+    * TimeTzFunctions kernel; everything else falls back to the BUILTIN of
+    * the same name (registry lookup, not a hand-picked expression), so the
+    * session override never changes date/time/timestamp semantics. */
+  private def timeTzOverload(name: String, es: Seq[Expression],
+      kernel: Column => Column): Expression =
+    if (es.length == 1 && TimeTzFunctions.isTimeTz(es.head.dataType))
+      rc(kernel(c(es.head)))
+    else org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .lookupFunction(FunctionIdentifier(name), es)
+
+  /** Session-zone offset seconds at a timestamp instant (reference
+    * timezone_hour/minute on zoneless timestamps use the session zone). */
+  private def sessionTzOffsetSec(ts: Column): Column = {
+    val t = ts.cast("timestamp")
+    from_utc_timestamp(t, current_timezone()).cast("long") - t.cast("long")
+  }
+
+  /** CAST(x AS TIME WITH TIME ZONE) dispatch: varchar parses (session
+    * zone when none in the text), timestamps keep their session-rendered
+    * time-of-day, TIME attaches the session zone (via its string form —
+    * exact, TIME casts render 'HH:mm:ss[.ffffff]'). */
+  private def toTimeTz(e: Expression): Column = {
+    import org.apache.spark.sql.types._
+    val col = c(e)
+    e.dataType match {
+      case dt if TimeTzFunctions.isTimeTz(dt) => col
+      case _: StringType => TimeTzFunctions.parse(col)
+      case TimestampType | TimestampNTZType =>
+        TimeTzFunctions.parse(date_format(col, "HH:mm:ss.SSS"))
+      case _ => TimeTzFunctions.parse(col.cast("string"))
+    }
+  }
 
   private def intArg(e: Expression, what: String): Int = {
     val v = if (e.foldable) e.eval(null) else null

@@ -1940,9 +1940,53 @@ object Scalars {
         |FROM tt ORDER BY k""".stripMargin)
   }
 
+  /** `time with time zone` — per-VALUE zone offsets through the dialect
+    * (reference StandardTypes.java:46, SqlTimeWithTimeZone,
+    * DateTimeFunctions.java; engine kernels in
+    * functions/TimeTzFunctions.scala): per-row offsets spanning the full
+    * [-14:00, +14:00] range, literal + CAST construction, local-field
+    * extraction, signed timezone_hour/minute, instant ordering across
+    * zones, AT-TIME-ZONE instant preservation, the reference varchar
+    * rendering. The DuckDB oracle states every expected value in closed
+    * integer/printf form. */
+  def timetzOps(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_ttz")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 80000 AS BIGINT) AS sod,
+        |    CAST(CAST(o_orderkey % 169 AS INT) * 10 - 840 AS INT) AS off
+        |  FROM orders_ttz WHERE o_orderkey <= 500),
+        |z AS (SELECT k, sod, off,
+        |    concat(CASE WHEN off < 0 THEN '-' ELSE '+' END,
+        |      lpad(CAST(CAST(FLOOR(abs(off) / 60) AS INT) AS STRING), 2, '0'),
+        |      ':', lpad(CAST(abs(off) % 60 AS STRING), 2, '0')) AS zone
+        |  FROM b),
+        |tt AS (SELECT k, sod, off, zone,
+        |    graft_timetz(concat(
+        |      lpad(CAST(CAST(FLOOR(sod / 3600) AS INT) AS STRING), 2, '0'),
+        |      ':',
+        |      lpad(CAST(CAST(FLOOR(sod / 60) AS INT) % 60 AS STRING), 2, '0'),
+        |      ':', lpad(CAST(sod % 60 AS STRING), 2, '0'), ' ', zone)) AS t1
+        |  FROM z)
+        |SELECT k,
+        |  graft_timetz_format(t1) AS s1,
+        |  CAST(hour(t1) AS BIGINT) AS h,
+        |  CAST(minute(t1) AS BIGINT) AS mi,
+        |  CAST(second(t1) AS BIGINT) AS se,
+        |  timezone_hour(t1) AS tzh,
+        |  timezone_minute(t1) AS tzm,
+        |  graft_timetz_format(at_timezone(t1, '+02:00')) AS s2,
+        |  t1 < graft_timetz('12:00:00 +00:00') AS lt_noon,
+        |  graft_timetz_format(TIME '03:04:05.321 +07:09') AS lit1,
+        |  graft_timetz_format(CAST('12:00:00+05:30' AS TIME WITH TIME ZONE))
+        |    AS c1
+        |FROM tt ORDER BY k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_err_contracts" -> errContracts,
     "fn_time" -> timeOps,
+    "fn_timetz" -> timetzOps,
     "fn_qdigest" -> qdigestSketch,
     "fn_tdigest" -> tdigestSketch,
     "fn_kll" -> kllSketch,
@@ -2888,6 +2932,37 @@ object Scalars {
         |  t + INTERVAL 30 MINUTE AS t2,
         |  CAST(t AS VARCHAR) AS st
         |FROM tt ORDER BY k""".stripMargin,
+    "fn_timetz" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 80000 AS BIGINT) AS sod,
+        |    CAST(CAST(o_orderkey % 169 AS INT) * 10 - 840 AS INT) AS off
+        |  FROM orders WHERE o_orderkey <= 500),
+        |z AS (SELECT k, sod, off,
+        |    CAST(FLOOR(sod / 3600) AS BIGINT) AS h,
+        |    CAST(FLOOR(sod / 60) AS BIGINT) % 60 AS mi,
+        |    CAST(sod % 60 AS BIGINT) AS se,
+        |    CASE WHEN off < 0 THEN '-' ELSE '+' END ||
+        |      lpad(CAST(CAST(FLOOR(abs(off) / 60) AS INT) AS VARCHAR), 2, '0')
+        |      || ':' || lpad(CAST(abs(off) % 60 AS VARCHAR), 2, '0') AS zone,
+        |    sod * 1000 - off * 60000 AS utc,
+        |    CAST(trunc(off / 60.0) AS BIGINT) AS tzh
+        |  FROM b),
+        |z2 AS (SELECT z.*, ((utc + 7200000) % 86400000 + 86400000) %
+        |    86400000 AS loc2 FROM z)
+        |SELECT k,
+        |  printf('%02d:%02d:%02d.000 ', h, mi, se) || zone AS s1,
+        |  h, mi, se,
+        |  tzh,
+        |  off - tzh * 60 AS tzm,
+        |  printf('%02d:%02d:%02d.%03d +02:00',
+        |    CAST(FLOOR(loc2 / 3600000) AS BIGINT),
+        |    CAST(FLOOR(loc2 / 60000) AS BIGINT) % 60,
+        |    CAST(FLOOR(loc2 / 1000) AS BIGINT) % 60,
+        |    loc2 % 1000) AS s2,
+        |  (utc < 43200000 OR (utc = 43200000 AND off < 0)) AS lt_noon,
+        |  '03:04:05.321 +07:09' AS lit1,
+        |  '12:00:00.000 +05:30' AS c1
+        |FROM z2 ORDER BY k""".stripMargin,
     "fn_geo_multi" ->
       """WITH g AS (SELECT c_custkey k,
         |  CAST(1.0 + c_custkey % 3 AS DOUBLE) a,

@@ -403,13 +403,21 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(mp.toSeq == Seq(("a", 1), ("b", 2)))
   }
 
-  test("TIME type: literal + extraction resolve; WITH TIME ZONE raises clearly") {
+  test("TIME type: literal + extraction resolve; WITH TIME ZONE supported") {
     val r = session.sql(
       "SELECT CAST(TIME '08:30:15' AS STRING) AS st, hour(TIME '23:01:02') AS h")
       .collect()(0)
     assert(r.getString(0) == "08:30:15" && r.getInt(1) == 23)
+    // per-value zones through CAST and the literal (TimeTzFunctions)
+    val tz = session.sql(
+      "SELECT graft_timetz_format(CAST('12:00:00 +05:30' AS TIME WITH TIME " +
+        "ZONE)) AS c, graft_timetz_format(TIME '03:04:05.321 +07:09') AS l")
+      .collect()(0)
+    assert(tz.getString(0) == "12:00:00.000 +05:30")
+    assert(tz.getString(1) == "03:04:05.321 +07:09")
+    // the type name anywhere else still raises a clear error
     val e = intercept[UnsupportedOperationException](session.sql(
-      "SELECT CAST('12:00:00+05:30' AS TIME WITH TIME ZONE)"))
+      "CREATE TABLE t_tz (x TIME WITH TIME ZONE) USING parquet"))
     assert(e.getMessage.contains("time with time zone"))
   }
 
