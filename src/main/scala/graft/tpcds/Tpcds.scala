@@ -104,8 +104,9 @@ object Tpcds {
     * matters: the channel splits derive from store_sales/store_returns, so
     * those materialize first and the splits then scan the written parquet
     * instead of re-joining lineitem⋈orders. */
-  def materializeFacts(s: SparkSession, dir: String): Unit = {
+  def materializeFacts(s: SparkSession, dir: String): Unit =
     materializableFacts.foreach { n =>
+      val out = new java.io.File(dir, s"_tpcds/$n")
       def build = n match {
         case "store_sales" => deriveStoreSales(s, dir)
         case "store_returns" => deriveStoreReturns(s, dir)
@@ -115,75 +116,36 @@ object Tpcds {
         case "web_sales" => webSales(s, dir)
         case "web_returns" => webReturns(s, dir)
       }
-      materializeOne(s, dir, n)(build)
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
+        // first materialization: `build` goes through mat(), which with no
+        // _SUCCESS returns the raw derivation plan — write it + fingerprint
+        val derived = build
+        derived.write.mode("overwrite").parquet(out.getAbsolutePath)
+        writeFingerprint(out, derivationPrint(derived))
+        s.catalog.refreshByPath(out.getAbsolutePath)
+        matValidated.add(out.getAbsolutePath)
+      } else {
+        // existing write: mat() is the SINGLE validator/writer — invoking
+        // the builder here (outside the timed region) makes it check the
+        // fingerprint and re-materialize + refresh on drift. A second
+        // guard at this level would see mat()'s post-rewrite SCAN plan,
+        // mistake it for drift, and overwrite the parquet it is reading.
+        build
+        ()
+      }
     }
-    // dimensions: once the flag is set every dim builder routes through
-    // mat(), so materializeOne's `build` below either returns the raw
-    // derivation (first write) or triggers mat()'s fingerprint validation
-    dimDir = Some(dir)
-    Seq("date_dim" -> (() => dateDim(s)), "item" -> (() => item(s, dir)),
-      "store" -> (() => store(s)), "customer" -> (() => customerDim(s, dir)),
-      "customer_address" -> (() => customerAddress(s, dir)),
-      "customer_demographics" -> (() => customerDemographics(s)),
-      "household_demographics" -> (() => householdDemographics(s)),
-      "income_band" -> (() => incomeBand(s)),
-      "promotion" -> (() => promotion(s)),
-      "warehouse" -> (() => warehouse(s)), "time_dim" -> (() => timeDim(s)),
-      "reason" -> (() => reason(s)), "call_center" -> (() => callCenter(s)),
-      "web_site" -> (() => webSite(s)), "web_page" -> (() => webPage(s)),
-      "ship_mode" -> (() => shipMode(s)),
-      "catalog_page" -> (() => catalogPage(s)))
-      .foreach { case (n, b) => materializeOne(s, dir, n)(b()) }
-  }
-
-  private def materializeOne(s: SparkSession, dir: String, n: String)
-      (build: => DataFrame): Unit = {
-    val out = new java.io.File(dir, s"_tpcds/$n")
-    if (!new java.io.File(out, "_SUCCESS").isFile) {
-      // first materialization: `build` goes through mat(), which with no
-      // _SUCCESS returns the raw derivation plan — write it + fingerprint
-      val derived = build
-      derived.write.mode("overwrite").parquet(out.getAbsolutePath)
-      writeFingerprint(out, derivationPrint(derived))
-      s.catalog.refreshByPath(out.getAbsolutePath)
-      matValidated.add(out.getAbsolutePath)
-    } else {
-      // existing write: mat() is the SINGLE validator/writer — invoking
-      // the builder here (outside the timed region) makes it check the
-      // fingerprint and re-materialize + refresh on drift. A second
-      // guard at this level would see mat()'s post-rewrite SCAN plan,
-      // mistake it for drift, and overwrite the parquet it is reading.
-      build
-      ()
-    }
-  }
 
   // ---- derived dimensions -------------------------------------------------
-
-  /** Set when a bench has pre-generated the dimension tables
-    * (materializeDims): builders then read the written parquet instead of
-    * re-deriving per query. The reference's tpcds connector generates ALL
-    * tables before benchto runs — dimensions included — and the per-query
-    * in-memory dim derivations grew expensive enough (analysis of the wide
-    * Projects + per-run expression evaluation) to dominate short queries.
-    * Verify (the driver's correctness gate) never sets it, so the oracle
-    * prelude and the Spark derivation stay the compared pair. Builders
-    * whose derivation reads fixture parquet (item, customer,
-    * customer_address) pass their `dir` so a materialized layout from a
-    * DIFFERENT dir is never served to (or clobbered by) their queries. */
-  @volatile private var dimDir: Option[String] = None
-
-  private def dim(s: SparkSession, name: String, dir: String = null)
-      (derive: => DataFrame): DataFrame =
-    dimDir match {
-      case Some(d) if dir == null || dir == d => mat(s, d, name)(derive)
-      case _ => derive
-    }
+  // Dimensions stay IN-MEMORY derivations on purpose (facts materialize,
+  // dims don't): materializing them to parquet was tried in r9 and MEASURED
+  // as a net loss — per-query plan-build time goes UP (q96 0.38s vs 0.14s:
+  // per-call spark.read.parquet footer/schema work beats re-analyzing the
+  // range-based Projects) and exec gains nothing (tiny scans add task
+  // scheduling). PlanProfile A/B over {q03 q42 q96 q14 q64 q72 q23}:
+  // in-memory 8.35s total vs materialized 9.65s.
 
   /** 1995-01-01..2001-12-31 calendar, d_date_sk = days since Base. */
   def dateDim(s: SparkSession): DataFrame =
-    dim(s, "date_dim")(deriveDateDim(s))
-  private def deriveDateDim(s: SparkSession): DataFrame =
     s.range(0, 2557).select(
         col("id").as("d_date_sk"),
         date_add(to_date(lit(Base)), col("id").cast("int")).as("d_date"))
@@ -203,8 +165,6 @@ object Tpcds {
           WHEN 5 THEN 'Friday' ELSE 'Saturday' END""").as("d_day_name"))
 
   def item(s: SparkSession, dir: String): DataFrame =
-    dim(s, "item", dir)(deriveItem(s, dir))
-  private def deriveItem(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(
       col("p_partkey").as("i_item_sk"),
       concat(lit("ITEM_"), lpad(col("p_partkey").cast("string"), 8, "0")).as("i_item_id"),
@@ -231,8 +191,6 @@ object Tpcds {
       (col("p_partkey") % 8).as("i_class_id"))
 
   def store(s: SparkSession): DataFrame =
-    dim(s, "store")(deriveStore(s))
-  private def deriveStore(s: SparkSession): DataFrame =
     s.range(0, 10).select(
       col("id").as("s_store_sk"),
       concat(lit("Store_"), col("id")).as("s_store_name"),
@@ -254,8 +212,6 @@ object Tpcds {
       (col("id") % 6).as("s_market_id"))
 
   def customerDim(s: SparkSession, dir: String): DataFrame =
-    dim(s, "customer", dir)(deriveCustomerDim(s, dir))
-  private def deriveCustomerDim(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
       col("c_custkey").as("c_customer_sk"),
       col("c_name").as("c_customer_id"),
@@ -284,8 +240,6 @@ object Tpcds {
       (col("c_custkey") % 2000 + 30).as("c_first_shipto_date_sk"))
 
   def customerAddress(s: SparkSession, dir: String): DataFrame =
-    dim(s, "customer_address", dir)(deriveCustomerAddress(s, dir))
-  private def deriveCustomerAddress(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
       col("c_custkey").as("ca_address_sk"),
       concat(lit("City_"), col("c_custkey") % 40).as("ca_city"),
@@ -303,8 +257,6 @@ object Tpcds {
         "ELSE 'single family' END").as("ca_location_type"))
 
   def customerDemographics(s: SparkSession): DataFrame =
-    dim(s, "customer_demographics")(deriveCustomerDemographics(s))
-  private def deriveCustomerDemographics(s: SparkSession): DataFrame =
     s.range(0, 100).select(
       col("id").as("cd_demo_sk"),
       when(col("id") % 2 === 0, "M").otherwise("F").as("cd_gender"),
@@ -320,8 +272,6 @@ object Tpcds {
       (col("id") % 3).as("cd_dep_college_count"))
 
   def householdDemographics(s: SparkSession): DataFrame =
-    dim(s, "household_demographics")(deriveHouseholdDemographics(s))
-  private def deriveHouseholdDemographics(s: SparkSession): DataFrame =
     s.range(0, 50).select(
       col("id").as("hd_demo_sk"),
       (col("id") % 10).as("hd_dep_count"),
@@ -331,16 +281,12 @@ object Tpcds {
       (col("id") % 20).as("hd_income_band_sk"))
 
   def incomeBand(s: SparkSession): DataFrame =
-    dim(s, "income_band")(deriveIncomeBand(s))
-  private def deriveIncomeBand(s: SparkSession): DataFrame =
     s.range(0, 20).select(
       col("id").as("ib_income_band_sk"),
       (col("id") * 10000).as("ib_lower_bound"),
       ((col("id") + 1) * 10000 - 1).as("ib_upper_bound"))
 
   def promotion(s: SparkSession): DataFrame =
-    dim(s, "promotion")(derivePromotion(s))
-  private def derivePromotion(s: SparkSession): DataFrame =
     s.range(0, 20).select(
       col("id").as("p_promo_sk"),
       concat(lit("promo_"), col("id")).as("p_promo_name"),
@@ -350,8 +296,6 @@ object Tpcds {
       when(col("id") % 7 === 0, "Y").otherwise("N").as("p_channel_tv"))
 
   def warehouse(s: SparkSession): DataFrame =
-    dim(s, "warehouse")(deriveWarehouse(s))
-  private def deriveWarehouse(s: SparkSession): DataFrame =
     s.range(0, 5).select(
       col("id").as("w_warehouse_sk"),
       concat(lit("Warehouse_"), col("id")).as("w_warehouse_name"),
@@ -364,8 +308,6 @@ object Tpcds {
   /** Seconds-of-day dimension (86 400 rows — broadcastable like the
     * reference's tpcds time_dim). */
   def timeDim(s: SparkSession): DataFrame =
-    dim(s, "time_dim")(deriveTimeDim(s))
-  private def deriveTimeDim(s: SparkSession): DataFrame =
     s.range(0, 86400).select(
       col("id").as("t_time_sk"),
       col("id").as("t_time"),
@@ -378,15 +320,11 @@ object Tpcds {
         .otherwise(lit(null).cast("string")).as("t_meal_time"))
 
   def reason(s: SparkSession): DataFrame =
-    dim(s, "reason")(deriveReason(s))
-  private def deriveReason(s: SparkSession): DataFrame =
     s.range(0, 10).select(
       col("id").as("r_reason_sk"),
       concat(lit("reason_"), col("id")).as("r_reason_desc"))
 
   def callCenter(s: SparkSession): DataFrame =
-    dim(s, "call_center")(deriveCallCenter(s))
-  private def deriveCallCenter(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("cc_call_center_sk"),
       concat(lit("CC_"), col("id")).as("cc_name"),
@@ -395,8 +333,6 @@ object Tpcds {
       concat(lit("County_"), col("id") % 3).as("cc_county"))
 
   def webSite(s: SparkSession): DataFrame =
-    dim(s, "web_site")(deriveWebSite(s))
-  private def deriveWebSite(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("web_site_sk"),
       concat(lit("site_"), col("id")).as("web_name"),
@@ -404,15 +340,11 @@ object Tpcds {
       concat(lit("WSID_"), col("id")).as("web_site_id"))
 
   def webPage(s: SparkSession): DataFrame =
-    dim(s, "web_page")(deriveWebPage(s))
-  private def deriveWebPage(s: SparkSession): DataFrame =
     s.range(0, 20).select(
       col("id").as("wp_web_page_sk"),
       (col("id") * 100 + 4000).as("wp_char_count"))
 
   def shipMode(s: SparkSession): DataFrame =
-    dim(s, "ship_mode")(deriveShipMode(s))
-  private def deriveShipMode(s: SparkSession): DataFrame =
     s.range(0, 4).select(
       col("id").as("sm_ship_mode_sk"),
       expr("CASE id WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR' " +
@@ -422,8 +354,6 @@ object Tpcds {
 
   /** Catalog-page dimension (q05/q80 page-level report keys). */
   def catalogPage(s: SparkSession): DataFrame =
-    dim(s, "catalog_page")(deriveCatalogPage(s))
-  private def deriveCatalogPage(s: SparkSession): DataFrame =
     s.range(0, 20).select(
       col("id").as("cp_catalog_page_sk"),
       concat(lit("CPID_"), col("id")).as("cp_catalog_page_id"))
