@@ -139,6 +139,21 @@ object Bench {
     val queries = (suite match {
       case "tpch" => tpch.Tpch.queries.toSeq
       case "tpcds" => tpcds.Tpcds.queries.toSeq
+      case "tpch_sql" =>
+        // the reference's benchto protocol measures SQL TEXTS — this
+        // dev suite does the same: the 22 reference texts through the
+        // dialect over the BenchtoSchema adapter views (keys sql_qNN so
+        // they never collide with the DataFrame suite's history). Views
+        // and the function registry are session state, set up once like
+        // the reference's catalog; each measured run pays translate +
+        // parse + plan + execute, exactly what a text submission costs.
+        tpch.BenchtoSchema.register(spark, benchDir)
+        val ses = graft.api.SqlSession.wrap(spark)
+        (1 to 22).map { i =>
+          val q = f"q$i%02d"
+          (s"sql_$q", (_: SparkSession, _: String) =>
+            ses.sql(tpch.BenchtoTexts.text(q)))
+        }
       case _ => tpch.Tpch.queries.toSeq ++ tpcds.Tpcds.queries.toSeq
     }).sortBy(_._1)
     // Benchto protocol (tpch.yaml:1-31): 2 prewarm runs (JVM/JIT + codegen +

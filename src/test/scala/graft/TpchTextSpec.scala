@@ -19,8 +19,7 @@ import graft.api.SqlSession
 object TpchText {
   import TestSpark._
 
-  val dir =
-    "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpch"
+  val dir = tpch.BenchtoTexts.dir
 
   lazy val session: SqlSession = {
     val ses = SqlSession.wrap(spark).loadTables(sf)
@@ -29,27 +28,10 @@ object TpchText {
     ses
   }
 
-  /** Fixture-domain parameter substitutions applied to every text. */
-  private val params = Seq(
-    "FRANCE" -> "NATION_19", "GERMANY" -> "NATION_20", "BRAZIL" -> "NATION_19",
-    "CANADA" -> "NATION_3", "SAUDI ARABIA" -> "NATION_20",
-    "%BRASS" -> "%PROMO", "ECONOMY ANODIZED STEEL" -> "ECONOMY",
-    "MEDIUM POLISHED%" -> "MEDIUM%", "%green%" -> "%widget%",
-    "forest%" -> "blue%",
-    "'1992-" -> "'1995-", "'1993-" -> "'1996-", "'1994-" -> "'1997-")
-
-  def text(q: String, subs: (String, String)*): String = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/$q.sql")), "UTF-8")
-    val base = params.foldLeft(raw
-      .replaceAll(
-        "\"\\$\\{database\\}\"\\.\"\\$\\{schema\\}\"\\.\"\\$\\{prefix\\}(\\w+)\"",
-        "tpch_$1")
-      .replaceAll("\\s+", " ").trim.stripSuffix(";")) {
-      case (t, (from, to)) => t.replace(from, to)
-    }
-    subs.foldLeft(base) { case (t, (from, to)) => t.replaceAll(from, to) }
-  }
+  /** Text loading + fixture-domain substitutions live in main scope
+    * (tpch.BenchtoTexts) — shared with the bench's tpch_sql suite. */
+  def text(q: String, subs: (String, String)*): String =
+    tpch.BenchtoTexts.text(q, subs: _*)
 
   val stripLimit: (String, String) = ("(?i)LIMIT\\s+\\d+\\s*$", "")
 
