@@ -218,6 +218,37 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023 — cluster the
+    * embedding space, then drop within-cluster semantic duplicates; the
+    * reference's embedding stack stops at cosine_similarity, this is the
+    * pipeline composition a training corpus needs): vectors are assigned
+    * to their nearest centroid (the IVF assignment — broadcast centroids,
+    * one pass), and a vector is a duplicate when an EARLIER (lower-id)
+    * vector in the SAME cell has cosine >= tau; the keeper is the smallest
+    * such id. Pairwise comparison happens only WITHIN cells — O(Σ cᵢ²)
+    * with cᵢ ≈ corpus/K, never global n², and `cell` is the shuffle key,
+    * the shape that holds at 100 TB (K grows with the corpus; the
+    * committed-index variant would read SnapshotTable cells like
+    * sim_ivf_index_reuse). Deterministic seed centroids (vec_id < 8, as
+    * in sim_ivf_ann) let the DuckDB oracle replay the assignment. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cells = Similarity.centRank(e, cents).filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val dup = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.45)
+      .groupBy("vec_id").agg(min(col("other")).as("keeper"))
+    cells.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("keeper").isNotNull.as("is_dup"), col("keeper"))
+      .orderBy("vec_id")
+  }
+
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     * graph, the step a real dedup pipeline runs after candidate pairs —
     * transitive chains (A~B, B~C) must collapse to one cluster with one
@@ -272,6 +303,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingLshNearDup,
+    "dedup_semantic" -> semanticDedup,
     "dedup_clusters" -> nearDupClusters)
 
   val oracle: Map[String, String] = Map(
@@ -416,5 +448,38 @@ object Dedup {
         |      FROM u GROUP BY 1, 2)
         |SELECT va AS vec_a, vb AS vec_b, ROUND(dot / (na * nb), 4) AS cosine
         |FROM d WHERE dot / (na * nb) >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic" ->
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |pc AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+        |       FROM embeddings e CROSS JOIN cent c),
+        |pu AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pc),
+        |pd AS (SELECT vec_id, cent_id,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |       FROM pu GROUP BY 1, 2),
+        |rkd AS (SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dot / (na * nb) DESC, cent_id) crk
+        |        FROM pd),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE crk = 1),
+        |pr AS (SELECT a.vec_id, b.vec_id other, ae.embedding ea,
+        |              be.embedding eb
+        |       FROM cells a JOIN cells b
+        |         ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |       JOIN embeddings ae ON ae.vec_id = a.vec_id
+        |       JOIN embeddings be ON be.vec_id = b.vec_id),
+        |u2 AS (SELECT vec_id, other, unnest(ea) x, unnest(eb) y FROM pr),
+        |d2 AS (SELECT vec_id, other,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |       FROM u2 GROUP BY 1, 2),
+        |k AS (SELECT vec_id, MIN(other) keeper FROM d2
+        |      WHERE dot / (na * nb) >= 0.45 GROUP BY 1)
+        |SELECT c.vec_id, c.cell, k.keeper IS NOT NULL AS is_dup, k.keeper
+        |FROM cells c LEFT JOIN k ON k.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin)
 }
