@@ -84,6 +84,17 @@ object ArrayMapExtras {
       sequence(lit(1), size(a)),
       (x, i) => when(x.isNotNull, struct(x.as("x"), i.as("i"))))).getField("i"))
 
+  /** array_intersect(array<array<T>>) — the n-ary overload
+    * (ArrayIntersectFunction.java: reduce(input, input[1],
+    * array_intersect)): distinct elements present in EVERY sub-array,
+    * first-subarray order; ARRAY[] on empty input. */
+  def arrayIntersectAll(a: Column): Column = {
+    // flatten(slice(a,1,0)) is an element-type-generic empty array<T>
+    val init = when(size(a) === 0, flatten(slice(a, 1, 0)))
+      .otherwise(element_at(a, 1))
+    aggregate(a, init, (s, x) => array_intersect(s, x))
+  }
+
   /** array_transpose(m): a[x][y] → a[y][x]; rows must be same length — :178. */
   def arrayTranspose(a: Column): Column =
     when(size(a) === 0, a).otherwise(

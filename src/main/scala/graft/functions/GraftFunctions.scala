@@ -353,6 +353,26 @@ object GraftFunctions {
         if (es.length > 1) intArg(es(1), "array_least_frequent") else 1))),
     ("array_transpose", "array_transpose(a) - matrix transpose of nested arrays",
       es => rc(ArrayMapExtras.arrayTranspose(c(es.head)))),
+    ("array_max_by", "array_max_by(a, f) - element maximizing f (null f-values skipped)",
+      es => org.apache.spark.sql.graftbridge.ArrayMinMaxBy(es(0), es(1),
+        isMax = true)),
+    ("array_min_by", "array_min_by(a, f) - element minimizing f (null f-values skipped)",
+      es => org.apache.spark.sql.graftbridge.ArrayMinMaxBy(es(0), es(1),
+        isMax = false)),
+    ("array_intersect",
+      "array_intersect(a, b) / array_intersect(array<array<T>>) - pairwise builtin or n-ary fold",
+      es =>
+        if (es.length == 1) rc(ArrayMapExtras.arrayIntersectAll(c(es.head)))
+        else org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+          .lookupFunction(FunctionIdentifier("array_intersect"), es)),
+    ("replace_first",
+      "replace_first(str, search, replace) - replace only the first occurrence",
+      es => rc(StringExtras.replaceFirst(c(es(0)), c(es(1)), c(es(2))))),
+    ("trail", "trail(str, n) - last n characters",
+      es => rc(StringExtras.trail(c(es(0)), c(es(1))))),
+    ("split_part_reverse",
+      "split_part_reverse(str, delim, idx) - split field, negative idx from the end",
+      es => rc(StringExtras.splitPartReverse(c(es(0)), c(es(1)), c(es(2))))),
     ("combinations", "combinations(a, n) - n-element subsequences (n <= 5)",
       es => rc(ArrayMapExtras.combinations(c(es(0)), intArg(es(1), "combinations")))),
     ("map_top_n", "map_top_n(m, n) - n entries with the largest values",

@@ -31,4 +31,14 @@ object StringExtras {
     * the end — :45 (ELEMENT_AT over SPLIT). Literal (non-regex) delimiter. */
   def splitPartReverse(str: Column, delim: String, idx: Column): Column =
     element_at(split(str, java.util.regex.Pattern.quote(delim)), idx)
+
+  /** Column-delimiter variant for the SQL registration (\Q..\E quoting =
+    * the same literal-delimiter contract); |idx| beyond the part count is
+    * NULL like the reference's element_at, under ANSI sessions too. */
+  def splitPartReverse(str: Column, delim: Column, idx: Column): Column = {
+    val parts = call_function("split", str,
+      concat(lit("\\Q"), delim, lit("\\E")))
+    when(abs(idx) > size(parts), lit(null).cast("string"))
+      .otherwise(element_at(parts, idx.cast("int")))
+  }
 }

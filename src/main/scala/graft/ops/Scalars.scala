@@ -794,6 +794,30 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** SQL-NAME registration of the remaining presto-sql-helpers
+    * (ArraySqlFunctions.java array_max_by/array_min_by,
+    * ArrayIntersectFunction.java n-ary array_intersect,
+    * StringSqlFunctions.java replace_first/trail/split_part_reverse):
+    * the kernels were already Column-API-gated (fn_string_sql,
+    * fn_map_adv); this gate drives the NAMES through SQL text, user
+    * lambdas included. */
+  def helpersSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_hlp")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT p_partkey AS k, p_name, p_type,
+        |    array(p_partkey, p_partkey % 7, p_partkey % 13) AS arr
+        |  FROM part_hlp WHERE p_partkey <= 200)
+        |SELECT k,
+        |  array_max_by(arr, x -> -x) AS maxby,
+        |  array_min_by(arr, x -> x % 5) AS minby,
+        |  array_intersect(array(arr, array(k, k % 7))) AS nary,
+        |  array_intersect(arr, array(k % 7)) AS pairwise,
+        |  replace_first(p_name, 'a', 'XY') AS rf,
+        |  trail(p_name, 4) AS tr,
+        |  split_part_reverse(p_type, ' ', -1) AS sp
+        |FROM b ORDER BY k""".stripMargin)
+  }
+
   /** Wilson score interval (reference WilsonInterval.java:
     * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
   def wilson(s: SparkSession, dir: String): DataFrame = {
@@ -2055,7 +2079,8 @@ object Scalars {
     "fn_map_adv" -> mapAdv,
     "fn_map_adv2" -> mapAdv2,
     "fn_color" -> colorFns,
-    "fn_string_sql" -> stringSql)
+    "fn_string_sql" -> stringSql,
+    "fn_helpers_sql" -> helpersSql)
 
   /** SFM differential-privacy distinct sketches (reference noisyaggregation/
     * sketch/SfmSketch.java, aggregations NoisyApproximateSetSfmAggregation /
@@ -2417,6 +2442,24 @@ object Scalars {
         | string_split(p_type, ' ')[-1] AS sp_last,
         | string_split(p_type, ' ')[1] AS sp_first
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
+    "fn_helpers_sql" ->
+      """WITH b AS (SELECT p_partkey AS k, p_name, p_type,
+        |    p_partkey % 7 AS e2, p_partkey % 13 AS e3,
+        |    p_partkey % 5 AS f1, (p_partkey % 7) % 5 AS f2,
+        |    (p_partkey % 13) % 5 AS f3
+        |  FROM part WHERE p_partkey <= 200)
+        |SELECT k,
+        |  least(k, e2, e3) AS maxby,
+        |  CASE WHEN f1 <= f2 AND f1 <= f3 THEN k
+        |       WHEN f2 <= f3 THEN e2 ELSE e3 END AS minby,
+        |  CASE WHEN e2 = k THEN [k] ELSE [k, e2] END AS nary,
+        |  [e2] AS pairwise,
+        |  CASE WHEN strpos(p_name, 'a') = 0 THEN p_name
+        |       ELSE substr(p_name, 1, strpos(p_name, 'a') - 1) || 'XY' ||
+        |            substr(p_name, strpos(p_name, 'a') + 1) END AS rf,
+        |  right(p_name, 4) AS tr,
+        |  string_split(p_type, ' ')[-1] AS sp
+        |FROM b ORDER BY k""".stripMargin,
     "fn_array_adv2" ->
       """WITH b AS (SELECT p_partkey AS k,
         |  [CAST(p_size % 5 AS BIGINT), CAST(p_size % 3 AS BIGINT),

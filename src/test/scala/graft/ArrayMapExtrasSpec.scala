@@ -67,4 +67,33 @@ class ArrayMapExtrasSpec extends AnyFunSuite {
     val alln = array(lit(null).cast("double"))
     assert(one(arrayAverage(alln)).isNullAt(0))
   }
+
+  test("array_max_by/min_by SQL names: ties, null f-values, empty, n-ary intersect") {
+    functions.GraftFunctions.register(spark)
+    def sql1(q: String): org.apache.spark.sql.Row =
+      spark.sql(s"SELECT $q AS v").collect()(0)
+    // tie on f: max_by keeps the LATEST element, min_by the EARLIEST
+    // (reference macro array_max/min over (value, index) rows)
+    assert(sql1("array_max_by(array(10, 20, 30), x -> x % 2)").getInt(0) == 30)
+    assert(sql1("array_min_by(array(10, 20, 30), x -> x % 2)").getInt(0) == 10)
+    // null f-values skipped (documented deviation, same as the Column API)
+    assert(sql1("array_max_by(array(1, 8, 3), x -> IF(x = 8, NULL, x))")
+      .getInt(0) == 3)
+    // empty and null inputs → NULL
+    assert(sql1("array_max_by(CAST(array() AS ARRAY<INT>), x -> x)").isNullAt(0))
+    assert(sql1("array_min_by(CAST(NULL AS ARRAY<INT>), x -> x)").isNullAt(0))
+    // n-ary array_intersect folds; 2-arg stays the builtin
+    assert(sql1("array_intersect(array(array(1, 2, 3, 2), array(2, 3), " +
+      "array(3, 2, 9)))").getSeq[Int](0) == Seq(2, 3))
+    assert(sql1("array_intersect(CAST(array() AS ARRAY<ARRAY<INT>>))")
+      .getSeq[Int](0).isEmpty)
+    assert(sql1("array_intersect(array(1, 2), array(2))").getSeq[Int](0) ==
+      Seq(2))
+    // string helpers through SQL names, negative split index from the end
+    assert(sql1("replace_first('banana', 'a', 'X')").getString(0) == "bXnana")
+    assert(sql1("trail('abcdef', 4)").getString(0) == "cdef")
+    assert(sql1("split_part_reverse('a.b.c', '.', -1)").getString(0) == "c")
+    assert(sql1("split_part_reverse('a.b.c', '.', 2)").getString(0) == "b")
+    assert(sql1("split_part_reverse('a.b.c', '.', -4)").isNullAt(0))
+  }
 }
