@@ -161,6 +161,18 @@ object DistKernels {
       .cumulativeProbability(value.toInt)
   }
 
+  /** inverse_binomial_cdf (reference MathFunctions.java inverseBinomialCdf)
+    * — same commons-math BinomialDistribution the reference uses, so the
+    * smallest-k inversion agrees bit-for-bit. */
+  def inverseBinomialCdf(numberOfTrials: Double, successProbability: Double, p: Double): Double = {
+    check(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    check(successProbability >= 0 && successProbability <= 1,
+      "successProbability must be in the interval [0, 1]")
+    check(numberOfTrials > 0, "numberOfTrials must be greater than 0")
+    new BinomialDistribution(null, numberOfTrials.toInt, successProbability)
+      .inverseCumulativeProbability(p).toDouble
+  }
+
   def apply2(fn: String, a: Double, b: Double): Double = fn match {
     case "chi_squared_cdf" => chiSquaredCdf(a, b)
     case "inverse_chi_squared_cdf" => inverseChiSquaredCdf(a, b)
@@ -186,6 +198,7 @@ object DistKernels {
     case "weibull_cdf" => weibullCdf(a, b, c)
     case "inverse_weibull_cdf" => inverseWeibullCdf(a, b, c)
     case "binomial_cdf" => binomialCdf(a, b, c)
+    case "inverse_binomial_cdf" => inverseBinomialCdf(a, b, c)
     case other => throw new IllegalArgumentException(s"unknown 3-arg cdf $other")
   }
 }
@@ -252,6 +265,8 @@ object Distributions {
     "inverse_f_cdf", "gamma_cdf", "inverse_gamma_cdf", "laplace_cdf",
     "inverse_laplace_cdf", "weibull_cdf", "inverse_weibull_cdf", "binomial_cdf")
 
+  def inverseBinomialCdfCol(n: Column, sp: Column, p: Column): Column =
+    d3("inverse_binomial_cdf")(n, sp, p)
   def normalCdf(m: Column, sd: Column, v: Column): Column = d3("normal_cdf")(m, sd, v)
   def inverseNormalCdf(m: Column, sd: Column, p: Column): Column = d3("inverse_normal_cdf")(m, sd, p)
   def betaCdf(a: Column, b: Column, v: Column): Column = d3("beta_cdf")(a, b, v)

@@ -545,6 +545,111 @@ object GraftFunctions {
     ("current_time",
       "current_time() - time of day now, with the session zone",
       es => rc(TimeTzFunctions.currentTimeTz())),
+    // ---- parity batch (r9 full-name sweep vs @ScalarFunction registry) --
+    ("bitwise_and", "bitwise_and(x, y) - bitwise AND in 2's complement",
+      es => org.apache.spark.sql.catalyst.expressions.BitwiseAnd(
+        cast(es(0), org.apache.spark.sql.types.LongType),
+        cast(es(1), org.apache.spark.sql.types.LongType))),
+    ("bitwise_or", "bitwise_or(x, y) - bitwise OR in 2's complement",
+      es => org.apache.spark.sql.catalyst.expressions.BitwiseOr(
+        cast(es(0), org.apache.spark.sql.types.LongType),
+        cast(es(1), org.apache.spark.sql.types.LongType))),
+    ("bitwise_xor", "bitwise_xor(x, y) - bitwise XOR in 2's complement",
+      es => org.apache.spark.sql.catalyst.expressions.BitwiseXor(
+        cast(es(0), org.apache.spark.sql.types.LongType),
+        cast(es(1), org.apache.spark.sql.types.LongType))),
+    ("bitwise_not", "bitwise_not(x) - bitwise NOT in 2's complement",
+      es => org.apache.spark.sql.catalyst.expressions.BitwiseNot(
+        cast(es.head, org.apache.spark.sql.types.LongType))),
+    ("bitwise_shift_left",
+      "bitwise_shift_left(x, shift, bits) - left shift within a bits-wide field",
+      es => rc(bitwiseShift(c(es(0)), c(es(1)), c(es(2)), "left"))),
+    ("bitwise_logical_shift_right",
+      "bitwise_logical_shift_right(x, shift, bits) - unsigned right shift within bits",
+      es => rc(bitwiseShift(c(es(0)), c(es(1)), c(es(2)), "logical"))),
+    ("bitwise_arithmetic_shift_right",
+      "bitwise_arithmetic_shift_right(x, shift) - sign-propagating right shift",
+      es => rc(bitwiseShift(c(es(0)), c(es(1)), lit(64), "arithmetic"))),
+    ("levenshtein_distance",
+      "levenshtein_distance(a, b) - edit distance (reference StringFunctions.java)",
+      es => cast(org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        es(0), es(1)), org.apache.spark.sql.types.LongType)),
+    ("sha256", "sha256(varbinary) - SHA-256 digest as varbinary",
+      es => rc(unhex(sha2(c(es.head), 256)))),
+    ("sha512", "sha512(varbinary) - SHA-512 digest as varbinary",
+      es => rc(unhex(sha2(c(es.head), 512)))),
+    ("spooky_hash_v2_32", "spooky_hash_v2_32(varbinary) - SpookyHash V2 32-bit",
+      es => SpookyHash(es.head, wide = false)),
+    ("spooky_hash_v2_64", "spooky_hash_v2_64(varbinary) - SpookyHash V2 64-bit",
+      es => SpookyHash(es.head, wide = true)),
+    ("array_cum_sum", "array_cum_sum(a) - prefix sums; nulls poison the tail",
+      es => ArrayCumSum(es.head)),
+    ("array_normalize",
+      "array_normalize(a, p) - divide by the p-norm (p=0 returns a unchanged)",
+      es => rc(arrayNormalize(es(0), c(es(1))))),
+    ("normalize", "normalize(s[, form]) - Unicode normalization, default NFC",
+      es => UnicodeNormalize(es(0),
+        if (es.length > 1) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal("NFC"))),
+    ("wilson_interval_lower",
+      "wilson_interval_lower(successes, trials, z) - Wilson score lower bound",
+      es => rc(wilsonBound(c(es(0)), c(es(1)), c(es(2)), upper = false))),
+    ("wilson_interval_upper",
+      "wilson_interval_upper(successes, trials, z) - Wilson score upper bound",
+      es => rc(wilsonBound(c(es(0)), c(es(1)), c(es(2)), upper = true))),
+    ("split_to_multimap",
+      "split_to_multimap(s, entryDelim, kvDelim) - duplicate keys collect values",
+      es => rc(graft.ops.Scalars.splitToMultimap(c(es(0)),
+        strArg(es(1), "split_to_multimap"), strArg(es(2), "split_to_multimap")))),
+    ("url_extract_protocol", "url_extract_protocol(url)",
+      es => rc(parse_url(c(es.head), lit("PROTOCOL")))),
+    ("url_extract_host", "url_extract_host(url)",
+      es => rc(parse_url(c(es.head), lit("HOST")))),
+    ("url_extract_path", "url_extract_path(url)",
+      es => rc(parse_url(c(es.head), lit("PATH")))),
+    ("url_extract_query", "url_extract_query(url)",
+      es => rc(parse_url(c(es.head), lit("QUERY")))),
+    ("url_extract_fragment", "url_extract_fragment(url)",
+      es => rc(parse_url(c(es.head), lit("REF")))),
+    ("url_extract_parameter", "url_extract_parameter(url, name)",
+      es => rc(parse_url(c(es(0)), lit("QUERY"), c(es(1))))),
+    ("url_extract_port",
+      "url_extract_port(url) - bigint port, NULL when absent",
+      es => rc {
+        val p = regexp_extract(
+          parse_url(c(es.head), lit("AUTHORITY")), ":(\\d+)$", 1)
+        when(p === "", lit(null)).otherwise(p).cast("long")
+      }),
+    ("date_parse",
+      "date_parse(s, fmt) - timestamp from a MySQL-pattern format",
+      es => org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+        es(0), Some(org.apache.spark.sql.catalyst.expressions.Literal(
+          MySqlFormat.toJava(strArg(es(1), "date_parse")))),
+        org.apache.spark.sql.types.TimestampType)),
+    ("empty_approx_set",
+      "empty_approx_set() - empty HyperLogLog sketch",
+      es => org.apache.spark.sql.catalyst.expressions.Literal(
+        Hll.emptyBuffer(Hll.DefaultP),
+        org.apache.spark.sql.types.BinaryType)),
+    ("infinity", "infinity() - positive IEEE-754 infinity",
+      es => org.apache.spark.sql.catalyst.expressions.Literal(
+        Double.PositiveInfinity)),
+    ("is_finite", "is_finite(x) - neither infinite nor NaN",
+      es => rc {
+        val v = c(es.head).cast("double")
+        !isnan(v) && v =!= Double.PositiveInfinity &&
+          v =!= Double.NegativeInfinity
+      }),
+    ("is_infinite", "is_infinite(x) - positive or negative infinity",
+      es => rc {
+        val v = c(es.head).cast("double")
+        v === Double.PositiveInfinity || v === Double.NegativeInfinity
+      }),
+    ("inverse_binomial_cdf",
+      "inverse_binomial_cdf(n, successProb, p) - smallest k with CDF(k) >= p",
+      es => cast(rc(Distributions.inverseBinomialCdfCol(
+        c(es(0)), c(es(1)), c(es(2)))),
+        org.apache.spark.sql.types.LongType)),
     ("parse_duration", "parse_duration('<n> <unit>') - duration as milliseconds",
       es => rc(graft.ops.Scalars.parseDurationMs(c(es.head)))),
     ("truncate", "truncate(x[, n]) - round toward zero [to n decimals]",
@@ -930,6 +1035,79 @@ object GraftFunctions {
     * `functions._` (a lazy ColumnNode from the plain bridge would reach
     * execution unconverted when returned from a FunctionRegistry builder). */
   private def rc(col: Column): Expression = Bridge.resolvedExpression(col)
+
+  /** Literal string argument (function-registration contract, like the
+    * reference's parse-time-constant format arguments). */
+  private def strArg(e: Expression, what: String): String = {
+    val v = if (e.foldable) e.eval(null) else null
+    if (v == null) throw new IllegalArgumentException(
+      s"$what: argument must be a string literal")
+    v.toString
+  }
+
+  /** Reference BitwiseFunctions.java 3-arg shift family: the value lives
+    * in a bits-wide field (2..64; 64 = plain java shift semantics, shifts
+    * >= 64 wrap mod 64 exactly like the reference's long shifts);
+    * negative shift and out-of-range bits raise. */
+  private def bitwiseShift(num: Column, shift: Column, bits: Column,
+      mode: String): Column = {
+    val n = num.cast("long"); val s = shift.cast("int"); val b = bits.cast("long")
+    val mask = call_function("shiftleft", lit(1L), b.cast("int")) - 1L
+    val shifted = mode match {
+      case "left" =>
+        when(b === 64, call_function("shiftleft", n, s))
+          .otherwise(call_function("shiftleft", n, s).bitwiseAND(mask))
+      case "logical" =>
+        when(b === 64, call_function("shiftrightunsigned", n, s))
+          .otherwise(call_function("shiftrightunsigned", n.bitwiseAND(mask), s))
+      case _ => call_function("shiftright", n, s)
+    }
+    val bitsOk = if (mode == "arithmetic") lit(true)
+      else b === 64 || (b > 1 && b <= 64)
+    val shiftOk = s >= 0
+    when(assert_true(bitsOk && shiftOk,
+      when(!bitsOk, concat(lit("Bits specified must be between 2 and 64, " +
+        "got "), b.cast("string")))
+        .otherwise(lit("Specified shift must be positive"))).isNull, shifted)
+  }
+
+  /** Wilson score interval bound (reference WilsonInterval.java) — the
+    * closed form the fn_wilson gate pins. */
+  private def wilsonBound(successes: Column, trials: Column, z: Column,
+      upper: Boolean): Column = {
+    val n = trials.cast("double"); val x = successes.cast("double")
+    val zd = z.cast("double")
+    val zz = zd * zd
+    val p = x / n
+    val center = (p + zz / (lit(2) * n)) / (lit(1) + zz / n)
+    val margin = zd * sqrt(p * (lit(1) - p) / n + zz / (lit(4) * n * n)) /
+      (lit(1) + zz / n)
+    if (upper) center + margin else center - margin
+  }
+
+  /** array_normalize (reference ArrayNormalizeFunction.java): p=0 returns
+    * the array unchanged, any NULL element nulls the result, double/real
+    * elements only (FUNCTION_IMPLEMENTATION_MISSING otherwise). */
+  private def arrayNormalize(a: Expression, p: Column): Column = {
+    import org.apache.spark.sql.types._
+    val et = a.dataType match {
+      case ArrayType(t, _) if t == DoubleType || t == FloatType => t
+      case other => throw new UnsupportedOperationException(
+        "Unsupported array element type for array_normalize function: " +
+          other.simpleString)
+    }
+    val ac = c(a)
+    val pd = p.cast("double")
+    val norm = pow(aggregate(ac, lit(0.0),
+      (s, x) => s + pow(abs(x.cast("double")), pd)), lit(1.0) / pd)
+    val res = transform(ac, x => (x.cast("double") / norm).cast(et))
+    when(assert_true(pd >= 0,
+      lit("array_normalize only supports non-negative p")).isNull,
+      when(pd === 0, ac)
+        .when(exists(ac, _.isNull),
+          lit(null).cast(ArrayType(et)))
+        .otherwise(res))
+  }
 
   /** time-with-time-zone overload: struct-tagged values route to the
     * TimeTzFunctions kernel; everything else falls back to the BUILTIN of

@@ -818,6 +818,71 @@ object Scalars {
         |FROM b ORDER BY k""".stripMargin)
   }
 
+  /** Parity batch 3 — the r9 full-name sweep against the reference's
+    * @ScalarFunction registry, every remaining unregistered name through
+    * SQL text (BitwiseFunctions.java 3-arg shift family, StringFunctions
+    * levenshtein_distance/normalize, VarbinaryFunctions sha256/sha512/
+    * spooky_hash_v2_*, ArrayCumSum.java null-poisoned prefix sums,
+    * ArrayNormalizeFunction.java, UrlFunctions url_extract_* incl. port,
+    * MySQL date_parse, HyperLogLogFunctions empty_approx_set,
+    * MathFunctions infinity/is_finite/is_infinite/inverse_binomial_cdf,
+    * WilsonInterval names). Constants pin the vectors DuckDB can't
+    * recompute (spooky, sha512, the binomial inversion). */
+  def parity3(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_p3")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 1000 AS BIGINT) AS x,
+        |    CAST(o_orderkey % 37 AS BIGINT) AS y,
+        |    CAST(o_orderkey % 5 + 1 AS INT) AS s
+        |  FROM orders_p3 WHERE o_orderkey <= 400)
+        |SELECT k,
+        |  bitwise_and(x, y) AS band, bitwise_or(x, y) AS bor,
+        |  bitwise_xor(x, y) AS bxor, bitwise_not(x) AS bnot,
+        |  bitwise_shift_left(x, s, 64) AS bsl,
+        |  bitwise_shift_left(x, 2, 8) AS bsl8,
+        |  bitwise_logical_shift_right(x, 1, 8) AS blsr,
+        |  bitwise_arithmetic_shift_right(0 - x, 2) AS basr,
+        |  levenshtein_distance(CAST(x AS STRING), CAST(y AS STRING)) AS lev,
+        |  lower(hex(sha256(to_utf8(CAST(k AS STRING))))) AS h256,
+        |  lower(hex(sha512(to_utf8('abc')))) AS h512,
+        |  lower(hex(spooky_hash_v2_32(to_utf8('hello')))) AS sp32,
+        |  lower(hex(spooky_hash_v2_64(to_utf8('hello')))) AS sp64,
+        |  array_cum_sum(array(x, y, x + 1)) AS cs,
+        |  array_cum_sum(array(x,
+        |    CASE WHEN k % 4 = 0 THEN NULL ELSE y END, x)) AS csn,
+        |  transform(array_normalize(array(CAST(x AS DOUBLE),
+        |    CAST(y AS DOUBLE), CAST(2 AS DOUBLE)), CAST(2 AS DOUBLE)),
+        |    v -> round(v, 4)) AS nrm,
+        |  normalize(decode(unhex('65CC81'), 'UTF-8')) AS nfc,
+        |  CAST(length(normalize('é', 'NFD')) AS BIGINT) AS nfd_len,
+        |  round(wilson_interval_lower(x % 51, 50 + x % 25, 1.96), 4) AS wl,
+        |  round(wilson_interval_upper(x % 51, 50 + x % 25, 1.96), 4) AS wu,
+        |  url_extract_host(concat('http://example.com:8080/p/',
+        |    CAST(k AS STRING), '?q=', CAST(x AS STRING), '#f')) AS uhost,
+        |  url_extract_port(concat('http://example.com:8080/p/',
+        |    CAST(k AS STRING), '?q=', CAST(x AS STRING), '#f')) AS uport,
+        |  url_extract_path(concat('http://example.com:8080/p/',
+        |    CAST(k AS STRING), '?q=', CAST(x AS STRING), '#f')) AS upath,
+        |  url_extract_parameter(concat('http://example.com:8080/p/',
+        |    CAST(k AS STRING), '?q=', CAST(x AS STRING), '#f'), 'q') AS uparam,
+        |  url_extract_fragment(concat('http://example.com:8080/p/',
+        |    CAST(k AS STRING), '?q=', CAST(x AS STRING), '#f')) AS ufrag,
+        |  CAST(date_parse('2021-06-15 12:30:45',
+        |    '%Y-%m-%d %H:%i:%s') AS DATE) AS dp,
+        |  hll_cardinality(empty_approx_set()) AS hll0,
+        |  is_finite(CAST(x AS DOUBLE)) AS fin,
+        |  is_infinite(CAST('-Infinity' AS DOUBLE)) AS inf1,
+        |  infinity() > CAST(1e308 AS DOUBLE) AS inf_big,
+        |  inverse_binomial_cdf(10, CAST(0.5 AS DOUBLE),
+        |    CAST(0.25 AS DOUBLE)) AS ib1,
+        |  inverse_binomial_cdf(10, CAST(0.5 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE)) AS ib2,
+        |  inverse_binomial_cdf(10, CAST(0.5 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE)) AS ib3
+        |FROM b ORDER BY k""".stripMargin)
+  }
+
   /** Wilson score interval (reference WilsonInterval.java:
     * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
   def wilson(s: SparkSession, dir: String): DataFrame = {
@@ -2062,6 +2127,7 @@ object Scalars {
     "fn_ip" -> ip,
     "fn_array_adv" -> arrayAdv,
     "fn_wilson" -> wilson,
+    "fn_parity3" -> parity3,
     "fn_misc" -> misc,
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
@@ -3440,6 +3506,55 @@ object Scalars {
         |    WHEN 'B' THEN 1 WHEN 'kB' THEN 1024
         |    WHEN 'MB' THEN 1048576 ELSE 1073741824 END AS BIGINT) AS bytes
         |FROM b ORDER BY k""".stripMargin,
+    "fn_parity3" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 1000 AS BIGINT) AS x,
+        |    CAST(o_orderkey % 37 AS BIGINT) AS y,
+        |    CAST(o_orderkey % 5 + 1 AS INT) AS s
+        |  FROM orders WHERE o_orderkey <= 400),
+        |w AS (SELECT b.*,
+        |    CAST(x % 51 AS DOUBLE) AS ws,
+        |    50.0 + CAST(x % 25 AS DOUBLE) AS wt,
+        |    sqrt(CAST(x*x + y*y + 4 AS DOUBLE)) AS n2
+        |  FROM b),
+        |c AS (SELECT w.*, ws / wt AS p,
+        |    (ws / wt + 1.96 * 1.96 / (2 * wt)) /
+        |      (1 + 1.96 * 1.96 / wt) AS center,
+        |    1.96 * sqrt((ws / wt) * (1 - ws / wt) / wt
+        |      + 1.96 * 1.96 / (4 * wt * wt)) /
+        |      (1 + 1.96 * 1.96 / wt) AS margin
+        |  FROM w)
+        |SELECT k,
+        |  x & y AS band, x | y AS bor, xor(x, y) AS bxor, ~x AS bnot,
+        |  x << s AS bsl,
+        |  (x << 2) & 255 AS bsl8,
+        |  (x & 255) >> 1 AS blsr,
+        |  CAST(floor((0 - x) / 4.0) AS BIGINT) AS basr,
+        |  CAST(levenshtein(CAST(x AS VARCHAR), CAST(y AS VARCHAR))
+        |    AS BIGINT) AS lev,
+        |  sha256(CAST(k AS VARCHAR)) AS h256,
+        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS h512,
+        |  'd382e6ca' AS sp32,
+        |  '3768826ad382e6ca' AS sp64,
+        |  [x, x + y, 2*x + y + 1] AS cs,
+        |  CASE WHEN k % 4 = 0 THEN [x, NULL, NULL]
+        |       ELSE [x, x + y, 2*x + y] END AS csn,
+        |  [ROUND(x / n2, 4), ROUND(y / n2, 4), ROUND(2 / n2, 4)] AS nrm,
+        |  'é' AS nfc,
+        |  CAST(2 AS BIGINT) AS nfd_len,
+        |  ROUND(center - margin, 4) AS wl,
+        |  ROUND(center + margin, 4) AS wu,
+        |  'example.com' AS uhost,
+        |  CAST(8080 AS BIGINT) AS uport,
+        |  '/p/' || CAST(k AS VARCHAR) AS upath,
+        |  CAST(x AS VARCHAR) AS uparam,
+        |  'f' AS ufrag,
+        |  DATE '2021-06-15' AS dp,
+        |  CAST(0 AS BIGINT) AS hll0,
+        |  true AS fin, true AS inf1, true AS inf_big,
+        |  CAST(4 AS BIGINT) AS ib1, CAST(5 AS BIGINT) AS ib2,
+        |  CAST(7 AS BIGINT) AS ib3
+        |FROM c ORDER BY k""".stripMargin,
     "fn_wilson" ->
       """WITH b AS (SELECT c_custkey AS k,
         |        CAST(c_custkey % 51 AS DOUBLE) AS successes,

@@ -1105,4 +1105,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ses.sql("SELECT localtime AS v").schema.head.dataType.sql
       .toLowerCase.startsWith("time"), "localtime is a TIME value")
   }
+
+  test("spooky_hash_v2 matches the reference's own test vectors") {
+    // TestVarbinaryFunctions.java:385-388
+    functions.GraftFunctions.register(spark)
+    def hx(q: String): String =
+      spark.sql(s"SELECT upper(hex($q)) AS v").collect()(0).getString(0)
+    assert(hx("spooky_hash_v2_32(CAST('' AS BINARY))") == "6BF50919")
+    assert(hx("spooky_hash_v2_32(CAST('hello' AS BINARY))") == "D382E6CA")
+    assert(hx("spooky_hash_v2_64(CAST('' AS BINARY))") == "232706FC6BF50919")
+    assert(hx("spooky_hash_v2_64(CAST('hello' AS BINARY))") ==
+      "3768826AD382E6CA")
+    // the long-form path (>= 192 bytes) stays stable and length-sensitive
+    val a192 = "repeat('a', 192)"
+    val a193 = "repeat('a', 193)"
+    assert(hx(s"spooky_hash_v2_64(CAST($a192 AS BINARY))") !=
+      hx(s"spooky_hash_v2_64(CAST($a193 AS BINARY))"))
+  }
+
+  test("array_cum_sum overflow raises; normalize form raises on bad form") {
+    functions.GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT array_cum_sum(array(${Long.MaxValue}L, 1L)) AS v").collect())
+    assert(e.getMessage.toLowerCase.contains("overflow"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT normalize('abc', 'NFX') AS v").collect())
+    assert(e2.getMessage.contains("NFX"))
+  }
 }
