@@ -645,6 +645,13 @@ object GraftFunctions {
         val v = c(es.head).cast("double")
         v === Double.PositiveInfinity || v === Double.NegativeInfinity
       }),
+    ("entropy",
+      "entropy(c) - Shannon entropy (log2) of the count distribution",
+      es => rc {
+        val cc = c(es.head).cast("double")
+        val contrib = when(cc > 0, cc * log2(cc)).otherwise(lit(0.0))
+        log2(sum(cc)) - sum(contrib) / sum(cc)
+      }),
     ("inverse_binomial_cdf",
       "inverse_binomial_cdf(n, successProb, p) - smallest k with CDF(k) >= p",
       es => cast(rc(Distributions.inverseBinomialCdfCol(

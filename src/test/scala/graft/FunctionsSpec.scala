@@ -1123,6 +1123,16 @@ class FunctionsSpec extends AnyFunSuite {
       hx(s"spooky_hash_v2_64(CAST($a193 AS BINARY))"))
   }
 
+  test("entropy SQL aggregate name: H over counts, zero counts ignored") {
+    functions.GraftFunctions.register(spark)
+    // counts [1,1,2]: S=4, H = log2(4) - (0 + 0 + 2*1)/4 = 1.5; a zero
+    // count contributes nothing (reference EntropyAggregation 0*log 0 = 0)
+    val r = spark.sql(
+      "SELECT round(entropy(c), 4) AS v FROM VALUES (1),(1),(2),(0) t(c)")
+      .collect()(0)
+    assert(r.getDouble(0) == 1.5)
+  }
+
   test("array_cum_sum overflow raises; normalize form raises on bad form") {
     functions.GraftFunctions.register(spark)
     val e = intercept[Exception](spark.sql(
