@@ -144,8 +144,26 @@ object Tpcds {
   // scheduling). PlanProfile A/B over {q03 q42 q96 q14 q64 q72 q23}:
   // in-memory 8.35s total vs materialized 9.65s.
 
+  /** Per-(session, dir) memo of dimension DataFrames: Spark's analyzer
+    * skips already-analyzed subtrees (AnalysisHelper's analyzed flag), so
+    * reusing the SAME DataFrame object across queries removes the
+    * re-analysis of these wide derived Projects from every query build —
+    * measured 0.1-0.4s of driver time per TPC-DS query at sf0.1. Dims are
+    * pure derivations (never materialized, see above), so the memo can
+    * never serve a stale plan; facts stay un-memoized because mat() flips
+    * them between derivation and scan. Self-join dedup of the shared
+    * ExprIds is the analyzer's normal DeduplicateRelations job, same as
+    * reusing a val within one query. */
+  private val dimMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def dimCached(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    dimMemo.computeIfAbsent((s, dir, key), _ => build)
+
   /** 1995-01-01..2001-12-31 calendar, d_date_sk = days since Base. */
   def dateDim(s: SparkSession): DataFrame =
+    dimCached(s, "", "date_dim") {
     s.range(0, 2557).select(
         col("id").as("d_date_sk"),
         date_add(to_date(lit(Base)), col("id").cast("int")).as("d_date"))
@@ -163,8 +181,10 @@ object Tpcds {
         expr("""CASE d_date_sk % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
           WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
           WHEN 5 THEN 'Friday' ELSE 'Saturday' END""").as("d_day_name"))
+    }
 
   def item(s: SparkSession, dir: String): DataFrame =
+    dimCached(s, dir, "item") {
     t(s, dir, "part").select(
       col("p_partkey").as("i_item_sk"),
       concat(lit("ITEM_"), lpad(col("p_partkey").cast("string"), 8, "0")).as("i_item_id"),
@@ -189,8 +209,10 @@ object Tpcds {
       (col("p_retailprice") * 0.8).as("i_wholesale_cost"),
       // numeric twin of i_class (CLASS_%8) for the q14 class-id joins
       (col("p_partkey") % 8).as("i_class_id"))
+    }
 
   def store(s: SparkSession): DataFrame =
+    dimCached(s, "", "store") {
     s.range(0, 10).select(
       col("id").as("s_store_sk"),
       concat(lit("Store_"), col("id")).as("s_store_name"),
@@ -210,8 +232,10 @@ object Tpcds {
       // q24-family s_zip = ca_zip join is populated (store id ↔ custkey id)
       lpad(((col("id") * 13) % 100000).cast("string"), 5, "0").as("s_zip"),
       (col("id") % 6).as("s_market_id"))
+    }
 
   def customerDim(s: SparkSession, dir: String): DataFrame =
+    dimCached(s, dir, "customer_dim") {
     t(s, dir, "customer").select(
       col("c_custkey").as("c_customer_sk"),
       col("c_name").as("c_customer_id"),
@@ -238,8 +262,10 @@ object Tpcds {
       (col("c_custkey") % 2557).as("c_last_review_date_sk"),
       (col("c_custkey") % 2000).as("c_first_sales_date_sk"),
       (col("c_custkey") % 2000 + 30).as("c_first_shipto_date_sk"))
+    }
 
   def customerAddress(s: SparkSession, dir: String): DataFrame =
+    dimCached(s, dir, "customer_address") {
     t(s, dir, "customer").select(
       col("c_custkey").as("ca_address_sk"),
       concat(lit("City_"), col("c_custkey") % 40).as("ca_city"),
@@ -255,8 +281,10 @@ object Tpcds {
       concat(lit("Suite_"), col("c_custkey") % 10).as("ca_suite_number"),
       expr("CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo' " +
         "ELSE 'single family' END").as("ca_location_type"))
+    }
 
   def customerDemographics(s: SparkSession): DataFrame =
+    dimCached(s, "", "customer_demographics") {
     s.range(0, 100).select(
       col("id").as("cd_demo_sk"),
       when(col("id") % 2 === 0, "M").otherwise("F").as("cd_gender"),
@@ -270,8 +298,10 @@ object Tpcds {
       (col("id") % 7).as("cd_dep_count"),
       (col("id") % 5).as("cd_dep_employed_count"),
       (col("id") % 3).as("cd_dep_college_count"))
+    }
 
   def householdDemographics(s: SparkSession): DataFrame =
+    dimCached(s, "", "household_demographics") {
     s.range(0, 50).select(
       col("id").as("hd_demo_sk"),
       (col("id") % 10).as("hd_dep_count"),
@@ -279,14 +309,18 @@ object Tpcds {
       expr("CASE id % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' ELSE '0-500' END")
         .as("hd_buy_potential"),
       (col("id") % 20).as("hd_income_band_sk"))
+    }
 
   def incomeBand(s: SparkSession): DataFrame =
+    dimCached(s, "", "income_band") {
     s.range(0, 20).select(
       col("id").as("ib_income_band_sk"),
       (col("id") * 10000).as("ib_lower_bound"),
       ((col("id") + 1) * 10000 - 1).as("ib_upper_bound"))
+    }
 
   def promotion(s: SparkSession): DataFrame =
+    dimCached(s, "", "promotion") {
     s.range(0, 20).select(
       col("id").as("p_promo_sk"),
       concat(lit("promo_"), col("id")).as("p_promo_name"),
@@ -294,8 +328,10 @@ object Tpcds {
       when(col("id") % 3 === 0, "N").otherwise("Y").as("p_channel_event"),
       when(col("id") % 5 === 0, "Y").otherwise("N").as("p_channel_dmail"),
       when(col("id") % 7 === 0, "Y").otherwise("N").as("p_channel_tv"))
+    }
 
   def warehouse(s: SparkSession): DataFrame =
+    dimCached(s, "", "warehouse") {
     s.range(0, 5).select(
       col("id").as("w_warehouse_sk"),
       concat(lit("Warehouse_"), col("id")).as("w_warehouse_name"),
@@ -304,10 +340,12 @@ object Tpcds {
       concat(lit("City_"), col("id") % 5).as("w_city"),
       concat(lit("County_"), col("id") % 3).as("w_county"),
       lit("United States").as("w_country"))
+    }
 
   /** Seconds-of-day dimension (86 400 rows — broadcastable like the
     * reference's tpcds time_dim). */
   def timeDim(s: SparkSession): DataFrame =
+    dimCached(s, "", "time_dim") {
     s.range(0, 86400).select(
       col("id").as("t_time_sk"),
       col("id").as("t_time"),
@@ -318,45 +356,58 @@ object Tpcds {
         .when((col("id") / 3600).between(11, 13), "lunch")
         .when((col("id") / 3600).between(17, 19), "dinner")
         .otherwise(lit(null).cast("string")).as("t_meal_time"))
+    }
 
   def reason(s: SparkSession): DataFrame =
+    dimCached(s, "", "reason") {
     s.range(0, 10).select(
       col("id").as("r_reason_sk"),
       concat(lit("reason_"), col("id")).as("r_reason_desc"))
+    }
 
   def callCenter(s: SparkSession): DataFrame =
+    dimCached(s, "", "call_center") {
     s.range(0, 4).select(
       col("id").as("cc_call_center_sk"),
       concat(lit("CC_"), col("id")).as("cc_name"),
       concat(lit("Manager_"), col("id") % 3).as("cc_manager"),
       concat(lit("CCID_"), col("id")).as("cc_call_center_id"),
       concat(lit("County_"), col("id") % 3).as("cc_county"))
+    }
 
   def webSite(s: SparkSession): DataFrame =
+    dimCached(s, "", "web_site") {
     s.range(0, 4).select(
       col("id").as("web_site_sk"),
       concat(lit("site_"), col("id")).as("web_name"),
       concat(lit("Company_"), col("id") % 2).as("web_company_name"),
       concat(lit("WSID_"), col("id")).as("web_site_id"))
+    }
 
   def webPage(s: SparkSession): DataFrame =
+    dimCached(s, "", "web_page") {
     s.range(0, 20).select(
       col("id").as("wp_web_page_sk"),
       (col("id") * 100 + 4000).as("wp_char_count"))
+    }
 
   def shipMode(s: SparkSession): DataFrame =
+    dimCached(s, "", "ship_mode") {
     s.range(0, 4).select(
       col("id").as("sm_ship_mode_sk"),
       expr("CASE id WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'AIR' " +
         "WHEN 2 THEN 'SURFACE' ELSE 'SEA' END").as("sm_type"),
       expr("CASE id WHEN 0 THEN 'UPS' WHEN 1 THEN 'FEDEX' " +
         "WHEN 2 THEN 'DHL' ELSE 'USPS' END").as("sm_carrier"))
+    }
 
   /** Catalog-page dimension (q05/q80 page-level report keys). */
   def catalogPage(s: SparkSession): DataFrame =
+    dimCached(s, "", "catalog_page") {
     s.range(0, 20).select(
       col("id").as("cp_catalog_page_sk"),
       concat(lit("CPID_"), col("id")).as("cp_catalog_page_id"))
+    }
 
   /** Weekly inventory snapshots: item × 366 week-grid, deterministic
     * on-hand quantity. inv_date_sk lands on the d_date_sk weekly grid
