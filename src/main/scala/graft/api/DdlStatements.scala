@@ -68,7 +68,7 @@ object DdlStatements {
   // through to spark.sql untouched — only the reference's (TYPE …) /
   // ANALYZE / bare forms dispatch here.
   private val Explain =
-    """(?is)\AEXPLAIN\s+(?!(?:COST|EXTENDED|FORMATTED|CODEGEN)\b)(?:\(\s*TYPE\s+(\w+)\s*\)\s+)?(?:(ANALYZE)\s+)?(.+)\z""".r
+    """(?is)\AEXPLAIN\s+(?!(?:COST|EXTENDED|FORMATTED|CODEGEN)\b)(?:\(\s*(?:TYPE\s+(\w+))?\s*,?\s*(?:FORMAT\s+(\w+))?\s*\)\s+)?(?:(ANALYZE)\s+)?(.+)\z""".r
 
   /** Try to handle `text` as a DDL/catalog statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
@@ -241,9 +241,9 @@ object DdlStatements {
           StructType(Seq(StructField("function_name", StringType, nullable = false)))))
       case ShowStats(rawName) =>
         Some(showStats(spark, local(rawName)))
-      case Explain(typ, analyze, query) =>
+      case Explain(typ, fmt, analyze, query) =>
         Some(explain(ses, Option(typ).map(_.toUpperCase),
-          analyze != null, query))
+          analyze != null, query, Option(fmt).map(_.toUpperCase)))
       case _ => None
     }
   }
@@ -257,13 +257,21 @@ object DdlStatements {
     * view), ANALYZE → execute first, then report the plan plus the row
     * count actually produced. */
   private def explain(ses: SqlSession, typ: Option[String],
-      analyze: Boolean, query: String): DataFrame = {
+      analyze: Boolean, query: String,
+      format: Option[String] = None): DataFrame = {
     val spark = ses.spark
     val df = ses.sql(query)
     def planRows(text: String): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(Row(text)), 1),
         StructType(Seq(StructField("query_plan", StringType, nullable = false))))
+    // FORMAT JSON (reference ExplainTask with JsonRenderer): the
+    // JsonRenderedNode shape json_presto_query_plan_* consume — LOGICAL
+    // renders the optimized logical plan, anything else the physical plan
+    if (format.contains("JSON"))
+      return planRows(graft.functions.PlanJson.render(
+        if (typ.contains("LOGICAL")) df.queryExecution.optimizedPlan
+        else df.queryExecution.executedPlan))
     typ match {
       case Some("VALIDATE") =>
         df.queryExecution.assertAnalyzed()

@@ -645,6 +645,15 @@ object GraftFunctions {
         val v = c(es.head).cast("double")
         v === Double.PositiveInfinity || v === Double.NegativeInfinity
       }),
+    ("json_presto_query_plan_ids",
+      "json_presto_query_plan_ids(planJson) - every plan node id",
+      es => PlanJsonCall("ids", es)),
+    ("json_presto_query_plan_node_children",
+      "json_presto_query_plan_node_children(planJson, id) - children ids",
+      es => PlanJsonCall("children", es)),
+    ("json_presto_query_plan_scrub",
+      "json_presto_query_plan_scrub(planJson) - structure kept, runtime info scrubbed",
+      es => PlanJsonCall("scrub", es)),
     ("entropy",
       "entropy(c) - Shannon entropy (log2) of the count distribution",
       es => rc {

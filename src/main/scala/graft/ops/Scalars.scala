@@ -883,6 +883,39 @@ object Scalars {
         |FROM b ORDER BY k""".stripMargin)
   }
 
+  /** json_presto_query_plan_* (reference
+    * JsonPrestoQueryPlanFunctions.java) over a fixed JsonRenderedNode
+    * document: ids walk, per-node children (missing id → NULL), the
+    * structure-preserving scrub (id→PLANID, identifier→tableName=<c> or
+    * IDENTIFIER, details→DETAILS, Aggregate names collapsed), malformed
+    * input → NULL. EXPLAIN (FORMAT JSON) emits this shape (DdlSpec
+    * round-trips a real plan). */
+  def planJsonFns(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_pj")
+    val doc = """{"0":{"plan":{"id":"7","name":"Output","identifier":""" +
+      """"[col]","details":"d","children":[{"id":"12","name":""" +
+      """"Aggregate(FINAL)[group]","identifier":"[x]","details":"dd",""" +
+      """"children":[{"id":"33","name":"TableScan","identifier":""" +
+      """"[table = tpch:tableName=lineitem]","details":"ddd",""" +
+      """"children":[]}]}]}}}"""
+    graft.api.SqlSession.wrap(s).sql(
+      s"""WITH b AS (SELECT o_orderkey AS k FROM orders_pj
+         |           WHERE o_orderkey <= 100),
+         |p AS (SELECT k, '$doc' AS pj FROM b)
+         |SELECT k,
+         |  array_join(array_sort(json_presto_query_plan_ids(pj)), '|')
+         |    AS ids,
+         |  array_join(json_presto_query_plan_node_children(pj, '12'), '|')
+         |    AS ch12,
+         |  array_join(json_presto_query_plan_node_children(pj, '33'), '|')
+         |    AS ch33,
+         |  json_presto_query_plan_node_children(pj, 'nope') IS NULL
+         |    AS ch_missing,
+         |  json_presto_query_plan_scrub(pj) AS scrubbed,
+         |  json_presto_query_plan_ids('not json') IS NULL AS bad_null
+         |FROM p ORDER BY k""".stripMargin)
+  }
+
   /** Wilson score interval (reference WilsonInterval.java:
     * wilson_interval_lower/upper) — closed-form, oracle-checkable. */
   def wilson(s: SparkSession, dir: String): DataFrame = {
@@ -2128,6 +2161,7 @@ object Scalars {
     "fn_array_adv" -> arrayAdv,
     "fn_wilson" -> wilson,
     "fn_parity3" -> parity3,
+    "fn_plan_json" -> planJsonFns,
     "fn_misc" -> misc,
     "fn_hll" -> hllSketch,
     "fn_setdigest" -> setDigest,
@@ -3555,6 +3589,23 @@ object Scalars {
         |  CAST(4 AS BIGINT) AS ib1, CAST(5 AS BIGINT) AS ib2,
         |  CAST(7 AS BIGINT) AS ib3
         |FROM c ORDER BY k""".stripMargin,
+    "fn_plan_json" ->
+      ("""SELECT o_orderkey AS k,
+        | '12|33|7' AS ids,
+        | '33' AS ch12,
+        | '' AS ch33,
+        | true AS ch_missing,
+        | '""" +
+        """{"0":{"plan":{"id":"PLANID","name":"Output","identifier":""" +
+        """"IDENTIFIER","details":"DETAILS","children":[{"id":"PLANID",""" +
+        """"name":"Aggregate(FINAL)","identifier":"IDENTIFIER",""" +
+        """"details":"DETAILS","children":[{"id":"PLANID","name":""" +
+        """"TableScan","identifier":"tableName=l","details":"DETAILS",""" +
+        """"children":[],"remoteSources":[],"estimates":[]}],""" +
+        """"remoteSources":[],"estimates":[]}],"remoteSources":[],""" +
+        """"estimates":[]}}}' AS scrubbed,
+        | true AS bad_null
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY k""").stripMargin,
     "fn_wilson" ->
       """WITH b AS (SELECT c_custkey AS k,
         |        CAST(c_custkey % 51 AS DOUBLE) AS successes,

@@ -166,6 +166,22 @@ class DdlSpec extends AnyFunSuite {
     // one operator line carries its executed numOutputRows metric
     assert(analyzed.contains("numOutputRows="),
       s"per-operator actual metrics expected in:\n$analyzed")
+    // FORMAT JSON emits the JsonRenderedNode shape, and the reference's
+    // plan-introspection functions consume it end-to-end
+    val pj = session.sql(s"EXPLAIN (FORMAT JSON) $q").collect()(0).getString(0)
+    assert(pj.startsWith("""{"0":{"plan":{"id":"0""""), pj.take(60))
+    // round-trip through the introspection kernels (the SQL names are
+    // oracle-gated in fn_plan_json; quoting-free here)
+    import graft.functions.PlanJson
+    assert(PlanJson.planIds(pj).get.size >= 3, "several plan nodes")
+    assert(PlanJson.nodeChildren(pj, "0").get.nonEmpty, "root has children")
+    val scrubbed = PlanJson.scrub(pj).get
+    assert(scrubbed.contains("\"id\":\"PLANID\"") &&
+      scrubbed.contains("\"details\":\"DETAILS\""))
+    // logical JSON renders the logical plan names
+    val lj = session.sql(s"EXPLAIN (TYPE LOGICAL, FORMAT JSON) $q")
+      .collect()(0).getString(0)
+    assert(lj.contains("Aggregate"))
   }
 
   test("SHOW STATS FOR computes exact column stats plus the summary row") {
