@@ -122,9 +122,11 @@ object Dialect {
     "sketch_theta_estimate" -> "theta_sketch_estimate",
     "sketch_theta" -> "theta_sketch_agg",
     "split_to_map" -> "str_to_map",
-    "bitwise_left_shift" -> "shiftleft",
-    "bitwise_right_shift_arithmetic" -> "shiftright",
-    "bitwise_right_shift" -> "shiftrightunsigned",
+    // bitwise_left_shift / bitwise_right_shift[_arithmetic] are REGISTERED
+    // functions (GraftFunctions typedShift), not renames: the reference's
+    // typed variants mask to the value's width with sign preservation and
+    // zero out at shift >= 64 — java/Spark shiftleft wraps the shift
+    // instead (BitwiseFunctions.java:preserveSign)
     "to_base64" -> "base64",
     "from_base64" -> "unbase64",
     "to_hex" -> "hex",

@@ -570,6 +570,15 @@ object GraftFunctions {
     ("bitwise_arithmetic_shift_right",
       "bitwise_arithmetic_shift_right(x, shift) - sign-propagating right shift",
       es => rc(bitwiseShift(c(es(0)), c(es(1)), lit(64), "arithmetic"))),
+    ("bitwise_left_shift",
+      "bitwise_left_shift(x, shift) - left shift within x's type width (sign-preserving mask, 0 at shift >= 64)",
+      es => rc(typedShift(es(0), es(1), "left"))),
+    ("bitwise_right_shift",
+      "bitwise_right_shift(x, shift) - logical right shift of x's width (0 at shift >= 64)",
+      es => rc(typedShift(es(0), es(1), "logical"))),
+    ("bitwise_right_shift_arithmetic",
+      "bitwise_right_shift_arithmetic(x, shift) - arithmetic right shift (0 or -1 at shift >= 64)",
+      es => rc(typedShift(es(0), es(1), "arithmetic"))),
     ("levenshtein_distance",
       "levenshtein_distance(a, b) - edit distance (reference StringFunctions.java)",
       es => cast(org.apache.spark.sql.catalyst.expressions.Levenshtein(
@@ -1085,6 +1094,44 @@ object GraftFunctions {
       when(!bitsOk, concat(lit("Bits specified must be between 2 and 64, " +
         "got "), b.cast("string")))
         .otherwise(lit("Specified shift must be positive"))).isNull, shifted)
+  }
+
+  /** Reference typed shift family (BitwiseFunctions.java
+    * bitwiseLeftShift / bitwiseRightShift / bitwiseRightShiftArithmetic
+    * per-type overloads):
+    * the value's TYPE picks the bit width; left shifts mask to that width
+    * with 2's-complement sign preservation (preserveSign), logical right
+    * shifts mask the value first, arithmetic right shifts sign-propagate;
+    * shift >= 64 returns 0 (arithmetic: 0 or -1 by sign). Result keeps
+    * the input's type. */
+  private def typedShift(value: Expression, shiftE: Expression,
+      mode: String): Column = {
+    import org.apache.spark.sql.types._
+    val (bits, mask, signBit) = value.dataType match {
+      case ByteType => (8, 0xffL, 0x80L)
+      case ShortType => (16, 0xffffL, 0x8000L)
+      case IntegerType => (32, 0xffffffffL, 0x80000000L)
+      case _ => (64, -1L, Long.MinValue)
+    }
+    val v = c(value).cast("long")
+    val s = c(shiftE).cast("long")
+    val si = s.cast("int")
+    val out = mode match {
+      case "left" =>
+        val sh = call_function("shiftleft", v, si)
+        val kept = if (bits == 64) sh
+          else when(sh.bitwiseAND(lit(signBit)) =!= 0L,
+            sh.bitwiseOR(lit(~mask))).otherwise(sh.bitwiseAND(lit(mask)))
+        when(s >= 64, lit(0L)).otherwise(kept)
+      case "logical" =>
+        val masked = if (bits == 64) v else v.bitwiseAND(lit(mask))
+        when(s >= 64, lit(0L)).when(s === 0, v)
+          .otherwise(call_function("shiftrightunsigned", masked, si))
+      case _ =>
+        when(s >= 64, when(v >= 0, lit(0L)).otherwise(lit(-1L)))
+          .otherwise(call_function("shiftright", v, si))
+    }
+    out.cast(value.dataType)
   }
 
   /** Wilson score interval bound (reference WilsonInterval.java) — the

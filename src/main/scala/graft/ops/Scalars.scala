@@ -843,6 +843,14 @@ object Scalars {
         |  bitwise_shift_left(x, 2, 8) AS bsl8,
         |  bitwise_logical_shift_right(x, 1, 8) AS blsr,
         |  bitwise_arithmetic_shift_right(0 - x, 2) AS basr,
+        |  CAST(bitwise_left_shift(CAST(x % 200 - 100 AS TINYINT), s)
+        |    AS BIGINT) AS tshl,
+        |  CAST(bitwise_left_shift(CAST(x AS INT), 33) AS BIGINT) AS ishl33,
+        |  bitwise_left_shift(x, 64) AS bshl64,
+        |  CAST(bitwise_right_shift(CAST(x % 100 - 100 AS TINYINT), 1)
+        |    AS BIGINT) AS trsl,
+        |  CAST(bitwise_right_shift_arithmetic(CAST(0 - x - 1 AS SMALLINT),
+        |    70) AS BIGINT) AS srsa70,
         |  levenshtein_distance(CAST(x AS STRING), CAST(y AS STRING)) AS lev,
         |  lower(hex(sha256(to_utf8(CAST(k AS STRING))))) AS h256,
         |  lower(hex(sha512(to_utf8('abc')))) AS h512,
@@ -3564,6 +3572,15 @@ object Scalars {
         |  (x << 2) & 255 AS bsl8,
         |  (x & 255) >> 1 AS blsr,
         |  CAST(floor((0 - x) / 4.0) AS BIGINT) AS basr,
+        |  (CASE WHEN (((x % 200 - 100) * CAST(power(2, s) AS BIGINT))
+        |              & 128) != 0
+        |        THEN ((x % 200 - 100) * CAST(power(2, s) AS BIGINT)) | -256
+        |        ELSE ((x % 200 - 100) * CAST(power(2, s) AS BIGINT)) & 255
+        |   END) AS tshl,
+        |  CAST(0 AS BIGINT) AS ishl33,
+        |  CAST(0 AS BIGINT) AS bshl64,
+        |  CAST(floor((x % 100 - 100 + 256) / 2) AS BIGINT) AS trsl,
+        |  CAST(-1 AS BIGINT) AS srsa70,
         |  CAST(levenshtein(CAST(x AS VARCHAR), CAST(y AS VARCHAR))
         |    AS BIGINT) AS lev,
         |  sha256(CAST(k AS VARCHAR)) AS h256,
