@@ -30,16 +30,32 @@ object IndexJoin {
 
   val BucketCol = "_idx_bucket"
 
-  /** Deterministic key→bucket hash; the index's only physical contract. */
-  def bucketExpr(key: Column, buckets: Int): Column =
-    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+  /** Deterministic key→bucket hash; the index's only physical contract.
+    * xxhash64 is type-sensitive in Spark (an INT and a BIGINT holding the
+    * same value hash differently), so the key is first canonicalized:
+    * integral widths → bigint, float → double, everything else as-is.
+    * Both build and probe go through this, so an INT probe against a
+    * BIGINT index lands in the same bucket instead of silently missing. */
+  def bucketExpr(key: Column, buckets: Int, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val canon = dt match {
+      case ByteType | ShortType | IntegerType | LongType => key.cast("bigint")
+      case FloatType => key.cast("double")
+      case _ => key
+    }
+    pmod(xxhash64(canon), lit(buckets.toLong)).cast("int")
+  }
+
+  private def keyType(df: DataFrame, keyCol: String) =
+    df.schema(keyCol).dataType
 
   /** Build (or replace) the index: `df` bucketed on `keyCol` into
     * `buckets` partition directories, committed atomically. */
   def createIndex(s: SparkSession, base: java.io.File, df: DataFrame,
       keyCol: String, buckets: Int): Int =
     SnapshotTable.writePartitioned(s, base,
-      df.withColumn(BucketCol, bucketExpr(col(keyCol), buckets)),
+      df.withColumn(BucketCol,
+        bucketExpr(col(keyCol), buckets, keyType(df, keyCol))),
       Seq(BucketCol))
 
   /** The index rows for the probe's key set: only matched bucket
@@ -47,7 +63,8 @@ object IndexJoin {
   def indexSource(s: SparkSession, base: java.io.File, probe: DataFrame,
       probeKey: String, buckets: Int): DataFrame = {
     val vdir = SnapshotTable.committedDir(base)
-    val ids = probe.select(bucketExpr(col(probeKey), buckets).as("b"))
+    val ids = probe.select(
+      bucketExpr(col(probeKey), buckets, keyType(probe, probeKey)).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted // ≤ `buckets` ints
     val dirs = ids.map(b => new java.io.File(vdir, s"$BucketCol=$b"))
       .filter(_.isDirectory).map(_.getAbsolutePath)

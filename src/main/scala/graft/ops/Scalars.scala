@@ -810,8 +810,9 @@ object Scalars {
         |SELECT k,
         |  array_max_by(arr, x -> -x) AS maxby,
         |  array_min_by(arr, x -> x % 5) AS minby,
-        |  array_intersect(array(arr, array(k, k % 7))) AS nary,
-        |  array_intersect(arr, array(k % 7)) AS pairwise,
+        |  array_join(array_intersect(array(arr, array(k, k % 7))), ',')
+        |    AS nary,
+        |  array_join(array_intersect(arr, array(k % 7)), ',') AS pairwise,
         |  replace_first(p_name, 'a', 'XY') AS rf,
         |  trail(p_name, 4) AS tr,
         |  split_part_reverse(p_type, ' ', -1) AS sp
@@ -856,12 +857,19 @@ object Scalars {
         |  lower(hex(sha512(to_utf8('abc')))) AS h512,
         |  lower(hex(spooky_hash_v2_32(to_utf8('hello')))) AS sp32,
         |  lower(hex(spooky_hash_v2_64(to_utf8('hello')))) AS sp64,
-        |  array_cum_sum(array(x, y, x + 1)) AS cs,
-        |  array_cum_sum(array(x,
-        |    CASE WHEN k % 4 = 0 THEN NULL ELSE y END, x)) AS csn,
-        |  transform(array_normalize(array(CAST(x AS DOUBLE),
-        |    CAST(y AS DOUBLE), CAST(2 AS DOUBLE)), CAST(2 AS DOUBLE)),
-        |    v -> round(v, 4)) AS nrm,
+        |  array_join(array_cum_sum(array(x, y, x + 1)), ',') AS cs,
+        |  array_join(array_cum_sum(array(x,
+        |    CASE WHEN k % 4 = 0 THEN NULL ELSE y END, x)), ',', 'null')
+        |    AS csn,
+        |  round(element_at(array_normalize(array(CAST(x AS DOUBLE),
+        |    CAST(y AS DOUBLE), CAST(2 AS DOUBLE)), CAST(2 AS DOUBLE)), 1),
+        |    4) AS nrm1,
+        |  round(element_at(array_normalize(array(CAST(x AS DOUBLE),
+        |    CAST(y AS DOUBLE), CAST(2 AS DOUBLE)), CAST(2 AS DOUBLE)), 2),
+        |    4) AS nrm2,
+        |  round(element_at(array_normalize(array(CAST(x AS DOUBLE),
+        |    CAST(y AS DOUBLE), CAST(2 AS DOUBLE)), CAST(2 AS DOUBLE)), 3),
+        |    4) AS nrm3,
         |  normalize(decode(unhex('65CC81'), 'UTF-8')) AS nfc,
         |  CAST(length(normalize('é', 'NFD')) AS BIGINT) AS nfd_len,
         |  round(wilson_interval_lower(x % 51, 50 + x % 25, 1.96), 4) AS wl,
@@ -2560,8 +2568,9 @@ object Scalars {
         |  least(k, e2, e3) AS maxby,
         |  CASE WHEN f1 <= f2 AND f1 <= f3 THEN k
         |       WHEN f2 <= f3 THEN e2 ELSE e3 END AS minby,
-        |  CASE WHEN e2 = k THEN [k] ELSE [k, e2] END AS nary,
-        |  [e2] AS pairwise,
+        |  array_to_string(CASE WHEN e2 = k THEN [k] ELSE [k, e2] END, ',')
+        |    AS nary,
+        |  CAST(e2 AS VARCHAR) AS pairwise,
         |  CASE WHEN strpos(p_name, 'a') = 0 THEN p_name
         |       ELSE substr(p_name, 1, strpos(p_name, 'a') - 1) || 'XY' ||
         |            substr(p_name, strpos(p_name, 'a') + 1) END AS rf,
@@ -3587,10 +3596,13 @@ object Scalars {
         |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS h512,
         |  'd382e6ca' AS sp32,
         |  '3768826ad382e6ca' AS sp64,
-        |  [x, x + y, 2*x + y + 1] AS cs,
-        |  CASE WHEN k % 4 = 0 THEN [x, NULL, NULL]
-        |       ELSE [x, x + y, 2*x + y] END AS csn,
-        |  [ROUND(x / n2, 4), ROUND(y / n2, 4), ROUND(2 / n2, 4)] AS nrm,
+        |  array_to_string([x, x + y, 2*x + y + 1], ',') AS cs,
+        |  CASE WHEN k % 4 = 0
+        |       THEN CAST(x AS VARCHAR) || ',null,null'
+        |       ELSE array_to_string([x, x + y, 2*x + y], ',') END AS csn,
+        |  ROUND(x / n2, 4) AS nrm1,
+        |  ROUND(y / n2, 4) AS nrm2,
+        |  ROUND(2 / n2, 4) AS nrm3,
         |  'é' AS nfc,
         |  CAST(2 AS BIGINT) AS nfd_len,
         |  ROUND(center - margin, 4) AS wl,

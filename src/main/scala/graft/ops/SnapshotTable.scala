@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   * either way, so the mechanism scales: commit cost is one pointer write,
   * not proportional to data).
   *
-  * Writer-writer coordination: each writer CLAIMS its version directory
-  * with an atomic `Files.createDirectory` (colliding writers bump to the
-  * next number), and the pointer flip runs under an exclusive file lock
+  * Writer-writer coordination: each writer CLAIMS its version with an
+  * atomic `Files.createFile` of a `v<N>._claim` marker (colliding writers
+  * bump to the next number). The claim lives OUTSIDE the data directory
+  * on purpose: Spark's overwrite-mode write deletes its target directory
+  * before rewriting it, so a directory-as-claim would reopen the claim
+  * window mid-write — instead the data lands in a `v<N>._staging`
+  * directory and becomes `v<N>` in one atomic rename, so the version dir
+  * only ever exists fully written. The pointer flip runs under an
+  * exclusive file lock
   * with a version check — a plain write only moves the pointer forward,
   * and a read-modify-write (delete/update/merge) only commits if the
   * table is still at the version it read, else it raises
@@ -43,18 +49,35 @@ object SnapshotTable {
   private def versionDir(base: java.io.File, v: Int) =
     new java.io.File(base, s"v$v")
 
-  /** Atomically claim the next free version directory at or above `from`. */
+  private def claimFile(base: java.io.File, v: Int) =
+    new java.io.File(base, s"v$v._claim")
+
+  /** Atomically claim the next free version at or above `from`. The claim
+    * is a marker FILE, not the data directory itself — see the class doc
+    * for why a directory claim races with overwrite-mode writes. */
   private def claimVersion(base: java.io.File, from: Int): Int = {
     var v = from
     while (true) {
-      try {
-        java.nio.file.Files.createDirectory(versionDir(base, v).toPath)
+      if (versionDir(base, v).exists()) v += 1 // pre-claim-era snapshot
+      else try {
+        java.nio.file.Files.createFile(claimFile(base, v).toPath)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => v += 1
       }
     }
     v // unreachable
+  }
+
+  /** Write a snapshot via staging + atomic rename: `writeTo` receives the
+    * staging path; on return the staged tree becomes `v<next>` in one
+    * rename, so the version directory never exists part-written. */
+  private def writeSnapshot(base: java.io.File, next: Int)
+      (writeTo: String => Unit): Unit = {
+    val staging = new java.io.File(base, s"v$next._staging")
+    writeTo(staging.getAbsolutePath)
+    java.nio.file.Files.move(staging.toPath, versionDir(base, next).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Run `body` under the table's exclusive commit lock. */
@@ -84,7 +107,7 @@ object SnapshotTable {
   def write(spark: SparkSession, base: java.io.File, df: DataFrame): Int = {
     base.mkdirs()
     val next = claimVersion(base, currentVersion(base).getOrElse(0) + 1)
-    df.write.mode("overwrite").parquet(versionDir(base, next).getAbsolutePath)
+    writeSnapshot(base, next)(df.write.mode("overwrite").parquet(_))
     withCommitLock(base) {
       if (currentVersion(base).forall(_ < next)) flipPointer(base, next)
     }
@@ -98,8 +121,8 @@ object SnapshotTable {
       df: DataFrame, partitionCols: Seq[String]): Int = {
     base.mkdirs()
     val next = claimVersion(base, currentVersion(base).getOrElse(0) + 1)
-    df.write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(versionDir(base, next).getAbsolutePath)
+    writeSnapshot(base, next)(df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(_))
     withCommitLock(base) {
       if (currentVersion(base).forall(_ < next)) flipPointer(base, next)
     }
@@ -130,8 +153,9 @@ object SnapshotTable {
     val readV = currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $base"))
     val next = claimVersion(base, readV + 1)
-    transform(spark.read.parquet(versionDir(base, readV).getAbsolutePath))
-      .write.mode("overwrite").parquet(versionDir(base, next).getAbsolutePath)
+    writeSnapshot(base, next)(
+      transform(spark.read.parquet(versionDir(base, readV).getAbsolutePath))
+        .write.mode("overwrite").parquet(_))
     withCommitLock(base) {
       val cur = currentVersion(base)
       if (cur != Some(readV))

@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object HistoryBasedStats {
 
   /** canonicalized-subtree fingerprint → last observed output rows. */
-  private val history = TrieMap.empty[Int, Long]
+  private val history = TrieMap.empty[Long, Long]
   private val MaxEntries = 4096
 
   /** Row count under which an observed side is broadcast-worthy (the
@@ -49,7 +49,20 @@ object HistoryBasedStats {
     * SystemSessionProperties.java), default off; install() turns it on. */
   @volatile var enabled: Boolean = false
 
-  def fingerprint(plan: LogicalPlan): Int = plan.canonicalized.hashCode()
+  /** 64-bit fingerprint of the canonicalized subtree. A 32-bit product
+    * hashCode gives ~50% collision odds at ~77k distinct plans (birthday
+    * bound) — and a collision here is not "a slow plan" but a BROADCAST
+    * hint attached to the wrong (possibly huge) side. Two independent
+    * 32-bit hashes of the canonicalized plan STRING (JLS-stable
+    * String.hashCode + fixed-seed MurmurHash3) concatenated to 64 bits
+    * push that bound past 5 billion plans, and a string hash is also
+    * stable across JVM versions in a way case-class product hashing is
+    * not guaranteed to be (save/load shares history across processes). */
+  def fingerprint(plan: LogicalPlan): Long = {
+    val s = plan.canonicalized.toString
+    (s.hashCode.toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+  }
 
   def recorded(plan: LogicalPlan): Option[Long] =
     history.get(fingerprint(plan))
@@ -57,17 +70,16 @@ object HistoryBasedStats {
   def clear(): Unit = history.clear()
 
   /** Debug view of the recorded history (fingerprint → rows). */
-  def dump: Seq[(Int, Long)] = history.toSeq
+  def dump: Seq[(Long, Long)] = history.toSeq
 
   /** Persist / restore the history. The reference keeps its statistics
     * store OUTSIDE the coordinator process (redis-hbo-provider /
     * HistoryBasedPlanStatisticsProvider SPI) so history survives restarts
     * and is shared across coordinators; a deployment of this engine
     * points `save`/`load` at a shared path with the same effect.
-    * Fingerprints are hashes of canonicalized plans — deterministic
-    * murmur product-hashes of stable values (paths, schemas, normalized
-    * expression ids), so they remain valid across JVMs reading the same
-    * tables. */
+    * Fingerprints are 64-bit string hashes of canonicalized plans
+    * (stable values: paths, schemas, normalized expression ids), so they
+    * remain valid across JVMs reading the same tables. */
   def save(file: java.io.File): Unit = {
     val text = history.toSeq.sorted
       .map { case (k, v) => s"$k,$v" }.mkString("", "\n", "\n")
@@ -83,7 +95,7 @@ object HistoryBasedStats {
       new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
         .linesIterator.filter(_.nonEmpty).foreach { line =>
           val c = line.indexOf(',')
-          if (c > 0) history.put(line.take(c).toInt, line.drop(c + 1).toLong)
+          if (c > 0) history.put(line.take(c).toLong, line.drop(c + 1).toLong)
         }
 
   private def put(plan: LogicalPlan, rows: Long): Unit = {
@@ -137,8 +149,17 @@ object HistoryBasedStats {
           case _ => None
         }
       }
+    /** Static-estimate guard: a BROADCAST hint bypasses Spark's size
+      * checks, so a stale/colliding history entry must not broadcast a
+      * side whose static size estimate is plainly enormous. The guard is
+      * deliberately generous (history exists precisely because static
+      * estimates miss filter selectivity — a filtered scan's static size
+      * is the full-scan size), so only a history-vs-static disagreement
+      * of OOM magnitude suppresses the hint. */
+    @volatile var staticBytesGuard: BigInt = BigInt(8L << 30)
     private def smallInHistory(side: LogicalPlan): Boolean =
-      lookup(side).exists(_ <= broadcastRowThreshold)
+      lookup(side).exists(_ <= broadcastRowThreshold) &&
+        side.stats.sizeInBytes <= staticBytesGuard
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (!enabled) plan else plan.transformUp {
       case j @ Join(left, right, _, _, JoinHint(None, None)) =>

@@ -30,7 +30,8 @@ class IndexJoinSpec extends AnyFunSuite {
 
     // access path: the index source lists/reads ONLY the probe's buckets
     val probedBuckets = probe
-      .select(IndexJoin.bucketExpr(col("o_custkey"), 32).as("b"))
+      .select(IndexJoin.bucketExpr(col("o_custkey"), 32,
+        probe.schema("o_custkey").dataType).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val src = IndexJoin.indexSource(spark, b, probe, "o_custkey", 32)
     val readBuckets = src.inputFiles.map { f =>
