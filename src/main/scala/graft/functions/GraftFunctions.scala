@@ -75,6 +75,12 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.aggregate.Average(
           org.apache.spark.sql.catalyst.expressions.Log(dbl(es.head)))
           .toAggregateExpression())),
+    ("zorder",
+      "zorder(ROW(c1, c2, ...)) - interleaved Z-order curve key as varbinary (presto-iceberg IcebergZOrderFunctions)",
+      es => ZOrderExpr(es)),
+    ("apply_changelog",
+      "apply_changelog(ordinal, operation, row) - CDC fold to latest surviving row (presto-iceberg changelog)",
+      es => ApplyChangelog(es(0), es(1), es(2)).toAggregateExpression()),
     ("classification_precision",
       "classification_precision(buckets, outcome, pred[, weight]) - precision sweep array",
       es => classificationAgg(es, "precision")),

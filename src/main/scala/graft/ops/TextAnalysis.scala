@@ -231,7 +231,87 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, the standard
+    * repetition rules every pre-training corpus applies): per-document
+    * repeated-word fraction plus the occupancy of the single most frequent
+    * word bigram / trigram. The distinct-fraction is a per-row HOF (zero
+    * shuffle); the top-n-gram counts go through ONE explode + doc-keyed
+    * aggregation — linear in document length, so a 100k-word document
+    * costs 100k rows, not the 10^10 comparisons a per-row quadratic HOF
+    * would (that is why this shuffles once instead of staying per-row). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .filter(col("nw") >= 3)
+    val base = d.select(col("doc_id"), col("nw"),
+      round(lit(1.0) -
+        size(array_distinct(col("w"))).cast("double") / col("nw"), 4)
+        .as("rep_word_frac"))
+    // tagged 2- and 3-grams in one pass: explode once, aggregate once
+    val grams = d.select(col("doc_id"), col("nw"), explode(concat(
+      expr("transform(sequence(0, int(nw) - 2), " +
+        "i -> concat('2:', w[i], ' ', w[i+1]))"),
+      expr("transform(sequence(0, int(nw) - 3), " +
+        "i -> concat('3:', w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("g"))
+    val top = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), first(col("nw")).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(max(when(col("g").startsWith("2:"), col("cnt"))).cast("double")
+          / (first(col("nw")) - 1), 4).as("top_bigram_frac"),
+        round(max(when(col("g").startsWith("3:"), col("cnt"))).cast("double")
+          / (first(col("nw")) - 2), 4).as("top_trigram_frac"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("nw"), col("rep_word_frac"),
+        col("top_bigram_frac"), col("top_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Document chunking for context-window prep: fixed 200-char windows on
+    * a 150-char stride (25% overlap), one output row per chunk. Pure
+    * per-row explode of a computed start sequence — no shuffle, parallel
+    * across documents, exactly how a 100 TB corpus is chunked (a 1 GB
+    * document becomes ~7M rows on its own partition chain, never
+    * driver-side). */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val win = 200; val stride = 150
+    t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, CAST((length(text) - 1) DIV $stride AS INT))"))
+          .as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        expr(s"substring(text, i * $stride + 1, $win)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Sequence packing: assign documents (in stable doc_id order within
+    * each source) to ~2048-token training shards by cumulative-sum
+    * bucketing — shard = floor(tokens-before-this-doc / budget), the
+    * contiguous first-fit pack every LLM data loader uses. One window
+    * cumsum partitioned by source (sources shard independently at scale),
+    * one small aggregation; deterministic run-to-run because the pack
+    * order is the stored doc_id order, not arrival order. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    t(s, dir, "documents")
+      .withColumn("tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("shard", floor((col("cum") - col("tok"))
+        .cast("double") / budget).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition,
+    "text_chunk" -> chunk,
+    "text_pack" -> pack,
     "text_pii_scrub" -> piiScrub,
     "text_stratified_sample" -> stratifiedSample,
     "text_pipeline" -> pipeline,
@@ -248,6 +328,51 @@ object TextAnalysis {
     s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |base AS (SELECT doc_id, nw,
+        |  round(1.0 - len(list_distinct(w)) * 1.0 / nw, 4) AS rep_word_frac
+        |  FROM d),
+        |g2 AS (SELECT doc_id, nw,
+        |  unnest(list_transform(range(1, CAST(nw AS INT)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+        |g3 AS (SELECT doc_id, nw,
+        |  unnest(list_transform(range(1, CAST(nw AS INT) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM d),
+        |c2 AS (SELECT doc_id, max(cnt) AS m FROM (
+        |  SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, max(cnt) AS m FROM (
+        |  SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, base.nw, base.rep_word_frac,
+        |  round(c2.m * 1.0 / (base.nw - 1), 4) AS top_bigram_frac,
+        |  round(c3.m * 1.0 / (base.nw - 2), 4) AS top_trigram_frac
+        |FROM base JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text) - 1) // 150) + 1)) AS i
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(i AS INT) * 150 + 1, 200) AS chunk,
+        |  CAST(length(substr(text, CAST(i AS INT) * 150 + 1, 200)) AS BIGINT)
+        |    AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source,
+        |  CAST(floor((cum - tok) * 1.0 / 2048) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin,
     "text_pii_scrub" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
