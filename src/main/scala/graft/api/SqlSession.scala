@@ -36,12 +36,13 @@ final class SqlSession private (val spark: SparkSession) {
     SessionStatements.dispatch(this, text)
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)
         .map(DdlStatements.statusResult(spark, _)))
+      .orElse(AccessControl.dispatch(this, text))
       .orElse(DdlStatements.dispatch(this, text)).getOrElse {
       // SQL-invoked functions inline at translate time, the reference's
       // InlineSqlFunctions strategy (no-op when none are registered)
       val inlined = SqlFunctions.inline(DdlStatements.sessionId(spark), text)
       val t1 = Dialect.translate(inlined)
-      try spark.sql(t1)
+      val df = try spark.sql(t1)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           val t2 = Dialect.translate(inlined, unnestStructRows = true)
@@ -49,6 +50,7 @@ final class SqlSession private (val spark: SparkSession) {
           else try spark.sql(t2)
           catch { case _: org.apache.spark.sql.AnalysisException => throw e }
       }
+      AccessControl.checkPlan(spark, df)
     }
 
   /** Register every fixture table under `dir` as a temp view. */

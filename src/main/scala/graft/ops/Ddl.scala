@@ -61,13 +61,44 @@ object Ddl {
     ses(s, dir).sql("SHOW FUNCTIONS LIKE 'classification_%'")
       .orderBy("function_name")
 
+  /** DCL lifecycle (api/AccessControl.scala — the reference's CREATE/DROP
+    * ROLE, GRANT/REVOKE, SET ROLE, SHOW GRANTS statement family): role
+    * hierarchy + user/role privilege grants, surfaced through the
+    * reference's 10-column SHOW GRANTS shape. Deterministic: state is
+    * reset, then rebuilt by the scripted statements. */
+  def dcl(s: SparkSession, dir: String): DataFrame = {
+    graft.api.AccessControl.reset(s)
+    val q = ses(s, dir)
+    q.sql("CREATE ROLE analyst")
+    q.sql("CREATE ROLE reader")
+    q.sql("GRANT reader TO ROLE analyst")
+    q.sql("GRANT analyst TO USER graft")
+    q.sql("GRANT SELECT ON lineitem TO ROLE reader")
+    q.sql("GRANT SELECT, DELETE ON orders TO USER graft WITH GRANT OPTION")
+    q.sql("GRANT ALL PRIVILEGES ON nation TO analyst")
+    q.sql("REVOKE DELETE ON orders FROM USER graft")
+    q.sql("SHOW GRANTS")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_dcl_grants" -> dcl,
     "sql_ddl_lifecycle" -> lifecycle,
     "sql_show_columns" -> showColumns,
     "sql_show_stats" -> showStats,
     "sql_show_functions" -> showFunctions)
 
   val oracle: Map[String, String] = Map(
+    "sql_dcl_grants" ->
+      """SELECT * FROM (VALUES
+        | ('graft', 'USER', 'reader', 'ROLE', 'graft', 'default',
+        |  'lineitem', 'SELECT', 'NO', 'NO'),
+        | ('graft', 'USER', 'analyst', 'ROLE', 'graft', 'default',
+        |  'nation', 'ALL', 'NO', 'NO'),
+        | ('graft', 'USER', 'graft', 'USER', 'graft', 'default',
+        |  'orders', 'SELECT', 'YES', 'NO')
+        |) AS t("Grantor", "Grantor Type", "Grantee", "Grantee Type",
+        |  "Catalog", "Schema", "Table", "Privilege", "Grantable",
+        |  "With Hierarchy")""".stripMargin,
     "sql_ddl_lifecycle" ->
       """WITH rev AS (
         | SELECT o_custkey AS custkey,
