@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Scalars.queries ++ ops.Subqueries.queries ++ ops.Sources.queries ++
       ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries ++
       ops.Ddl.queries ++ ops.Ml.queries ++ ops.IndexJoin.queries ++
-      ops.Remote.queries ++ ops.Cdc.queries ++ ops.Layout.queries
+      ops.Remote.queries ++ ops.Cdc.queries ++ ops.Layout.queries ++
+      ops.Transactions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       ops.Scalars.oracle ++ ops.Subqueries.oracle ++ ops.Sources.oracle ++
       ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle ++
       ops.Ddl.oracle ++ ops.Ml.oracle ++ ops.IndexJoin.oracle ++
-      ops.Remote.oracle ++ ops.Cdc.oracle ++ ops.Layout.oracle
+      ops.Remote.oracle ++ ops.Cdc.oracle ++ ops.Layout.oracle ++
+      ops.Transactions.oracle
 }

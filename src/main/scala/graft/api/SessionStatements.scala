@@ -37,6 +37,11 @@ object SessionStatements {
   private val SetSess = """(?is)\ASET\s+SESSION\s+([\w.]+)\s*=\s*(.+)\z""".r
   private val ResetSess = """(?is)\ARESET\s+SESSION\s+([\w.]+)\z""".r
   private val ShowSess = """(?is)\ASHOW\s+SESSION\z""".r
+  // transaction control (SqlBase.g4 startTransaction/commit/rollback;
+  // StartTransactionTask / CommitTask / RollbackTask)
+  private val StartTx = """(?is)\ASTART\s+TRANSACTION(?:\s+(.*))?\z""".r
+  private val CommitTx = """(?is)\ACOMMIT(?:\s+WORK)?\z""".r
+  private val RollbackTx = """(?is)\AROLLBACK(?:\s+WORK)?\z""".r
 
   /** Try to handle `text` as a session statement; None → plain query. */
   def dispatch(ses: SqlSession, text: String): Option[DataFrame] = {
@@ -87,6 +92,22 @@ object SessionStatements {
         Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
           StructType(Seq(StructField("name", StringType, nullable = false),
             StructField("value", StringType, nullable = false)))))
+      case StartTx(modes) =>
+        val m = Option(modes).getOrElse("").toUpperCase
+        if (m.contains("READ ONLY") && m.contains("READ WRITE"))
+          throw new IllegalArgumentException("Invalid transaction mode")
+        val iso = "ISOLATION\\s+LEVEL\\s+(READ\\s+UNCOMMITTED|READ\\s+COMMITTED|REPEATABLE\\s+READ|SERIALIZABLE)".r
+          .findFirstMatchIn(m).map(_.group(1).replaceAll("\\s+", " "))
+          .getOrElse("READ COMMITTED")
+        graft.ops.Transactions.begin(spark,
+          readOnly = m.contains("READ ONLY"), isolation = iso)
+        Some(status(spark, "START TRANSACTION"))
+      case CommitTx() =>
+        graft.ops.Transactions.commit(spark)
+        Some(status(spark, "COMMIT"))
+      case RollbackTx() =>
+        graft.ops.Transactions.rollback(spark)
+        Some(status(spark, "ROLLBACK"))
       case _ => None
     }
   }

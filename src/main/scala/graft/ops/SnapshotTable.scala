@@ -46,7 +46,7 @@ object SnapshotTable {
     else None
   }
 
-  private def versionDir(base: java.io.File, v: Int) =
+  private[ops] def versionDir(base: java.io.File, v: Int) =
     new java.io.File(base, s"v$v")
 
   private def claimFile(base: java.io.File, v: Int) =
@@ -55,7 +55,7 @@ object SnapshotTable {
   /** Atomically claim the next free version at or above `from`. The claim
     * is a marker FILE, not the data directory itself — see the class doc
     * for why a directory claim races with overwrite-mode writes. */
-  private def claimVersion(base: java.io.File, from: Int): Int = {
+  private[ops] def claimVersion(base: java.io.File, from: Int): Int = {
     var v = from
     while (true) {
       if (versionDir(base, v).exists()) v += 1 // pre-claim-era snapshot
@@ -72,7 +72,7 @@ object SnapshotTable {
   /** Write a snapshot via staging + atomic rename: `writeTo` receives the
     * staging path; on return the staged tree becomes `v<next>` in one
     * rename, so the version directory never exists part-written. */
-  private def writeSnapshot(base: java.io.File, next: Int)
+  private[ops] def writeSnapshot(base: java.io.File, next: Int)
       (writeTo: String => Unit): Unit = {
     val staging = new java.io.File(base, s"v$next._staging")
     writeTo(staging.getAbsolutePath)
@@ -81,7 +81,7 @@ object SnapshotTable {
   }
 
   /** Run `body` under the table's exclusive commit lock. */
-  private def withCommitLock[A](base: java.io.File)(body: => A): A = {
+  private[ops] def withCommitLock[A](base: java.io.File)(body: => A): A = {
     val lockFile = new java.io.File(base, "_lock")
     val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
       java.nio.file.StandardOpenOption.CREATE,
@@ -93,7 +93,7 @@ object SnapshotTable {
   }
 
   /** Flip the pointer to `next` atomically (write-temp + atomic rename). */
-  private def flipPointer(base: java.io.File, next: Int): Unit = {
+  private[ops] def flipPointer(base: java.io.File, next: Int): Unit = {
     val tmp = new java.io.File(base, s"_current.tmp$next")
     java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, pointer(base).toPath,
