@@ -1,0 +1,604 @@
+package graft.api
+
+import java.net.{HttpURLConnection, InetSocketAddress, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's primary entry point: the `POST /v1/statement` HTTP
+  * protocol (presto-main/src/main/java/com/facebook/presto/server/protocol/
+  * QueuedStatementResource.java:210-304 — submit + queued polling —
+  * and ExecutingStatementResource.java:99-151 — result paging + cancel).
+  * Both the CLI and JDBC speak this protocol; a client sees:
+  *
+  *   POST /v1/statement  (body = SQL text)
+  *     -> QueryResults{id, infoUri, nextUri=/v1/statement/queued/{id}/{t},
+  *                     stats.state=QUEUED}
+  *   GET nextUri ...     (poll while queued/running)
+  *     -> QueryResults{nextUri=/v1/statement/executing/{id}/0} once ready
+  *   GET /v1/statement/executing/{id}/{page}
+  *     -> QueryResults{columns, data=[[v,...],...], nextUri=next page}
+  *        final page: no nextUri, stats.state=FINISHED
+  *   DELETE nextUri      -> 204, query canceled (USER_CANCELED)
+  *
+  * The QueryResults JSON shape follows presto-client's QueryResults.java:
+  * 37-60 (`id`, `infoUri`, `nextUri`, `columns` [name/type/typeSignature],
+  * `data` rows-as-arrays, `stats`, `error`) and QueryError.java:26-44
+  * (`message`, `errorCode`, `errorName`, `errorType`); error codes from
+  * presto-spi StandardErrorCode.java (SYNTAX_ERROR 1, USER_CANCELED 3,
+  * GENERIC_INTERNAL_ERROR 65536).
+  *
+  * Spark-first mapping: the server is an embedded JDK HttpServer (the same
+  * technique as functions/RemoteFunctions.scala's function service) in the
+  * driver JVM, submitting SQL text to the graft dialect (`SqlSession.sql`)
+  * on a dispatch executor — so QUEUED is a real observable state, as in the
+  * reference's dispatch queue. Results are buffered at the coordinator and
+  * paged to the client, exactly the reference coordinator's contract
+  * (workers stream to the coordinator, the client pages from coordinator
+  * memory): the buffered result is bounded by what the CLIENT asked to
+  * page through, never the input size — at 100 TB a protocol client still
+  * reads only its final result set, and anything bigger goes through
+  * CTAS/INSERT (ops/Sources.scala, ops/SnapshotTable.scala) where the
+  * write is fully distributed and never passes through the driver.
+  */
+object StatementServer {
+
+  final case class ProtoError(message: String, errorCode: Int,
+      errorName: String, errorType: String)
+
+  /** One submitted query's lifecycle. States mirror the reference's
+    * client-visible QueryState subset: QUEUED -> RUNNING ->
+    * FINISHED | FAILED. */
+  private final class QueryExec(val id: String, val sql: String) {
+    @volatile var state: String = "QUEUED"
+    @volatile var canceled: Boolean = false
+    @volatile var schema: StructType = _
+    @volatile var pages: Vector[Seq[Row]] = Vector.empty
+    @volatile var error: ProtoError = _
+    @volatile var rowCount: Long = 0L
+    val createdNanos: Long = System.nanoTime()
+  }
+
+  private val queries = TrieMap.empty[String, QueryExec]
+  private val seq = new AtomicLong(0)
+  @volatile private var server: com.sun.net.httpserver.HttpServer = _
+  @volatile private var boundPort: Int = -1
+  @volatile private var session: SparkSession = _
+  @volatile private var pageRows: Int = 1000
+  // single-threaded dispatch = a real queue, so QUEUED is observable and
+  // cancel-while-queued is deterministic (the reference's dispatch manager
+  // admits queries through a queue the same way)
+  private lazy val dispatcher = Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-statement-dispatch")
+      t.setDaemon(true)
+      t
+    })
+
+  def port: Int = boundPort
+
+  /** Start (idempotent); returns base URI. `pageSize` caps rows per
+    * QueryResults page (the reference targets a byte budget per page;
+    * a row cap is the same knob). */
+  def ensureStarted(spark: SparkSession, pageSize: Int = 1000): String =
+    synchronized {
+      session = spark
+      pageRows = pageSize
+      if (server != null) return s"http://127.0.0.1:$boundPort"
+      val s = com.sun.net.httpserver.HttpServer.create(
+        new InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/v1/statement", handler)
+      s.setExecutor(Executors.newFixedThreadPool(4, (r: Runnable) => {
+        val t = new Thread(r, "graft-statement-server")
+        t.setDaemon(true)
+        t
+      }))
+      val starter = new Thread(() => s.start(), "graft-statement-start")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
+      server = s
+      boundPort = s.getAddress.getPort
+      s"http://127.0.0.1:$boundPort"
+    }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null; boundPort = -1 }
+    queries.clear()
+  }
+
+  // ---------- Presto type names (client Column.type / typeSignature)
+
+  def prestoType(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "integer"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case BooleanType => "boolean"
+    case DoubleType => "double"
+    case FloatType => "real"
+    case StringType => "varchar"
+    case BinaryType => "varbinary"
+    case DateType => "date"
+    case _: TimestampType => "timestamp"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"array(${prestoType(e)})"
+    case MapType(k, v, _) => s"map(${prestoType(k)}, ${prestoType(v)})"
+    case StructType(fs) =>
+      fs.map(f => s"${f.name} ${prestoType(f.dataType)}")
+        .mkString("row(", ", ", ")")
+    case NullType => "unknown"
+    case other => other.simpleString
+  }
+
+  /** Inverse of prestoType — the client rebuilds a Spark schema from the
+    * wire type names. */
+  def sparkType(t: String): DataType = {
+    val s = t.trim
+    val lower = s.toLowerCase
+    lower match {
+      case "bigint" => LongType
+      case "integer" | "int" => IntegerType
+      case "smallint" => ShortType
+      case "tinyint" => ByteType
+      case "boolean" => BooleanType
+      case "double" => DoubleType
+      case "real" => FloatType
+      case "varbinary" => BinaryType
+      case "date" => DateType
+      case "timestamp" => TimestampType
+      case "unknown" => NullType
+      case _ if lower == "varchar" || lower.startsWith("varchar(") =>
+        StringType
+      case _ if lower.startsWith("decimal(") =>
+        val Array(p, sc) =
+          s.substring(8, s.length - 1).split(',').map(_.trim.toInt)
+        DecimalType(p, sc)
+      case _ if lower.startsWith("array(") =>
+        ArrayType(sparkType(s.substring(6, s.length - 1)))
+      case _ if lower.startsWith("map(") =>
+        val inner = s.substring(4, s.length - 1)
+        val cut = topLevelSplit(inner)
+        MapType(sparkType(inner.substring(0, cut)),
+          sparkType(inner.substring(cut + 1)))
+      case _ if lower.startsWith("row(") =>
+        StructType(splitAll(s.substring(4, s.length - 1)))
+      case other => throw new IllegalArgumentException(s"type: $other")
+    }
+  }
+
+  /** Index of the first top-level ',' (depth-0 wrt parens). */
+  private def topLevelSplit(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitAll(s: String): Array[StructField] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.toArray.map { f =>
+      val ft = f.trim
+      val sp = ft.indexOf(' ')
+      StructField(ft.substring(0, sp), sparkType(ft.substring(sp + 1)))
+    }
+  }
+
+  // ---------- value serde (schema-driven; rows-as-arrays like the
+  // reference's JSON data pages)
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def renderValue(v: Any, dt: DataType): String =
+    if (v == null) "null"
+    else dt match {
+      case LongType | IntegerType | ShortType | ByteType | BooleanType =>
+        v.toString
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN) "\"NaN\""
+        else if (d.isPosInfinity) "\"Infinity\""
+        else if (d.isNegInfinity) "\"-Infinity\""
+        else d.toString
+      case FloatType =>
+        renderValue(v.asInstanceOf[Float].toDouble, DoubleType)
+      case StringType => "\"" + esc(v.toString) + "\""
+      case BinaryType =>
+        "\"" + java.util.Base64.getEncoder
+          .encodeToString(v.asInstanceOf[Array[Byte]]) + "\""
+      case _: DecimalType =>
+        "\"" + (v match {
+          case d: java.math.BigDecimal => d.toPlainString
+          case d: BigDecimal => d.bigDecimal.toPlainString
+          case other => other.toString
+        }) + "\""
+      case DateType | _: TimestampType | TimestampNTZType =>
+        "\"" + v.toString + "\""
+      case ArrayType(e, _) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(renderValue(_, e)).mkString("[", ",", "]")
+      case MapType(k, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
+          .map { case (mk, mv) =>
+            "\"" + esc(mk.toString) + "\":" + renderValue(mv, vt)
+          }.mkString("{", ",", "}")
+      case StructType(fs) =>
+        val r = v.asInstanceOf[Row]
+        fs.zipWithIndex
+          .map { case (f, i) => renderValue(r.get(i), f.dataType) }
+          .mkString("[", ",", "]")
+      case _ => "\"" + esc(v.toString) + "\""
+    }
+
+  def parseValue(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case LongType => n.asLong
+      case IntegerType => n.asInt
+      case ShortType => n.asInt.toShort
+      case ByteType => n.asInt.toByte
+      case BooleanType => n.asBoolean
+      case DoubleType =>
+        if (n.isTextual) n.asText match {
+          case "NaN" => Double.NaN
+          case "Infinity" => Double.PositiveInfinity
+          case "-Infinity" => Double.NegativeInfinity
+          case other => other.toDouble
+        } else n.asDouble
+      case FloatType =>
+        parseValue(n, DoubleType).asInstanceOf[Double].toFloat
+      case StringType => n.asText
+      case BinaryType => java.util.Base64.getDecoder.decode(n.asText)
+      case _: DecimalType => new java.math.BigDecimal(n.asText)
+      case DateType => java.sql.Date.valueOf(n.asText)
+      case _: TimestampType | TimestampNTZType =>
+        val t = n.asText
+        if (t.contains('T'))
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(t))
+        else java.sql.Timestamp.valueOf(t)
+      case ArrayType(e, _) =>
+        (0 until n.size()).map(i => parseValue(n.get(i), e))
+      case MapType(k, vt, _) =>
+        val it = n.fields()
+        val b = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        while (it.hasNext) {
+          val e = it.next()
+          b.put(keyFromString(e.getKey, k), parseValue(e.getValue, vt))
+        }
+        b.toMap
+      case StructType(fs) =>
+        Row.fromSeq(fs.zipWithIndex.map { case (f, i) =>
+          parseValue(n.get(i), f.dataType)
+        })
+      case _ => n.asText
+    }
+
+  private def keyFromString(s: String, dt: DataType): Any = dt match {
+    case StringType => s
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case ShortType => s.toShort
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case _ => s
+  }
+
+  // ---------- QueryResults rendering
+
+  private def columnsJson(schema: StructType): String =
+    schema.fields.map { f =>
+      val t = prestoType(f.dataType)
+      val raw = t.takeWhile(c => c != '(' && c != ' ')
+      s"""{"name":"${esc(f.name)}","type":"$t","typeSignature":{"rawType":"$raw","typeArguments":[],"literalArguments":[],"arguments":[]}}"""
+    }.mkString("[", ",", "]")
+
+  private def statsJson(q: QueryExec): String = {
+    val elapsed = (System.nanoTime() - q.createdNanos) / 1000000L
+    val done = q.state == "FINISHED" || q.state == "FAILED"
+    s"""{"state":"${q.state}","waitingForPrerequisites":false,"queued":${q.state == "QUEUED"},"scheduled":${q.state != "QUEUED"},"nodes":1,"totalSplits":1,"queuedSplits":0,"runningSplits":${if (done) 0 else 1},"completedSplits":${if (done) 1 else 0},"cpuTimeMillis":0,"wallTimeMillis":$elapsed,"waitingForPrerequisitesTimeMillis":0,"queuedTimeMillis":0,"elapsedTimeMillis":$elapsed,"processedRows":${q.rowCount},"processedBytes":0,"peakMemoryBytes":0,"peakTotalMemoryBytes":0,"peakTaskTotalMemoryBytes":0,"spilledBytes":0}"""
+  }
+
+  private def errorJson(e: ProtoError): String =
+    s"""{"message":"${esc(e.message)}","errorCode":${e.errorCode},"errorName":"${e.errorName}","errorType":"${e.errorType}","retriable":false}"""
+
+  private def results(q: QueryExec, base: String, nextUri: Option[String],
+      columns: Option[StructType], data: Option[Seq[Row]]): String = {
+    val sb = new StringBuilder(256)
+    sb.append(s"""{"id":"${q.id}","infoUri":"$base/v1/query/${q.id}"""")
+    nextUri.foreach(u => sb.append(s""","nextUri":"$u""""))
+    columns.foreach(c => sb.append(s""","columns":${columnsJson(c)}"""))
+    for (rows <- data; cols <- columns)
+      sb.append(""","data":""").append(rows.map { r =>
+        cols.fields.indices
+          .map(i => renderValue(r.get(i), cols.fields(i).dataType))
+          .mkString("[", ",", "]")
+      }.mkString("[", ",", "]"))
+    sb.append(s""","stats":${statsJson(q)}""")
+    if (q.error != null) sb.append(s""","error":${errorJson(q.error)}""")
+    sb.append("}")
+    sb.toString
+  }
+
+  // ---------- lifecycle
+
+  private def submit(sql: String): QueryExec = {
+    // reference id shape: yyyyMMdd_HHmmss_NNNNN_xxxxx (QueryIdGenerator)
+    val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft", sql)
+    queries.put(q.id, q)
+    q
+  }
+
+  private def run(q: QueryExec): Unit = {
+    if (q.canceled) return // DELETE already recorded the failure
+    q.state = "RUNNING"
+    val spark = session
+    try {
+      spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
+      val df = SqlSession.wrap(spark).sql(q.sql)
+      q.schema = df.schema
+      val rows = df.collect().toSeq
+      q.rowCount = rows.size.toLong
+      q.pages = rows.grouped(pageRows).toVector
+      if (q.canceled) () // cancel already set FAILED; keep that terminal state
+      else q.state = "FINISHED"
+    } catch {
+      case _: Throwable if q.canceled => () // interrupt from cancelJobGroup
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        fail(q, ProtoError(String.valueOf(e.getMessage), 1, "SYNTAX_ERROR",
+          "USER_ERROR"))
+      case e: org.apache.spark.sql.AnalysisException =>
+        fail(q, ProtoError(String.valueOf(e.getMessage), 1, "SYNTAX_ERROR",
+          "USER_ERROR"))
+      case e: Throwable =>
+        fail(q, ProtoError(String.valueOf(e.getMessage), 65536,
+          "GENERIC_INTERNAL_ERROR", "INTERNAL_ERROR"))
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  private def fail(q: QueryExec, e: ProtoError): Unit = {
+    if (q.state != "FAILED") { q.error = e; q.state = "FAILED" }
+  }
+
+  private def cancel(q: QueryExec): Unit = {
+    // DELETE after completion is a no-op, as in the reference
+    if (q.state == "FINISHED" || q.state == "FAILED") return
+    q.canceled = true
+    fail(q, ProtoError("Query was canceled by user", 3, "USER_CANCELED",
+      "USER_ERROR"))
+    val spark = session
+    if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
+  }
+
+  // ---------- HTTP
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+      body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (code == 204) ex.sendResponseHeaders(204, -1L)
+    else {
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    ex.close()
+  }
+
+  private def handler: com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) => try {
+      val base = s"http://127.0.0.1:$boundPort"
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement")
+        .split('/').filter(_.nonEmpty).toList
+      (ex.getRequestMethod, path) match {
+        case ("POST", Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+          if (body.isEmpty)
+            respond(ex, 400, """{"message":"SQL statement is empty"}""")
+          else {
+            val q = submit(body)
+            // render BEFORE dispatching so the submit response always
+            // reports the observable QUEUED state (the reference's
+            // createQueuedQueryResults does the same)
+            val resp = results(q, base,
+              Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
+            dispatcher.execute(() => run(q))
+            respond(ex, 200, resp)
+          }
+
+        case ("GET", "queued" :: id :: _ :: Nil) =>
+          queries.get(id) match {
+            case None => respond(ex, 404, """{"message":"unknown query"}""")
+            case Some(q) => q.state match {
+              case "FAILED" =>
+                respond(ex, 200, results(q, base, None, None, None))
+              case "FINISHED" =>
+                respond(ex, 200, results(q, base,
+                  Some(s"$base/v1/statement/executing/$id/0"), None, None))
+              case _ => // QUEUED or RUNNING: keep polling
+                respond(ex, 200, results(q, base,
+                  Some(s"$base/v1/statement/queued/$id/1"), None, None))
+            }
+          }
+
+        case ("GET", "executing" :: id :: tok :: Nil) =>
+          queries.get(id) match {
+            case None => respond(ex, 404, """{"message":"unknown query"}""")
+            case Some(q) if q.state == "FAILED" =>
+              respond(ex, 200, results(q, base, None, None, None))
+            case Some(q) if q.state != "FINISHED" =>
+              respond(ex, 200, results(q, base,
+                Some(s"$base/v1/statement/queued/$id/1"), None, None))
+            case Some(q) =>
+              val page = tok.toInt
+              val cols = Some(q.schema)
+              if (q.pages.isEmpty && page == 0)
+                respond(ex, 200,
+                  results(q, base, None, cols, Some(Seq.empty)))
+              else if (page < 0 || page >= q.pages.size)
+                respond(ex, 410, """{"message":"result page expired"}""")
+              else {
+                val next = if (page + 1 < q.pages.size)
+                  Some(s"$base/v1/statement/executing/$id/${page + 1}")
+                else None
+                respond(ex, 200,
+                  results(q, base, next, cols, Some(q.pages(page))))
+              }
+          }
+
+        case ("DELETE", ("queued" | "executing") :: id :: _ :: Nil) =>
+          queries.get(id) match {
+            case None => respond(ex, 404, """{"message":"unknown query"}""")
+            case Some(q) => cancel(q); respond(ex, 204, "")
+          }
+
+        case _ => respond(ex, 404, """{"message":"not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        try respond(ex, 500,
+          s"""{"message":"${esc(String.valueOf(e.getMessage))}"}""")
+        catch { case _: Throwable => () }
+    }
+}
+
+/** Protocol client — the presto-client StatementClientV1.java loop
+  * (POST, then advance() along nextUri until absent, raising the
+  * QueryError if one arrives): used by tests and the driver gate to
+  * round-trip SQL through real localhost HTTP. */
+object StatementClient {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Response(id: String, state: String,
+      nextUri: Option[String], columns: Option[StructType],
+      data: Seq[Row], error: Option[StatementServer.ProtoError])
+
+  private[api] def parse(json: String): Response = {
+    val n = mapper.readTree(json)
+    val cols = Option(n.get("columns")).map { cs =>
+      StructType((0 until cs.size()).map { i =>
+        val c = cs.get(i)
+        StructField(c.get("name").asText,
+          StatementServer.sparkType(c.get("type").asText))
+      })
+    }
+    val rows = (Option(n.get("data")), cols) match {
+      case (Some(d), Some(schema)) =>
+        (0 until d.size()).map { i =>
+          val arr = d.get(i)
+          Row.fromSeq(schema.fields.zipWithIndex.map { case (f, j) =>
+            StatementServer.parseValue(arr.get(j), f.dataType)
+          })
+        }
+      case _ => Seq.empty
+    }
+    val err = Option(n.get("error")).map { e =>
+      StatementServer.ProtoError(e.get("message").asText,
+        e.get("errorCode").asInt, e.get("errorName").asText,
+        e.get("errorType").asText)
+    }
+    Response(n.get("id").asText,
+      Option(n.get("stats")).map(_.get("state").asText).getOrElse(""),
+      Option(n.get("nextUri")).map(_.asText), cols, rows, err)
+  }
+
+  def http(method: String, url: String,
+      body: Option[String]): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+      conn.setRequestProperty("X-Presto-User", "graft")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(UTF_8)) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (in == null) ""
+    else try new String(in.readAllBytes(), UTF_8) finally in.close()
+    (code, text)
+  }
+
+  def post(baseUri: String, sql: String): Response = {
+    val (code, body) = http("POST", s"$baseUri/v1/statement", Some(sql))
+    require(code == 200, s"POST /v1/statement -> $code: $body")
+    parse(body)
+  }
+
+  def advance(uri: String): Response = {
+    val (code, body) = http("GET", uri, None)
+    require(code == 200, s"GET $uri -> $code: $body")
+    parse(body)
+  }
+
+  def cancel(uri: String): Int = http("DELETE", uri, None)._1
+
+  /** Full protocol loop: submit, follow nextUri, assemble the result. */
+  def execute(spark: SparkSession, baseUri: String, sql: String): DataFrame = {
+    var r = post(baseUri, sql)
+    var schema: StructType = null
+    val rows = Vector.newBuilder[Row]
+    var spin = 0
+    while (r.nextUri.isDefined) {
+      r.columns.foreach(schema = _)
+      rows ++= r.data
+      // real clients poll; localhost answers fast, so only yield briefly
+      if (r.data.isEmpty && r.columns.isEmpty) {
+        spin += 1
+        if (spin > 10000) throw new IllegalStateException("poll livelock")
+        Thread.sleep(if (spin > 100) 10 else 0)
+      }
+      r = advance(r.nextUri.get)
+    }
+    r.columns.foreach(schema = _)
+    rows ++= r.data
+    r.error.foreach(e => throw new RuntimeException(
+      s"${e.errorName}: ${e.message}"))
+    require(schema != null, s"no columns returned (state=${r.state})")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.result().asJava, schema)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{StatementClient, StatementServer}
+
+/** The `POST /v1/statement` protocol (api/StatementServer.scala) — the
+  * reference's QueuedStatementResource.java / ExecutingStatementResource
+  * .java lifecycle over real localhost HTTP: queued -> running ->
+  * finished state transitions, result paging via nextUri, the
+  * QueryError shape for failed queries (QueryError.java:26-44), and
+  * DELETE cancellation (USER_CANCELED, StandardErrorCode.java). */
+class StatementProtocolSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val base: String = {
+    Tables.registerAll(spark, sf)
+    StatementServer.ensureStarted(spark, pageSize = 10)
+  }
+
+  test("submit returns QUEUED with a queued nextUri; poll reaches FINISHED") {
+    val r0 = StatementClient.post(base,
+      "SELECT r_regionkey AS k, r_name FROM region ORDER BY k")
+    assert(r0.id.nonEmpty)
+    assert(r0.state == "QUEUED")
+    assert(r0.nextUri.exists(_.contains("/v1/statement/queued/")))
+    assert(r0.columns.isEmpty && r0.data.isEmpty && r0.error.isEmpty)
+
+    // follow the protocol by hand; record every state we see
+    var states = Vector(r0.state)
+    var r = r0
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      r = StatementClient.advance(r.nextUri.get)
+      states :+= r.state
+    }
+    assert(r.error.isEmpty, r.error.toString)
+    assert(states.last == "FINISHED")
+    // every observed state is from the legal client-visible set, and the
+    // sequence is monotone QUEUED* (RUNNING)* FINISHED
+    val rank = Map("QUEUED" -> 0, "RUNNING" -> 1, "FINISHED" -> 2)
+    assert(states.forall(rank.contains), states.toString)
+    assert(states.map(rank) == states.map(rank).sorted, states.toString)
+  }
+
+  test("multi-page result chains nextUri and reassembles losslessly") {
+    val sql = "SELECT c_custkey AS k, c_name, c_acctbal " +
+      "FROM customer WHERE c_custkey < 45 ORDER BY k" // keys start at 0
+    val viaHttp = StatementClient.execute(spark, base, sql)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val direct = graft.api.SqlSession.wrap(spark).sql(sql)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(viaHttp.length == 45) // 45 rows at pageSize=10 -> 5 pages
+    assert(viaHttp.toSeq == direct.toSeq)
+  }
+
+  test("value serde round-trips dates, decimals, arrays, maps and structs") {
+    val sql = """SELECT 1 AS k, DATE '2021-06-15' AS d,
+      | CAST(12.345 AS DECIMAL(10,3)) AS dec,
+      | array(1, 2, 3) AS arr,
+      | map('a', CAST(1.5 AS DOUBLE), 'b', CAST(NULL AS DOUBLE)) AS m,
+      | named_struct('x', 7, 'y', 'hi') AS st,
+      | CAST(NULL AS STRING) AS miss""".stripMargin
+    val row = StatementClient.execute(spark, base, sql).collect()(0)
+    assert(row.getAs[java.sql.Date]("d").toString == "2021-06-15")
+    assert(row.getAs[java.math.BigDecimal]("dec").toPlainString == "12.345")
+    assert(row.getSeq[Int](row.fieldIndex("arr")).toList == List(1, 2, 3))
+    assert(row.getMap[String, Any](row.fieldIndex("m")).toMap ==
+      Map("a" -> 1.5, "b" -> null))
+    assert(row.getAs[org.apache.spark.sql.Row]("st").toSeq == Seq(7, "hi"))
+    assert(row.isNullAt(row.fieldIndex("miss")))
+  }
+
+  test("empty result still delivers columns and FINISHED") {
+    val df = StatementClient.execute(spark, base,
+      "SELECT r_name FROM region WHERE r_regionkey < 0")
+    assert(df.columns.toSeq == Seq("r_name"))
+    assert(df.count() == 0)
+  }
+
+  test("a failing query surfaces the QueryError shape") {
+    val r0 = StatementClient.post(base, "SELECT FROM nonsense !!")
+    var r = r0
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    assert(r.state == "FAILED")
+    val e = r.error.getOrElse(fail("no error payload"))
+    assert(e.message.nonEmpty)
+    assert(e.errorName == "SYNTAX_ERROR")
+    assert(e.errorType == "USER_ERROR")
+    assert(e.errorCode == 1)
+  }
+
+  test("DELETE cancels a queued query (USER_CANCELED)") {
+    // occupy the single dispatch slot so the victim stays QUEUED
+    // deterministically while we cancel it
+    val blocker = StatementClient.post(base,
+      "SELECT count(*) AS c FROM customer a CROSS JOIN customer b " +
+        "CROSS JOIN customer c WHERE a.c_custkey + b.c_custkey + " +
+        "c.c_custkey > 0")
+    val victim = StatementClient.post(base, "SELECT 1 AS one")
+    assert(StatementClient.cancel(victim.nextUri.get) == 204)
+    var r = StatementClient.advance(victim.nextUri.get)
+    assert(r.state == "FAILED")
+    val e = r.error.getOrElse(fail("no error payload"))
+    assert(e.errorName == "USER_CANCELED" && e.errorCode == 3)
+    // drain the blocker so the dispatcher is idle for other tests
+    var b = blocker
+    var guard = 0
+    while (b.nextUri.isDefined && guard < 100000) {
+      guard += 1
+      if (b.columns.isEmpty && b.data.isEmpty) Thread.sleep(5)
+      b = StatementClient.advance(b.nextUri.get)
+    }
+  }
+
+  test("unknown query id is a 404; expired page token is a 410") {
+    assert(StatementClient.http("GET",
+      s"$base/v1/statement/queued/nope_00000_graft/1", None)._1 == 404)
+    val done = StatementClient.post(base, "SELECT 42 AS x")
+    var r = done
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    assert(StatementClient.http("GET",
+      s"$base/v1/statement/executing/${done.id}/99", None)._1 == 410)
+  }
+
+  test("presto type names round-trip through the wire schema") {
+    import org.apache.spark.sql.types._
+    val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
+      ByteType, BooleanType, DoubleType, FloatType, StringType, BinaryType,
+      DateType, TimestampType, DecimalType(12, 4), ArrayType(LongType),
+      MapType(StringType, DoubleType),
+      StructType(Seq(StructField("a", LongType),
+        StructField("b", ArrayType(StringType)))))
+    types.foreach { t =>
+      assert(StatementServer.sparkType(StatementServer.prestoType(t)) == t,
+        s"round-trip failed for $t -> ${StatementServer.prestoType(t)}")
+    }
+  }
+}
