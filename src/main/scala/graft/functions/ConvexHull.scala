@@ -70,10 +70,27 @@ case class ConvexHullAgg(
     if (buf.length <= ConvexHull.Cap) buf
     else scala.collection.mutable.ArrayBuffer.from(ConvexHull.hull(buf.toArray))
 
+  // child is either one point struct<x,y> per row (the Column API) or an
+  // array of them (the SQL name feeds a geometry's full point list per row)
+  private lazy val arrayInput: Boolean =
+    child.dataType.isInstanceOf[ArrayType]
+
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v == null) buf
-    else {
+    else if (arrayInput) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val r = arr.getStruct(i, 2)
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            buf += ((r.getDouble(0), r.getDouble(1)))
+        }
+        i += 1
+      }
+      compact(buf)
+    } else {
       val r = v.asInstanceOf[InternalRow]
       if (r.isNullAt(0) || r.isNullAt(1)) buf
       else compact(buf += ((r.getDouble(0), r.getDouble(1))))

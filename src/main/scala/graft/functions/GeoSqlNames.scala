@@ -340,6 +340,22 @@ object GeoSqlNames {
     (name, usage, es => r(f(c(es, 0), c(es, 1), c(es, 2))))
 
   val entries: Seq[Entry] = Seq[Entry](
+    // aggregates (reference geospatial/aggregation/GeometryUnionAgg.java,
+    // ConvexHullAggregation.java): SQL-text spellings over the existing
+    // Column-API aggregates (GeoFunctions.geometryUnionAgg, ConvexHullAgg)
+    e1("geometry_union_agg",
+      "geometry_union_agg(geometry) - union of disjoint inputs as a sorted collection")(g =>
+      struct(lit("ST_GeometryCollection").as("gtype"),
+        sort_array(flatten(collect_list(parts(g)))).as("geoms"))),
+    e1("convex_hull_agg",
+      "convex_hull_agg(geometry) - convex hull of every input point")(g => {
+      val hull = Bridge.column(ConvexHullAgg(
+        Bridge.expression(allPts(g))).toAggregateExpression())
+      when(size(hull) >= 3, mkGeo("ST_Polygon", hull))
+        .otherwise(when(size(hull) === 2, mkGeo("ST_LineString", hull))
+          .otherwise(when(size(hull) === 1, mkGeo("ST_Point", hull))
+            .otherwise(mkGeo("ST_Empty", hull))))
+    }),
     // constructors + IO (GeoFunctions.java:144-252)
     e2("st_point", "ST_Point(x, y) - point geometry")(pointGeo),
     e1("st_geometryfromtext", "ST_GeometryFromText(wkt) - parse WKT")(

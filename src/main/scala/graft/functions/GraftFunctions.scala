@@ -197,6 +197,31 @@ object GraftFunctions {
       es => DotProduct(es(0), es(1))),
     ("l2_squared", "l2_squared(v1, v2) - squared euclidean distance of two float vectors",
       es => L2Squared(es(0), es(1))),
+    ("create_vector_index",
+      "create_vector_index(table, idCol, embCol, k, path) - build (idempotently) the persisted cell-partitioned IVF index; returns the index path",
+      es => {
+        // the reference's create_vector_index seed
+        // (CreateVectorIndexAggregation.java:37; the real index lives in
+        // the presto-lance connector) routed to the persisted-IVF builder
+        // (ops/Similarity.scala). Arguments must be literals; the build
+        // runs driver-side at resolution, like a DDL statement.
+        def lit(i: Int, what: String): Any = es(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"create_vector_index: $what must be a literal, got ${other.sql}")
+        }
+        def str(i: Int, what: String): String =
+          String.valueOf(lit(i, what))
+        val k = lit(3, "k") match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"create_vector_index: k must be an integer literal, got $other")
+        }
+        val path = graft.ops.Similarity.createVectorIndex(
+          SparkSession.active, str(0, "table"), str(1, "idCol"),
+          str(2, "embCol"), k, str(4, "path"))
+        org.apache.spark.sql.catalyst.expressions.Literal(path)
+      }),
     ("approx_set", "approx_set(x) - mergeable HyperLogLog sketch of the distinct values",
       es => HllSketchAgg(es.head).toAggregateExpression()),
     ("merge_hll", "merge_hll(sketch) - merge HyperLogLog sketches",

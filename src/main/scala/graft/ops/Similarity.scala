@@ -179,6 +179,35 @@ object Similarity {
     probeJoin(probes, idxCells)
   }
 
+  /** The `create_vector_index` SQL name (reference
+    * CreateVectorIndexAggregation.java:37 — in presto-main a seed whose
+    * output is an empty varchar; the real index lives in the lance
+    * connector) routed to the persisted-IVF builder above: build
+    * (idempotently) the cell-partitioned snapshot index for
+    * `table(idCol, embCol)` with `k` deterministic seed centroids (the k
+    * smallest ids) under `path`; returns the index path. Queries then
+    * probe the committed cells without re-clustering. */
+  def createVectorIndex(s: SparkSession, table: String, idCol: String,
+      embCol: String, k: Int, path: String): String = {
+    require(k > 0, s"create_vector_index: k must be positive, got $k")
+    val base = new java.io.File(path)
+    val cellsBase = new java.io.File(base, "cells")
+    val centsBase = new java.io.File(base, "centroids")
+    if (SnapshotTable.currentVersion(cellsBase).isEmpty ||
+        SnapshotTable.currentVersion(centsBase).isEmpty) {
+      val e = s.table(table).select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("embedding"))
+      val cents = e.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      SnapshotTable.write(s, centsBase, cents)
+      SnapshotTable.write(s, cellsBase,
+        centRank(e, cents).filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+          .repartition(col("cell"))) // cell-partitioned, the probe-prune key
+    }
+    base.getPath
+  }
+
   /** One Lloyd iteration of k-means over cosine cells: re-assign every
     * vector to its nearest centroid, then replace each centroid with its
     * cell's element-wise mean. This is the refinement the IVF index trains

@@ -489,4 +489,68 @@ class SqlSessionSpec extends AnyFunSuite {
       .exists(_.getString(0) == "hash_partition_count"))
     spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("geometry_union_agg SQL name: union of disjoint squares per group") {
+    val rows = session.sql(
+      """SELECT n_nationkey % 5 AS g,
+        |  ST_NumGeometries(geometry_union_agg(
+        |    ST_GeometryFromText('POLYGON ((' || CAST(n_nationkey * 10 AS VARCHAR)
+        |      || ' 0, ' || CAST(n_nationkey * 10 + 1 AS VARCHAR) || ' 0, '
+        |      || CAST(n_nationkey * 10 + 1 AS VARCHAR) || ' 1, '
+        |      || CAST(n_nationkey * 10 AS VARCHAR) || ' 1, '
+        |      || CAST(n_nationkey * 10 AS VARCHAR) || ' 0))'))) AS n,
+        |  ST_Area(geometry_union_agg(
+        |    ST_GeometryFromText('POLYGON ((' || CAST(n_nationkey * 10 AS VARCHAR)
+        |      || ' 0, ' || CAST(n_nationkey * 10 + 1 AS VARCHAR) || ' 0, '
+        |      || CAST(n_nationkey * 10 + 1 AS VARCHAR) || ' 1, '
+        |      || CAST(n_nationkey * 10 AS VARCHAR) || ' 1, '
+        |      || CAST(n_nationkey * 10 AS VARCHAR) || ' 0))'))) AS area
+        |FROM nation GROUP BY 1 ORDER BY g""".stripMargin)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    // 25 nations over 5 regions: each group unions its 5 disjoint unit
+    // squares -> 5 parts, total area 5
+    rows.foreach { case (g, n, area) =>
+      assert(n == 5L, s"group $g: expected 5 parts, got $n")
+      assert(math.abs(area - 5.0) < 1e-9, s"group $g area: $area")
+    }
+  }
+
+  test("convex_hull_agg SQL name: hull of per-group points") {
+    val rows = session.sql(
+      """SELECT n_nationkey % 5 AS g,
+        |  ST_GeometryType(convex_hull_agg(
+        |    ST_Point(CAST(n_nationkey % 2 AS DOUBLE) * 4,
+        |             CAST((n_nationkey / 2) % 2 AS DOUBLE) * 4))) AS t,
+        |  ST_Area(convex_hull_agg(
+        |    ST_Point(CAST(n_nationkey % 2 AS DOUBLE) * 4,
+        |             CAST((n_nationkey / 2) % 2 AS DOUBLE) * 4))) AS area
+        |FROM nation GROUP BY 1 ORDER BY g""".stripMargin)
+      .collect().map(r => (r.get(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    // every region holds nations covering all 4 corners of the 4x4 square
+    rows.foreach { case (g, t, area) =>
+      assert(t == "ST_Polygon", s"group $g type: $t")
+      assert(math.abs(area - 16.0) < 1e-9, s"group $g area: $area")
+    }
+  }
+
+  test("create_vector_index SQL name routes to the persisted IVF builder") {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_cvi_spec_" + System.nanoTime()).getPath
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("emb_cvi")
+    val p = session.sql(
+      s"""SELECT create_vector_index('emb_cvi', 'vec_id', 'embedding', 4,
+         |  '$idx') AS path""".stripMargin).collect()(0).getString(0)
+    assert(p == idx)
+    val cells = graft.ops.SnapshotTable.read(spark,
+      new java.io.File(idx, "cells"))
+    val cents = graft.ops.SnapshotTable.read(spark,
+      new java.io.File(idx, "centroids"))
+    assert(cents.count() == 4)
+    assert(cells.columns.toSeq == Seq("vec_id", "embedding", "cell"))
+    // every corpus vector landed in exactly one of the 4 cells
+    assert(cells.count() == Tables(spark, sf, "embeddings").count())
+    assert(cells.select("cell").distinct().count() <= 4)
+  }
 }
