@@ -249,6 +249,49 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** The within-cell duplicate-pair stage shared by semanticDedupSalted
+    * and the skew bench (BenchSkew.scala): for each vector, the smallest
+    * earlier vec_id in the SAME cell with cosine >= tau. With salts > 1
+    * the probe (a) side is split into `salts` deterministic sub-buckets
+    * and the build (b) side replicated to each, so the shuffle key becomes
+    * (cell, salt): a HOT cell (one cell holding 30 % of the corpus — the
+    * worst case an IVF layout meets at 100 TB) spreads across `salts`
+    * tasks instead of one, cutting per-task pair work from c² to c²/salts
+    * while emitting the identical pair set. */
+  private[graft] def semanticDupKeepers(cells: DataFrame, tau: Double,
+      salts: Int): DataFrame = {
+    val (a, b) =
+      if (salts <= 1) (cells, cells)
+      else (cells.withColumn("__salt",
+              pmod(xxhash64(col("vec_id")), lit(salts.toLong))),
+            cells.withColumn("__salt",
+              explode(sequence(lit(0L), lit(salts.toLong - 1)))))
+    val cond = col("a.cell") === col("b.cell") &&
+      col("b.vec_id") < col("a.vec_id") &&
+      (if (salts <= 1) lit(true) else col("a.__salt") === col("b.__salt"))
+    a.as("a").join(b.as("b"), cond)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other"),
+        cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= tau)
+      .groupBy("vec_id").agg(min(col("other")).as("keeper"))
+  }
+
+  /** Skew-hardened SemDeDup: identical semantics (and oracle) to
+    * semanticDedup, but the within-cell self-join runs through the salted
+    * pair stage above — the variant you run when cell sizes are skewed. */
+  def semanticDedupSalted(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cells = Similarity.centRank(e, cents).filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val dup = semanticDupKeepers(cells, 0.45, salts = 4)
+    cells.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("keeper").isNotNull.as("is_dup"), col("keeper"))
+      .orderBy("vec_id")
+  }
+
   /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     * graph, the step a real dedup pipeline runs after candidate pairs —
     * transitive chains (A~B, B~C) must collapse to one cluster with one
@@ -304,9 +347,10 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingLshNearDup,
     "dedup_semantic" -> semanticDedup,
+    "dedup_semantic_salted" -> semanticDedupSalted,
     "dedup_clusters" -> nearDupClusters)
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_unique,
         | CAST(SUM(n_copies) AS BIGINT) AS n_docs,
@@ -482,4 +526,10 @@ object Dedup {
         |SELECT c.vec_id, c.cell, k.keeper IS NOT NULL AS is_dup, k.keeper
         |FROM cells c LEFT JOIN k ON k.vec_id = c.vec_id
         |ORDER BY c.vec_id""".stripMargin)
+
+  // the salted variant emits the IDENTICAL pair set, so it shares the
+  // dedup_semantic oracle verbatim — the driver hash-verifies that the
+  // salting changed the distribution, never the answer
+  val oracle: Map[String, String] =
+    oracleBase + ("dedup_semantic_salted" -> oracleBase("dedup_semantic"))
 }

@@ -377,6 +377,18 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Per-(key, salt) row counts under saltedJoin's exact bucketing — the
+    * partition-size histogram a skew audit reads (BenchSkew, SkewSpec):
+    * a hot key is healthy when its rows spread over all `buckets` salts
+    * with no bucket far above rows/buckets. */
+  def saltedShuffleHistogram(big: DataFrame, bigKey: String,
+      buckets: Int): DataFrame =
+    big.withColumn("__salt",
+        pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+          lit(buckets)))
+      .groupBy(col(bigKey), col("__salt"))
+      .agg(count(lit(1)).as("rows"))
+
   /** Gate query: skew-salted join equals the plain join (aggregated). */
   def joinSalted(s: SparkSession, dir: String): DataFrame =
     saltedJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
