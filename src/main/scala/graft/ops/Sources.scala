@@ -265,7 +265,42 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** Delta-log table scan (reference presto-delta/; ops/DeltaLake.scala):
+    * the gate BUILDS a protocol-conformant `_delta_log` fixture — v0 adds
+    * one file covering o_orderkey <= 1000, v1 compacts it away (remove)
+    * and adds two files covering <= 500 and (500, 1500] — then reads the
+    * snapshot back through the JSON-action replay. If tombstones were
+    * ignored the <= 1000 rows would double and the hash would differ; the
+    * oracle is the plain predicate over the base table. */
+  def deltaRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_" + Integer.toHexString(dir.hashCode))
+    val v1 = new java.io.File(base, "_delta_log/00000000000000000001.json")
+    if (!v1.exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "f0.parquet")
+      DeltaLake.commit(base, 0, Seq(
+        DeltaLake.protocolAction,
+        DeltaLake.metaDataAction(o.schema),
+        DeltaLake.addAction("f0.parquet")))
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "f1.parquet")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500),
+        base, "f2.parquet")
+      DeltaLake.commit(base, 1, Seq(
+        DeltaLake.removeAction("f0.parquet"),
+        DeltaLake.addAction("f1.parquet"),
+        DeltaLake.addAction("f2.parquet")))
+    }
+    DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_delta_read" -> deltaRead,
     "src_kafka_batch" -> kafkaBatch,
     "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -281,6 +316,10 @@ object Sources {
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_delta_read" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin,
     "src_kafka_batch" ->
       """SELECT event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,

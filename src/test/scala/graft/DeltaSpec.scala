@@ -1,0 +1,91 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.DeltaLake
+
+/** Minimal Delta-log reader (ops/DeltaLake.scala; reference presto-delta/):
+  * JSON-action replay — add/remove tombstones, last-metaData-wins schema,
+  * partitionValues injection as typed columns. */
+class DeltaSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(tag: String): File = {
+    val f = new File(sys.props("java.io.tmpdir"),
+      s"graft_delta_spec_${tag}_${System.nanoTime()}")
+    f.mkdirs()
+    f
+  }
+
+  test("replay applies removes: compacted files never resurface") {
+    val dir = freshDir("rm")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    // v1 compaction: rewrite f0 as f1 (same rows) + add f2
+    DeltaLake.writeDataFile(df, dir, "f1.parquet")
+    DeltaLake.writeDataFile(Seq((4L, "d")).toDF("k", "s"), dir, "f2.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.removeAction("f0.parquet"),
+      DeltaLake.addAction("f1.parquet"), DeltaLake.addAction("f2.parquet")))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("partitionValues inject typed partition columns per file group") {
+    val dir = freshDir("part")
+    val full = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "double").add("p", "integer")
+    // data files carry only (k, v); p lives in the log
+    DeltaLake.writeDataFile(Seq((1L, 1.5), (2L, 2.5)).toDF("k", "v"),
+      dir, "p1.parquet")
+    DeltaLake.writeDataFile(Seq((3L, 3.5)).toDF("k", "v"), dir, "p2.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(full, Seq("p")),
+      DeltaLake.addAction("p1.parquet", Map("p" -> "10")),
+      DeltaLake.addAction("p2.parquet", Map("p" -> "20"))))
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(out.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, 1.5, 10), (2L, 2.5, 10), (3L, 3.5, 20)))
+    // a filter on the partition column folds to a constant per file group:
+    // only p=20 files are scanned (one group remains)
+    assert(out.filter(col("p") === 20).count() == 1)
+  }
+
+  test("last metaData wins: schema evolution adds a column") {
+    val dir = freshDir("evo")
+    val v0 = Seq((1L, "x")).toDF("k", "s")
+    DeltaLake.writeDataFile(v0, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(v0.schema), DeltaLake.addAction("f0.parquet")))
+    val widened = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("s", "string").add("extra", "double")
+    val v1 = Seq((2L, "y", 9.5)).toDF("k", "s", "extra")
+    DeltaLake.writeDataFile(v1, dir, "f1.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.metaDataAction(widened),
+      DeltaLake.addAction("f1.parquet")))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).isNullAt(2)) // old file: null
+    assert(out(1).getLong(0) == 2L && out(1).getDouble(2) == 9.5)
+  }
+
+  test("fully-removed table reads as empty with the declared schema") {
+    val dir = freshDir("empty")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.removeAction("f0.parquet")))
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(out.count() == 0)
+  }
+}
