@@ -243,10 +243,16 @@ object Bench {
     val contam = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dsmat = suite != "tpch"
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"box_drift":${fmt(drift)},"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","queries":$qs,"query_min":$mins}"""
-    // the JSON line goes out FIRST and flushed (before spark.stop() noise /
-    // the sbt epilogue), and a full copy lands in BENCH_LAST.json so a
-    // truncated wrapper can always be reconstructed
+    // The driver wrapper keeps only the LAST 2000 chars of stdout and tries
+    // to parse a JSON line out of that window; the full line (~5 KB with 121
+    // per-query entries) gets its head cut off, so r8/r9 shipped
+    // "parsed": null. Emit a compact headline-only line both BEFORE and
+    // AFTER the full line: whichever end of stdout the driver scans, a
+    // complete parseable object is inside the window. Per-query detail
+    // stays in the full line and in BENCH_LAST.json.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"box_drift":${fmt(drift)},"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
     println(line)
+    println(compact)
     System.out.flush()
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -1728,6 +1728,9 @@ object Tpcds {
         sqrt((col("n") * col("ssq") - col("s") * col("s")).cast("double") /
           (col("n") * (col("n") - 1)).cast("double")) / col("mean"))
       .filter(col("cov") > 0.5)
+      // consumed twice (March/April sides of the self-join): without this
+      // the inventory scan + groupBy runs twice, like q14/q24/q75
+      .persist()
     val m1 = monthly.filter(col("d_moy") === 3).select(
       col("inv_warehouse_sk").as("w_warehouse_sk"),
       col("inv_item_sk").as("i_item_sk"),
