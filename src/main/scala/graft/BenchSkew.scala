@@ -71,7 +71,9 @@ object BenchSkew {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4x cores: 8 cells x salts bucket keys must not collapse into
+      // few shuffle partitions, or salting re-serializes
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // the shuffle-join path is the one under test (at scale neither
       // side broadcasts); AQE stays ON — production config
@@ -115,7 +117,7 @@ object BenchSkew {
     val hotMaxShare = hotBuckets.max.toDouble / hotRows
 
     // ---- 2. SemDeDup pair stage with a hot IVF cell -------------------
-    val nv = 20000L
+    val nv = 10000L
     // cell 0 takes 30 % of vectors; 7 more cells share the rest. Each
     // vector points mostly along its cell axis with deterministic noise,
     // so same-cell cosines are high and the pair stage does real work.
@@ -133,8 +135,8 @@ object BenchSkew {
     def semantic(salts: Int): Long =
       ops.Dedup.semanticDupKeepers(cells, 0.45, salts).count()
 
-    semantic(8) // prewarm the pair-stage codegen on the cheap path
-    val semSalted = measure(spark)(semantic(8))
+    semantic(16) // prewarm the pair-stage codegen on the cheap path
+    val semSalted = measure(spark)(semantic(16))
     val semPlain = measure(spark)(semantic(1))
 
     def fmt(d: Double): String =
