@@ -719,6 +719,18 @@ object GraftFunctions {
       }),
     ("nan", "nan() - the double NaN value",
       _ => org.apache.spark.sql.catalyst.expressions.Literal(Double.NaN)),
+    ("localtime",
+      "localtime() - current time of day (session zone) as TIME; the bare " +
+        "reference spelling is rewritten to this by the dialect",
+      _ => {
+        def fn(name: String, args: Expression*) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq(name), args, isDistinct = false)
+        val lts = fn("localtimestamp")
+        fn("make_time", fn("hour", lts), fn("minute", lts),
+          org.apache.spark.sql.catalyst.expressions.Cast(fn("second", lts),
+            org.apache.spark.sql.types.DoubleType))
+      }),
     ("to_utf8", "to_utf8(s) - string as UTF-8 varbinary",
       es => org.apache.spark.sql.catalyst.expressions.Encode(es.head,
         org.apache.spark.sql.catalyst.expressions.Literal("UTF-8"))),

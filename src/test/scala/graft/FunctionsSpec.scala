@@ -1104,6 +1104,10 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ses.sql("SELECT localtime AS v").schema.head.dataType.sql
       .toLowerCase.startsWith("time"), "localtime is a TIME value")
+    // the parenthesized spelling resolves through the registry too (the
+    // name-sweep contract), with the same TIME result type
+    assert(ses.sql("SELECT localtime() AS v").schema.head.dataType.sql
+      .toLowerCase.startsWith("time"), "localtime() resolves via registry")
   }
 
   test("spooky_hash_v2 matches the reference's own test vectors") {
