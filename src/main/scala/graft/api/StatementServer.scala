@@ -53,13 +53,20 @@ object StatementServer {
   /** One submitted query's lifecycle. States mirror the reference's
     * client-visible QueryState subset: QUEUED -> RUNNING ->
     * FINISHED | FAILED. */
-  private final class QueryExec(val id: String, val sql: String) {
+  private final class QueryExec(val id: String, val sql: String,
+      val sessionProps: Seq[(String, String)] = Seq.empty,
+      val prepares: Seq[(String, String)] = Seq.empty) {
     @volatile var state: String = "QUEUED"
     @volatile var canceled: Boolean = false
     @volatile var schema: StructType = _
     @volatile var pages: Vector[Seq[Row]] = Vector.empty
     @volatile var error: ProtoError = _
     @volatile var rowCount: Long = 0L
+    /** Protocol response headers earned by the statement itself
+      * (X-Presto-Set-Session / X-Presto-Added-Prepare / ...), attached to
+      * every later response for this query — how the reference tells the
+      * client to fold the effect into its next request. */
+    @volatile var respHeaders: Map[String, String] = Map.empty
     val createdNanos: Long = System.nanoTime()
   }
 
@@ -359,26 +366,88 @@ object StatementServer {
 
   // ---------- lifecycle
 
-  private def submit(sql: String): QueryExec = {
+  private def submit(sql: String, sessionProps: Seq[(String, String)],
+      prepares: Seq[(String, String)]): QueryExec = {
     // reference id shape: yyyyMMdd_HHmmss_NNNNN_xxxxx (QueryIdGenerator)
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
-    val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft", sql)
+    val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft",
+      sql, sessionProps, prepares)
     queries.put(q.id, q)
     q
+  }
+
+  /** Parse an X-Presto-Session / X-Presto-Prepared-Statement header list:
+    * each value is `key=value` with the value URL-encoded (the client
+    * encodes; StatementClientV1 decodes the response counterparts the
+    * same way). Multiple pairs arrive as repeated headers or
+    * comma-separated. */
+  private def headerPairs(ex: com.sun.net.httpserver.HttpExchange,
+      name: String): Seq[(String, String)] = {
+    val vs = ex.getRequestHeaders.get(name)
+    if (vs == null) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      vs.asScala.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map { pair =>
+          val i = pair.indexOf('=')
+          require(i > 0, s"malformed $name header: $pair")
+          (pair.substring(0, i).trim,
+            java.net.URLDecoder.decode(pair.substring(i + 1).trim, "UTF-8"))
+        }
+    }
+  }
+
+  /** Response-header side effects of the statement itself, as the
+    * reference's coordinator reports them (PrestoHeaders.java:28-34): the
+    * client folds these into its next request's X-Presto-* headers. */
+  private def statementHeaders(sql: String): Map[String, String] = {
+    val t = sql.trim
+    val SetSession = """(?is)\ASET\s+SESSION\s+(\w+)\s*=\s*(.+)\z""".r
+    val ResetSession = """(?is)\ARESET\s+SESSION\s+(\w+)\z""".r
+    val Prepare = """(?is)\APREPARE\s+(\w+)\s+FROM\s+(.+)\z""".r
+    val Dealloc = """(?is)\ADEALLOCATE\s+PREPARE\s+(\w+)\z""".r
+    t match {
+      case SetSession(k, v) =>
+        Map("X-Presto-Set-Session" ->
+          (k + "=" + java.net.URLEncoder.encode(
+            v.trim.stripPrefix("'").stripSuffix("'"), "UTF-8")))
+      case ResetSession(k) => Map("X-Presto-Clear-Session" -> k)
+      case Prepare(name, body) =>
+        Map("X-Presto-Added-Prepare" ->
+          (name + "=" + java.net.URLEncoder.encode(body.trim, "UTF-8")))
+      case Dealloc(name) => Map("X-Presto-Deallocated-Prepare" -> name)
+      case _ => Map.empty
+    }
   }
 
   private def run(q: QueryExec): Unit = {
     if (q.canceled) return // DELETE already recorded the failure
     q.state = "RUNNING"
     val spark = session
+    val ses = SqlSession.wrap(spark)
+    // per-request session context from X-Presto-Session /
+    // X-Presto-Prepared-Statement headers: applied before the statement,
+    // unwound after — the dispatcher is single-threaded, so the shared
+    // SparkSession sees one request's context at a time (the reference
+    // rebuilds a Session per request from the same headers)
+    val applied = scala.collection.mutable.ListBuffer.empty[String]
     try {
       spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
-      val df = SqlSession.wrap(spark).sql(q.sql)
+      q.sessionProps.foreach { case (k, v) =>
+        ses.sql(s"SET SESSION $k = '$v'")
+        applied += s"RESET SESSION $k"
+      }
+      q.prepares.foreach { case (name, body) =>
+        ses.sql(s"PREPARE $name FROM $body")
+        applied += s"DEALLOCATE PREPARE $name"
+      }
+      val df = ses.sql(q.sql)
       q.schema = df.schema
       val rows = df.collect().toSeq
       q.rowCount = rows.size.toLong
       q.pages = rows.grouped(pageRows).toVector
+      q.respHeaders = statementHeaders(q.sql)
       if (q.canceled) () // cancel already set FAILED; keep that terminal state
       else q.state = "FINISHED"
     } catch {
@@ -392,7 +461,11 @@ object StatementServer {
       case e: Throwable =>
         fail(q, ProtoError(String.valueOf(e.getMessage), 65536,
           "GENERIC_INTERNAL_ERROR", "INTERNAL_ERROR"))
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      applied.reverseIterator.foreach(stmt =>
+        try ses.sql(stmt) catch { case _: Throwable => () })
+      spark.sparkContext.clearJobGroup()
+    }
   }
 
   private def fail(q: QueryExec, e: ProtoError): Unit = {
@@ -412,9 +485,10 @@ object StatementServer {
   // ---------- HTTP
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
-      body: String): Unit = {
+      body: String, headers: Map[String, String] = Map.empty): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
     if (code == 204) ex.sendResponseHeaders(204, -1L)
     else {
       ex.sendResponseHeaders(code, bytes.length.toLong)
@@ -435,7 +509,9 @@ object StatementServer {
           if (body.isEmpty)
             respond(ex, 400, """{"message":"SQL statement is empty"}""")
           else {
-            val q = submit(body)
+            val q = submit(body,
+              headerPairs(ex, "X-Presto-Session"),
+              headerPairs(ex, "X-Presto-Prepared-Statement"))
             // render BEFORE dispatching so the submit response always
             // reports the observable QUEUED state (the reference's
             // createQueuedQueryResults does the same)
@@ -450,10 +526,12 @@ object StatementServer {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
             case Some(q) => q.state match {
               case "FAILED" =>
-                respond(ex, 200, results(q, base, None, None, None))
+                respond(ex, 200, results(q, base, None, None, None),
+                  q.respHeaders)
               case "FINISHED" =>
                 respond(ex, 200, results(q, base,
-                  Some(s"$base/v1/statement/executing/$id/0"), None, None))
+                  Some(s"$base/v1/statement/executing/$id/0"), None, None),
+                  q.respHeaders)
               case _ => // QUEUED or RUNNING: keep polling
                 respond(ex, 200, results(q, base,
                   Some(s"$base/v1/statement/queued/$id/1"), None, None))
@@ -473,7 +551,8 @@ object StatementServer {
               val cols = Some(q.schema)
               if (q.pages.isEmpty && page == 0)
                 respond(ex, 200,
-                  results(q, base, None, cols, Some(Seq.empty)))
+                  results(q, base, None, cols, Some(Seq.empty)),
+                  q.respHeaders)
               else if (page < 0 || page >= q.pages.size)
                 respond(ex, 410, """{"message":"result page expired"}""")
               else {
@@ -481,7 +560,8 @@ object StatementServer {
                   Some(s"$base/v1/statement/executing/$id/${page + 1}")
                 else None
                 respond(ex, 200,
-                  results(q, base, next, cols, Some(q.pages(page))))
+                  results(q, base, next, cols, Some(q.pages(page))),
+                  q.respHeaders)
               }
           }
 
@@ -544,10 +624,19 @@ object StatementClient {
 
   def http(method: String, url: String,
       body: Option[String]): (Int, String) = {
+    val (code, text, _) = httpFull(method, url, body, Map.empty)
+    (code, text)
+  }
+
+  /** Raw exchange including request X-Presto-* headers and the response
+    * headers (X-Presto-Set-Session / X-Presto-Added-Prepare / ...). */
+  def httpFull(method: String, url: String, body: Option[String],
+      reqHeaders: Map[String, String]): (Int, String, Map[String, String]) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
+    reqHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     body.foreach { b =>
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
@@ -559,11 +648,23 @@ object StatementClient {
     val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val text = if (in == null) ""
     else try new String(in.readAllBytes(), UTF_8) finally in.close()
-    (code, text)
+    import scala.jdk.CollectionConverters._
+    // the JDK HttpServer lowercases header tails (X-presto-set-session);
+    // canonicalize each dash segment back to the documented spelling
+    def canon(k: String): String = k.split('-')
+      .map(s => if (s.isEmpty) s else s.head.toUpper +: s.tail.toLowerCase)
+      .mkString("-")
+    val respHeaders = conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null && k.toLowerCase.startsWith("x-presto-") =>
+        canon(k) -> vs.asScala.mkString(",")
+    }.toMap
+    (code, text, respHeaders)
   }
 
-  def post(baseUri: String, sql: String): Response = {
-    val (code, body) = http("POST", s"$baseUri/v1/statement", Some(sql))
+  def post(baseUri: String, sql: String,
+      headers: Map[String, String] = Map.empty): Response = {
+    val (code, body, _) =
+      httpFull("POST", s"$baseUri/v1/statement", Some(sql), headers)
     require(code == 200, s"POST /v1/statement -> $code: $body")
     parse(body)
   }
@@ -572,6 +673,13 @@ object StatementClient {
     val (code, body) = http("GET", uri, None)
     require(code == 200, s"GET $uri -> $code: $body")
     parse(body)
+  }
+
+  /** advance() plus the response's X-Presto-* headers. */
+  def advanceFull(uri: String): (Response, Map[String, String]) = {
+    val (code, body, hdrs) = httpFull("GET", uri, None, Map.empty)
+    require(code == 200, s"GET $uri -> $code: $body")
+    (parse(body), hdrs)
   }
 
   def cancel(uri: String): Int = http("DELETE", uri, None)._1

@@ -131,6 +131,73 @@ class StatementProtocolSpec extends AnyFunSuite {
       s"$base/v1/statement/executing/${done.id}/99", None)._1 == 410)
   }
 
+  test("X-Presto-Session header sets per-request session context") {
+    // the header context is visible to the statement, then unwound
+    val r0 = StatementClient.post(base, "SHOW SESSION",
+      Map("X-Presto-Session" -> "optimize_hash_generation=true"))
+    val df = {
+      var r = r0
+      val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+      var guard = 0
+      while (r.nextUri.isDefined && guard < 10000) {
+        guard += 1; rows ++= r.data
+        r = StatementClient.advance(r.nextUri.get)
+      }
+      rows ++= r.data
+      rows.result()
+    }
+    assert(df.exists(row => row.getString(0) == "optimize_hash_generation" &&
+      row.getString(1) == "true"), df.map(_.toString).mkString("; "))
+    // unwound: a headerless SHOW SESSION no longer lists the property
+    val after = StatementClient.execute(spark, base, "SHOW SESSION")
+      .collect()
+    assert(!after.exists(_.getString(0) == "optimize_hash_generation"))
+  }
+
+  test("X-Presto-Prepared-Statement header makes EXECUTE work") {
+    val sql = java.net.URLEncoder.encode(
+      "SELECT r_regionkey AS k FROM region ORDER BY k", "UTF-8")
+    val r0 = StatementClient.post(base, "EXECUTE stmt_hdr",
+      Map("X-Presto-Prepared-Statement" -> s"stmt_hdr=$sql"))
+    var r = r0
+    var n = 0
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1; n += r.data.size
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    n += r.data.size
+    assert(r.error.isEmpty, r.error.toString)
+    assert(n == 5)
+  }
+
+  test("SET SESSION / PREPARE statements earn protocol response headers") {
+    def finalHeaders(sql: String): Map[String, String] = {
+      var r = StatementClient.post(base, sql)
+      var hdrs = Map.empty[String, String]
+      var guard = 0
+      while (r.nextUri.isDefined && guard < 10000) {
+        guard += 1
+        val (r2, h2) = StatementClient.advanceFull(r.nextUri.get)
+        r = r2
+        if (h2.nonEmpty) hdrs = h2
+      }
+      hdrs
+    }
+    val set = finalHeaders("SET SESSION optimize_hash_generation = 'true'")
+    assert(set.get("X-Presto-Set-Session")
+      .contains("optimize_hash_generation=true"), set.toString)
+    val prep = finalHeaders("PREPARE hdr_q FROM SELECT 1 AS one")
+    assert(prep.get("X-Presto-Added-Prepare").exists(_.startsWith("hdr_q=")),
+      prep.toString)
+    val dealloc = finalHeaders("DEALLOCATE PREPARE hdr_q")
+    assert(dealloc.get("X-Presto-Deallocated-Prepare").contains("hdr_q"),
+      dealloc.toString)
+    // clean up the session property the SET statement left behind
+    StatementClient.execute(spark, base,
+      "RESET SESSION optimize_hash_generation")
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
