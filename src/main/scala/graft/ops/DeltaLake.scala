@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   * Scale note: replay reads ONLY the JSON log (KBs per commit), never
   * data; the data scan is a plain multi-file parquet read with pushdown
   * and pruning intact — exactly how the reference connector maps Delta
-  * metadata onto its Hive-style parquet scan. Checkpoint-parquet compaction
-  * (`_last_checkpoint`) is documented out of scope: fixtures replay pure
-  * JSON logs; a production log would need the checkpoint branch added.
+  * metadata onto its Hive-style parquet scan. Checkpoint compaction is
+  * supported: `_last_checkpoint` + `<v>.checkpoint.parquet` seed the
+  * snapshot and only later JSON commits replay, so the reader survives
+  * log retention and replay stays O(commits since checkpoint).
+  * Multi-part checkpoints (`parts` in _last_checkpoint) are not handled.
   */
 object DeltaLake {
 
@@ -39,17 +41,57 @@ object DeltaLake {
   private final case class AddFile(path: String,
       partitionValues: Map[String, String])
 
-  /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles). */
-  private def replay(tableDir: File)
+  /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles).
+    * When `_last_checkpoint` exists, the snapshot seeds from the
+    * checkpoint parquet (one row per action, nullable `add` / `remove` /
+    * `metaData` / `protocol` struct columns — the protocol's compaction
+    * format) and only the JSON commits AFTER the checkpoint version
+    * replay on top: the reader stays correct after log retention deletes
+    * old commits, and replay cost is O(commits since checkpoint). */
+  private def replay(s: SparkSession, tableDir: File)
       : (StructType, Seq[String], Seq[AddFile]) = {
     val logDir = new File(tableDir, "_delta_log")
-    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .sortBy(_.getName)
-    require(commits.nonEmpty, s"no _delta_log commits under $tableDir")
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // checkpoint seed
+    val lastCkpt = new File(logDir, "_last_checkpoint")
+    val ckptVersion: Long = if (!lastCkpt.isFile) -1L else {
+      val n = mapper.readTree(new String(
+        java.nio.file.Files.readAllBytes(lastCkpt.toPath), UTF_8))
+      val v = n.get("version").asLong
+      val ckpt = new File(logDir, f"$v%020d.checkpoint.parquet")
+      require(ckpt.exists(), s"_last_checkpoint names missing $ckpt")
+      val rows = s.read.parquet(ckpt.getPath).collect()
+      val cols = rows.headOption.map(_.schema.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      rows.foreach { r =>
+        if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
+          val m = r.getStruct(r.fieldIndex("metaData"))
+          schema = DataType.fromJson(
+            m.getAs[String]("schemaString")).asInstanceOf[StructType]
+          partCols = m.getAs[scala.collection.Seq[String]](
+            "partitionColumns").toSeq
+        }
+        if (cols("add") && !r.isNullAt(r.fieldIndex("add"))) {
+          val a = r.getStruct(r.fieldIndex("add"))
+          val pv = Option(a.getAs[scala.collection.Map[String, String]](
+            "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+          active.put(a.getAs[String]("path"),
+            AddFile(a.getAs[String]("path"), pv))
+        }
+        if (cols("remove") && !r.isNullAt(r.fieldIndex("remove")))
+          active.remove(r.getStruct(r.fieldIndex("remove"))
+            .getAs[String]("path"))
+      }
+      v
+    }
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .filter(_.getName.stripSuffix(".json").toLong > ckptVersion)
+      .sortBy(_.getName)
+    require(ckptVersion >= 0 || commits.nonEmpty,
+      s"no _delta_log commits under $tableDir")
     for (commit <- commits;
          line <- new String(java.nio.file.Files.readAllBytes(
            commit.toPath), UTF_8).split('\n') if line.trim.nonEmpty) {
@@ -85,7 +127,7 @@ object DeltaLake {
   /** Read the current snapshot of a Delta table directory. */
   def read(s: SparkSession, tableDir: String): DataFrame = {
     val dir = new File(tableDir)
-    val (schema, partCols, files) = replay(dir)
+    val (schema, partCols, files) = replay(s, dir)
     val dataSchema = StructType(schema.fields.filterNot(f =>
       partCols.contains(f.name)))
     if (files.isEmpty)
@@ -142,6 +184,55 @@ object DeltaLake {
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+
+  /** Compact the current snapshot into a protocol checkpoint: one parquet
+    * row per action (nullable add/metaData/protocol struct columns) at the
+    * latest commit version, plus the `_last_checkpoint` pointer. JSON
+    * commits at or below the returned version may then be deleted
+    * (retention) — the reader seeds from the checkpoint. */
+  def writeCheckpoint(s: SparkSession, tableDir: File): Long = {
+    val logDir = new File(tableDir, "_delta_log")
+    val (schema, partCols, files) = replay(s, tableDir)
+    val version = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map(_.getName.stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+    require(version >= 0, s"nothing to checkpoint under $tableDir")
+    import org.apache.spark.sql.Row
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val rows: Seq[Row] =
+      Seq(Row(null, Row("graft-fixture", schema.json, partCols, 0L), null),
+        Row(null, null, Row(1, 2))) ++
+        files.map(f =>
+          Row(Row(f.path, f.partitionValues, 0L, 0L, true), null, null))
+    import scala.jdk.CollectionConverters._
+    val df = s.createDataFrame(rows.asJava, ckptSchema)
+    val staging = new File(logDir, ".staging_ckpt")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new File(logDir, f"$version%020d.checkpoint.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+    java.nio.file.Files.write(new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
+    version
+  }
 
   /** Write `df` as one parquet data file `name` inside `tableDir` (no log
     * entry — pair with addAction in a commit). */

@@ -1,0 +1,102 @@
+package graft.ops
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Hudi COPY_ON_WRITE table reader — the reference ships a full
+  * connector (presto-hudi/, whose HudiSplitManager.java:128 asks Hudi's
+  * HoodieTableFileSystemView for the latest base file per file group);
+  * the on-disk layout itself is public:
+  *
+  *  - `.hoodie/<instantTime>.commit` marks a COMPLETED commit;
+  *    `.inflight` / `.requested` timeline files are in-progress and must
+  *    not be read;
+  *  - data files are parquet named `<fileId>_<writeToken>_<instantTime>
+  *    .parquet` inside (possibly nested) partition directories; a
+  *    copy-on-write commit REWRITES a file group by writing a new base
+  *    file with the same fileId and a newer instantTime;
+  *  - a snapshot read takes, per (partitionPath, fileId) file group, the
+  *    base file with the max COMPLETED instantTime — older slices and
+  *    files of uncommitted instants are invisible.
+  *
+  * This reader replays exactly that rule with driver-side directory
+  * listing (timeline + names only, KBs — never data) and hands the
+  * selected files to one multi-path parquet scan, so pushdown/pruning
+  * are intact. Scope: CoW snapshot reads; MERGE_ON_READ log-file merging
+  * and Hudi's internal metadata table are out of scope (the reference
+  * reads MoR via Hudi's own reader stack).
+  */
+object HudiCow {
+
+  private val BaseFile = """(.+?)_(\d+-\d+-\d+)_(\d+)\.parquet""".r
+
+  /** (partitionPath, fileId, instantTime, file) for every base file. */
+  private def listBaseFiles(dir: File, rel: String)
+      : Seq[(String, String, String, File)] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+      case d if d.isDirectory && d.getName != ".hoodie" &&
+          !d.getName.startsWith(".") =>
+        listBaseFiles(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}")
+      case f if f.isFile => f.getName match {
+        case BaseFile(fileId, _, instant) => Seq((rel, fileId, instant, f))
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+
+  /** Read the latest committed snapshot of a Hudi CoW table. */
+  def read(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val timeline = new File(dir, ".hoodie")
+    require(timeline.isDirectory, s"not a Hudi table (no .hoodie): $tableDir")
+    val completed = Option(timeline.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".commit"))
+      .map(_.getName.stripSuffix(".commit")).toSet
+    val latest = listBaseFiles(dir, "")
+      .filter { case (_, _, instant, _) => completed(instant) }
+      .groupBy { case (part, fileId, _, _) => (part, fileId) }
+      .map { case (_, slices) => slices.maxBy(_._3)._4 }
+      .toSeq
+    require(latest.nonEmpty, s"no committed base files under $tableDir")
+    s.read.parquet(latest.map(_.getPath): _*)
+  }
+
+  // ---------- fixture writer (tests + the driver gate)
+
+  /** Write `df` as the base file of file group `fileId` at `instant`
+    * (optionally inside a partition dir); no timeline entry — pair with
+    * completeCommit. */
+  def writeBaseFile(df: DataFrame, tableDir: File, partition: String,
+      fileId: String, instant: String): Unit = {
+    val dest = if (partition.isEmpty) tableDir
+    else new File(tableDir, partition)
+    dest.mkdirs()
+    val staging = new File(dest, s".staging_$fileId$instant")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new File(dest, s"${fileId}_0-0-0_$instant.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+  }
+
+  /** Mark `instant` completed on the timeline. */
+  def completeCommit(tableDir: File, instant: String): Unit = {
+    val timeline = new File(tableDir, ".hoodie")
+    timeline.mkdirs()
+    java.nio.file.Files.write(
+      new File(timeline, s"$instant.commit").toPath,
+      "{}".getBytes("UTF-8"))
+  }
+
+  /** Mark `instant` in-flight (its files must stay invisible). */
+  def inflightCommit(tableDir: File, instant: String): Unit = {
+    val timeline = new File(tableDir, ".hoodie")
+    timeline.mkdirs()
+    java.nio.file.Files.write(
+      new File(timeline, s"$instant.inflight").toPath,
+      "{}".getBytes("UTF-8"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Iceberg v1 TABLE READER — the reference ships a full connector
+  * (presto-iceberg/); the table format itself is a public spec:
+  *
+  *  - `metadata/version-hint.text` names the current metadata version;
+  *    `metadata/vN.metadata.json` carries `current-snapshot-id` and the
+  *    snapshot list, each snapshot pointing at a MANIFEST LIST;
+  *  - the manifest list is an Avro file of `manifest_path` entries; each
+  *    manifest is an Avro file of entries with a `status` (1=ADDED,
+  *    0=EXISTING, 2=DELETED) and a `data_file` record whose `file_path`
+  *    names a parquet data file;
+  *  - a snapshot scan = every non-DELETED data file reachable from the
+  *    current snapshot's manifest list.
+  *
+  * Avro files embed their schemas, so the reader needs no hand-declared
+  * schemas (avro-core's GenericDatumReader resolves by field name — real
+  * Iceberg manifests with their many extra stats fields read the same
+  * way). Identity-partitioned Iceberg data files physically CONTAIN
+  * their partition columns, so no value injection is needed. Metadata
+  * I/O is driver-side and KB-sized; the data scan is one multi-path
+  * parquet read with pushdown intact — the same split the reference's
+  * connector makes. Scope: v1 snapshot reads; v2 positional/equality
+  * delete files and non-identity partition transforms are out of scope.
+  */
+object IcebergTable {
+
+  private val mapper = new ObjectMapper()
+
+  /** Resolve a spec path (absolute, file:-URI, or table-relative). */
+  private def resolve(tableDir: File, p: String): File = {
+    val clean = p.stripPrefix("file:")
+    val f = new File(clean)
+    if (f.isAbsolute) f else new File(tableDir, clean)
+  }
+
+  private def avroRecords(f: File): Seq[GenericRecord] = {
+    val reader = DataFileReader.openReader(f,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      out.result()
+    } finally reader.close()
+  }
+
+  /** Read the current snapshot of an Iceberg v1 table directory. */
+  def read(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val metaDir = new File(dir, "metadata")
+    require(metaDir.isDirectory, s"not an Iceberg table: $tableDir")
+    val hint = new File(metaDir, "version-hint.text")
+    val version =
+      if (hint.isFile) new String(java.nio.file.Files.readAllBytes(
+        hint.toPath), UTF_8).trim.toInt
+      else Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).collect {
+          case n if n.matches("v\\d+\\.metadata\\.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt
+        }.foldLeft(-1)(math.max)
+    val metaFile = new File(metaDir, s"v$version.metadata.json")
+    require(metaFile.isFile, s"missing $metaFile")
+    val meta = mapper.readTree(new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), UTF_8))
+    val snapId = meta.get("current-snapshot-id").asLong
+    require(snapId >= 0, s"table has no current snapshot: $tableDir")
+    val snaps = meta.get("snapshots")
+    val manifestList = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == snapId)
+      .map(_.get("manifest-list").asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not in $metaFile"))
+    val manifests = avroRecords(resolve(dir, manifestList))
+      .map(_.get("manifest_path").toString)
+    val dataFiles = manifests.flatMap { m =>
+      avroRecords(resolve(dir, m)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString
+      }
+    }
+    require(dataFiles.nonEmpty, s"snapshot $snapId has no data files")
+    s.read.parquet(dataFiles.map(resolve(dir, _).getPath): _*)
+  }
+
+  // ---------- fixture writer (tests + the driver gate): minimal but
+  // spec-shaped avro/json, so the reader exercised here reads the same
+  // field names a real Iceberg writer produces
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":"long"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(f: File, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** One manifest entry. status: 1=ADDED, 0=EXISTING, 2=DELETED. */
+  final case class Entry(status: Int, dataFile: String)
+
+  /** Write a manifest (entries) + manifest list + vN.metadata.json +
+    * version-hint for snapshot `snapshotId`; data file paths are
+    * table-relative. */
+  def commitSnapshot(tableDir: File, version: Int, snapshotId: Long,
+      entries: Seq[Entry]): Unit = {
+    val metaDir = new File(tableDir, "metadata")
+    metaDir.mkdirs()
+    val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
+    writeAvro(manifest, manifestEntrySchema, entries.map { e =>
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("file_path", e.dataFile)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 0L)
+      df.put("file_size_in_bytes", 0L)
+      val r = new GenericData.Record(manifestEntrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id", snapshotId)
+      r.put("data_file", df)
+      r
+    })
+    val mlist = new File(metaDir, s"snap-$snapshotId.avro")
+    writeAvro(mlist, manifestListSchema, Seq {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/manifest-$snapshotId.avro")
+      r.put("manifest_length", manifest.length())
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    })
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"graft-fixture","location":
+         |"${tableDir.getPath}","current-snapshot-id":$snapshotId,
+         |"snapshots":[{"snapshot-id":$snapshotId,
+         |"manifest-list":"metadata/snap-$snapshotId.avro"}]}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(
+      new File(metaDir, s"v$version.metadata.json").toPath,
+      metaJson.getBytes(UTF_8))
+    java.nio.file.Files.write(
+      new File(metaDir, "version-hint.text").toPath,
+      version.toString.getBytes(UTF_8))
+  }
+
+  /** Write `df` as one parquet data file under data/ (table-relative
+    * name returned). */
+  def writeDataFile(df: DataFrame, tableDir: File, name: String): String = {
+    val dataDir = new File(tableDir, "data")
+    dataDir.mkdirs()
+    val staging = new File(dataDir, s".staging_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new File(dataDir, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+    s"data/$name"
+  }
+}

@@ -299,8 +299,69 @@ object Sources {
     DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Hudi CoW snapshot scan (reference presto-hudi/; ops/HudiCow.scala):
+    * the fixture writes file group g1 at instant 001 covering <= 1000,
+    * REWRITES it at instant 002 down to <= 500 (copy-on-write slice), adds
+    * group g2 covering (500, 1500], and leaves an INFLIGHT instant 003
+    * with extra rows. Correct replay shows exactly <= 1500 rows once: a
+    * visible stale slice duplicates, a visible inflight file adds rows —
+    * either breaks the hash. */
+  def hudiRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_hudi_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, ".hoodie/002.commit").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      HudiCow.writeBaseFile(
+        o.filter(col("o_orderkey") <= 1000), base, "", "g1", "001")
+      HudiCow.completeCommit(base, "001")
+      HudiCow.writeBaseFile(
+        o.filter(col("o_orderkey") <= 500), base, "", "g1", "002")
+      HudiCow.writeBaseFile(
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500),
+        base, "", "g2", "002")
+      HudiCow.writeBaseFile(
+        o.filter(col("o_orderkey") > 1500 && col("o_orderkey") <= 2000),
+        base, "", "g3", "003")
+      HudiCow.inflightCommit(base, "003")
+      HudiCow.completeCommit(base, "002")
+    }
+    HudiCow.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
+  /** Iceberg v1 snapshot scan (reference presto-iceberg/;
+    * ops/IcebergTable.scala): snapshot 1 adds a file covering <= 1000;
+    * snapshot 2's manifest marks it DELETED (status 2) and adds files for
+    * <= 500 and (500, 1500]. Reading the current snapshot must skip the
+    * tombstoned entry or rows <= 1000 double and the hash breaks. */
+  def icebergRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v2.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      val b = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "b.parquet")
+      val c = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500),
+        base, "c.parquet")
+      IcebergTable.commitSnapshot(base, 2, 2L, Seq(
+        IcebergTable.Entry(2, a), // DELETED tombstone carried forward
+        IcebergTable.Entry(1, b), IcebergTable.Entry(1, c)))
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delta_read" -> deltaRead,
+    "src_hudi_read" -> hudiRead,
+    "src_iceberg_read" -> icebergRead,
     "src_kafka_batch" -> kafkaBatch,
     "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -317,6 +378,14 @@ object Sources {
 
   val oracle: Map[String, String] = Map(
     "src_delta_read" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_hudi_read" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_iceberg_read" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500
         |ORDER BY o_orderkey""".stripMargin,

@@ -77,6 +77,30 @@ class DeltaSpec extends AnyFunSuite {
     assert(out(1).getLong(0) == 2L && out(1).getDouble(2) == 9.5)
   }
 
+  test("checkpoint seeds the snapshot after log retention deletes commits") {
+    val dir = freshDir("ckpt")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.writeDataFile(Seq((3L, "c")).toDF("k", "s"), dir, "f1.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.addAction("f1.parquet")))
+    val v = DeltaLake.writeCheckpoint(spark, dir)
+    assert(v == 1L)
+    // retention: delete every JSON commit the checkpoint covers — without
+    // the checkpoint branch the reader would now find nothing
+    val logDir = new File(dir, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    // a post-checkpoint commit still replays on top of the seeded state
+    DeltaLake.writeDataFile(Seq((4L, "d")).toDF("k", "s"), dir, "f2.parquet")
+    DeltaLake.commit(dir, 2, Seq(DeltaLake.removeAction("f0.parquet"),
+      DeltaLake.addAction("f2.parquet")))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(3L -> "c", 4L -> "d"))
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")
