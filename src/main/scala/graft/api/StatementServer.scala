@@ -99,6 +99,8 @@ object StatementServer {
       val s = com.sun.net.httpserver.HttpServer.create(
         new InetSocketAddress("127.0.0.1", 0), 0)
       s.createContext("/v1/statement", handler)
+      s.createContext("/v1/info", infoHandler)
+      s.createContext("/v1/query", queryInfoHandler)
       s.setExecutor(Executors.newFixedThreadPool(4, (r: Runnable) => {
         val t = new Thread(r, "graft-statement-server")
         t.setDaemon(true)
@@ -373,6 +375,7 @@ object StatementServer {
       .format(new java.util.Date())
     val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft",
       sql, sessionProps, prepares)
+    evict()
     queries.put(q.id, q)
     q
   }
@@ -471,6 +474,20 @@ object StatementServer {
   private def fail(q: QueryExec, e: ProtoError): Unit = {
     if (q.state != "FAILED") { q.error = e; q.state = "FAILED" }
   }
+
+  /** Bound the registry: a long-lived server must not accumulate every
+    * finished query's pages forever (the reference expires query history
+    * the same way). Oldest TERMINAL queries evict beyond the cap; live
+    * ones are never touched. */
+  private val MaxRetained = 256
+  private def evict(): Unit =
+    if (queries.size > MaxRetained) {
+      queries.values.toSeq
+        .filter(q => q.state == "FINISHED" || q.state == "FAILED")
+        .sortBy(_.createdNanos)
+        .dropRight(MaxRetained / 2)
+        .foreach(q => queries.remove(q.id))
+    }
 
   private def cancel(q: QueryExec): Unit = {
     // DELETE after completion is a no-op, as in the reference
@@ -578,6 +595,42 @@ object StatementServer {
         try respond(ex, 500,
           s"""{"message":"${esc(String.valueOf(e.getMessage))}"}""")
         catch { case _: Throwable => () }
+    }
+
+  private val startedNanos = System.nanoTime()
+
+  /** GET /v1/info — the reference's ServerInfoResource (presto-client
+    * ServerInfo.java:45-49 shape: nodeVersion/environment/coordinator/
+    * starting/uptime). */
+  private def infoHandler: com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) =>
+      if (ex.getRequestMethod != "GET") respond(ex, 404, "{}")
+      else {
+        val upMs = (System.nanoTime() - startedNanos) / 1000000L
+        respond(ex, 200,
+          s"""{"nodeVersion":{"version":"graft-spark"},"environment":"graft","coordinator":true,"starting":false,"uptime":"${upMs / 1000.0}s"}""")
+      }
+
+  /** GET /v1/query/{id} — the infoUri target (reference QueryResource
+    * basic query info: id, state, query text, error when failed). */
+  private def queryInfoHandler: com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/v1/query")
+        .stripPrefix("/").takeWhile(_ != '/')
+      (ex.getRequestMethod, queries.get(id)) match {
+        case ("GET", Some(q)) =>
+          val sb = new StringBuilder(128)
+          sb.append(s"""{"queryId":"${q.id}","state":"${q.state}",""")
+          sb.append(s""""query":"${esc(q.sql)}",""")
+          sb.append(s""""queryStats":${statsJson(q)}""")
+          if (q.error != null)
+            sb.append(s""","errorCode":${errorJson(q.error)}""")
+          sb.append("}")
+          respond(ex, 200, sb.toString)
+        case ("DELETE", Some(q)) => cancel(q); respond(ex, 204, "")
+        case (_, None) => respond(ex, 404, """{"message":"unknown query"}""")
+        case _ => respond(ex, 404, """{"message":"not found"}""")
+      }
     }
 }
 

@@ -198,6 +198,29 @@ class StatementProtocolSpec extends AnyFunSuite {
       "RESET SESSION optimize_hash_generation")
   }
 
+  test("/v1/info and the infoUri /v1/query/{id} endpoints answer") {
+    val (code, body, _) =
+      StatementClient.httpFull("GET", s"$base/v1/info", None, Map.empty)
+    assert(code == 200)
+    assert(body.contains("\"coordinator\":true") &&
+      body.contains("\"nodeVersion\""))
+    val done = StatementClient.post(base, "SELECT 7 AS seven")
+    var r = done
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    val (qc, qb, _) = StatementClient.httpFull("GET",
+      s"$base/v1/query/${done.id}", None, Map.empty)
+    assert(qc == 200)
+    assert(qb.contains(s""""queryId":"${done.id}"""") &&
+      qb.contains(""""state":"FINISHED"""") &&
+      qb.contains("SELECT 7 AS seven"))
+    assert(StatementClient.httpFull("GET", s"$base/v1/query/nope", None,
+      Map.empty)._1 == 404)
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
