@@ -308,7 +308,44 @@ object TextAnalysis {
       .orderBy("source", "shard")
   }
 
+  /** Benchmark decontamination — the train/test-overlap scrub every
+    * pre-training corpus runs (the 13-gram collision rule popularized by
+    * the GPT-3 appendix; 5-word grams here to fit the fixture's short
+    * docs): flag every corpus document sharing a word n-gram with any
+    * held-out benchmark document. Shuffle shape at 100 TB: the BENCHMARK
+    * side is always tiny relative to the corpus (an eval set, not a
+    * crawl), so its distinct grams BROADCAST and the corpus side stays a
+    * single narrow map — no corpus-wide shuffle at all; the corpus gram
+    * explode is linear in corpus tokens. A doc never contaminates itself
+    * (bench docs legitimately appear in both roles here). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))).as("g"))
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 97 === 0) // held-out eval slice
+    val benchGrams = grams(bench)
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"),
+        min(col("bench_id")).as("first_bench_hit"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("first_bench_hit"),
+        col("n_shared").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
     "text_pack" -> pack,
@@ -328,6 +365,25 @@ object TextAnalysis {
     s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))) AS g
+        |      FROM d),
+        |bg AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT c.doc_id,
+        |           CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared,
+        |           min(bg.bench_id) AS first_bench_hit
+        |         FROM g c JOIN bg ON c.g = bg.g AND c.doc_id <> bg.bench_id
+        |         GROUP BY c.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(h.n_shared, 0) AS n_shared,
+        |  h.first_bench_hit,
+        |  h.n_shared IS NOT NULL AS contaminated
+        |FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
