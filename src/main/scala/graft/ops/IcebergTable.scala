@@ -28,8 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their partition columns, so no value injection is needed. Metadata
   * I/O is driver-side and KB-sized; the data scan is one multi-path
   * parquet read with pushdown intact — the same split the reference's
-  * connector makes. Scope: v1 snapshot reads; v2 positional/equality
-  * delete files and non-identity partition transforms are out of scope.
+  * connector makes.
+  *
+  * v2 POSITIONAL deletes are supported the Spark-native way: a delete
+  * file is parquet of (file_path, pos) rows (`data_file.content` = 1 in
+  * its manifest entry); the scan reads data files with their
+  * `_metadata.file_path` / `_metadata.row_index` columns and LEFT ANTI
+  * joins the (broadcast) delete entries — the delete application is a
+  * distributed join, never a per-file driver loop, which is exactly how
+  * engines apply merge-on-read deletes at scale. Equality deletes and
+  * non-identity partition transforms are out of scope.
   */
 object IcebergTable {
 
@@ -80,15 +88,42 @@ object IcebergTable {
         s"snapshot $snapId not in $metaFile"))
     val manifests = avroRecords(resolve(dir, manifestList))
       .map(_.get("manifest_path").toString)
-    val dataFiles = manifests.flatMap { m =>
+    val live = manifests.flatMap { m =>
       avroRecords(resolve(dir, m)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
-          e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          // v1 manifests have no content field (GenericRecord.get throws
+          // on unknown names, so probe the schema) — v1 entries are data
+          val content =
+            if (df.getSchema.getField("content") == null) 0
+            else df.get("content").asInstanceOf[Int]
+          (content, df.get("file_path").toString)
       }
     }
+    val dataFiles = live.collect { case (0, p) => p }
+    val posDeletes = live.collect { case (1, p) => p }
     require(dataFiles.nonEmpty, s"snapshot $snapId has no data files")
-    s.read.parquet(dataFiles.map(resolve(dir, _).getPath): _*)
+    val data = s.read.parquet(dataFiles.map(resolve(dir, _).getPath): _*)
+    if (posDeletes.isEmpty) data
+    else {
+      import org.apache.spark.sql.functions._
+      // canonical absolute path: strip a file: scheme, collapse leading
+      // slashes (the _metadata column renders file:///p, File.toURI file:/p)
+      def canon(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+      val del = s.read
+        .parquet(posDeletes.map(resolve(dir, _).getPath): _*)
+        .select(canon(when(col("file_path").startsWith("/"), col("file_path"))
+          .otherwise(concat(lit(dir.getPath + "/"), col("file_path"))))
+          .as("__del_fp"), col("pos").as("__del_pos"))
+      val tagged = data
+        .withColumn("__fp", canon(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      tagged.join(broadcast(del),
+          tagged("__fp") === del("__del_fp") &&
+            tagged("__pos") === del("__del_pos"), "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   // ---------- fixture writer (tests + the driver gate): minimal but
@@ -107,6 +142,7 @@ object IcebergTable {
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":"long"},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int"},
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
@@ -121,8 +157,9 @@ object IcebergTable {
     try records.foreach(w.append) finally w.close()
   }
 
-  /** One manifest entry. status: 1=ADDED, 0=EXISTING, 2=DELETED. */
-  final case class Entry(status: Int, dataFile: String)
+  /** One manifest entry. status: 1=ADDED, 0=EXISTING, 2=DELETED;
+    * content: 0=data, 1=position deletes. */
+  final case class Entry(status: Int, dataFile: String, content: Int = 0)
 
   /** Write a manifest (entries) + manifest list + vN.metadata.json +
     * version-hint for snapshot `snapshotId`; data file paths are
@@ -135,6 +172,7 @@ object IcebergTable {
     writeAvro(manifest, manifestEntrySchema, entries.map { e =>
       val df = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
+      df.put("content", e.content)
       df.put("file_path", e.dataFile)
       df.put("file_format", "PARQUET")
       df.put("record_count", 0L)
@@ -166,6 +204,14 @@ object IcebergTable {
     java.nio.file.Files.write(
       new File(metaDir, "version-hint.text").toPath,
       version.toString.getBytes(UTF_8))
+  }
+
+  /** Write a v2 positional-delete file: (file_path, pos) rows naming
+    * table-relative data files; returns the table-relative name. */
+  def writeDeleteFile(s: SparkSession, tableDir: File, name: String,
+      deletes: Seq[(String, Long)]): String = {
+    import s.implicits._
+    writeDataFile(deletes.toDF("file_path", "pos"), tableDir, name)
   }
 
   /** Write `df` as one parquet data file under data/ (table-relative

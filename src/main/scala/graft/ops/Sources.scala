@@ -358,10 +358,34 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Iceberg v2 positional deletes: the data file holds the 1000 smallest
+    * orders SORTED, a delete file tombstones positions 0-4 (the 5
+    * smallest keys), and the scan must anti-join them out via
+    * _metadata.row_index — ignored deletes leave 5 extra rows and break
+    * the hash. */
+  def icebergV2Deletes(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_v2_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v1.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")
+      val a = IcebergTable.writeDataFile(o, base, "a.parquet")
+      val d = IcebergTable.writeDeleteFile(s, base, "d.parquet",
+        (0L to 4L).map(p => (a, p)))
+      IcebergTable.commitSnapshot(base, 1, 1L, Seq(
+        IcebergTable.Entry(1, a), IcebergTable.Entry(1, d, content = 1)))
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delta_read" -> deltaRead,
     "src_hudi_read" -> hudiRead,
     "src_iceberg_read" -> icebergRead,
+    "src_iceberg_v2_deletes" -> icebergV2Deletes,
     "src_kafka_batch" -> kafkaBatch,
     "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -388,6 +412,12 @@ object Sources {
     "src_iceberg_read" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_iceberg_v2_deletes" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
+        |  ORDER BY o_orderkey LIMIT 5)
         |ORDER BY o_orderkey""".stripMargin,
     "src_kafka_batch" ->
       """SELECT event_type, count(*) AS n,

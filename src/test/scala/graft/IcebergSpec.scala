@@ -48,6 +48,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L -> "new", 2L -> "new", 3L -> "c"))
   }
 
+  test("v2 positional deletes anti-join rows out by (file, row_index)") {
+    val dir = freshDir("v2del")
+    val a = IcebergTable.writeDataFile(
+      (0L to 9L).map(i => (i, s"r$i")).toDF("k", "s")
+        .orderBy("k"), dir, "a.parquet")
+    val b = IcebergTable.writeDataFile(
+      Seq((100L, "other")).toDF("k", "s"), dir, "b.parquet")
+    // delete rows 1, 3, 8 of a.parquet only — b stays whole
+    val d = IcebergTable.writeDeleteFile(spark, dir, "d.parquet",
+      Seq((a, 1L), (a, 3L), (a, 8L)))
+    IcebergTable.commitSnapshot(dir, 1, 10L, Seq(Entry(1, a), Entry(1, b),
+      Entry(1, d, content = 1)))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 2L, 4L, 5L, 6L, 7L, 9L, 100L))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
