@@ -29,10 +29,11 @@ import org.apache.spark.sql.types._
   * data; the data scan is a plain multi-file parquet read with pushdown
   * and pruning intact — exactly how the reference connector maps Delta
   * metadata onto its Hive-style parquet scan. Checkpoint compaction is
-  * supported: `_last_checkpoint` + `<v>.checkpoint.parquet` seed the
-  * snapshot and only later JSON commits replay, so the reader survives
-  * log retention and replay stays O(commits since checkpoint).
-  * Multi-part checkpoints (`parts` in _last_checkpoint) are not handled.
+  * supported: `_last_checkpoint` + `<v>.checkpoint.parquet` (or the
+  * multi-part `<v>.checkpoint.<i>.<N>.parquet` family when `parts` is
+  * recorded) seed the snapshot and only later JSON commits replay, so
+  * the reader survives log retention and replay stays O(commits since
+  * checkpoint).
   */
 object DeltaLake {
 
@@ -60,9 +61,16 @@ object DeltaLake {
       val n = mapper.readTree(new String(
         java.nio.file.Files.readAllBytes(lastCkpt.toPath), UTF_8))
       val v = n.get("version").asLong
-      val ckpt = new File(logDir, f"$v%020d.checkpoint.parquet")
-      require(ckpt.exists(), s"_last_checkpoint names missing $ckpt")
-      val rows = s.read.parquet(ckpt.getPath).collect()
+      // multi-part checkpoints name N files <v>.checkpoint.<i>.<N>.parquet
+      // and record "parts"; a single-part one is <v>.checkpoint.parquet
+      val parts = Option(n.get("parts")).map(_.asInt).getOrElse(0)
+      val ckptFiles =
+        if (parts <= 0) Seq(new File(logDir, f"$v%020d.checkpoint.parquet"))
+        else (1 to parts).map(i =>
+          new File(logDir, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+      ckptFiles.foreach(f =>
+        require(f.exists(), s"_last_checkpoint names missing $f"))
+      val rows = s.read.parquet(ckptFiles.map(_.getPath): _*).collect()
       val cols = rows.headOption.map(_.schema.fieldNames.toSet)
         .getOrElse(Set.empty)
       rows.foreach { r =>
@@ -190,7 +198,10 @@ object DeltaLake {
     * latest commit version, plus the `_last_checkpoint` pointer. JSON
     * commits at or below the returned version may then be deleted
     * (retention) — the reader seeds from the checkpoint. */
-  def writeCheckpoint(s: SparkSession, tableDir: File): Long = {
+  def writeCheckpoint(s: SparkSession, tableDir: File): Long =
+    writeCheckpoint(s, tableDir, parts = 1)
+
+  def writeCheckpoint(s: SparkSession, tableDir: File, parts: Int): Long = {
     val logDir = new File(tableDir, "_delta_log")
     val (schema, partCols, files) = replay(s, tableDir)
     val version = Option(logDir.listFiles()).getOrElse(Array.empty)
@@ -220,17 +231,30 @@ object DeltaLake {
         files.map(f =>
           Row(Row(f.path, f.partitionValues, 0L, 0L, true), null, null))
     import scala.jdk.CollectionConverters._
-    val df = s.createDataFrame(rows.asJava, ckptSchema)
+    require(parts >= 1 && parts <= rows.size,
+      s"parts must be in [1, ${rows.size}], got $parts")
+    val groups =
+      if (parts == 1) Seq(rows)
+      else rows.grouped((rows.size + parts - 1) / parts).toSeq
+    require(groups.size == parts, s"grouping produced ${groups.size} parts")
     val staging = new File(logDir, ".staging_ckpt")
-    df.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
-    val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      new File(logDir, f"$version%020d.checkpoint.parquet").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    groups.zipWithIndex.foreach { case (group, i) =>
+      val df = s.createDataFrame(group.asJava, ckptSchema)
+      df.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+      val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest =
+        if (parts == 1) f"$version%020d.checkpoint.parquet"
+        else f"$version%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"
+      java.nio.file.Files.move(part.toPath,
+        new File(logDir, dest).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     staging.listFiles().foreach(_.delete())
     staging.delete()
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     java.nio.file.Files.write(new File(logDir, "_last_checkpoint").toPath,
-      s"""{"version":$version,"size":${rows.size}}""".getBytes(UTF_8))
+      s"""{"version":$version,"size":${rows.size}$partsField}"""
+        .getBytes(UTF_8))
     version
   }
 

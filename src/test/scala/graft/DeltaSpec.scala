@@ -101,6 +101,47 @@ class DeltaSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(3L -> "c", 4L -> "d"))
   }
 
+  test("filters push down to the parquet scan through the replay") {
+    val dir = freshDir("push")
+    val df = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val plan = DeltaLake.read(spark, dir.getPath)
+      .filter(org.apache.spark.sql.functions.col("k") > 90)
+      .select("k")
+      .queryExecution.executedPlan.toString
+    // the replay hands plain parquet relations to Spark, so predicate
+    // pushdown and column pruning reach the scan untouched
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,90)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint>"), plan)
+  }
+
+  test("multi-part checkpoints read as one seeded snapshot") {
+    val dir = freshDir("ckpt_parts")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    // 3 separate add commits so the checkpoint has enough rows to split
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.writeDataFile(Seq((4L, "d")).toDF("k", "s"), dir, "f1.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.addAction("f1.parquet")))
+    DeltaLake.writeDataFile(Seq((5L, "e")).toDF("k", "s"), dir, "f2.parquet")
+    DeltaLake.commit(dir, 2, Seq(DeltaLake.addAction("f2.parquet")))
+    assert(DeltaLake.writeCheckpoint(spark, dir, parts = 2) == 2L)
+    val logDir = new File(dir, "_delta_log")
+    assert(logDir.listFiles().count(
+      _.getName.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      == 2)
+    logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")
