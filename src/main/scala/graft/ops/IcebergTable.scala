@@ -60,11 +60,9 @@ object IcebergTable {
     } finally reader.close()
   }
 
-  /** Read the current snapshot of an Iceberg v1 table directory. */
-  def read(s: SparkSession, tableDir: String): DataFrame = {
-    val dir = new File(tableDir)
+  private def loadMeta(dir: File): com.fasterxml.jackson.databind.JsonNode = {
     val metaDir = new File(dir, "metadata")
-    require(metaDir.isDirectory, s"not an Iceberg table: $tableDir")
+    require(metaDir.isDirectory, s"not an Iceberg table: $dir")
     val hint = new File(metaDir, "version-hint.text")
     val version =
       if (hint.isFile) new String(java.nio.file.Files.readAllBytes(
@@ -76,19 +74,23 @@ object IcebergTable {
         }.foldLeft(-1)(math.max)
     val metaFile = new File(metaDir, s"v$version.metadata.json")
     require(metaFile.isFile, s"missing $metaFile")
-    val meta = mapper.readTree(new String(
+    mapper.readTree(new String(
       java.nio.file.Files.readAllBytes(metaFile.toPath), UTF_8))
-    val snapId = meta.get("current-snapshot-id").asLong
-    require(snapId >= 0, s"table has no current snapshot: $tableDir")
+  }
+
+  /** The (content, file_path) entries live in snapshot `snapId`. */
+  private def liveFiles(dir: File,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapId: Long): Seq[(Int, String)] = {
     val snaps = meta.get("snapshots")
     val manifestList = (0 until snaps.size()).map(snaps.get)
       .find(_.get("snapshot-id").asLong == snapId)
       .map(_.get("manifest-list").asText)
       .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $snapId not in $metaFile"))
+        s"snapshot $snapId not in the table metadata"))
     val manifests = avroRecords(resolve(dir, manifestList))
       .map(_.get("manifest_path").toString)
-    val live = manifests.flatMap { m =>
+    manifests.flatMap { m =>
       avroRecords(resolve(dir, m)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -100,6 +102,22 @@ object IcebergTable {
           (content, df.get("file_path").toString)
       }
     }
+  }
+
+  /** Read the current snapshot of an Iceberg table directory. */
+  def read(s: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    val snapId = meta.get("current-snapshot-id").asLong
+    require(snapId >= 0, s"table has no current snapshot: $tableDir")
+    readAt(s, tableDir, snapId)
+  }
+
+  /** Time travel: read snapshot `snapshotId` (the reference's
+    * FOR VERSION AS OF surface over presto-iceberg). */
+  def readAt(s: SparkSession, tableDir: String, snapshotId: Long): DataFrame = {
+    val dir = new File(tableDir)
+    val snapId = snapshotId
+    val live = liveFiles(dir, loadMeta(dir), snapId)
     val dataFiles = live.collect { case (0, p) => p }
     val posDeletes = live.collect { case (1, p) => p }
     require(dataFiles.nonEmpty, s"snapshot $snapId has no data files")
@@ -124,6 +142,30 @@ object IcebergTable {
             tagged("__pos") === del("__del_pos"), "left_anti")
         .drop("__fp", "__pos")
     }
+  }
+
+  /** The `"t$snapshots"` metadata table (reference presto-iceberg
+    * SnapshotsTable): one row per known snapshot. */
+  def snapshots(s: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    val current = meta.get("current-snapshot-id").asLong
+    val snaps = meta.get("snapshots")
+    import s.implicits._
+    (0 until snaps.size()).map(snaps.get)
+      .map(n => (n.get("snapshot-id").asLong,
+        n.get("manifest-list").asText,
+        n.get("snapshot-id").asLong == current))
+      .toDF("snapshot_id", "manifest_list", "is_current")
+  }
+
+  /** The `"t$files"` metadata table: live files of the current snapshot
+    * (content 0 = data, 1 = position deletes). */
+  def files(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val meta = loadMeta(dir)
+    val snapId = meta.get("current-snapshot-id").asLong
+    import s.implicits._
+    liveFiles(dir, meta, snapId).toDF("content", "file_path")
   }
 
   // ---------- fixture writer (tests + the driver gate): minimal but
@@ -192,11 +234,25 @@ object IcebergTable {
       r.put("added_snapshot_id", snapshotId)
       r
     })
+    // carry prior snapshots forward (real metadata.json keeps the full
+    // history — that is what time travel and $snapshots read)
+    val prior = new File(metaDir, s"v${version - 1}.metadata.json")
+    val priorSnaps: Seq[String] =
+      if (!prior.isFile) Seq.empty
+      else {
+        val pm = mapper.readTree(new String(
+          java.nio.file.Files.readAllBytes(prior.toPath), UTF_8))
+        val arr = pm.get("snapshots")
+        (0 until arr.size()).map(i => arr.get(i).toString)
+          .filterNot(_.contains(s""""snapshot-id":$snapshotId"""))
+      }
+    val snapJson = (priorSnaps :+
+      s"""{"snapshot-id":$snapshotId,"manifest-list":"metadata/snap-$snapshotId.avro"}""")
+      .mkString("[", ",", "]")
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-fixture","location":
          |"${tableDir.getPath}","current-snapshot-id":$snapshotId,
-         |"snapshots":[{"snapshot-id":$snapshotId,
-         |"manifest-list":"metadata/snap-$snapshotId.avro"}]}"""
+         |"snapshots":$snapJson}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(
       new File(metaDir, s"v$version.metadata.json").toPath,

@@ -65,6 +65,28 @@ class IcebergSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 2L, 4L, 5L, 6L, 7L, 9L, 100L))
   }
 
+  test("time travel: readAt sees an old snapshot; metadata tables answer") {
+    val dir = freshDir("tt")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "v1")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 10L, Seq(Entry(1, a)))
+    val b = IcebergTable.writeDataFile(
+      Seq((1L, "v2"), (2L, "v2")).toDF("k", "s"), dir, "b.parquet")
+    IcebergTable.commitSnapshot(dir, 2, 20L, Seq(Entry(2, a), Entry(1, b)))
+    // current = snapshot 20; snapshot 10 still reads via time travel
+    assert(IcebergTable.read(spark, dir.getPath).count() == 2)
+    val old = IcebergTable.readAt(spark, dir.getPath, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq(1L -> "v1"))
+    val snaps = IcebergTable.snapshots(spark, dir.getPath)
+      .orderBy("snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(snaps.toSeq == Seq(10L -> false, 20L -> true))
+    val files = IcebergTable.files(spark, dir.getPath)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(files.toSeq == Seq(0 -> "data/b.parquet"))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
