@@ -49,7 +49,8 @@ object DeltaLake {
     * format) and only the JSON commits AFTER the checkpoint version
     * replay on top: the reader stays correct after log retention deletes
     * old commits, and replay cost is O(commits since checkpoint). */
-  private def replay(s: SparkSession, tableDir: File)
+  private def replay(s: SparkSession, tableDir: File,
+      maxVersion: Long = Long.MaxValue)
       : (StructType, Seq[String], Seq[AddFile]) = {
     val logDir = new File(tableDir, "_delta_log")
     var schema: StructType = null
@@ -61,6 +62,9 @@ object DeltaLake {
       val n = mapper.readTree(new String(
         java.nio.file.Files.readAllBytes(lastCkpt.toPath), UTF_8))
       val v = n.get("version").asLong
+      require(v <= maxVersion,
+        s"time travel to $maxVersion predates checkpoint $v — the " +
+          "checkpoint seed cannot be unwound (older JSON commits needed)")
       // multi-part checkpoints name N files <v>.checkpoint.<i>.<N>.parquet
       // and record "parts"; a single-part one is <v>.checkpoint.parquet
       val parts = Option(n.get("parts")).map(_.asInt).getOrElse(0)
@@ -96,7 +100,10 @@ object DeltaLake {
     }
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .filter(_.getName.stripSuffix(".json").toLong > ckptVersion)
+      .filter { f =>
+        val v = f.getName.stripSuffix(".json").toLong
+        v > ckptVersion && v <= maxVersion
+      }
       .sortBy(_.getName)
     require(ckptVersion >= 0 || commits.nonEmpty,
       s"no _delta_log commits under $tableDir")
@@ -133,9 +140,17 @@ object DeltaLake {
   }
 
   /** Read the current snapshot of a Delta table directory. */
-  def read(s: SparkSession, tableDir: String): DataFrame = {
+  def read(s: SparkSession, tableDir: String): DataFrame =
+    readVersion(s, tableDir, Long.MaxValue)
+
+  /** Time travel: read the snapshot as of commit `version` (Delta's
+    * VERSION AS OF) — replay stops after that commit. Requires the JSON
+    * commits up to `version` to still exist (checkpoint seeds beyond the
+    * requested version cannot be unwound). */
+  def readVersion(s: SparkSession, tableDir: String, version: Long)
+      : DataFrame = {
     val dir = new File(tableDir)
-    val (schema, partCols, files) = replay(s, dir)
+    val (schema, partCols, files) = replay(s, dir, version)
     val dataSchema = StructType(schema.fields.filterNot(f =>
       partCols.contains(f.name)))
     if (files.isEmpty)

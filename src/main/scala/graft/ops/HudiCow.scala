@@ -46,13 +46,25 @@ object HudiCow {
     }
 
   /** Read the latest committed snapshot of a Hudi CoW table. */
-  def read(s: SparkSession, tableDir: String): DataFrame = {
+  def read(s: SparkSession, tableDir: String): DataFrame =
+    readAt(s, tableDir, asOf = None)
+
+  /** Time travel: the snapshot as of `instant` (Hudi's timestamp-as-of
+    * query) — only commits completed at or before it are visible.
+    * Instants compare as fixed-width timestamp strings, the timeline's
+    * own ordering. */
+  def readAt(s: SparkSession, tableDir: String, instant: String): DataFrame =
+    readAt(s, tableDir, asOf = Some(instant))
+
+  private def readAt(s: SparkSession, tableDir: String,
+      asOf: Option[String]): DataFrame = {
     val dir = new File(tableDir)
     val timeline = new File(dir, ".hoodie")
     require(timeline.isDirectory, s"not a Hudi table (no .hoodie): $tableDir")
     val completed = Option(timeline.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".commit"))
-      .map(_.getName.stripSuffix(".commit")).toSet
+      .map(_.getName.stripSuffix(".commit"))
+      .filter(i => asOf.forall(i <= _)).toSet
     val latest = listBaseFiles(dir, "")
       .filter { case (_, _, instant, _) => completed(instant) }
       .groupBy { case (part, fileId, _, _) => (part, fileId) }

@@ -142,6 +142,26 @@ class DeltaSpec extends AnyFunSuite {
       Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("time travel: readVersion replays only up to the asked commit") {
+    val dir = freshDir("tt")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.writeDataFile(Seq((2L, "b")).toDF("k", "s"), dir, "f1.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.removeAction("f0.parquet"),
+      DeltaLake.addAction("f1.parquet")))
+    assert(DeltaLake.read(spark, dir.getPath)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(DeltaLake.readVersion(spark, dir.getPath, 0L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a checkpoint beyond the asked version cannot be unwound
+    DeltaLake.writeCheckpoint(spark, dir)
+    intercept[IllegalArgumentException] {
+      DeltaLake.readVersion(spark, dir.getPath, 0L)
+    }
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")

@@ -55,6 +55,19 @@ class HudiSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L -> "us-v2", 2L -> "eu"))
   }
 
+  test("time travel: readAt(instant) hides later commits") {
+    val dir = freshDir("tt")
+    HudiCow.writeBaseFile(Seq((1L, "v1")).toDF("k", "s"), dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiCow.writeBaseFile(Seq((1L, "v2")).toDF("k", "s"), dir, "", "g1", "002")
+    HudiCow.writeBaseFile(Seq((2L, "v2")).toDF("k", "s"), dir, "", "g2", "002")
+    HudiCow.completeCommit(dir, "002")
+    assert(HudiCow.read(spark, dir.getPath).count() == 2)
+    val old = HudiCow.readAt(spark, dir.getPath, "001")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq(1L -> "v1"))
+  }
+
   test("a table with only uncommitted instants refuses to read") {
     val dir = freshDir("none")
     HudiCow.writeBaseFile(Seq((1L, "x")).toDF("k", "s"), dir, "", "g1", "001")
