@@ -32,7 +32,11 @@ final class SqlSession private (val spark: SparkSession) {
     * UNNEST(x) AS t(a, b) is textually ambiguous between the map form and
     * array<row<a,b>> struct expansion — the map translation is tried
     * first and the struct translation on analysis failure. */
-  def sql(text: String): DataFrame =
+  def sql(text0: String): DataFrame = {
+    // FROM-position lake scans (delta_scan/hudi_scan/iceberg_scan) bind
+    // to temp views before any other dispatch — the dialect's stand-in
+    // for the reference's delta/hudi/iceberg catalogs
+    val text = LakeScans.rewrite(spark, text0)
     SessionStatements.dispatch(this, text)
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)
         .map(DdlStatements.statusResult(spark, _)))
@@ -52,6 +56,7 @@ final class SqlSession private (val spark: SparkSession) {
       }
       AccessControl.checkPlan(spark, df)
     }
+  }
 
   /** Register every fixture table under `dir` as a temp view. */
   def loadTables(dir: String): SqlSession = {

@@ -162,6 +162,36 @@ class DeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("delta_scan / hudi_scan / iceberg_scan resolve in SQL text") {
+    val ses = graft.api.SqlSession.wrap(spark)
+    // delta
+    val dd = freshDir("sqlscan")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dd, "f0.parquet")
+    DeltaLake.commit(dd, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val viaSql = ses.sql(
+      s"SELECT count(*) AS n, sum(k) AS sk FROM delta_scan('${dd.getPath}')")
+      .collect()(0)
+    assert(viaSql.getLong(0) == 2L && viaSql.getLong(1) == 3L)
+    // time travel argument + join with a plain view in the same text
+    DeltaLake.writeDataFile(Seq((3L, "c")).toDF("k", "s"), dd, "f1.parquet")
+    DeltaLake.commit(dd, 1, Seq(DeltaLake.addAction("f1.parquet")))
+    assert(ses.sql(
+      s"SELECT count(*) AS n FROM delta_scan('${dd.getPath}', 0)")
+      .collect()(0).getLong(0) == 2L)
+    // hudi
+    val hd = freshDir("sqlscan_hudi")
+    graft.ops.HudiCow.writeBaseFile(Seq((5L, "x")).toDF("k", "s"),
+      hd, "", "g1", "001")
+    graft.ops.HudiCow.completeCommit(hd, "001")
+    assert(ses.sql(
+      s"SELECT k FROM hudi_scan('${hd.getPath}')").collect()(0).getLong(0) == 5L)
+    // a literal mentioning delta_scan must NOT rewrite
+    val lit = ses.sql("SELECT 'use delta_scan(''/x'')' AS s").collect()(0)
+    assert(lit.getString(0) == "use delta_scan('/x')")
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")
