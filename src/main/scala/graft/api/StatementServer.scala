@@ -538,6 +538,19 @@ object StatementServer {
             respond(ex, 200, resp)
           }
 
+        case ("GET", "queued" :: "retry" :: id :: _) =>
+          // QueuedStatementResource.java:349-353: re-submit the SAME
+          // statement (and its session context) as a NEW query
+          queries.get(id) match {
+            case None => respond(ex, 404, """{"message":"unknown query"}""")
+            case Some(orig) =>
+              val q = submit(orig.sql, orig.sessionProps, orig.prepares)
+              val resp = results(q, base,
+                Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
+              dispatcher.execute(() => run(q))
+              respond(ex, 200, resp)
+          }
+
         case ("GET", "queued" :: id :: _ :: Nil) =>
           queries.get(id) match {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
@@ -646,7 +659,7 @@ object StatementClient {
       nextUri: Option[String], columns: Option[StructType],
       data: Seq[Row], error: Option[StatementServer.ProtoError])
 
-  private[api] def parse(json: String): Response = {
+  def parse(json: String): Response = {
     val n = mapper.readTree(json)
     val cols = Option(n.get("columns")).map { cs =>
       StructType((0 until cs.size()).map { i =>

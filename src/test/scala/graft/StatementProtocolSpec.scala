@@ -221,6 +221,31 @@ class StatementProtocolSpec extends AnyFunSuite {
       Map.empty)._1 == 404)
   }
 
+  test("queued retry re-submits the same statement as a new query") {
+    val orig = StatementClient.post(base, "SELECT 11 AS x")
+    var r = orig
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    val (code, body) = StatementClient.http("GET",
+      s"$base/v1/statement/queued/retry/${orig.id}", None)
+    assert(code == 200)
+    val retried = StatementClient.parse(body)
+    assert(retried.id != orig.id)
+    var r2 = retried
+    val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+    guard = 0
+    while (r2.nextUri.isDefined && guard < 10000) {
+      guard += 1; rows ++= r2.data
+      r2 = StatementClient.advance(r2.nextUri.get)
+    }
+    rows ++= r2.data
+    assert(r2.error.isEmpty)
+    assert(rows.result().map(_.getInt(0)) == Vector(11))
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
