@@ -246,6 +246,25 @@ class StatementProtocolSpec extends AnyFunSuite {
     assert(rows.result().map(_.getInt(0)) == Vector(11))
   }
 
+  test("concurrent clients get isolated, correct results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 8).map { i =>
+      Future {
+        val df = StatementClient.execute(spark, base,
+          s"SELECT CAST(r_regionkey + $i AS BIGINT) AS v FROM region ORDER BY v")
+        df.collect().map(_.getLong(0)).toSeq
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.zipWithIndex.foreach { case (vs, idx) =>
+      val i = idx + 1
+      assert(vs == (0L until 5L).map(_ + i), s"client $i got $vs")
+    }
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
