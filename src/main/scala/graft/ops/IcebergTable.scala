@@ -30,14 +30,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet read with pushdown intact — the same split the reference's
   * connector makes.
   *
-  * v2 POSITIONAL deletes are supported the Spark-native way: a delete
-  * file is parquet of (file_path, pos) rows (`data_file.content` = 1 in
-  * its manifest entry); the scan reads data files with their
-  * `_metadata.file_path` / `_metadata.row_index` columns and LEFT ANTI
-  * joins the (broadcast) delete entries — the delete application is a
-  * distributed join, never a per-file driver loop, which is exactly how
-  * engines apply merge-on-read deletes at scale. Equality deletes and
-  * non-identity partition transforms are out of scope.
+  * v2 deletes are supported the Spark-native way — both kinds apply as
+  * distributed LEFT ANTI joins, never per-file driver loops, which is
+  * exactly how engines apply merge-on-read deletes at scale:
+  *  - POSITIONAL (`data_file.content` = 1): parquet of (file_path, pos)
+  *    rows, anti-joined against the scan's `_metadata.file_path` /
+  *    `_metadata.row_index`;
+  *  - EQUALITY (`content` = 2): parquet whose columns name the equality
+  *    fields, anti-joined on those columns (null-safe equality, the
+  *    spec's semantics for null equality fields).
+  * Non-identity partition transforms are out of scope.
   */
 object IcebergTable {
 
@@ -120,11 +122,12 @@ object IcebergTable {
     val live = liveFiles(dir, loadMeta(dir), snapId)
     val dataFiles = live.collect { case (0, p) => p }
     val posDeletes = live.collect { case (1, p) => p }
+    val eqDeletes = live.collect { case (2, p) => p }
     require(dataFiles.nonEmpty, s"snapshot $snapId has no data files")
     val data = s.read.parquet(dataFiles.map(resolve(dir, _).getPath): _*)
-    if (posDeletes.isEmpty) data
+    import org.apache.spark.sql.functions._
+    val afterPos = if (posDeletes.isEmpty) data
     else {
-      import org.apache.spark.sql.functions._
       // canonical absolute path: strip a file: scheme, collapse leading
       // slashes (the _metadata column renders file:///p, File.toURI file:/p)
       def canon(c: org.apache.spark.sql.Column) =
@@ -141,6 +144,14 @@ object IcebergTable {
           tagged("__fp") === del("__del_fp") &&
             tagged("__pos") === del("__del_pos"), "left_anti")
         .drop("__fp", "__pos")
+    }
+    if (eqDeletes.isEmpty) afterPos
+    else {
+      // the delete file's own columns ARE the equality fields; null-safe
+      // equality per the spec
+      val del = s.read.parquet(eqDeletes.map(resolve(dir, _).getPath): _*)
+      val cond = del.columns.map(c => afterPos(c) <=> del(c)).reduce(_ && _)
+      afterPos.join(broadcast(del), cond, "left_anti")
     }
   }
 

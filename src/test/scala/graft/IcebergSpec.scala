@@ -87,6 +87,21 @@ class IcebergSpec extends AnyFunSuite {
     assert(files.toSeq == Seq(0 -> "data/b.parquet"))
   }
 
+  test("v2 equality deletes anti-join on the delete file's columns") {
+    val dir = freshDir("eqdel")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "us"), (2L, "eu"), (3L, "us"), (4L, "ap"))
+        .toDF("k", "region"), dir, "a.parquet")
+    // equality fields = (region): every 'us' row is deleted
+    val d = IcebergTable.writeDataFile(
+      Seq("us").toDF("region"), dir, "d.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 10L,
+      Seq(Entry(1, a), Entry(1, d, content = 2)))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(2L -> "eu", 4L -> "ap"))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
