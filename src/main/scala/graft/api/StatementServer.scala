@@ -68,6 +68,9 @@ object StatementServer {
       * client to fold the effect into its next request. */
     @volatile var respHeaders: Map[String, String] = Map.empty
     val createdNanos: Long = System.nanoTime()
+    /** For eviction: a FINISHED query a slow client is still paging
+      * through must not expire under it. */
+    @volatile var lastAccessNanos: Long = System.nanoTime()
   }
 
   private val queries = TrieMap.empty[String, QueryExec]
@@ -123,26 +126,19 @@ object StatementServer {
   // ---------- Presto type names (client Column.type / typeSignature)
 
   def prestoType(dt: DataType): String = dt match {
-    case LongType => "bigint"
-    case IntegerType => "integer"
-    case ShortType => "smallint"
-    case ByteType => "tinyint"
-    case BooleanType => "boolean"
-    case DoubleType => "double"
-    case FloatType => "real"
-    case StringType => "varchar"
-    case BinaryType => "varbinary"
-    case DateType => "date"
-    case _: TimestampType => "timestamp"
+    // leaves delegate to the ONE shared mapping (DdlStatements
+    // .prestoTypeName, what DESCRIBE reports) so the wire and the catalog
+    // never disagree; containers recurse here to keep the protocol-only
+    // spellings (timestamp_ntz -> timestamp, null -> unknown) inside too
     case TimestampNTZType => "timestamp"
-    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case NullType => "unknown"
     case ArrayType(e, _) => s"array(${prestoType(e)})"
     case MapType(k, v, _) => s"map(${prestoType(k)}, ${prestoType(v)})"
-    case StructType(fs) =>
-      fs.map(f => s"${f.name} ${prestoType(f.dataType)}")
+    case st: StructType
+        if !graft.functions.TimeTzFunctions.isTimeTz(st) =>
+      st.fields.map(f => s"${f.name} ${prestoType(f.dataType)}")
         .mkString("row(", ", ", ")")
-    case NullType => "unknown"
-    case other => other.simpleString
+    case other => DdlStatements.prestoTypeName(other)
   }
 
   /** Inverse of prestoType — the client rebuilds a Spark schema from the
@@ -161,6 +157,9 @@ object StatementServer {
       case "varbinary" => BinaryType
       case "date" => DateType
       case "timestamp" => TimestampType
+      case "time with time zone" => StructType(Seq(
+        StructField(graft.functions.TimeTzFunctions.UtcField, LongType),
+        StructField(graft.functions.TimeTzFunctions.OffField, IntegerType)))
       case "unknown" => NullType
       case _ if lower == "varchar" || lower.startsWith("varchar(") =>
         StringType
@@ -406,8 +405,8 @@ object StatementServer {
     * client folds these into its next request's X-Presto-* headers. */
   private def statementHeaders(sql: String): Map[String, String] = {
     val t = sql.trim
-    val SetSession = """(?is)\ASET\s+SESSION\s+(\w+)\s*=\s*(.+)\z""".r
-    val ResetSession = """(?is)\ARESET\s+SESSION\s+(\w+)\z""".r
+    val SetSession = """(?is)\ASET\s+SESSION\s+([\w.]+)\s*=\s*(.+)\z""".r
+    val ResetSession = """(?is)\ARESET\s+SESSION\s+([\w.]+)\z""".r
     val Prepare = """(?is)\APREPARE\s+(\w+)\s+FROM\s+(.+)\z""".r
     val Dealloc = """(?is)\ADEALLOCATE\s+PREPARE\s+(\w+)\z""".r
     t match {
@@ -438,7 +437,9 @@ object StatementServer {
     try {
       spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
       q.sessionProps.foreach { case (k, v) =>
-        ses.sql(s"SET SESSION $k = '$v'")
+        // values arrive URL-decoded and may hold quotes: double them so
+        // the re-embedded literal stays one literal
+        ses.sql(s"SET SESSION $k = '${v.replace("'", "''")}'")
         applied += s"RESET SESSION $k"
       }
       q.prepares.foreach { case (name, body) =>
@@ -451,6 +452,17 @@ object StatementServer {
       q.rowCount = rows.size.toLong
       q.pages = rows.grouped(pageRows).toVector
       q.respHeaders = statementHeaders(q.sql)
+      // the statement's own session effects do NOT persist server-side:
+      // the response header tells the CLIENT to carry them on its next
+      // request (the reference coordinator is stateless the same way) —
+      // without this, one client's SET SESSION leaks into every other
+      // client's queries on the shared session
+      q.respHeaders.get("X-Presto-Set-Session").foreach { kv =>
+        applied += s"RESET SESSION ${kv.takeWhile(_ != '=')}"
+      }
+      q.respHeaders.get("X-Presto-Added-Prepare").foreach { kv =>
+        applied += s"DEALLOCATE PREPARE ${kv.takeWhile(_ != '=')}"
+      }
       if (q.canceled) () // cancel already set FAILED; keep that terminal state
       else q.state = "FINISHED"
     } catch {
@@ -484,7 +496,7 @@ object StatementServer {
     if (queries.size > MaxRetained) {
       queries.values.toSeq
         .filter(q => q.state == "FINISHED" || q.state == "FAILED")
-        .sortBy(_.createdNanos)
+        .sortBy(_.lastAccessNanos)
         .dropRight(MaxRetained / 2)
         .foreach(q => queries.remove(q.id))
     }
@@ -552,6 +564,7 @@ object StatementServer {
           }
 
         case ("GET", "queued" :: id :: _ :: Nil) =>
+          queries.get(id).foreach(_.lastAccessNanos = System.nanoTime())
           queries.get(id) match {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
             case Some(q) => q.state match {
@@ -569,6 +582,7 @@ object StatementServer {
           }
 
         case ("GET", "executing" :: id :: tok :: Nil) =>
+          queries.get(id).foreach(_.lastAccessNanos = System.nanoTime())
           queries.get(id) match {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
             case Some(q) if q.state == "FAILED" =>

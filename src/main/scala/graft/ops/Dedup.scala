@@ -237,12 +237,7 @@ object Dedup {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val cells = Similarity.centRank(e, cents).filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val dup = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("other"),
-        cosine(col("a.embedding"), col("b.embedding")).as("c"))
-      .filter(col("c") >= 0.45)
-      .groupBy("vec_id").agg(min(col("other")).as("keeper"))
+    val dup = semanticDupKeepers(cells, 0.45, salts = 1)
     cells.join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("keeper").isNotNull.as("is_dup"), col("keeper"))

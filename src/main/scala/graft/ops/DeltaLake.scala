@@ -248,9 +248,13 @@ object DeltaLake {
     import scala.jdk.CollectionConverters._
     require(parts >= 1 && parts <= rows.size,
       s"parts must be in [1, ${rows.size}], got $parts")
+    // round-robin by index: EXACTLY `parts` non-empty groups for any
+    // parts <= rows.size (grouped()'s ceil split can under-produce, e.g.
+    // 4 rows into 3 parts)
     val groups =
       if (parts == 1) Seq(rows)
-      else rows.grouped((rows.size + parts - 1) / parts).toSeq
+      else rows.zipWithIndex.groupBy(_._2 % parts).toSeq
+        .sortBy(_._1).map(_._2.map(_._1))
     require(groups.size == parts, s"grouping produced ${groups.size} parts")
     val staging = new File(logDir, ".staging_ckpt")
     groups.zipWithIndex.foreach { case (group, i) =>

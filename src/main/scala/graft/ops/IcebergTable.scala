@@ -132,10 +132,13 @@ object IcebergTable {
       // slashes (the _metadata column renders file:///p, File.toURI file:/p)
       def canon(c: org.apache.spark.sql.Column) =
         regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+      // stored paths may be full URIs (the spec's file_path IS a URI):
+      // drop the scheme BEFORE deciding whether the path is absolute
+      val fp = regexp_replace(col("file_path"), "^file:", "")
       val del = s.read
         .parquet(posDeletes.map(resolve(dir, _).getPath): _*)
-        .select(canon(when(col("file_path").startsWith("/"), col("file_path"))
-          .otherwise(concat(lit(dir.getPath + "/"), col("file_path"))))
+        .select(canon(when(fp.startsWith("/"), fp)
+          .otherwise(concat(lit(dir.getPath + "/"), fp)))
           .as("__del_fp"), col("pos").as("__del_pos"))
       val tagged = data
         .withColumn("__fp", canon(col("_metadata.file_path")))
@@ -145,13 +148,14 @@ object IcebergTable {
             tagged("__pos") === del("__del_pos"), "left_anti")
         .drop("__fp", "__pos")
     }
-    if (eqDeletes.isEmpty) afterPos
-    else {
-      // the delete file's own columns ARE the equality fields; null-safe
-      // equality per the spec
-      val del = s.read.parquet(eqDeletes.map(resolve(dir, _).getPath): _*)
-      val cond = del.columns.map(c => afterPos(c) <=> del(c)).reduce(_ && _)
-      afterPos.join(broadcast(del), cond, "left_anti")
+    // each equality-delete file anti-joins on ITS OWN columns — merging
+    // files with different column sets into one scan would null-pad the
+    // missing fields and turn them into IS-NULL constraints that silently
+    // disable the delete
+    eqDeletes.foldLeft(afterPos) { (acc, f) =>
+      val del = s.read.parquet(resolve(dir, f).getPath)
+      val cond = del.columns.map(c => acc(c) <=> del(c)).reduce(_ && _)
+      acc.join(broadcast(del), cond, "left_anti")
     }
   }
 

@@ -172,8 +172,9 @@ class StatementProtocolSpec extends AnyFunSuite {
   }
 
   test("SET SESSION / PREPARE statements earn protocol response headers") {
-    def finalHeaders(sql: String): Map[String, String] = {
-      var r = StatementClient.post(base, sql)
+    def finalHeaders(sql: String,
+        reqHeaders: Map[String, String] = Map.empty): Map[String, String] = {
+      var r = StatementClient.post(base, sql, reqHeaders)
       var hdrs = Map.empty[String, String]
       var guard = 0
       while (r.nextUri.isDefined && guard < 10000) {
@@ -187,15 +188,19 @@ class StatementProtocolSpec extends AnyFunSuite {
     val set = finalHeaders("SET SESSION optimize_hash_generation = 'true'")
     assert(set.get("X-Presto-Set-Session")
       .contains("optimize_hash_generation=true"), set.toString)
+    // the statement's effect lives on the CLIENT via the header, not in
+    // shared server state: a headerless SHOW SESSION must not list it
+    assert(!StatementClient.execute(spark, base, "SHOW SESSION")
+      .collect().exists(_.getString(0) == "optimize_hash_generation"))
     val prep = finalHeaders("PREPARE hdr_q FROM SELECT 1 AS one")
     assert(prep.get("X-Presto-Added-Prepare").exists(_.startsWith("hdr_q=")),
       prep.toString)
-    val dealloc = finalHeaders("DEALLOCATE PREPARE hdr_q")
+    // DEALLOCATE is submitted with the prepare carried back, as a
+    // protocol-conformant client does
+    val dealloc = finalHeaders("DEALLOCATE PREPARE hdr_q",
+      Map("X-Presto-Prepared-Statement" -> prep("X-Presto-Added-Prepare")))
     assert(dealloc.get("X-Presto-Deallocated-Prepare").contains("hdr_q"),
       dealloc.toString)
-    // clean up the session property the SET statement left behind
-    StatementClient.execute(spark, base,
-      "RESET SESSION optimize_hash_generation")
   }
 
   test("/v1/info and the infoUri /v1/query/{id} endpoints answer") {
