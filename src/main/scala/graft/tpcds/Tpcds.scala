@@ -1243,6 +1243,10 @@ object Tpcds {
         .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
         .groupBy(col("ca_county").as("county"), col("d_qoy").as("qoy"))
         .agg(dsum(col(rev), "rev"))
+    // each channel aggregate feeds three quarter slices, but the slices
+    // filter ABOVE the identical groupBy subtree, so Spark's exchange
+    // reuse already computes each channel once (persist() was measured
+    // at par and only adds a cache barrier)
     val ss = channel(storeSales(s, dir), "ss_sold_date_sk", "ss_customer_sk",
       "ss_ext_sales_price")
     val ws = channel(webSales(s, dir), "ws_sold_date_sk", "ws_bill_customer_sk",
@@ -1420,6 +1424,9 @@ object Tpcds {
       .filter(col("sold_qty") > 0 && col("sold_amt") > 0)
       .withColumn("qty_ratio", col("ret_qty") / col("sold_qty"))
       .withColumn("amt_ratio", col("ret_amt") / col("sold_amt"))
+      // consumed twice (quantity + amount rankings): cache the aggregate
+      // so the fact scan + returns join run once, like q14/q24/q39/q75
+      .persist()
     val byQty = perItem.withColumn("rnk",
       rank().over(Window.orderBy(desc("qty_ratio"), asc("item"))))
       .filter(col("rnk") <= 10).withColumn("which", lit("quantity"))
