@@ -1051,6 +1051,9 @@ object Tpcds {
     val perItem = storeSales(s, dir).filter(col("ss_store_sk") === 2)
       .groupBy(col("ss_item_sk").as("item_sk"))
       .agg(davg(col("ss_net_profit"), "rank_col"))
+      // consumed by both the asc and desc rankings (q49's shape): the
+      // differing window sorts defeat exchange reuse, so cache
+      .persist()
     val asc10 = perItem.select(col("item_sk").as("b_item"),
       rank().over(Window.orderBy(asc("rank_col"), asc("item_sk"))).as("rnk"))
       .filter(col("rnk") <= 10)
