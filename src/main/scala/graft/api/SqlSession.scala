@@ -22,9 +22,10 @@ import graft.functions.GraftFunctions
   * LATERAL, ||, 1-based element_at/subscripts). `Dialect.translate` shims
   * the residual function-name differences plus the grammar idioms Spark
   * spells differently: UNNEST-as-relation (→ LATERAL + explode TVFs),
-  * TABLESAMPLE BERNOULLI/SYSTEM (→ TABLESAMPLE PERCENT), TRY(expr) and
-  * 1-based subscripts. GROUPS frames in SQL text remain out-of-scope
-  * (the DataFrame rewrite in ops/Windows.scala covers the semantics).
+  * TABLESAMPLE BERNOULLI/SYSTEM (→ TABLESAMPLE PERCENT), TRY(expr),
+  * 1-based subscripts, and GROUPS window frames (rewritten through the
+  * same frame translation ops/Windows.scala uses — gated by
+  * `win_groups_sql`).
   */
 final class SqlSession private (val spark: SparkSession) {
 

@@ -42,6 +42,27 @@ object DeltaLake {
   private final case class AddFile(path: String,
       partitionValues: Map[String, String])
 
+  /** Reader-protocol guard (Delta spec "Protocol Evolution": a reader
+    * MUST refuse tables whose minReaderVersion exceeds what it
+    * implements). This reader implements reader version 1 — tables with
+    * deletion vectors (v3 + feature flags) or column mapping (v2) would
+    * otherwise replay without error and silently return wrong rows
+    * (resurrected deletes / misread columns). */
+  private def checkProtocol(minReader: Int, features: Seq[String]): Unit =
+    require(minReader <= 1,
+      s"unsupported Delta reader protocol: minReaderVersion=$minReader" +
+        (if (features.nonEmpty) s" readerFeatures=${features.mkString(",")}"
+         else "") + " (this reader implements reader version 1)")
+
+  /** Same rule for table features that ride on metaData.configuration:
+    * column mapping renames/ids physical columns — reading them by
+    * logical name silently misreads. */
+  private def checkTableConfig(cfg: Map[String, String]): Unit = {
+    val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none",
+      s"unsupported Delta table feature: delta.columnMapping.mode=$mode")
+  }
+
   /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles).
     * When `_last_checkpoint` exists, the snapshot seeds from the
     * checkpoint parquet (one row per action, nullable `add` / `remove` /
@@ -62,47 +83,23 @@ object DeltaLake {
       val n = mapper.readTree(new String(
         java.nio.file.Files.readAllBytes(lastCkpt.toPath), UTF_8))
       val v = n.get("version").asLong
-      require(v <= maxVersion,
-        s"time travel to $maxVersion predates checkpoint $v — the " +
-          "checkpoint seed cannot be unwound (older JSON commits needed)")
-      // multi-part checkpoints name N files <v>.checkpoint.<i>.<N>.parquet
-      // and record "parts"; a single-part one is <v>.checkpoint.parquet
-      val parts = Option(n.get("parts")).map(_.asInt).getOrElse(0)
-      val ckptFiles =
-        if (parts <= 0) Seq(new File(logDir, f"$v%020d.checkpoint.parquet"))
-        else (1 to parts).map(i =>
-          new File(logDir, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
-      ckptFiles.foreach(f =>
-        require(f.exists(), s"_last_checkpoint names missing $f"))
-      val rows = s.read.parquet(ckptFiles.map(_.getPath): _*).collect()
-      val cols = rows.headOption.map(_.schema.fieldNames.toSet)
-        .getOrElse(Set.empty)
-      rows.foreach { r =>
-        if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
-          val m = r.getStruct(r.fieldIndex("metaData"))
-          schema = DataType.fromJson(
-            m.getAs[String]("schemaString")).asInstanceOf[StructType]
-          partCols = m.getAs[scala.collection.Seq[String]](
-            "partitionColumns").toSeq
-        }
-        if (cols("add") && !r.isNullAt(r.fieldIndex("add"))) {
-          val a = r.getStruct(r.fieldIndex("add"))
-          val pv = Option(a.getAs[scala.collection.Map[String, String]](
-            "partitionValues")).map(_.toMap).getOrElse(Map.empty)
-          active.put(a.getAs[String]("path"),
-            AddFile(a.getAs[String]("path"), pv))
-        }
-        if (cols("remove") && !r.isNullAt(r.fieldIndex("remove")))
-          active.remove(r.getStruct(r.fieldIndex("remove"))
-            .getAs[String]("path"))
-      }
-      v
+      if (v > maxVersion) {
+        // time travel to before the checkpoint: the seed cannot be
+        // unwound, but a from-scratch JSON replay still works as long as
+        // every commit 0..maxVersion survives retention
+        require((0L to maxVersion).forall(i =>
+          new File(logDir, f"$i%020d.json").isFile),
+          s"time travel to $maxVersion predates checkpoint $v and the " +
+            s"JSON commits 0..$maxVersion are no longer all present")
+        -1L
+      } else replayCheckpoint(s, logDir, n, v, schema = st => schema = st,
+        parts0 = pc => partCols = pc, active)
     }
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
       .filter { f =>
-        val v = f.getName.stripSuffix(".json").toLong
-        v > ckptVersion && v <= maxVersion
+        val fv = f.getName.stripSuffix(".json").toLong
+        fv > ckptVersion && fv <= maxVersion
       }
       .sortBy(_.getName)
     require(ckptVersion >= 0 || commits.nonEmpty,
@@ -111,8 +108,22 @@ object DeltaLake {
          line <- new String(java.nio.file.Files.readAllBytes(
            commit.toPath), UTF_8).split('\n') if line.trim.nonEmpty) {
       val n = mapper.readTree(line)
-      if (n.has("metaData")) {
+      if (n.has("protocol")) {
+        val p = n.get("protocol")
+        val feats = Option(p.get("readerFeatures")).toSeq
+          .flatMap(a => (0 until a.size()).map(a.get(_).asText))
+        checkProtocol(p.get("minReaderVersion").asInt, feats)
+      } else if (n.has("metaData")) {
         val m = n.get("metaData")
+        Option(m.get("configuration")).foreach { c =>
+          val it = c.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            b += (e.getKey -> e.getValue.asText)
+          }
+          checkTableConfig(b.result())
+        }
         schema = DataType.fromJson(m.get("schemaString").asText)
           .asInstanceOf[StructType]
         partCols = (0 until m.get("partitionColumns").size())
@@ -133,10 +144,64 @@ object DeltaLake {
           AddFile(a.get("path").asText, pv))
       } else if (n.has("remove")) {
         active.remove(n.get("remove").get("path").asText)
-      } // protocol / commitInfo / txn: no table-state effect here
+      } // commitInfo / txn: no table-state effect
     }
     require(schema != null, s"no metaData action in $tableDir/_delta_log")
     (schema, partCols, active.values.toSeq)
+  }
+
+  /** Seed the snapshot from `<v>.checkpoint[.i.N].parquet`; returns v. */
+  private def replayCheckpoint(s: SparkSession, logDir: File,
+      n: com.fasterxml.jackson.databind.JsonNode, v: Long,
+      schema: StructType => Unit, parts0: Seq[String] => Unit,
+      active: scala.collection.mutable.LinkedHashMap[String, AddFile])
+      : Long = {
+    {
+      // multi-part checkpoints name N files <v>.checkpoint.<i>.<N>.parquet
+      // and record "parts"; a single-part one is <v>.checkpoint.parquet
+      val parts = Option(n.get("parts")).map(_.asInt).getOrElse(0)
+      val ckptFiles =
+        if (parts <= 0) Seq(new File(logDir, f"$v%020d.checkpoint.parquet"))
+        else (1 to parts).map(i =>
+          new File(logDir, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+      ckptFiles.foreach(f =>
+        require(f.exists(), s"_last_checkpoint names missing $f"))
+      val rows = s.read.parquet(ckptFiles.map(_.getPath): _*).collect()
+      val cols = rows.headOption.map(_.schema.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      rows.foreach { r =>
+        if (cols("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
+          val p = r.getStruct(r.fieldIndex("protocol"))
+          val feats =
+            if (!p.schema.fieldNames.contains("readerFeatures")) Seq.empty
+            else Option(p.getAs[scala.collection.Seq[String]](
+              "readerFeatures")).map(_.toSeq).getOrElse(Seq.empty)
+          checkProtocol(p.getAs[Int]("minReaderVersion"), feats)
+        }
+        if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
+          val m = r.getStruct(r.fieldIndex("metaData"))
+          if (m.schema.fieldNames.contains("configuration"))
+            checkTableConfig(Option(m.getAs[
+              scala.collection.Map[String, String]]("configuration"))
+              .map(_.toMap).getOrElse(Map.empty))
+          schema(DataType.fromJson(
+            m.getAs[String]("schemaString")).asInstanceOf[StructType])
+          parts0(m.getAs[scala.collection.Seq[String]](
+            "partitionColumns").toSeq)
+        }
+        if (cols("add") && !r.isNullAt(r.fieldIndex("add"))) {
+          val a = r.getStruct(r.fieldIndex("add"))
+          val pv = Option(a.getAs[scala.collection.Map[String, String]](
+            "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+          active.put(a.getAs[String]("path"),
+            AddFile(a.getAs[String]("path"), pv))
+        }
+        if (cols("remove") && !r.isNullAt(r.fieldIndex("remove")))
+          active.remove(r.getStruct(r.fieldIndex("remove"))
+            .getAs[String]("path"))
+      }
+      v
+    }
   }
 
   /** Read the current snapshot of a Delta table directory. */
@@ -144,9 +209,10 @@ object DeltaLake {
     readVersion(s, tableDir, Long.MaxValue)
 
   /** Time travel: read the snapshot as of commit `version` (Delta's
-    * VERSION AS OF) — replay stops after that commit. Requires the JSON
-    * commits up to `version` to still exist (checkpoint seeds beyond the
-    * requested version cannot be unwound). */
+    * VERSION AS OF) — replay stops after that commit. A checkpoint newer
+    * than `version` cannot be unwound, but the reader falls back to a
+    * from-scratch JSON replay whenever commits 0..version all survive
+    * retention, and errors only when they are actually gone. */
   def readVersion(s: SparkSession, tableDir: String, version: Long)
       : DataFrame = {
     val dir = new File(tableDir)

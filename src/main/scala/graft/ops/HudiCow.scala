@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * This reader replays exactly that rule with driver-side directory
   * listing (timeline + names only, KBs — never data) and hands the
   * selected files to one multi-path parquet scan, so pushdown/pruning
-  * are intact. Scope: CoW snapshot reads; MERGE_ON_READ log-file merging
-  * and Hudi's internal metadata table are out of scope (the reference
-  * reads MoR via Hudi's own reader stack).
+  * are intact. The table type is read from `.hoodie/hoodie.properties`
+  * (absent = COPY_ON_WRITE, Hudi's default): MERGE_ON_READ tables
+  * dispatch to the log-merging reader in ops/HudiMor.scala — silently
+  * taking a MoR table's base files alone would return stale rows.
+  * Hudi's internal metadata table is out of scope (listing replaces it).
   */
 object HudiCow {
 
@@ -61,17 +63,42 @@ object HudiCow {
     val dir = new File(tableDir)
     val timeline = new File(dir, ".hoodie")
     require(timeline.isDirectory, s"not a Hudi table (no .hoodie): $tableDir")
+    val props = new java.util.Properties()
+    val pf = new File(timeline, "hoodie.properties")
+    if (pf.isFile) {
+      val in = new java.io.FileInputStream(pf)
+      try props.load(in) finally in.close()
+    }
+    // CoW completes instants as <i>.commit; MoR delta writes complete as
+    // <i>.deltacommit (compactions still as .commit)
     val completed = Option(timeline.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".commit"))
-      .map(_.getName.stripSuffix(".commit"))
+      .filter(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+      .map(_.getName.takeWhile(_ != '.'))
       .filter(i => asOf.forall(i <= _)).toSet
-    val latest = listBaseFiles(dir, "")
+    val groups = listBaseFiles(dir, "")
       .filter { case (_, _, instant, _) => completed(instant) }
       .groupBy { case (part, fileId, _, _) => (part, fileId) }
-      .map { case (_, slices) => slices.maxBy(_._3)._4 }
+      .map { case (_, slices) => slices.maxBy(_._3) }
       .toSeq
-    require(latest.nonEmpty, s"no committed base files under $tableDir")
-    s.read.parquet(latest.map(_.getPath): _*)
+    props.getProperty("hoodie.table.type", "COPY_ON_WRITE") match {
+      case "COPY_ON_WRITE" =>
+        require(groups.nonEmpty, s"no committed base files under $tableDir")
+        s.read.parquet(groups.map(_._4.getPath): _*)
+      case "MERGE_ON_READ" =>
+        val keyField = Option(
+          props.getProperty("hoodie.table.recordkey.fields"))
+          .map(_.trim).filter(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            "MERGE_ON_READ read requires hoodie.table.recordkey.fields " +
+              "in hoodie.properties"))
+        require(!keyField.contains(","),
+          s"composite record keys unsupported: $keyField")
+        HudiMor.read(s, dir, groups, completed, keyField)
+      case other => throw new IllegalArgumentException(
+        s"unsupported hoodie.table.type=$other " +
+          "(supported: COPY_ON_WRITE, MERGE_ON_READ)")
+    }
   }
 
   // ---------- fixture writer (tests + the driver gate)
@@ -110,5 +137,27 @@ object HudiCow {
     java.nio.file.Files.write(
       new File(timeline, s"$instant.inflight").toPath,
       "{}".getBytes("UTF-8"))
+  }
+
+  /** Mark `instant` as a completed DELTA commit (MoR log write). */
+  def completeDeltaCommit(tableDir: File, instant: String): Unit = {
+    val timeline = new File(tableDir, ".hoodie")
+    timeline.mkdirs()
+    java.nio.file.Files.write(
+      new File(timeline, s"$instant.deltacommit").toPath,
+      "{}".getBytes("UTF-8"))
+  }
+
+  /** Write `.hoodie/hoodie.properties` (table type + record key). */
+  def writeProperties(tableDir: File, tableType: String,
+      recordKeyField: String = ""): Unit = {
+    val timeline = new File(tableDir, ".hoodie")
+    timeline.mkdirs()
+    val keyLine = if (recordKeyField.isEmpty) ""
+    else s"hoodie.table.recordkey.fields=$recordKeyField\n"
+    java.nio.file.Files.write(
+      new File(timeline, "hoodie.properties").toPath,
+      (s"hoodie.table.name=graft\nhoodie.table.type=$tableType\n" + keyLine)
+        .getBytes("UTF-8"))
   }
 }

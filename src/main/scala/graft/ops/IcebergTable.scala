@@ -39,7 +39,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - EQUALITY (`content` = 2): parquet whose columns name the equality
   *    fields, anti-joined on those columns (null-safe equality, the
   *    spec's semantics for null equality fields).
-  * Non-identity partition transforms are out of scope.
+  * Both kinds scope by sequence number (the spec's rule, the reference's
+  * DeleteFile.java): a positional delete applies to data files with
+  * sequence <= its own, an equality delete to strictly smaller — so a
+  * row re-inserted after the delete survives it.
   */
 object IcebergTable {
 
@@ -80,11 +83,38 @@ object IcebergTable {
       java.nio.file.Files.readAllBytes(metaFile.toPath), UTF_8))
   }
 
-  /** The (content, file_path) entries live in snapshot `snapId`. */
+  /** One live file of a snapshot: content (0=data, 1=positional deletes,
+    * 2=equality deletes), path, delete-scoping sequence number, and the
+    * TRANSFORMED partition tuple the writer recorded. */
+  private[ops] final case class LiveFile(content: Int, path: String,
+      seq: Long, partition: Map[String, Any])
+
+  /** One partition-spec field: manifest partition column `name` holds
+    * `transform` applied to source column `source`. */
+  private[ops] final case class SpecField(name: String, transform: String,
+      source: String)
+
+  /** A pushed predicate: column `op` value, op in =/in/</<=/>/>=. */
+  final case class Pred(column: String, op: String, value: Any)
+
+  private def avroValue(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other => other
+  }
+
+  /** The files live in snapshot `snapId`. Sequence numbers scope v2
+    * deletes (spec: a delete file applies only to data files with a
+    * smaller — positional: or equal — data sequence number). v2 manifest
+    * entries carry `sequence_number`; when absent (v1, or inherited-null
+    * entries) the snapshot's position in the metadata snapshot list is
+    * the ordering proxy — snapshot ids themselves are random in real
+    * tables, but the list appends in commit order. */
   private def liveFiles(dir: File,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      snapId: Long): Seq[(Int, String)] = {
+      snapId: Long): Seq[LiveFile] = {
     val snaps = meta.get("snapshots")
+    val snapOrder: Map[Long, Long] = (0 until snaps.size())
+      .map(i => snaps.get(i).get("snapshot-id").asLong -> i.toLong).toMap
     val manifestList = (0 until snaps.size()).map(snaps.get)
       .find(_.get("snapshot-id").asLong == snapId)
       .map(_.get("manifest-list").asText)
@@ -101,10 +131,89 @@ object IcebergTable {
           val content =
             if (df.getSchema.getField("content") == null) 0
             else df.get("content").asInstanceOf[Int]
-          (content, df.get("file_path").toString)
+          val seq =
+            if (e.getSchema.getField("sequence_number") != null &&
+                e.get("sequence_number") != null)
+              e.get("sequence_number").asInstanceOf[Long]
+            else snapOrder.getOrElse(
+              e.get("snapshot_id").asInstanceOf[Long], 0L)
+          val partition =
+            if (df.getSchema.getField("partition") == null ||
+                df.get("partition") == null) Map.empty[String, Any]
+            else {
+              val pr = df.get("partition").asInstanceOf[GenericRecord]
+              import scala.jdk.CollectionConverters._
+              pr.getSchema.getFields.asScala
+                .map(f => f.name -> avroValue(pr.get(f.name))).toMap
+            }
+          LiveFile(content, df.get("file_path").toString, seq, partition)
       }
     }
   }
+
+  /** The default partition spec, with source ids resolved to column
+    * names through the table schema. Empty for unpartitioned /
+    * pre-transform fixture tables. */
+  private[ops] def partitionSpec(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[SpecField] = {
+    val specsNode = Option(meta.get("partition-specs"))
+      .filter(_.size() > 0).orNull
+    if (specsNode == null) return Seq.empty
+    val defaultId = Option(meta.get("default-spec-id"))
+      .map(_.asInt).getOrElse(0)
+    val spec = (0 until specsNode.size()).map(specsNode.get)
+      .find(s => Option(s.get("spec-id")).forall(_.asInt == defaultId))
+      .getOrElse(specsNode.get(0))
+    val idToName: Map[Int, String] = Option(meta.get("schema")).map { sc =>
+      val fs = sc.get("fields")
+      (0 until fs.size()).map(fs.get).flatMap(f =>
+        Option(f.get("id")).map(_.asInt -> f.get("name").asText)).toMap
+    }.getOrElse(Map.empty)
+    val fields = spec.get("fields")
+    (0 until fields.size()).map(fields.get).map { f =>
+      val src = Option(f.get("source-id")).map(_.asInt).flatMap(idToName.get)
+        .orElse(Option(f.get("source-name")).map(_.asText))
+        .getOrElse(f.get("name").asText)
+      SpecField(f.get("name").asText, f.get("transform").asText, src)
+    }
+  }
+
+  /** True iff the file can hold rows satisfying every predicate. A file's
+    * rows all share one transformed partition tuple, so: equality
+    * predicates transform the constant and compare; range predicates
+    * prune through ORDER-PRESERVING transforms (truncate/year/month/day/
+    * hour/identity) by comparing transformed bounds. Delete files are
+    * never pruned (they are small and must stay correct). */
+  private def keepFile(f: LiveFile, spec: Seq[SpecField],
+      preds: Seq[Pred]): Boolean =
+    f.content != 0 || preds.forall { p =>
+      spec.filter(_.source == p.column).forall { sf =>
+        f.partition.get(sf.name) match {
+          case None => true
+          case Some(null) => true
+          case Some(pv) =>
+            def eq(v: Any): Boolean = {
+              val t = IcebergTransforms(sf.transform, v)
+              (t, pv) match {
+                case (a: String, b: String) => a == b
+                case (a, b) => IcebergTransforms.cmp(a, b) == 0
+              }
+            }
+            p.op match {
+              case "=" => eq(p.value)
+              case "in" =>
+                p.value.asInstanceOf[Iterable[Any]].exists(eq)
+              case "<" | "<=" if IcebergTransforms.isMonotonic(sf.transform) =>
+                IcebergTransforms.cmp(pv,
+                  IcebergTransforms(sf.transform, p.value)) <= 0
+              case ">" | ">=" if IcebergTransforms.isMonotonic(sf.transform) =>
+                IcebergTransforms.cmp(pv,
+                  IcebergTransforms(sf.transform, p.value)) >= 0
+              case _ => true // cannot prune on this op/transform: keep
+            }
+        }
+      }
+    }
 
   /** Read the current snapshot of an Iceberg table directory. */
   def read(s: SparkSession, tableDir: String): DataFrame = {
@@ -116,16 +225,97 @@ object IcebergTable {
 
   /** Time travel: read snapshot `snapshotId` (the reference's
     * FOR VERSION AS OF surface over presto-iceberg). */
-  def readAt(s: SparkSession, tableDir: String, snapshotId: Long): DataFrame = {
-    val dir = new File(tableDir)
-    val snapId = snapshotId
-    val live = liveFiles(dir, loadMeta(dir), snapId)
-    val dataFiles = live.collect { case (0, p) => p }
-    val posDeletes = live.collect { case (1, p) => p }
-    val eqDeletes = live.collect { case (2, p) => p }
-    require(dataFiles.nonEmpty, s"snapshot $snapId has no data files")
-    val data = s.read.parquet(dataFiles.map(resolve(dir, _).getPath): _*)
+  def readAt(s: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
+    scan(s, tableDir, snapshotId, Seq.empty)
+
+  /** Read the current snapshot with partition-transform pruning: data
+    * files whose transformed partition tuple cannot satisfy `predicates`
+    * are never scanned (at 100 TB the difference between one partition
+    * and the whole table), and the predicates then apply as residual row
+    * filters — bucket/truncate partitions are coarser than the
+    * predicate, so the filter still has to run (and pushes down into the
+    * surviving parquet scan). */
+  def readPruned(s: SparkSession, tableDir: String,
+      predicates: Seq[(String, String, Any)]): DataFrame = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val snapId = meta.get("current-snapshot-id").asLong
+    scan(s, tableDir, snapId, predicates.map(p => Pred(p._1, p._2, p._3)))
+  }
+
+  /** (selected, total) data-file counts under the pruning predicates —
+    * the spec pin that proves a transform-pruned scan reads strictly
+    * fewer files. */
+  def plannedDataFiles(tableDir: String,
+      predicates: Seq[(String, String, Any)]): (Int, Int) = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val live = liveFiles(dir, meta, meta.get("current-snapshot-id").asLong)
+      .filter(_.content == 0)
+    val spec = partitionSpec(meta)
+    val preds = predicates.map(p => Pred(p._1, p._2, p._3))
+    (live.count(keepFile(_, spec, preds)), live.size)
+  }
+
+  private def residual(preds: Seq[Pred])
+      : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
+    preds.map { p =>
+      val c = col(p.column)
+      p.op match {
+        case "=" => c === lit(p.value)
+        case "in" =>
+          c.isin(p.value.asInstanceOf[Iterable[Any]].toSeq: _*)
+        case "<" => c < lit(p.value)
+        case "<=" => c <= lit(p.value)
+        case ">" => c > lit(p.value)
+        case ">=" => c >= lit(p.value)
+        case other =>
+          throw new IllegalArgumentException(s"predicate op $other")
+      }
+    }.reduceOption(_ && _)
+  }
+
+  private def scan(s: SparkSession, tableDir: String, snapshotId: Long,
+      preds: Seq[Pred]): DataFrame = {
+    // canonical base dir: a relative or symlinked tableDir would otherwise
+    // build delete-side paths that never match _metadata.file_path and
+    // silently drop the deletes
+    val dir = new File(tableDir).getCanonicalFile
+    val snapId = snapshotId
+    val meta = loadMeta(dir)
+    val spec = partitionSpec(meta)
+    val live = liveFiles(dir, meta, snapId)
+      .filter(keepFile(_, spec, preds))
+    val dataFiles = live.collect { case LiveFile(0, p, q, _) => (p, q) }
+    val posDeletes = live.collect { case LiveFile(1, p, q, _) => (p, q) }
+    val eqDeletes = live.collect { case LiveFile(2, p, q, _) => (p, q) }
+    def withResidual(df: DataFrame): DataFrame =
+      residual(preds).map(df.filter).getOrElse(df)
+    if (dataFiles.isEmpty) {
+      // everything pruned: an empty frame with the data schema (probe one
+      // file from the UNPRUNED snapshot for the shape)
+      val any = liveFiles(dir, meta, snapId).collectFirst {
+        case LiveFile(0, p, _, _) => p
+      }.getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId has no data files"))
+      return withResidual(
+        s.read.parquet(resolve(dir, any).getPath).limit(0))
+    }
+    import org.apache.spark.sql.functions._
+    if (posDeletes.isEmpty && eqDeletes.isEmpty)
+      return withResidual(s.read.parquet(
+        dataFiles.map(f => resolve(dir, f._1).getPath): _*))
+    // deletes scope by sequence number (spec: positional apply to data
+    // seq <= delete seq, equality to data seq < delete seq — a row
+    // re-inserted AFTER the delete must survive). Tag rows with their
+    // file's sequence: one scan per distinct sequence, bounded by the
+    // number of contributing snapshots, not files.
+    val data = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (sq, fs) =>
+        s.read.parquet(fs.map(f => resolve(dir, f._1).getPath): _*)
+          .withColumn("__seq", lit(sq))
+    }.reduce(_ union _)
     val afterPos = if (posDeletes.isEmpty) data
     else {
       // canonical absolute path: strip a file: scheme, collapse leading
@@ -135,28 +325,32 @@ object IcebergTable {
       // stored paths may be full URIs (the spec's file_path IS a URI):
       // drop the scheme BEFORE deciding whether the path is absolute
       val fp = regexp_replace(col("file_path"), "^file:", "")
-      val del = s.read
-        .parquet(posDeletes.map(resolve(dir, _).getPath): _*)
-        .select(canon(when(fp.startsWith("/"), fp)
-          .otherwise(concat(lit(dir.getPath + "/"), fp)))
-          .as("__del_fp"), col("pos").as("__del_pos"))
+      val del = posDeletes.map { case (p, dq) =>
+        s.read.parquet(resolve(dir, p).getPath)
+          .select(canon(when(fp.startsWith("/"), fp)
+            .otherwise(concat(lit(dir.getPath + "/"), fp)))
+            .as("__del_fp"), col("pos").as("__del_pos"),
+            lit(dq).as("__del_seq"))
+      }.reduce(_ union _)
       val tagged = data
         .withColumn("__fp", canon(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
       tagged.join(broadcast(del),
           tagged("__fp") === del("__del_fp") &&
-            tagged("__pos") === del("__del_pos"), "left_anti")
+            tagged("__pos") === del("__del_pos") &&
+            tagged("__seq") <= del("__del_seq"), "left_anti")
         .drop("__fp", "__pos")
     }
     // each equality-delete file anti-joins on ITS OWN columns — merging
     // files with different column sets into one scan would null-pad the
     // missing fields and turn them into IS-NULL constraints that silently
     // disable the delete
-    eqDeletes.foldLeft(afterPos) { (acc, f) =>
+    withResidual(eqDeletes.foldLeft(afterPos) { case (acc, (f, dq)) =>
       val del = s.read.parquet(resolve(dir, f).getPath)
-      val cond = del.columns.map(c => acc(c) <=> del(c)).reduce(_ && _)
+      val cond = del.columns.map(c => acc(c) <=> del(c)).reduce(_ && _) &&
+        acc("__seq") < lit(dq)
       acc.join(broadcast(del), cond, "left_anti")
-    }
+    }.drop("__seq"))
   }
 
   /** The `"t$snapshots"` metadata table (reference presto-iceberg
@@ -180,7 +374,8 @@ object IcebergTable {
     val meta = loadMeta(dir)
     val snapId = meta.get("current-snapshot-id").asLong
     import s.implicits._
-    liveFiles(dir, meta, snapId).toDF("content", "file_path")
+    liveFiles(dir, meta, snapId).map(f => (f.content, f.path))
+      .toDF("content", "file_path")
   }
 
   // ---------- fixture writer (tests + the driver gate): minimal but
@@ -215,8 +410,12 @@ object IcebergTable {
   }
 
   /** One manifest entry. status: 1=ADDED, 0=EXISTING, 2=DELETED;
-    * content: 0=data, 1=position deletes. */
-  final case class Entry(status: Int, dataFile: String, content: Int = 0)
+    * content: 0=data, 1=position deletes, 2=equality deletes.
+    * `addedSnapshotId` (for EXISTING entries carried forward) keeps the
+    * snapshot the file was originally added in — real manifests preserve
+    * it, and the reader's sequence-number proxy depends on it. */
+  final case class Entry(status: Int, dataFile: String, content: Int = 0,
+      addedSnapshotId: Long = -1L)
 
   /** Write a manifest (entries) + manifest list + vN.metadata.json +
     * version-hint for snapshot `snapshotId`; data file paths are
@@ -236,7 +435,8 @@ object IcebergTable {
       df.put("file_size_in_bytes", 0L)
       val r = new GenericData.Record(manifestEntrySchema)
       r.put("status", e.status)
-      r.put("snapshot_id", snapshotId)
+      r.put("snapshot_id",
+        if (e.addedSnapshotId >= 0) e.addedSnapshotId else snapshotId)
       r.put("data_file", df)
       r
     })
@@ -249,8 +449,17 @@ object IcebergTable {
       r.put("added_snapshot_id", snapshotId)
       r
     })
-    // carry prior snapshots forward (real metadata.json keeps the full
-    // history — that is what time travel and $snapshots read)
+    writeMetadataJson(tableDir, version, snapshotId, extra = "")
+  }
+
+  /** vN.metadata.json + version-hint, carrying prior snapshots forward
+    * (real metadata.json keeps the full history — that is what time
+    * travel and $snapshots read). `extra` injects additional top-level
+    * fields (schema / partition-specs), pre-rendered with a leading
+    * comma. */
+  private def writeMetadataJson(tableDir: File, version: Int,
+      snapshotId: Long, extra: String): Unit = {
+    val metaDir = new File(tableDir, "metadata")
     val prior = new File(metaDir, s"v${version - 1}.metadata.json")
     val priorSnaps: Seq[String] =
       if (!prior.isFile) Seq.empty
@@ -267,7 +476,7 @@ object IcebergTable {
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-fixture","location":
          |"${tableDir.getPath}","current-snapshot-id":$snapshotId,
-         |"snapshots":$snapJson}"""
+         |"snapshots":$snapJson$extra}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(
       new File(metaDir, s"v$version.metadata.json").toPath,
@@ -275,6 +484,88 @@ object IcebergTable {
     java.nio.file.Files.write(
       new File(metaDir, "version-hint.text").toPath,
       version.toString.getBytes(UTF_8))
+  }
+
+  /** One entry of a PARTITIONED manifest: `partition` is the transformed
+    * tuple the writer recorded for the file. */
+  final case class PartEntry(status: Int, dataFile: String,
+      partition: Seq[(String, Any)], content: Int = 0,
+      addedSnapshotId: Long = -1L)
+
+  /** Write a partitioned snapshot: manifest entries carry the partition
+    * record, and the metadata declares the schema (with field ids) plus
+    * `partition-specs` so the reader can resolve source-id → column and
+    * prune. schemaFields: (name, icebergType) in field-id order (ids
+    * assigned 1..n); specFields: (partitionFieldName, transform,
+    * sourceColumnName). */
+  def commitPartitionedSnapshot(tableDir: File, version: Int,
+      snapshotId: Long, schemaFields: Seq[(String, String)],
+      specFields: Seq[(String, String, String)],
+      entries: Seq[PartEntry]): Unit = {
+    require(entries.nonEmpty, "partitioned commit needs entries")
+    val metaDir = new File(tableDir, "metadata")
+    metaDir.mkdirs()
+    def leafType(v: Any): String = v match {
+      case _: Int | _: java.lang.Integer => "int"
+      case _: Long | _: java.lang.Long => "long"
+      case _: String => "string"
+      case other => throw new IllegalArgumentException(
+        s"partition value type unsupported in fixture: $other")
+    }
+    val partFieldsJson = entries.head.partition.map { case (n, v) =>
+      s"""{"name":"$n","type":["null","${leafType(v)}"],"default":null}"""
+    }.mkString("[", ",", "]")
+    val entrySchema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":"long"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int"},
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":{"type":"record","name":"r102","fields":$partFieldsJson}},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
+    writeAvro(manifest, entrySchema, entries.map { e =>
+      val pr = new GenericData.Record(partSchema)
+      e.partition.foreach { case (n, v) => pr.put(n, v) }
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", e.content)
+      df.put("file_path", e.dataFile)
+      df.put("file_format", "PARQUET")
+      df.put("partition", pr)
+      df.put("record_count", 0L)
+      df.put("file_size_in_bytes", 0L)
+      val r = new GenericData.Record(entrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id",
+        if (e.addedSnapshotId >= 0) e.addedSnapshotId else snapshotId)
+      r.put("data_file", df)
+      r
+    })
+    val mlist = new File(metaDir, s"snap-$snapshotId.avro")
+    writeAvro(mlist, manifestListSchema, Seq {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/manifest-$snapshotId.avro")
+      r.put("manifest_length", manifest.length())
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    })
+    val schemaJson = schemaFields.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"id":${i + 1},"name":"$n","required":false,"type":"$t"}"""
+    }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+    val srcIds = schemaFields.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val specJson = specFields.zipWithIndex.map { case ((n, tr, src), i) =>
+      s"""{"name":"$n","transform":"$tr","source-id":${srcIds(src)},"field-id":${1000 + i}}"""
+    }.mkString("""[{"spec-id":0,"fields":[""", ",", "]}]")
+    writeMetadataJson(tableDir, version, snapshotId,
+      extra = s""","schema":$schemaJson,"partition-specs":$specJson,"default-spec-id":0""")
   }
 
   /** Write a v2 positional-delete file: (file_path, pos) rows naming

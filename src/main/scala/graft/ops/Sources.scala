@@ -330,6 +330,39 @@ object Sources {
     HudiCow.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Hudi MERGE_ON_READ snapshot scan (reference presto-hudi/ HudiSplit
+    * .java:39 logFiles; ops/HudiMor.scala): the fixture writes base group
+    * g1@001 covering <= 1000, then a log file on that slice with an
+    * upsert block @002 (statuses of keys <= 100 flip to 'X') and a delete
+    * block @003 (keys in (950, 1000] tombstoned). A reader that silently
+    * ignored the logs — the CoW path — would keep the stale statuses and
+    * the deleted rows, and the hash would differ. */
+  def hudiMorRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_hudi_mor_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, ".hoodie/003.deltacommit").exists()) {
+      base.mkdirs()
+      HudiCow.writeProperties(base, "MERGE_ON_READ", "o_orderkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      HudiCow.writeBaseFile(
+        o.filter(col("o_orderkey") <= 1000), base, "", "g1", "001")
+      HudiCow.completeCommit(base, "001")
+      val logSchema = new org.apache.spark.sql.types.StructType()
+        .add("o_orderkey", "long").add("o_orderstatus", "string")
+      val upserts = o.filter(col("o_orderkey") <= 100).collect()
+        .map(r => org.apache.spark.sql.Row(r.getLong(0), "X")).toSeq
+      val delKeys = o
+        .filter(col("o_orderkey") > 950 && col("o_orderkey") <= 1000)
+        .collect().map(_.getLong(0).toString).toSeq
+      HudiMor.writeLogFile(base, "", "g1", "001", 1, Seq(
+        HudiMor.DataBlock("002", upserts, logSchema),
+        HudiMor.DeleteBlock("003", delKeys)))
+      HudiCow.completeDeltaCommit(base, "002")
+      HudiCow.completeDeltaCommit(base, "003")
+    }
+    HudiCow.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** Iceberg v1 snapshot scan (reference presto-iceberg/;
     * ops/IcebergTable.scala): snapshot 1 adds a file covering <= 1000;
     * snapshot 2's manifest marks it DELETED (status 2) and adds files for
@@ -358,6 +391,41 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Iceberg non-identity partition transforms (reference presto-iceberg/
+    * PartitionTransforms.java:60-63; ops/IcebergTransforms.scala): the
+    * fixture lays orders with o_orderkey < 1000 into 5 files partitioned
+    * by truncate[200](o_orderkey), then reads back WITH pruning on
+    * o_orderkey <= 450 — the reader must (a) select only the 3 files
+    * whose transformed tuple can match (asserted via require, so a
+    * non-pruning reader fails the gate loudly) and (b) apply the
+    * residual filter for exact rows. */
+  def icebergTransformsRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_tr_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v1.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") < 1000)
+      val entries = (0 until 5).map { b =>
+        val lo = b * 200L
+        val f = IcebergTable.writeDataFile(
+          o.filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + 200),
+          base, s"t$b.parquet")
+        IcebergTable.PartEntry(1, f, Seq("o_orderkey_trunc" -> lo))
+      }
+      IcebergTable.commitPartitionedSnapshot(base, 1, 1L,
+        Seq("o_orderkey" -> "long", "o_orderstatus" -> "string",
+          "o_totalprice" -> "decimal(12,2)"),
+        Seq(("o_orderkey_trunc", "truncate[200]", "o_orderkey")), entries)
+    }
+    val preds = Seq(("o_orderkey", "<=", 450L: Any))
+    val (sel, total) = IcebergTable.plannedDataFiles(base.getPath, preds)
+    require(sel == 3 && total == 5,
+      s"transform pruning expected 3/5 files, planned $sel/$total")
+    IcebergTable.readPruned(s, base.getPath, preds).orderBy("o_orderkey")
+  }
+
   /** Iceberg v2 positional deletes: the data file holds the 1000 smallest
     * orders SORTED, a delete file tombstones positions 0-4 (the 5
     * smallest keys), and the scan must anti-join them out via
@@ -384,8 +452,10 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delta_read" -> deltaRead,
     "src_hudi_read" -> hudiRead,
+    "src_hudi_mor" -> hudiMorRead,
     "src_iceberg_read" -> icebergRead,
     "src_iceberg_v2_deletes" -> icebergV2Deletes,
+    "src_iceberg_transforms" -> icebergTransformsRead,
     "src_kafka_batch" -> kafkaBatch,
     "src_jdbc_roundtrip" -> jdbcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -409,6 +479,12 @@ object Sources {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500
         |ORDER BY o_orderkey""".stripMargin,
+    "src_hudi_mor" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END
+        |   AS o_orderstatus
+        |FROM orders WHERE o_orderkey <= 950
+        |ORDER BY o_orderkey""".stripMargin,
     "src_iceberg_read" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500
@@ -418,6 +494,10 @@ object Sources {
         |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey NOT IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
         |  ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_iceberg_transforms" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 450
         |ORDER BY o_orderkey""".stripMargin,
     "src_kafka_batch" ->
       """SELECT event_type, count(*) AS n,

@@ -155,11 +155,49 @@ class DeltaSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(DeltaLake.readVersion(spark, dir.getPath, 0L)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // a checkpoint beyond the asked version cannot be unwound
+    // a checkpoint beyond the asked version falls back to a pure JSON
+    // replay while commits 0..version all survive retention ...
     DeltaLake.writeCheckpoint(spark, dir)
+    assert(DeltaLake.readVersion(spark, dir.getPath, 0L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // ... and errors only once they are actually gone
+    assert(new File(dir, "_delta_log/00000000000000000000.json").delete())
     intercept[IllegalArgumentException] {
       DeltaLake.readVersion(spark, dir.getPath, 0L)
     }
+  }
+
+  test("reader protocol guard: minReaderVersion > 1 errors, not wrong rows") {
+    val dir = freshDir("protov3")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    // a deletion-vector table advertises reader version 3 + features; a
+    // version-1 reader replaying it would silently resurrect deleted rows
+    DeltaLake.commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      DeltaLake.metaDataAction(df.schema),
+      DeltaLake.addAction("f0.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.read(spark, dir.getPath)
+    }
+    assert(e.getMessage.contains("minReaderVersion=3"), e.getMessage)
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+  }
+
+  test("column-mapping tables are refused (names would misread)") {
+    val dir = freshDir("colmap")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema).replace(""""configuration":{}""",
+        """"configuration":{"delta.columnMapping.mode":"name"}"""),
+      DeltaLake.addAction("f0.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.read(spark, dir.getPath)
+    }
+    assert(e.getMessage.contains("columnMapping"), e.getMessage)
   }
 
   test("delta_scan / hudi_scan / iceberg_scan resolve in SQL text") {

@@ -1,8 +1,9 @@
 package graft
 
 import java.io.File
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.HudiCow
+import graft.ops.{HudiCow, HudiMor}
 
 /** Minimal Hudi CoW snapshot reader (ops/HudiCow.scala; reference
   * presto-hudi/ HudiSplitManager latest-base-file-per-file-group rule):
@@ -75,5 +76,79 @@ class HudiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HudiCow.read(spark, dir.getPath)
     }
+  }
+
+  private val logSchema = new org.apache.spark.sql.types.StructType()
+    .add("k", "long").add("s", "string")
+
+  test("MoR: log upserts and deletes merge over the base file") {
+    val dir = freshDir("mor")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ", "k")
+    HudiCow.writeBaseFile(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiMor.writeLogFile(dir, "", "g1", "001", 1, Seq(
+      HudiMor.DataBlock("002", Seq(Row(2L, "B2"), Row(4L, "d")), logSchema),
+      HudiMor.DeleteBlock("003", Seq("3"))))
+    HudiCow.completeDeltaCommit(dir, "002")
+    HudiCow.completeDeltaCommit(dir, "003")
+    val out = HudiCow.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "a", 2L -> "B2", 4L -> "d"))
+  }
+
+  test("MoR: blocks of uncommitted instants stay invisible; re-insert wins") {
+    val dir = freshDir("mor_vis")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ", "k")
+    HudiCow.writeBaseFile(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiMor.writeLogFile(dir, "", "g1", "001", 1, Seq(
+      HudiMor.DeleteBlock("002", Seq("2")),
+      // a later delta commit re-inserts key 2: latest instant wins
+      HudiMor.DataBlock("003", Seq(Row(2L, "back")), logSchema),
+      // instant 004 never completed: its block must not be read
+      HudiMor.DataBlock("004", Seq(Row(9L, "BAD")), logSchema)))
+    HudiCow.completeDeltaCommit(dir, "002")
+    HudiCow.completeDeltaCommit(dir, "003")
+    val out = HudiCow.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "a", 2L -> "back"))
+  }
+
+  test("MoR: compaction supersedes the old slice's log files") {
+    val dir = freshDir("mor_compact")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ", "k")
+    HudiCow.writeBaseFile(Seq((1L, "a")).toDF("k", "s"), dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiMor.writeLogFile(dir, "", "g1", "001", 1, Seq(
+      HudiMor.DataBlock("002", Seq(Row(1L, "amended")), logSchema)))
+    HudiCow.completeDeltaCommit(dir, "002")
+    assert(HudiCow.read(spark, dir.getPath).collect()
+      .map(_.getString(1)).toSeq == Seq("amended"))
+    // compaction at 003 folds the log into a new base; the old slice's
+    // log must no longer apply on top of it
+    HudiCow.writeBaseFile(Seq((1L, "compacted")).toDF("k", "s"),
+      dir, "", "g1", "003")
+    HudiCow.completeCommit(dir, "003")
+    assert(HudiCow.read(spark, dir.getPath).collect()
+      .map(_.getString(1)).toSeq == Seq("compacted"))
+  }
+
+  test("table-type guard: unknown types and missing key field error") {
+    val dir = freshDir("guard")
+    HudiCow.writeBaseFile(Seq((1L, "x")).toDF("k", "s"), dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ") // no record key field
+    val e1 = intercept[IllegalArgumentException] {
+      HudiCow.read(spark, dir.getPath)
+    }
+    assert(e1.getMessage.contains("recordkey"), e1.getMessage)
+    HudiCow.writeProperties(dir, "BOGUS_TYPE", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      HudiCow.read(spark, dir.getPath)
+    }
+    assert(e2.getMessage.contains("hoodie.table.type=BOGUS_TYPE"),
+      e2.getMessage)
   }
 }

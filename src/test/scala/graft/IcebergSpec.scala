@@ -92,14 +92,128 @@ class IcebergSpec extends AnyFunSuite {
     val a = IcebergTable.writeDataFile(
       Seq((1L, "us"), (2L, "eu"), (3L, "us"), (4L, "ap"))
         .toDF("k", "region"), dir, "a.parquet")
-    // equality fields = (region): every 'us' row is deleted
+    IcebergTable.commitSnapshot(dir, 1, 10L, Seq(Entry(1, a)))
+    // equality fields = (region): every 'us' row is deleted. The delete
+    // commits AFTER the data (spec: equality deletes apply only to data
+    // files with a strictly smaller sequence number).
     val d = IcebergTable.writeDataFile(
       Seq("us").toDF("region"), dir, "d.parquet")
-    IcebergTable.commitSnapshot(dir, 1, 10L,
-      Seq(Entry(1, a), Entry(1, d, content = 2)))
+    IcebergTable.commitSnapshot(dir, 2, 20L,
+      Seq(Entry(0, a, addedSnapshotId = 10L), Entry(1, d, content = 2)))
     val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq(2L -> "eu", 4L -> "ap"))
+  }
+
+  test("deletes scope by sequence: a row re-inserted later survives") {
+    val dir = freshDir("seqscope")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "us"), (2L, "eu")).toDF("k", "region"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 10L, Seq(Entry(1, a)))
+    val d = IcebergTable.writeDataFile(
+      Seq("us").toDF("region"), dir, "d.parquet")
+    IcebergTable.commitSnapshot(dir, 2, 20L,
+      Seq(Entry(0, a, addedSnapshotId = 10L), Entry(1, d, content = 2)))
+    // snapshot 3 re-inserts a 'us' row: the older equality delete must
+    // NOT reach it (its sequence is higher than the delete's)
+    val b = IcebergTable.writeDataFile(
+      Seq((3L, "us")).toDF("k", "region"), dir, "b.parquet")
+    IcebergTable.commitSnapshot(dir, 3, 30L,
+      Seq(Entry(0, a, addedSnapshotId = 10L),
+        Entry(0, d, content = 2, addedSnapshotId = 20L), Entry(1, b)))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(2L -> "eu", 3L -> "us"))
+  }
+
+  test("positional deletes stop at their sequence: a re-added path reads whole") {
+    val dir = freshDir("posseq")
+    val a = IcebergTable.writeDataFile(
+      (0L to 4L).map(i => (i, s"r$i")).toDF("k", "s").orderBy("k"),
+      dir, "a.parquet")
+    val d = IcebergTable.writeDeleteFile(spark, dir, "d.parquet",
+      Seq((a, 0L)))
+    // same-snapshot positional delete applies (seq <= rule)
+    IcebergTable.commitSnapshot(dir, 1, 10L,
+      Seq(Entry(1, a), Entry(1, d, content = 1)))
+    assert(IcebergTable.read(spark, dir.getPath).count() == 4)
+    // snapshot 2 rewrites the SAME path with new content; the old delete
+    // (smaller sequence) must not tombstone row 0 of the new file
+    IcebergTable.writeDataFile(
+      (10L to 14L).map(i => (i, s"n$i")).toDF("k", "s").orderBy("k"),
+      dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 2, 20L,
+      Seq(Entry(1, a), Entry(0, d, content = 1, addedSnapshotId = 10L)))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == (10L to 14L).toSeq)
+  }
+
+  test("partition transforms: truncate[100] prunes range + equality") {
+    val dir = freshDir("trunc")
+    val entries = (0 until 10).map { b =>
+      val lo = b * 100
+      val rows = (lo until lo + 100).map(i => (i.toLong, s"r$i"))
+      val p = IcebergTable.writeDataFile(rows.toDF("k", "s"), dir,
+        s"t$b.parquet")
+      IcebergTable.PartEntry(1, p, Seq("k_trunc" -> (b * 100).toLong))
+    }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_trunc", "truncate[100]", "k")), entries)
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "<=", 250L)))
+    assert(sel == 3 && total == 10)
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "<=", 250L))).count() == 251)
+    val (sel2, _) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 555L)))
+    assert(sel2 == 1)
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "=", 555L))).collect().map(_.getLong(0)).toSeq == Seq(555L))
+  }
+
+  test("partition transforms: bucket[4] prunes equality via the spec hash") {
+    val dir = freshDir("bucket")
+    val byBucket = (1L to 40L)
+      .groupBy(k => graft.ops.IcebergTransforms("bucket[4]", k))
+    val entries = byBucket.toSeq
+      .sortBy(_._1.asInstanceOf[Int]).map { case (b, ks) =>
+        val p = IcebergTable.writeDataFile(
+          ks.map(k => (k, s"v$k")).toDF("k", "s"), dir, s"b$b.parquet")
+        IcebergTable.PartEntry(1, p, Seq("k_bucket" -> b))
+      }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_bucket", "bucket[4]", "k")), entries)
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 7L)))
+    assert(sel == 1 && total == byBucket.size && total > 1)
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("partition transforms: month() prunes date ranges") {
+    val dir = freshDir("month")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val files = Seq(
+      ("2024-01", Seq(d("2024-01-05"), d("2024-01-20"))),
+      ("2024-02", Seq(d("2024-02-10"))),
+      ("2024-03", Seq(d("2024-03-01"), d("2024-03-30"))))
+    val entries = files.map { case (tag, dates) =>
+      val p = IcebergTable.writeDataFile(
+        dates.map(dt => (dt, tag)).toDF("day", "tag"), dir, s"m$tag.parquet")
+      IcebergTable.PartEntry(1, p,
+        Seq("day_month" -> graft.ops.IcebergTransforms("month", dates.head)))
+    }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("day" -> "date", "tag" -> "string"),
+      Seq(("day_month", "month", "day")), entries)
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("day", ">=", d("2024-03-01"))))
+    assert(sel == 1 && total == 3)
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("day", ">=", d("2024-03-01")))).count() == 2)
   }
 
   test("EXISTING entries (status 0) keep carried-forward files visible") {
