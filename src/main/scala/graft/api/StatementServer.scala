@@ -34,16 +34,21 @@ import org.apache.spark.sql.types._
   *
   * Spark-first mapping: the server is an embedded JDK HttpServer (the same
   * technique as functions/RemoteFunctions.scala's function service) in the
-  * driver JVM, submitting SQL text to the graft dialect (`SqlSession.sql`)
-  * on a dispatch executor — so QUEUED is a real observable state, as in the
-  * reference's dispatch queue. Results are buffered at the coordinator and
-  * paged to the client, exactly the reference coordinator's contract
-  * (workers stream to the coordinator, the client pages from coordinator
-  * memory): the buffered result is bounded by what the CLIENT asked to
-  * page through, never the input size — at 100 TB a protocol client still
-  * reads only its final result set, and anything bigger goes through
-  * CTAS/INSERT (ops/Sources.scala, ops/SnapshotTable.scala) where the
-  * write is fully distributed and never passes through the driver.
+  * driver JVM, submitting SQL text to the graft dialect (`SqlSession.sql`).
+  * Queries dispatch CONCURRENTLY on a bounded pool — each request on its
+  * own session clone (isolated conf/temp views/prepares), the way the
+  * reference's DispatchManager admits queries in parallel while the
+  * coordinator rebuilds a Session per request — so one long query cannot
+  * head-of-line block other clients; QUEUED is still a real observable
+  * state once the slots fill. Statements that mutate SHARED state (DDL,
+  * DML, roles, transactions) serialize on the shared session so their
+  * catalog effects persist. Results STREAM: a toLocalIterator-backed page
+  * window (at most PageWindow pages in driver heap, exactly the
+  * reference's bounded output buffer, ExecutingStatementResource.java:
+  * 99-151) — a SELECT * over a huge table never materializes at the
+  * coordinator, and anything bigger than a client wants to page goes
+  * through CTAS/INSERT (ops/Sources.scala, ops/SnapshotTable.scala) where
+  * the write is fully distributed and never passes through the driver.
   */
 object StatementServer {
 
@@ -59,7 +64,16 @@ object StatementServer {
     @volatile var state: String = "QUEUED"
     @volatile var canceled: Boolean = false
     @volatile var schema: StructType = _
-    @volatile var pages: Vector[Seq[Row]] = Vector.empty
+    // STREAMED result: a toLocalIterator plus a bounded page window —
+    // the driver holds at most PageWindow pages, never the whole result
+    // (the reference streams bounded pages from the output buffer,
+    // ExecutingStatementResource.java:99-151). Guarded by `this`.
+    var iter: Iterator[Row] = _
+    var nextPageIdx: Int = 0
+    var window: scala.collection.immutable.TreeMap[Int, Seq[Row]] =
+      scala.collection.immutable.TreeMap.empty
+    var exhausted: Boolean = false
+    @volatile var maxWindowSeen: Int = 0
     @volatile var error: ProtoError = _
     @volatile var rowCount: Long = 0L
     /** Protocol response headers earned by the statement itself
@@ -79,15 +93,32 @@ object StatementServer {
   @volatile private var boundPort: Int = -1
   @volatile private var session: SparkSession = _
   @volatile private var pageRows: Int = 1000
-  // single-threaded dispatch = a real queue, so QUEUED is observable and
-  // cancel-while-queued is deterministic (the reference's dispatch manager
-  // admits queries through a queue the same way)
-  private lazy val dispatcher = Executors.newSingleThreadExecutor(
-    (r: Runnable) => {
+  /** Concurrent dispatch slots for queries (the reference's dispatch
+    * manager admits queries concurrently under resource-group limits,
+    * MAIN/dispatcher/DispatchManager.java:234). Bounded, so QUEUED is
+    * still a real observable state once the slots fill. */
+  val DispatchThreads = 4
+  private lazy val dispatcher = Executors.newFixedThreadPool(
+    DispatchThreads, (r: Runnable) => {
       val t = new Thread(r, "graft-statement-dispatch")
       t.setDaemon(true)
       t
     })
+  // statements that mutate SHARED server state (catalog objects, managed
+  // tables, roles, transactions) run serialized on the SHARED session so
+  // their effects persist for later requests; everything else runs
+  // concurrently on a per-query session clone
+  private lazy val ddlLane = Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-statement-ddl")
+      t.setDaemon(true)
+      t
+    })
+  private val SharedStateStmt = java.util.regex.Pattern.compile(
+    """\A\s*(CREATE|DROP|ALTER|INSERT|DELETE|UPDATE|MERGE|TRUNCATE|ANALYZE|CALL|GRANT|REVOKE|SET\s+ROLE|START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK|REFRESH|USE|CACHE|UNCACHE)\b.*""",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+  private def mutatesSharedState(sql: String): Boolean =
+    SharedStateStmt.matcher(sql).matches()
 
   def port: Int = boundPort
 
@@ -367,6 +398,10 @@ object StatementServer {
 
   // ---------- lifecycle
 
+  private def dispatch(q: QueryExec): Unit =
+    (if (mutatesSharedState(q.sql)) ddlLane else dispatcher)
+      .execute(() => run(q))
+
   private def submit(sql: String, sessionProps: Seq[(String, String)],
       prepares: Seq[(String, String)]): QueryExec = {
     // reference id shape: yyyyMMdd_HHmmss_NNNNN_xxxxx (QueryIdGenerator)
@@ -424,15 +459,26 @@ object StatementServer {
   }
 
   private def run(q: QueryExec): Unit = {
-    if (q.canceled) return // DELETE already recorded the failure
-    q.state = "RUNNING"
+    // atomic QUEUED -> RUNNING: a DELETE that already failed the query
+    // must not be overwritten (terminal states are set-once)
+    val started = q.synchronized {
+      if (q.state == "QUEUED" && !q.canceled) { q.state = "RUNNING"; true }
+      else false
+    }
+    if (!started) return
     val spark = session
-    val ses = SqlSession.wrap(spark)
-    // per-request session context from X-Presto-Session /
-    // X-Presto-Prepared-Statement headers: applied before the statement,
-    // unwound after — the dispatcher is single-threaded, so the shared
-    // SparkSession sees one request's context at a time (the reference
-    // rebuilds a Session per request from the same headers)
+    val shared = mutatesSharedState(q.sql)
+    // queries run on a per-request session CLONE: isolated conf / temp
+    // views / prepares, so concurrent requests cannot observe each
+    // other's SET SESSION — the reference rebuilds a Session per request
+    // from the same headers. Shared-state DDL runs on the SHARED session
+    // (serialized on its own lane) so catalog effects persist.
+    val qSession =
+      if (shared) spark
+      else org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
+    val ses = SqlSession.wrap(qSession)
+    // on the shared session, header context must unwind after the
+    // statement; on a clone it dies with the clone
     val applied = scala.collection.mutable.ListBuffer.empty[String]
     try {
       spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
@@ -440,31 +486,45 @@ object StatementServer {
         // values arrive URL-decoded and may hold quotes: double them so
         // the re-embedded literal stays one literal
         ses.sql(s"SET SESSION $k = '${v.replace("'", "''")}'")
-        applied += s"RESET SESSION $k"
+        if (shared) applied += s"RESET SESSION $k"
       }
       q.prepares.foreach { case (name, body) =>
         ses.sql(s"PREPARE $name FROM $body")
-        applied += s"DEALLOCATE PREPARE $name"
+        if (shared) applied += s"DEALLOCATE PREPARE $name"
       }
       val df = ses.sql(q.sql)
       q.schema = df.schema
-      val rows = df.collect().toSeq
-      q.rowCount = rows.size.toLong
-      q.pages = rows.grouped(pageRows).toVector
       q.respHeaders = statementHeaders(q.sql)
       // the statement's own session effects do NOT persist server-side:
       // the response header tells the CLIENT to carry them on its next
-      // request (the reference coordinator is stateless the same way) —
-      // without this, one client's SET SESSION leaks into every other
-      // client's queries on the shared session
-      q.respHeaders.get("X-Presto-Set-Session").foreach { kv =>
-        applied += s"RESET SESSION ${kv.takeWhile(_ != '=')}"
+      // request (the reference coordinator is stateless the same way)
+      if (shared) {
+        q.respHeaders.get("X-Presto-Set-Session").foreach { kv =>
+          applied += s"RESET SESSION ${kv.takeWhile(_ != '=')}"
+        }
+        q.respHeaders.get("X-Presto-Added-Prepare").foreach { kv =>
+          applied += s"DEALLOCATE PREPARE ${kv.takeWhile(_ != '=')}"
+        }
       }
-      q.respHeaders.get("X-Presto-Added-Prepare").foreach { kv =>
-        applied += s"DEALLOCATE PREPARE ${kv.takeWhile(_ != '=')}"
+      // DDL and session statements produce tiny result frames: collect
+      // them eagerly so the shared-lane unwind below can run before the
+      // client pages. Queries stream: toLocalIterator materializes ONE
+      // partition at a time — a SELECT * over a huge table never sits
+      // whole in driver heap.
+      val it =
+        if (shared) df.collect().iterator
+        else {
+          import scala.jdk.CollectionConverters._
+          df.toLocalIterator().asScala
+        }
+      q.synchronized { q.iter = it }
+      // prefetch the FIRST page here, in the dispatch slot: toLocalIterator
+      // is lazy, and without this the query would report FINISHED before a
+      // single task ran (and a slow query would never occupy its slot)
+      servePage(q, 0)
+      q.synchronized {
+        if (q.state == "RUNNING") q.state = "FINISHED"
       }
-      if (q.canceled) () // cancel already set FAILED; keep that terminal state
-      else q.state = "FINISHED"
     } catch {
       case _: Throwable if q.canceled => () // interrupt from cancelJobGroup
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
@@ -483,8 +543,40 @@ object StatementServer {
     }
   }
 
-  private def fail(q: QueryExec, e: ProtoError): Unit = {
+  /** Set-once terminal failure — except that an error during RESULT
+    * iteration may still flip FINISHED (results ready) to FAILED. */
+  private def fail(q: QueryExec, e: ProtoError): Unit = q.synchronized {
     if (q.state != "FAILED") { q.error = e; q.state = "FAILED" }
+  }
+
+  /** How many pages a query holds buffered at most (spec evidence that
+    * results stream instead of materializing). */
+  private[graft] def bufferedPagesHighWater(id: String): Int =
+    queries.get(id).map(_.maxWindowSeen).getOrElse(0)
+
+  /** Pull/serve page `page`. Left(httpCode) for expired/out-of-order
+    * tokens; Right((rows, hasNext)) otherwise. Pages are produced on
+    * demand from the iterator and only a window of PageWindow pages is
+    * retained — a re-GET of the previous page (client retry) still
+    * works, anything older is gone (410), as in the reference. */
+  private val PageWindow = 3
+  private def servePage(q: QueryExec, page: Int)
+      : Either[Int, (Seq[Row], Boolean)] = q.synchronized {
+    if (q.window.contains(page))
+      Right((q.window(page), page + 1 < q.nextPageIdx || !q.exhausted))
+    else if (page == q.nextPageIdx && !q.exhausted) {
+      val buf = Vector.newBuilder[Row]
+      var n = 0
+      while (n < pageRows && q.iter.hasNext) { buf += q.iter.next(); n += 1 }
+      if (!q.iter.hasNext) q.exhausted = true
+      val rows = buf.result()
+      q.rowCount += rows.size
+      q.window = q.window + (page -> rows)
+      while (q.window.size > PageWindow) q.window = q.window.tail
+      q.maxWindowSeen = math.max(q.maxWindowSeen, q.window.size)
+      q.nextPageIdx += 1
+      Right((rows, !q.exhausted))
+    } else Left(410)
   }
 
   /** Bound the registry: a long-lived server must not accumulate every
@@ -502,13 +594,23 @@ object StatementServer {
     }
 
   private def cancel(q: QueryExec): Unit = {
-    // DELETE after completion is a no-op, as in the reference
-    if (q.state == "FINISHED" || q.state == "FAILED") return
-    q.canceled = true
-    fail(q, ProtoError("Query was canceled by user", 3, "USER_CANCELED",
-      "USER_ERROR"))
-    val spark = session
-    if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
+    // the whole transition is atomic wrt run()'s RUNNING -> FINISHED so a
+    // cancel can never leave state=FINISHED with a USER_CANCELED payload
+    val act = q.synchronized {
+      // DELETE after completion is a no-op, as in the reference
+      if (q.state == "FINISHED" || q.state == "FAILED") false
+      else {
+        q.canceled = true
+        q.error = ProtoError("Query was canceled by user", 3,
+          "USER_CANCELED", "USER_ERROR")
+        q.state = "FAILED"
+        true
+      }
+    }
+    if (act) {
+      val spark = session
+      if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
+    }
   }
 
   // ---------- HTTP
@@ -546,7 +648,7 @@ object StatementServer {
             // createQueuedQueryResults does the same)
             val resp = results(q, base,
               Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
-            dispatcher.execute(() => run(q))
+            dispatch(q)
             respond(ex, 200, resp)
           }
 
@@ -559,7 +661,7 @@ object StatementServer {
               val q = submit(orig.sql, orig.sessionProps, orig.prepares)
               val resp = results(q, base,
                 Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
-              dispatcher.execute(() => run(q))
+              dispatch(q)
               respond(ex, 200, resp)
           }
 
@@ -592,20 +694,33 @@ object StatementServer {
                 Some(s"$base/v1/statement/queued/$id/1"), None, None))
             case Some(q) =>
               val page = tok.toInt
-              val cols = Some(q.schema)
-              if (q.pages.isEmpty && page == 0)
-                respond(ex, 200,
-                  results(q, base, None, cols, Some(Seq.empty)),
-                  q.respHeaders)
-              else if (page < 0 || page >= q.pages.size)
-                respond(ex, 410, """{"message":"result page expired"}""")
-              else {
-                val next = if (page + 1 < q.pages.size)
-                  Some(s"$base/v1/statement/executing/$id/${page + 1}")
-                else None
-                respond(ex, 200,
-                  results(q, base, next, cols, Some(q.pages(page))),
-                  q.respHeaders)
+              // the pull may run Spark jobs (one partition at a time):
+              // keep them under the query's job group so DELETE's
+              // cancelJobGroup reaches them too
+              val pulled =
+                try {
+                  session.sparkContext
+                    .setJobGroup(q.id, q.sql, interruptOnCancel = true)
+                  try servePage(q, page)
+                  finally session.sparkContext.clearJobGroup()
+                } catch {
+                  case e: Throwable if !q.canceled =>
+                    fail(q, ProtoError(String.valueOf(e.getMessage), 65536,
+                      "GENERIC_INTERNAL_ERROR", "INTERNAL_ERROR"))
+                    null
+                  case _: Throwable => null
+                }
+              if (pulled == null)
+                respond(ex, 200, results(q, base, None, None, None))
+              else pulled match {
+                case Left(code) =>
+                  respond(ex, code, """{"message":"result page expired"}""")
+                case Right((rows, hasNext)) =>
+                  val next = if (hasNext)
+                    Some(s"$base/v1/statement/executing/$id/${page + 1}")
+                  else None
+                  respond(ex, 200, results(q, base, next, Some(q.schema),
+                    Some(rows)), q.respHeaders)
               }
           }
 

@@ -94,27 +94,57 @@ class StatementProtocolSpec extends AnyFunSuite {
     assert(e.errorCode == 1)
   }
 
+  // a deterministic slow query: one row, one executor-side sleep
+  private def sleepSql(ms: Int) =
+    s"SELECT java_method('java.lang.Thread', 'sleep', ${ms}L) AS z"
+
   test("DELETE cancels a queued query (USER_CANCELED)") {
-    // occupy the single dispatch slot so the victim stays QUEUED
+    // occupy EVERY dispatch slot so the victim stays QUEUED
     // deterministically while we cancel it
-    val blocker = StatementClient.post(base,
-      "SELECT count(*) AS c FROM customer a CROSS JOIN customer b " +
-        "CROSS JOIN customer c WHERE a.c_custkey + b.c_custkey + " +
-        "c.c_custkey > 0")
+    val blockers = (1 to StatementServer.DispatchThreads)
+      .map(_ => StatementClient.post(base, sleepSql(5000)))
     val victim = StatementClient.post(base, "SELECT 1 AS one")
     assert(StatementClient.cancel(victim.nextUri.get) == 204)
     var r = StatementClient.advance(victim.nextUri.get)
     assert(r.state == "FAILED")
     val e = r.error.getOrElse(fail("no error payload"))
     assert(e.errorName == "USER_CANCELED" && e.errorCode == 3)
-    // drain the blocker so the dispatcher is idle for other tests
-    var b = blocker
+    // release the slots for the other tests
+    blockers.foreach(b => StatementClient.cancel(b.nextUri.get))
+  }
+
+  test("a short query completes while a long one occupies its slot") {
+    // the reference dispatches concurrently (DispatchManager.java:234);
+    // a single-lane server would head-of-line block the short query
+    val blocker = StatementClient.post(base, sleepSql(8000))
+    val quick = StatementClient.execute(spark, base, "SELECT 5 AS v")
+      .collect()
+    assert(quick.map(_.getInt(0)).toSeq == Seq(5))
+    val st = StatementClient.advance(blocker.nextUri.get).state
+    assert(st == "QUEUED" || st == "RUNNING", s"blocker already $st")
+    StatementClient.cancel(blocker.nextUri.get)
+  }
+
+  test("large results stream through a bounded page window") {
+    Tables.registerAll(spark, sf)
+    val expected = spark.table("customer").count()
+    assert(expected > 100) // 15 pages at pageSize=10
+    val r0 = StatementClient.post(base,
+      "SELECT c_custkey AS k FROM customer ORDER BY k")
+    var r = r0
+    var n = 0
     var guard = 0
-    while (b.nextUri.isDefined && guard < 100000) {
-      guard += 1
-      if (b.columns.isEmpty && b.data.isEmpty) Thread.sleep(5)
-      b = StatementClient.advance(b.nextUri.get)
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1; n += r.data.size
+      r = StatementClient.advance(r.nextUri.get)
     }
+    n += r.data.size
+    assert(r.error.isEmpty, r.error.toString)
+    assert(n.toLong == expected)
+    // the server never materialized the result: at most the window's
+    // pages were ever buffered (toLocalIterator-backed paging)
+    val hw = StatementServer.bufferedPagesHighWater(r0.id)
+    assert(hw >= 1 && hw <= 3, s"window high-water $hw")
   }
 
   test("unknown query id is a 404; expired page token is a 410") {
