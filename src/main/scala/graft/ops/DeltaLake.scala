@@ -238,6 +238,79 @@ object DeltaLake {
     }.reduce(_ unionAll _)
   }
 
+  // ---------- writer: INSERT INTO (append) with an atomic log commit
+
+  private def nextVersion(logDir: File): Long =
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect {
+        case n if n.matches("\\d{20}\\.json") =>
+          n.stripSuffix(".json").toLong
+        case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+          n.stripSuffix(".checkpoint.parquet").toLong
+      }.foldLeft(-1L)(math.max) + 1
+
+  /** INSERT INTO (append) a Delta table — the same commit contract as the
+    * reference's TableFinishOperator over presto-delta: write the parquet
+    * data files first (fully DISTRIBUTED — the rows never pass through
+    * the driver), then make them visible with ONE atomic `add`-actions
+    * JSON commit; a reader replaying the log sees all of the insert or
+    * none of it. Partitioned tables write through Spark's partitionBy
+    * (Hive-style dirs, partition columns dropped from the data files —
+    * exactly Delta's physical layout) and record each leaf's
+    * partitionValues in its add action. Returns the committed version. */
+  def insert(s: SparkSession, tableDir: String, df: DataFrame): Long = {
+    val dir = new File(tableDir)
+    val logDir = new File(dir, "_delta_log")
+    val (schema, partCols, _) = replay(s, dir) // validates protocol too
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+      .sameElements(schema.fields.map(f => (f.name, f.dataType))
+        .sortBy(_._1)),
+      s"INSERT schema ${df.schema.simpleString} does not match table " +
+        s"schema ${schema.simpleString}")
+    val version = nextVersion(logDir)
+    val staging = new File(dir, f".staging_insert_$version%020d")
+    val ordered = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (partCols.isEmpty) ordered.write.parquet(staging.getPath)
+    else ordered.write.partitionBy(partCols: _*).parquet(staging.getPath)
+    // move every leaf parquet into the table and record an add per file
+    def decode(v: String): String =
+      java.net.URLDecoder.decode(v, "UTF-8") match {
+        case "__HIVE_DEFAULT_PARTITION__" => null
+        case other => other
+      }
+    val adds = Seq.newBuilder[String]
+    var i = 0
+    def walk(d: File, partVals: Map[String, String]): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach {
+        case sub if sub.isDirectory && sub.getName.contains("=") =>
+          val Array(k, v) = sub.getName.split("=", 2)
+          walk(sub, partVals + (k -> decode(v)))
+        case f if f.isFile && f.getName.endsWith(".parquet") =>
+          val relDir = partVals.map { case (k, v) =>
+            k + "=" + (if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else java.net.URLEncoder.encode(v, "UTF-8"))
+          }.mkString("/")
+          if (relDir.nonEmpty) new File(dir, relDir).mkdirs()
+          val name = f"part-$version%020d-$i%05d.parquet"
+          i += 1
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          java.nio.file.Files.move(f.toPath, new File(dir, rel).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          adds += addAction(rel, partVals)
+        case _ =>
+      }
+    walk(staging, Map.empty)
+    def rmRec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete()
+    }
+    rmRec(staging)
+    val actions = adds.result()
+    require(actions.nonEmpty, "INSERT produced no data files")
+    commit(dir, version, actions)
+    version
+  }
+
   // ---------- fixture writer (tests + the driver gate build their own
   // protocol-conformant logs with it; production tables come from real
   // Delta writers)
@@ -266,7 +339,9 @@ object DeltaLake {
   def addAction(path: String,
       partitionValues: Map[String, String] = Map.empty): String = {
     val pv = partitionValues
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v == null) "null" else "\"" + v + "\"")
+      }
       .mkString("{", ",", "}")
     s"""{"add":{"path":"$path","partitionValues":$pv,"size":0,"modificationTime":0,"dataChange":true}}"""
   }

@@ -568,6 +568,111 @@ object IcebergTable {
       extra = s""","schema":$schemaJson,"partition-specs":$specJson,"default-spec-id":0""")
   }
 
+  // ---------- writer: INSERT INTO (append snapshot)
+
+  /** Commit `entries` as a NEW snapshot that also carries every manifest
+    * of the current snapshot forward (the spec's fast-append): the new
+    * manifest list references the prior manifests untouched — their
+    * entries keep their original snapshot ids, so delete-scoping
+    * sequence numbers stay correct. */
+  def appendSnapshot(tableDir: File, version: Int, snapshotId: Long,
+      entries: Seq[Entry]): Unit = {
+    val metaDir = new File(tableDir, "metadata")
+    metaDir.mkdirs()
+    // prior manifests (empty for a brand-new table)
+    val priorManifests: Seq[(String, Long)] = {
+      val hint = new File(metaDir, "version-hint.text")
+      if (!hint.isFile) Seq.empty
+      else {
+        val meta = loadMeta(tableDir)
+        val cur = meta.get("current-snapshot-id").asLong
+        val snaps = meta.get("snapshots")
+        (0 until snaps.size()).map(snaps.get)
+          .find(_.get("snapshot-id").asLong == cur)
+          .map(_.get("manifest-list").asText).toSeq
+          .flatMap(ml => avroRecords(resolve(tableDir, ml))
+            .map(r => (r.get("manifest_path").toString,
+              r.get("added_snapshot_id").asInstanceOf[Long])))
+      }
+    }
+    val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
+    writeAvro(manifest, manifestEntrySchema, entries.map { e =>
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("content", e.content)
+      df.put("file_path", e.dataFile)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 0L)
+      df.put("file_size_in_bytes", 0L)
+      val r = new GenericData.Record(manifestEntrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id",
+        if (e.addedSnapshotId >= 0) e.addedSnapshotId else snapshotId)
+      r.put("data_file", df)
+      r
+    })
+    val mlist = new File(metaDir, s"snap-$snapshotId.avro")
+    val all = priorManifests :+
+      (s"metadata/manifest-$snapshotId.avro", snapshotId)
+    writeAvro(mlist, manifestListSchema, all.map { case (p, sid) =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length", resolve(tableDir, p).length())
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", sid)
+      r
+    })
+    writeMetadataJson(tableDir, version, snapshotId, extra = "")
+  }
+
+  /** INSERT INTO (append) an Iceberg table — the reference's
+    * finishInsert commit (presto-iceberg IcebergAbstractMetadata.java:
+    * 739): the parquet data files write first, fully DISTRIBUTED, then
+    * ONE new snapshot (manifest + manifest list + vN metadata) makes
+    * them visible atomically; time travel to the prior snapshot still
+    * sees the pre-insert table. Scope: unpartitioned tables (an append
+    * into a transform-partitioned table would need per-file partition
+    * tuples; rejected loudly rather than committed wrong). Returns the
+    * new snapshot id. */
+  def insertAppend(s: SparkSession, tableDir: String, df: DataFrame)
+      : Long = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    require(partitionSpec(meta).isEmpty,
+      "INSERT into a transform-partitioned Iceberg table is unsupported")
+    val tableSchema = read(s, dir.getPath).schema
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+      .sameElements(tableSchema.fields.map(f => (f.name, f.dataType))
+        .sortBy(_._1)),
+      s"INSERT schema ${df.schema.simpleString} does not match table " +
+        s"schema ${tableSchema.simpleString}")
+    val snaps = meta.get("snapshots")
+    val snapId = (0 until snaps.size())
+      .map(snaps.get(_).get("snapshot-id").asLong).foldLeft(0L)(math.max) + 1
+    val hint = new File(dir, "metadata/version-hint.text")
+    val version = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      UTF_8).trim.toInt + 1
+    val dataDir = new File(dir, "data")
+    dataDir.mkdirs()
+    val staging = new File(dataDir, s".staging_insert_$snapId")
+    df.select(tableSchema.fieldNames.map(
+      org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.parquet(staging.getPath)
+    val entries = staging.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
+        val name = f"insert-$snapId-$i%05d.parquet"
+        java.nio.file.Files.move(p.toPath,
+          new File(dataDir, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Entry(1, s"data/$name")
+      }.toSeq
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+    require(entries.nonEmpty, "INSERT produced no data files")
+    appendSnapshot(dir, version, snapId, entries)
+    snapId
+  }
+
   /** Write a v2 positional-delete file: (file_path, pos) rows naming
     * table-relative data files; returns the table-relative name. */
   def writeDeleteFile(s: SparkSession, tableDir: File, name: String,

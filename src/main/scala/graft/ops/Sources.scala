@@ -449,8 +449,61 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** INSERT INTO a Delta table through the engine's own commit path
+    * (ops/DeltaLake.insert): the fixture creates the table with orders
+    * <= 500, the engine APPENDS (500, 1000] as new parquet + one atomic
+    * add-actions commit, and the gate re-reads the table through the log
+    * replay. A broken commit (missing adds, wrong partitionValues, or a
+    * non-atomic half-write) changes the hash. */
+  def dmlInsertDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_ins_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000001.json")
+        .exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "f0.parquet")
+      DeltaLake.commit(base, 0, Seq(
+        DeltaLake.protocolAction,
+        DeltaLake.metaDataAction(o.schema),
+        DeltaLake.addAction("f0.parquet")))
+      val v = DeltaLake.insert(s, base.getPath,
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+      require(v == 1L, s"insert committed version $v, expected 1")
+    }
+    DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
+  /** INSERT INTO an Iceberg table (ops/IcebergTable.insertAppend — the
+    * reference's finishInsert snapshot commit): base snapshot holds
+    * orders <= 500, the engine appends (500, 1000] as a NEW snapshot
+    * carrying the old manifest forward, and the gate re-reads the
+    * current snapshot. Time travel to the pre-insert snapshot is pinned
+    * in IcebergSpec. */
+  def dmlInsertIceberg(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_ins_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v2.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      val snap = IcebergTable.insertAppend(s, base.getPath,
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+      require(snap == 2L, s"insert committed snapshot $snap, expected 2")
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_delta_read" -> deltaRead,
+    "dml_insert_delta" -> dmlInsertDelta,
+    "dml_insert_iceberg" -> dmlInsertIceberg,
     "src_hudi_read" -> hudiRead,
     "src_hudi_mor" -> hudiMorRead,
     "src_iceberg_read" -> icebergRead,
@@ -471,6 +524,14 @@ object Sources {
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_insert_delta" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "dml_insert_iceberg" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "src_delta_read" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1500

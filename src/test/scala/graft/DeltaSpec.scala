@@ -230,6 +230,33 @@ class DeltaSpec extends AnyFunSuite {
     assert(lit.getString(0) == "use delta_scan('/x')")
   }
 
+  test("insert appends atomically; partitioned inserts record values") {
+    val dir = freshDir("ins")
+    val full = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("s", "string").add("p", "integer")
+    DeltaLake.writeDataFile(Seq((1L, "a")).toDF("k", "s"), dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(full, Seq("p")),
+      DeltaLake.addAction("f0.parquet", Map("p" -> "10"))))
+    // engine-side INSERT: two partitions in one atomic commit
+    val v = DeltaLake.insert(spark, dir.getPath,
+      Seq((2L, "b", 10), (3L, "c", 20)).toDF("k", "s", "p"))
+    assert(v == 1L)
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)))
+    // partition pruning still works over the inserted files
+    assert(DeltaLake.read(spark, dir.getPath)
+      .filter(col("p") === 20).count() == 1)
+    // time travel: version 0 predates the insert
+    assert(DeltaLake.readVersion(spark, dir.getPath, 0L).count() == 1)
+    // a mismatched schema is rejected before anything writes
+    intercept[IllegalArgumentException] {
+      DeltaLake.insert(spark, dir.getPath, Seq((9L, 1.0)).toDF("k", "x"))
+    }
+    assert(DeltaLake.read(spark, dir.getPath).count() == 3)
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")

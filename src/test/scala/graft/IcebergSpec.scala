@@ -216,6 +216,27 @@ class IcebergSpec extends AnyFunSuite {
       Seq(("day", ">=", d("2024-03-01")))).count() == 2)
   }
 
+  test("insertAppend commits a new snapshot; the old one still time-travels") {
+    val dir = freshDir("ins")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "base")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 10L, Seq(Entry(1, a)))
+    val snap = IcebergTable.insertAppend(spark, dir.getPath,
+      Seq((2L, "ins"), (3L, "ins")).toDF("k", "s"))
+    assert(snap == 11L)
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "base", 2L -> "ins", 3L -> "ins"))
+    // prior snapshot untouched (the append carried its manifest forward)
+    assert(IcebergTable.readAt(spark, dir.getPath, 10L).count() == 1)
+    // schema mismatch is rejected before anything commits
+    intercept[IllegalArgumentException] {
+      IcebergTable.insertAppend(spark, dir.getPath,
+        Seq((9, 1.5)).toDF("k", "x"))
+    }
+    assert(IcebergTable.read(spark, dir.getPath).count() == 3)
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
