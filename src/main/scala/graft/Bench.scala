@@ -169,7 +169,7 @@ object Bench {
       // would otherwise leak cached blocks into every LATER query's
       // measurement (observed: +16 s spread over the suite) — each query
       // is an independent benchto run, so it starts from a cold cache
-      spark.catalog.clearCache()
+      graft.ops.CacheBook.drain(); spark.catalog.clearCache()
       (name, med, min)
     }
     val hist = historicalBest(layout, new java.io.File(sfDir).getName, cpus)
@@ -209,7 +209,7 @@ object Bench {
         val fn = queries.find(_._1 == name).get._2
         try fn(spark, benchDir).count() catch { case _: Throwable => () } // rewarm
         val (med2, min2) = measure(spark, benchDir, fn)
-        spark.catalog.clearCache()
+        graft.ops.CacheBook.drain(); spark.catalog.clearCache()
         if (min2 < min) min = min2
         if (med2 < med) med = med2
       }

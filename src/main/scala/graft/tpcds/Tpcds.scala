@@ -1053,7 +1053,7 @@ object Tpcds {
       .agg(davg(col("ss_net_profit"), "rank_col"))
       // consumed by both the asc and desc rankings (q49's shape): the
       // differing window sorts defeat exchange reuse, so cache
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val asc10 = perItem.select(col("item_sk").as("b_item"),
       rank().over(Window.orderBy(asc("rank_col"), asc("item_sk"))).as("rnk"))
       .filter(col("rnk") <= 10)
@@ -1188,7 +1188,7 @@ object Tpcds {
           col(dateK) === col("d_date_sk"))
         .groupBy(col(custK).as("cust"), col("d_year"))
         .agg(dsum(col(rev), "tot"))
-        .persist()
+        .transform(graft.ops.CacheBook.persisted)
     val ssy = yearTotals(storeSales(s, dir), "ss_sold_date_sk",
       "ss_customer_sk", "ss_net_profit")
     val wsy = yearTotals(webSales(s, dir), "ws_sold_date_sk",
@@ -1429,7 +1429,7 @@ object Tpcds {
       .withColumn("amt_ratio", col("ret_amt") / col("sold_amt"))
       // consumed twice (quantity + amount rankings): cache the aggregate
       // so the fact scan + returns join run once, like q14/q24/q39/q75
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val byQty = perItem.withColumn("rnk",
       rank().over(Window.orderBy(desc("qty_ratio"), asc("item"))))
       .filter(col("rnk") <= 10).withColumn("which", lit("quantity"))
@@ -1740,7 +1740,7 @@ object Tpcds {
       .filter(col("cov") > 0.5)
       // consumed twice (March/April sides of the self-join): without this
       // the inventory scan + groupBy runs twice, like q14/q24/q75
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val m1 = monthly.filter(col("d_moy") === 3).select(
       col("inv_warehouse_sk").as("w_warehouse_sk"),
       col("inv_item_sk").as("i_item_sk"),
@@ -2119,7 +2119,7 @@ object Tpcds {
     // cache it so the three-channel union underneath runs once, not twice
     val tot = all.groupBy("d_year", "i_brand_id")
       .agg(decSum(col("net_qty")).cast("double").as("sales_cnt"))
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val curr = tot.filter(col("d_year") === 1999)
       .select(col("i_brand_id").as("b"), col("sales_cnt").as("curr_cnt"))
     val prev = tot.filter(col("d_year") === 1998)
@@ -2700,7 +2700,7 @@ object Tpcds {
         col(dateK) === col("d_date_sk"))
       .groupBy(col(custK).as("cust"), col("d_year"))
       .agg(dsum(rev, "tot"))
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
 
   private def slice(yt: DataFrame, yr: Int, p: String,
       positive: Boolean): DataFrame = {
@@ -2806,7 +2806,7 @@ object Tpcds {
         "ws_ext_sales_price", "ws_quantity", "web"))
       .groupBy("channel", "i", "d_year", "d_moy")
       .agg(decSum(col("v")).as("svd"), count(lit(1)).as("cnt"))
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val cross = g.groupBy("i")
       .agg(countDistinct(col("channel")).as("nch"))
       .filter(col("nch") === 3).select(col("i").as("cross_item"))
@@ -2846,7 +2846,7 @@ object Tpcds {
       .agg(dsum(col("ss_sales_price"), "netpaid"))
       // consumed twice — as the per-customer rows and as the scalar
       // threshold — so the joined aggregate materializes once
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val thr = ssales.agg((davg(col("netpaid")) * 0.05).as("thr"))
     ssales.crossJoin(broadcast(thr))
       .filter(col("netpaid") > col("thr"))
@@ -2904,9 +2904,9 @@ object Tpcds {
       .join(refunds, col("u_item") === col("cr_item_sk"))
       .filter(col("sale") > col("refund") * 2)
       .select("u_item")
-      .persist()
+      .transform(graft.ops.CacheBook.persisted)
     val srKeys = storeReturns(s, dir)
-      .select("sr_ticket_number", "sr_item_sk").distinct().persist()
+      .select("sr_ticket_number", "sr_item_sk").distinct().transform(graft.ops.CacheBook.persisted)
     def crossSales(yr: Int, p: String): DataFrame =
       storeSales(s, dir)
         .join(srKeys,
