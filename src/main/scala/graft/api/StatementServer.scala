@@ -60,7 +60,8 @@ object StatementServer {
     * FINISHED | FAILED. */
   private final class QueryExec(val id: String, val sql: String,
       val sessionProps: Seq[(String, String)] = Seq.empty,
-      val prepares: Seq[(String, String)] = Seq.empty) {
+      val prepares: Seq[(String, String)] = Seq.empty,
+      val user: String = "graft", val source: String = "") {
     @volatile var state: String = "QUEUED"
     @volatile var canceled: Boolean = false
     @volatile var schema: StructType = _
@@ -93,13 +94,15 @@ object StatementServer {
   @volatile private var boundPort: Int = -1
   @volatile private var session: SparkSession = _
   @volatile private var pageRows: Int = 1000
-  /** Concurrent dispatch slots for queries (the reference's dispatch
-    * manager admits queries concurrently under resource-group limits,
-    * MAIN/dispatcher/DispatchManager.java:234). Bounded, so QUEUED is
-    * still a real observable state once the slots fill. */
+  /** Default concurrency of the catch-all `global` resource group (the
+    * reference's dispatch manager admits queries concurrently under
+    * resource-group limits, MAIN/dispatcher/DispatchManager.java:234).
+    * Bounded by the GROUPS, so QUEUED is still a real observable state
+    * once a group's slots fill; the executor itself is cached because
+    * configured groups may allow more total slots than the default. */
   val DispatchThreads = 4
-  private lazy val dispatcher = Executors.newFixedThreadPool(
-    DispatchThreads, (r: Runnable) => {
+  private lazy val dispatcher = Executors.newCachedThreadPool(
+    (r: Runnable) => {
       val t = new Thread(r, "graft-statement-dispatch")
       t.setDaemon(true)
       t
@@ -119,6 +122,71 @@ object StatementServer {
     java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
   private def mutatesSharedState(sql: String): Boolean =
     SharedStateStmt.matcher(sql).matches()
+
+  // ---------- resource-group admission (reference InternalResourceGroup
+  // .java:112-114 hardConcurrencyLimit / maxQueuedQueries; selectors per
+  // resource-group-managers StaticSelector.java user/source regexes):
+  // each query is admitted by the FIRST matching group — run if the group
+  // has a free slot, queue if its queue has room, otherwise fail with
+  // QUERY_QUEUE_FULL (StandardErrorCode 0x00020002, INSUFFICIENT_RESOURCES)
+
+  /** One admission group. Regexes match the whole header value. */
+  final case class ResourceGroup(name: String, hardConcurrencyLimit: Int,
+      maxQueued: Int, userRegex: Option[String] = None,
+      sourceRegex: Option[String] = None)
+
+  private final class GroupState(val cfg: ResourceGroup) {
+    var running = 0
+    val queuedQ = new java.util.ArrayDeque[QueryExec]()
+  }
+
+  private def defaultGroups: Seq[GroupState] =
+    Seq(new GroupState(ResourceGroup("global", DispatchThreads, 1000)))
+  @volatile private var groups: Seq[GroupState] = defaultGroups
+
+  /** Install admission groups (the catch-all `global` group is appended
+    * automatically). Empty = reset to the default. */
+  def configureResourceGroups(gs: Seq[ResourceGroup]): Unit = synchronized {
+    groups = gs.map(new GroupState(_)) ++ defaultGroups
+  }
+
+  private def selectGroup(q: QueryExec): GroupState =
+    groups.find { g =>
+      g.cfg.userRegex.forall(r => q.user.matches(r)) &&
+        g.cfg.sourceRegex.forall(r => q.source.matches(r))
+    }.getOrElse(groups.last)
+
+  private def lane(q: QueryExec) =
+    if (mutatesSharedState(q.sql)) ddlLane else dispatcher
+
+  private def execute(g: GroupState, q: QueryExec): Unit =
+    lane(q).execute(() => try run(q) finally release(g))
+
+  /** Free the slot; the next queued query (if any) inherits it. */
+  private def release(g: GroupState): Unit = {
+    val next = g.synchronized {
+      val n = g.queuedQ.pollFirst()
+      if (n == null) g.running -= 1
+      n
+    }
+    if (next != null) execute(g, next)
+  }
+
+  private def dispatch(q: QueryExec): Unit = {
+    val g = selectGroup(q)
+    val admit = g.synchronized {
+      if (g.running < g.cfg.hardConcurrencyLimit) { g.running += 1; 1 }
+      else if (g.queuedQ.size < g.cfg.maxQueued) { g.queuedQ.addLast(q); 0 }
+      else -1
+    }
+    admit match {
+      case 1 => execute(g, q)
+      case 0 => () // runs when a slot releases; cancel-while-queued works
+      case _ => fail(q, ProtoError(
+        s"""Too many queued queries for "${g.cfg.name}"""", 0x00020002,
+        "QUERY_QUEUE_FULL", "INSUFFICIENT_RESOURCES"))
+    }
+  }
 
   def port: Int = boundPort
 
@@ -398,17 +466,14 @@ object StatementServer {
 
   // ---------- lifecycle
 
-  private def dispatch(q: QueryExec): Unit =
-    (if (mutatesSharedState(q.sql)) ddlLane else dispatcher)
-      .execute(() => run(q))
-
   private def submit(sql: String, sessionProps: Seq[(String, String)],
-      prepares: Seq[(String, String)]): QueryExec = {
+      prepares: Seq[(String, String)], user: String = "graft",
+      source: String = ""): QueryExec = {
     // reference id shape: yyyyMMdd_HHmmss_NNNNN_xxxxx (QueryIdGenerator)
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
     val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft",
-      sql, sessionProps, prepares)
+      sql, sessionProps, prepares, user, source)
     evict()
     queries.put(q.id, q)
     q
@@ -642,7 +707,11 @@ object StatementServer {
           else {
             val q = submit(body,
               headerPairs(ex, "X-Presto-Session"),
-              headerPairs(ex, "X-Presto-Prepared-Statement"))
+              headerPairs(ex, "X-Presto-Prepared-Statement"),
+              Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
+                .getOrElse("graft"),
+              Option(ex.getRequestHeaders.getFirst("X-Presto-Source"))
+                .getOrElse(""))
             // render BEFORE dispatching so the submit response always
             // reports the observable QUEUED state (the reference's
             // createQueuedQueryResults does the same)
@@ -658,7 +727,8 @@ object StatementServer {
           queries.get(id) match {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
             case Some(orig) =>
-              val q = submit(orig.sql, orig.sessionProps, orig.prepares)
+              val q = submit(orig.sql, orig.sessionProps, orig.prepares,
+                orig.user, orig.source)
               val resp = results(q, base,
                 Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
               dispatch(q)
@@ -835,7 +905,8 @@ object StatementClient {
     body.foreach { b =>
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
-      conn.setRequestProperty("X-Presto-User", "graft")
+      if (!reqHeaders.contains("X-Presto-User"))
+        conn.setRequestProperty("X-Presto-User", "graft")
       val os = conn.getOutputStream
       try os.write(b.getBytes(UTF_8)) finally os.close()
     }

@@ -125,6 +125,44 @@ class StatementProtocolSpec extends AnyFunSuite {
     StatementClient.cancel(blocker.nextUri.get)
   }
 
+  test("resource groups: hard concurrency + queue limits admit like the reference") {
+    // group rg_test: 1 running, 1 queued, selected by X-Presto-User
+    StatementServer.configureResourceGroups(Seq(
+      StatementServer.ResourceGroup("rg_test", 1, 1,
+        userRegex = Some("rg_user"))))
+    try {
+      val h = Map("X-Presto-User" -> "rg_user")
+      val a = StatementClient.post(base, sleepSql(6000), h) // takes the slot
+      val b = StatementClient.post(base, "SELECT 1 AS x", h) // queues
+      val c = StatementClient.post(base, "SELECT 2 AS x", h) // queue full
+      val rc = StatementClient.advance(c.nextUri.get)
+      assert(rc.state == "FAILED")
+      val e = rc.error.getOrElse(fail("no error payload"))
+      assert(e.errorName == "QUERY_QUEUE_FULL" && e.errorCode == 0x20002 &&
+        e.errorType == "INSUFFICIENT_RESOURCES" &&
+        e.message.contains("rg_test"), e.toString)
+      // b is genuinely queued behind the group limit, not running
+      assert(StatementClient.advance(b.nextUri.get).state == "QUEUED")
+      // other users flow through the global group untouched
+      assert(StatementClient.execute(spark, base, "SELECT 3 AS x")
+        .collect()(0).getInt(0) == 3)
+      // releasing the slot lets the queued query run to completion
+      StatementClient.cancel(a.nextUri.get)
+      var r = b
+      var guard = 0
+      val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+      while (r.nextUri.isDefined && guard < 10000) {
+        guard += 1
+        if (r.data.isEmpty && r.columns.isEmpty) Thread.sleep(5)
+        rows ++= r.data
+        r = StatementClient.advance(r.nextUri.get)
+      }
+      rows ++= r.data
+      assert(r.error.isEmpty, r.error.toString)
+      assert(rows.result().map(_.getInt(0)) == Vector(1))
+    } finally StatementServer.configureResourceGroups(Seq.empty)
+  }
+
   test("large results stream through a bounded page window") {
     Tables.registerAll(spark, sf)
     val expected = spark.table("customer").count()
