@@ -447,17 +447,28 @@ object StatementServer {
     s"""{"message":"${esc(e.message)}","errorCode":${e.errorCode},"errorName":"${e.errorName}","errorType":"${e.errorType}","retriable":false}"""
 
   private def results(q: QueryExec, base: String, nextUri: Option[String],
-      columns: Option[StructType], data: Option[Seq[Row]]): String = {
+      columns: Option[StructType], data: Option[Seq[Row]],
+      binary: Boolean = false): String = {
     val sb = new StringBuilder(256)
     sb.append(s"""{"id":"${q.id}","infoUri":"$base/v1/query/${q.id}"""")
     nextUri.foreach(u => sb.append(s""","nextUri":"$u""""))
     columns.foreach(c => sb.append(s""","columns":${columnsJson(c)}"""))
-    for (rows <- data; cols <- columns)
-      sb.append(""","data":""").append(rows.map { r =>
-        cols.fields.indices
-          .map(i => renderValue(r.get(i), cols.fields(i).dataType))
-          .mkString("[", ",", "]")
-      }.mkString("[", ",", "]"))
+    if (binary)
+      // ?binaryResults=true (reference ExecutingStatementResource.java:108,
+      // Query.java:526): pages travel as base64 SerializedPages instead
+      // of JSON rows
+      for (rows <- data; cols <- columns)
+        sb.append(""","binaryData":["""")
+          .append(java.util.Base64.getEncoder.encodeToString(
+            PageCodec.serialize(cols, rows)))
+          .append(""""]""")
+    else
+      for (rows <- data; cols <- columns)
+        sb.append(""","data":""").append(rows.map { r =>
+          cols.fields.indices
+            .map(i => renderValue(r.get(i), cols.fields(i).dataType))
+            .mkString("[", ",", "]")
+        }.mkString("[", ",", "]"))
     sb.append(s""","stats":${statsJson(q)}""")
     if (q.error != null) sb.append(s""","error":${errorJson(q.error)}""")
     sb.append("}")
@@ -786,11 +797,16 @@ object StatementServer {
                 case Left(code) =>
                   respond(ex, code, """{"message":"result page expired"}""")
                 case Right((rows, hasNext)) =>
+                  // the binaryResults query param propagates along nextUri,
+                  // as the reference's createNextResultsUri does
+                  val binary = Option(ex.getRequestURI.getQuery)
+                    .exists(_.contains("binaryResults=true"))
+                  val qp = if (binary) "?binaryResults=true" else ""
                   val next = if (hasNext)
-                    Some(s"$base/v1/statement/executing/$id/${page + 1}")
+                    Some(s"$base/v1/statement/executing/$id/${page + 1}$qp")
                   else None
                   respond(ex, 200, results(q, base, next, Some(q.schema),
-                    Some(rows)), q.respHeaders)
+                    Some(rows), binary), q.respHeaders)
               }
           }
 
@@ -875,7 +891,13 @@ object StatementClient {
             StatementServer.parseValue(arr.get(j), f.dataType)
           })
         }
-      case _ => Seq.empty
+      case _ => (Option(n.get("binaryData")), cols) match {
+        // binaryResults mode: each entry is one base64 SerializedPage
+        case (Some(b), Some(schema)) =>
+          (0 until b.size()).flatMap(i => PageCodec.deserialize(schema,
+            java.util.Base64.getDecoder.decode(b.get(i).asText)))
+        case _ => Seq.empty
+      }
     }
     val err = Option(n.get("error")).map { e =>
       StatementServer.ProtoError(e.get("message").asText,
@@ -950,8 +972,11 @@ object StatementClient {
 
   def cancel(uri: String): Int = http("DELETE", uri, None)._1
 
-  /** Full protocol loop: submit, follow nextUri, assemble the result. */
-  def execute(spark: SparkSession, baseUri: String, sql: String): DataFrame = {
+  /** Full protocol loop: submit, follow nextUri, assemble the result.
+    * `binary = true` asks for SerializedPage pages (?binaryResults=true,
+    * the reference's binary transport) instead of JSON rows. */
+  def execute(spark: SparkSession, baseUri: String, sql: String,
+      binary: Boolean = false): DataFrame = {
     var r = post(baseUri, sql)
     var schema: StructType = null
     val rows = Vector.newBuilder[Row]
@@ -965,7 +990,11 @@ object StatementClient {
         if (spin > 10000) throw new IllegalStateException("poll livelock")
         Thread.sleep(if (spin > 100) 10 else 0)
       }
-      r = advance(r.nextUri.get)
+      val uri = r.nextUri.get
+      r = advance(
+        if (binary && uri.contains("/executing/") && !uri.contains("?"))
+          uri + "?binaryResults=true"
+        else uri)
     }
     r.columns.foreach(schema = _)
     rows ++= r.data

@@ -338,6 +338,18 @@ class StatementProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryResults=true serves SerializedPages identical to JSON rows") {
+    Tables.registerAll(spark, sf)
+    val sql = "SELECT c_custkey AS k, c_name, c_acctbal, " +
+      "c_custkey % 2 = 0 AS even FROM customer WHERE c_custkey < 45 " +
+      "ORDER BY k"
+    val json = StatementClient.execute(spark, base, sql).collect()
+    val bin = StatementClient.execute(spark, base, sql, binary = true)
+      .collect()
+    assert(bin.length == json.length && bin.length == 45)
+    json.zip(bin).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
