@@ -182,10 +182,21 @@ object HudiMor {
     val logFiles = listLogFiles(tableDir, "").filter { case (p, id, bi, _) =>
       sliceKeys((p, id, bi))
     }
-    // base scan: one multi-path read per base instant, ordinal = instant
+    // base scan: one multi-path read per base instant, ordinal = instant;
+    // the partition path derives from _metadata.file_path (ONE scan per
+    // instant even across thousands of partitions) — merge keys are
+    // per-partition, matching Hudi's default non-global index where the
+    // same record key may legitimately live in two partitions
+    val dirPrefix = java.util.regex.Pattern.quote(
+      tableDir.getCanonicalPath + "/")
+    val partFromPath =
+      regexp_replace(regexp_replace(regexp_replace(
+        col("_metadata.file_path"), "^file:/*", "/"),
+        "^" + dirPrefix, ""), "/?[^/]+$", "")
     val baseDf = groups.groupBy(_._3).toSeq.sortBy(_._1).map {
       case (instant, fs) =>
         s.read.parquet(fs.map(_._4.getPath): _*)
+          .withColumn("__hoodie_part", partFromPath)
           .withColumn("__hoodie_ord", lit(instant))
           .withColumn("__hoodie_log", lit(false))
           .withColumn("__hoodie_del", lit(false))
@@ -201,6 +212,7 @@ object HudiMor {
     // log scan: distributed block parse — executors read and decode the
     // log bytes; the driver only listed names
     val outSchema = schema
+      .add("__hoodie_part", StringType)
       .add("__hoodie_ord", StringType).add("__hoodie_log", BooleanType)
       .add("__hoodie_del", BooleanType)
     val keyIdx = schema.fieldIndex(keyField)
@@ -208,31 +220,31 @@ object HudiMor {
     // one task per log file, bytes read AND decoded in the executor (the
     // driver only listed names). NOT the binaryFile source: Hadoop's
     // hidden-file filter would silently skip the dot-prefixed log names.
-    val logPaths = logFiles.map(_._4.getPath)
+    val logPaths = logFiles.map(lf => (lf._4.getPath, lf._1))
     val logRdd = s.sparkContext
       .parallelize(logPaths, logPaths.size)
-      .flatMap { p =>
+      .flatMap { case (p, part) =>
         val bytes = java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p))
         parseBlocks(bytes, schema).collect {
           // blocks of uncommitted / post-asOf instants are invisible
           case (instant, isDel, vals) if completed(instant) =>
             if (isDel) {
-              val arr = new Array[Any](nData + 3)
+              val arr = new Array[Any](nData + 4)
               arr(keyIdx) = castKey(vals.head.asInstanceOf[String], keyType)
-              arr(nData) = instant; arr(nData + 1) = true
-              arr(nData + 2) = true
+              arr(nData) = part; arr(nData + 1) = instant
+              arr(nData + 2) = true; arr(nData + 3) = true
               Row.fromSeq(arr.toIndexedSeq)
-            } else Row.fromSeq(vals ++ Seq(instant, true, false))
+            } else Row.fromSeq(vals ++ Seq(part, instant, true, false))
         }
       }
     val logDf = s.createDataFrame(logRdd, outSchema)
-    // latest-ordinal wins per (partition is encoded in the key for global
-    // keys; fixtures use table-unique keys): a log row at the same
-    // instant as the base beats it (the base was written by that commit,
-    // the log amends it)
+    // latest-ordinal wins per (partitionPath, recordKey) — Hudi's default
+    // index is partition-scoped, so the same key in two partitions is two
+    // records; a log row at the same instant as the base beats it (the
+    // base was written by that commit, the log amends it)
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyField))
+    val w = Window.partitionBy(col("__hoodie_part"), col(keyField))
       .orderBy(col("__hoodie_ord").desc, col("__hoodie_log").desc)
     baseDf.union(logDf)
       .withColumn("__hoodie_rn", row_number().over(w))

@@ -135,6 +135,24 @@ class HudiSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("compacted"))
   }
 
+  test("MoR: merge is partition-scoped — same key in two partitions is two records") {
+    val dir = freshDir("mor_parts")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ", "k")
+    // Hudi's default (non-global) index: key 1 exists independently in
+    // region=us and region=eu; an update in us must not shadow eu
+    HudiCow.writeBaseFile(Seq((1L, "us-v1")).toDF("k", "s"),
+      dir, "region=us", "g1", "001")
+    HudiCow.writeBaseFile(Seq((1L, "eu-v1")).toDF("k", "s"),
+      dir, "region=eu", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiMor.writeLogFile(dir, "region=us", "g1", "001", 1, Seq(
+      HudiMor.DataBlock("002", Seq(Row(1L, "us-v2")), logSchema)))
+    HudiCow.completeDeltaCommit(dir, "002")
+    val out = HudiCow.read(spark, dir.getPath).orderBy("s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "eu-v1", 1L -> "us-v2"))
+  }
+
   test("table-type guard: unknown types and missing key field error") {
     val dir = freshDir("guard")
     HudiCow.writeBaseFile(Seq((1L, "x")).toDF("k", "s"), dir, "", "g1", "001")
