@@ -425,7 +425,7 @@ object DdlStatements {
     fs.delete(p, true); ()
   }
 
-  private def rowsResult(spark: SparkSession, n: Long): DataFrame =
+  private[api] def rowsResult(spark: SparkSession, n: Long): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(n)), 1),
       StructType(Seq(StructField("rows", LongType, nullable = false))))
 

@@ -22,6 +22,43 @@ import org.apache.spark.sql.SparkSession
   * inside string literals are left alone. */
 object LakeScans {
 
+  private val InsertPat =
+    """(?is)\AINSERT\s+INTO\s+(delta|iceberg)_scan\s*\(\s*'([^']+)'\s*\)\s+(.+)\z""".r
+
+  /** INSERT INTO delta_scan('/p') / iceberg_scan('/p') SELECT ... — the
+    * SQL-text surface over the engine's lake append writers
+    * (ops/DeltaLake.insert, ops/IcebergTable.insertAppend). Positional
+    * insert with coercion to the table's column types, the same contract
+    * as managed-table INSERT; returns the landed row count. Must run
+    * BEFORE the FROM-position scan rewrite or the target spelling would
+    * be swallowed as a read. */
+  def dispatchInsert(ses: SqlSession, text: String)
+      : Option[org.apache.spark.sql.DataFrame] = text.trim match {
+    case InsertPat(kind, path, query) =>
+      import org.apache.spark.sql.functions.col
+      val spark = ses.spark
+      def read() = kind.toLowerCase match {
+        case "delta" => graft.ops.DeltaLake.read(spark, path)
+        case _ => graft.ops.IcebergTable.read(spark, path)
+      }
+      val target = read().schema
+      val src = ses.sql(query)
+      if (src.schema.length != target.length)
+        throw new IllegalArgumentException(
+          s"Insert column count ${src.schema.length} does not match " +
+            s"table (${target.length})")
+      val aligned = src.select(src.columns.zip(target.fields).map {
+        case (c, f) => col(c).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      val before = read().count()
+      kind.toLowerCase match {
+        case "delta" => graft.ops.DeltaLake.insert(spark, path, aligned)
+        case _ => graft.ops.IcebergTable.insertAppend(spark, path, aligned)
+      }
+      Some(DdlStatements.rowsResult(spark, read().count() - before))
+    case _ => None
+  }
+
   private val Pat =
     ("""(?i)\b(delta|hudi|iceberg)_scan\s*\(\s*'([^']+)'""" +
       """\s*(?:,\s*('?)([^)']+)\3\s*)?\)""").r

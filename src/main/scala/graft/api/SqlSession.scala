@@ -37,6 +37,7 @@ final class SqlSession private (val spark: SparkSession) {
     // FROM-position lake scans (delta_scan/hudi_scan/iceberg_scan) bind
     // to temp views before any other dispatch — the dialect's stand-in
     // for the reference's delta/hudi/iceberg catalogs
+    LakeScans.dispatchInsert(this, text0).foreach(df => return df)
     val text = LakeScans.rewrite(spark, text0)
     SessionStatements.dispatch(this, text)
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)

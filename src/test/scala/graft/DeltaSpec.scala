@@ -257,6 +257,31 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLake.read(spark, dir.getPath).count() == 3)
   }
 
+  test("INSERT INTO delta_scan / iceberg_scan works in SQL text") {
+    val ses = graft.api.SqlSession.wrap(spark)
+    val dd = freshDir("sqlins")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dd, "f0.parquet")
+    DeltaLake.commit(dd, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val r = ses.sql(
+      s"INSERT INTO delta_scan('${dd.getPath}') SELECT 2, 'b'").collect()
+    assert(r(0).getLong(0) == 1L) // landed row count
+    assert(ses.sql(s"SELECT count(*) AS n FROM delta_scan('${dd.getPath}')")
+      .collect()(0).getLong(0) == 2L)
+    val id = freshDir("sqlins_ice")
+    val a = graft.ops.IcebergTable.writeDataFile(
+      Seq((1L, "x")).toDF("k", "s"), id, "a.parquet")
+    graft.ops.IcebergTable.commitSnapshot(id, 1, 1L,
+      Seq(graft.ops.IcebergTable.Entry(1, a)))
+    assert(ses.sql(
+      s"INSERT INTO iceberg_scan('${id.getPath}') SELECT 2, 'y'")
+      .collect()(0).getLong(0) == 1L)
+    assert(ses.sql(
+      s"SELECT count(*) AS n FROM iceberg_scan('${id.getPath}')")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")
