@@ -308,6 +308,11 @@ object DeltaLake {
     val actions = adds.result()
     require(actions.nonEmpty, "INSERT produced no data files")
     commit(dir, version, actions)
+    // the standard writer cadence: a checkpoint every 10 commits keeps
+    // replay O(10) regardless of table age and lets log retention reclaim
+    // old JSON commits
+    if ((version + 1) % 10 == 0)
+      try writeCheckpoint(s, dir) catch { case _: Throwable => () }
     version
   }
 

@@ -164,7 +164,18 @@ object IcebergTable {
     val spec = (0 until specsNode.size()).map(specsNode.get)
       .find(s => Option(s.get("spec-id")).forall(_.asInt == defaultId))
       .getOrElse(specsNode.get(0))
-    val idToName: Map[Int, String] = Option(meta.get("schema")).map { sc =>
+    // v1 metadata spells the table schema as singular "schema"; v2 keeps
+    // a "schemas" array selected by "current-schema-id"
+    val schemaNode = Option(meta.get("schema")).orElse {
+      Option(meta.get("schemas")).filter(_.size() > 0).map { arr =>
+        val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+        (0 until arr.size()).map(arr.get)
+          .find(s => cur.forall(c =>
+            Option(s.get("schema-id")).forall(_.asInt == c)))
+          .getOrElse(arr.get(0))
+      }
+    }
+    val idToName: Map[Int, String] = schemaNode.map { sc =>
       val fs = sc.get("fields")
       (0 until fs.size()).map(fs.get).flatMap(f =>
         Option(f.get("id")).map(_.asInt -> f.get("name").asText)).toMap

@@ -257,6 +257,25 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLake.read(spark, dir.getPath).count() == 3)
   }
 
+  test("insert writes a checkpoint every 10 commits (replay stays O(10))") {
+    val dir = freshDir("ins_ckpt")
+    val df = Seq((0L, "base")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    (1 to 9).foreach { i =>
+      DeltaLake.insert(spark, dir.getPath, Seq((i.toLong, s"v$i")).toDF("k", "s"))
+    }
+    val logDir = new File(dir, "_delta_log")
+    assert(logDir.listFiles().exists(
+      _.getName == "00000000000000000009.checkpoint.parquet"))
+    assert(DeltaLake.read(spark, dir.getPath).count() == 10)
+    // the checkpoint is self-sufficient: retention may delete the commits
+    logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    assert(DeltaLake.read(spark, dir.getPath).count() == 10)
+  }
+
   test("INSERT INTO delta_scan / iceberg_scan works in SQL text") {
     val ses = graft.api.SqlSession.wrap(spark)
     val dd = freshDir("sqlins")

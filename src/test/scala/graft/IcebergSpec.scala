@@ -193,6 +193,34 @@ class IcebergSpec extends AnyFunSuite {
       Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("v2 metadata spelling: schemas[] + current-schema-id resolve source ids") {
+    val dir = freshDir("schemas_v2")
+    val entries = (0 until 4).map { b =>
+      val lo = b * 100
+      val p = IcebergTable.writeDataFile(
+        (lo until lo + 100).map(i => (i.toLong, s"r$i")).toDF("k", "s"),
+        dir, s"t$b.parquet")
+      IcebergTable.PartEntry(1, p, Seq("k_trunc" -> (b * 100).toLong))
+    }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_trunc", "truncate[100]", "k")), entries)
+    // rewrite the fixture's v1 "schema" into the v2 schemas-array spelling
+    val metaFile = new java.io.File(dir, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val v2 = txt
+      .replace("\"schema\":{",
+        "\"current-schema-id\":5,\"schemas\":[{\"schema-id\":5,")
+      .replace("]},\"partition-specs\"", "]}],\"partition-specs\"")
+    assert(v2 != txt)
+    java.nio.file.Files.write(metaFile.toPath,
+      v2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 155L)))
+    assert(sel == 1 && total == 4)
+  }
+
   test("partition transforms: month() prunes date ranges") {
     val dir = freshDir("month")
     def d(s: String) = java.sql.Date.valueOf(s)
