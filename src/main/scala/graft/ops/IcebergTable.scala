@@ -460,17 +460,33 @@ object IcebergTable {
       r.put("added_snapshot_id", snapshotId)
       r
     })
-    writeMetadataJson(tableDir, version, snapshotId, extra = "")
+    writeMetadataJson(tableDir, version, snapshotId, extra0 = "")
+  }
+
+  /** Schema / partition-spec fields of the prior metadata version,
+    * re-rendered for the next one — an append must not drop them or the
+    * table would silently lose its pruning metadata. */
+  private def carryForwardExtra(metaDir: File, version: Int): String = {
+    val prior = new File(metaDir, s"v${version - 1}.metadata.json")
+    if (!prior.isFile) return ""
+    val pm = mapper.readTree(new String(
+      java.nio.file.Files.readAllBytes(prior.toPath), UTF_8))
+    Seq("schema", "schemas", "current-schema-id", "partition-specs",
+      "default-spec-id")
+      .flatMap(k => Option(pm.get(k)).map(v => s""","$k":${v.toString}"""))
+      .mkString
   }
 
   /** vN.metadata.json + version-hint, carrying prior snapshots forward
     * (real metadata.json keeps the full history — that is what time
     * travel and $snapshots read). `extra` injects additional top-level
     * fields (schema / partition-specs), pre-rendered with a leading
-    * comma. */
+    * comma; empty = carry the prior version's forward. */
   private def writeMetadataJson(tableDir: File, version: Int,
-      snapshotId: Long, extra: String): Unit = {
+      snapshotId: Long, extra0: String): Unit = {
     val metaDir = new File(tableDir, "metadata")
+    val extra =
+      if (extra0.nonEmpty) extra0 else carryForwardExtra(metaDir, version)
     val prior = new File(metaDir, s"v${version - 1}.metadata.json")
     val priorSnaps: Seq[String] =
       if (!prior.isFile) Seq.empty
@@ -503,25 +519,15 @@ object IcebergTable {
       partition: Seq[(String, Any)], content: Int = 0,
       addedSnapshotId: Long = -1L)
 
-  /** Write a partitioned snapshot: manifest entries carry the partition
-    * record, and the metadata declares the schema (with field ids) plus
-    * `partition-specs` so the reader can resolve source-id → column and
-    * prune. schemaFields: (name, icebergType) in field-id order (ids
-    * assigned 1..n); specFields: (partitionFieldName, transform,
-    * sourceColumnName). */
-  def commitPartitionedSnapshot(tableDir: File, version: Int,
-      snapshotId: Long, schemaFields: Seq[(String, String)],
-      specFields: Seq[(String, String, String)],
-      entries: Seq[PartEntry]): Unit = {
-    require(entries.nonEmpty, "partitioned commit needs entries")
-    val metaDir = new File(tableDir, "metadata")
-    metaDir.mkdirs()
+  /** Manifest whose data_file records carry the partition tuple. */
+  private def writePartitionedManifest(metaDir: File, snapshotId: Long,
+      entries: Seq[PartEntry]): File = {
     def leafType(v: Any): String = v match {
       case _: Int | _: java.lang.Integer => "int"
       case _: Long | _: java.lang.Long => "long"
       case _: String => "string"
       case other => throw new IllegalArgumentException(
-        s"partition value type unsupported in fixture: $other")
+        s"partition value type unsupported: $other")
     }
     val partFieldsJson = entries.head.partition.map { case (n, v) =>
       s"""{"name":"$n","type":["null","${leafType(v)}"],"default":null}"""
@@ -558,6 +564,23 @@ object IcebergTable {
       r.put("data_file", df)
       r
     })
+    manifest
+  }
+
+  /** Write a partitioned snapshot: manifest entries carry the partition
+    * record, and the metadata declares the schema (with field ids) plus
+    * `partition-specs` so the reader can resolve source-id → column and
+    * prune. schemaFields: (name, icebergType) in field-id order (ids
+    * assigned 1..n); specFields: (partitionFieldName, transform,
+    * sourceColumnName). */
+  def commitPartitionedSnapshot(tableDir: File, version: Int,
+      snapshotId: Long, schemaFields: Seq[(String, String)],
+      specFields: Seq[(String, String, String)],
+      entries: Seq[PartEntry]): Unit = {
+    require(entries.nonEmpty, "partitioned commit needs entries")
+    val metaDir = new File(tableDir, "metadata")
+    metaDir.mkdirs()
+    val manifest = writePartitionedManifest(metaDir, snapshotId, entries)
     val mlist = new File(metaDir, s"snap-$snapshotId.avro")
     writeAvro(mlist, manifestListSchema, Seq {
       val r = new GenericData.Record(manifestListSchema)
@@ -576,7 +599,7 @@ object IcebergTable {
       s"""{"name":"$n","transform":"$tr","source-id":${srcIds(src)},"field-id":${1000 + i}}"""
     }.mkString("""[{"spec-id":0,"fields":[""", ",", "]}]")
     writeMetadataJson(tableDir, version, snapshotId,
-      extra = s""","schema":$schemaJson,"partition-specs":$specJson,"default-spec-id":0""")
+      extra0 = s""","schema":$schemaJson,"partition-specs":$specJson,"default-spec-id":0""")
   }
 
   // ---------- writer: INSERT INTO (append snapshot)
@@ -587,7 +610,35 @@ object IcebergTable {
     * entries keep their original snapshot ids, so delete-scoping
     * sequence numbers stay correct. */
   def appendSnapshot(tableDir: File, version: Int, snapshotId: Long,
-      entries: Seq[Entry]): Unit = {
+      entries: Seq[Entry]): Unit =
+    appendWith(tableDir, version, snapshotId, metaDir => {
+      val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
+      writeAvro(manifest, manifestEntrySchema, entries.map { e =>
+        val df = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        df.put("content", e.content)
+        df.put("file_path", e.dataFile)
+        df.put("file_format", "PARQUET")
+        df.put("record_count", 0L)
+        df.put("file_size_in_bytes", 0L)
+        val r = new GenericData.Record(manifestEntrySchema)
+        r.put("status", e.status)
+        r.put("snapshot_id",
+          if (e.addedSnapshotId >= 0) e.addedSnapshotId else snapshotId)
+        r.put("data_file", df)
+        r
+      })
+      manifest
+    })
+
+  /** Fast-append of PARTITIONED entries (transform-partitioned insert). */
+  def appendSnapshotPartitioned(tableDir: File, version: Int,
+      snapshotId: Long, entries: Seq[PartEntry]): Unit =
+    appendWith(tableDir, version, snapshotId,
+      writePartitionedManifest(_, snapshotId, entries))
+
+  private def appendWith(tableDir: File, version: Int, snapshotId: Long,
+      mkManifest: File => File): Unit = {
     val metaDir = new File(tableDir, "metadata")
     metaDir.mkdirs()
     // prior manifests (empty for a brand-new table)
@@ -606,22 +657,7 @@ object IcebergTable {
               r.get("added_snapshot_id").asInstanceOf[Long])))
       }
     }
-    val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
-    writeAvro(manifest, manifestEntrySchema, entries.map { e =>
-      val df = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      df.put("content", e.content)
-      df.put("file_path", e.dataFile)
-      df.put("file_format", "PARQUET")
-      df.put("record_count", 0L)
-      df.put("file_size_in_bytes", 0L)
-      val r = new GenericData.Record(manifestEntrySchema)
-      r.put("status", e.status)
-      r.put("snapshot_id",
-        if (e.addedSnapshotId >= 0) e.addedSnapshotId else snapshotId)
-      r.put("data_file", df)
-      r
-    })
+    mkManifest(metaDir)
     val mlist = new File(metaDir, s"snap-$snapshotId.avro")
     val all = priorManifests :+
       (s"metadata/manifest-$snapshotId.avro", snapshotId)
@@ -633,7 +669,7 @@ object IcebergTable {
       r.put("added_snapshot_id", sid)
       r
     })
-    writeMetadataJson(tableDir, version, snapshotId, extra = "")
+    writeMetadataJson(tableDir, version, snapshotId, extra0 = "")
   }
 
   /** INSERT INTO (append) an Iceberg table — the reference's
@@ -641,16 +677,17 @@ object IcebergTable {
     * 739): the parquet data files write first, fully DISTRIBUTED, then
     * ONE new snapshot (manifest + manifest list + vN metadata) makes
     * them visible atomically; time travel to the prior snapshot still
-    * sees the pre-insert table. Scope: unpartitioned tables (an append
-    * into a transform-partitioned table would need per-file partition
-    * tuples; rejected loudly rather than committed wrong). Returns the
-    * new snapshot id. */
+    * sees the pre-insert table. Transform-partitioned tables write
+    * through Spark's partitionBy on the TRANSFORMED helper columns (one
+    * distributed pass; files keep the source columns, the helpers become
+    * the manifest partition tuples), so later reads prune the inserted
+    * files too. Returns the new snapshot id. */
   def insertAppend(s: SparkSession, tableDir: String, df: DataFrame)
       : Long = {
+    import org.apache.spark.sql.functions.col
     val dir = new File(tableDir).getCanonicalFile
     val meta = loadMeta(dir)
-    require(partitionSpec(meta).isEmpty,
-      "INSERT into a transform-partitioned Iceberg table is unsupported")
+    val spec = partitionSpec(meta)
     val tableSchema = read(s, dir.getPath).schema
     require(df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
       .sameElements(tableSchema.fields.map(f => (f.name, f.dataType))
@@ -666,22 +703,128 @@ object IcebergTable {
     val dataDir = new File(dir, "data")
     dataDir.mkdirs()
     val staging = new File(dataDir, s".staging_insert_$snapId")
-    df.select(tableSchema.fieldNames.map(
-      org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      .write.parquet(staging.getPath)
-    val entries = staging.listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
-        val name = f"insert-$snapId-$i%05d.parquet"
-        java.nio.file.Files.move(p.toPath,
-          new File(dataDir, name).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Entry(1, s"data/$name")
-      }.toSeq
-    staging.listFiles().foreach(_.delete())
-    staging.delete()
-    require(entries.nonEmpty, "INSERT produced no data files")
-    appendSnapshot(dir, version, snapId, entries)
+    val src = df.select(tableSchema.fieldNames.map(col).toIndexedSeq: _*)
+    def rmRec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete()
+    }
+    if (spec.isEmpty) {
+      src.write.parquet(staging.getPath)
+      val entries = staging.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
+          val name = f"insert-$snapId-$i%05d.parquet"
+          java.nio.file.Files.move(p.toPath,
+            new File(dataDir, name).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Entry(1, s"data/$name")
+        }.toSeq
+      rmRec(staging)
+      require(entries.nonEmpty, "INSERT produced no data files")
+      appendSnapshot(dir, version, snapId, entries)
+    } else {
+      val withParts = spec.zipWithIndex.foldLeft(src) {
+        case (acc, (sf, i)) => acc.withColumn(s"__gpt_$i",
+          transformCol(sf, tableSchema(sf.source).dataType))
+      }
+      withParts.write
+        .partitionBy(spec.indices.map(i => s"__gpt_$i"): _*)
+        .parquet(staging.getPath)
+      val parsers =
+        spec.map(sf => partParser(sf, tableSchema(sf.source).dataType))
+      val entries = Seq.newBuilder[PartEntry]
+      var i = 0
+      def walk(d: File, vals: Map[Int, Any]): Unit =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).foreach {
+            case sub if sub.isDirectory && sub.getName.contains("=") =>
+              val Array(k, v) = sub.getName.split("=", 2)
+              val idx = k.stripPrefix("__gpt_").toInt
+              val dv = java.net.URLDecoder.decode(v, "UTF-8")
+              val value = if (dv == "__HIVE_DEFAULT_PARTITION__") null
+              else parsers(idx)(dv)
+              walk(sub, vals + (idx -> value))
+            case f if f.isFile && f.getName.endsWith(".parquet") =>
+              val name = f"insert-$snapId-$i%05d.parquet"
+              i += 1
+              java.nio.file.Files.move(f.toPath,
+                new File(dataDir, name).toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              entries += PartEntry(1, s"data/$name",
+                spec.zipWithIndex.map { case (sf, j) => sf.name -> vals(j) })
+            case _ =>
+          }
+      walk(staging, Map.empty)
+      rmRec(staging)
+      val es = entries.result()
+      require(es.nonEmpty, "INSERT produced no data files")
+      appendSnapshotPartitioned(dir, version, snapId, es)
+    }
     snapId
+  }
+
+  /** The transform as a Spark column over the source column — native
+    * functions for the order-preserving family; bucket needs the spec's
+    * murmur3 over type-specific bytes (not Spark's hash()), a scalar UDF
+    * in this one-pass WRITE path only. */
+  private def transformCol(sf: SpecField,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val c = col(sf.source)
+    sf.transform match {
+      case "identity" => c
+      case IcebergTransforms.Truncate(w) => dt match {
+        case StringType => substring(c, 1, w.toInt)
+        case _ =>
+          val l = c.cast("long")
+          l - pmod(l, lit(w.toLong))
+      }
+      case "year" => (year(c) - lit(1970)).cast("int")
+      case "month" =>
+        ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
+      case "day" => datediff(c, to_date(lit("1970-01-01"))).cast("int")
+      case "hour" => floor(c.cast("long") / lit(3600L)).cast("int")
+      case IcebergTransforms.Bucket(_) =>
+        val t = sf.transform
+        dt match {
+          case StringType =>
+            udf((v: String) => if (v == null) null
+            else Int.box(IcebergTransforms(t, v).asInstanceOf[Int])).apply(c)
+          case DateType =>
+            udf((d: java.lang.Long) => if (d == null) null
+            else Int.box(IcebergTransforms(t, d.longValue)
+              .asInstanceOf[Int]))
+              .apply(datediff(c, to_date(lit("1970-01-01"))).cast("long"))
+          case _ =>
+            udf((l: java.lang.Long) => if (l == null) null
+            else Int.box(IcebergTransforms(t, l.longValue)
+              .asInstanceOf[Int])).apply(c.cast("long"))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+  }
+
+  /** Parse a partitionBy dir value back to the manifest tuple's type. */
+  private def partParser(sf: SpecField,
+      dt: org.apache.spark.sql.types.DataType): String => Any = {
+    import org.apache.spark.sql.types._
+    sf.transform match {
+      case "identity" => dt match {
+        case LongType => (s: String) => s.toLong
+        case IntegerType => (s: String) => s.toInt
+        case StringType => (s: String) => s
+        case other => throw new IllegalArgumentException(
+          s"identity partition insert unsupported for $other")
+      }
+      case IcebergTransforms.Truncate(_) => dt match {
+        case StringType => (s: String) => s
+        case _ => (s: String) => s.toLong
+      }
+      case _ => (s: String) => s.toInt // bucket / year / month / day / hour
+    }
   }
 
   /** Write a v2 positional-delete file: (file_path, pos) rows naming

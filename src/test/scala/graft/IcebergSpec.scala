@@ -265,6 +265,57 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, dir.getPath).count() == 3)
   }
 
+  test("insertAppend into a transform-partitioned table keeps pruning exact") {
+    val dir = freshDir("ins_part")
+    val entries = (0 until 3).map { b =>
+      val lo = b * 100
+      val p = IcebergTable.writeDataFile(
+        (lo until lo + 100).map(i => (i.toLong, s"r$i")).toDF("k", "s"),
+        dir, s"t$b.parquet")
+      IcebergTable.PartEntry(1, p, Seq("k_trunc" -> (b * 100).toLong))
+    }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_trunc", "truncate[100]", "k")), entries)
+    // append keys 300..499: two NEW partitions (300, 400) via the engine
+    val snap = IcebergTable.insertAppend(spark, dir.getPath,
+      (300L until 500L).map(i => (i, s"n$i")).toDF("k", "s"))
+    assert(snap == 11L)
+    assert(IcebergTable.read(spark, dir.getPath).count() == 500)
+    // the appended files carry partition tuples: pruning selects exactly
+    // the one inserted partition for an equality in its range
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 455L)))
+    assert(total >= 5 && sel < total, s"$sel/$total")
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "=", 455L))).collect().map(_.getLong(0)).toSeq == Seq(455L))
+    // the pre-insert snapshot is intact AND kept its pruning metadata
+    assert(IcebergTable.readAt(spark, dir.getPath, 10L).count() == 300)
+    val (sel0, total0) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "<=", 50L)))
+    assert(sel0 == 1 && total0 == total)
+  }
+
+  test("insertAppend into a bucket-partitioned table hashes like the spec") {
+    val dir = freshDir("ins_bucket")
+    val p = IcebergTable.writeDataFile(
+      Seq((1L, "seed")).toDF("k", "s"), dir, "seed.parquet")
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_bucket", "bucket[4]", "k")),
+      Seq(IcebergTable.PartEntry(1, p,
+        Seq("k_bucket" -> graft.ops.IcebergTransforms("bucket[4]", 1L)))))
+    IcebergTable.insertAppend(spark, dir.getPath,
+      (2L to 40L).map(i => (i, s"v$i")).toDF("k", "s"))
+    assert(IcebergTable.read(spark, dir.getPath).count() == 40)
+    // equality pruning through the bucket hash finds exactly the one row
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 7L)))
+    assert(sel < total, s"$sel/$total")
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
