@@ -316,6 +316,107 @@ object DeltaLake {
     version
   }
 
+  // ---------- writer: DELETE / UPDATE (copy-on-write rewrites)
+
+  /** DELETE FROM the table: rows where `condition` is TRUE disappear
+    * (NULL keeps the row, ANSI semantics). Copy-on-write, the same
+    * algorithm real Delta writers use without deletion vectors: ONLY the
+    * files that contain matching rows are rewritten without those rows,
+    * all in one atomic remove+add commit. Returns the deleted count. */
+  def delete(s: SparkSession, tableDir: String,
+      condition: org.apache.spark.sql.Column): Long =
+    rewrite(s, tableDir, condition, sets = Map.empty)
+
+  /** UPDATE: rows matching `condition` get `sets` (evaluated against the
+    * PRE-update row, ANSI); others are untouched. Updating a partition
+    * column is rejected (the row would have to move partitions). Returns
+    * the matched count. */
+  def update(s: SparkSession, tableDir: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(sets.nonEmpty, "UPDATE needs SET columns")
+    rewrite(s, tableDir, condition, sets)
+  }
+
+  private def rewrite(s: SparkSession, tableDir: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    val dir = new File(tableDir).getCanonicalFile
+    val (schema, partCols, files) = replay(s, dir)
+    require(sets.keySet.intersect(partCols.toSet).isEmpty,
+      s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
+    sets.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column $k not in table schema"))
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partCols.contains(f.name)))
+    val version = nextVersion(new File(dir, "_delta_log"))
+    def partLit(f: StructField, v: String) =
+      (if (v == null) lit(null) else lit(v)).cast(f.dataType).as(f.name)
+    val actions = Seq.newBuilder[String]
+    var matched = 0L
+    var i = 0
+    // per partition-tuple group: find the files holding matching rows,
+    // rewrite ONLY those (the others stay untouched in the log)
+    files.groupBy(_.partitionValues).foreach { case (pv, group) =>
+      val byCanon = group.map(a =>
+        new File(dir, a.path).getCanonicalPath -> a).toMap
+      def tagged(paths: Seq[String]) = {
+        val df = s.read.schema(dataSchema).parquet(paths: _*)
+        val cols = schema.fields.map { f =>
+          if (partCols.contains(f.name))
+            partLit(f, pv.getOrElse(f.name, null))
+          else col(f.name)
+        }
+        df.select(cols.toIndexedSeq :+
+          regexp_replace(regexp_replace(col("_metadata.file_path"),
+            "^file:", ""), "^/+", "/").as("__fp"): _*)
+      }
+      val all = tagged(group.map(a => new File(dir, a.path).getPath))
+      val hits = all.filter(coalesce(condition, lit(false)))
+      val affectedFps = hits.select("__fp").distinct()
+        .collect().map(_.getString(0))
+      if (affectedFps.nonEmpty) {
+        matched += hits.count()
+        val affected = affectedFps.map(fp => byCanon(
+          new File(fp).getCanonicalPath))
+        val rows = tagged(affected.map(a =>
+          new File(dir, a.path).getPath).toIndexedSeq)
+        val out =
+          if (sets.isEmpty) rows.filter(!coalesce(condition, lit(false)))
+          else {
+            val cond = coalesce(condition, lit(false))
+            rows.select(schema.fields.map { f =>
+              sets.get(f.name) match {
+                case Some(v) =>
+                  when(cond, v.cast(f.dataType)).otherwise(col(f.name))
+                    .as(f.name)
+                case None => col(f.name)
+              }
+            }.toIndexedSeq :+ col("__fp"): _*)
+          }
+        // the rewrite drops partition columns again (they live in the log)
+        val staging = new File(dir, f".staging_rw_$version%020d_$i")
+        out.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .write.parquet(staging.getPath)
+        affected.foreach(a => actions += removeAction(a.path))
+        staging.listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).foreach { p =>
+            val name = f"part-$version%020d-$i%05d.parquet"
+            i += 1
+            java.nio.file.Files.move(p.toPath,
+              new File(dir, name).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            actions += addAction(name, pv)
+          }
+        staging.listFiles().foreach(_.delete())
+        staging.delete()
+      }
+    }
+    val acts = actions.result()
+    if (acts.nonEmpty) commit(dir, version, acts)
+    matched
+  }
+
   // ---------- fixture writer (tests + the driver gate build their own
   // protocol-conformant logs with it; production tables come from real
   // Delta writers)

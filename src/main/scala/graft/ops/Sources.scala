@@ -476,6 +476,37 @@ object Sources {
     DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** DELETE + UPDATE on a Delta table through the engine's copy-on-write
+    * rewrite (ops/DeltaLake.delete/update): the fixture builds orders
+    * <= 1000 split across two files, the engine DELETEs keys > 900 and
+    * UPDATEs statuses of keys <= 100 to 'X', and the gate re-reads the
+    * table. A rewrite that dropped unaffected files, resurrected removed
+    * rows, or evaluated SET against post-update rows changes the hash. */
+  def dmlDeltaCow(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_cow_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000002.json")
+        .exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "f0.parquet")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000),
+        base, "f1.parquet")
+      DeltaLake.commit(base, 0, Seq(
+        DeltaLake.protocolAction,
+        DeltaLake.metaDataAction(o.schema),
+        DeltaLake.addAction("f0.parquet"),
+        DeltaLake.addAction("f1.parquet")))
+      DeltaLake.delete(s, base.getPath, col("o_orderkey") > 900)
+      DeltaLake.update(s, base.getPath, col("o_orderkey") <= 100,
+        Map("o_orderstatus" -> lit("X")))
+    }
+    DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** INSERT INTO an Iceberg table (ops/IcebergTable.insertAppend — the
     * reference's finishInsert snapshot commit): base snapshot holds
     * orders <= 500, the engine appends (500, 1000] as a NEW snapshot
@@ -504,6 +535,7 @@ object Sources {
     "src_delta_read" -> deltaRead,
     "dml_insert_delta" -> dmlInsertDelta,
     "dml_insert_iceberg" -> dmlInsertIceberg,
+    "dml_delta_cow" -> dmlDeltaCow,
     "src_hudi_read" -> hudiRead,
     "src_hudi_mor" -> hudiMorRead,
     "src_iceberg_read" -> icebergRead,
@@ -531,6 +563,13 @@ object Sources {
     "dml_insert_iceberg" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "dml_delta_cow" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END
+        |   AS o_orderstatus,
+        | o_totalprice
+        |FROM orders WHERE o_orderkey <= 900
         |ORDER BY o_orderkey""".stripMargin,
     "src_delta_read" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -301,6 +301,52 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("DELETE rewrites only the files holding matches; NULL keeps rows") {
+    val dir = freshDir("del")
+    val lo = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val hi = Seq((10L, "x"), (11L, null.asInstanceOf[String])).toDF("k", "s")
+    DeltaLake.writeDataFile(lo, dir, "lo.parquet")
+    DeltaLake.writeDataFile(hi, dir, "hi.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(lo.schema),
+      DeltaLake.addAction("lo.parquet"), DeltaLake.addAction("hi.parquet")))
+    // condition is NULL for k=11 (s is null): ANSI DELETE keeps that row
+    val n = DeltaLake.delete(spark, dir.getPath, col("s") === "x")
+    assert(n == 1L)
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L, 11L))
+    // the untouched file survives VERBATIM (never rewritten): its add
+    // action still names lo.parquet
+    assert(new File(dir, "lo.parquet").isFile)
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      new File(dir, "_delta_log/00000000000000000001.json").toPath))
+    assert(log1.contains(""""remove":{"path":"hi.parquet"""), log1)
+    assert(!log1.contains("lo.parquet"), log1)
+  }
+
+  test("UPDATE evaluates SET against the pre-update row; partition col rejected") {
+    val dir = freshDir("upd")
+    val full = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "long").add("p", "integer")
+    DeltaLake.writeDataFile(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(full, Seq("p")),
+      DeltaLake.addAction("f0.parquet", Map("p" -> "1"))))
+    // SET k = v, v = k must swap (both read the PRE-update row)
+    val n = DeltaLake.update(spark, dir.getPath, col("k") === 1L,
+      Map("k" -> col("v"), "v" -> col("k")))
+    assert(n == 1L)
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1), (2L, 20L, 1)))
+    intercept[IllegalArgumentException] {
+      DeltaLake.update(spark, dir.getPath, col("k") === 2L,
+        Map("p" -> lit(9)))
+    }
+  }
+
   test("fully-removed table reads as empty with the declared schema") {
     val dir = freshDir("empty")
     val df = Seq((1L, "a")).toDF("k", "s")
