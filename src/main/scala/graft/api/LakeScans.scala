@@ -59,6 +59,91 @@ object LakeScans {
     case _ => None
   }
 
+  private val MergePat =
+    ("""(?is)\AMERGE\s+INTO\s+delta_scan\s*\(\s*'([^']+)'\s*\)\s+""" +
+      """(?:AS\s+)?t\s+USING\s+(.+?)\s+(?:AS\s+)?s\s+ON\s+(.+?)\s+""" +
+      """(WHEN\s.+)\z""").r
+  private val WhenDelete =
+    """(?is)\AWHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*\z""".r
+  private val WhenUpdate =
+    """(?is)\AWHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)\z""".r
+  private val WhenInsert =
+    ("""(?is)\AWHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
+      """\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*\z""").r
+
+  /** Split on top-level commas (paren depth 0; quotes already constant
+    * inside this grammar position). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result()
+  }
+
+  /** MERGE INTO delta_scan('/p') AS t USING <src> AS s ON <cond>
+    * WHEN MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN UPDATE SET ... /
+    * WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) — the reference's
+    * MERGE grammar over the engine's copy-on-write Delta merge
+    * (ops/DeltaLake.merge). Aliases are fixed to t/s (the clause
+    * expressions are evaluated under those names). Returns the affected
+    * row count. */
+  def dispatchMerge(ses: SqlSession, text: String)
+      : Option[org.apache.spark.sql.DataFrame] = text.trim match {
+    case MergePat(path, sourceSql, onCond, whens) =>
+      val spark = ses.spark
+      val s0 = sourceSql.trim
+      val src =
+        if (s0.startsWith("(") && s0.endsWith(")"))
+          ses.sql(s0.substring(1, s0.length - 1))
+        else ses.sql(s"SELECT * FROM $s0")
+      // split the when-clause tail on WHEN keywords (MATCHED never
+      // appears inside the clause expressions' grammar positions)
+      val starts = """(?i)\bWHEN\s+(NOT\s+)?MATCHED\b""".r
+        .findAllMatchIn(whens).map(_.start).toSeq
+      val clauses = starts.zip(starts.drop(1) :+ whens.length).map {
+        case (a, b) => whens.substring(a, b).trim
+      }
+      var upd = Map.empty[String, String]
+      var del: Option[String] = None
+      var ins: Option[Map[String, String]] = None
+      clauses.foreach {
+        case WhenDelete(cond) =>
+          del = Some(Option(cond).map(_.trim).getOrElse("true"))
+        case WhenUpdate(sets) =>
+          upd = splitTop(sets).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k.trim -> v.trim
+          }.toMap
+        case WhenInsert(cols, vals) =>
+          val ks = splitTop(cols)
+          val vs = splitTop(vals)
+          require(ks.length == vs.length,
+            s"INSERT column/value count mismatch: $ks vs $vs")
+          ins = Some(ks.zip(vs).toMap)
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported MERGE clause: " +
+            other.linesIterator.mkString(" ").take(80))
+      }
+      val st = graft.ops.DeltaLake.merge(spark, path, src, onCond,
+        matchedUpdate = upd, matchedDelete = del, notMatchedInsert = ins)
+      Some(DdlStatements.rowsResult(spark,
+        st.updated + st.deleted + st.inserted))
+    case _ => None
+  }
+
   private val Pat =
     ("""(?i)\b(delta|hudi|iceberg)_scan\s*\(\s*'([^']+)'""" +
       """\s*(?:,\s*('?)([^)']+)\3\s*)?\)""").r

@@ -38,6 +38,7 @@ final class SqlSession private (val spark: SparkSession) {
     // to temp views before any other dispatch — the dialect's stand-in
     // for the reference's delta/hudi/iceberg catalogs
     LakeScans.dispatchInsert(this, text0).foreach(df => return df)
+    LakeScans.dispatchMerge(this, text0).foreach(df => return df)
     val text = LakeScans.rewrite(spark, text0)
     SessionStatements.dispatch(this, text)
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)

@@ -3,7 +3,7 @@ package graft.ops
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,11 +72,12 @@ object DeltaLake {
     * old commits, and replay cost is O(commits since checkpoint). */
   private def replay(s: SparkSession, tableDir: File,
       maxVersion: Long = Long.MaxValue)
-      : (StructType, Seq[String], Seq[AddFile]) = {
+      : (StructType, Seq[String], Seq[AddFile], Map[String, Long]) = {
     val logDir = new File(tableDir, "_delta_log")
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
     // checkpoint seed
     val lastCkpt = new File(logDir, "_last_checkpoint")
     val ckptVersion: Long = if (!lastCkpt.isFile) -1L else {
@@ -93,7 +94,7 @@ object DeltaLake {
             s"JSON commits 0..$maxVersion are no longer all present")
         -1L
       } else replayCheckpoint(s, logDir, n, v, schema = st => schema = st,
-        parts0 = pc => partCols = pc, active)
+        parts0 = pc => partCols = pc, active, txns)
     }
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("\\d{20}\\.json"))
@@ -144,17 +145,25 @@ object DeltaLake {
           AddFile(a.get("path").asText, pv))
       } else if (n.has("remove")) {
         active.remove(n.get("remove").get("path").asText)
-      } // commitInfo / txn: no table-state effect
+      } else if (n.has("txn")) {
+        // application transaction watermark (the protocol's idempotent-
+        // writer contract): latest version per appId
+        val t = n.get("txn")
+        val app = t.get("appId").asText
+        val ver = t.get("version").asLong
+        if (txns.getOrElse(app, Long.MinValue) < ver) txns(app) = ver
+      } // commitInfo: no table-state effect
     }
     require(schema != null, s"no metaData action in $tableDir/_delta_log")
-    (schema, partCols, active.values.toSeq)
+    (schema, partCols, active.values.toSeq, txns.toMap)
   }
 
   /** Seed the snapshot from `<v>.checkpoint[.i.N].parquet`; returns v. */
   private def replayCheckpoint(s: SparkSession, logDir: File,
       n: com.fasterxml.jackson.databind.JsonNode, v: Long,
       schema: StructType => Unit, parts0: Seq[String] => Unit,
-      active: scala.collection.mutable.LinkedHashMap[String, AddFile])
+      active: scala.collection.mutable.LinkedHashMap[String, AddFile],
+      txns: scala.collection.mutable.HashMap[String, Long])
       : Long = {
     {
       // multi-part checkpoints name N files <v>.checkpoint.<i>.<N>.parquet
@@ -199,6 +208,12 @@ object DeltaLake {
         if (cols("remove") && !r.isNullAt(r.fieldIndex("remove")))
           active.remove(r.getStruct(r.fieldIndex("remove"))
             .getAs[String]("path"))
+        if (cols("txn") && !r.isNullAt(r.fieldIndex("txn"))) {
+          val t = r.getStruct(r.fieldIndex("txn"))
+          val app = t.getAs[String]("appId")
+          val ver = t.getAs[Long]("version")
+          if (txns.getOrElse(app, Long.MinValue) < ver) txns(app) = ver
+        }
       }
       v
     }
@@ -216,7 +231,7 @@ object DeltaLake {
   def readVersion(s: SparkSession, tableDir: String, version: Long)
       : DataFrame = {
     val dir = new File(tableDir)
-    val (schema, partCols, files) = replay(s, dir, version)
+    val (schema, partCols, files, _) = replay(s, dir, version)
     val dataSchema = StructType(schema.fields.filterNot(f =>
       partCols.contains(f.name)))
     if (files.isEmpty)
@@ -258,10 +273,23 @@ object DeltaLake {
     * (Hive-style dirs, partition columns dropped from the data files —
     * exactly Delta's physical layout) and record each leaf's
     * partitionValues in its add action. Returns the committed version. */
-  def insert(s: SparkSession, tableDir: String, df: DataFrame): Long = {
+  def insert(s: SparkSession, tableDir: String, df: DataFrame): Long =
+    insertTxn(s, tableDir, df, txn = None).get
+
+  /** Idempotent append: `txn = Some((appId, version))` commits a `txn`
+    * watermark action in the SAME atomic commit as the adds (the Delta
+    * protocol's transaction-identifier contract — how real streaming
+    * writers get exactly-once). If the table's watermark for `appId` is
+    * already >= `version` the batch was applied by an earlier attempt:
+    * nothing is written and None is returned. */
+  def insertTxn(s: SparkSession, tableDir: String, df: DataFrame,
+      txn: Option[(String, Long)]): Option[Long] = {
     val dir = new File(tableDir)
     val logDir = new File(dir, "_delta_log")
-    val (schema, partCols, _) = replay(s, dir) // validates protocol too
+    val (schema, partCols, _, txns) = replay(s, dir) // validates protocol too
+    txn.foreach { case (app, ver) =>
+      if (txns.getOrElse(app, Long.MinValue) >= ver) return None
+    }
     require(df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
       .sameElements(schema.fields.map(f => (f.name, f.dataType))
         .sortBy(_._1)),
@@ -272,14 +300,115 @@ object DeltaLake {
     val ordered = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     if (partCols.isEmpty) ordered.write.parquet(staging.getPath)
     else ordered.write.partitionBy(partCols: _*).parquet(staging.getPath)
-    // move every leaf parquet into the table and record an add per file
+    val (dataActions, _) = stageIntoTable(dir, staging, version, 0)
+    require(dataActions.nonEmpty, "INSERT produced no data files")
+    val actions = dataActions ++
+      txn.map { case (app, ver) => txnAction(app, ver) }
+    commit(dir, version, actions)
+    // the standard writer cadence: a checkpoint every 10 commits keeps
+    // replay O(10) regardless of table age and lets log retention reclaim
+    // old JSON commits
+    if ((version + 1) % 10 == 0)
+      try writeCheckpoint(s, dir) catch { case _: Throwable => () }
+    Some(version)
+  }
+
+  /** OPTIMIZE (bin-packing compaction; Delta's OPTIMIZE command, the
+    * reference's equivalent being connector-side compaction): within each
+    * partition group, groups holding more than one file are rewritten into
+    * `ceil(bytes / targetBytes)` coalesced files — one distributed
+    * read+write per group, ONE atomic remove+add commit for the whole
+    * table, and the adds carry `dataChange=false` (the snapshot's ROWS are
+    * unchanged; streaming readers must not re-emit them). Optional
+    * `zorderBy` sorts rows by the interleaved z-key before packing so
+    * multi-column range predicates touch fewer files (ops/Layout z-order).
+    * Returns the number of files removed. */
+  def optimize(s: SparkSession, tableDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
+    val dir = new File(tableDir).getCanonicalFile
+    val (schema, partCols, files, _) = replay(s, dir)
+    require(zorderBy.forall(c => schema.fieldNames.contains(c) &&
+      !partCols.contains(c)), s"ZORDER BY columns $zorderBy must be " +
+      "non-partition table columns")
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partCols.contains(f.name)))
+    val version = nextVersion(new File(dir, "_delta_log"))
+    val actions = Seq.newBuilder[String]
+    var removed = 0L
+    var i = 0
+    files.groupBy(_.partitionValues).foreach { case (pv, group) =>
+      if (group.size > 1 || (zorderBy.nonEmpty && group.nonEmpty)) {
+        val paths = group.map(a => new File(dir, a.path))
+        val bytes = paths.map(_.length()).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val df0 = s.read.schema(dataSchema)
+          .parquet(paths.map(_.getPath): _*)
+        val df =
+          if (zorderBy.isEmpty) df0.coalesce(nOut)
+          else df0.repartitionByRange(nOut,
+            graft.ops.Layout.zorderKey(zorderBy.map(col): _*))
+            .sortWithinPartitions(
+              graft.ops.Layout.zorderKey(zorderBy.map(col): _*))
+        val staging = new File(dir, f".staging_opt_$version%020d_$i")
+        df.write.parquet(staging.getPath)
+        group.foreach { a => actions += removeAction(a.path); removed += 1 }
+        staging.listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).foreach { p =>
+            val name = f"part-$version%020d-$i%05d.parquet"
+            i += 1
+            java.nio.file.Files.move(p.toPath, new File(dir, name).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            actions += addAction(name, pv, dataChange = false)
+          }
+        staging.listFiles().foreach(_.delete())
+        staging.delete()
+      }
+    }
+    val acts = actions.result()
+    if (acts.nonEmpty) commit(dir, version, acts)
+    removed
+  }
+
+  /** VACUUM: physically delete data files that are NOT in the current
+    * snapshot and were last touched more than `retentionMs` ago (Delta's
+    * retention contract — tombstoned rewrites and orphaned staging
+    * leftovers). Time travel to versions needing those files stops
+    * working, exactly as on real Delta tables. Returns files deleted. */
+  def vacuum(s: SparkSession, tableDir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val dir = new File(tableDir).getCanonicalFile
+    val (_, _, files, _) = replay(s, dir)
+    val active = files.map(a =>
+      new File(dir, a.path).getCanonicalPath).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var n = 0L
+    def walk(d: File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach {
+        case sub if sub.isDirectory && sub.getName != "_delta_log" &&
+            !sub.getName.startsWith(".staging_") => walk(sub)
+        case f if f.isFile && f.getName.endsWith(".parquet") &&
+            !active(f.getCanonicalPath) && f.lastModified() < cutoff =>
+          if (f.delete()) n += 1
+        case _ =>
+      }
+    walk(dir)
+    n
+  }
+
+  /** Move every leaf parquet under `staging` (possibly Hive-partitioned by
+    * the writer) into the table, deleting the staging tree; returns one add
+    * action per file plus the advanced name counter. Files become visible
+    * ONLY via the caller's subsequent commit. */
+  private def stageIntoTable(dir: File, staging: File, version: Long,
+      i0: Int): (Seq[String], Int) = {
     def decode(v: String): String =
       java.net.URLDecoder.decode(v, "UTF-8") match {
         case "__HIVE_DEFAULT_PARTITION__" => null
         case other => other
       }
     val adds = Seq.newBuilder[String]
-    var i = 0
+    var i = i0
     def walk(d: File, partVals: Map[String, String]): Unit =
       Option(d.listFiles()).getOrElse(Array.empty).foreach {
         case sub if sub.isDirectory && sub.getName.contains("=") =>
@@ -305,16 +434,14 @@ object DeltaLake {
       f.delete()
     }
     rmRec(staging)
-    val actions = adds.result()
-    require(actions.nonEmpty, "INSERT produced no data files")
-    commit(dir, version, actions)
-    // the standard writer cadence: a checkpoint every 10 commits keeps
-    // replay O(10) regardless of table age and lets log retention reclaim
-    // old JSON commits
-    if ((version + 1) % 10 == 0)
-      try writeCheckpoint(s, dir) catch { case _: Throwable => () }
-    version
+    (adds.result(), i)
   }
+
+  /** Latest committed `txn` watermark for `appId` (None if the app has
+    * never committed to this table). */
+  def txnVersion(s: SparkSession, tableDir: String, appId: String)
+      : Option[Long] =
+    replay(s, new File(tableDir))._4.get(appId)
 
   // ---------- writer: DELETE / UPDATE (copy-on-write rewrites)
 
@@ -342,7 +469,7 @@ object DeltaLake {
       condition: org.apache.spark.sql.Column,
       sets: Map[String, org.apache.spark.sql.Column]): Long = {
     val dir = new File(tableDir).getCanonicalFile
-    val (schema, partCols, files) = replay(s, dir)
+    val (schema, partCols, files, _) = replay(s, dir)
     require(sets.keySet.intersect(partCols.toSet).isEmpty,
       s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
     sets.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -417,6 +544,145 @@ object DeltaLake {
     matched
   }
 
+  case class MergeStats(updated: Long, deleted: Long, inserted: Long)
+
+  /** MERGE INTO (the reference's MergeProcessor / standard Delta upsert),
+    * copy-on-write: target rows are matched to `source` via `on` (an SQL
+    * condition over aliases `t` = table, `s` = source).
+    *
+    *   WHEN MATCHED [AND matchedDelete] THEN DELETE        (checked first)
+    *   WHEN MATCHED THEN UPDATE SET matchedUpdate          (exprs over t/s)
+    *   WHEN NOT MATCHED THEN INSERT notMatchedInsert       (exprs over s)
+    *
+    * Only files holding matched rows are rewritten; inserts append new
+    * files (Hive-partitioned when the table is); everything lands in ONE
+    * atomic remove+add commit. A target row matched by more than one
+    * source row raises (the result would be nondeterministic — the same
+    * contract real Delta writers enforce). Update/insert expressions read
+    * the PRE-merge target row. Partition-column updates are rejected;
+    * inserts may set partition columns (rows route to their directories).
+    * At scale the matched-file discovery and the anti-join are plain
+    * shuffle/broadcast joins — the rewrite cost is proportional to the
+    * files actually hit, not the table. */
+  def merge(s: SparkSession, tableDir: String, source: DataFrame,
+      on: String,
+      matchedUpdate: Map[String, String] = Map.empty,
+      matchedDelete: Option[String] = None,
+      notMatchedInsert: Option[Map[String, String]] = None): MergeStats = {
+    require(matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
+      notMatchedInsert.nonEmpty, "MERGE needs at least one WHEN clause")
+    Seq("__fp", "__ri", "__sm").foreach(c =>
+      require(!source.columns.contains(c),
+        s"MERGE source may not have a column named $c"))
+    val dir = new File(tableDir).getCanonicalFile
+    val (schema, partCols, files, _) = replay(s, dir)
+    require(matchedUpdate.keySet.intersect(partCols.toSet).isEmpty,
+      s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
+    (matchedUpdate.keySet ++ notMatchedInsert.toSeq.flatMap(_.keySet))
+      .foreach(k => require(schema.fieldNames.contains(k),
+        s"MERGE column $k not in table schema"))
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partCols.contains(f.name)))
+    val version = nextVersion(new File(dir, "_delta_log"))
+    def partLit(f: StructField, v: String) =
+      (if (v == null) lit(null) else lit(v)).cast(f.dataType).as(f.name)
+    // full table with file-path + row-index identity tags (parquet
+    // _metadata columns — free, no shuffle)
+    def taggedGroup(pv: Map[String, String], paths: Seq[String]) = {
+      val df = s.read.schema(dataSchema).parquet(paths: _*)
+      df.select(schema.fields.map { f =>
+        if (partCols.contains(f.name)) partLit(f, pv.getOrElse(f.name, null))
+        else col(f.name)
+      }.toIndexedSeq :+
+        regexp_replace(regexp_replace(col("_metadata.file_path"),
+          "^file:", ""), "^/+", "/").as("__fp") :+
+        col("_metadata.row_index").as("__ri"): _*)
+    }
+    val groups = files.groupBy(_.partitionValues)
+    val emptyTagged = s.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(schema.fields :+ StructField("__fp", StringType) :+
+        StructField("__ri", LongType)))
+    val target = groups.map { case (pv, g) =>
+      taggedGroup(pv, g.map(a => new File(dir, a.path).getPath))
+    }.reduceOption(_.unionAll(_)).getOrElse(emptyTagged)
+    val src = source.withColumn("__sm", lit(true)).as("s")
+    val onE = expr(on)
+    val matches = target.as("t").join(src, onE, "inner")
+    require(matches.groupBy(col("__fp"), col("__ri")).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      "MERGE: a target row matched more than one source row")
+    val delE = coalesce(matchedDelete.map(expr).getOrElse(lit(false)),
+      lit(false))
+    val rewriteNeeded = matchedUpdate.nonEmpty || matchedDelete.nonEmpty
+    val deleted =
+      if (matchedDelete.isEmpty) 0L else matches.filter(delE).count()
+    val updated =
+      if (matchedUpdate.isEmpty) 0L else matches.filter(!delE).count()
+    val actions = Seq.newBuilder[String]
+    var i = 0
+    if (rewriteNeeded) {
+      val affected = matches.select("__fp").distinct()
+        .collect().map(r => new File(r.getString(0)).getCanonicalPath).toSet
+      groups.foreach { case (pv, g) =>
+        val hit = g.filter(a =>
+          affected(new File(dir, a.path).getCanonicalPath))
+        if (hit.nonEmpty) {
+          val rows = taggedGroup(pv,
+            hit.map(a => new File(dir, a.path).getPath)).as("t")
+          val j = rows.join(src, onE, "left_outer")
+          val m = coalesce(col("__sm"), lit(false))
+          val out = j.filter(!(m && delE)).select(schema.fields.map { f =>
+            matchedUpdate.get(f.name) match {
+              case Some(e) =>
+                when(m, expr(e).cast(f.dataType))
+                  .otherwise(col("t." + f.name)).as(f.name)
+              case None => col("t." + f.name).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+          val staging = new File(dir, f".staging_mrg_$version%020d_$i")
+          out.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .write.parquet(staging.getPath)
+          hit.foreach(a => actions += removeAction(a.path))
+          staging.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).foreach { p =>
+              val name = f"part-$version%020d-$i%05d.parquet"
+              i += 1
+              java.nio.file.Files.move(p.toPath,
+                new File(dir, name).toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              actions += addAction(name, pv)
+            }
+          staging.listFiles().foreach(_.delete())
+          staging.delete()
+        }
+      }
+    }
+    val inserted = notMatchedInsert match {
+      case None => 0L
+      case Some(mapping) =>
+        val anti = src.join(target.as("t"), onE, "left_anti")
+        val insDf = anti.select(schema.fields.map { f =>
+          mapping.get(f.name)
+            .map(e => expr(e).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }.toIndexedSeq: _*)
+        val n = insDf.count()
+        if (n > 0) {
+          val staging = new File(dir, f".staging_mrg_ins_$version%020d")
+          if (partCols.isEmpty) insDf.write.parquet(staging.getPath)
+          else insDf.write.partitionBy(partCols: _*).parquet(staging.getPath)
+          val (acts, i2) = stageIntoTable(dir, staging, version, i)
+          i = i2
+          actions ++= acts
+        }
+        n
+    }
+    val acts = actions.result()
+    if (acts.nonEmpty) commit(dir, version, acts)
+    MergeStats(updated, deleted, inserted)
+  }
+
   // ---------- fixture writer (tests + the driver gate build their own
   // protocol-conformant logs with it; production tables come from real
   // Delta writers)
@@ -443,14 +709,18 @@ object DeltaLake {
   }
 
   def addAction(path: String,
-      partitionValues: Map[String, String] = Map.empty): String = {
+      partitionValues: Map[String, String] = Map.empty,
+      dataChange: Boolean = true): String = {
     val pv = partitionValues
       .map { case (k, v) =>
         "\"" + k + "\":" + (if (v == null) "null" else "\"" + v + "\"")
       }
       .mkString("{", ",", "}")
-    s"""{"add":{"path":"$path","partitionValues":$pv,"size":0,"modificationTime":0,"dataChange":true}}"""
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":0,"modificationTime":0,"dataChange":$dataChange}}"""
   }
+
+  def txnAction(appId: String, version: Long): String =
+    s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$version,"lastUpdated":0}}"""
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
@@ -465,7 +735,7 @@ object DeltaLake {
 
   def writeCheckpoint(s: SparkSession, tableDir: File, parts: Int): Long = {
     val logDir = new File(tableDir, "_delta_log")
-    val (schema, partCols, files) = replay(s, tableDir)
+    val (schema, partCols, files, txns) = replay(s, tableDir)
     val version = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map(_.getName.stripSuffix(".json").toLong)
@@ -486,12 +756,23 @@ object DeltaLake {
         StructField("createdTime", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     val rows: Seq[Row] =
-      Seq(Row(null, Row("graft-fixture", schema.json, partCols, 0L), null),
-        Row(null, null, Row(1, 2))) ++
+      Seq(Row(null, Row("graft-fixture", schema.json, partCols, 0L),
+          null, null),
+        Row(null, null, Row(1, 2), null)) ++
+        // txn watermarks survive compaction — without them a checkpoint
+        // would reset idempotent-writer dedup and replay old batches
+        txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+          Row(null, null, null, Row(app, ver, 0L))
+        } ++
         files.map(f =>
-          Row(Row(f.path, f.partitionValues, 0L, 0L, true), null, null))
+          Row(Row(f.path, f.partitionValues, 0L, 0L, true), null, null,
+            null))
     import scala.jdk.CollectionConverters._
     require(parts >= 1 && parts <= rows.size,
       s"parts must be in [1, ${rows.size}], got $parts")

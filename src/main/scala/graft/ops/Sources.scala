@@ -507,6 +507,50 @@ object Sources {
     DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** MERGE INTO a Delta table (ops/DeltaLake.merge): base table holds
+    * orders <= 1000 in two files; the source carries keys (800, 1200]
+    * with status 'M' and price+1. Matched keys > 950 DELETE, the rest
+    * UPDATE to the source values, unmatched source keys INSERT with
+    * status 'N' — all in one atomic commit. Files with no matched rows
+    * stay byte-identical (pinned in DeltaSpec); the oracle rebuilds the
+    * merged table from plain SELECTs, so wrong clause precedence, a
+    * double-matched rewrite, or inserts leaking matched keys all change
+    * the hash. */
+  def dmlMergeDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_mrg_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000001.json")
+        .exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") <= 500), base, "f0.parquet")
+      DeltaLake.writeDataFile(
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000),
+        base, "f1.parquet")
+      DeltaLake.commit(base, 0, Seq(
+        DeltaLake.protocolAction,
+        DeltaLake.metaDataAction(o.schema),
+        DeltaLake.addAction("f0.parquet"),
+        DeltaLake.addAction("f1.parquet")))
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") > 800 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey").as("k"), lit("M").as("status"),
+          (col("o_totalprice") + 1.0).as("price"))
+      val st = DeltaLake.merge(s, base.getPath, src,
+        on = "t.o_orderkey = s.k",
+        matchedUpdate = Map("o_orderstatus" -> "s.status",
+          "o_totalprice" -> "s.price"),
+        matchedDelete = Some("s.k > 950"),
+        notMatchedInsert = Some(Map("o_orderkey" -> "s.k",
+          "o_orderstatus" -> "'N'", "o_totalprice" -> "s.price")))
+      require(st.deleted > 0 && st.updated > 0 && st.inserted > 0,
+        s"merge stats $st: fixture expected all three clause kinds to fire")
+    }
+    DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** INSERT INTO an Iceberg table (ops/IcebergTable.insertAppend — the
     * reference's finishInsert snapshot commit): base snapshot holds
     * orders <= 500, the engine appends (500, 1000] as a NEW snapshot
@@ -553,9 +597,22 @@ object Sources {
     "dml_merge_managed" -> dmlMergeManaged,
     "dml_delete_managed" -> dmlDeleteManaged,
     "dml_update_managed" -> dmlUpdateManaged,
+    "dml_merge_delta" -> dmlMergeDelta,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_merge_delta" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 800
+        |UNION ALL
+        |SELECT o_orderkey, 'M' AS o_orderstatus,
+        | o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 950
+        |UNION ALL
+        |SELECT o_orderkey, 'N' AS o_orderstatus,
+        | o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200
+        |ORDER BY o_orderkey""".stripMargin,
     "dml_insert_delta" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000

@@ -190,7 +190,52 @@ object Streams {
           greatest(lit(1.0), col("exact_users") * 0.05)).as("ok"))
       .orderBy("bucket", "event_type")
 
+  /** End-to-end exactly-once Delta sink: events are split across 3 input
+    * files and streamed (file source, maxFilesPerTrigger=1 → 3 real
+    * micro-batches) through [[DeltaSink.exactlyOnce]] into a Delta table,
+    * then an already-committed batchId is re-delivered (the crash-replay
+    * case) and must be a no-op. The gate reads the table back row-level:
+    * a sink that lost a batch, applied one twice, or let the replay
+    * through changes the hash. */
+  def deltaSinkE2e(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_sink_" + Integer.toHexString(dir.hashCode))
+    val table = new java.io.File(root, "table")
+    val done = new java.io.File(root, "_done")
+    if (!done.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root) // wipe any half-finished earlier attempt
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val in = new java.io.File(root, "in")
+      ev.repartition(3).write.parquet(in.getPath)
+      table.mkdirs()
+      graft.ops.DeltaLake.commit(table, 0, Seq(
+        graft.ops.DeltaLake.protocolAction,
+        graft.ops.DeltaLake.metaDataAction(ev.schema)))
+      val sink = DeltaSink.exactlyOnce(table.getPath, "stream_delta_sink")
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.getPath)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+      sink(ev, 1L) // replayed batch: watermark is 2, must be skipped
+      val wm = graft.ops.DeltaLake.txnVersion(
+        s, table.getPath, "stream_delta_sink")
+      require(wm.contains(2L), s"txn watermark $wm, expected Some(2)")
+      done.createNewFile()
+    }
+    graft.ops.DeltaLake.read(s, table.getPath).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_delta_sink" -> deltaSinkE2e,
     "stream_approx_distinct" -> ((s, dir) =>
       approxDistinctWindow(t(s, dir, "events"))),
     "stream_static_join" -> staticEnrich,
@@ -205,6 +250,9 @@ object Streams {
   // TIMESTAMP_MICROS parquet as timestamps, and epoch_us is unit-stable on
   // either — matching the Spark-side eventMicros helper.
   val oracle: Map[String, String] = Map(
+    "stream_delta_sink" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_approx_distinct" ->
       """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
         | event_type, count(DISTINCT user_id) AS exact_users, true AS ok

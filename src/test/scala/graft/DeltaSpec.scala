@@ -301,6 +301,31 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("MERGE INTO delta_scan works in SQL text") {
+    val ses = graft.api.SqlSession.wrap(spark)
+    val dd = freshDir("sqlmrg")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    DeltaLake.writeDataFile(df, dd, "f0.parquet")
+    DeltaLake.commit(dd, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val r = ses.sql(
+      s"""MERGE INTO delta_scan('${dd.getPath}') AS t
+         |USING (SELECT * FROM (VALUES (2, 20.0), (3, 30.0), (4, 40.0))
+         |       AS x(mk, mv)) AS s
+         |ON t.k = s.mk
+         |WHEN MATCHED AND s.mk = 3 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.mv
+         |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.mk, 'n', s.mv)
+         |""".stripMargin).collect()
+    assert(r(0).getLong(0) == 3L) // 1 updated + 1 deleted + 1 inserted
+    val out = ses.sql(s"SELECT k, s, v FROM delta_scan('${dd.getPath}') " +
+      "ORDER BY k").collect().map(x =>
+      (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 1.0), (2L, "b", 20.0),
+      (4L, "n", 40.0)))
+  }
+
   test("DELETE rewrites only the files holding matches; NULL keeps rows") {
     val dir = freshDir("del")
     val lo = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
@@ -357,5 +382,163 @@ class DeltaSpec extends AnyFunSuite {
     val out = DeltaLake.read(spark, dir.getPath)
     assert(out.schema.fieldNames.toSeq == Seq("k", "s"))
     assert(out.count() == 0)
+  }
+
+  test("merge: clause precedence, untouched files stay verbatim") {
+    val dir = freshDir("mrg")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    DeltaLake.writeDataFile(df.filter($"k" <= 1), dir, "f0.parquet")
+    DeltaLake.writeDataFile(df.filter($"k" > 1), dir, "f1.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema),
+      DeltaLake.addAction("f0.parquet"), DeltaLake.addAction("f1.parquet")))
+    val src = Seq((2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("mk", "mv")
+    val st = DeltaLake.merge(spark, dir.getPath, src, "t.k = s.mk",
+      matchedUpdate = Map("v" -> "s.mv"),
+      matchedDelete = Some("s.mk = 3"),
+      notMatchedInsert = Some(Map("k" -> "s.mk", "s" -> "'n'",
+        "v" -> "s.mv")))
+    assert(st == DeltaLake.MergeStats(updated = 1, deleted = 1,
+      inserted = 1))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 20.0), (4L, "n", 40.0)))
+    // f0 held no matched rows: it must not have been rewritten
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      new File(dir, "_delta_log/00000000000000000001.json").toPath))
+    assert(!log1.contains("f0.parquet"))
+    assert(log1.contains("\"remove\":{\"path\":\"f1.parquet\""))
+  }
+
+  test("merge raises when a target row matches multiple source rows") {
+    val dir = freshDir("mrgdup")
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val src = Seq((1L, 10.0), (1L, 11.0)).toDF("mk", "mv")
+    intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, dir.getPath, src, "t.k = s.mk",
+        matchedUpdate = Map("v" -> "s.mv"))
+    }
+  }
+
+  test("merge on a partitioned table routes inserts to their partitions") {
+    val dir = freshDir("mrgpart")
+    val full = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "double").add("p", "integer")
+    DeltaLake.writeDataFile(Seq((1L, 1.0)).toDF("k", "v"), dir, "a.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(full, Seq("p")),
+      DeltaLake.addAction("a.parquet", Map("p" -> "10"))))
+    val src = Seq((1L, 100.0, 10), (2L, 200.0, 20)).toDF("mk", "mv", "mp")
+    val st = DeltaLake.merge(spark, dir.getPath, src, "t.k = s.mk",
+      matchedUpdate = Map("v" -> "s.mv"),
+      notMatchedInsert = Some(Map("k" -> "s.mk", "v" -> "s.mv",
+        "p" -> "s.mp")))
+    assert(st == DeltaLake.MergeStats(1, 0, 1))
+    val out = DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 100.0, 10), (2L, 200.0, 20)))
+    // updating a partition column is rejected
+    intercept[IllegalArgumentException] {
+      DeltaLake.merge(spark, dir.getPath, src, "t.k = s.mk",
+        matchedUpdate = Map("p" -> "s.mp"))
+    }
+  }
+
+  test("optimize compacts file groups without changing rows; vacuum " +
+      "reclaims the tombstoned originals") {
+    val dir = freshDir("opt")
+    val df = (1L to 100L).map(i => (i, i * 1.5)).toDF("k", "v")
+    (0 until 4).foreach { j =>
+      DeltaLake.writeDataFile(
+        df.filter($"k" % 4 === j), dir, s"f$j.parquet")
+    }
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)) ++
+      (0 until 4).map(j => DeltaLake.addAction(s"f$j.parquet")))
+    val removed = DeltaLake.optimize(spark, dir.getPath)
+    assert(removed == 4L)
+    // rows identical, and the compacted snapshot is a single file
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.count() == 100L)
+    assert(out.select(sum($"k")).collect()(0).getLong(0) == 5050L)
+    assert(out.select(col("_metadata.file_path")).distinct().count() == 1L)
+    // the log records the compaction as dataChange=false
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      new File(dir, "_delta_log/00000000000000000001.json").toPath))
+    assert(log1.contains("\"dataChange\":false"))
+    // originals still on disk (time travel to v0 works) until VACUUM
+    assert(new File(dir, "f0.parquet").exists())
+    assert(DeltaLake.readVersion(spark, dir.getPath, 0).count() == 100L)
+    assert(DeltaLake.vacuum(spark, dir.getPath,
+      retentionMs = 7L * 24 * 3600 * 1000) == 0L) // inside retention: kept
+    assert(DeltaLake.vacuum(spark, dir.getPath, retentionMs = -1L) == 4L)
+    assert(!new File(dir, "f0.parquet").exists())
+    assert(DeltaLake.read(spark, dir.getPath).count() == 100L)
+  }
+
+  test("optimize zorderBy clusters the compacted files on the z-key") {
+    val dir = freshDir("optz")
+    val df = (0L until 400L).map(i => (i % 20, i / 20, i.toDouble))
+      .toDF("x", "y", "v")
+    (0 until 4).foreach { j =>
+      DeltaLake.writeDataFile(
+        df.filter($"v" % 4 === j), dir, s"f$j.parquet")
+    }
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)) ++
+      (0 until 4).map(j => DeltaLake.addAction(s"f$j.parquet")))
+    DeltaLake.optimize(spark, dir.getPath, targetBytes = 2048,
+      zorderBy = Seq("x", "y"))
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.count() == 400L)
+    val nFiles = out.select(col("_metadata.file_path")).distinct().count()
+    assert(nFiles > 1, s"z-order fixture expected a multi-file layout")
+    // a box predicate must not need every file: per-file x-ranges are
+    // disjoint-ish after z-clustering, so the box touches a strict subset
+    val touched = out.filter($"x" < 5 && $"y" < 5)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(touched < nFiles,
+      s"box touched all $nFiles files — z-clustering had no effect")
+  }
+
+  test("insertTxn dedups replayed batches by appId watermark") {
+    val dir = freshDir("txn")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    assert(DeltaLake.insertTxn(spark, dir.getPath, df,
+      Some(("app", 0L))).contains(1L))
+    // crash-replay of batch 0: skipped, no commit, no rows
+    assert(DeltaLake.insertTxn(spark, dir.getPath, df,
+      Some(("app", 0L))).isEmpty)
+    // a DIFFERENT app's batch 0 is independent state
+    assert(DeltaLake.insertTxn(spark, dir.getPath,
+      Seq((2L, "b")).toDF("k", "s"), Some(("other", 0L))).contains(2L))
+    assert(DeltaLake.txnVersion(spark, dir.getPath, "app").contains(0L))
+    assert(DeltaLake.txnVersion(spark, dir.getPath, "none").isEmpty)
+    assert(DeltaLake.read(spark, dir.getPath).count() == 2)
+  }
+
+  test("txn watermarks survive checkpoint compaction + log retention") {
+    val dir = freshDir("txnckpt")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    DeltaLake.insertTxn(spark, dir.getPath, df, Some(("app", 7L)))
+    DeltaLake.writeCheckpoint(spark, dir)
+    // retention deletes the JSON commits the checkpoint covers; the
+    // watermark must now come from the checkpoint's txn rows — otherwise
+    // the replayed batch below would be applied twice
+    new File(dir, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(DeltaLake.txnVersion(spark, dir.getPath, "app").contains(7L))
+    assert(DeltaLake.insertTxn(spark, dir.getPath, df,
+      Some(("app", 7L))).isEmpty)
+    assert(DeltaLake.read(spark, dir.getPath).count() == 1)
   }
 }
