@@ -287,8 +287,11 @@ object IcebergTable {
     }.reduceOption(_ && _)
   }
 
+  /** keepTags=true threads each surviving row's identity — `__fp`
+    * (canonical absolute data-file path) and `__pos` (row index in that
+    * file) — through the delete application, for the DELETE writer. */
   private def scan(s: SparkSession, tableDir: String, snapshotId: Long,
-      preds: Seq[Pred]): DataFrame = {
+      preds: Seq[Pred], keepTags: Boolean = false): DataFrame = {
     // canonical base dir: a relative or symlinked tableDir would otherwise
     // build delete-side paths that never match _metadata.file_path and
     // silently drop the deletes
@@ -303,6 +306,14 @@ object IcebergTable {
     val eqDeletes = live.collect { case LiveFile(2, p, q, _) => (p, q) }
     def withResidual(df: DataFrame): DataFrame =
       residual(preds).map(df.filter).getOrElse(df)
+    import org.apache.spark.sql.functions._
+    // canonical absolute path: strip a file: scheme, collapse leading
+    // slashes (the _metadata column renders file:///p, File.toURI file:/p)
+    def canon(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+    def tagCols(df: DataFrame): DataFrame = df
+      .withColumn("__fp", canon(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
     if (dataFiles.isEmpty) {
       // everything pruned: an empty frame with the data schema (probe one
       // file from the UNPRUNED snapshot for the shape)
@@ -310,29 +321,29 @@ object IcebergTable {
         case LiveFile(0, p, _, _) => p
       }.getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId has no data files"))
-      return withResidual(
-        s.read.parquet(resolve(dir, any).getPath).limit(0))
+      val empty = s.read.parquet(resolve(dir, any).getPath).limit(0)
+      return withResidual(if (keepTags) tagCols(empty) else empty)
     }
-    import org.apache.spark.sql.functions._
-    if (posDeletes.isEmpty && eqDeletes.isEmpty)
-      return withResidual(s.read.parquet(
-        dataFiles.map(f => resolve(dir, f._1).getPath): _*))
+    if (posDeletes.isEmpty && eqDeletes.isEmpty) {
+      val plain = s.read.parquet(
+        dataFiles.map(f => resolve(dir, f._1).getPath): _*)
+      return withResidual(if (keepTags) tagCols(plain) else plain)
+    }
     // deletes scope by sequence number (spec: positional apply to data
     // seq <= delete seq, equality to data seq < delete seq — a row
     // re-inserted AFTER the delete must survive). Tag rows with their
     // file's sequence: one scan per distinct sequence, bounded by the
     // number of contributing snapshots, not files.
-    val data = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
+    // tag per scan, BEFORE the union: _metadata is a scan-level column
+    // and does not resolve through Union
+    val dataT = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (sq, fs) =>
-        s.read.parquet(fs.map(f => resolve(dir, f._1).getPath): _*)
-          .withColumn("__seq", lit(sq))
+        val base = s.read.parquet(fs.map(f => resolve(dir, f._1).getPath): _*)
+        val t = if (keepTags || posDeletes.nonEmpty) tagCols(base) else base
+        t.withColumn("__seq", lit(sq))
     }.reduce(_ union _)
-    val afterPos = if (posDeletes.isEmpty) data
+    val afterPos0 = if (posDeletes.isEmpty) dataT
     else {
-      // canonical absolute path: strip a file: scheme, collapse leading
-      // slashes (the _metadata column renders file:///p, File.toURI file:/p)
-      def canon(c: org.apache.spark.sql.Column) =
-        regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
       // stored paths may be full URIs (the spec's file_path IS a URI):
       // drop the scheme BEFORE deciding whether the path is absolute
       val fp = regexp_replace(col("file_path"), "^file:", "")
@@ -343,15 +354,14 @@ object IcebergTable {
             .as("__del_fp"), col("pos").as("__del_pos"),
             lit(dq).as("__del_seq"))
       }.reduce(_ union _)
-      val tagged = data
-        .withColumn("__fp", canon(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      tagged.join(broadcast(del),
-          tagged("__fp") === del("__del_fp") &&
-            tagged("__pos") === del("__del_pos") &&
-            tagged("__seq") <= del("__del_seq"), "left_anti")
-        .drop("__fp", "__pos")
+      dataT.join(broadcast(del),
+        dataT("__fp") === del("__del_fp") &&
+          dataT("__pos") === del("__del_pos") &&
+          dataT("__seq") <= del("__del_seq"), "left_anti")
     }
+    val afterPos =
+      if (keepTags || posDeletes.isEmpty) afterPos0
+      else afterPos0.drop("__fp", "__pos")
     // each equality-delete file anti-joins on ITS OWN columns — merging
     // files with different column sets into one scan would null-pad the
     // missing fields and turn them into IS-NULL constraints that silently
@@ -761,6 +771,40 @@ object IcebergTable {
       appendSnapshotPartitioned(dir, version, snapId, es)
     }
     snapId
+  }
+
+  /** DELETE FROM an Iceberg table — the v2 merge-on-read row-level
+    * delete (the reference's presto-iceberg delete path; contrast
+    * ops/DeltaLake.delete's copy-on-write): rows of the CURRENT snapshot
+    * matching `condition` (TRUE only — NULL keeps the row, ANSI) are
+    * recorded as (file_path, pos) tuples in ONE new positional-delete
+    * file, committed as a fast-append snapshot. No data file is
+    * rewritten — at 100 TB a delete touching every file costs one
+    * distributed scan plus a delete file proportional to the rows hit.
+    * Sequence scoping makes the delete apply to every current data file
+    * and to NONE inserted later (a re-inserted matching row survives).
+    * Rows already dead under existing deletes are not re-matched (the
+    * scan applies them first). Returns the number of rows deleted. */
+  def delete(s: SparkSession, tableDir: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val cur = meta.get("current-snapshot-id").asLong
+    val matched = scan(s, dir.getPath, cur, Seq.empty, keepTags = true)
+      .filter(coalesce(condition, lit(false)))
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    val n = matched.count()
+    if (n == 0L) return 0L
+    val snaps = meta.get("snapshots")
+    val snapId = (0 until snaps.size())
+      .map(snaps.get(_).get("snapshot-id").asLong).foldLeft(0L)(math.max) + 1
+    val hint = new File(dir, "metadata/version-hint.text")
+    val version = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      UTF_8).trim.toInt + 1
+    val rel = writeDataFile(matched, dir, f"delete-$snapId%05d.parquet")
+    appendSnapshot(dir, version, snapId, Seq(Entry(1, rel, content = 1)))
+    n
   }
 
   /** The transform as a Spark column over the source column — native

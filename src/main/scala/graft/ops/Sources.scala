@@ -507,6 +507,32 @@ object Sources {
     DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** DELETE FROM an Iceberg table (ops/IcebergTable.delete — v2
+    * positional merge-on-read): base snapshot holds orders <= 1000, the
+    * engine DELETEs keys divisible by 7 (a new delete-file snapshot, no
+    * data file rewritten), then APPENDS (1000, 1100] — the insert lands
+    * after the delete and must be untouched by it. The gate re-reads the
+    * final snapshot through the sequence-scoped reader. */
+  def dmlDeleteIceberg(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_del_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v3.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      val n = IcebergTable.delete(s, base.getPath,
+        col("o_orderkey") % 7 === 0)
+      require(n > 0, "delete fixture matched no rows")
+      IcebergTable.insertAppend(s, base.getPath,
+        o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1100))
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** MERGE INTO a Delta table (ops/DeltaLake.merge): base table holds
     * orders <= 1000 in two files; the source carries keys (800, 1200]
     * with status 'M' and price+1. Matched keys > 950 DELETE, the rest
@@ -598,9 +624,16 @@ object Sources {
     "dml_delete_managed" -> dmlDeleteManaged,
     "dml_update_managed" -> dmlUpdateManaged,
     "dml_merge_delta" -> dmlMergeDelta,
+    "dml_delete_iceberg" -> dmlDeleteIceberg,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_delete_iceberg" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey <= 1000 AND o_orderkey % 7 <> 0)
+        |   OR (o_orderkey > 1000 AND o_orderkey <= 1100)
+        |ORDER BY o_orderkey""".stripMargin,
     "dml_merge_delta" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 800

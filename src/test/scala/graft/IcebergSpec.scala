@@ -316,6 +316,44 @@ class IcebergSpec extends AnyFunSuite {
       Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("DELETE FROM writes a positional-delete snapshot, no rewrite") {
+    val dir = freshDir("delw")
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s")
+    val a = IcebergTable.writeDataFile(df, dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    assert(IcebergTable.delete(spark, dir.getPath, $"k" % 2 === 0) == 10L)
+    val out = IcebergTable.read(spark, dir.getPath)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (1L to 19L by 2).toSeq)
+    // the data file was NOT rewritten (merge-on-read, not copy-on-write)
+    assert(new java.io.File(dir, "data/a.parquet").exists())
+    // time travel: the pre-delete snapshot still sees all 20 rows
+    assert(IcebergTable.readAt(spark, dir.getPath, 1L).count() == 20L)
+    // a second delete must not re-record already-dead rows: count is
+    // exact, and stacking both delete files still reads correctly
+    assert(IcebergTable.delete(spark, dir.getPath, $"k" <= 5) == 3L)
+    assert(IcebergTable.read(spark, dir.getPath)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L, 11L, 13L,
+      15L, 17L, 19L))
+    // NULL condition keeps rows (ANSI): nothing matches, no snapshot
+    assert(IcebergTable.delete(spark, dir.getPath,
+      org.apache.spark.sql.functions.lit(null).cast("boolean")) == 0L)
+  }
+
+  test("DELETE does not touch rows inserted after it (sequence scoping)") {
+    val dir = freshDir("delseq")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    assert(IcebergTable.delete(spark, dir.getPath, $"k" === 2) == 1L)
+    // re-insert k=2 AFTER the delete: it must survive
+    IcebergTable.insertAppend(spark, dir.getPath,
+      Seq((2L, "reborn")).toDF("k", "s"))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(1L -> "x", 2L -> "reborn"))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
