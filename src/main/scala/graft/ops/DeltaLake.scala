@@ -232,6 +232,15 @@ object DeltaLake {
       : DataFrame = {
     val dir = new File(tableDir)
     val (schema, partCols, files, _) = replay(s, dir, version)
+    scanFiles(s, dir, schema, partCols, files)
+  }
+
+  /** Scan a specific file set with partition-literal injection: one
+    * parquet read per distinct partition tuple (each group's files go to
+    * a single multi-path scan; the injected literals keep the declared
+    * column order). */
+  private def scanFiles(s: SparkSession, dir: File, schema: StructType,
+      partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
     val dataSchema = StructType(schema.fields.filterNot(f =>
       partCols.contains(f.name)))
     if (files.isEmpty)
@@ -239,9 +248,6 @@ object DeltaLake {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     def partLit(f: StructField, v: String) =
       (if (v == null) lit(null) else lit(v)).cast(f.dataType).as(f.name)
-    // one parquet read per distinct partition tuple (each group's files go
-    // to a single multi-path scan; the injected literals keep the declared
-    // column order)
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val paths = group.map(a => new File(dir, a.path).getPath)
       val df = s.read.schema(dataSchema).parquet(paths: _*)
@@ -251,6 +257,60 @@ object DeltaLake {
       }
       df.select(cols.toIndexedSeq: _*)
     }.reduce(_ unionAll _)
+  }
+
+  /** Latest committed version of the table's log, -1 if none. */
+  def currentVersion(tableDir: String): Long =
+    nextVersion(new File(tableDir, "_delta_log")) - 1
+
+  /** The rows ADDED in commits (fromExclusive, to] — the streaming
+    * source's incremental batch. Only `dataChange=true` adds count
+    * (OPTIMIZE rewrites are invisible, as the protocol intends). A
+    * `dataChange` remove in the range means the range is not pure
+    * appends (DELETE/UPDATE/MERGE rewrote rows): raise unless
+    * `ignoreChanges` (the standard Delta source contract — with it,
+    * rewritten files re-emit their rows and downstream must dedup).
+    * Requires the JSON commits in range to survive retention. */
+  def readChanges(s: SparkSession, tableDir: String, fromExclusive: Long,
+      to: Long, ignoreChanges: Boolean = false): DataFrame = {
+    val dir = new File(tableDir)
+    val logDir = new File(dir, "_delta_log")
+    val (schema, partCols, _, _) = replay(s, dir, to)
+    val adds = Seq.newBuilder[AddFile]
+    ((fromExclusive + 1) to to).foreach { v =>
+      val f = new File(logDir, f"$v%020d.json")
+      require(f.isFile, s"Delta commit $v is gone (log retention?) — " +
+        "cannot read the change range")
+      new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add")) {
+            val a = n.get("add")
+            val dc = !a.has("dataChange") || a.get("dataChange").asBoolean
+            if (dc) {
+              val pv = Option(a.get("partitionValues")).map { o =>
+                val it = o.fields()
+                val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next()
+                  b += (e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText))
+                }
+                b.result()
+              }.getOrElse(Map.empty[String, String])
+              adds += AddFile(a.get("path").asText, pv)
+            }
+          } else if (n.has("remove")) {
+            val r = n.get("remove")
+            val dc = !r.has("dataChange") || r.get("dataChange").asBoolean
+            require(!dc || ignoreChanges,
+              s"Delta commit $v rewrites rows (remove with dataChange) — " +
+                "not an append; set ignoreChanges=true to re-emit " +
+                "rewritten files")
+          }
+        }
+    }
+    scanFiles(s, dir, schema, partCols, adds.result())
   }
 
   // ---------- writer: INSERT INTO (append) with an atomic log commit
@@ -352,7 +412,10 @@ object DeltaLake {
               graft.ops.Layout.zorderKey(zorderBy.map(col): _*))
         val staging = new File(dir, f".staging_opt_$version%020d_$i")
         df.write.parquet(staging.getPath)
-        group.foreach { a => actions += removeAction(a.path); removed += 1 }
+        group.foreach { a =>
+          actions += removeAction(a.path, dataChange = false)
+          removed += 1
+        }
         staging.listFiles().filter(_.getName.endsWith(".parquet"))
           .sortBy(_.getName).foreach { p =>
             val name = f"part-$version%020d-$i%05d.parquet"
@@ -722,8 +785,8 @@ object DeltaLake {
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$version,"lastUpdated":0}}"""
 
-  def removeAction(path: String): String =
-    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+  def removeAction(path: String, dataChange: Boolean = true): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":$dataChange}}"""
 
   /** Compact the current snapshot into a protocol checkpoint: one parquet
     * row per action (nullable add/metaData/protocol struct columns) at the

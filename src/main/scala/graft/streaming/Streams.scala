@@ -234,7 +234,58 @@ object Streams {
     graft.ops.DeltaLake.read(s, table.getPath).orderBy("event_id")
   }
 
+  /** End-to-end Delta SOURCE → Delta SINK incremental pipeline: table A
+    * starts with events <= 5000, one AvailableNow run snapshots it into
+    * B; then (5000, ∞) is appended to A and the stream RESTARTS from its
+    * checkpoint — only the new commit's rows flow (version offsets).
+    * A source that re-emits the snapshot, misses the increment, or a
+    * sink that double-applies changes the row-level hash. */
+  def deltaSourceE2e(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_src_" + Integer.toHexString(dir.hashCode))
+    val a = new java.io.File(root, "a")
+    val b = new java.io.File(root, "b")
+    val done = new java.io.File(root, "_done")
+    if (!done.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      a.mkdirs(); b.mkdirs()
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.ops.DeltaLake.writeDataFile(
+        ev.filter(col("event_id") <= 5000), a, "f0.parquet")
+      graft.ops.DeltaLake.commit(a, 0, Seq(
+        graft.ops.DeltaLake.protocolAction,
+        graft.ops.DeltaLake.metaDataAction(ev.schema),
+        graft.ops.DeltaLake.addAction("f0.parquet")))
+      graft.ops.DeltaLake.commit(b, 0, Seq(
+        graft.ops.DeltaLake.protocolAction,
+        graft.ops.DeltaLake.metaDataAction(ev.schema)))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .format("graft.streaming.DeltaSourceProvider")
+          .option("path", a.getPath).load()
+          .writeStream
+          .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(DeltaSink.exactlyOnce(b.getPath, "stream_delta_source"))
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // initial snapshot
+      graft.ops.DeltaLake.insert(s, a.getPath,
+        ev.filter(col("event_id") > 5000))
+      runOnce() // restart: only the appended commit flows
+      done.createNewFile()
+    }
+    graft.ops.DeltaLake.read(s, b.getPath).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_delta_source" -> deltaSourceE2e,
     "stream_delta_sink" -> deltaSinkE2e,
     "stream_approx_distinct" -> ((s, dir) =>
       approxDistinctWindow(t(s, dir, "events"))),
@@ -250,6 +301,9 @@ object Streams {
   // TIMESTAMP_MICROS parquet as timestamps, and epoch_us is unit-stable on
   // either — matching the Spark-side eventMicros helper.
   val oracle: Map[String, String] = Map(
+    "stream_delta_source" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_delta_sink" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

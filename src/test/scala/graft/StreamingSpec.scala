@@ -276,4 +276,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(lastProgress == null || lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("Delta source → Delta sink: incremental pipeline with restart, " +
+      "optimize invisibility, and CoW refusal") {
+    import spark.implicits._
+    import graft.ops.DeltaLake
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_delta_pipe_${System.nanoTime()}")
+    val a = new java.io.File(root, "a")
+    val b = new java.io.File(root, "b")
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    a.mkdirs(); b.mkdirs()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, a, "f0.parquet")
+    DeltaLake.commit(a, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.commit(b, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaSourceProvider")
+        .option("path", a.getPath).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(
+          graft.streaming.DeltaSink.exactlyOnce(b.getPath, "pipe"))
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // initial snapshot
+    assert(DeltaLake.read(spark, b.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // append to A, restart from the checkpoint: ONLY the new rows land
+    DeltaLake.insert(spark, a.getPath, Seq((3L, "z")).toDF("k", "s"))
+    runOnce()
+    assert(DeltaLake.read(spark, b.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaLake.read(spark, b.getPath).count() == 3L) // no re-emit
+    // OPTIMIZE on A is dataChange=false: the stream sees nothing new
+    DeltaLake.optimize(spark, a.getPath)
+    runOnce()
+    assert(DeltaLake.read(spark, b.getPath).count() == 3L)
+    // a copy-on-write DELETE is not an append: the source refuses
+    DeltaLake.delete(spark, a.getPath, col("k") === 1L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(ex.getMessage.contains("ignoreChanges") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")))
+  }
 }
