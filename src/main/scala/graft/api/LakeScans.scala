@@ -175,8 +175,16 @@ object LakeScans {
         .map(_ => text.substring(h.start(4), h.end(4)).trim)
       val df = (kind, arg) match {
         case ("delta", None) => graft.ops.DeltaLake.read(spark, path)
-        case ("delta", Some(v)) =>
+        case ("delta", Some(v)) if v.matches("\\d+") =>
           graft.ops.DeltaLake.readVersion(spark, path, v.toLong)
+        case ("delta", Some(ts)) => // quoted → TIMESTAMP AS OF
+          val millis =
+            try java.sql.Timestamp.valueOf(ts).getTime
+            catch {
+              case _: IllegalArgumentException =>
+                java.sql.Date.valueOf(ts).getTime
+            }
+          graft.ops.DeltaLake.readTimestamp(spark, path, millis)
         case ("hudi", None) => graft.ops.HudiCow.read(spark, path)
         case ("hudi", Some(i)) => graft.ops.HudiCow.readAt(spark, path, i)
         case ("iceberg", None) => graft.ops.IcebergTable.read(spark, path)

@@ -263,6 +263,27 @@ object DeltaLake {
   def currentVersion(tableDir: String): Long =
     nextVersion(new File(tableDir, "_delta_log")) - 1
 
+  /** Time travel by timestamp (Delta's TIMESTAMP AS OF): the snapshot at
+    * the GREATEST commit whose timestamp is <= `tsMillis`. Commit
+    * timestamps are the log files' modification times — the protocol's
+    * rule before in-commit timestamps; same caveat as real Delta: they
+    * must survive file copies. Errors when the timestamp predates the
+    * first surviving commit. */
+  def readTimestamp(s: SparkSession, tableDir: String, tsMillis: Long)
+      : DataFrame = {
+    val logDir = new File(tableDir, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map(f => (f.getName.stripSuffix(".json").toLong, f.lastModified()))
+      .sortBy(_._1)
+    require(commits.nonEmpty,
+      s"no JSON commits in $tableDir/_delta_log to time-travel by timestamp")
+    val v = commits.takeWhile(_._2 <= tsMillis).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp $tsMillis is before the table's first commit"))
+    readVersion(s, tableDir, v)
+  }
+
   /** The rows ADDED in commits (fromExclusive, to] — the streaming
     * source's incremental batch. Only `dataChange=true` adds count
     * (OPTIMIZE rewrites are invisible, as the protocol intends). A

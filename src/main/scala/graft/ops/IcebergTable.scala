@@ -807,6 +807,54 @@ object IcebergTable {
     n
   }
 
+  /** UPDATE an Iceberg table, merge-on-read: ONE snapshot commits BOTH a
+    * positional-delete file covering the matched rows' old versions AND a
+    * data file holding the updated rows (`sets` evaluated against the
+    * PRE-update row, ANSI; NULL condition keeps rows). Positional deletes
+    * are path-scoped, so the replacement file — same sequence number —
+    * is untouched. No existing data file rewrites. On transform-
+    * partitioned tables the replacement file commits without a partition
+    * tuple: reads stay correct, pruning is conservative for those rows.
+    * Returns the number of rows updated. */
+  def update(s: SparkSession, tableDir: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions._
+    require(sets.nonEmpty, "UPDATE needs SET columns")
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val cur = meta.get("current-snapshot-id").asLong
+    val tableSchema = read(s, dir.getPath).schema
+    sets.keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"SET column $k not in table schema"))
+    val matched = scan(s, dir.getPath, cur, Seq.empty, keepTags = true)
+      .filter(coalesce(condition, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0L) return 0L
+      val snaps = meta.get("snapshots")
+      val snapId = (0 until snaps.size())
+        .map(snaps.get(_).get("snapshot-id").asLong)
+        .foldLeft(0L)(math.max) + 1
+      val hint = new File(dir, "metadata/version-hint.text")
+      val version = new String(
+        java.nio.file.Files.readAllBytes(hint.toPath), UTF_8).trim.toInt + 1
+      val delRel = writeDataFile(
+        matched.select(col("__fp").as("file_path"), col("__pos").as("pos")),
+        dir, f"delete-$snapId%05d.parquet")
+      val updated = matched.select(tableSchema.fields.map { f =>
+        sets.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+      val dataRel = writeDataFile(updated, dir,
+        f"update-$snapId%05d.parquet")
+      appendSnapshot(dir, version, snapId, Seq(
+        Entry(1, delRel, content = 1), Entry(1, dataRel)))
+      n
+    } finally matched.unpersist()
+  }
+
   /** The transform as a Spark column over the source column — native
     * functions for the order-preserving family; bucket needs the spec's
     * murmur3 over type-specific bytes (not Spark's hash()), a scalar UDF

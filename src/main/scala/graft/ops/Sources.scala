@@ -533,6 +533,30 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** UPDATE an Iceberg table (ops/IcebergTable.update — one snapshot
+    * carrying a positional delete of the old row versions plus a
+    * replacement data file; no rewrite of the base file). The engine
+    * sets status 'X' on keys <= 100 and then DELETEs keys > 950 — the
+    * stacked merge-on-read layers must compose. */
+  def dmlUpdateIceberg(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_upd_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v3.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      val n = IcebergTable.update(s, base.getPath,
+        col("o_orderkey") <= 100, Map("o_orderstatus" -> lit("X")))
+      require(n > 0, "update fixture matched no rows")
+      IcebergTable.delete(s, base.getPath, col("o_orderkey") > 950)
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** MERGE INTO a Delta table (ops/DeltaLake.merge): base table holds
     * orders <= 1000 in two files; the source carries keys (800, 1200]
     * with status 'M' and price+1. Matched keys > 950 DELETE, the rest
@@ -625,9 +649,17 @@ object Sources {
     "dml_update_managed" -> dmlUpdateManaged,
     "dml_merge_delta" -> dmlMergeDelta,
     "dml_delete_iceberg" -> dmlDeleteIceberg,
+    "dml_update_iceberg" -> dmlUpdateIceberg,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_update_iceberg" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END
+        |   AS o_orderstatus,
+        | o_totalprice
+        |FROM orders WHERE o_orderkey <= 950
+        |ORDER BY o_orderkey""".stripMargin,
     "dml_delete_iceberg" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders

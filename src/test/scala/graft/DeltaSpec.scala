@@ -301,6 +301,36 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("timestamp time travel picks the greatest commit at-or-before") {
+    val dir = freshDir("tstravel")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    DeltaLake.writeDataFile(Seq((2L, "b")).toDF("k", "s"), dir, "f1.parquet")
+    DeltaLake.commit(dir, 1, Seq(DeltaLake.addAction("f1.parquet")))
+    // pin deterministic commit timestamps
+    val logDir = new File(dir, "_delta_log")
+    val t0 = 1700000000000L
+    assert(new File(logDir, "00000000000000000000.json")
+      .setLastModified(t0))
+    assert(new File(logDir, "00000000000000000001.json")
+      .setLastModified(t0 + 60000))
+    assert(DeltaLake.readTimestamp(spark, dir.getPath, t0).count() == 1L)
+    assert(DeltaLake.readTimestamp(spark, dir.getPath, t0 + 30000)
+      .count() == 1L)
+    assert(DeltaLake.readTimestamp(spark, dir.getPath, t0 + 60000)
+      .count() == 2L)
+    intercept[IllegalArgumentException] {
+      DeltaLake.readTimestamp(spark, dir.getPath, t0 - 1)
+    }
+    // SQL surface: quoted second arg is TIMESTAMP AS OF
+    val ses = graft.api.SqlSession.wrap(spark)
+    val tsLit = new java.sql.Timestamp(t0 + 30000).toString
+    assert(ses.sql(s"SELECT count(*) AS n FROM delta_scan(" +
+      s"'${dir.getPath}', '$tsLit')").collect()(0).getLong(0) == 1L)
+  }
+
   test("MERGE INTO delta_scan works in SQL text") {
     val ses = graft.api.SqlSession.wrap(spark)
     val dd = freshDir("sqlmrg")

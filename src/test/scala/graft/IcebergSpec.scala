@@ -354,6 +354,29 @@ class IcebergSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L -> "x", 2L -> "reborn"))
   }
 
+  test("UPDATE commits delete + replacement rows in one snapshot") {
+    val dir = freshDir("updw")
+    val df = (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val a = IcebergTable.writeDataFile(df, dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    assert(IcebergTable.update(spark, dir.getPath, $"k" > 7,
+      Map("v" -> ($"v" * 100))) == 3L)
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == ((1L to 7L).map(i => (i, i * 1.0)) ++
+      (8L to 10L).map(i => (i, i * 100.0))))
+    // no rewrite: the original data file is still the only base file
+    assert(new java.io.File(dir, "data/a.parquet").exists())
+    // pre-update snapshot still time-travels
+    assert(IcebergTable.readAt(spark, dir.getPath, 1L)
+      .filter($"v" > 50).count() == 0L)
+    // a second update stacks (applies on the post-update view)
+    assert(IcebergTable.update(spark, dir.getPath, $"v" === 800.0,
+      Map("v" -> org.apache.spark.sql.functions.lit(0.0))) == 1L)
+    assert(IcebergTable.read(spark, dir.getPath)
+      .filter($"k" === 8).collect()(0).getDouble(1) == 0.0)
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
