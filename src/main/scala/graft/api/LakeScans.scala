@@ -60,7 +60,7 @@ object LakeScans {
   }
 
   private val MergePat =
-    ("""(?is)\AMERGE\s+INTO\s+delta_scan\s*\(\s*'([^']+)'\s*\)\s+""" +
+    ("""(?is)\AMERGE\s+INTO\s+(delta|iceberg)_scan\s*\(\s*'([^']+)'\s*\)\s+""" +
       """(?:AS\s+)?t\s+USING\s+(.+?)\s+(?:AS\s+)?s\s+ON\s+(.+?)\s+""" +
       """(WHEN\s.+)\z""").r
   private val WhenDelete =
@@ -93,16 +93,16 @@ object LakeScans {
     out.result()
   }
 
-  /** MERGE INTO delta_scan('/p') AS t USING <src> AS s ON <cond>
-    * WHEN MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN UPDATE SET ... /
-    * WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) — the reference's
-    * MERGE grammar over the engine's copy-on-write Delta merge
-    * (ops/DeltaLake.merge). Aliases are fixed to t/s (the clause
-    * expressions are evaluated under those names). Returns the affected
-    * row count. */
+  /** MERGE INTO delta_scan('/p') / iceberg_scan('/p') AS t USING <src>
+    * AS s ON <cond> WHEN MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN
+    * UPDATE SET ... / WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
+    * — the reference's MERGE grammar over the engine's lake merges
+    * (ops/DeltaLake.merge copy-on-write; ops/IcebergTable.merge
+    * merge-on-read). Aliases are fixed to t/s (the clause expressions are
+    * evaluated under those names). Returns the affected row count. */
   def dispatchMerge(ses: SqlSession, text: String)
       : Option[org.apache.spark.sql.DataFrame] = text.trim match {
-    case MergePat(path, sourceSql, onCond, whens) =>
+    case MergePat(kind, path, sourceSql, onCond, whens) =>
       val spark = ses.spark
       val s0 = sourceSql.trim
       val src =
@@ -137,8 +137,12 @@ object LakeScans {
           throw new IllegalArgumentException(s"Unsupported MERGE clause: " +
             other.linesIterator.mkString(" ").take(80))
       }
-      val st = graft.ops.DeltaLake.merge(spark, path, src, onCond,
-        matchedUpdate = upd, matchedDelete = del, notMatchedInsert = ins)
+      val st = kind.toLowerCase match {
+        case "delta" => graft.ops.DeltaLake.merge(spark, path, src, onCond,
+          matchedUpdate = upd, matchedDelete = del, notMatchedInsert = ins)
+        case _ => graft.ops.IcebergTable.merge(spark, path, src, onCond,
+          matchedUpdate = upd, matchedDelete = del, notMatchedInsert = ins)
+      }
       Some(DdlStatements.rowsResult(spark,
         st.updated + st.deleted + st.inserted))
     case _ => None

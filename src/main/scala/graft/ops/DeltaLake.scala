@@ -7,6 +7,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** MERGE outcome counts, shared by the Delta (copy-on-write) and Iceberg
+  * (merge-on-read) writers. */
+final case class MergeStats(updated: Long, deleted: Long, inserted: Long)
+
 /** Minimal Delta Lake TABLE READER — the reference ships a full connector
   * (presto-delta/); the protocol itself is public: a table is a directory
   * of parquet data files plus `_delta_log/<version 20-digit>.json` commit
@@ -627,8 +631,6 @@ object DeltaLake {
     if (acts.nonEmpty) commit(dir, version, acts)
     matched
   }
-
-  case class MergeStats(updated: Long, deleted: Long, inserted: Long)
 
   /** MERGE INTO (the reference's MergeProcessor / standard Delta upsert),
     * copy-on-write: target rows are matched to `source` via `on` (an SQL

@@ -855,6 +855,92 @@ object IcebergTable {
     } finally matched.unpersist()
   }
 
+  /** MERGE INTO an Iceberg table, merge-on-read (vs ops/DeltaLake.merge's
+    * copy-on-write): source matched via `on` (SQL condition over aliases
+    * `t` = table, `s` = source); WHEN MATCHED [AND matchedDelete] DELETE
+    * (checked first) / WHEN MATCHED UPDATE SET / WHEN NOT MATCHED INSERT.
+    * ONE snapshot commits a positional-delete file covering every matched
+    * row that dies (deleted, or replaced by an update) plus a data file
+    * holding the replacements and inserts — NO existing file rewrites,
+    * which at 100 TB is the whole point of v2 row-level operations. A
+    * target row matched by >1 source row raises (nondeterminism guard). */
+  def merge(s: SparkSession, tableDir: String, source: DataFrame,
+      on: String,
+      matchedUpdate: Map[String, String] = Map.empty,
+      matchedDelete: Option[String] = None,
+      notMatchedInsert: Option[Map[String, String]] = None): MergeStats = {
+    import org.apache.spark.sql.functions._
+    require(matchedUpdate.nonEmpty || matchedDelete.nonEmpty ||
+      notMatchedInsert.nonEmpty, "MERGE needs at least one WHEN clause")
+    Seq("__fp", "__pos", "__seq", "__sm").foreach(c =>
+      require(!source.columns.contains(c),
+        s"MERGE source may not have a column named $c"))
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val cur = meta.get("current-snapshot-id").asLong
+    val tableSchema = read(s, dir.getPath).schema
+    (matchedUpdate.keySet ++ notMatchedInsert.toSeq.flatMap(_.keySet))
+      .foreach(k => require(tableSchema.fieldNames.contains(k),
+        s"MERGE column $k not in table schema"))
+    val target = scan(s, dir.getPath, cur, Seq.empty, keepTags = true)
+    val src = source.withColumn("__sm", lit(true)).as("s")
+    val onE = expr(on)
+    val matches = target.as("t").join(src, onE, "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(matches.groupBy(col("__fp"), col("__pos")).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+        "MERGE: a target row matched more than one source row")
+      val delE = coalesce(matchedDelete.map(expr).getOrElse(lit(false)),
+        lit(false))
+      val deleted =
+        if (matchedDelete.isEmpty) 0L else matches.filter(delE).count()
+      val updated =
+        if (matchedUpdate.isEmpty) 0L else matches.filter(!delE).count()
+      // every matched row that dies: deleted, or replaced by the update
+      val dead =
+        if (matchedUpdate.nonEmpty) matches else matches.filter(delE)
+      val replacements =
+        if (matchedUpdate.isEmpty) None
+        else Some(matches.filter(!delE).select(tableSchema.fields.map { f =>
+          matchedUpdate.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(col("t." + f.name).as(f.name))
+        }.toIndexedSeq: _*))
+      val inserts = notMatchedInsert.map { mapping =>
+        src.join(target.as("t"), onE, "left_anti")
+          .select(tableSchema.fields.map { f =>
+            mapping.get(f.name).map(e => expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+          }.toIndexedSeq: _*)
+      }
+      val newRows = (replacements.toSeq ++ inserts.toSeq)
+        .reduceOption(_ unionAll _)
+      val inserted = inserts.map(_.count()).getOrElse(0L)
+      val nDead = dead.count()
+      val anyNew = newRows.exists(_.limit(1).count() > 0)
+      if (nDead == 0 && !anyNew) return MergeStats(0, 0, 0)
+      val snaps = meta.get("snapshots")
+      val snapId = (0 until snaps.size())
+        .map(snaps.get(_).get("snapshot-id").asLong)
+        .foldLeft(0L)(math.max) + 1
+      val hint = new File(dir, "metadata/version-hint.text")
+      val version = new String(
+        java.nio.file.Files.readAllBytes(hint.toPath), UTF_8).trim.toInt + 1
+      val entries = Seq.newBuilder[Entry]
+      if (nDead > 0)
+        entries += Entry(1, writeDataFile(
+          dead.select(col("__fp").as("file_path"), col("__pos").as("pos")),
+          dir, f"delete-$snapId%05d.parquet"), content = 1)
+      newRows.filter(_ => anyNew).foreach { nr =>
+        entries += Entry(1, writeDataFile(nr, dir,
+          f"merge-$snapId%05d.parquet"))
+      }
+      appendSnapshot(dir, version, snapId, entries.result())
+      MergeStats(updated, deleted, inserted)
+    } finally matches.unpersist()
+  }
+
   /** The transform as a Spark column over the source column — native
     * functions for the order-preserving family; bucket needs the spec's
     * murmur3 over type-specific bytes (not Spark's hash()), a scalar UDF

@@ -533,6 +533,38 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** MERGE INTO an Iceberg table (ops/IcebergTable.merge — merge-on-read:
+    * one snapshot carrying the positional delete of dying matched rows
+    * plus the replacement/insert data file). Same clause fixture as the
+    * Delta merge gate so the two formats share oracle semantics. */
+  def dmlMergeIceberg(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_mrg_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v2.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") > 800 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey").as("k"), lit("M").as("status"),
+          (col("o_totalprice") + 1.0).as("price"))
+      val st = IcebergTable.merge(s, base.getPath, src,
+        on = "t.o_orderkey = s.k",
+        matchedUpdate = Map("o_orderstatus" -> "s.status",
+          "o_totalprice" -> "s.price"),
+        matchedDelete = Some("s.k > 950"),
+        notMatchedInsert = Some(Map("o_orderkey" -> "s.k",
+          "o_orderstatus" -> "'N'", "o_totalprice" -> "s.price")))
+      require(st.deleted > 0 && st.updated > 0 && st.inserted > 0,
+        s"merge stats $st: fixture expected all three clause kinds to fire")
+    }
+    IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** UPDATE an Iceberg table (ops/IcebergTable.update — one snapshot
     * carrying a positional delete of the old row versions plus a
     * replacement data file; no rewrite of the base file). The engine
@@ -650,9 +682,22 @@ object Sources {
     "dml_merge_delta" -> dmlMergeDelta,
     "dml_delete_iceberg" -> dmlDeleteIceberg,
     "dml_update_iceberg" -> dmlUpdateIceberg,
+    "dml_merge_iceberg" -> dmlMergeIceberg,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_merge_iceberg" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 800
+        |UNION ALL
+        |SELECT o_orderkey, 'M' AS o_orderstatus,
+        | o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 950
+        |UNION ALL
+        |SELECT o_orderkey, 'N' AS o_orderstatus,
+        | o_totalprice + 1.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200
+        |ORDER BY o_orderkey""".stripMargin,
     "dml_update_iceberg" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey <= 100 THEN 'X' ELSE o_orderstatus END

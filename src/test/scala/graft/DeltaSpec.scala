@@ -429,7 +429,7 @@ class DeltaSpec extends AnyFunSuite {
       matchedDelete = Some("s.mk = 3"),
       notMatchedInsert = Some(Map("k" -> "s.mk", "s" -> "'n'",
         "v" -> "s.mv")))
-    assert(st == DeltaLake.MergeStats(updated = 1, deleted = 1,
+    assert(st == graft.ops.MergeStats(updated = 1, deleted = 1,
       inserted = 1))
     val out = DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
@@ -468,7 +468,7 @@ class DeltaSpec extends AnyFunSuite {
       matchedUpdate = Map("v" -> "s.mv"),
       notMatchedInsert = Some(Map("k" -> "s.mk", "v" -> "s.mv",
         "p" -> "s.mp")))
-    assert(st == DeltaLake.MergeStats(1, 0, 1))
+    assert(st == graft.ops.MergeStats(1, 0, 1))
     val out = DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(out.toSeq == Seq((1L, 100.0, 10), (2L, 200.0, 20)))

@@ -377,6 +377,48 @@ class IcebergSpec extends AnyFunSuite {
       .filter($"k" === 8).collect()(0).getDouble(1) == 0.0)
   }
 
+  test("merge: MoR clause precedence, dup-match raise, SQL text surface") {
+    val dir = freshDir("mrg")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val a = IcebergTable.writeDataFile(df, dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    val src = Seq((2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("mk", "mv")
+    val st = IcebergTable.merge(spark, dir.getPath, src, "t.k = s.mk",
+      matchedUpdate = Map("v" -> "s.mv"),
+      matchedDelete = Some("s.mk = 3"),
+      notMatchedInsert = Some(Map("k" -> "s.mk", "s" -> "'n'",
+        "v" -> "s.mv")))
+    assert(st == graft.ops.MergeStats(updated = 1, deleted = 1,
+      inserted = 1))
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 20.0), (4L, "n", 40.0)))
+    // merge-on-read: the base file was never rewritten
+    assert(new java.io.File(dir, "data/a.parquet").exists())
+    // dup matches raise
+    intercept[IllegalArgumentException] {
+      IcebergTable.merge(spark, dir.getPath,
+        Seq((2L, 1.0), (2L, 2.0)).toDF("mk", "mv"), "t.k = s.mk",
+        matchedUpdate = Map("v" -> "s.mv"))
+    }
+    // SQL text: MERGE INTO iceberg_scan(...)
+    val ses = graft.api.SqlSession.wrap(spark)
+    val r = ses.sql(
+      s"""MERGE INTO iceberg_scan('${dir.getPath}') AS t
+         |USING (SELECT * FROM (VALUES (4, 0.5), (9, 9.0)) AS x(mk, mv))
+         |  AS s
+         |ON t.k = s.mk
+         |WHEN MATCHED THEN UPDATE SET v = s.mv
+         |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.mk, 'i', s.mv)
+         |""".stripMargin).collect()
+    assert(r(0).getLong(0) == 2L)
+    assert(IcebergTable.read(spark, dir.getPath).orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getDouble(2))).toSeq ==
+      Seq((1L, 1.0), (2L, 20.0), (4L, 0.5), (9L, 9.0)))
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
