@@ -191,6 +191,22 @@ object LakeScans {
           graft.ops.DeltaLake.readTimestamp(spark, path, millis)
         case ("hudi", None) => graft.ops.HudiCow.read(spark, path)
         case ("hudi", Some(i)) => graft.ops.HudiCow.readAt(spark, path, i)
+        // '#<name>' suffixes select the reference's metadata tables
+        // ("t$snapshots" etc. — '$' collides with the dialect's grammar)
+        case ("iceberg", None) if path.contains("#") =>
+          val Array(p, mt) = path.split("#", 2)
+          val ice = graft.ops.IcebergTable
+          mt match {
+            case "snapshots" => ice.snapshots(spark, p)
+            case "files" => ice.files(spark, p)
+            case "history" => ice.history(spark, p)
+            case "manifests" => ice.manifests(spark, p)
+            case "properties" => ice.properties(spark, p)
+            case "refs" => ice.refs(spark, p)
+            case "partitions" => ice.partitions(spark, p)
+            case other => throw new IllegalArgumentException(
+              s"unknown Iceberg metadata table #$other")
+          }
         case ("iceberg", None) => graft.ops.IcebergTable.read(spark, path)
         case ("iceberg", Some(sid)) =>
           graft.ops.IcebergTable.readAt(spark, path, sid.toLong)

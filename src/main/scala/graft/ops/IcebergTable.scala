@@ -399,6 +399,112 @@ object IcebergTable {
       .toDF("content", "file_path")
   }
 
+  /** The `"t$history"` metadata table (reference presto-iceberg
+    * HistoryTable.java:48): one row per snapshot with its commit
+    * timestamp, parent, and whether it is an ancestor of the current
+    * snapshot (the rollback-visibility flag). */
+  def history(s: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    val current = meta.get("current-snapshot-id").asLong
+    val snaps = meta.get("snapshots")
+    val rows = (0 until snaps.size()).map(snaps.get).map { n =>
+      (n.get("snapshot-id").asLong,
+        Option(n.get("timestamp-ms")).map(_.asLong),
+        Option(n.get("parent-snapshot-id")).map(_.asLong))
+    }
+    val parentOf = rows.map(r => r._1 -> r._3).toMap
+    val ancestors = Iterator.iterate(Option(current))(
+      _.flatMap(parentOf.getOrElse(_, None)))
+      .takeWhile(_.isDefined).map(_.get).toSet
+    import s.implicits._
+    rows.map { case (sid, ts, parent) =>
+      (ts.map(new java.sql.Timestamp(_)).orNull, sid,
+        parent.map(Long.box).orNull, ancestors(sid))
+    }.toDF("made_current_at", "snapshot_id", "parent_id",
+      "is_current_ancestor")
+  }
+
+  /** The `"t$manifests"` metadata table (ManifestsTable.java:69): one row
+    * per manifest of the current snapshot with its entry counts. */
+  def manifests(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val meta = loadMeta(dir)
+    val current = meta.get("current-snapshot-id").asLong
+    val snaps = meta.get("snapshots")
+    val manifestList = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == current)
+      .map(_.get("manifest-list").asText).get
+    import s.implicits._
+    avroRecords(resolve(dir, manifestList)).map { m =>
+      val path = m.get("manifest_path").toString
+      val entries = avroRecords(resolve(dir, path))
+        .map(_.get("status").asInstanceOf[Int])
+      (path, m.get("manifest_length").asInstanceOf[Long],
+        m.get("partition_spec_id").asInstanceOf[Int],
+        m.get("added_snapshot_id").asInstanceOf[Long],
+        entries.count(_ == 1), entries.count(_ == 0),
+        entries.count(_ == 2))
+    }.toDF("path", "length", "partition_spec_id", "added_snapshot_id",
+      "added_data_files_count", "existing_data_files_count",
+      "deleted_data_files_count")
+  }
+
+  /** The `"t$properties"` metadata table (PropertiesTable.java:48). */
+  def properties(s: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    import s.implicits._
+    Option(meta.get("properties")).map { p =>
+      val it = p.fields()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += (e.getKey -> e.getValue.asText)
+      }
+      b.result()
+    }.getOrElse(Seq.empty).toDF("key", "value")
+  }
+
+  /** The `"t$refs"` metadata table (RefsTable.java:44): named branches /
+    * tags. Tables without a refs map expose the spec's implicit `main`
+    * branch at the current snapshot. */
+  def refs(s: SparkSession, tableDir: String): DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    val current = meta.get("current-snapshot-id").asLong
+    import s.implicits._
+    val declared = Option(meta.get("refs")).map { r =>
+      val it = r.fields()
+      val b = Seq.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += ((e.getKey,
+          Option(e.getValue.get("type")).map(_.asText).getOrElse("branch"),
+          e.getValue.get("snapshot-id").asLong))
+      }
+      b.result()
+    }.getOrElse(Seq.empty)
+    (if (declared.nonEmpty) declared
+     else Seq(("main", "branch", current)))
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** The `"t$partitions"` metadata table (PartitionTable.java): one row
+    * per live partition tuple with file/record counts as the manifests
+    * record them — a manifest-only read, no data scan. */
+  def partitions(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val meta = loadMeta(dir)
+    val snapId = meta.get("current-snapshot-id").asLong
+    import s.implicits._
+    liveFiles(dir, meta, snapId).filter(_.content == 0)
+      .groupBy(_.partition).toSeq
+      .map { case (part, fs) =>
+        (part.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(","),
+          fs.size.toLong)
+      }.sortBy(_._1)
+      .toDF("partition", "file_count")
+  }
+
   // ---------- fixture writer (tests + the driver gate): minimal but
   // spec-shaped avro/json, so the reader exercised here reads the same
   // field names a real Iceberg writer produces
@@ -507,8 +613,21 @@ object IcebergTable {
         (0 until arr.size()).map(i => arr.get(i).toString)
           .filterNot(_.contains(s""""snapshot-id":$snapshotId"""))
       }
+    // real writers stamp timestamp-ms + parent-snapshot-id on every
+    // snapshot — $history and timestamp time travel read them
+    val parent: Option[Long] =
+      if (!prior.isFile) None
+      else {
+        val pm = mapper.readTree(new String(
+          java.nio.file.Files.readAllBytes(prior.toPath), UTF_8))
+        Option(pm.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ != snapshotId)
+      }
     val snapJson = (priorSnaps :+
-      s"""{"snapshot-id":$snapshotId,"manifest-list":"metadata/snap-$snapshotId.avro"}""")
+      (s"""{"snapshot-id":$snapshotId""" +
+        parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("") +
+        s""","timestamp-ms":${System.currentTimeMillis()}""" +
+        s""","manifest-list":"metadata/snap-$snapshotId.avro"}"""))
       .mkString("[", ",", "]")
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-fixture","location":

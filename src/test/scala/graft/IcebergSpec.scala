@@ -419,6 +419,46 @@ class IcebergSpec extends AnyFunSuite {
       Seq((1L, 1.0), (2L, 20.0), (4L, 0.5), (9L, 9.0)))
   }
 
+  test("metadata tables: history/manifests/refs/partitions/properties") {
+    val dir = freshDir("metatables")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "x")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    IcebergTable.insertAppend(spark, dir.getPath,
+      Seq((2L, "y")).toDF("k", "s"))
+    IcebergTable.delete(spark, dir.getPath, $"k" === 1L)
+    // history: 3 snapshots, all current ancestors, parents chain 1→2→3
+    val h = IcebergTable.history(spark, dir.getPath)
+      .orderBy("snapshot_id").collect()
+    assert(h.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.forall(_.getBoolean(3)))
+    assert(h(0).isNullAt(2) && h(1).getLong(2) == 1L &&
+      h(2).getLong(2) == 2L)
+    // inserts/deletes stamp timestamps (the fixture base commit may not)
+    assert(!h(1).isNullAt(0) && !h(2).isNullAt(0))
+    // manifests: 3 manifests live in the current snapshot (base + insert
+    // + delete), each with one added entry
+    val m = IcebergTable.manifests(spark, dir.getPath).collect()
+    assert(m.length == 3)
+    assert(m.map(_.getInt(4)).sum == 3) // added_data_files_count
+    // refs: implicit main branch at the current snapshot
+    val r = IcebergTable.refs(spark, dir.getPath).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      .toSeq == Seq(("main", "branch", 3L)))
+    // partitions: unpartitioned table = one empty tuple over 2 data files
+    val p = IcebergTable.partitions(spark, dir.getPath).collect()
+    assert(p.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("", 2L)))
+    // properties: none declared on the fixture
+    assert(IcebergTable.properties(spark, dir.getPath).count() == 0L)
+    // SQL surface: '#' suffix on iceberg_scan
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"SELECT count(*) AS n FROM iceberg_scan(" +
+      s"'${dir.getPath}#history')").collect()(0).getLong(0) == 3L)
+    assert(ses.sql(s"SELECT name FROM iceberg_scan(" +
+      s"'${dir.getPath}#refs')").collect()(0).getString(0) == "main")
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
