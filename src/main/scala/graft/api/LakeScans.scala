@@ -73,7 +73,7 @@ object LakeScans {
 
   /** Split on top-level commas (paren depth 0; quotes already constant
     * inside this grammar position). */
-  private def splitTop(s: String): Seq[String] = {
+  private[api] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0

@@ -505,6 +505,100 @@ object IcebergTable {
       .toDF("partition", "file_count")
   }
 
+  // ---------- maintenance procedures (reference presto-iceberg
+  // procedure/RollbackToSnapshotProcedure.java:60,
+  // ExpireSnapshotsProcedure.java:67, RemoveOrphanFiles.java — surfaced
+  // through CALL system.<name>(...) in api/Procedures.scala)
+
+  private def bumpMetadata(dir: File)(
+      mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit)
+      : Unit = {
+    val meta = loadMeta(dir)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mutate(meta)
+    val hint = new File(dir, "metadata/version-hint.text")
+    val version = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      UTF_8).trim.toInt + 1
+    java.nio.file.Files.write(
+      new File(dir, s"metadata/v$version.metadata.json").toPath,
+      mapper.writeValueAsString(meta).getBytes(UTF_8))
+    java.nio.file.Files.write(hint.toPath,
+      version.toString.getBytes(UTF_8))
+  }
+
+  /** Point the table back at `snapshotId` (a NEW metadata version whose
+    * current-snapshot-id is the old snapshot; the snapshot list stays, so
+    * rolling forward again is possible). $history's is_current_ancestor
+    * then reflects the rolled-back lineage. */
+  def rollbackToSnapshot(tableDir: String, snapshotId: Long): Unit = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val snaps = meta.get("snapshots")
+    require((0 until snaps.size())
+      .exists(snaps.get(_).get("snapshot-id").asLong == snapshotId),
+      s"snapshot $snapshotId not in the table metadata")
+    bumpMetadata(dir)(_.put("current-snapshot-id", snapshotId))
+  }
+
+  /** Drop all but the last `retainLast` snapshots (the current snapshot
+    * is always retained) from the metadata — time travel to expired ones
+    * stops resolving; their files become orphans for
+    * [[removeOrphanFiles]]. Returns the number expired. */
+  def expireSnapshots(tableDir: String, retainLast: Int): Int = {
+    require(retainLast >= 1, "retain_last must be >= 1")
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val current = meta.get("current-snapshot-id").asLong
+    val snaps = meta.get("snapshots")
+    val ids = (0 until snaps.size())
+      .map(snaps.get(_).get("snapshot-id").asLong)
+    val keep = ids.takeRight(retainLast).toSet + current
+    val dropped = ids.count(!keep(_))
+    if (dropped > 0) bumpMetadata(dir) { m =>
+      val arr = mapper.createArrayNode()
+      (0 until snaps.size()).map(snaps.get)
+        .filter(n => keep(n.get("snapshot-id").asLong))
+        .foreach(arr.add)
+      m.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", arr)
+    }
+    dropped
+  }
+
+  /** Delete data/manifest files no retained snapshot references (expired
+    * snapshots' leftovers, crashed-write strays). Metadata JSON and the
+    * version hint are never touched. Returns files deleted. */
+  def removeOrphanFiles(tableDir: String): Int = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val snaps = meta.get("snapshots")
+    val referenced = scala.collection.mutable.Set.empty[String]
+    (0 until snaps.size()).map(snaps.get).foreach { sn =>
+      val ml = sn.get("manifest-list").asText
+      referenced += resolve(dir, ml).getCanonicalPath
+      avroRecords(resolve(dir, ml)).foreach { m =>
+        val mp = m.get("manifest_path").toString
+        referenced += resolve(dir, mp).getCanonicalPath
+        avroRecords(resolve(dir, mp)).foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          referenced += resolve(dir,
+            df.get("file_path").toString).getCanonicalPath
+        }
+      }
+    }
+    var n = 0
+    def sweep(d: File, candidate: String => Boolean): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach {
+        case sub if sub.isDirectory => sweep(sub, candidate)
+        case f if f.isFile && candidate(f.getName) &&
+            !referenced(f.getCanonicalPath) =>
+          if (f.delete()) n += 1
+        case _ =>
+      }
+    sweep(new File(dir, "data"), _.endsWith(".parquet"))
+    sweep(new File(dir, "metadata"), nm => nm.endsWith(".avro"))
+    n
+  }
+
   // ---------- fixture writer (tests + the driver gate): minimal but
   // spec-shaped avro/json, so the reader exercised here reads the same
   // field names a real Iceberg writer produces

@@ -536,6 +536,24 @@ class DeltaSpec extends AnyFunSuite {
       s"box touched all $nFiles files — z-clustering had no effect")
   }
 
+  test("CALL system.optimize / vacuum work through SQL text") {
+    val dir = freshDir("proc")
+    val ses = graft.api.SqlSession.wrap(spark)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaLake.writeDataFile(df.filter($"k" === 1), dir, "f0.parquet")
+    DeltaLake.writeDataFile(df.filter($"k" === 2), dir, "f1.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema),
+      DeltaLake.addAction("f0.parquet"), DeltaLake.addAction("f1.parquet")))
+    assert(ses.sql(s"CALL system.optimize('${dir.getPath}')")
+      .collect()(0).getLong(0) == 2L)
+    assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
+    assert(ses.sql(s"CALL system.vacuum('${dir.getPath}', 0)")
+      .collect()(0).getLong(0) == 2L) // both tombstoned originals go
+    assert(!new File(dir, "f0.parquet").exists())
+    assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
+  }
+
   test("insertTxn dedups replayed batches by appId watermark") {
     val dir = freshDir("txn")
     val df = Seq((1L, "a")).toDF("k", "s")

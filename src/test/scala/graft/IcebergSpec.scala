@@ -459,6 +459,41 @@ class IcebergSpec extends AnyFunSuite {
       s"'${dir.getPath}#refs')").collect()(0).getString(0) == "main")
   }
 
+  test("CALL procedures: rollback, expire_snapshots, remove_orphan_files") {
+    val dir = freshDir("proc")
+    val ses = graft.api.SqlSession.wrap(spark)
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "x")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    IcebergTable.insertAppend(spark, dir.getPath,
+      Seq((2L, "y")).toDF("k", "s"))
+    assert(IcebergTable.read(spark, dir.getPath).count() == 2L)
+    // rollback: current points back at snapshot 1, list intact
+    ses.sql(s"CALL system.rollback_to_snapshot('${dir.getPath}', 1)")
+    assert(IcebergTable.read(spark, dir.getPath).count() == 1L)
+    assert(IcebergTable.snapshots(spark, dir.getPath).count() == 2L)
+    // roll forward again — the snapshot list was preserved
+    ses.sql(s"CALL system.rollback_to_snapshot('${dir.getPath}', 2)")
+    assert(IcebergTable.read(spark, dir.getPath).count() == 2L)
+    // expire all but the last snapshot: time travel to 1 stops resolving
+    val exp = ses.sql(
+      s"CALL system.expire_snapshots('${dir.getPath}', 1)").collect()
+    assert(exp(0).getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      IcebergTable.readAt(spark, dir.getPath, 1L).collect()
+    }
+    // snapshot 1's manifest is now orphaned; its data file is NOT (the
+    // fast-append carried it into snapshot 2's manifest list)
+    val removed = ses.sql(
+      s"CALL system.remove_orphan_files('${dir.getPath}')").collect()
+    assert(removed(0).getLong(0) >= 1L)
+    assert(IcebergTable.read(spark, dir.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      ses.sql("CALL system.no_such_proc('/x')")
+    }
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
