@@ -178,6 +178,9 @@ object LakeScans {
       val arg = Option(h.group(4))
         .map(_ => text.substring(h.start(4), h.end(4)).trim)
       val df = (kind, arg) match {
+        case ("delta", None) if path.endsWith("#history") =>
+          graft.ops.DeltaLake.describeHistory(spark,
+            path.stripSuffix("#history"))
         case ("delta", None) => graft.ops.DeltaLake.read(spark, path)
         case ("delta", Some(v)) if v.matches("\\d+") =>
           graft.ops.DeltaLake.readVersion(spark, path, v.toLong)
@@ -189,6 +192,8 @@ object LakeScans {
                 java.sql.Date.valueOf(ts).getTime
             }
           graft.ops.DeltaLake.readTimestamp(spark, path, millis)
+        case ("hudi", None) if path.endsWith("#ro") => // read-optimized
+          graft.ops.HudiCow.readOptimized(spark, path.stripSuffix("#ro"))
         case ("hudi", None) => graft.ops.HudiCow.read(spark, path)
         case ("hudi", Some(i)) => graft.ops.HudiCow.readAt(spark, path, i)
         // '#<name>' suffixes select the reference's metadata tables

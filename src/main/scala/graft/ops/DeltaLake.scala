@@ -48,24 +48,37 @@ object DeltaLake {
 
   /** Reader-protocol guard (Delta spec "Protocol Evolution": a reader
     * MUST refuse tables whose minReaderVersion exceeds what it
-    * implements). This reader implements reader version 1 — tables with
-    * deletion vectors (v3 + feature flags) or column mapping (v2) would
-    * otherwise replay without error and silently return wrong rows
-    * (resurrected deletes / misread columns). */
+    * implements). This reader implements reader version 2 — version-1
+    * replay plus column mapping in `name` mode. Deletion-vector tables
+    * (v3 + feature flags) would silently resurrect deleted rows and are
+    * refused. */
   private def checkProtocol(minReader: Int, features: Seq[String]): Unit =
-    require(minReader <= 1,
+    require(minReader <= 2,
       s"unsupported Delta reader protocol: minReaderVersion=$minReader" +
         (if (features.nonEmpty) s" readerFeatures=${features.mkString(",")}"
-         else "") + " (this reader implements reader version 1)")
+         else "") + " (this reader implements reader version 2)")
 
-  /** Same rule for table features that ride on metaData.configuration:
-    * column mapping renames/ids physical columns — reading them by
-    * logical name silently misreads. */
+  /** Table features riding on metaData.configuration: column mapping
+    * `name` mode is implemented (physical names come from the schema's
+    * per-field `delta.columnMapping.physicalName` metadata); `id` mode
+    * needs parquet field-id resolution and is refused, not misread. */
   private def checkTableConfig(cfg: Map[String, String]): Unit = {
     val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none",
+    require(mode == "none" || mode == "name",
       s"unsupported Delta table feature: delta.columnMapping.mode=$mode")
   }
+
+  /** The parquet-side name of a logical column under column mapping
+    * `name` mode (identity without mapping). add.partitionValues keys
+    * are ALSO physical names. */
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  private def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f =>
+      f.metadata.contains("delta.columnMapping.physicalName"))
 
   /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles).
     * When `_last_checkpoint` exists, the snapshot seeds from the
@@ -245,19 +258,26 @@ object DeltaLake {
     * column order). */
   private def scanFiles(s: SparkSession, dir: File, schema: StructType,
       partCols: Seq[String], files: Seq[AddFile]): DataFrame = {
+    // under column mapping `name` mode, data files store PHYSICAL column
+    // names and partitionValues key on them too — read physical, expose
+    // logical
     val dataSchema = StructType(schema.fields.filterNot(f =>
-      partCols.contains(f.name)))
+      partCols.contains(f.name))
+      .map(f => StructField(physName(f), f.dataType, f.nullable)))
     if (files.isEmpty)
       return s.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(schema.fields.map(f =>
+          StructField(f.name, f.dataType, f.nullable))))
     def partLit(f: StructField, v: String) =
       (if (v == null) lit(null) else lit(v)).cast(f.dataType).as(f.name)
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val paths = group.map(a => new File(dir, a.path).getPath)
       val df = s.read.schema(dataSchema).parquet(paths: _*)
       val cols = schema.fields.map { f =>
-        if (partCols.contains(f.name)) partLit(f, pv.getOrElse(f.name, null))
-        else col(f.name)
+        if (partCols.contains(f.name))
+          partLit(f, pv.getOrElse(physName(f), pv.getOrElse(f.name, null)))
+        else col(physName(f)).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
     }.reduce(_ unionAll _)
@@ -372,6 +392,8 @@ object DeltaLake {
     val dir = new File(tableDir)
     val logDir = new File(dir, "_delta_log")
     val (schema, partCols, _, txns) = replay(s, dir) // validates protocol too
+    require(!hasMapping(schema),
+      "DML on column-mapped Delta tables unsupported (read-only support)")
     txn.foreach { case (app, ver) =>
       if (txns.getOrElse(app, Long.MinValue) >= ver) return None
     }
@@ -387,8 +409,9 @@ object DeltaLake {
     else ordered.write.partitionBy(partCols: _*).parquet(staging.getPath)
     val (dataActions, _) = stageIntoTable(dir, staging, version, 0)
     require(dataActions.nonEmpty, "INSERT produced no data files")
-    val actions = dataActions ++
-      txn.map { case (app, ver) => txnAction(app, ver) }
+    val actions =
+      commitInfoAction(if (txn.isDefined) "STREAMING UPDATE" else "WRITE") +:
+        (dataActions ++ txn.map { case (app, ver) => txnAction(app, ver) })
     commit(dir, version, actions)
     // the standard writer cadence: a checkpoint every 10 commits keeps
     // replay O(10) regardless of table age and lets log retention reclaim
@@ -413,6 +436,8 @@ object DeltaLake {
       zorderBy: Seq[String] = Seq.empty): Long = {
     val dir = new File(tableDir).getCanonicalFile
     val (schema, partCols, files, _) = replay(s, dir)
+    require(!hasMapping(schema),
+      "DML on column-mapped Delta tables unsupported (read-only support)")
     require(zorderBy.forall(c => schema.fieldNames.contains(c) &&
       !partCols.contains(c)), s"ZORDER BY columns $zorderBy must be " +
       "non-partition table columns")
@@ -454,7 +479,8 @@ object DeltaLake {
       }
     }
     val acts = actions.result()
-    if (acts.nonEmpty) commit(dir, version, acts)
+    if (acts.nonEmpty)
+      commit(dir, version, commitInfoAction("OPTIMIZE") +: acts)
     removed
   }
 
@@ -558,6 +584,8 @@ object DeltaLake {
       sets: Map[String, org.apache.spark.sql.Column]): Long = {
     val dir = new File(tableDir).getCanonicalFile
     val (schema, partCols, files, _) = replay(s, dir)
+    require(!hasMapping(schema),
+      "DML on column-mapped Delta tables unsupported (read-only support)")
     require(sets.keySet.intersect(partCols.toSet).isEmpty,
       s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
     sets.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -628,7 +656,8 @@ object DeltaLake {
       }
     }
     val acts = actions.result()
-    if (acts.nonEmpty) commit(dir, version, acts)
+    if (acts.nonEmpty) commit(dir, version,
+      commitInfoAction(if (sets.isEmpty) "DELETE" else "UPDATE") +: acts)
     matched
   }
 
@@ -662,6 +691,8 @@ object DeltaLake {
         s"MERGE source may not have a column named $c"))
     val dir = new File(tableDir).getCanonicalFile
     val (schema, partCols, files, _) = replay(s, dir)
+    require(!hasMapping(schema),
+      "DML on column-mapped Delta tables unsupported (read-only support)")
     require(matchedUpdate.keySet.intersect(partCols.toSet).isEmpty,
       s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
     (matchedUpdate.keySet ++ notMatchedInsert.toSeq.flatMap(_.keySet))
@@ -765,7 +796,8 @@ object DeltaLake {
         n
     }
     val acts = actions.result()
-    if (acts.nonEmpty) commit(dir, version, acts)
+    if (acts.nonEmpty)
+      commit(dir, version, commitInfoAction("MERGE") +: acts)
     MergeStats(updated, deleted, inserted)
   }
 
@@ -808,6 +840,30 @@ object DeltaLake {
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$version,"lastUpdated":0}}"""
 
+  def commitInfoAction(operation: String): String =
+    s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${mapper.writeValueAsString(operation)},"engineInfo":"graft"}}"""
+
+  /** DESCRIBE HISTORY: one row per surviving JSON commit, newest first —
+    * version, timestamp, operation (from `commitInfo` when the writer
+    * recorded one; this engine's writers do). */
+  def describeHistory(s: SparkSession, tableDir: String): DataFrame = {
+    val logDir = new File(tableDir, "_delta_log")
+    import s.implicits._
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .map { f =>
+        val v = f.getName.stripSuffix(".json").toLong
+        val ci = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          UTF_8).linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+          .find(_.has("commitInfo")).map(_.get("commitInfo"))
+        (v,
+          ci.flatMap(c => Option(c.get("timestamp")).map(t =>
+            new java.sql.Timestamp(t.asLong))).orNull,
+          ci.flatMap(c => Option(c.get("operation")).map(_.asText)).orNull)
+      }.toSeq.sortBy(-_._1)
+      .toDF("version", "timestamp", "operation")
+  }
+
   def removeAction(path: String, dataChange: Boolean = true): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":$dataChange}}"""
 
@@ -822,6 +878,8 @@ object DeltaLake {
   def writeCheckpoint(s: SparkSession, tableDir: File, parts: Int): Long = {
     val logDir = new File(tableDir, "_delta_log")
     val (schema, partCols, files, txns) = replay(s, tableDir)
+    require(!hasMapping(schema),
+      "checkpointing column-mapped Delta tables unsupported (read-only)")
     val version = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map(_.getName.stripSuffix(".json").toLong)

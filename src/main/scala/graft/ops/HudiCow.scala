@@ -58,6 +58,30 @@ object HudiCow {
   def readAt(s: SparkSession, tableDir: String, instant: String): DataFrame =
     readAt(s, tableDir, asOf = Some(instant))
 
+  /** Read-optimized query (the reference's HudiTableType.READ_OPTIMIZED
+    * split kind, presto-hudi HudiTableLayoutHandle): latest COMMITTED
+    * base files only, log files skipped — on a MERGE_ON_READ table this
+    * trades freshness for pure columnar scan speed (the documented Hudi
+    * contract); on COPY_ON_WRITE it equals the snapshot query. */
+  def readOptimized(s: SparkSession, tableDir: String): DataFrame = {
+    val dir = new File(tableDir)
+    val timeline = new File(dir, ".hoodie")
+    require(timeline.isDirectory, s"not a Hudi table (no .hoodie): $tableDir")
+    // base files become visible through .commit instants (CoW writes,
+    // MoR compactions) — deltacommits only add log files
+    val completed = Option(timeline.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+      .map(_.getName.takeWhile(_ != '.')).toSet
+    val groups = listBaseFiles(dir, "")
+      .filter { case (_, _, instant, _) => completed(instant) }
+      .groupBy { case (part, fileId, _, _) => (part, fileId) }
+      .map { case (_, slices) => slices.maxBy(_._3) }
+      .toSeq
+    require(groups.nonEmpty, s"no committed base files under $tableDir")
+    s.read.parquet(groups.map(_._4.getPath): _*)
+  }
+
   private def readAt(s: SparkSession, tableDir: String,
       asOf: Option[String]): DataFrame = {
     val dir = new File(tableDir)

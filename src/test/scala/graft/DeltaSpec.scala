@@ -186,13 +186,49 @@ class DeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletionVectors"), e.getMessage)
   }
 
-  test("column-mapping tables are refused (names would misread)") {
+  test("column mapping `name` mode reads physical columns as logical") {
     val dir = freshDir("colmap")
+    import org.apache.spark.sql.types._
+    def mapped(logical: String, phys: String, dt: DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", 1L).build())
+    val logical = StructType(Seq(
+      mapped("k", "col-aaa", LongType),
+      mapped("s", "col-bbb", StringType),
+      mapped("p", "col-ppp", IntegerType)))
+    // data files carry PHYSICAL names; p is a partition column whose
+    // partitionValues key is ALSO physical
+    DeltaLake.writeDataFile(
+      Seq((1L, "a"), (2L, "b")).toDF("col-aaa", "col-bbb"),
+      dir, "f0.parquet")
+    DeltaLake.commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      DeltaLake.metaDataAction(logical, Seq("p"))
+        .replace(""""configuration":{}""",
+          """"configuration":{"delta.columnMapping.mode":"name"}"""),
+      DeltaLake.addAction("f0.parquet", Map("col-ppp" -> "7"))))
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s", "p"))
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, "a", 7), (2L, "b", 7)))
+    // DML on mapped tables is refused, not misapplied
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.insert(spark, dir.getPath, Seq((3L, "c", 7))
+        .toDF("k", "s", "p"))
+    }
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("column mapping `id` mode is refused (field-id resolution)") {
+    val dir = freshDir("colmapid")
     val df = Seq((1L, "a")).toDF("k", "s")
     DeltaLake.writeDataFile(df, dir, "f0.parquet")
     DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
       DeltaLake.metaDataAction(df.schema).replace(""""configuration":{}""",
-        """"configuration":{"delta.columnMapping.mode":"name"}"""),
+        """"configuration":{"delta.columnMapping.mode":"id"}"""),
       DeltaLake.addAction("f0.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaLake.read(spark, dir.getPath)
@@ -552,6 +588,26 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L) // both tombstoned originals go
     assert(!new File(dir, "f0.parquet").exists())
     assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
+  }
+
+  test("describeHistory reports writer operations newest-first") {
+    val dir = freshDir("hist")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    DeltaLake.insert(spark, dir.getPath, df)
+    DeltaLake.insert(spark, dir.getPath, Seq((2L, "b")).toDF("k", "s"))
+    DeltaLake.delete(spark, dir.getPath, $"k" === 2L)
+    val h = DeltaLake.describeHistory(spark, dir.getPath).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 0L))
+    assert(h.map(r => Option(r.getString(2)).orNull).toSeq ==
+      Seq("DELETE", "WRITE", "WRITE", null)) // fixture commit 0: no info
+    assert(!h(0).isNullAt(1)) // engine commits carry timestamps
+    // SQL surface
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"SELECT count(*) AS n FROM delta_scan(" +
+      s"'${dir.getPath}#history') WHERE operation = 'WRITE'")
+      .collect()(0).getLong(0) == 2L)
   }
 
   test("insertTxn dedups replayed batches by appId watermark") {

@@ -153,6 +153,28 @@ class HudiSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L -> "eu-v1", 1L -> "us-v2"))
   }
 
+  test("read-optimized query: base files only, logs skipped on MoR") {
+    val dir = freshDir("ro")
+    HudiCow.writeProperties(dir, "MERGE_ON_READ", "k")
+    HudiCow.writeBaseFile(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      dir, "", "g1", "001")
+    HudiCow.completeCommit(dir, "001")
+    HudiMor.writeLogFile(dir, "", "g1", "001", 1, Seq(
+      HudiMor.DataBlock("002", Seq(Row(2L, "B2"), Row(3L, "c")), logSchema)))
+    HudiCow.completeDeltaCommit(dir, "002")
+    // snapshot sees the merged view; read-optimized the base only
+    assert(HudiCow.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(HudiCow.readOptimized(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // SQL surface: '#ro' suffix
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"SELECT count(*) AS n FROM hudi_scan(" +
+      s"'${dir.getPath}#ro')").collect()(0).getLong(0) == 2L)
+  }
+
   test("table-type guard: unknown types and missing key field error") {
     val dir = freshDir("guard")
     HudiCow.writeBaseFile(Seq((1L, "x")).toDF("k", "s"), dir, "", "g1", "001")
