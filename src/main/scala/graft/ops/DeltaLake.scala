@@ -252,6 +252,83 @@ object DeltaLake {
     scanFiles(s, dir, schema, partCols, files)
   }
 
+  /** Change-data-feed-style extraction (Delta's table_changes): every
+    * row change committed in versions (fromExclusive, to], as the table
+    * columns plus `_change_type` ('insert' / 'delete' — an UPDATE
+    * surfaces as delete+insert of the row versions) and
+    * `_commit_version`. Append commits emit their files' rows as
+    * inserts; copy-on-write rewrite commits emit the MULTISET DIFF of
+    * removed-file rows vs added-file rows (unchanged rewritten rows
+    * cancel out — an exceptAll per side), so the result is exactly the
+    * rows that changed, not the files. dataChange=false commits
+    * (OPTIMIZE) emit nothing. Needs the range's JSON commits AND the
+    * removed data files to survive retention/VACUUM. */
+  def tableChanges(s: SparkSession, tableDir: String, fromExclusive: Long,
+      to0: Long): DataFrame = {
+    val dir = new File(tableDir)
+    val logDir = new File(dir, "_delta_log")
+    val to = math.min(to0, currentVersion(tableDir))
+    val (schema, partCols, _, _) = replay(s, dir, to)
+    require(!hasMapping(schema),
+      "table_changes on column-mapped Delta tables unsupported")
+    val frames = ((fromExclusive + 1) to to).flatMap { v =>
+      val f = new File(logDir, f"$v%020d.json")
+      require(f.isFile, s"Delta commit $v is gone (log retention?) — " +
+        "cannot compute the change range")
+      val adds = Seq.newBuilder[AddFile]
+      val removes = Seq.newBuilder[String]
+      new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add")) {
+            val a = n.get("add")
+            if (!a.has("dataChange") || a.get("dataChange").asBoolean) {
+              val pv = Option(a.get("partitionValues")).map { o =>
+                val it = o.fields()
+                val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next()
+                  b += (e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText))
+                }
+                b.result()
+              }.getOrElse(Map.empty[String, String])
+              adds += AddFile(a.get("path").asText, pv)
+            }
+          } else if (n.has("remove")) {
+            val r = n.get("remove")
+            if (!r.has("dataChange") || r.get("dataChange").asBoolean)
+              removes += r.get("path").asText
+          }
+        }
+      val (as, rs) = (adds.result(), removes.result())
+      if (as.isEmpty && rs.isEmpty) None
+      else {
+        val newRows = scanFiles(s, dir, schema, partCols, as)
+        val tagged =
+          if (rs.isEmpty) newRows.withColumn("_change_type", lit("insert"))
+          else {
+            // resolve the removed files' partition tuples from the
+            // pre-commit snapshot
+            val prev = replay(s, dir, v - 1)._3.map(a => a.path -> a).toMap
+            val oldRows = scanFiles(s, dir, schema, partCols,
+              rs.flatMap(prev.get))
+            newRows.exceptAll(oldRows)
+              .withColumn("_change_type", lit("insert"))
+              .unionAll(oldRows.exceptAll(newRows)
+                .withColumn("_change_type", lit("delete")))
+          }
+        Some(tagged.withColumn("_commit_version", lit(v)))
+      }
+    }
+    frames.reduceOption(_ unionAll _).getOrElse {
+      s.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(schema.fields :+
+          StructField("_change_type", StringType) :+
+          StructField("_commit_version", LongType)))
+    }
+  }
+
   /** Scan a specific file set with partition-literal injection: one
     * parquet read per distinct partition tuple (each group's files go to
     * a single multi-path scan; the injected literals keep the declared

@@ -533,6 +533,32 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** CDF-style change extraction (ops/DeltaLake.tableChanges): v1 appends
+    * orders <= 1000 (insert rows), v2 copy-on-write DELETEs keys > 900 —
+    * the change feed must show exactly the appended rows at v1 and the
+    * deleted rows at v2 (the unchanged rewritten rows cancel out in the
+    * multiset diff). Read back through the SQL delta_changes() spelling. */
+  def srcDeltaCdf(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_cdf_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000002.json")
+        .exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      DeltaLake.commit(base, 0, Seq(
+        DeltaLake.protocolAction, DeltaLake.metaDataAction(o.schema)))
+      DeltaLake.insert(s, base.getPath,
+        o.filter(col("o_orderkey") <= 1000))
+      DeltaLake.delete(s, base.getPath, col("o_orderkey") > 900)
+    }
+    graft.api.SqlSession.wrap(s).sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+         | _commit_version
+         |FROM delta_changes('${base.getPath}', 1, 2)
+         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
+  }
+
   /** MERGE INTO an Iceberg table (ops/IcebergTable.merge — merge-on-read:
     * one snapshot carrying the positional delete of dying matched rows
     * plus the replacement/insert data file). Same clause fixture as the
@@ -683,9 +709,19 @@ object Sources {
     "dml_delete_iceberg" -> dmlDeleteIceberg,
     "dml_update_iceberg" -> dmlUpdateIceberg,
     "dml_merge_iceberg" -> dmlMergeIceberg,
+    "src_delta_cdf" -> srcDeltaCdf,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_delta_cdf" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey <= 1000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey > 900 AND o_orderkey <= 1000
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "dml_merge_iceberg" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 800

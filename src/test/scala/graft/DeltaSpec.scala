@@ -590,6 +590,26 @@ class DeltaSpec extends AnyFunSuite {
     assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
   }
 
+  test("tableChanges: unchanged rewritten rows cancel; update = del+ins") {
+    val dir = freshDir("cdf")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    DeltaLake.insert(spark, dir.getPath, df) // v1
+    DeltaLake.update(spark, dir.getPath, $"k" === 2L,
+      Map("s" -> lit("B"))) // v2: rewrites the whole (single) file
+    DeltaLake.optimize(spark, dir.getPath) // v3: must emit NOTHING
+    val ch = DeltaLake.tableChanges(spark, dir.getPath, 0L, 99L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(x => (x._4, x._3, x._1))
+    assert(ch.toSeq == Seq(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L),
+      // v2: only the updated row appears, as delete(old)+insert(new) —
+      // rows 1 and 3 were rewritten byte-identical and cancel out
+      (2L, "b", "delete", 2L), (2L, "B", "insert", 2L)))
+  }
+
   test("describeHistory reports writer operations newest-first") {
     val dir = freshDir("hist")
     val df = Seq((1L, "a")).toDF("k", "s")
