@@ -44,19 +44,25 @@ object DeltaLake {
   private val mapper = new ObjectMapper()
 
   private final case class AddFile(path: String,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String],
+      dv: Option[DeletionVectors.Descriptor] = None)
 
-  /** Reader-protocol guard (Delta spec "Protocol Evolution": a reader
-    * MUST refuse tables whose minReaderVersion exceeds what it
-    * implements). This reader implements reader version 2 — version-1
-    * replay plus column mapping in `name` mode. Deletion-vector tables
-    * (v3 + feature flags) would silently resurrect deleted rows and are
-    * refused. */
+  /** Reader feature set (Delta spec "Protocol Evolution"): versions 1-2
+    * outright (plain replay + column mapping `name`), version 3 when
+    * every advertised readerFeature is one this reader implements —
+    * deletion vectors and column mapping. Anything else (v2 checkpoints,
+    * type widening, …) refuses rather than silently misreads. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
+
   private def checkProtocol(minReader: Int, features: Seq[String]): Unit =
-    require(minReader <= 2,
+    require(minReader <= 2 ||
+      (minReader == 3 && features.forall(SupportedReaderFeatures)),
       s"unsupported Delta reader protocol: minReaderVersion=$minReader" +
         (if (features.nonEmpty) s" readerFeatures=${features.mkString(",")}"
-         else "") + " (this reader implements reader version 2)")
+         else "") +
+        s" (supported: reader versions 1-2, and 3 with features " +
+        s"${SupportedReaderFeatures.mkString("/")})")
 
   /** Table features riding on metaData.configuration: column mapping
     * `name` mode is implemented (physical names come from the schema's
@@ -79,6 +85,25 @@ object DeltaLake {
   private def hasMapping(schema: StructType): Boolean =
     schema.fields.exists(f =>
       f.metadata.contains("delta.columnMapping.physicalName"))
+
+  private def parseDv(a: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DeletionVectors.Descriptor] =
+    Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText,
+        d.get("pathOrInlineDv").asText,
+        Option(d.get("offset")).map(_.asInt).getOrElse(1),
+        d.get("sizeInBytes").asInt,
+        Option(d.get("cardinality")).map(_.asLong).getOrElse(-1L))
+    }
+
+  /** Writers refuse tables whose snapshot carries deletion vectors:
+    * rewriting or checkpointing a DV'd file without honoring its vector
+    * would resurrect deleted rows. Read support only. */
+  private def requireNoDv(files: Seq[AddFile], op: String): Unit =
+    require(files.forall(_.dv.isEmpty),
+      s"$op on a Delta table with deletion vectors is unsupported " +
+        "(read support only)")
 
   /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles).
     * When `_last_checkpoint` exists, the snapshot seeds from the
@@ -159,7 +184,7 @@ object DeltaLake {
           b.result()
         }.getOrElse(Map.empty)
         active.put(a.get("path").asText,
-          AddFile(a.get("path").asText, pv))
+          AddFile(a.get("path").asText, pv, parseDv(a)))
       } else if (n.has("remove")) {
         active.remove(n.get("remove").get("path").asText)
       } else if (n.has("txn")) {
@@ -219,8 +244,22 @@ object DeltaLake {
           val a = r.getStruct(r.fieldIndex("add"))
           val pv = Option(a.getAs[scala.collection.Map[String, String]](
             "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+          // real checkpoints of DV tables carry the descriptor struct
+          val dv = if (!a.schema.fieldNames.contains("deletionVector") ||
+              a.isNullAt(a.fieldIndex("deletionVector"))) None
+          else {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            Some(DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[Any]("offset")).map(
+                _.asInstanceOf[Number].intValue).getOrElse(1),
+              d.getAs[Number]("sizeInBytes").intValue,
+              Option(d.getAs[Any]("cardinality")).map(
+                _.asInstanceOf[Number].longValue).getOrElse(-1L)))
+          }
           active.put(a.getAs[String]("path"),
-            AddFile(a.getAs[String]("path"), pv))
+            AddFile(a.getAs[String]("path"), pv, dv))
         }
         if (cols("remove") && !r.isNullAt(r.fieldIndex("remove")))
           active.remove(r.getStruct(r.fieldIndex("remove"))
@@ -293,7 +332,7 @@ object DeltaLake {
                 }
                 b.result()
               }.getOrElse(Map.empty[String, String])
-              adds += AddFile(a.get("path").asText, pv)
+              adds += AddFile(a.get("path").asText, pv, parseDv(a))
             }
           } else if (n.has("remove")) {
             val r = n.get("remove")
@@ -348,16 +387,37 @@ object DeltaLake {
           StructField(f.name, f.dataType, f.nullable))))
     def partLit(f: StructField, v: String) =
       (if (v == null) lit(null) else lit(v)).cast(f.dataType).as(f.name)
-    files.groupBy(_.partitionValues).map { case (pv, group) =>
-      val paths = group.map(a => new File(dir, a.path).getPath)
-      val df = s.read.schema(dataSchema).parquet(paths: _*)
+    def group(pv: Map[String, String], paths: Seq[String],
+        dv: Option[DataFrame]): DataFrame = {
+      val df0 = s.read.schema(dataSchema).parquet(paths: _*)
+      // deletion vectors: anti-join the file's deleted row indexes
+      // (broadcast — a DV is bounded by its file's row count)
+      val df = dv match {
+        case None => df0
+        case Some(posDf) =>
+          df0.withColumn("__ri", col("_metadata.row_index"))
+            .join(broadcast(posDf), col("__ri") === posDf("__dv_pos"),
+              "left_anti")
+      }
       val cols = schema.fields.map { f =>
         if (partCols.contains(f.name))
           partLit(f, pv.getOrElse(physName(f), pv.getOrElse(f.name, null)))
         else col(physName(f)).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
-    }.reduce(_ unionAll _)
+    }
+    val (dvFiles, plain) = files.partition(_.dv.isDefined)
+    val plainDf = plain.groupBy(_.partitionValues).map { case (pv, g) =>
+      group(pv, g.map(a => new File(dir, a.path).getPath), None)
+    }
+    // DV'd files scan one-by-one: positions are per file
+    val dvDfs = dvFiles.map { a =>
+      import s.implicits._
+      val pos = DeletionVectors.positions(dir, a.dv.get)
+      group(a.partitionValues, Seq(new File(dir, a.path).getPath),
+        Some(pos.toDF("__dv_pos")))
+    }
+    (plainDf ++ dvDfs).reduce(_ unionAll _)
   }
 
   /** Latest committed version of the table's log, -1 if none. */
@@ -420,7 +480,7 @@ object DeltaLake {
                 }
                 b.result()
               }.getOrElse(Map.empty[String, String])
-              adds += AddFile(a.get("path").asText, pv)
+              adds += AddFile(a.get("path").asText, pv, parseDv(a))
             }
           } else if (n.has("remove")) {
             val r = n.get("remove")
@@ -515,6 +575,7 @@ object DeltaLake {
     val (schema, partCols, files, _) = replay(s, dir)
     require(!hasMapping(schema),
       "DML on column-mapped Delta tables unsupported (read-only support)")
+    requireNoDv(files, "OPTIMIZE")
     require(zorderBy.forall(c => schema.fieldNames.contains(c) &&
       !partCols.contains(c)), s"ZORDER BY columns $zorderBy must be " +
       "non-partition table columns")
@@ -663,6 +724,7 @@ object DeltaLake {
     val (schema, partCols, files, _) = replay(s, dir)
     require(!hasMapping(schema),
       "DML on column-mapped Delta tables unsupported (read-only support)")
+    requireNoDv(files, "DELETE/UPDATE")
     require(sets.keySet.intersect(partCols.toSet).isEmpty,
       s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
     sets.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -770,6 +832,7 @@ object DeltaLake {
     val (schema, partCols, files, _) = replay(s, dir)
     require(!hasMapping(schema),
       "DML on column-mapped Delta tables unsupported (read-only support)")
+    requireNoDv(files, "MERGE")
     require(matchedUpdate.keySet.intersect(partCols.toSet).isEmpty,
       s"UPDATE of partition columns ${partCols.mkString(",")} unsupported")
     (matchedUpdate.keySet ++ notMatchedInsert.toSeq.flatMap(_.keySet))
@@ -914,6 +977,20 @@ object DeltaLake {
     s"""{"add":{"path":"$path","partitionValues":$pv,"size":0,"modificationTime":0,"dataChange":$dataChange}}"""
   }
 
+  /** An `add` carrying a deletion-vector descriptor (fixture writer for
+    * the DV read path; real tables come from Delta writers). */
+  def addActionWithDv(path: String, d: DeletionVectors.Descriptor,
+      partitionValues: Map[String, String] = Map.empty): String = {
+    val base = addAction(path, partitionValues)
+    val dvJson =
+      s""""deletionVector":{"storageType":${mapper.writeValueAsString(
+        d.storageType)},"pathOrInlineDv":${mapper.writeValueAsString(
+        d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${
+        d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    base.replace(""","dataChange":true}""",
+      s""","dataChange":true,$dvJson}""")
+  }
+
   def txnAction(appId: String, version: Long): String =
     s"""{"txn":{"appId":${mapper.writeValueAsString(appId)},"version":$version,"lastUpdated":0}}"""
 
@@ -957,6 +1034,7 @@ object DeltaLake {
     val (schema, partCols, files, txns) = replay(s, tableDir)
     require(!hasMapping(schema),
       "checkpointing column-mapped Delta tables unsupported (read-only)")
+    requireNoDv(files, "checkpointing")
     val version = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map(_.getName.stripSuffix(".json").toLong)

@@ -533,6 +533,34 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Deletion-vector read (ops/DeletionVectors + DeltaLake reader v3):
+    * the fixture writes orders <= 1000 as ONE sorted file and a
+    * protocol-3 log whose add carries a u-addressed DV deleting row
+    * positions 0..4 — the 5 smallest keys. A reader that ignored the
+    * vector (the pre-guard failure mode) resurrects them → hash break. */
+  def srcDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_dv_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000000.json")
+        .exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")
+      DeltaLake.writeDataFile(o, base, "f0.parquet")
+      val d = graft.ops.DeletionVectors.writeDvFile(base,
+        Seq(0L, 1L, 2L, 3L, 4L))
+      DeltaLake.commit(base, 0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""",
+        DeltaLake.metaDataAction(o.schema),
+        DeltaLake.addActionWithDv("f0.parquet", d)))
+    }
+    DeltaLake.read(s, base.getPath).orderBy("o_orderkey")
+  }
+
   /** CDF-style change extraction (ops/DeltaLake.tableChanges): v1 appends
     * orders <= 1000 (insert rows), v2 copy-on-write DELETEs keys > 900 —
     * the change feed must show exactly the appended rows at v1 and the
@@ -710,9 +738,16 @@ object Sources {
     "dml_update_iceberg" -> dmlUpdateIceberg,
     "dml_merge_iceberg" -> dmlMergeIceberg,
     "src_delta_cdf" -> srcDeltaCdf,
+    "src_delta_dv" -> srcDeltaDv,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_delta_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
+        |  ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
     "src_delta_cdf" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         | 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version

@@ -167,23 +167,24 @@ class DeltaSpec extends AnyFunSuite {
     }
   }
 
-  test("reader protocol guard: minReaderVersion > 1 errors, not wrong rows") {
+  test("reader protocol guard: unimplemented v3 features error") {
     val dir = freshDir("protov3")
     val df = Seq((1L, "a")).toDF("k", "s")
     DeltaLake.writeDataFile(df, dir, "f0.parquet")
-    // a deletion-vector table advertises reader version 3 + features; a
-    // version-1 reader replaying it would silently resurrect deleted rows
+    // v2Checkpoint is NOT implemented: replaying such a table could miss
+    // sidecar actions — refuse, never return wrong rows. (v3 with only
+    // deletionVectors IS supported — pinned in the DV tests.)
     DeltaLake.commit(dir, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""",
+        """"readerFeatures":["deletionVectors","v2Checkpoint"],""" +
+        """"writerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       DeltaLake.metaDataAction(df.schema),
       DeltaLake.addAction("f0.parquet")))
     val e = intercept[IllegalArgumentException] {
       DeltaLake.read(spark, dir.getPath)
     }
     assert(e.getMessage.contains("minReaderVersion=3"), e.getMessage)
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
   }
 
   test("column mapping `name` mode reads physical columns as logical") {
@@ -220,6 +221,57 @@ class DeltaSpec extends AnyFunSuite {
         .toDF("k", "s", "p"))
     }
     assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("deletion vectors: deleted row indexes vanish, writers refuse") {
+    import graft.ops.DeletionVectors
+    val dir = freshDir("dv")
+    val df = (0L until 100L).map(i => (i, s"r$i")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, dir, "f0.parquet")
+    // delete row indexes 0, 13, and 99 via a u-addressed DV file
+    val d = DeletionVectors.writeDvFile(dir, Seq(0L, 13L, 99L))
+    DeltaLake.commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      DeltaLake.metaDataAction(df.schema),
+      DeltaLake.addActionWithDv("f0.parquet", d)))
+    val out = DeltaLake.read(spark, dir.getPath)
+    assert(out.count() == 97L)
+    assert(out.filter($"k".isin(0L, 13L, 99L)).count() == 0L)
+    assert(out.filter($"k" === 1L).count() == 1L)
+    // writers refuse DV tables rather than resurrecting deleted rows
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.delete(spark, dir.getPath, $"k" === 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      DeltaLake.writeCheckpoint(spark, dir)
+    }
+    // appends do not touch existing files' vectors: allowed
+    DeltaLake.insert(spark, dir.getPath,
+      Seq((1000L, "new")).toDF("k", "s"))
+    assert(DeltaLake.read(spark, dir.getPath).count() == 98L)
+  }
+
+  test("deletion vectors: inline storage and multi-bitmap indexes") {
+    import graft.ops.DeletionVectors
+    val dir = freshDir("dvinline")
+    // row indexes straddling a 2^16 container and a 2^32 bitmap boundary
+    val deleted = Seq(5L, 70000L, (1L << 32) + 7L)
+    val data = DeletionVectors.serialize(deleted)
+    assert(DeletionVectors.deserialize(data) == deleted)
+    // Z85 round-trip (pad to 4-byte multiple per the spec's alignment)
+    val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+    val enc = DeletionVectors.z85Encode(padded)
+    assert(DeletionVectors.z85Decode(enc).toSeq == padded.toSeq)
+    val d = DeletionVectors.Descriptor("i", enc, 0, data.length,
+      deleted.size.toLong)
+    assert(DeletionVectors.positions(dir, d) == deleted)
+    // reference Z85 vector from the ZeroMQ spec: 0x86 0x4F 0xD2 0x6F
+    // 0xB5 0x59 0xF7 0x5B <-> "HelloWorld"
+    assert(DeletionVectors.z85Encode(Array(0x86, 0x4f, 0xd2, 0x6f,
+      0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)) == "HelloWorld")
   }
 
   test("column mapping `id` mode is refused (field-id resolution)") {
