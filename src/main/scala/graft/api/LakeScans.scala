@@ -239,8 +239,21 @@ object LakeScans {
               s"unknown Iceberg metadata table #$other")
           }
         case ("iceberg", None) => graft.ops.IcebergTable.read(spark, path)
-        case ("iceberg", Some(sid)) =>
+        case ("iceberg", Some(sid)) if sid.matches("\\d+") =>
           graft.ops.IcebergTable.readAt(spark, path, sid.toLong)
+        case ("iceberg", Some(arg)) => // quoted: timestamp or branch/tag
+          val millis =
+            try Some(java.sql.Timestamp.valueOf(arg).getTime)
+            catch {
+              case _: IllegalArgumentException =>
+                try Some(java.sql.Date.valueOf(arg).getTime)
+                catch { case _: IllegalArgumentException => None }
+            }
+          millis match {
+            case Some(ms) =>
+              graft.ops.IcebergTable.readAtTimestamp(spark, path, ms)
+            case None => graft.ops.IcebergTable.readRef(spark, path, arg)
+          }
         case other => throw new IllegalArgumentException(other.toString)
       }
       val view = s"graft_${kind}_scan_" + java.lang.Integer.toHexString(

@@ -239,6 +239,33 @@ object IcebergTable {
   def readAt(s: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
     scan(s, tableDir, snapshotId, Seq.empty)
 
+  /** Time travel by timestamp: the snapshot with the GREATEST
+    * `timestamp-ms` at-or-before `tsMillis` (Iceberg's FOR TIMESTAMP AS
+    * OF rule). Snapshots without a recorded timestamp (old fixtures)
+    * never match. */
+  def readAtTimestamp(s: SparkSession, tableDir: String, tsMillis: Long)
+      : DataFrame = {
+    val meta = loadMeta(new File(tableDir))
+    val snaps = meta.get("snapshots")
+    val at = (0 until snaps.size()).map(snaps.get)
+      .flatMap(n => Option(n.get("timestamp-ms"))
+        .map(t => (t.asLong, n.get("snapshot-id").asLong)))
+      .filter(_._1 <= tsMillis)
+      .sortBy(_._1).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot at or before timestamp $tsMillis"))
+    readAt(s, tableDir, at._2)
+  }
+
+  /** Read at a named branch/tag ($refs; tables without a refs map have
+    * the implicit `main` branch at the current snapshot). */
+  def readRef(s: SparkSession, tableDir: String, name: String): DataFrame = {
+    val refRow = refs(s, tableDir).collect()
+      .find(_.getString(0) == name).getOrElse(
+        throw new IllegalArgumentException(s"unknown ref '$name'"))
+    readAt(s, tableDir, refRow.getLong(2))
+  }
+
   /** Read the current snapshot with partition-transform pruning: data
     * files whose transformed partition tuple cannot satisfy `predicates`
     * are never scanned (at 100 TB the difference between one partition

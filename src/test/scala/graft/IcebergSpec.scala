@@ -494,6 +494,32 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp and ref time travel resolve through iceberg_scan") {
+    val dir = freshDir("tsref")
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "x")).toDF("k", "s"), dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    IcebergTable.insertAppend(spark, dir.getPath,
+      Seq((2L, "y")).toDF("k", "s"))
+    val h = IcebergTable.history(spark, dir.getPath)
+      .orderBy("snapshot_id").collect()
+    val t2 = h(1).getTimestamp(0) // snapshot 2's commit time
+    assert(IcebergTable.readAtTimestamp(spark, dir.getPath,
+      t2.getTime).count() == 2L)
+    intercept[IllegalArgumentException] {
+      IcebergTable.readAtTimestamp(spark, dir.getPath, 1L) // before all
+    }
+    assert(IcebergTable.readRef(spark, dir.getPath, "main").count() == 2L)
+    intercept[IllegalArgumentException] {
+      IcebergTable.readRef(spark, dir.getPath, "nope")
+    }
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"SELECT count(*) AS n FROM iceberg_scan(" +
+      s"'${dir.getPath}', '${t2.toString}')").collect()(0).getLong(0) == 2L)
+    assert(ses.sql(s"SELECT count(*) AS n FROM iceberg_scan(" +
+      s"'${dir.getPath}', 'main')").collect()(0).getLong(0) == 2L)
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
