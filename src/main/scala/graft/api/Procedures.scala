@@ -11,8 +11,10 @@ import org.apache.spark.sql.DataFrame
   *   CALL system.rollback_to_snapshot('/path', <snapshot_id>)
   *   CALL system.expire_snapshots('/path', <retain_last>)
   *   CALL system.remove_orphan_files('/path')
+  *   CALL system.rewrite_data_files('/path'[, <target_bytes>])
   *   CALL system.optimize('/path'[, <target_file_bytes>])   -- Delta
   *   CALL system.vacuum('/path'[, <retention_hours>])       -- Delta
+  *   CALL system.restore('/path', <version>)                -- Delta
   *
   * Each returns a one-row `rows` count (files removed / snapshots
   * expired; 0 for pure pointer moves) so clients see a result set, the
@@ -49,6 +51,13 @@ object Procedures {
               strArg(arg(0)), arg(1).trim.toInt).toLong
           case "remove_orphan_files" =>
             graft.ops.IcebergTable.removeOrphanFiles(strArg(arg(0))).toLong
+          case "rewrite_data_files" =>
+            graft.ops.IcebergTable.rewriteDataFiles(spark, strArg(arg(0)),
+              targetBytes = args.lift(1).map(_.trim.toLong)
+                .getOrElse(128L * 1024 * 1024)).toLong
+          case "restore" =>
+            graft.ops.DeltaLake.restore(spark, strArg(arg(0)),
+              arg(1).trim.toLong)
           case "optimize" =>
             graft.ops.DeltaLake.optimize(spark, strArg(arg(0)),
               targetBytes = args.lift(1).map(_.trim.toLong)

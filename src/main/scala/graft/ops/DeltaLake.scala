@@ -689,6 +689,38 @@ object DeltaLake {
     (adds.result(), i)
   }
 
+  /** RESTORE the table to the snapshot at `version` as a NEW commit
+    * (Delta's RESTORE statement): files not active then are removed,
+    * files active then but since dropped are re-added, and the target
+    * version's schema is re-declared — history is preserved (the restore
+    * itself is one more commit, so it can be restored away again).
+    * Errors if a needed historical file was vacuumed. Returns the number
+    * of add/remove actions committed (0 = already identical). */
+  def restore(s: SparkSession, tableDir: String, version: Long): Long = {
+    val dir = new File(tableDir).getCanonicalFile
+    val (schema, _, curFiles, _) = replay(s, dir)
+    require(!hasMapping(schema),
+      "RESTORE on column-mapped Delta tables unsupported")
+    requireNoDv(curFiles, "RESTORE")
+    val (tSchema, tPartCols, tFiles, _) = replay(s, dir, version)
+    requireNoDv(tFiles, "RESTORE")
+    val curPaths = curFiles.map(_.path).toSet
+    val tgtPaths = tFiles.map(_.path).toSet
+    val removes = curFiles.filterNot(f => tgtPaths(f.path))
+    val adds = tFiles.filterNot(f => curPaths(f.path))
+    adds.foreach(a => require(new File(dir, a.path).isFile,
+      s"cannot RESTORE: historical file ${a.path} was vacuumed"))
+    val n = removes.size + adds.size
+    if (n == 0) return 0L
+    val next = nextVersion(new File(dir, "_delta_log"))
+    commit(dir, next,
+      commitInfoAction("RESTORE") +:
+        (metaDataAction(tSchema, tPartCols) +:
+          (removes.map(r => removeAction(r.path)) ++
+            adds.map(a => addAction(a.path, a.partitionValues)))))
+    n.toLong
+  }
+
   /** Latest committed `txn` watermark for `appId` (None if the app has
     * never committed to this table). */
   def txnVersion(s: SparkSession, tableDir: String, appId: String)

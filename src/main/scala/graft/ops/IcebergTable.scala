@@ -626,6 +626,49 @@ object IcebergTable {
     n
   }
 
+  /** rewrite_data_files (the reference's RewriteDataFilesProcedure):
+    * compact the CURRENT snapshot — with every delete layer applied —
+    * into fresh data files and commit a REPLACE snapshot whose manifest
+    * list holds only them. Merge-on-read delete/update layers
+    * materialize away; the superseded files become reclaimable by
+    * expire_snapshots + remove_orphan_files. Time travel to prior
+    * snapshots keeps working (their manifest lists are untouched).
+    * Unpartitioned tables only (transform routing stays on the insert
+    * path). Returns the number of compacted files written. */
+  def rewriteDataFiles(s: SparkSession, tableDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    require(partitionSpec(meta).isEmpty,
+      "rewrite_data_files on partitioned tables unsupported")
+    val cur = meta.get("current-snapshot-id").asLong
+    val bytes = liveFiles(dir, meta, cur).filter(_.content == 0)
+      .map(f => resolve(dir, f.path).length()).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = read(s, dir.getPath) // deletes applied
+    val snaps = meta.get("snapshots")
+    val snapId = (0 until snaps.size())
+      .map(snaps.get(_).get("snapshot-id").asLong).foldLeft(0L)(math.max) + 1
+    val hint = new File(dir, "metadata/version-hint.text")
+    val version = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      UTF_8).trim.toInt + 1
+    val dataDir = new File(dir, "data")
+    val staging = new File(dataDir, s".staging_rewrite_$snapId")
+    df.coalesce(nOut).write.parquet(staging.getPath)
+    val entries = staging.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
+        val name = f"compact-$snapId-$i%05d.parquet"
+        java.nio.file.Files.move(p.toPath,
+          new File(dataDir, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Entry(1, s"data/$name")
+      }.toSeq
+    staging.listFiles().foreach(_.delete())
+    staging.delete()
+    commitSnapshot(dir, version, snapId, entries)
+    entries.size
+  }
+
   // ---------- fixture writer (tests + the driver gate): minimal but
   // spec-shaped avro/json, so the reader exercised here reads the same
   // field names a real Iceberg writer produces

@@ -682,6 +682,33 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("RESTORE re-points the table at a past version as a new commit") {
+    val dir = freshDir("restore")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    DeltaLake.insert(spark, dir.getPath, df) // v1
+    DeltaLake.delete(spark, dir.getPath, $"k" === 2L) // v2
+    DeltaLake.insert(spark, dir.getPath,
+      Seq((3L, "c")).toDF("k", "s")) // v3
+    assert(DeltaLake.read(spark, dir.getPath).count() == 2L) // 1, 3
+    val ses = graft.api.SqlSession.wrap(spark)
+    val n = ses.sql(s"CALL system.restore('${dir.getPath}', 1)")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    assert(DeltaLake.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // history preserved: the restore is itself a commit, so the
+    // pre-restore state is still reachable
+    assert(DeltaLake.readVersion(spark, dir.getPath, 3L).count() == 2L)
+    assert(DeltaLake.describeHistory(spark, dir.getPath)
+      .collect()(0).getString(2) == "RESTORE")
+    // restoring to the current state is a no-op
+    val cur = DeltaLake.currentVersion(dir.getPath)
+    assert(DeltaLake.restore(spark, dir.getPath, cur) == 0L)
+  }
+
   test("insertTxn dedups replayed batches by appId watermark") {
     val dir = freshDir("txn")
     val df = Seq((1L, "a")).toDF("k", "s")

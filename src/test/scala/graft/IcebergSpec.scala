@@ -520,6 +520,27 @@ class IcebergSpec extends AnyFunSuite {
       s"'${dir.getPath}', 'main')").collect()(0).getLong(0) == 2L)
   }
 
+  test("rewrite_data_files materializes delete layers into one file") {
+    val dir = freshDir("rdf")
+    val df = (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v")
+    val a = IcebergTable.writeDataFile(df, dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    IcebergTable.delete(spark, dir.getPath, $"k" > 15)
+    IcebergTable.update(spark, dir.getPath, $"k" === 1L,
+      Map("v" -> org.apache.spark.sql.functions.lit(0.0)))
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"CALL system.rewrite_data_files('${dir.getPath}')")
+      .collect()(0).getLong(0) == 1L)
+    val out = IcebergTable.read(spark, dir.getPath).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == ((1L, 0.0) +: (2L to 15L).map(i => (i, i * 1.0))))
+    // the compacted snapshot has exactly one live file and no deletes
+    val files = IcebergTable.files(spark, dir.getPath).collect()
+    assert(files.length == 1 && files(0).getInt(0) == 0)
+    // pre-compaction snapshots still time-travel
+    assert(IcebergTable.readAt(spark, dir.getPath, 1L).count() == 20L)
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
