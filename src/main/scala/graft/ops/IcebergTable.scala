@@ -266,6 +266,70 @@ object IcebergTable {
     readAt(s, tableDir, refRow.getLong(2))
   }
 
+  /** Snapshot id at 1-based position `ordinal` of the append-ordered
+    * snapshot list (the streaming source's offset space — ids themselves
+    * are random). */
+  def snapshotIdAtOrdinal(tableDir: String, ordinal: Long): Long = {
+    val snaps = loadMeta(new File(tableDir)).get("snapshots")
+    require(ordinal >= 1 && ordinal <= snaps.size(),
+      s"snapshot ordinal $ordinal out of range 1..${snaps.size()}")
+    snaps.get(ordinal.toInt - 1).get("snapshot-id").asLong
+  }
+
+  /** The rows APPENDED by the snapshots at ordinals (from, to] — the
+    * streaming source's incremental batch. A fast-append snapshot's own
+    * additions are exactly its NEW manifests' data entries (priors are
+    * carried forward untouched). A snapshot that drops manifests or adds
+    * delete files is not an append: raise unless `ignoreChanges` (then
+    * only genuinely new data files emit). */
+  def readAppended(s: SparkSession, tableDir: String, fromOrdinal: Long,
+      toOrdinal: Long, ignoreChanges: Boolean = false): DataFrame = {
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val snaps = meta.get("snapshots")
+    require(toOrdinal <= snaps.size(),
+      s"snapshot ordinal $toOrdinal out of range")
+    def manifestsOf(ord: Long): Seq[String] =
+      if (ord < 1) Seq.empty
+      else avroRecords(resolve(dir,
+        snaps.get(ord.toInt - 1).get("manifest-list").asText))
+        .map(_.get("manifest_path").toString)
+    val newFiles = Seq.newBuilder[String]
+    ((fromOrdinal + 1) to toOrdinal).foreach { ord =>
+      val prev = manifestsOf(ord - 1).toSet
+      val cur = manifestsOf(ord)
+      val dropped = prev -- cur.toSet
+      require(dropped.isEmpty || ignoreChanges,
+        s"snapshot ordinal $ord is not an append (drops " +
+          s"${dropped.size} manifests — a delete/rewrite); set " +
+          "ignoreChanges=true to stream past it")
+      cur.filterNot(prev).foreach { m =>
+        avroRecords(resolve(dir, m)).foreach { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content =
+            if (df.getSchema.getField("content") == null) 0
+            else df.get("content").asInstanceOf[Int]
+          if (content != 0 || status == 2) require(ignoreChanges,
+            s"snapshot ordinal $ord is not an append (delete content " +
+              "or removed entries); set ignoreChanges=true")
+          else if (status == 1) // ADDED data entries only
+            newFiles += df.get("file_path").toString
+        }
+      }
+    }
+    val schema = read(s, dir.getPath).schema
+    val files = newFiles.result()
+    if (files.isEmpty)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else {
+      import org.apache.spark.sql.functions.col
+      s.read.parquet(files.map(f => resolve(dir, f).getPath): _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Read the current snapshot with partition-transform pruning: data
     * files whose transformed partition tuple cannot satisfy `predicates`
     * are never scanned (at 100 TB the difference between one partition

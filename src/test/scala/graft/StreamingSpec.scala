@@ -277,6 +277,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Iceberg source: snapshot-ordinal offsets, appends stream, " +
+      "deletes refuse") {
+    import spark.implicits._
+    import graft.ops.{DeltaLake, IcebergTable}
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ice_pipe_${System.nanoTime()}")
+    val a = new java.io.File(root, "a")
+    val b = new java.io.File(root, "b")
+    a.mkdirs(); b.mkdirs()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val f0 = IcebergTable.writeDataFile(df, a, "f0.parquet")
+    IcebergTable.commitSnapshot(a, 1, 1L,
+      Seq(IcebergTable.Entry(1, f0)))
+    DeltaLake.commit(b, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.IcebergSourceProvider")
+        .option("path", a.getPath).load()
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(
+          graft.streaming.DeltaSink.exactlyOnce(b.getPath, "icepipe"))
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(DeltaLake.read(spark, b.getPath).count() == 2L)
+    IcebergTable.insertAppend(spark, a.getPath,
+      Seq((3L, "z")).toDF("k", "s"))
+    runOnce() // restart: only the appended snapshot's rows flow
+    assert(DeltaLake.read(spark, b.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    IcebergTable.delete(spark, a.getPath, col("k") === 1L)
+    val ex = intercept[
+      org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    assert(ex.getMessage.contains("ignoreChanges") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")))
+  }
+
   test("Delta source → Delta sink: incremental pipeline with restart, " +
       "optimize invisibility, and CoW refusal") {
     import spark.implicits._
