@@ -827,7 +827,8 @@ object IcebergTable {
     * fields (schema / partition-specs), pre-rendered with a leading
     * comma; empty = carry the prior version's forward. */
   private def writeMetadataJson(tableDir: File, version: Int,
-      snapshotId: Long, extra0: String): Unit = {
+      snapshotId: Long, extra0: String,
+      summary: Map[String, String] = Map.empty): Unit = {
     val metaDir = new File(tableDir, "metadata")
     val extra =
       if (extra0.nonEmpty) extra0 else carryForwardExtra(metaDir, version)
@@ -851,10 +852,16 @@ object IcebergTable {
         Option(pm.get("current-snapshot-id")).map(_.asLong)
           .filter(_ != snapshotId)
       }
+    val summaryJson =
+      if (summary.isEmpty) ""
+      else summary.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+      }.mkString(""","summary":{""", ",", "}")
     val snapJson = (priorSnaps :+
       (s"""{"snapshot-id":$snapshotId""" +
         parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("") +
         s""","timestamp-ms":${System.currentTimeMillis()}""" +
+        summaryJson +
         s""","manifest-list":"metadata/snap-$snapshotId.avro"}"""))
       .mkString("[", ",", "]")
     val metaJson =
@@ -967,8 +974,9 @@ object IcebergTable {
     * entries keep their original snapshot ids, so delete-scoping
     * sequence numbers stay correct. */
   def appendSnapshot(tableDir: File, version: Int, snapshotId: Long,
-      entries: Seq[Entry]): Unit =
-    appendWith(tableDir, version, snapshotId, metaDir => {
+      entries: Seq[Entry],
+      summary: Map[String, String] = Map.empty): Unit =
+    appendWith(tableDir, version, snapshotId, summary, metaDir => {
       val manifest = new File(metaDir, s"manifest-$snapshotId.avro")
       writeAvro(manifest, manifestEntrySchema, entries.map { e =>
         val df = new GenericData.Record(
@@ -990,12 +998,13 @@ object IcebergTable {
 
   /** Fast-append of PARTITIONED entries (transform-partitioned insert). */
   def appendSnapshotPartitioned(tableDir: File, version: Int,
-      snapshotId: Long, entries: Seq[PartEntry]): Unit =
-    appendWith(tableDir, version, snapshotId,
+      snapshotId: Long, entries: Seq[PartEntry],
+      summary: Map[String, String] = Map.empty): Unit =
+    appendWith(tableDir, version, snapshotId, summary,
       writePartitionedManifest(_, snapshotId, entries))
 
   private def appendWith(tableDir: File, version: Int, snapshotId: Long,
-      mkManifest: File => File): Unit = {
+      summary: Map[String, String], mkManifest: File => File): Unit = {
     val metaDir = new File(tableDir, "metadata")
     metaDir.mkdirs()
     // prior manifests (empty for a brand-new table)
@@ -1026,7 +1035,8 @@ object IcebergTable {
       r.put("added_snapshot_id", sid)
       r
     })
-    writeMetadataJson(tableDir, version, snapshotId, extra0 = "")
+    writeMetadataJson(tableDir, version, snapshotId, extra0 = "",
+      summary = summary)
   }
 
   /** INSERT INTO (append) an Iceberg table — the reference's
@@ -1040,9 +1050,23 @@ object IcebergTable {
     * the manifest partition tuples), so later reads prune the inserted
     * files too. Returns the new snapshot id. */
   def insertAppend(s: SparkSession, tableDir: String, df: DataFrame)
-      : Long = {
+      : Long = insertAppendTxn(s, tableDir, df, txn = None).get
+
+  /** Idempotent append: `txn = Some((appId, version))` stamps a
+    * `graft.txn.<appId> -> version` snapshot SUMMARY property in the
+    * SAME atomic commit as the data (the convention real Iceberg
+    * streaming sinks use for exactly-once); a batch at-or-below the
+    * table's watermark for that appId is skipped and None returned. */
+  def insertAppendTxn(s: SparkSession, tableDir: String, df: DataFrame,
+      txn: Option[(String, Long)]): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val dir = new File(tableDir).getCanonicalFile
+    txn.foreach { case (app, ver) =>
+      if (txnVersion(s, dir.getPath, app).exists(_ >= ver)) return None
+    }
+    val summary = txn.map { case (app, ver) =>
+      Map(s"graft.txn.$app" -> ver.toString)
+    }.getOrElse(Map.empty[String, String])
     val meta = loadMeta(dir)
     val spec = partitionSpec(meta)
     val tableSchema = read(s, dir.getPath).schema
@@ -1078,7 +1102,7 @@ object IcebergTable {
         }.toSeq
       rmRec(staging)
       require(entries.nonEmpty, "INSERT produced no data files")
-      appendSnapshot(dir, version, snapId, entries)
+      appendSnapshot(dir, version, snapId, entries, summary)
     } else {
       val withParts = spec.zipWithIndex.foldLeft(src) {
         case (acc, (sf, i)) => acc.withColumn(s"__gpt_$i",
@@ -1115,9 +1139,21 @@ object IcebergTable {
       rmRec(staging)
       val es = entries.result()
       require(es.nonEmpty, "INSERT produced no data files")
-      appendSnapshotPartitioned(dir, version, snapId, es)
+      appendSnapshotPartitioned(dir, version, snapId, es, summary)
     }
-    snapId
+    Some(snapId)
+  }
+
+  /** Latest committed `graft.txn.<appId>` watermark across the table's
+    * snapshot summaries (None if the app never committed). */
+  def txnVersion(s: SparkSession, tableDir: String, appId: String)
+      : Option[Long] = {
+    val snaps = loadMeta(new File(tableDir)).get("snapshots")
+    val key = s"graft.txn.$appId"
+    val vs = (0 until snaps.size()).map(snaps.get)
+      .flatMap(n => Option(n.get("summary")).filterNot(_.isNull)
+        .flatMap(sm => Option(sm.get(key))).map(_.asText.toLong))
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** DELETE FROM an Iceberg table — the v2 merge-on-read row-level

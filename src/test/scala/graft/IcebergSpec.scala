@@ -541,6 +541,25 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.readAt(spark, dir.getPath, 1L).count() == 20L)
   }
 
+  test("insertAppendTxn dedups replayed batches via snapshot summaries") {
+    val dir = freshDir("txn")
+    val df = Seq((1L, "a")).toDF("k", "s")
+    val a = IcebergTable.writeDataFile(df, dir, "a.parquet")
+    IcebergTable.commitSnapshot(dir, 1, 1L, Seq(Entry(1, a)))
+    assert(IcebergTable.insertAppendTxn(spark, dir.getPath,
+      Seq((2L, "b")).toDF("k", "s"), Some(("app", 0L))).isDefined)
+    // crash-replay of batch 0: skipped
+    assert(IcebergTable.insertAppendTxn(spark, dir.getPath,
+      Seq((2L, "b")).toDF("k", "s"), Some(("app", 0L))).isEmpty)
+    // a different app's batch 0 is independent
+    assert(IcebergTable.insertAppendTxn(spark, dir.getPath,
+      Seq((3L, "c")).toDF("k", "s"), Some(("other", 0L))).isDefined)
+    assert(IcebergTable.txnVersion(spark, dir.getPath, "app")
+      .contains(0L))
+    assert(IcebergTable.txnVersion(spark, dir.getPath, "none").isEmpty)
+    assert(IcebergTable.read(spark, dir.getPath).count() == 3L)
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(

@@ -318,6 +318,44 @@ class StreamingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")))
   }
 
+  test("Delta source → Iceberg sink: cross-format exactly-once pipeline") {
+    import spark.implicits._
+    import graft.ops.{DeltaLake, IcebergTable}
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cross_pipe_${System.nanoTime()}")
+    val a = new java.io.File(root, "a")
+    val b = new java.io.File(root, "b")
+    a.mkdirs(); b.mkdirs()
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, a, "f0.parquet")
+    DeltaLake.commit(a, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val s0 = IcebergTable.writeDataFile(df.limit(0), b, "seed.parquet")
+    IcebergTable.commitSnapshot(b, 1, 1L,
+      Seq(IcebergTable.Entry(1, s0)))
+    val sink = graft.streaming.IcebergSink.exactlyOnce(b.getPath, "xpipe")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaSourceProvider")
+        .option("path", a.getPath).load()
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(IcebergTable.read(spark, b.getPath).count() == 2L)
+    DeltaLake.insert(spark, a.getPath, Seq((3L, "z")).toDF("k", "s"))
+    runOnce()
+    assert(IcebergTable.read(spark, b.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // replayed batchId is a no-op on the Iceberg side too
+    sink(df, 0L)
+    assert(IcebergTable.read(spark, b.getPath).count() == 3L)
+  }
+
   test("Delta source → Delta sink: incremental pipeline with restart, " +
       "optimize invisibility, and CoW refusal") {
     import spark.implicits._
