@@ -53,13 +53,49 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(ctx.sparkSession, path(parameters),
       ignoreChanges = parameters.get("ignoreChanges")
-        .orElse(parameters.get("ignorechanges")).exists(_.toBoolean))
+        .orElse(parameters.get("ignorechanges")).exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .orElse(parameters.get("maxversionspertrigger")).map(_.toLong))
 }
 
 class DeltaStreamSource(spark: SparkSession, tableDir: String,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
 
   override val schema: StructType = DeltaLake.read(spark, tableDir).schema
+
+  /** Version captured at AvailableNow start: the run drains up to here
+    * and stops, in `maxVersionsPerTrigger`-bounded steps. */
+  @volatile private var availableAtStart: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableAtStart = DeltaLake.currentVersion(tableDir)
+
+  /** Admission control (the FileStreamSource pattern — how a DSv1 source
+    * rate-limits): the engine hands us the START offset, so a bounded
+    * catch-up needs no source-side state and survives restarts. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val cur0 = DeltaLake.currentVersion(tableDir)
+    val cur =
+      if (availableAtStart >= 0) math.min(cur0, availableAtStart) else cur0
+    if (cur < 0) return null
+    val from = Option(startOffset).map(_.json.trim.toLong)
+    val capped = (maxVersionsPerTrigger, from) match {
+      case (Some(n), Some(f)) => math.min(cur, f + n)
+      case _ => cur
+    }
+    if (from.exists(_ >= capped)) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = DeltaLake.currentVersion(tableDir)
+    if (v < 0) null else LongOffset(v)
+  }
 
   override def getOffset: Option[Offset] = {
     val v = DeltaLake.currentVersion(tableDir)

@@ -318,6 +318,44 @@ class StreamingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("ignoreChanges")))
   }
 
+  test("Delta source maxVersionsPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    import graft.ops.DeltaLake
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_rate_${System.nanoTime()}")
+    val a = new java.io.File(root, "a")
+    a.mkdirs()
+    val df = Seq((1L, "x")).toDF("k", "s")
+    DeltaLake.commit(a, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema)))
+    DeltaLake.insert(spark, a.getPath, df)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaSourceProvider")
+        .option("path", a.getPath)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          rows.addAndGet(b.count())
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // initial snapshot: one batch
+    assert(batches.get() == 1 && rows.get() == 1L)
+    (2L to 4L).foreach(i =>
+      DeltaLake.insert(spark, a.getPath, Seq((i, "v")).toDF("k", "s")))
+    runOnce() // 3 backlog versions → 3 capped micro-batches
+    assert(batches.get() == 4, s"batches=${batches.get()}")
+    assert(rows.get() == 4L)
+  }
+
   test("Delta source → Iceberg sink: cross-format exactly-once pipeline") {
     import spark.implicits._
     import graft.ops.{DeltaLake, IcebergTable}
