@@ -71,6 +71,45 @@ object LakeScans {
     ("""(?is)\AWHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
       """\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*\z""").r
 
+  private val DeletePat =
+    ("""(?is)\ADELETE\s+FROM\s+(delta|iceberg)_scan\s*\(\s*'([^']+)'""" +
+      """\s*\)\s+WHERE\s+(.+)\z""").r
+  private val UpdatePat =
+    ("""(?is)\AUPDATE\s+(delta|iceberg)_scan\s*\(\s*'([^']+)'\s*\)\s+""" +
+      """SET\s+(.+?)\s+WHERE\s+(.+)\z""").r
+
+  /** DELETE FROM delta_scan('/p') WHERE c / UPDATE ..._scan('/p') SET
+    * a = e, ... WHERE c — the reference's row-level DML grammar over the
+    * engine's lake writers (Delta copy-on-write rewrites; Iceberg
+    * merge-on-read delete files). Expressions see the table's columns
+    * unqualified. Returns the affected row count. */
+  def dispatchDml(ses: SqlSession, text: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    val spark = ses.spark
+    text.trim match {
+      case DeletePat(kind, path, cond) =>
+        val n = kind.toLowerCase match {
+          case "delta" => graft.ops.DeltaLake.delete(spark, path, expr(cond))
+          case _ => graft.ops.IcebergTable.delete(spark, path, expr(cond))
+        }
+        Some(DdlStatements.rowsResult(spark, n))
+      case UpdatePat(kind, path, sets, cond) =>
+        val m = splitTop(sets).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.trim -> expr(v.trim)
+        }.toMap
+        val n = kind.toLowerCase match {
+          case "delta" =>
+            graft.ops.DeltaLake.update(spark, path, expr(cond), m)
+          case _ =>
+            graft.ops.IcebergTable.update(spark, path, expr(cond), m)
+        }
+        Some(DdlStatements.rowsResult(spark, n))
+      case _ => None
+    }
+  }
+
   /** Split on top-level commas (paren depth 0; quotes already constant
     * inside this grammar position). */
   private[api] def splitTop(s: String): Seq[String] = {

@@ -39,6 +39,7 @@ final class SqlSession private (val spark: SparkSession) {
     // for the reference's delta/hudi/iceberg catalogs
     LakeScans.dispatchInsert(this, text0).foreach(df => return df)
     LakeScans.dispatchMerge(this, text0).foreach(df => return df)
+    LakeScans.dispatchDml(this, text0).foreach(df => return df)
     Procedures.dispatch(this, text0).foreach(df => return df)
     val text = LakeScans.rewrite(spark, text0)
     SessionStatements.dispatch(this, text)

@@ -419,6 +419,36 @@ class DeltaSpec extends AnyFunSuite {
       s"'${dir.getPath}', '$tsLit')").collect()(0).getLong(0) == 1L)
   }
 
+  test("DELETE FROM / UPDATE lake scans work in SQL text") {
+    val ses = graft.api.SqlSession.wrap(spark)
+    val dd = freshDir("sqldml")
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    DeltaLake.writeDataFile(df, dd, "f0.parquet")
+    DeltaLake.commit(dd, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    assert(ses.sql(s"DELETE FROM delta_scan('${dd.getPath}') WHERE k = 3")
+      .collect()(0).getLong(0) == 1L)
+    assert(ses.sql(
+      s"UPDATE delta_scan('${dd.getPath}') SET v = v * 10 WHERE k = 2")
+      .collect()(0).getLong(0) == 1L)
+    assert(ses.sql(s"SELECT k, v FROM delta_scan('${dd.getPath}') " +
+      "ORDER BY k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq == Seq((1L, 1.0), (2L, 20.0)))
+    // iceberg spelling routes to the merge-on-read writers
+    val id = freshDir("sqldml_ice")
+    val a = graft.ops.IcebergTable.writeDataFile(df, id, "a.parquet")
+    graft.ops.IcebergTable.commitSnapshot(id, 1, 1L,
+      Seq(graft.ops.IcebergTable.Entry(1, a)))
+    assert(ses.sql(s"DELETE FROM iceberg_scan('${id.getPath}') WHERE k = 1")
+      .collect()(0).getLong(0) == 1L)
+    assert(ses.sql(
+      s"UPDATE iceberg_scan('${id.getPath}') SET v = 0.5 WHERE k = 3")
+      .collect()(0).getLong(0) == 1L)
+    assert(ses.sql(s"SELECT k, v FROM iceberg_scan('${id.getPath}') " +
+      "ORDER BY k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq == Seq((2L, 2.0), (3L, 0.5)))
+  }
+
   test("MERGE INTO delta_scan works in SQL text") {
     val ses = graft.api.SqlSession.wrap(spark)
     val dd = freshDir("sqlmrg")
