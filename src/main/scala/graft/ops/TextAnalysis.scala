@@ -344,7 +344,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary induction — the word-frequency pass every tokenizer
+    * build (BPE/WordPiece) starts from: lowercase, split on
+    * non-alphanumeric runs, count corpus-wide, keep the top 200 by
+    * (count desc, word). One explode + one hash aggregation; at 100 TB
+    * the map-side partial combine collapses each partition to its
+    * distinct words before the shuffle, and only the global top-K
+    * reaches the driver. */
+  def vocab(df: DataFrame, k: Int = 200): DataFrame =
+    df.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> ((s, dir) => vocab(t(s, dir, "documents"))),
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
@@ -365,6 +380,13 @@ object TextAnalysis {
     s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      """SELECT word, n FROM (
+        |  SELECT w AS word, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)
+        |ORDER BY n DESC, word LIMIT 200""".stripMargin,
     "text_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE len(string_split(text, ' ')) >= 5),
