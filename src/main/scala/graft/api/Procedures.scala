@@ -15,6 +15,7 @@ import org.apache.spark.sql.DataFrame
   *   CALL system.optimize('/path'[, <target_file_bytes>])   -- Delta
   *   CALL system.vacuum('/path'[, <retention_hours>])       -- Delta
   *   CALL system.restore('/path', <version>)                -- Delta
+  *   CALL system.convert_to_delta('/plain/parquet/dir')     -- import
   *
   * Each returns a one-row `rows` count (files removed / snapshots
   * expired; 0 for pure pointer moves) so clients see a result set, the
@@ -55,6 +56,8 @@ object Procedures {
             graft.ops.IcebergTable.rewriteDataFiles(spark, strArg(arg(0)),
               targetBytes = args.lift(1).map(_.trim.toLong)
                 .getOrElse(128L * 1024 * 1024)).toLong
+          case "convert_to_delta" =>
+            graft.ops.DeltaLake.convertToDelta(spark, strArg(arg(0)))
           case "restore" =>
             graft.ops.DeltaLake.restore(spark, strArg(arg(0)),
               arg(1).trim.toLong)

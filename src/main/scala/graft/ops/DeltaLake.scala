@@ -689,6 +689,50 @@ object DeltaLake {
     (adds.result(), i)
   }
 
+  /** CONVERT TO DELTA (Delta's in-place import of a plain parquet
+    * directory — no data is copied or moved): discover the leaf parquet
+    * files (Hive-style `k=v` partition dirs included), infer the schema
+    * from one file plus typed partition columns, and write commit 0
+    * (protocol + metaData + one add per file). The directory becomes a
+    * readable, appendable Delta table; re-converting an existing table
+    * raises. Returns the number of files imported. */
+  def convertToDelta(s: SparkSession, dir0: String,
+      partitionSchema: Map[String, DataType] = Map.empty): Long = {
+    val dir = new File(dir0).getCanonicalFile
+    require(!new File(dir, "_delta_log").exists(),
+      s"$dir0 already has a _delta_log")
+    val files = Seq.newBuilder[(String, Map[String, String])]
+    def walk(d: File, pv: Map[String, String]): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName).foreach {
+          case sub if sub.isDirectory && sub.getName.contains("=") =>
+            val Array(k, v) = sub.getName.split("=", 2)
+            val dv = java.net.URLDecoder.decode(v, "UTF-8")
+            walk(sub, pv + (k ->
+              (if (dv == "__HIVE_DEFAULT_PARTITION__") null else dv)))
+          case sub if sub.isDirectory && !sub.getName.startsWith(".") &&
+              !sub.getName.startsWith("_") => walk(sub, pv)
+          case f if f.isFile && f.getName.endsWith(".parquet") =>
+            files += ((dir.toPath.relativize(f.toPath).toString, pv))
+          case _ =>
+        }
+    walk(dir, Map.empty)
+    val fs = files.result()
+    require(fs.nonEmpty, s"no parquet files under $dir0")
+    val partCols = fs.head._2.keys.toSeq.sorted
+    require(fs.forall(_._2.keys.toSeq.sorted == partCols),
+      "inconsistent partition directory depths")
+    val dataSchema =
+      s.read.parquet(new File(dir, fs.head._1).getPath).schema
+    val schema = StructType(dataSchema.fields ++ partCols.map(c =>
+      StructField(c, partitionSchema.getOrElse(c, StringType))))
+    commit(dir, 0,
+      commitInfoAction("CONVERT") +: protocolAction +:
+        metaDataAction(schema, partCols) +:
+        fs.map { case (p, pv) => addAction(p, pv) })
+    fs.size.toLong
+  }
+
   /** RESTORE the table to the snapshot at `version` as a NEW commit
     * (Delta's RESTORE statement): files not active then are removed,
     * files active then but since dropped are re-added, and the target

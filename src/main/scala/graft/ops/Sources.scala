@@ -533,6 +533,35 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** CONVERT TO DELTA (ops/DeltaLake.convertToDelta): a plain
+    * Hive-partitioned parquet directory becomes a Delta table IN PLACE
+    * (no data movement — commit 0 lists the discovered files with their
+    * partition tuples), then the engine APPENDS through the normal
+    * commit path to prove the imported table is writable. */
+  def dmlConvertDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_delta_conv_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "_delta_log/00000000000000000001.json")
+        .exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(base)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      o.filter(col("o_orderkey") <= 500)
+        .write.partitionBy("o_orderstatus").parquet(base.getPath)
+      val n = DeltaLake.convertToDelta(s, base.getPath)
+      require(n > 0, "conversion discovered no files")
+      DeltaLake.insert(s, base.getPath,
+        o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+    }
+    DeltaLake.read(s, base.getPath)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** Deletion-vector read (ops/DeletionVectors + DeltaLake reader v3):
     * the fixture writes orders <= 1000 as ONE sorted file and a
     * protocol-3 log whose add carries a u-addressed DV deleting row
@@ -739,9 +768,14 @@ object Sources {
     "dml_merge_iceberg" -> dmlMergeIceberg,
     "src_delta_cdf" -> srcDeltaCdf,
     "src_delta_dv" -> srcDeltaDv,
+    "dml_convert_delta" -> dmlConvertDelta,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "dml_convert_delta" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "src_delta_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey NOT IN (

@@ -712,6 +712,28 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  test("convertToDelta imports a partitioned parquet dir in place") {
+    val dir = freshDir("conv")
+    val df = Seq((1L, 1.5, 10), (2L, 2.5, 20)).toDF("k", "v", "p")
+    df.write.partitionBy("p").parquet(dir.getPath + "/t")
+    val n = DeltaLake.convertToDelta(spark, dir.getPath + "/t",
+      partitionSchema = Map("p" ->
+        org.apache.spark.sql.types.IntegerType))
+    assert(n == 2L)
+    val out = DeltaLake.read(spark, dir.getPath + "/t").orderBy("k")
+    assert(out.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq((1L, 1.5, 10), (2L, 2.5, 20)))
+    // converting twice raises
+    intercept[IllegalArgumentException] {
+      DeltaLake.convertToDelta(spark, dir.getPath + "/t")
+    }
+    assert(DeltaLake.describeHistory(spark, dir.getPath + "/t")
+      .collect()(0).getString(2) == "CONVERT")
+  }
+
   test("RESTORE re-points the table at a past version as a new commit") {
     val dir = freshDir("restore")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
