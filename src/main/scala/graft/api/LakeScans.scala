@@ -206,24 +206,32 @@ object LakeScans {
   }
 
   private val ChangesPat =
-    """(?i)\bdelta_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    """(?i)\b(delta|iceberg)_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   def rewrite(spark: SparkSession, text: String): String =
     rewriteScans(spark, rewriteChanges(spark, text))
 
-  /** delta_changes('/p', from, to): CDF-style change rows
-    * (ops/DeltaLake.tableChanges) in FROM position. `from` is INCLUSIVE
-    * here (the familiar table_changes spelling). */
+  /** delta_changes('/p', from, to) / iceberg_changes('/p', from, to):
+    * CDF-style change rows (ops/DeltaLake.tableChanges and
+    * ops/IcebergTable.tableChanges) in FROM position. `from` is
+    * INCLUSIVE here (the familiar table_changes spelling); Iceberg
+    * positions are snapshot ORDINALS. */
   private def rewriteChanges(spark: SparkSession, text: String): String = {
     val hits = ChangesPat.findAllMatchIn(masked(text)).toSeq
     if (hits.isEmpty) return text
     val sb = new StringBuilder(text)
     hits.reverseIterator.foreach { h =>
-      val path = text.substring(h.start(1), h.end(1))
-      val from = text.substring(h.start(2), h.end(2)).toLong
-      val to = text.substring(h.start(3), h.end(3)).toLong
-      val df = graft.ops.DeltaLake.tableChanges(spark, path, from - 1, to)
-      val view = "graft_delta_changes_" + java.lang.Integer.toHexString(
+      val kind = text.substring(h.start(1), h.end(1)).toLowerCase
+      val path = text.substring(h.start(2), h.end(2))
+      val from = text.substring(h.start(3), h.end(3)).toLong
+      val to = text.substring(h.start(4), h.end(4)).toLong
+      val df = kind match {
+        case "delta" =>
+          graft.ops.DeltaLake.tableChanges(spark, path, from - 1, to)
+        case _ =>
+          graft.ops.IcebergTable.tableChanges(spark, path, from - 1, to)
+      }
+      val view = s"graft_${kind}_changes_" + java.lang.Integer.toHexString(
         (path + from + "_" + to).hashCode)
       df.createOrReplaceTempView(view)
       sb.replace(h.start, h.end, view)

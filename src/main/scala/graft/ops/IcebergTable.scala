@@ -330,6 +330,96 @@ object IcebergTable {
     }
   }
 
+  /** Changelog extraction over snapshot ordinals (fromOrdinal, to] — the
+    * Iceberg counterpart of ops/DeltaLake.tableChanges: per snapshot, its
+    * NEW manifests' added data entries emit as `insert` rows, and its new
+    * POSITIONAL-DELETE files resolve to the deleted rows' images (an
+    * inner join of the PRE-snapshot scan's (__fp, __pos) identity against
+    * the delete tuples) emitted as `delete`. Output = table columns +
+    * `_change_type` + `_snapshot_ordinal`. Snapshots that DROP manifests
+    * (rewrites/compactions — logically no-ops but not expressible as a
+    * row diff here) raise. */
+  def tableChanges(s: SparkSession, tableDir: String, fromOrdinal: Long,
+      toOrdinal: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = new File(tableDir).getCanonicalFile
+    val meta = loadMeta(dir)
+    val snaps = meta.get("snapshots")
+    require(toOrdinal <= snaps.size(),
+      s"snapshot ordinal $toOrdinal out of range")
+    val schema = read(s, dir.getPath).schema
+    def canonC(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+    def manifestsOf(ord: Long): Seq[String] =
+      avroRecords(resolve(dir,
+        snaps.get(ord.toInt - 1).get("manifest-list").asText))
+        .map(_.get("manifest_path").toString)
+    val frames = ((fromOrdinal + 1) to toOrdinal).flatMap { ord =>
+      val prev = manifestsOf(ord - 1).toSet
+      val cur = manifestsOf(ord)
+      require((prev -- cur.toSet).isEmpty,
+        s"snapshot ordinal $ord drops manifests (a rewrite/compaction) — " +
+          "not expressible as a row changelog")
+      val dataAdds = Seq.newBuilder[String]
+      val deleteAdds = Seq.newBuilder[String]
+      cur.filterNot(prev).foreach { m =>
+        avroRecords(resolve(dir, m)).foreach { e =>
+          if (e.get("status").asInstanceOf[Int] == 1) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content =
+              if (df.getSchema.getField("content") == null) 0
+              else df.get("content").asInstanceOf[Int]
+            val p = df.get("file_path").toString
+            if (content == 0) dataAdds += p
+            else if (content == 1) deleteAdds += p
+            else throw new IllegalArgumentException(
+              s"equality deletes in snapshot ordinal $ord are not " +
+                "expressible as a row changelog")
+          }
+        }
+      }
+      val ins = dataAdds.result() match {
+        case Seq() => None
+        case fs => Some(
+          s.read.parquet(fs.map(f => resolve(dir, f).getPath): _*)
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("insert")))
+      }
+      val del = deleteAdds.result() match {
+        case Seq() => None
+        case fs =>
+          require(ord >= 2, "delete files in the table's first snapshot " +
+            "have no pre-image to emit")
+          // the deleted rows' images live in the PRE-snapshot scan
+          val old = scan(s, dir.getPath,
+            snaps.get(ord.toInt - 2).get("snapshot-id").asLong,
+            Seq.empty, keepTags = true)
+          val fp = regexp_replace(col("file_path"), "^file:", "")
+          val tuples = s.read
+            .parquet(fs.map(f => resolve(dir, f).getPath): _*)
+            .select(canonC(when(fp.startsWith("/"), fp)
+              .otherwise(concat(lit(dir.getPath + "/"), fp)))
+              .as("__del_fp"), col("pos").as("__del_pos"))
+          Some(old.join(broadcast(tuples),
+            old("__fp") === tuples("__del_fp") &&
+              old("__pos") === tuples("__del_pos"), "inner")
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("delete")))
+      }
+      (ins.toSeq ++ del.toSeq).reduceOption(_ unionAll _)
+        .map(_.withColumn("_snapshot_ordinal", lit(ord)))
+    }
+    frames.reduceOption(_ unionAll _).getOrElse {
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_snapshot_ordinal",
+            org.apache.spark.sql.types.LongType)))
+    }
+  }
+
   /** Read the current snapshot with partition-transform pruning: data
     * files whose transformed partition tuple cannot satisfy `predicates`
     * are never scanned (at 100 TB the difference between one partition

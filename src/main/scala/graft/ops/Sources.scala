@@ -533,6 +533,34 @@ object Sources {
     IcebergTable.read(s, base.getPath).orderBy("o_orderkey")
   }
 
+  /** Iceberg changelog (ops/IcebergTable.tableChanges): snapshot 2
+    * appends (1000, 1100], snapshot 3 DELETEs keys divisible by 7 — the
+    * change feed must show exactly the appended rows as inserts at
+    * ordinal 2 and the deleted rows' IMAGES (resolved from the
+    * positional-delete tuples against the pre-snapshot scan) at 3. */
+  def srcIcebergCdf(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_iceberg_cdf_" + Integer.toHexString(dir.hashCode))
+    if (!new java.io.File(base, "metadata/v3.metadata.json").exists()) {
+      base.mkdirs()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val a = IcebergTable.writeDataFile(
+        o.filter(col("o_orderkey") <= 1000), base, "a.parquet")
+      IcebergTable.commitSnapshot(base, 1, 1L,
+        Seq(IcebergTable.Entry(1, a)))
+      IcebergTable.insertAppend(s, base.getPath,
+        o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1100))
+      IcebergTable.delete(s, base.getPath, col("o_orderkey") % 7 === 0)
+    }
+    graft.api.SqlSession.wrap(s).sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+         | _snapshot_ordinal
+         |FROM iceberg_changes('${base.getPath}', 2, 3)
+         |ORDER BY _snapshot_ordinal, _change_type, o_orderkey"""
+        .stripMargin)
+  }
+
   /** CONVERT TO DELTA (ops/DeltaLake.convertToDelta): a plain
     * Hive-partitioned parquet directory becomes a Delta table IN PLACE
     * (no data movement — commit 0 lists the discovered files with their
@@ -769,9 +797,19 @@ object Sources {
     "src_delta_cdf" -> srcDeltaCdf,
     "src_delta_dv" -> srcDeltaDv,
     "dml_convert_delta" -> dmlConvertDelta,
+    "src_iceberg_cdf" -> srcIcebergCdf,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
+    "src_iceberg_cdf" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | 'insert' AS _change_type, CAST(2 AS BIGINT) AS _snapshot_ordinal
+        |FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1100
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | 'delete' AS _change_type, CAST(3 AS BIGINT) AS _snapshot_ordinal
+        |FROM orders WHERE o_orderkey <= 1100 AND o_orderkey % 7 = 0
+        |ORDER BY _snapshot_ordinal, _change_type, o_orderkey""".stripMargin,
     "dml_convert_delta" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey <= 1000
