@@ -274,7 +274,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization ANN (ADC — asymmetric distance computation):
+    * the 64-dim space splits into 4 × 16-dim subspaces; each subspace has
+    * a 16-entry codebook (deterministic seed subvectors, vec_id < 16, so
+    * the oracle replays it — production PQ k-means-trains the codebooks,
+    * but the STRUCTURE is identical). Every corpus vector compresses to
+    * 4 code bytes (16× memory reduction — the point at 100 TB: the
+    * codes+codebooks fit where raw vectors cannot); a query computes one
+    * 4×16 distance table against the broadcast codebooks and scores the
+    * whole corpus by 4 table lookups per vector — no raw-vector reads in
+    * the scoring join. Top-3 by approximate L2², smaller vec_id ties. */
+  def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val dsub = 16
+    def l2sq(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = e.select(col("vec_id"),
+      explode(array((0 until m).map(j => struct(lit(j).as("j"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("sub"))): _*))
+        .as("sj"))
+      .select(col("vec_id"), col("sj.j").as("j"), col("sj.sub").as("sub"))
+    val cent = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("j"), col("sub").as("csub"))
+    // per (vector, subspace): distance to every codebook entry
+    val cd = sub.join(broadcast(cent), Seq("j"))
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        l2sq(col("sub"), col("csub")).as("d"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "j").orderBy(asc("d"), asc("cent_id"))
+    val code = cd.withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1).select("vec_id", "j", "cent_id")
+    // each query's 4x16 distance table (already in cd — queries are
+    // corpus members)
+    val qd = cd.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("j"), col("cent_id"),
+        col("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    code.join(broadcast(qd), Seq("j", "cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("d").as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("adist"), 4).as("adist"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_ann" -> pqAnn,
     "sim_quantize" -> quantize,
     "sim_topk_brute" -> bruteTopK,
     "sim_lsh_ann" -> lshAnn,
@@ -322,6 +374,35 @@ object Similarity {
        |$cosineCte""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_pq_ann" ->
+      """WITH js AS (SELECT unnest([0,1,2,3]) AS j),
+        |sub AS (SELECT vec_id, j, embedding[j*16+1 : (j+1)*16] AS sub
+        |        FROM embeddings CROSS JOIN js),
+        |cent AS (SELECT vec_id AS cent_id, j, sub AS csub
+        |         FROM sub WHERE vec_id < 16),
+        |pairs AS (SELECT s.vec_id, s.j, c.cent_id, s.sub, c.csub
+        |          FROM sub s JOIN cent c ON s.j = c.j),
+        |u AS (SELECT vec_id, j, cent_id, unnest(sub) AS x,
+        |       unnest(csub) AS y FROM pairs),
+        |cd AS (SELECT vec_id, j, cent_id,
+        |        SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+        |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))) AS d
+        |       FROM u GROUP BY 1,2,3),
+        |code AS (SELECT vec_id, j, cent_id FROM (
+        |          SELECT vec_id, j, cent_id, row_number() OVER (
+        |            PARTITION BY vec_id, j ORDER BY d, cent_id) rk
+        |          FROM cd) WHERE rk = 1),
+        |qd AS (SELECT vec_id AS query_id, j, cent_id, d
+        |       FROM cd WHERE vec_id < 5),
+        |ad AS (SELECT q.query_id, k.vec_id, SUM(q.d) AS adist
+        |       FROM code k JOIN qd q
+        |         ON k.j = q.j AND k.cent_id = q.cent_id
+        |       WHERE k.vec_id <> q.query_id GROUP BY 1,2),
+        |r AS (SELECT query_id, vec_id, adist, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY adist, vec_id) rk FROM ad)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor_id,
+        |  ROUND(adist, 4) AS adist
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "sim_quantize" ->
       """WITH u AS (SELECT vec_id, CAST(x AS DOUBLE) x
         |           FROM (SELECT vec_id, unnest(embedding) x
