@@ -350,6 +350,35 @@ class StatementProtocolSpec extends AnyFunSuite {
     json.zip(bin).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("lake scans, DML and CALL procedures work over the wire") {
+    import spark.implicits._
+    import graft.ops.DeltaLake
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_proto_lake_${System.nanoTime()}")
+    dir.mkdirs()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    DeltaLake.writeDataFile(df.filter($"k" === 1), dir, "f0.parquet")
+    DeltaLake.writeDataFile(df.filter($"k" > 1), dir, "f1.parquet")
+    DeltaLake.commit(dir, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema),
+      DeltaLake.addAction("f0.parquet"), DeltaLake.addAction("f1.parquet")))
+    // a scan, a row-level DELETE, and a maintenance CALL — all through
+    // POST /v1/statement like any reference client would issue them
+    val n0 = StatementClient.execute(spark, base,
+      s"SELECT count(*) AS n FROM delta_scan('${dir.getPath}')")
+      .collect()(0)
+    assert(n0.getLong(0) == 3L)
+    val del = StatementClient.execute(spark, base,
+      s"DELETE FROM delta_scan('${dir.getPath}') WHERE k = 3").collect()(0)
+    assert(del.getLong(0) == 1L)
+    val opt = StatementClient.execute(spark, base,
+      s"CALL system.optimize('${dir.getPath}')").collect()(0)
+    assert(opt.getLong(0) == 2L) // f0 + the rewritten f1 bin-pack
+    assert(StatementClient.execute(spark, base,
+      s"SELECT k FROM delta_scan('${dir.getPath}') ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
