@@ -16,6 +16,7 @@ import org.apache.spark.sql.DataFrame
   *   CALL system.vacuum('/path'[, <retention_hours>])       -- Delta
   *   CALL system.restore('/path', <version>)                -- Delta
   *   CALL system.convert_to_delta('/plain/parquet/dir')     -- import
+  *   CALL system.shallow_clone('/src', '/target')           -- zero-copy
   *
   * Each returns a one-row `rows` count (files removed / snapshots
   * expired; 0 for pure pointer moves) so clients see a result set, the
@@ -56,6 +57,9 @@ object Procedures {
             graft.ops.IcebergTable.rewriteDataFiles(spark, strArg(arg(0)),
               targetBytes = args.lift(1).map(_.trim.toLong)
                 .getOrElse(128L * 1024 * 1024)).toLong
+          case "shallow_clone" =>
+            graft.ops.DeltaLake.shallowClone(spark, strArg(arg(0)),
+              strArg(arg(1)))
           case "convert_to_delta" =>
             graft.ops.DeltaLake.convertToDelta(spark, strArg(arg(0)))
           case "restore" =>

@@ -105,6 +105,15 @@ object DeltaLake {
       s"$op on a Delta table with deletion vectors is unsupported " +
         "(read support only)")
 
+
+  /** Resolve an add.path against the table root. The spec allows ABSOLUTE
+    * paths/URIs (shallow clones reference another table's files in
+    * place); relative paths are table-rooted. */
+  private def resolvePath(dir: File, path: String): File = {
+    val p = path.stripPrefix("file:")
+    if (p.startsWith("/")) new File(p) else new File(dir, p)
+  }
+
   /** Replay `_delta_log` and return (schema, partitionColumns, activeFiles).
     * When `_last_checkpoint` exists, the snapshot seeds from the
     * checkpoint parquet (one row per action, nullable `add` / `remove` /
@@ -408,13 +417,13 @@ object DeltaLake {
     }
     val (dvFiles, plain) = files.partition(_.dv.isDefined)
     val plainDf = plain.groupBy(_.partitionValues).map { case (pv, g) =>
-      group(pv, g.map(a => new File(dir, a.path).getPath), None)
+      group(pv, g.map(a => resolvePath(dir, a.path).getPath), None)
     }
     // DV'd files scan one-by-one: positions are per file
     val dvDfs = dvFiles.map { a =>
       import s.implicits._
       val pos = DeletionVectors.positions(dir, a.dv.get)
-      group(a.partitionValues, Seq(new File(dir, a.path).getPath),
+      group(a.partitionValues, Seq(resolvePath(dir, a.path).getPath),
         Some(pos.toDF("__dv_pos")))
     }
     (plainDf ++ dvDfs).reduce(_ unionAll _)
@@ -587,7 +596,7 @@ object DeltaLake {
     var i = 0
     files.groupBy(_.partitionValues).foreach { case (pv, group) =>
       if (group.size > 1 || (zorderBy.nonEmpty && group.nonEmpty)) {
-        val paths = group.map(a => new File(dir, a.path))
+        val paths = group.map(a => resolvePath(dir, a.path))
         val bytes = paths.map(_.length()).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         val df0 = s.read.schema(dataSchema)
@@ -632,7 +641,7 @@ object DeltaLake {
     val dir = new File(tableDir).getCanonicalFile
     val (_, _, files, _) = replay(s, dir)
     val active = files.map(a =>
-      new File(dir, a.path).getCanonicalPath).toSet
+      resolvePath(dir, a.path).getCanonicalPath).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     var n = 0L
     def walk(d: File): Unit =
@@ -733,6 +742,31 @@ object DeltaLake {
     fs.size.toLong
   }
 
+  /** SHALLOW CLONE: create a NEW Delta table at `targetDir` whose commit
+    * 0 references the SOURCE table's current data files by ABSOLUTE path
+    * (the spec explicitly allows absolute add paths) — zero data copied.
+    * The clone then evolves independently: inserts/deletes/merges commit
+    * to ITS log (copy-on-write rewrites land as clone-local files; the
+    * source's files are never touched). VACUUM on the clone only sweeps
+    * files under the clone's root, so shared source files survive.
+    * Returns the number of referenced files. */
+  def shallowClone(s: SparkSession, sourceDir: String, targetDir: String)
+      : Long = {
+    val src = new File(sourceDir).getCanonicalFile
+    val tgt = new File(targetDir).getCanonicalFile
+    require(!new File(tgt, "_delta_log").exists(),
+      s"$targetDir already has a _delta_log")
+    val (schema, partCols, files, _) = replay(s, src)
+    requireNoDv(files, "SHALLOW CLONE")
+    tgt.mkdirs()
+    commit(tgt, 0,
+      commitInfoAction("CLONE") +: protocolAction +:
+        metaDataAction(schema, partCols) +:
+        files.map(a => addAction(
+          resolvePath(src, a.path).getCanonicalPath, a.partitionValues)))
+    files.size.toLong
+  }
+
   /** RESTORE the table to the snapshot at `version` as a NEW commit
     * (Delta's RESTORE statement): files not active then are removed,
     * files active then but since dropped are re-added, and the target
@@ -752,7 +786,7 @@ object DeltaLake {
     val tgtPaths = tFiles.map(_.path).toSet
     val removes = curFiles.filterNot(f => tgtPaths(f.path))
     val adds = tFiles.filterNot(f => curPaths(f.path))
-    adds.foreach(a => require(new File(dir, a.path).isFile,
+    adds.foreach(a => require(resolvePath(dir, a.path).isFile,
       s"cannot RESTORE: historical file ${a.path} was vacuumed"))
     val n = removes.size + adds.size
     if (n == 0) return 0L
@@ -817,7 +851,7 @@ object DeltaLake {
     // rewrite ONLY those (the others stay untouched in the log)
     files.groupBy(_.partitionValues).foreach { case (pv, group) =>
       val byCanon = group.map(a =>
-        new File(dir, a.path).getCanonicalPath -> a).toMap
+        resolvePath(dir, a.path).getCanonicalPath -> a).toMap
       def tagged(paths: Seq[String]) = {
         val df = s.read.schema(dataSchema).parquet(paths: _*)
         val cols = schema.fields.map { f =>
@@ -829,7 +863,7 @@ object DeltaLake {
           regexp_replace(regexp_replace(col("_metadata.file_path"),
             "^file:", ""), "^/+", "/").as("__fp"): _*)
       }
-      val all = tagged(group.map(a => new File(dir, a.path).getPath))
+      val all = tagged(group.map(a => resolvePath(dir, a.path).getPath))
       val hits = all.filter(coalesce(condition, lit(false)))
       val affectedFps = hits.select("__fp").distinct()
         .collect().map(_.getString(0))
@@ -838,7 +872,7 @@ object DeltaLake {
         val affected = affectedFps.map(fp => byCanon(
           new File(fp).getCanonicalPath))
         val rows = tagged(affected.map(a =>
-          new File(dir, a.path).getPath).toIndexedSeq)
+          resolvePath(dir, a.path).getPath).toIndexedSeq)
         val out =
           if (sets.isEmpty) rows.filter(!coalesce(condition, lit(false)))
           else {
@@ -937,7 +971,7 @@ object DeltaLake {
       StructType(schema.fields :+ StructField("__fp", StringType) :+
         StructField("__ri", LongType)))
     val target = groups.map { case (pv, g) =>
-      taggedGroup(pv, g.map(a => new File(dir, a.path).getPath))
+      taggedGroup(pv, g.map(a => resolvePath(dir, a.path).getPath))
     }.reduceOption(_.unionAll(_)).getOrElse(emptyTagged)
     val src = source.withColumn("__sm", lit(true)).as("s")
     val onE = expr(on)
@@ -959,10 +993,10 @@ object DeltaLake {
         .collect().map(r => new File(r.getString(0)).getCanonicalPath).toSet
       groups.foreach { case (pv, g) =>
         val hit = g.filter(a =>
-          affected(new File(dir, a.path).getCanonicalPath))
+          affected(resolvePath(dir, a.path).getCanonicalPath))
         if (hit.nonEmpty) {
           val rows = taggedGroup(pv,
-            hit.map(a => new File(dir, a.path).getPath)).as("t")
+            hit.map(a => resolvePath(dir, a.path).getPath)).as("t")
           val j = rows.join(src, onE, "left_outer")
           val m = coalesce(col("__sm"), lit(false))
           val out = j.filter(!(m && delE)).select(schema.fields.map { f =>

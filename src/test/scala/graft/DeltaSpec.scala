@@ -734,6 +734,34 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getString(2) == "CONVERT")
   }
 
+  test("shallow clone: zero-copy fork that evolves independently") {
+    val root = freshDir("clone")
+    val src = new File(root, "src")
+    val tgt = new File(root, "tgt")
+    src.mkdirs()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    DeltaLake.writeDataFile(df, src, "f0.parquet")
+    DeltaLake.commit(src, 0, Seq(DeltaLake.protocolAction,
+      DeltaLake.metaDataAction(df.schema), DeltaLake.addAction("f0.parquet")))
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"CALL system.shallow_clone('${src.getPath}', " +
+      s"'${tgt.getPath}')").collect()(0).getLong(0) == 1L)
+    // no data was copied: the clone dir holds only its log
+    assert(!new File(tgt, "f0.parquet").exists())
+    assert(DeltaLake.read(spark, tgt.getPath).count() == 2L)
+    // the clone evolves independently of the source
+    DeltaLake.delete(spark, tgt.getPath, $"k" === 1L)
+    DeltaLake.insert(spark, tgt.getPath, Seq((9L, "z")).toDF("k", "s"))
+    assert(DeltaLake.read(spark, tgt.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    assert(DeltaLake.read(spark, src.getPath).count() == 2L) // untouched
+    // VACUUM on the clone sweeps only clone-rooted files: the shared
+    // source file survives even though the clone tombstoned it
+    DeltaLake.vacuum(spark, tgt.getPath, retentionMs = -1L)
+    assert(new File(src, "f0.parquet").exists())
+    assert(DeltaLake.read(spark, src.getPath).count() == 2L)
+  }
+
   test("RESTORE re-points the table at a past version as a new commit") {
     val dir = freshDir("restore")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
