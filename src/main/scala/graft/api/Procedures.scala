@@ -66,9 +66,20 @@ object Procedures {
             graft.ops.DeltaLake.restore(spark, strArg(arg(0)),
               arg(1).trim.toLong)
           case "optimize" =>
+            // optional 2nd arg: target bytes (number) or a quoted
+            // 'zorder:c1,c2' clustering directive
+            val (target, zorder) = args.lift(1).map(_.trim) match {
+              case Some(a) if a.startsWith("'") =>
+                val v = strArg(a)
+                require(v.startsWith("zorder:"),
+                  s"optimize: expected 'zorder:c1,c2', got '$v'")
+                (128L * 1024 * 1024,
+                  v.stripPrefix("zorder:").split(",").map(_.trim).toSeq)
+              case Some(a) => (a.toLong, Seq.empty[String])
+              case None => (128L * 1024 * 1024, Seq.empty[String])
+            }
             graft.ops.DeltaLake.optimize(spark, strArg(arg(0)),
-              targetBytes = args.lift(1).map(_.trim.toLong)
-                .getOrElse(128L * 1024 * 1024))
+              targetBytes = target, zorderBy = zorder)
           case "vacuum" =>
             graft.ops.DeltaLake.vacuum(spark, strArg(arg(0)),
               retentionMs = args.lift(1).map(_.trim.toDouble)

@@ -670,6 +670,10 @@ class DeltaSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L) // both tombstoned originals go
     assert(!new File(dir, "f0.parquet").exists())
     assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
+    // the zorder directive routes through the same CALL
+    assert(ses.sql(s"CALL system.optimize('${dir.getPath}', 'zorder:k')")
+      .collect()(0).getLong(0) == 1L)
+    assert(DeltaLake.read(spark, dir.getPath).count() == 2L)
   }
 
   test("tableChanges: unchanged rewritten rows cancel; update = del+ins") {
