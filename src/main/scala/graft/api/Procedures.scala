@@ -60,6 +60,9 @@ object Procedures {
           case "shallow_clone" =>
             graft.ops.DeltaLake.shallowClone(spark, strArg(arg(0)),
               strArg(arg(1)))
+          case "register_table" => // Iceberg zero-copy clone
+            graft.ops.IcebergTable.cloneTable(spark, strArg(arg(0)),
+              strArg(arg(1)))
           case "convert_to_delta" =>
             graft.ops.DeltaLake.convertToDelta(spark, strArg(arg(0)))
           case "restore" =>

@@ -780,6 +780,33 @@ object IcebergTable {
     n
   }
 
+  /** Zero-copy clone (the reference's RegisterTableProcedure idea, the
+    * Iceberg counterpart of ops/DeltaLake.shallowClone): the target's
+    * first snapshot lists the SOURCE's current live data files by
+    * absolute path (manifest file_path is a URI by spec — the reader
+    * resolves absolutes as-is). Tables carrying live delete layers
+    * refuse (their deletes would need re-scoping); compact first
+    * (rewrite_data_files). The clone then evolves independently —
+    * appends, MoR deletes and updates commit to ITS metadata. Returns
+    * the number of referenced files. */
+  def cloneTable(s: SparkSession, sourceDir: String, targetDir: String)
+      : Long = {
+    val src = new File(sourceDir).getCanonicalFile
+    val tgt = new File(targetDir).getCanonicalFile
+    require(!new File(tgt, "metadata/version-hint.text").exists(),
+      s"$targetDir already has Iceberg metadata")
+    val meta = loadMeta(src)
+    val cur = meta.get("current-snapshot-id").asLong
+    val live = liveFiles(src, meta, cur)
+    require(live.forall(_.content == 0),
+      "clone of a table with live delete files unsupported — run " +
+        "rewrite_data_files on the source first")
+    tgt.mkdirs()
+    commitSnapshot(tgt, 1, 1L, live.map(f =>
+      Entry(1, resolve(src, f.path).getCanonicalPath)))
+    live.size.toLong
+  }
+
   /** rewrite_data_files (the reference's RewriteDataFilesProcedure):
     * compact the CURRENT snapshot — with every delete layer applied —
     * into fresh data files and commit a REPLACE snapshot whose manifest

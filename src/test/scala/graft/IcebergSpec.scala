@@ -560,6 +560,34 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, dir.getPath).count() == 3L)
   }
 
+  test("register_table clones zero-copy; clone evolves independently") {
+    val root = freshDir("clone")
+    val src = new java.io.File(root, "src")
+    val tgt = new java.io.File(root, "tgt")
+    src.mkdirs()
+    val a = IcebergTable.writeDataFile(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src, "a.parquet")
+    IcebergTable.commitSnapshot(src, 1, 1L, Seq(Entry(1, a)))
+    val ses = graft.api.SqlSession.wrap(spark)
+    assert(ses.sql(s"CALL system.register_table('${src.getPath}', " +
+      s"'${tgt.getPath}')").collect()(0).getLong(0) == 1L)
+    assert(!new java.io.File(tgt, "data/a.parquet").exists()) // no copy
+    assert(IcebergTable.read(spark, tgt.getPath).count() == 2L)
+    // independent evolution: MoR delete + append on the clone only
+    IcebergTable.delete(spark, tgt.getPath, $"k" === 1L)
+    IcebergTable.insertAppend(spark, tgt.getPath,
+      Seq((9L, "z")).toDF("k", "s"))
+    assert(IcebergTable.read(spark, tgt.getPath).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    assert(IcebergTable.read(spark, src.getPath).count() == 2L)
+    // a source with live delete layers refuses to clone
+    IcebergTable.delete(spark, src.getPath, $"k" === 2L)
+    intercept[IllegalArgumentException] {
+      IcebergTable.cloneTable(spark, src.getPath,
+        new java.io.File(root, "tgt2").getPath)
+    }
+  }
+
   test("EXISTING entries (status 0) keep carried-forward files visible") {
     val dir = freshDir("exist")
     val a = IcebergTable.writeDataFile(
