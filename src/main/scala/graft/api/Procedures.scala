@@ -24,7 +24,7 @@ import org.apache.spark.sql.DataFrame
 object Procedures {
 
   private val CallPat =
-    """(?is)\ACALL\s+(?:system\.)?([a-z_]+)\s*\((.*)\)\s*\z""".r
+    """(?is)\ACALL\s+(?:system\.)?(?:runtime\.)?([a-z_]+)\s*\((.*)\)\s*\z""".r
 
   private def strArg(a: String): String = {
     val t = a.trim
@@ -88,6 +88,14 @@ object Procedures {
               retentionMs = args.lift(1).map(_.trim.toDouble)
                 .map(h => (h * 3600 * 1000).toLong)
                 .getOrElse(7L * 24 * 3600 * 1000))
+          case "kill_query" =>
+            // reference KillQueryProcedure.java:62 — accepts the named
+            // `query_id => '...'` spelling too; unknown/terminal ids error
+            val id = strArg(arg(0).replaceAll(
+              "(?is)\\Aquery_id\\s*=>\\s*", ""))
+            require(StatementServer.killQuery(id),
+              s"kill_query: no running query with id $id")
+            1L
           case other => throw new IllegalArgumentException(
             s"unknown procedure: $other")
         }

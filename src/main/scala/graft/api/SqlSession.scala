@@ -41,7 +41,26 @@ final class SqlSession private (val spark: SparkSession) {
     LakeScans.dispatchMerge(this, text0).foreach(df => return df)
     LakeScans.dispatchDml(this, text0).foreach(df => return df)
     Procedures.dispatch(this, text0).foreach(df => return df)
-    val text = LakeScans.rewrite(spark, text0)
+    // system.runtime.* observability tables (reference
+    // QuerySystemTable.java / NodesSystemTable.java): snapshot the
+    // statement-server registry into temp views at reference time
+    val text1 = {
+      var t = LakeScans.rewrite(spark, text0)
+      if ("(?i)\\bsystem\\.runtime\\.queries\\b".r.findFirstIn(t).isDefined) {
+        StatementServer.runtimeQueries(spark)
+          .createOrReplaceTempView("system_runtime_queries")
+        t = t.replaceAll("(?i)\\bsystem\\.runtime\\.queries\\b",
+          "system_runtime_queries")
+      }
+      if ("(?i)\\bsystem\\.runtime\\.nodes\\b".r.findFirstIn(t).isDefined) {
+        StatementServer.runtimeNodes(spark)
+          .createOrReplaceTempView("system_runtime_nodes")
+        t = t.replaceAll("(?i)\\bsystem\\.runtime\\.nodes\\b",
+          "system_runtime_nodes")
+      }
+      t
+    }
+    val text = text1
     SessionStatements.dispatch(this, text)
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)
         .map(DdlStatements.statusResult(spark, _)))
@@ -610,6 +629,118 @@ object Dialect {
       original.substring(aEnd, bStart) + bText + original.substring(bEnd)
   }
 
+  private val quantifiedRe =
+    "(?i)(<=|>=|<>|!=|=|<|>)\\s*(ALL|ANY|SOME)\\s*\\(".r
+
+  /** Quantified comparison subqueries — `expr op ALL|ANY|SOME (query)`
+    * (reference SqlBase.g4 `comparisonQuantifier`, planned by
+    * TransformQuantifiedComparisonApplyToLateralJoin.java into the
+    * count/min/max CASE). Spark's parser has no quantified comparisons,
+    * so the dialect applies the reference's own lowering textually:
+    *
+    *  - `= ANY` is IN, `<> ALL` is NOT IN (exact delegations);
+    *  - ordered ops lower to a three-valued CASE over four aggregate
+    *    scalar subqueries (count(*), count(v), min(v), max(v)): e.g.
+    *    `c > ALL(q)` is TRUE on empty q, NULL when c is NULL, FALSE when
+    *    a non-null element ≥ c exists (c <= max), TRUE when all elements
+    *    are non-null and c > max, else NULL — ANSI 3VL exactly;
+    *  - `= ALL` / `<> ANY` use the min=max collapse the same way.
+    *
+    * Catalyst de-duplicates the repeated aggregate subqueries
+    * (MergeScalarSubqueries), so the plan carries ONE aggregation over q,
+    * decorrelated into a join when q is correlated — the same scale shape
+    * as the reference's lateral rewrite. The quantifier must open on a
+    * subquery (SELECT/WITH/VALUES/TABLE) — `x = any(bools)`, Spark's
+    * aggregate, stays untouched. The left operand may be an identifier
+    * chain, a literal number, or a parenthesized/function expression. */
+  private def rewriteQuantified(original: String, depth: Int = 0): String = {
+    if (depth > 8) return original
+    val m = masked(original)
+    val hit = quantifiedRe.findAllMatchIn(m).find { h =>
+      val inner = m.substring(h.end, matchParen(m, h.end - 1) - 1)
+      "(?is)^\\s*(SELECT|WITH|VALUES|TABLE)\\b".r
+        .findFirstIn(inner).isDefined
+    } match {
+      case None => return original
+      case Some(h) => h
+    }
+    val op = hit.group(1)
+    val quant = hit.group(2).toUpperCase match {
+      case "SOME" => "ANY"
+      case q => q
+    }
+    val subEnd = matchParen(m, hit.end - 1)
+    val q = original.substring(hit.end, subEnd - 1)
+    val lStart = leftOperandStart(m, hit.start)
+    if (lStart >= hit.start) throw new UnsupportedOperationException(
+      "quantified comparison: unsupported left-operand shape before " +
+        s"'$op ${hit.group(2)} (...)'")
+    val c = original.substring(lStart, hit.start).trim
+    def agg(f: String) = s"(SELECT $f FROM ($q) AS __gq(__gqv))"
+    val cnt = agg("count(*)")
+    val cntN = agg("count(__gqv)")
+    val mn = agg("min(__gqv)")
+    val mx = agg("max(__gqv)")
+    val nul = "CAST(NULL AS BOOLEAN)"
+    val repl = (op, quant) match {
+      case ("=", "ANY") => s"(($c) IN ($q))"
+      case ("<>" | "!=", "ALL") => s"(($c) NOT IN ($q))"
+      case ("=", "ALL") =>
+        s"(CASE WHEN $cnt = 0 THEN true WHEN ($c) IS NULL THEN $nul " +
+          s"WHEN $cntN > 0 AND (($c) <> $mn OR ($c) <> $mx) THEN false " +
+          s"WHEN $cntN = $cnt THEN true ELSE $nul END)"
+      case ("<>" | "!=", "ANY") =>
+        s"(CASE WHEN $cnt = 0 THEN false WHEN ($c) IS NULL THEN $nul " +
+          s"WHEN $cntN > 0 AND (($c) <> $mn OR ($c) <> $mx) THEN true " +
+          s"WHEN $cntN = $cnt THEN false ELSE $nul END)"
+      case (o, "ALL") =>
+        // witness element: the hardest to satisfy — max for >/>=, min for </<=
+        val ext = if (o == ">" || o == ">=") mx else mn
+        s"(CASE WHEN $cnt = 0 THEN true WHEN ($c) IS NULL THEN $nul " +
+          s"WHEN $cntN > 0 AND NOT (($c) $o $ext) THEN false " +
+          s"WHEN $cntN = $cnt THEN true ELSE $nul END)"
+      case (o, _) => // ANY
+        val ext = if (o == ">" || o == ">=") mn else mx
+        s"(CASE WHEN $cnt = 0 THEN false WHEN ($c) IS NULL THEN $nul " +
+          s"WHEN $cntN > 0 AND (($c) $o $ext) THEN true " +
+          s"WHEN $cntN = $cnt THEN false ELSE $nul END)"
+    }
+    rewriteQuantified(
+      original.substring(0, lStart) + repl + original.substring(subEnd),
+      depth + 1)
+  }
+
+  /** Start index of the left operand ending just before `before` on the
+    * masked text: a parenthesized group (with an optional attached
+    * function name), or an identifier/number/qualified chain. Returns
+    * `before` when the shape is unsupported. */
+  private def leftOperandStart(m: String, before: Int): Int = {
+    var i = before - 1
+    while (i >= 0 && m.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return before
+    def identChar(ch: Char) =
+      ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`'
+    if (m.charAt(i) == ')') {
+      var depth = 0
+      var done = false
+      while (i >= 0 && !done) {
+        m.charAt(i) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1; if (depth == 0) done = true
+          case _ =>
+        }
+        if (!done) i -= 1
+      }
+      if (!done) return before
+      i -= 1
+      while (i >= 0 && identChar(m.charAt(i))) i -= 1
+      i + 1
+    } else if (identChar(m.charAt(i))) {
+      while (i >= 0 && identChar(m.charAt(i))) i -= 1
+      i + 1
+    } else before
+  }
+
   // Presto spells interval-arithmetic units as string literals
   // (date_add('day', n, ts) — DateTimeFunctions.java); Spark's parser form
   // wants bare identifiers (dateadd(DAY, n, ts)). Unquote in place.
@@ -660,7 +791,8 @@ object Dialect {
           "supported as a DDL column type")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
-        rewriteCharCast(rewriteStrpos3(rewriteDecimalLiteral(base))))))),
+        rewriteCharCast(rewriteStrpos3(rewriteQuantified(
+          rewriteDecimalLiteral(base)))))))),
       unnestStructRows))).map {
       case (seg, false) => seg
       case (seg, true) =>

@@ -68,7 +68,12 @@ object StatementServer {
     // STREAMED result: a toLocalIterator plus a bounded page window —
     // the driver holds at most PageWindow pages, never the whole result
     // (the reference streams bounded pages from the output buffer,
-    // ExecutingStatementResource.java:99-151). Guarded by `this`.
+    // ExecutingStatementResource.java:99-151). Window/counters are
+    // guarded by `this`; the iterator pull itself runs under `pullLock`
+    // ONLY — a pull can take as long as the query's tasks, and holding
+    // the monitor across it would block cancel() (and every state read)
+    // behind it, making a long query uncancelable.
+    val pullLock = new Object
     var iter: Iterator[Row] = _
     var nextPageIdx: Int = 0
     var window: scala.collection.immutable.TreeMap[Int, Seq[Row]] =
@@ -83,6 +88,7 @@ object StatementServer {
       * client to fold the effect into its next request. */
     @volatile var respHeaders: Map[String, String] = Map.empty
     val createdNanos: Long = System.nanoTime()
+    val createdMillis: Long = System.currentTimeMillis()
     /** For eviction: a FINISHED query a slow client is still paging
       * through must not expire under it. */
     @volatile var lastAccessNanos: Long = System.nanoTime()
@@ -637,22 +643,29 @@ object StatementServer {
     * works, anything older is gone (410), as in the reference. */
   private val PageWindow = 3
   private def servePage(q: QueryExec, page: Int)
-      : Either[Int, (Seq[Row], Boolean)] = q.synchronized {
-    if (q.window.contains(page))
-      Right((q.window(page), page + 1 < q.nextPageIdx || !q.exhausted))
-    else if (page == q.nextPageIdx && !q.exhausted) {
-      val buf = Vector.newBuilder[Row]
-      var n = 0
-      while (n < pageRows && q.iter.hasNext) { buf += q.iter.next(); n += 1 }
-      if (!q.iter.hasNext) q.exhausted = true
-      val rows = buf.result()
+      : Either[Int, (Seq[Row], Boolean)] = q.pullLock.synchronized {
+    // fast path + eligibility under the monitor (short); the pull itself
+    // runs with only pullLock held so cancel()/state reads never queue
+    // behind a long-running task
+    q.synchronized {
+      if (q.window.contains(page))
+        return Right((q.window(page), page + 1 < q.nextPageIdx || !q.exhausted))
+      if (page != q.nextPageIdx || q.exhausted) return Left(410)
+    }
+    val buf = Vector.newBuilder[Row]
+    var n = 0
+    while (n < pageRows && q.iter.hasNext) { buf += q.iter.next(); n += 1 }
+    val done = !q.iter.hasNext
+    val rows = buf.result()
+    q.synchronized {
+      q.exhausted = done
       q.rowCount += rows.size
       q.window = q.window + (page -> rows)
       while (q.window.size > PageWindow) q.window = q.window.tail
       q.maxWindowSeen = math.max(q.maxWindowSeen, q.window.size)
       q.nextPageIdx += 1
       Right((rows, !q.exhausted))
-    } else Left(410)
+    }
   }
 
   /** Bound the registry: a long-lived server must not accumulate every
@@ -669,7 +682,8 @@ object StatementServer {
         .foreach(q => queries.remove(q.id))
     }
 
-  private def cancel(q: QueryExec): Unit = {
+  /** Returns whether the cancel acted (false = already terminal). */
+  private def cancel(q: QueryExec): Boolean = {
     // the whole transition is atomic wrt run()'s RUNNING -> FINISHED so a
     // cancel can never leave state=FINISHED with a USER_CANCELED payload
     val act = q.synchronized {
@@ -687,7 +701,54 @@ object StatementServer {
       val spark = session
       if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
     }
+    act
   }
+
+  // ---------- system.runtime (reference MAIN/connector/system/
+  // QuerySystemTable.java:56 column set and NodesSystemTable.java) — the
+  // registry snapshot behind `SELECT * FROM system.runtime.queries`, plus
+  // the kill_query procedure (KillQueryProcedure.java:62)
+
+  /** One row per registry entry, newest-submitted last. */
+  def runtimeQueries(spark: SparkSession): DataFrame = {
+    val rows = queries.values.toSeq.sortBy(_.createdNanos).map { q =>
+      Row(q.id, q.state, q.user, q.source, q.sql,
+        new java.sql.Timestamp(q.createdMillis),
+        (System.nanoTime() - q.createdNanos) / 1000000L,
+        q.rowCount,
+        if (q.error != null) q.error.errorName else null)
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", StringType), StructField("state", StringType),
+      StructField("user", StringType), StructField("source", StringType),
+      StructField("query", StringType),
+      StructField("created", TimestampType),
+      StructField("elapsed_ms", LongType),
+      StructField("processed_rows", LongType),
+      StructField("error_name", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The single coordinator row (local mode IS the cluster here; on a
+    * real deployment one row per executor joins it). */
+  def runtimeNodes(spark: SparkSession): DataFrame = {
+    val uri = if (boundPort > 0) s"http://127.0.0.1:$boundPort" else "local"
+    val rows = Seq(Row("graft-coordinator", uri, "graft-spark", true, "active"))
+    val schema = StructType(Seq(
+      StructField("node_id", StringType), StructField("http_uri", StringType),
+      StructField("node_version", StringType),
+      StructField("coordinator", BooleanType),
+      StructField("state", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** CALL system.runtime.kill_query: cancel by id; false when unknown or
+    * already terminal (the reference raises NOT_FOUND / already-done).
+    * Atomic: the terminal check happens inside cancel()'s transition, so
+    * a query finishing concurrently reports false, never a phantom kill. */
+  def killQuery(id: String): Boolean = queries.get(id).exists(cancel)
 
   // ---------- HTTP
 

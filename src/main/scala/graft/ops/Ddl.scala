@@ -80,7 +80,16 @@ object Ddl {
     q.sql("SHOW GRANTS")
   }
 
+  /** system.runtime.nodes (reference NodesSystemTable.java) — the
+    * deterministic columns of the coordinator row; the dynamic registry
+    * table system.runtime.queries + kill_query are SystemTablesSpec. */
+  def runtimeNodes(s: SparkSession, dir: String): DataFrame =
+    ses(s, dir).sql(
+      """SELECT node_id, node_version, coordinator, state
+        |FROM system.runtime.nodes""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sys_runtime_nodes" -> runtimeNodes,
     "sql_dcl_grants" -> dcl,
     "sql_ddl_lifecycle" -> lifecycle,
     "sql_show_columns" -> showColumns,
@@ -88,6 +97,10 @@ object Ddl {
     "sql_show_functions" -> showFunctions)
 
   val oracle: Map[String, String] = Map(
+    "sys_runtime_nodes" ->
+      """SELECT 'graft-coordinator' AS node_id,
+        |  'graft-spark' AS node_version,
+        |  true AS coordinator, 'active' AS state""".stripMargin,
     "sql_dcl_grants" ->
       """SELECT * FROM (VALUES
         | ('graft', 'USER', 'reader', 'ROLE', 'graft', 'default',

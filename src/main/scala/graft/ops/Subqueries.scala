@@ -71,13 +71,41 @@ object Subqueries {
       |WHERE c.c_custkey <= 200
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Correlated quantified comparison (SqlBase.g4 comparisonQuantifier;
+    * TransformQuantifiedComparisonApplyToLateralJoin.java): goes through
+    * the DIALECT (Spark's parser has no ALL/ANY subqueries) — the
+    * count/min/max CASE lowering decorrelates into one join + agg. */
+  private val quantAllSql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier s
+      |WHERE (s_acctbal * 2) > ALL (SELECT c_acctbal FROM customer c
+      |                       WHERE c.c_nationkey = s.s_nationkey)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Three quantifiers in one projection, incl. the empty-subquery and
+    * min=max-collapse branches of the 3VL lowering. */
+  private val quantMixedSql =
+    """SELECT n_nationkey,
+      |  n_nationkey >= ALL (SELECT r_regionkey FROM region) AS ge_all,
+      |  n_nationkey > ANY (SELECT r_regionkey FROM region) AS gt_any,
+      |  n_nationkey = ALL (SELECT r_regionkey FROM region
+      |                     WHERE r_regionkey = n_nationkey) AS eq_all_self
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  private def dsql(s: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.api.SqlSession.wrap(s).sql(text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub_scalar" -> ((s, d) => sql(s, d, scalarSql)),
     "sub_corr_scalar" -> ((s, d) => sql(s, d, corrScalarSql)),
     "sub_in" -> ((s, d) => sql(s, d, inSql)),
     "sub_not_in" -> ((s, d) => sql(s, d, notInSql)),
     "sub_exists" -> ((s, d) => sql(s, d, existsSql)),
-    "sub_lateral" -> ((s, d) => sql(s, d, lateralSql)))
+    "sub_lateral" -> ((s, d) => sql(s, d, lateralSql)),
+    "sub_quant_all" -> ((s, d) => dsql(s, d, quantAllSql)),
+    "sub_quant_mixed" -> ((s, d) => dsql(s, d, quantMixedSql)))
 
   // The oracle runs the IDENTICAL ANSI SQL — both planners must agree.
   val oracle: Map[String, String] = Map(
@@ -86,5 +114,7 @@ object Subqueries {
     "sub_in" -> inSql,
     "sub_not_in" -> notInSql,
     "sub_exists" -> existsSql,
-    "sub_lateral" -> lateralSql)
+    "sub_lateral" -> lateralSql,
+    "sub_quant_all" -> quantAllSql,
+    "sub_quant_mixed" -> quantMixedSql)
 }

@@ -351,6 +351,52 @@ object TextAnalysis {
     * the map-side partial combine collapses each partition to its
     * distinct words before the shuffle, and only the global top-K
     * reaches the driver. */
+  /** Domain-mixture resampling — the "data mixing" stage of a pre-training
+    * pipeline (the Pile / Dolma / DoReMi mixture tables): given target
+    * WEIGHTS per domain and an output BUDGET (fraction of the corpus),
+    * each domain's keep-rate is weight_d × budget × N / n_d capped at 1,
+    * and rows keep deterministically when the first 8 hex chars of
+    * md5(salt ‖ id) fall under the rate's 32-bit threshold — seedless,
+    * rerunnable, partition-order-independent.
+    *
+    * Scale shape: the per-domain counts are a TINY rollup (one row per
+    * domain) collected to the driver — the only collect, over #domains
+    * rows — folded back in as literal thresholds; the sampling pass is a
+    * narrow codegen'd projection, so at 100 TB this runs at scan speed
+    * with zero extra shuffles. */
+  def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], budget: Double,
+      salt: String = "mix_"): DataFrame = {
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // per-domain keep-rate, then its 32-bit hash threshold as 8 hex chars
+    // (lexicographic compare on fixed-width lowercase hex == numeric)
+    val thresholds: Map[String, (Double, String)] = counts.map {
+      case (d, n) =>
+        val rate = math.min(1.0,
+          weights.getOrElse(d, 0.0) * budget * total / n)
+        val thr = "%08x".format(
+          math.floor(rate * 4294967296.0).toLong.min(0xffffffffL))
+        d -> (rate, thr)
+    }
+    val hex8 = substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8)
+    val keepAll = thresholds.filter(_._2._1 >= 1.0).keys.toSeq
+    val thrCol = thresholds.foldLeft(lit("00000000")) {
+      case (acc, (d, (_, thr))) =>
+        when(col(domainCol) === d, lit(thr)).otherwise(acc)
+    }
+    docs.filter(col(domainCol).isin(keepAll: _*) || hex8 < thrCol)
+  }
+
+  private def mixture(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+      Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.2,
+        "src3" -> 0.1, "src4" -> 0.1, "src5" -> 0.1),
+      budget = 0.3)
+      .select("doc_id", "source").orderBy("doc_id")
+
   def vocab(df: DataFrame, k: Int = 200): DataFrame =
     df.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
       .filter(col("word") =!= "")
@@ -360,6 +406,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> ((s, dir) => vocab(t(s, dir, "documents"))),
+    "text_mixture" -> mixture,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
@@ -380,6 +427,31 @@ object TextAnalysis {
     s"len(list_filter($c, w -> list_contains(${stopSql(lang)}, w))) * 1.0 / len($c)"
 
   val oracle: Map[String, String] = Map(
+    // rates recompute in DuckDB with the SAME double-precision op order
+    // (left-assoc w*b*t/n), so thresholds agree bit-for-bit
+    "text_mixture" ->
+      """WITH counts AS (SELECT source, count(*) AS n
+        |               FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+        |rates AS (
+        |  SELECT source,
+        |    least(CAST(1 AS DOUBLE),
+        |      (CASE source WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+        |                   WHEN 'src1' THEN CAST(0.2 AS DOUBLE)
+        |                   WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+        |                   WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+        |                   WHEN 'src4' THEN CAST(0.1 AS DOUBLE)
+        |                   WHEN 'src5' THEN CAST(0.1 AS DOUBLE)
+        |                   ELSE CAST(0 AS DOUBLE) END)
+        |      * CAST(0.3 AS DOUBLE) * t / CAST(n AS DOUBLE)) AS rate
+        |  FROM counts, tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE r.rate >= 1.0
+        |   OR substring(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate *
+        |          CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')
+        |ORDER BY d.doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT word, n FROM (
         |  SELECT w AS word, count(*) AS n FROM (
