@@ -58,6 +58,21 @@ final class SqlSession private (val spark: SparkSession) {
         t = t.replaceAll("(?i)\\bsystem\\.runtime\\.nodes\\b",
           "system_runtime_nodes")
       }
+      // information_schema.tables/columns (reference
+      // InformationSchemaMetadata.java:63-66 table set; ANSI shapes) —
+      // snapshot of the session catalog, reference type spellings
+      if ("(?i)\\binformation_schema\\.tables\\b".r.findFirstIn(t).isDefined) {
+        SqlSession.informationSchemaTables(spark)
+          .createOrReplaceTempView("information_schema_tables")
+        t = t.replaceAll("(?i)\\binformation_schema\\.tables\\b",
+          "information_schema_tables")
+      }
+      if ("(?i)\\binformation_schema\\.columns\\b".r.findFirstIn(t).isDefined) {
+        SqlSession.informationSchemaColumns(spark)
+          .createOrReplaceTempView("information_schema_columns")
+        t = t.replaceAll("(?i)\\binformation_schema\\.columns\\b",
+          "information_schema_columns")
+      }
       t
     }
     val text = text1
@@ -112,6 +127,56 @@ object SqlSession {
       spark.experimental.extraOptimizations =
         extra :+ graft.rules.CombineApproxPercentiles
     new SqlSession(spark)
+  }
+
+  /** One (catalog, schema, name, type) row per catalog entry — the
+    * reference's information_schema.tables (ANSI; temp views report as
+    * VIEW, persisted tables as BASE TABLE). Metadata-only listing. */
+  private[api] def informationSchemaTables(
+      spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = spark.catalog.listTables().collect().toSeq.map { t =>
+      Row("graft", Option(t.database).getOrElse("default"), t.name,
+        if (t.tableType == "VIEW" || t.isTemporary) "VIEW" else "BASE TABLE")
+    }
+    val schema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("table_type", StringType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** ANSI information_schema.columns over every catalog entry, with the
+    * reference's type spellings (DdlStatements.prestoTypeName — the same
+    * mapping SHOW COLUMNS and the wire protocol use). */
+  private[api] def informationSchemaColumns(
+      spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      val db = Option(t.database).getOrElse("default")
+      try {
+        spark.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
+          Row("graft", db, t.name, f.name, (i + 1).toLong, null,
+            if (f.nullable) "YES" else "NO",
+            StatementServer.prestoType(f.dataType))
+        }.toSeq
+      } catch { case _: Throwable => Seq.empty } // unreadable entry: skip
+    }
+    val schema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", LongType),
+      StructField("column_default", StringType),
+      StructField("is_nullable", StringType),
+      StructField("data_type", StringType)))
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Build a session from scratch (local default suitable for tests). */

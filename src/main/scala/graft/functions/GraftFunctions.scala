@@ -37,6 +37,9 @@ object GraftFunctions {
       es => HammingDistance(es(0), es(1))),
     ("word_stem", "word_stem(word) - Porter stem of an English word",
       es => WordStem(es.head)),
+    ("wordpiece_encode",
+      "wordpiece_encode(text, vocab) - greedy longest-match subword tokens",
+      es => WordPieceEncode(es(0), es(1))),
     ("myanmar_font_encoding",
       "myanmar_font_encoding(s) - 'zawgyi' or 'unicode' font-encoding label",
       es => MyanmarFontEncoding(es.head)),
@@ -1328,6 +1331,8 @@ object GraftFunctions {
   def fromIeee754Bits(a: Column): Column =
     c(BinConvExpr(BinConvExpr(x(a), "to_big_endian_64"), "from_ieee754_64"))
   def wordStem(a: Column): Column = c(WordStem(x(a)))
+  def wordpieceEncode(text: Column, vocab: Column): Column =
+    c(WordPieceEncode(x(text), x(vocab)))
   def tryExpr(a: Column): Column = c(TryExpression(x(a)))
   def mysqlDateFormat(ts: Column, fmt: String): Column =
     c(org.apache.spark.sql.catalyst.expressions.DateFormatClass(x(ts),

@@ -88,7 +88,18 @@ object Ddl {
       """SELECT node_id, node_version, coordinator, state
         |FROM system.runtime.nodes""".stripMargin)
 
+  /** information_schema.columns (InformationSchemaMetadata.java:63-66;
+    * ANSI shape, reference type spellings) — pinned on nation. The
+    * .tables relation and dynamic listings are DdlSpec. */
+  def infoSchemaColumns(s: SparkSession, dir: String): DataFrame =
+    ses(s, dir, "nation").sql(
+      """SELECT table_name, column_name, ordinal_position, is_nullable,
+        |  data_type
+        |FROM information_schema.columns
+        |WHERE table_name = 'nation' ORDER BY ordinal_position""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sys_info_schema_cols" -> infoSchemaColumns,
     "sys_runtime_nodes" -> runtimeNodes,
     "sql_dcl_grants" -> dcl,
     "sql_ddl_lifecycle" -> lifecycle,
@@ -97,6 +108,14 @@ object Ddl {
     "sql_show_functions" -> showFunctions)
 
   val oracle: Map[String, String] = Map(
+    "sys_info_schema_cols" ->
+      """SELECT * FROM (VALUES
+        | ('nation', 'n_nationkey', CAST(1 AS BIGINT), 'YES', 'integer'),
+        | ('nation', 'n_name', CAST(2 AS BIGINT), 'YES', 'varchar'),
+        | ('nation', 'n_regionkey', CAST(3 AS BIGINT), 'YES', 'integer')
+        |) AS t(table_name, column_name, ordinal_position, is_nullable,
+        |  data_type)
+        |ORDER BY ordinal_position""".stripMargin,
     "sys_runtime_nodes" ->
       """SELECT 'graft-coordinator' AS node_id,
         |  'graft-spark' AS node_version,

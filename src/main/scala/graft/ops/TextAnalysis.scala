@@ -397,6 +397,33 @@ object TextAnalysis {
       budget = 0.3)
       .select("doc_id", "source").orderBy("doc_id")
 
+  /** Fixed subword vocabulary for the tokenizer gate: common English
+    * merges + every [a-z0-9] single character (the UNK-as-char floor). */
+  private val wpVocab: Seq[String] = Seq(
+    "the", "ing", "tion", "and", "ent", "ion", "er", "re", "an", "he",
+    "in", "on", "at", "en", "es", "or", "te", "of", "ed", "is", "it",
+    "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io",
+    "le", "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce") ++
+    ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Tokenizer APPLICATION at corpus scale (functions/WordPiece.scala):
+    * greedy longest-match encode over a broadcast-literal vocabulary —
+    * one codegen-stage projection, zero shuffles before the gate's
+    * deterministic ORDER BY. */
+  def wordpiece(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.GraftFunctions.wordpieceEncode(
+      substring(lower(col("text")), 1, 120),
+      array(wpVocab.map(lit): _*))
+    t(s, dir, "documents")
+      .where(col("doc_id") % 41 === 0)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        concat_ws("|", col("tk")).as("toks"))
+      .orderBy("doc_id")
+  }
+
   def vocab(df: DataFrame, k: Int = 200): DataFrame =
     df.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
       .filter(col("word") =!= "")
@@ -407,6 +434,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab" -> ((s, dir) => vocab(t(s, dir, "documents"))),
     "text_mixture" -> mixture,
+    "text_wordpiece" -> wordpiece,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
@@ -452,6 +480,34 @@ object TextAnalysis {
         |      < lpad(lower(to_hex(CAST(floor(r.rate *
         |          CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')
         |ORDER BY d.doc_id""".stripMargin,
+    // independent replay of greedy longest-match: per word, a recursive
+    // CTE peels the longest prefixing vocab piece (single-char fallback)
+    "text_wordpiece" -> {
+      val vlist = wpVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE vocab(piece) AS (
+        |  SELECT * FROM (VALUES $vlist) v(piece)),
+        |docs AS (SELECT doc_id, lower(substring(text, 1, 120)) AS s
+        |         FROM documents WHERE doc_id % 41 = 0),
+        |words AS (SELECT doc_id, wi, ws[wi] AS w
+        |          FROM (SELECT doc_id, string_split(s, ' ') AS ws FROM docs) d,
+        |               unnest(range(1, len(ws) + 1)) AS r(wi)
+        |          WHERE ws[wi] <> ''),
+        |step(doc_id, wi, rest, tok, ti) AS (
+        |  SELECT doc_id, wi, w, CAST(NULL AS VARCHAR), 0 FROM words
+        |  UNION ALL
+        |  SELECT s.doc_id, s.wi, substring(s.rest, length(m.piece) + 1),
+        |         m.piece, s.ti + 1
+        |  FROM step s, LATERAL (
+        |    SELECT piece FROM (
+        |      SELECT piece FROM vocab WHERE starts_with(s.rest, piece)
+        |      UNION ALL SELECT substring(s.rest, 1, 1)) c(piece)
+        |    ORDER BY length(piece) DESC, piece LIMIT 1) m
+        |  WHERE s.rest <> '')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, '|' ORDER BY wi, ti) AS toks
+        |FROM step WHERE tok IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "text_vocab" ->
       """SELECT word, n FROM (
         |  SELECT w AS word, count(*) AS n FROM (

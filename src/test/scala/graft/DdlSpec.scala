@@ -184,6 +184,31 @@ class DdlSpec extends AnyFunSuite {
     assert(lj.contains("Aggregate"))
   }
 
+  test("information_schema.tables and .columns list the catalog") {
+    val tables = session.sql(
+      """SELECT table_type FROM information_schema.tables
+        |WHERE table_name = 'region'""".stripMargin).collect()
+    assert(tables.length == 1 && tables.head.getString(0) == "VIEW")
+    val cols = session.sql(
+      """SELECT column_name, data_type FROM information_schema.columns
+        |WHERE table_name = 'region' ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cols.head == ("r_regionkey", "integer"))
+    assert(cols.map(_._1).contains("r_name"))
+    // a freshly created table appears, then disappears on drop
+    cleanup()
+    session.sql("CREATE TABLE ddlspec_t AS SELECT 1 AS a")
+    val t2 = session.sql(
+      """SELECT count(*) FROM information_schema.columns
+        |WHERE table_name = 'ddlspec_t'""".stripMargin).collect()
+    assert(t2.head.getLong(0) == 1L)
+    session.sql("DROP TABLE ddlspec_t")
+    val t3 = session.sql(
+      """SELECT count(*) FROM information_schema.tables
+        |WHERE table_name = 'ddlspec_t'""".stripMargin).collect()
+    assert(t3.head.getLong(0) == 0L)
+  }
+
   test("SHOW STATS FOR computes exact column stats plus the summary row") {
     val rows = session.sql("SHOW STATS FOR region").collect()
     assert(rows.length == 3) // 2 columns + summary
