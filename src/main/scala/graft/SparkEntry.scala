@@ -17,7 +17,8 @@ object SparkEntry {
       ops.Spatial.queries ++ streaming.Streams.queries ++ tpcds.Tpcds.queries ++
       ops.Ddl.queries ++ ops.Ml.queries ++ ops.IndexJoin.queries ++
       ops.Remote.queries ++ ops.Cdc.queries ++ ops.Layout.queries ++
-      ops.Transactions.queries ++ ops.AsOfJoin.queries
+      ops.Transactions.queries ++ ops.AsOfJoin.queries ++
+      ops.AvroSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       ops.Spatial.oracle ++ streaming.Streams.oracle ++ tpcds.Tpcds.oracle ++
       ops.Ddl.oracle ++ ops.Ml.oracle ++ ops.IndexJoin.oracle ++
       ops.Remote.oracle ++ ops.Cdc.oracle ++ ops.Layout.oracle ++
-      ops.Transactions.oracle ++ ops.AsOfJoin.oracle
+      ops.Transactions.oracle ++ ops.AsOfJoin.oracle ++
+      ops.AvroSource.oracle
 }

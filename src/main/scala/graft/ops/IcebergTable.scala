@@ -180,6 +180,11 @@ object IcebergTable {
       (0 until fs.size()).map(fs.get).flatMap(f =>
         Option(f.get("id")).map(_.asInt -> f.get("name").asText)).toMap
     }.getOrElse(Map.empty)
+    specFields(spec, idToName)
+  }
+
+  private def specFields(spec: com.fasterxml.jackson.databind.JsonNode,
+      idToName: Map[Int, String]): Seq[SpecField] = {
     val fields = spec.get("fields")
     (0 until fields.size()).map(fields.get).map { f =>
       val src = Option(f.get("source-id")).map(_.asInt).flatMap(idToName.get)
@@ -187,6 +192,41 @@ object IcebergTable {
         .getOrElse(f.get("name").asText)
       SpecField(f.get("name").asText, f.get("transform").asText, src)
     }
+  }
+
+  /** The spec fields SAFE to prune on: identical (name, transform,
+    * source) in EVERY partition spec the table has ever had. After
+    * partition evolution, a data file's manifest tuple was written under
+    * its manifest's own spec — pruning an old file with the new spec's
+    * transform for a same-named field would silently drop matching rows.
+    * Fields absent from older specs stay prunable: old tuples simply
+    * lack the key and keepFile keeps the file. Writes always route
+    * through the DEFAULT spec (partitionSpec). */
+  private[ops] def pruningSpec(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[SpecField] = {
+    val default = partitionSpec(meta)
+    val specsNode = Option(meta.get("partition-specs"))
+      .filter(_.size() > 1).orNull
+    if (specsNode == null) return default
+    // rebuild the id→name map once (same resolution partitionSpec used)
+    val schemaNode = Option(meta.get("schema")).orElse {
+      Option(meta.get("schemas")).filter(_.size() > 0).map { arr =>
+        val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+        (0 until arr.size()).map(arr.get)
+          .find(s => cur.forall(c =>
+            Option(s.get("schema-id")).forall(_.asInt == c)))
+          .getOrElse(arr.get(0))
+      }
+    }
+    val idToName: Map[Int, String] = schemaNode.map { sc =>
+      val fs = sc.get("fields")
+      (0 until fs.size()).map(fs.get).flatMap(f =>
+        Option(f.get("id")).map(_.asInt -> f.get("name").asText)).toMap
+    }.getOrElse(Map.empty)
+    val allSpecs = (0 until specsNode.size())
+      .map(i => specFields(specsNode.get(i), idToName))
+    default.filter(sf => allSpecs.forall(s =>
+      s.forall(o => o.name != sf.name || o == sf)))
   }
 
   /** True iff the file can hold rows satisfying every predicate. A file's
@@ -444,7 +484,7 @@ object IcebergTable {
     val meta = loadMeta(dir)
     val live = liveFiles(dir, meta, meta.get("current-snapshot-id").asLong)
       .filter(_.content == 0)
-    val spec = partitionSpec(meta)
+    val spec = pruningSpec(meta)
     val preds = predicates.map(p => Pred(p._1, p._2, p._3))
     (live.count(keepFile(_, spec, preds)), live.size)
   }
@@ -479,7 +519,7 @@ object IcebergTable {
     val dir = new File(tableDir).getCanonicalFile
     val snapId = snapshotId
     val meta = loadMeta(dir)
-    val spec = partitionSpec(meta)
+    val spec = pruningSpec(meta)
     val live = liveFiles(dir, meta, snapId)
       .filter(keepFile(_, spec, preds))
     val dataFiles = live.collect { case LiveFile(0, p, q, _) => (p, q) }

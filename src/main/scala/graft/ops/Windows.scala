@@ -175,7 +175,40 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Gap-based sessionization — the event-analytics operator the
+    * reference expresses as the lag + running-sum window idiom (its
+    * sessionization cookbook shape; same machinery as
+    * TopNRowNumberOperator's partitioned windows). A new session starts
+    * when the gap to the user's previous event exceeds the threshold;
+    * the session id is the running count of starts. One key-partitioned
+    * sort, no self-join — linear at 100 TB. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    val byTs = Window.partitionBy(keyCol).orderBy(asc(tsCol))
+    // integer microseconds: second-level truncation would misclassify
+    // sub-second gaps differently from a fractional-epoch replay
+    // NTZ inputs cast through the (UTC-pinned) session zone first —
+    // unix_micros takes TIMESTAMP only
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prevUs = unix_micros(lag(col(tsCol), 1).over(byTs).cast("timestamp"))
+    val isNew = when(
+      us - prevUs > gapMinutes * 60L * 1000000L ||
+        lag(col(tsCol), 1).over(byTs).isNull, 1L)
+      .otherwise(0L)
+    events.withColumn("session_id",
+      sum(isNew).over(byTs.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  private def sessionizeGate(s: SparkSession, dir: String): DataFrame =
+    sessionize(t(s, dir, "events"), "user_id", "ts", gapMinutes = 60)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sessionize" -> sessionizeGate,
     "win_groups_frame" -> groupsFrame,
     "win_groups_sql" -> groupsSql,
     "win_ignore_nulls" -> ignoreNulls,
@@ -190,6 +223,23 @@ object Windows {
     "win_range_frame" -> rangeFrame)
 
   val oracle: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "win_groups_frame" ->
       """WITH d AS (SELECT p_brand, p_partkey, p_size, p_retailprice,
         |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS dr

@@ -193,6 +193,51 @@ class IcebergSpec extends AnyFunSuite {
       Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("partition evolution: changed transform disables pruning, stays correct") {
+    val dir = freshDir("evolve")
+    val byBucket = (1L to 40L)
+      .groupBy(k => graft.ops.IcebergTransforms("bucket[4]", k))
+    val entries = byBucket.toSeq
+      .sortBy(_._1.asInstanceOf[Int]).map { case (b, ks) =>
+        val p = IcebergTable.writeDataFile(
+          ks.map(k => (k, s"v$k")).toDF("k", "s"), dir, s"b$b.parquet")
+        IcebergTable.PartEntry(1, p, Seq("k_bucket" -> b))
+      }
+    IcebergTable.commitPartitionedSnapshot(dir, 1, 10L,
+      Seq("k" -> "long", "s" -> "string"),
+      Seq(("k_bucket", "bucket[4]", "k")), entries)
+    val metaFile = new java.io.File(dir, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // simulate evolution history: an RETIRED spec with the SAME field name
+    // but a different transform (bucket[8]) — files written under it carry
+    // incompatible tuple values, so pruning must turn itself off
+    val evolved = txt.replace("\"partition-specs\":[{\"spec-id\":0,",
+      "\"partition-specs\":[{\"spec-id\":9,\"fields\":[{\"name\":\"k_bucket\"," +
+        "\"transform\":\"bucket[8]\",\"source-id\":1,\"field-id\":1000}]}," +
+        "{\"spec-id\":0,")
+    assert(evolved != txt)
+    java.nio.file.Files.write(metaFile.toPath,
+      evolved.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (sel, total) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 7L)))
+    assert(sel == total, "conflicting specs must disable pruning")
+    // the residual filter keeps the answer exact
+    assert(IcebergTable.readPruned(spark, dir.getPath,
+      Seq(("k", "=", 7L))).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // an evolution that did NOT touch the field (identical duplicate
+    // spec) keeps pruning active
+    val harmless = txt.replace("\"partition-specs\":[{\"spec-id\":0,",
+      "\"partition-specs\":[{\"spec-id\":9,\"fields\":[{\"name\":\"k_bucket\"," +
+        "\"transform\":\"bucket[4]\",\"source-id\":1,\"field-id\":1000}]}," +
+        "{\"spec-id\":0,")
+    java.nio.file.Files.write(metaFile.toPath,
+      harmless.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (sel2, total2) = IcebergTable.plannedDataFiles(dir.getPath,
+      Seq(("k", "=", 7L)))
+    assert(sel2 == 1 && total2 == total)
+  }
+
   test("v2 metadata spelling: schemas[] + current-schema-id resolve source ids") {
     val dir = freshDir("schemas_v2")
     val entries = (0 until 4).map { b =>
