@@ -104,7 +104,7 @@ object Similarity {
     * key of the stored index. */
   /** Rank every vector against the (broadcast) centroids: columns
     * (vec_id, embedding, cent_id, cs, crk) with crk=1 the assigned cell. */
-  private[ops] def centRank(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def centRank(e: DataFrame, cents: DataFrame): DataFrame = {
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
     e.join(broadcast(cents))
