@@ -40,6 +40,9 @@ object GraftFunctions {
     ("wordpiece_encode",
       "wordpiece_encode(text, vocab) - greedy longest-match subword tokens",
       es => WordPieceEncode(es(0), es(1))),
+    ("bpe_encode",
+      "bpe_encode(text, merges) - exact rank-ordered byte-pair encoding",
+      es => BpeEncode(es(0), es(1))),
     ("myanmar_font_encoding",
       "myanmar_font_encoding(s) - 'zawgyi' or 'unicode' font-encoding label",
       es => MyanmarFontEncoding(es.head)),
@@ -1333,6 +1336,8 @@ object GraftFunctions {
   def wordStem(a: Column): Column = c(WordStem(x(a)))
   def wordpieceEncode(text: Column, vocab: Column): Column =
     c(WordPieceEncode(x(text), x(vocab)))
+  def bpeEncode(text: Column, merges: Column): Column =
+    c(BpeEncode(x(text), x(merges)))
   def tryExpr(a: Column): Column = c(TryExpression(x(a)))
   def mysqlDateFormat(ts: Column, fmt: String): Column =
     c(org.apache.spark.sql.catalyst.expressions.DateFormatClass(x(ts),

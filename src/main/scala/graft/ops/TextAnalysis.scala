@@ -397,6 +397,84 @@ object TextAnalysis {
       budget = 0.3)
       .select("doc_id", "source").orderBy("doc_id")
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016 — the
+    * byte-pair-encoding vocabulary induction every modern tokenizer
+    * trains with; pairs with bpe_encode for application). The classic
+    * reduction: iterations run over the DISTINCT-WORD table with counts
+    * (one corpus aggregate up front), not the corpus — at 100 TB the
+    * corpus is touched once, and each merge iteration is one shuffle
+    * over the (small) word vocabulary: explode adjacent symbol pairs →
+    * weighted count → top-1 (ties break lexicographically) → a narrow
+    * HOF rewrite of the symbol arrays. Lineage cuts via localCheckpoint
+    * every 8 iterations keep long learning loops planless.
+    *
+    * Returns (rank, left, right, merged, freq) — rank 1 = first merge. */
+  def bpeLearn(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= nMerges && continue) {
+      val top = words
+        .select(posexplode(col("sym")).as(Seq("p", "a")), col("sym"), col("freq"))
+        .filter(col("p") < size(col("sym")) - 1)
+        .select(col("a"), element_at(col("sym"), col("p") + 2).as("b"),
+          col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("f"))
+        .orderBy(desc("f"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (a, b, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((rank, a, b, f))
+        // leftmost-first adjacent merge as a pure fold — no UDF
+        val merged = lit(a + b)
+        words = words.select(
+          aggregate(col("sym"),
+            lit(Array.empty[String]),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(x)))).as("sym"),
+          col("freq"))
+        if (rank % 8 == 0) words = words.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("freq"))
+      .orderBy("rank")
+  }
+
+  /** Learn 24 merges over the documents corpus, then encode a slice with
+    * the exact rank-ordered BPE (functions/BpeEncode.scala) — learn +
+    * apply end-to-end. No SQL oracle (global-argmax iterations are not
+    * expressible in one query); pinned by BpeSpec's hand-computed
+    * corpus and the losslessness invariant. */
+  def bpeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val m = bpeLearn(docs, "text", 24)
+    val mergeLits = m.orderBy("rank").collect()
+      .map(r => r.getString(1) + " " + r.getString(2))
+    val toks = graft.functions.GraftFunctions.bpeEncode(
+      substring(lower(col("text")), 1, 80),
+      array(mergeLits.map(lit).toSeq: _*))
+    docs.where(col("doc_id") % 53 === 0)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        concat_ws("|", col("tk")).as("toks"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed subword vocabulary for the tokenizer gate: common English
     * merges + every [a-z0-9] single character (the UNK-as-char floor). */
   private val wpVocab: Seq[String] = Seq(
@@ -435,6 +513,7 @@ object TextAnalysis {
     "text_vocab" -> ((s, dir) => vocab(t(s, dir, "documents"))),
     "text_mixture" -> mixture,
     "text_wordpiece" -> wordpiece,
+    "text_bpe" -> bpeGate,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
