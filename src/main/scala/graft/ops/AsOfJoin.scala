@@ -44,8 +44,9 @@ object AsOfJoin {
     *                    the output (keys are not repeated)
     * Unmatched left rows keep NULL right columns (LEFT OUTER as-of, the
     * pandas merge_asof / DuckDB ASOF LEFT JOIN contract). Ties on
-    * (key, ts) among right rows break to the largest payload struct,
-    * deterministically.
+    * (key, ts) among right rows break deterministically: largest payload
+    * struct wins backward, smallest forward (the struct order follows
+    * the timeline order of each direction).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, direction: String = "backward",
