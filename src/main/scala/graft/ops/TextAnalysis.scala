@@ -397,6 +397,55 @@ object TextAnalysis {
       budget = 0.3)
       .select("doc_id", "source").orderBy("doc_id")
 
+  /** Statistical LM quality scoring (the CCNet/KenLM filtering stage of
+    * a pre-training pipeline, reduced to the add-one-smoothed word
+    * BIGRAM model both engines can replay exactly): train bigram/unigram
+    * counts over the corpus (two aggregates), then score every document
+    * by its MEAN bigram probability P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V).
+    * Probabilities, not log-probs: the mean of exact-decimal-cast ratios
+    * is order-independent and engine-portable, where a libm log would
+    * risk cross-engine ULP drift. Typical text scores high, gibberish
+    * scores near 1/V — same decision boundary as the log form.
+    *
+    * Scale shape: the model is two count aggregates; scoring is one
+    * bigram explode + one hash join against the model + a per-doc exact
+    * decimal mean. Everything shuffles on hash keys; nothing is
+    * quadratic and nothing collects. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val words = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val bigrams = words
+      .select(col(idCol), col("w").as("w1"),
+        lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val model = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    val heads = bigrams.groupBy(col("w1").as("hw"))
+      .agg(count(lit(1)).as("cw"))
+    val v = words.select(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(model, Seq("w1", "w2"), "left")
+      .join(heads, col("w1") === col("hw"))
+      .crossJoin(broadcast(v))
+      // probability scaled to an exact ×1e9 integer (floor division):
+      // integer sums are order-independent and engine-exact, where a
+      // per-element double→decimal cast drifts by an ULP across engines
+      .select(col(idCol), expr(
+        "((coalesce(c, 0L) + 1L) * 1000000000L) div (cw + v)").as("p9"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p9")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000000000.0)).as("avg_p"))
+  }
+
+  private def lmScoreGate(s: SparkSession, dir: String): DataFrame =
+    lmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Distributed BPE merge learning (Sennrich et al. 2016 — the
     * byte-pair-encoding vocabulary induction every modern tokenizer
     * trains with; pairs with bpe_encode for application). The classic
@@ -514,6 +563,7 @@ object TextAnalysis {
     "text_mixture" -> mixture,
     "text_wordpiece" -> wordpiece,
     "text_bpe" -> bpeGate,
+    "text_lm_score" -> lmScoreGate,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
@@ -559,6 +609,28 @@ object TextAnalysis {
         |      < lpad(lower(to_hex(CAST(floor(r.rate *
         |          CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')
         |ORDER BY d.doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH ws AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a
+        |  FROM documents),
+        |words AS (SELECT doc_id, wi AS pos, a[wi] AS w
+        |          FROM ws, unnest(range(1, len(a) + 1)) AS r(wi)
+        |          WHERE a[wi] <> ''),
+        |bg AS (SELECT * FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM words) WHERE w2 IS NOT NULL),
+        |model AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |heads AS (SELECT w1 AS hw, count(*) AS cw FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM words)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM((COALESCE(m.c, 0) + 1) * 1000000000 // (h.cw + v.v))
+        |      AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS avg_p
+        |FROM bg b
+        |LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |JOIN heads h ON b.w1 = h.hw, v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // independent replay of greedy longest-match: per word, a recursive
     // CTE peels the longest prefixing vocab piece (single-char fallback)
     "text_wordpiece" -> {
