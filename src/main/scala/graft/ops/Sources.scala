@@ -59,6 +59,34 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** DYNAMIC partition pruning — the reference's dynamic filtering
+    * (MAIN/operator/DynamicFilterSourceOperator.java:49: build-side
+    * values become a runtime filter on the probe scan). Spark's DPP is
+    * the same mechanism: the dim side's filter result is injected into
+    * the fact scan's PartitionFilters as a `dynamicpruning` subquery at
+    * RUNTIME, so only matching partition directories are read — the
+    * filter is NOT statically derivable here (the status set comes from
+    * a predicate on a different column). SourcesSpec pins the
+    * dynamicpruning expression in the plan. */
+  def dynamicPruned(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("orders_dpp")
+    t(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    dynamicPrunedQuery(s, dir, out)
+  }
+
+  private[graft] def dynamicPrunedQuery(s: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val fact = s.read.parquet(out)
+    val dim = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderstatus").as("st")).distinct()
+    fact.join(dim, col("o_orderstatus") === col("st"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice"), "total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** DELETE as copy-on-write rewrite (reference DeleteNode /
     * MetadataDeleteOperator.java:145): parquet has no row-level delete, so
     * the surviving rows are rewritten — the same mechanism Delta/Iceberg COW
@@ -784,6 +812,7 @@ object Sources {
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_partitioned_pruned" -> partitionedPruned,
+    "src_dynamic_pruned" -> dynamicPruned,
     "dml_delete_rewrite" -> dmlDeleteRewrite,
     "dml_update_rewrite" -> dmlUpdateRewrite,
     "dml_merge_rewrite" -> dmlMergeRewrite,
@@ -930,6 +959,13 @@ object Sources {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_dynamic_pruned" ->
+      """WITH dim AS (SELECT DISTINCT o_orderstatus AS st FROM orders
+        |             WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN dim ON o_orderstatus = st
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dml_delete_rewrite" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -132,4 +132,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, base).count() == 50L)
     SnapshotTable.drop(base)
   }
+
+  test("dynamic partition pruning reaches the fact scan (dynamic filtering)") {
+    // materialize the partitioned fact once via the gate builder
+    ops.Sources.dynamicPruned(spark, sf).count()
+    val plan = ops.Sources
+      .dynamicPrunedQuery(spark, sf, "/tmp/graft_sources/orders_dpp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime dynamicpruning filter:\n$plan")
+  }
+
+  test("runtime bloom filter injects on a non-partition join key") {
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // shuffle join: the bloom filter prunes probe rows pre-shuffle (the
+      // reference's dynamic filter on unpartitioned columns)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables(spark, sf, "lineitem")
+      val dim = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"probe side must carry a runtime bloom filter:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
