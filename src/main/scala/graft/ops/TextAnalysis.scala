@@ -446,6 +446,32 @@ object TextAnalysis {
     lmScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Stage-composed curation pipeline v2 — the r11 operators end-to-end,
+    * the way a real corpus run chains them: (1) LM-quality FILTER
+    * (lmScore, keep avg_p ≥ τ), (2) domain-mixture RESAMPLE
+    * (mixtureSample, uniform weights over src0-9, half budget),
+    * (3) TOKENIZE the survivors (wordpiece_encode), reporting per-source
+    * doc and token counts. Every stage is individually oracle-gated; the
+    * composed oracle replays all three in one DuckDB query, so the
+    * inter-stage contracts (what feeds what) are verified too. */
+  def pipeline2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = docs.join(
+      lmScore(docs, "doc_id", "text")
+        .where(col("avg_p") >= lit(0.0345)).select("doc_id"),
+      "doc_id")
+    val sampled = mixtureSample(kept, "source", "doc_id",
+      (0 to 9).map(i => s"src$i" -> 0.1).toMap, budget = 0.5,
+      salt = "mix2_")
+    val toks = graft.functions.GraftFunctions.wordpieceEncode(
+      substring(lower(col("text")), 1, 80),
+      array(wpVocab.map(lit): _*))
+    sampled.select(col("source"), size(toks).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** Distributed BPE merge learning (Sennrich et al. 2016 — the
     * byte-pair-encoding vocabulary induction every modern tokenizer
     * trains with; pairs with bpe_encode for application). The classic
@@ -564,6 +590,7 @@ object TextAnalysis {
     "text_wordpiece" -> wordpiece,
     "text_bpe" -> bpeGate,
     "text_lm_score" -> lmScoreGate,
+    "text_pipeline2" -> pipeline2,
     "text_decontaminate" -> decontaminate,
     "text_repetition" -> repetition,
     "text_chunk" -> chunk,
@@ -609,6 +636,78 @@ object TextAnalysis {
         |      < lpad(lower(to_hex(CAST(floor(r.rate *
         |          CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')
         |ORDER BY d.doc_id""".stripMargin,
+    // all three r11 stages replayed in ONE query: LM filter → mixture
+    // resample → tokenize; shares the per-stage formulas verbatim
+    "text_pipeline2" -> {
+      val vlist = wpVocab.map(p => s"('$p')").mkString(", ")
+      val wcase = (0 to 9).map(i =>
+        s"WHEN 'src$i' THEN CAST(0.1 AS DOUBLE)").mkString(" ")
+      s"""WITH RECURSIVE ws AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a
+        |  FROM documents),
+        |words AS (SELECT doc_id, wi AS pos, a[wi] AS w
+        |          FROM ws, unnest(range(1, len(a) + 1)) AS r(wi)
+        |          WHERE a[wi] <> ''),
+        |bg AS (SELECT * FROM (
+        |    SELECT doc_id, w AS w1,
+        |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM words) WHERE w2 IS NOT NULL),
+        |model AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |heads AS (SELECT w1 AS hw, count(*) AS cw FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM words),
+        |scores AS (
+        |  SELECT b.doc_id,
+        |    CAST(SUM((COALESCE(m.c, 0) + 1) * 1000000000 // (h.cw + v.v))
+        |        AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS avg_p
+        |  FROM bg b
+        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  JOIN heads h ON b.w1 = h.hw, v
+        |  GROUP BY b.doc_id),
+        |kept AS (SELECT d.* FROM documents d
+        |         JOIN scores sc ON d.doc_id = sc.doc_id
+        |         WHERE sc.avg_p >= CAST(0.0345 AS DOUBLE)),
+        |counts AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+        |rates AS (
+        |  SELECT source,
+        |    least(CAST(1 AS DOUBLE),
+        |      (CASE source $wcase ELSE CAST(0 AS DOUBLE) END)
+        |      * CAST(0.5 AS DOUBLE) * t / CAST(n AS DOUBLE)) AS rate
+        |  FROM counts, tot),
+        |sampled AS (
+        |  SELECT k.doc_id, k.source, k.text
+        |  FROM kept k JOIN rates r ON k.source = r.source
+        |  WHERE r.rate >= 1.0
+        |     OR substring(md5('mix2_' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+        |        < lpad(lower(to_hex(CAST(floor(r.rate *
+        |            CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')),
+        |vocab(piece) AS (SELECT * FROM (VALUES $vlist) vv(piece)),
+        |sdocs AS (SELECT doc_id, source,
+        |    lower(substring(text, 1, 80)) AS s FROM sampled),
+        |swords AS (SELECT doc_id, wi, wsx[wi] AS w
+        |          FROM (SELECT doc_id, string_split(s, ' ') AS wsx
+        |                FROM sdocs) d,
+        |               unnest(range(1, len(wsx) + 1)) AS r(wi)
+        |          WHERE wsx[wi] <> ''),
+        |step(doc_id, wi, rest, tok, ti) AS (
+        |  SELECT doc_id, wi, w, CAST(NULL AS VARCHAR), 0 FROM swords
+        |  UNION ALL
+        |  SELECT st.doc_id, st.wi, substring(st.rest, length(m.piece) + 1),
+        |         m.piece, st.ti + 1
+        |  FROM step st, LATERAL (
+        |    SELECT piece FROM (
+        |      SELECT piece FROM vocab WHERE starts_with(st.rest, piece)
+        |      UNION ALL SELECT substring(st.rest, 1, 1)) c(piece)
+        |    ORDER BY length(piece) DESC, piece LIMIT 1) m
+        |  WHERE st.rest <> ''),
+        |tok AS (SELECT doc_id, count(*) AS nt FROM step
+        |        WHERE tok IS NOT NULL GROUP BY doc_id)
+        |SELECT sd.source, count(*) AS n_docs,
+        |  CAST(sum(t.nt) AS BIGINT) AS n_tokens
+        |FROM sdocs sd JOIN tok t ON sd.doc_id = t.doc_id
+        |GROUP BY sd.source ORDER BY sd.source""".stripMargin
+    },
     "text_lm_score" ->
       """WITH ws AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a
