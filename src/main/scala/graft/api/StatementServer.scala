@@ -92,6 +92,8 @@ object StatementServer {
     /** For eviction: a FINISHED query a slow client is still paging
       * through must not expire under it. */
     @volatile var lastAccessNanos: Long = System.nanoTime()
+    /** queryCompleted fires exactly once, whichever terminal path wins. */
+    val completedFired = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
 
   private val queries = TrieMap.empty[String, QueryExec]
@@ -162,6 +164,91 @@ object StatementServer {
         g.cfg.sourceRegex.forall(r => q.source.matches(r))
     }.getOrElse(groups.last)
 
+  // ---------- session property manager (reference presto-file-session-
+  // property-manager FileSessionPropertyManager + SessionMatchSpec.java:
+  // every spec whose user/source regexes match contributes its default
+  // session properties, later specs overriding earlier; the client's own
+  // X-Presto-Session pairs always win because they apply after)
+  final case class SessionPropertyRule(userRegex: Option[String],
+      sourceRegex: Option[String], props: Seq[(String, String)])
+  @volatile private var propertyRules: Seq[SessionPropertyRule] = Seq.empty
+  def configureSessionPropertyRules(rules: Seq[SessionPropertyRule]): Unit =
+    propertyRules = rules
+  private def defaultProps(user: String,
+      source: String): Seq[(String, String)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    propertyRules.foreach { r =>
+      if (r.userRegex.forall(user.matches) &&
+          r.sourceRegex.forall(source.matches))
+        r.props.foreach { case (k, v) => m(k) = v }
+    }
+    m.toSeq
+  }
+
+  // ---------- password authenticator (reference presto-password-
+  // authenticators file/FileAuthenticator contract: credential file of
+  // user -> password hash; the server's AuthenticationFilter answers 401
+  // + WWW-Authenticate: Basic on a miss). Disabled when no credentials
+  // are configured — tests/benches run open, as the reference does
+  // without an authenticator plugin.
+  @volatile private var passwordShaHex: Map[String, String] = Map.empty
+  /** Enable HTTP Basic auth: user -> lowercase hex sha-256 of password. */
+  def configurePasswordAuth(credsSha: Map[String, String]): Unit =
+    passwordShaHex = credsSha
+  def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+  /** True = request may proceed; false = a 401 was already sent. */
+  private def authenticate(
+      ex: com.sun.net.httpserver.HttpExchange): Boolean = {
+    if (passwordShaHex.isEmpty) return true
+    val ok = try {
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+        h.startsWith("Basic ") && {
+          val dec = new String(
+            java.util.Base64.getDecoder.decode(h.drop(6).trim), UTF_8)
+          val i = dec.indexOf(':')
+          i > 0 && passwordShaHex.get(dec.take(i))
+            .contains(sha256Hex(dec.drop(i + 1)))
+        }
+      }
+    } catch { case _: IllegalArgumentException => false }
+    if (!ok)
+      respond(ex, 401, """{"message":"authentication failed"}""",
+        Map("WWW-Authenticate" -> "Basic realm=\"graft\""))
+    ok
+  }
+
+  // ---------- event listeners (reference presto-spi eventlistener/
+  // EventListener.java queryCreated/queryCompleted; QueryCompletedEvent
+  // .java carries identity, terminal state, error code, row count and
+  // timing — the hook presto-openlineage-event-listener and audit-log
+  // plugins build on). Completed fires once per query at its terminal
+  // transition; rowCount is rows served to the client by then (the
+  // streaming server's analogue of the reference's output-row stat).
+  sealed trait QueryEvent { def queryId: String }
+  final case class QueryCreatedEvent(queryId: String, user: String,
+      source: String, sql: String, createMillis: Long) extends QueryEvent
+  final case class QueryCompletedEvent(queryId: String, user: String,
+      source: String, sql: String, state: String, errorName: Option[String],
+      rowCount: Long, wallMillis: Long) extends QueryEvent
+  private val eventListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[QueryEvent => Unit]
+  def addEventListener(l: QueryEvent => Unit): Unit = eventListeners.add(l)
+  def clearEventListeners(): Unit = eventListeners.clear()
+  private def emit(e: QueryEvent): Unit = {
+    val it = eventListeners.iterator()
+    while (it.hasNext) {
+      val l = it.next()
+      try l(e) catch { case _: Throwable => () } // a listener never fails a query
+    }
+  }
+  private def emitCompleted(q: QueryExec): Unit =
+    if (q.completedFired.compareAndSet(false, true))
+      emit(QueryCompletedEvent(q.id, q.user, q.source, q.sql, q.state,
+        Option(q.error).map(_.errorName), q.rowCount,
+        (System.nanoTime() - q.createdNanos) / 1000000L))
+
   private def lane(q: QueryExec) =
     if (mutatesSharedState(q.sql)) ddlLane else dispatcher
 
@@ -226,6 +313,9 @@ object StatementServer {
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null; boundPort = -1 }
     queries.clear()
+    passwordShaHex = Map.empty
+    propertyRules = Seq.empty
+    eventListeners.clear()
   }
 
   // ---------- Presto type names (client Column.type / typeSignature)
@@ -493,6 +583,7 @@ object StatementServer {
       sql, sessionProps, prepares, user, source)
     evict()
     queries.put(q.id, q)
+    emit(QueryCreatedEvent(q.id, q.user, q.source, q.sql, q.createdMillis))
     q
   }
 
@@ -564,7 +655,13 @@ object StatementServer {
     val applied = scala.collection.mutable.ListBuffer.empty[String]
     try {
       spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
-      q.sessionProps.foreach { case (k, v) =>
+      // rule-matched session property defaults apply first (explicit
+      // client pairs below override; ones the client also sets are
+      // skipped so the shared-lane unwind stays single-RESET per key)
+      val explicitKeys = q.sessionProps.map(_._1).toSet
+      val withDefaults = defaultProps(q.user, q.source)
+        .filterNot(p => explicitKeys(p._1)) ++ q.sessionProps
+      withDefaults.foreach { case (k, v) =>
         // values arrive URL-decoded and may hold quotes: double them so
         // the re-embedded literal stays one literal
         ses.sql(s"SET SESSION $k = '${v.replace("'", "''")}'")
@@ -607,6 +704,7 @@ object StatementServer {
       q.synchronized {
         if (q.state == "RUNNING") q.state = "FINISHED"
       }
+      emitCompleted(q)
     } catch {
       case _: Throwable if q.canceled => () // interrupt from cancelJobGroup
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
@@ -627,8 +725,11 @@ object StatementServer {
 
   /** Set-once terminal failure — except that an error during RESULT
     * iteration may still flip FINISHED (results ready) to FAILED. */
-  private def fail(q: QueryExec, e: ProtoError): Unit = q.synchronized {
-    if (q.state != "FAILED") { q.error = e; q.state = "FAILED" }
+  private def fail(q: QueryExec, e: ProtoError): Unit = {
+    q.synchronized {
+      if (q.state != "FAILED") { q.error = e; q.state = "FAILED" }
+    }
+    emitCompleted(q)
   }
 
   /** How many pages a query holds buffered at most (spec evidence that
@@ -700,6 +801,7 @@ object StatementServer {
     if (act) {
       val spark = session
       if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
+      emitCompleted(q)
     }
     act
   }
@@ -768,6 +870,7 @@ object StatementServer {
 
   private def handler: com.sun.net.httpserver.HttpHandler =
     (ex: com.sun.net.httpserver.HttpExchange) => try {
+      if (authenticate(ex)) {
       val base = s"http://127.0.0.1:$boundPort"
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement")
         .split('/').filter(_.nonEmpty).toList
@@ -879,6 +982,7 @@ object StatementServer {
 
         case _ => respond(ex, 404, """{"message":"not found"}""")
       }
+      }
     } catch {
       case e: Throwable =>
         try respond(ex, 500,
@@ -903,7 +1007,7 @@ object StatementServer {
   /** GET /v1/query/{id} — the infoUri target (reference QueryResource
     * basic query info: id, state, query text, error when failed). */
   private def queryInfoHandler: com.sun.net.httpserver.HttpHandler =
-    (ex: com.sun.net.httpserver.HttpExchange) => {
+    (ex: com.sun.net.httpserver.HttpExchange) => if (authenticate(ex)) {
       val id = ex.getRequestURI.getPath.stripPrefix("/v1/query")
         .stripPrefix("/").takeWhile(_ != '/')
       (ex.getRequestMethod, queries.get(id)) match {

@@ -323,6 +323,58 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr pass;
+    * the paper builds a monolithic suffix array, here the same duplicated
+    * spans fall out of a distributed k-word shingle inverted index): every
+    * k-gram occurring >= 2 times anywhere in the corpus (cross-doc or
+    * self-repetition alike) marks its word span; per-document overlapping
+    * spans merge into islands (classic gaps-and-islands over one
+    * doc-keyed window); the report is merged-span count, duplicated-word
+    * count, and duplicated fraction per document.
+    *
+    * Scale shape: one shingle explode (linear in corpus tokens), one
+    * hash-partitioned groupBy on the gram key, one window per document —
+    * never a global suffix array and never all-pairs. k=3 here so the
+    * 50-word fixture vocabulary collides meaningfully; a crawl run uses
+    * k≈50 tokens as in the paper. */
+  def substringDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val sh = d.filter(col("nw") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .toDF("doc_id", "pos", "g")
+    val dupG = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val hits = sh.join(dupG, "g").select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = hits
+      .withColumn("en", col("pos") + k)
+      .withColumn("prev_max", max(col("en")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("st"), max("en").as("en"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("en") - col("st")).cast("long")).as("dup_words"))
+    d.select("doc_id", "nw").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        round(coalesce(col("dup_words"), lit(0L)).cast("double") / col("nw"), 4)
+          .as("dup_frac"),
+        (coalesce(col("dup_words"), lit(0L)).cast("double") / col("nw") >= 0.5)
+          .cast("long").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Double-precision cosine similarity of two float vectors: sequential
     * fold in element order so any engine computing the same fold gets the
     * same IEEE-754 bits (reference cosine_similarity:
@@ -343,9 +395,40 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLshNearDup,
     "dedup_semantic" -> semanticDedup,
     "dedup_semantic_salted" -> semanticDedupSalted,
+    "dedup_substring" -> substringDup,
     "dedup_clusters" -> nearDupClusters)
 
   private val oracleBase: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(w[i + 1 : i + 3], ' ') AS g
+        |       FROM d, unnest(range(0, nw - 2)) AS r(i) WHERE nw >= 3),
+        |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+        |pm AS (SELECT doc_id, pos, pos + 3 AS en,
+        |         max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |       FROM hits),
+        |isl AS (SELECT doc_id, pos, en,
+        |          sum(CASE WHEN prev_max IS NULL OR pos > prev_max
+        |              THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |        FROM pm),
+        |spans AS (SELECT doc_id, isl, min(pos) AS st, max(en) AS en
+        |          FROM isl GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(sum(en - st) AS BIGINT) AS dup_words
+        |        FROM spans GROUP BY 1)
+        |SELECT d.doc_id, d.nw AS n_words,
+        |  COALESCE(per.n_spans, 0) AS n_spans,
+        |  COALESCE(per.dup_words, 0) AS dup_words,
+        |  round(CAST(COALESCE(per.dup_words, 0) AS DOUBLE) / d.nw, 4) AS dup_frac,
+        |  CAST(CAST(COALESCE(per.dup_words, 0) AS DOUBLE) / d.nw >= 0.5
+        |    AS BIGINT) AS flagged
+        |FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_unique,
         | CAST(SUM(n_copies) AS BIGINT) AS n_docs,

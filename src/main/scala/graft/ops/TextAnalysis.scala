@@ -85,6 +85,104 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021 appendix A1.1 — the
+    * non-repetition document filters; the repetition family lives in
+    * [[repetition]]): word-count bounds [50, 100k], mean word length
+    * [3, 10], symbol-to-word ratio (# and ellipses) < 0.1, <=90 % of
+    * lines starting with a bullet, <=30 % ending with an ellipsis,
+    * >=80 % of words containing an alphabetic character, and >=2 of the
+    * paper's required stop words present. Pure per-row codegen'd math —
+    * scan speed at 100 TB, no shuffle except the deterministic output
+    * sort. The fixture corpus is single-line so the line rules evaluate
+    * over one line per doc; the expressions are written against '\n'
+    * exactly as a crawl run needs. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = reqStops.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val d = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("mean_word_len",
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          col("n_words"))
+      .withColumn("symbol_ratio",
+        ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
+          (length(col("text")) - length(expr("replace(text, '...', '')"))) / 3 +
+          (length(col("text")) - length(expr("replace(text, '…', '')"))))
+          .cast("double") / col("n_words"))
+      .withColumn("bullet_frac",
+        expr("size(filter(lines, l -> startswith(ltrim(l), '-') " +
+          "OR startswith(ltrim(l), '*') OR startswith(ltrim(l), '•')))")
+          .cast("double") / size(col("lines")))
+      .withColumn("ellipsis_frac",
+        expr("size(filter(lines, l -> endswith(rtrim(l), '...') " +
+          "OR endswith(rtrim(l), '…')))")
+          .cast("double") / size(col("lines")))
+      .withColumn("alpha_frac",
+        expr("size(filter(w, x -> x rlike '[A-Za-z]'))").cast("double") /
+          col("n_words"))
+      .withColumn("stop_hits",
+        expr(s"size(filter($stopArr, st -> array_contains(w, st)))").cast("long"))
+    d.select(
+      col("doc_id"), col("n_words"),
+      round(col("mean_word_len"), 4).as("mean_word_len"),
+      round(col("symbol_ratio"), 4).as("symbol_ratio"),
+      round(col("bullet_frac"), 4).as("bullet_frac"),
+      round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+      round(col("alpha_frac"), 4).as("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashed bag-of-words text classifier (the fastText-shaped quality /
+    * language classifier every corpus pipeline trains: features are
+    * hash-bucketed unigrams, the model is one count table): TRAIN = two
+    * count aggregates over the corpus — c(lang, bucket) and c(lang) with
+    * 512 md5 buckets; APPLY = per-token add-one-smoothed scaled
+    * likelihood (c_lb + 1) * 1e9 // (c_l + 512) summed per (doc, lang),
+    * argmax with deterministic score-desc/lang-asc ties. Integer
+    * arithmetic end-to-end (the [[lmScore]] trick) so any engine replays
+    * the exact scores. Scale shape: the model is 5 x 512 rows →
+    * broadcast to every scorer; the corpus side is one (doc, bucket)
+    * aggregate and one per-doc window — linear, no all-pairs, no
+    * driver-side training loop. */
+  def hashedClassifier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 512
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(word), 1, 6), 16, 10) AS BIGINT) % $B"))
+    val cLB = toks.groupBy("lang", "bucket").agg(count(lit(1)).as("c_lb"))
+    val cL = toks.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    val dt = toks.groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+    val scored = dt
+      .crossJoin(broadcast(cL))
+      .join(broadcast(cLB), Seq("lang", "bucket"), "left")
+      .withColumn("term",
+        expr(s"(coalesce(c_lb, 0L) + 1L) * 1000000000L DIV (c_l + $B)"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("m") * col("term")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(pred, "doc_id")
+      .select(col("doc_id"), col("actual_lang"), col("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting per language: whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation), and a chars/4 subword
     * estimate — the three standard budget estimators, aggregated per lang
@@ -600,6 +698,8 @@ object TextAnalysis {
     "text_pipeline" -> pipeline,
     "text_langid" -> langId,
     "text_quality" -> quality,
+    "text_gopher_quality" -> gopherQuality,
+    "text_hashed_classifier" -> hashedClassifier,
     "text_tokens" -> tokenCount,
     "text_fingerprint" -> fingerprint,
     "text_stems" -> stems)
@@ -939,6 +1039,71 @@ object TextAnalysis {
         | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         | CAST(SUM(CAST(ceil(len(text) * 1.0 / 4.0) AS BIGINT)) AS BIGINT) AS subword_est
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / n_words AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+        |      / n_words AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+        |      AS DOUBLE) / len(lines) AS bullet_frac,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…')))
+        |      AS DOUBLE) / len(lines) AS ellipsis_frac,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / n_words AS alpha_frac,
+        |    CAST(len(list_filter(
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      st -> list_contains(w, st))) AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(symbol_ratio, 4) AS symbol_ratio,
+        |  round(bullet_frac, 4) AS bullet_frac,
+        |  round(ellipsis_frac, 4) AS ellipsis_frac,
+        |  round(alpha_frac, 4) AS alpha_frac,
+        |  stop_hits,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1
+        |    AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2 AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "text_hashed_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 512 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |clb AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c_lb
+        |        FROM toks GROUP BY 1, 2),
+        |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+        |       FROM toks GROUP BY 1),
+        |dt AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS m
+        |       FROM toks GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cl.lang,
+        |    CAST(sum(dt.m * ((COALESCE(clb.c_lb, 0) + 1) * 1000000000
+        |      // (cl.c_l + 512))) AS BIGINT) AS score
+        |  FROM dt CROSS JOIN cl
+        |  LEFT JOIN clb ON clb.lang = cl.lang AND clb.bucket = dt.bucket
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, lang AS pred_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang) AS rk
+        |  FROM sc)
+        |SELECT d.doc_id, d.lang AS actual_lang, p.pred_lang, p.score
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rk = 1
+        |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -167,6 +167,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.forall(r => Set("en", "de", "es", "fr", "zh")(r.getString(1))))
   }
 
+  test("substring dedup: spans are merged, bounded, and imply flaggedness") {
+    val rows = Dedup.substringDup(spark, sf).collect()
+    rows.foreach { r =>
+      val (nw, nSpans, dupWords, dupFrac, flagged) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(dupWords <= nw, s"dup span exceeds doc: $r")
+      assert(nSpans <= dupWords || dupWords == 0)
+      assert(dupFrac >= 0.0 && dupFrac <= 1.0)
+      // merged islands of k=3 grams each cover >= k words
+      if (nSpans > 0) assert(dupWords >= 3 * nSpans || dupWords >= 3)
+      assert((flagged == 1) == (dupWords.toDouble / nw >= 0.5))
+    }
+    // a 3-gram shared by two docs in a 50-word vocab corpus MUST exist
+    assert(rows.exists(_.getLong(3) > 0), "no duplicated spans found at all")
+  }
+
+  test("gopher battery: features bounded, keep is the conjunction of rules") {
+    val rows = TextAnalysis.gopherQuality(spark, sf).collect()
+    rows.foreach { r =>
+      val nWords = r.getLong(1)
+      val mwl = r.getDouble(2)
+      val keep = r.getLong(8)
+      Seq(3, 4, 5, 6).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0 + 1e-9) }
+      val expect = nWords >= 50 && nWords <= 100000 &&
+        mwl >= 3.0 && mwl <= 10.0 &&
+        r.getDouble(3) < 0.1 && r.getDouble(4) <= 0.9 &&
+        r.getDouble(5) <= 0.3 && r.getDouble(6) >= 0.8 && r.getLong(7) >= 2
+      // rounded features can sit exactly on a threshold; only assert the
+      // direction that rounding cannot flip (off-threshold rows)
+      if (math.abs(mwl - 3.0) > 1e-3 && math.abs(mwl - 10.0) > 1e-3)
+        assert((keep == 1) == expect, s"keep mismatch: $r")
+    }
+  }
+
+  test("hashed classifier: one prediction per doc, scores deterministic") {
+    val a = TextAnalysis.hashedClassifier(spark, sf).collect()
+    val b = TextAnalysis.hashedClassifier(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.map(_.getLong(0)).distinct.length == a.length)
+    // every predicted label is a real class from the training corpus
+    val langs = a.map(_.getString(1)).toSet
+    assert(a.forall(r => langs.contains(r.getString(2))))
+  }
+
   test("quality score is bounded [0,1]") {
     val q = TextAnalysis.quality(spark, sf).collect()
     assert(q.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))

@@ -379,6 +379,112 @@ class StatementProtocolSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  private def pagesOf(r0: StatementClient.Response)
+      : Vector[org.apache.spark.sql.Row] = {
+    var r = r0
+    val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1; rows ++= r.data
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    rows ++= r.data
+    rows.result()
+  }
+
+  test("session property manager: matched rules inject defaults, client wins") {
+    StatementServer.configureSessionPropertyRules(Seq(
+      StatementServer.SessionPropertyRule(Some("etl_.*"), None,
+        Seq("quality_tier" -> "gold"))))
+    try {
+      // matching user sees the rule's default
+      val hit = pagesOf(StatementClient.post(base, "SHOW SESSION",
+        Map("X-Presto-User" -> "etl_nightly")))
+      assert(hit.exists(r => r.getString(0) == "quality_tier" &&
+        r.getString(1) == "gold"), hit.map(_.toString).mkString("; "))
+      // non-matching user does not
+      val miss = pagesOf(StatementClient.post(base, "SHOW SESSION",
+        Map("X-Presto-User" -> "bob")))
+      assert(!miss.exists(_.getString(0) == "quality_tier"))
+      // an explicit client property overrides the rule default
+      val over = pagesOf(StatementClient.post(base, "SHOW SESSION",
+        Map("X-Presto-User" -> "etl_nightly",
+          "X-Presto-Session" -> "quality_tier=silver")))
+      assert(over.exists(r => r.getString(0) == "quality_tier" &&
+        r.getString(1) == "silver"), over.map(_.toString).mkString("; "))
+    } finally StatementServer.configureSessionPropertyRules(Seq.empty)
+  }
+
+  test("password authenticator: 401 without/with wrong creds, 200 with right") {
+    StatementServer.configurePasswordAuth(
+      Map("alice" -> StatementServer.sha256Hex("secret")))
+    try {
+      def basic(cred: String) = "Basic " +
+        java.util.Base64.getEncoder.encodeToString(cred.getBytes("UTF-8"))
+      val (none, _, _) = StatementClient.httpFull("POST",
+        s"$base/v1/statement", Some("SELECT 1 AS x"), Map.empty)
+      assert(none == 401)
+      val (wrong, _, _) = StatementClient.httpFull("POST",
+        s"$base/v1/statement", Some("SELECT 1 AS x"),
+        Map("Authorization" -> basic("alice:nope")))
+      assert(wrong == 401)
+      val (garbled, _, _) = StatementClient.httpFull("POST",
+        s"$base/v1/statement", Some("SELECT 1 AS x"),
+        Map("Authorization" -> "Basic %%%not-base64%%%"))
+      assert(garbled == 401)
+      val (ok, body, _) = StatementClient.httpFull("POST",
+        s"$base/v1/statement", Some("SELECT 1 AS x"),
+        Map("Authorization" -> basic("alice:secret")))
+      assert(ok == 200 && body.contains("\"id\""))
+      // the info endpoint stays open (health checks), /v1/query does not
+      val (info, _, _) = StatementClient.httpFull("GET",
+        s"$base/v1/info", None, Map.empty)
+      assert(info == 200)
+      val (qinfo, _, _) = StatementClient.httpFull("GET",
+        s"$base/v1/query/whatever", None, Map.empty)
+      assert(qinfo == 401)
+    } finally StatementServer.configurePasswordAuth(Map.empty)
+  }
+
+  test("event listener: created + completed fire once with terminal states") {
+    val events =
+      new java.util.concurrent.ConcurrentLinkedQueue[StatementServer.QueryEvent]
+    StatementServer.addEventListener(e => events.add(e))
+    try {
+      val okDf = StatementClient.execute(spark, base,
+        "SELECT r_regionkey FROM region ORDER BY 1")
+      assert(okDf.count() == 5)
+      val bad = StatementClient.post(base, "SELECT definitely_no_such_col")
+      var r = bad; var guard = 0
+      while (r.nextUri.isDefined && guard < 10000) {
+        guard += 1; r = StatementClient.advance(r.nextUri.get)
+      }
+      assert(r.error.isDefined)
+      // allow the dispatcher to finish emitting
+      val deadline = System.nanoTime() + 10000000000L
+      def evs = {
+        import scala.jdk.CollectionConverters._
+        events.asScala.toVector
+      }
+      while (System.nanoTime() < deadline &&
+        evs.count(_.isInstanceOf[StatementServer.QueryCompletedEvent]) < 2)
+        Thread.sleep(20)
+      val created = evs.collect { case e: StatementServer.QueryCreatedEvent => e }
+      val completed = evs.collect { case e: StatementServer.QueryCompletedEvent => e }
+      assert(created.size >= 2)
+      // exactly one completion per query id, each with a terminal state
+      assert(completed.map(_.queryId).distinct.size == completed.size)
+      assert(completed.forall(e => e.state == "FINISHED" || e.state == "FAILED"))
+      val failedEv = completed.filter(_.state == "FAILED")
+      assert(failedEv.nonEmpty && failedEv.forall(_.errorName.isDefined))
+      val finished = completed.filter(_.state == "FINISHED")
+      assert(finished.nonEmpty && finished.forall(_.errorName.isEmpty))
+      // created/completed pair up by id
+      val cids = created.map(_.queryId).toSet
+      assert(completed.forall(e => cids.contains(e.queryId)))
+    } finally StatementServer.clearEventListeners()
+  }
+
   test("presto type names round-trip through the wire schema") {
     import org.apache.spark.sql.types._
     val types: Seq[DataType] = Seq(LongType, IntegerType, ShortType,
