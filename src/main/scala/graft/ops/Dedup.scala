@@ -375,6 +375,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C4-style duplicate-span REMOVAL (Raffel et al. 2020 §2.2 — "discard
+    * all but one of any three-sentence span occurring more than once";
+    * spans here are k-word windows since the fixture corpus has no
+    * sentence punctuation): the globally FIRST occurrence of a duplicated
+    * k-gram (min (doc_id, pos)) survives, every later occurrence's word
+    * span is deleted, and each document is reassembled from its surviving
+    * words. Complements [[substringDup]] (which only reports) with the
+    * rewrite C4 actually applies.
+    *
+    * Scale shape: shingle explode + ONE rank window keyed by the gram
+    * (first-occurrence election is per-gram, never global), removed
+    * positions collapse back per doc, reassembly is a per-row projection.
+    * No all-pairs stage anywhere. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val sh = d.filter(col("nw") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .toDF("doc_id", "pos", "g")
+    val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
+    val dropped = sh
+      .withColumn("rk", row_number().over(wg))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= 2 && col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    val rm = dropped
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
+      .distinct()
+    val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
+    d.join(rmAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        coalesce(size(col("rps")), lit(0)).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(filter(" +
+          "transform(w, (x, i) -> struct(i AS i, x AS x)), " +
+          "s -> rps IS NULL OR NOT array_contains(rps, s.i)), s -> s.x))")
+          .as("new_text"))
+      .orderBy("doc_id")
+  }
+
   /** Double-precision cosine similarity of two float vectors: sequential
     * fold in element order so any engine computing the same fold gets the
     * same IEEE-754 bits (reference cosine_similarity:
@@ -396,9 +440,39 @@ object Dedup {
     "dedup_semantic" -> semanticDedup,
     "dedup_semantic_salted" -> semanticDedupSalted,
     "dedup_substring" -> substringDup,
+    "dedup_span_removal" -> spanDedup,
     "dedup_clusters" -> nearDupClusters)
 
   private val oracleBase: Map[String, String] = Map(
+    "dedup_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |           FROM documents),
+        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(w[i + 1 : i + 3], ' ') AS g
+        |       FROM d, unnest(range(0, nw - 2)) AS r(i) WHERE nw >= 3),
+        |ranked AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM sh),
+        |dropped AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rk > 1),
+        |rm AS (SELECT DISTINCT doc_id, pos + CAST(off AS INT) AS rp
+        |       FROM dropped, unnest(range(0, 3)) AS r(off)),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |         FROM rm GROUP BY 1),
+        |words AS (SELECT doc_id, CAST(i AS INT) AS i, w[i + 1] AS x
+        |          FROM d, unnest(range(0, nw)) AS r(i)),
+        |kept AS (SELECT wd.doc_id, wd.i, wd.x FROM words wd
+        |         LEFT JOIN rm ON rm.doc_id = wd.doc_id AND rm.rp = wd.i
+        |         WHERE rm.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id,
+        |    COALESCE(string_agg(x, ' ' ORDER BY i), '') AS new_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, d.nw AS n_words,
+        |  COALESCE(nrem.n_removed, 0) AS n_removed,
+        |  COALESCE(rebuilt.new_text, '') AS new_text
+        |FROM d LEFT JOIN nrem USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw

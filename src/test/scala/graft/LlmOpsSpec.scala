@@ -183,6 +183,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) > 0), "no duplicated spans found at all")
   }
 
+  test("span removal: word accounting exact, first occurrences survive") {
+    val rows = Dedup.spanDedup(spark, sf).collect()
+    rows.foreach { r =>
+      val (nw, nRemoved, newText) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val keptWords =
+        if (newText.isEmpty) 0 else newText.split(" ").length
+      assert(keptWords == nw - nRemoved, s"word accounting off: $r")
+    }
+    // the fixture's 50-word vocab guarantees duplicated 3-grams exist
+    assert(rows.exists(_.getLong(2) > 0), "no spans were removed at all")
+    // and removal must never delete a whole corpus: most words survive
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val removed = rows.map(_.getLong(2)).sum.toDouble
+    assert(removed / total < 0.9, s"removed ${removed / total} of all words")
+  }
+
   test("gopher battery: features bounded, keep is the conjunction of rules") {
     val rows = TextAnalysis.gopherQuality(spark, sf).collect()
     rows.foreach { r =>
