@@ -94,6 +94,12 @@ object StatementServer {
     @volatile var lastAccessNanos: Long = System.nanoTime()
     /** queryCompleted fires exactly once, whichever terminal path wins. */
     val completedFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Time limits (reference QueryTracker.enforceTimeLimits():
+      * query_max_run_time counts from creation, query_max_execution_time
+      * from execution start). -1 = unlimited. */
+    @volatile var maxRunNanos: Long = -1L
+    @volatile var maxExecNanos: Long = -1L
+    @volatile var executionStartNanos: Long = -1L
   }
 
   private val queries = TrieMap.empty[String, QueryExec]
@@ -249,6 +255,57 @@ object StatementServer {
         Option(q.error).map(_.errorName), q.rowCount,
         (System.nanoTime() - q.createdNanos) / 1000000L))
 
+  // ---------- time-limit enforcement (reference QueryTracker.java:217
+  // enforceTimeLimits(), a periodic task over the live-query registry;
+  // SystemSessionProperties.java:133 QUERY_MAX_EXECUTION_TIME /
+  // QUERY_MAX_RUN_TIME; StandardErrorCode.java:135 EXCEEDED_TIME_LIMIT)
+  private val DurationRe =
+    """(?i)\A\s*([0-9]+(?:\.[0-9]+)?)\s*(ns|us|ms|s|m|h|d)\s*\z""".r
+  private[graft] def parseDurationNanos(s: String): Long = s match {
+    case DurationRe(v, u) =>
+      val mult = u.toLowerCase match {
+        case "ns" => 1L
+        case "us" => 1000L
+        case "ms" => 1000000L
+        case "s" => 1000000000L
+        case "m" => 60000000000L
+        case "h" => 3600000000000L
+        case "d" => 86400000000000L
+      }
+      (v.toDouble * mult).toLong
+    case _ => throw new IllegalArgumentException(s"invalid duration: $s")
+  }
+  private def enforceTimeLimits(): Unit = {
+    val now = System.nanoTime()
+    queries.values.foreach { q =>
+      if (q.state == "QUEUED" || q.state == "RUNNING") {
+        val execBreach = q.maxExecNanos > 0 && q.executionStartNanos > 0 &&
+          now - q.executionStartNanos > q.maxExecNanos
+        val runBreach = q.maxRunNanos > 0 && now - q.createdNanos > q.maxRunNanos
+        if (execBreach || runBreach) {
+          q.canceled = true
+          fail(q, ProtoError(
+            if (execBreach) "Query exceeded the maximum execution time limit"
+            else "Query exceeded maximum time limit",
+            0x00020003, "EXCEEDED_TIME_LIMIT", "INSUFFICIENT_RESOURCES"))
+          val spark = session
+          if (spark != null) spark.sparkContext.cancelJobGroup(q.id)
+        }
+      }
+    }
+  }
+  private lazy val enforcer = {
+    val e = Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
+      val t = new Thread(r, "graft-query-tracker")
+      t.setDaemon(true)
+      t
+    })
+    e.scheduleAtFixedRate(() =>
+      try enforceTimeLimits() catch { case _: Throwable => () },
+      50, 50, java.util.concurrent.TimeUnit.MILLISECONDS)
+    e
+  }
+
   private def lane(q: QueryExec) =
     if (mutatesSharedState(q.sql)) ddlLane else dispatcher
 
@@ -307,6 +364,7 @@ object StatementServer {
       starter.join()
       server = s
       boundPort = s.getAddress.getPort
+      enforcer // start the periodic time-limit tracker with the server
       s"http://127.0.0.1:$boundPort"
     }
 
@@ -583,6 +641,19 @@ object StatementServer {
       sql, sessionProps, prepares, user, source)
     evict()
     queries.put(q.id, q)
+    // time limits come from the effective session context (rule defaults
+    // overridden by explicit client pairs), parsed once at submit
+    val eff = defaultProps(user, source).toMap ++ sessionProps.toMap
+    try {
+      eff.get("query_max_run_time")
+        .foreach(v => q.maxRunNanos = parseDurationNanos(v))
+      eff.get("query_max_execution_time")
+        .foreach(v => q.maxExecNanos = parseDurationNanos(v))
+    } catch {
+      case e: IllegalArgumentException =>
+        fail(q, ProtoError(String.valueOf(e.getMessage), 0x0000000E,
+          "INVALID_SESSION_PROPERTY", "USER_ERROR"))
+    }
     emit(QueryCreatedEvent(q.id, q.user, q.source, q.sql, q.createdMillis))
     q
   }
@@ -639,6 +710,7 @@ object StatementServer {
       else false
     }
     if (!started) return
+    q.executionStartNanos = System.nanoTime()
     val spark = session
     val shared = mutatesSharedState(q.sql)
     // queries run on a per-request session CLONE: isolated conf / temp

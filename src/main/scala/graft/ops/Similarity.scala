@@ -325,7 +325,44 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Cluster-balanced resampling — the semantic-diversity stage a corpus
+    * build runs after dedup (the SemDeDup/DoReMi idea applied to cluster
+    * OCCUPANCY): assign every embedding to its nearest-centroid cell
+    * (same deterministic seed quantizer as [[ivfAnn]], so the oracle
+    * replays the assignment), then resample each cell to a uniform
+    * budget — keep-rate = min(1, (total × 0.5 / K) / cell_size), with
+    * the corpus-standard deterministic md5-threshold coin (the
+    * [[TextAnalysis.mixtureSample]] trick, cluster-keyed instead of
+    * source-keyed). Over-represented topics shrink, rare topics survive
+    * whole.
+    *
+    * Scale shape: one broadcast of K centroids (K rows), one cell-keyed
+    * count, one broadcast of K rates back onto the assignment — the
+    * corpus never shuffles on anything finer than the cell key, and the
+    * keep decision is a per-row hash compare. */
+  def clusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val cells = centRank(e, cents).filter(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("t"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("rate", least(lit(1.0),
+        col("t").cast("double") * 0.5 / 8.0 / col("n").cast("double")))
+      .withColumn("thr", lpad(lower(hex(
+        floor(col("rate") * 4294967296.0).cast("long"))), 8, "0"))
+    cells.join(broadcast(rates), "cell")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(concat(lit("bal_"), col("vec_id").cast("string"))),
+          1, 8) < col("thr"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_balance" -> clusterBalance,
     "sim_pq_ann" -> pqAnn,
     "sim_quantize" -> quantize,
     "sim_topk_brute" -> bruteTopK,
@@ -374,6 +411,36 @@ object Similarity {
        |$cosineCte""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_cluster_balance" ->
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id < 8),
+        |pc AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+        |       FROM embeddings e CROSS JOIN cent c),
+        |pu AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pc),
+        |pd AS (SELECT vec_id, cent_id,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |       FROM pu GROUP BY 1, 2),
+        |rkd AS (SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dot / (na * nb) DESC, cent_id) crk
+        |        FROM pd),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE crk = 1),
+        |counts AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+        |rates AS (SELECT cell,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      t * CAST(0.5 AS DOUBLE) / CAST(8.0 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS rate
+        |  FROM counts, tot)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell
+        |FROM cells c JOIN rates r ON c.cell = r.cell
+        |WHERE r.rate >= 1.0
+        |   OR substring(md5('bal_' || CAST(c.vec_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate *
+        |          CAST(4294967296 AS DOUBLE)) AS BIGINT))), 8, '0')
+        |ORDER BY c.vec_id""".stripMargin,
     "sim_pq_ann" ->
       """WITH js AS (SELECT unnest([0,1,2,3]) AS j),
         |sub AS (SELECT vec_id, j, embedding[j*16+1 : (j+1)*16] AS sub

@@ -199,6 +199,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(removed / total < 0.9, s"removed ${removed / total} of all words")
   }
 
+  test("cluster balance: over-represented cells shrink, small cells survive") {
+    import graft.Tables
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val full = Similarity.centRank(e, cents).filter(col("crk") === 1)
+      .groupBy(col("cent_id").as("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = full.values.sum.toDouble
+    val budget = total * 0.5 / 8.0
+    val kept = Similarity.clusterBalance(spark, sf).collect()
+      .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    kept.foreach { case (cell, k) =>
+      assert(k <= full(cell))
+      if (full(cell) <= budget)
+        assert(k == full(cell), s"under-budget cell $cell lost rows")
+    }
+    // at least one over-budget cell actually shrank
+    assert(full.exists { case (c, n) =>
+      n > budget && kept.getOrElse(c, 0L) < n })
+  }
+
   test("gopher battery: features bounded, keep is the conjunction of rules") {
     val rows = TextAnalysis.gopherQuality(spark, sf).collect()
     rows.foreach { r =>

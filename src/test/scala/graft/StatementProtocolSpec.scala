@@ -446,6 +446,37 @@ class StatementProtocolSpec extends AnyFunSuite {
     } finally StatementServer.configurePasswordAuth(Map.empty)
   }
 
+  test("query_max_execution_time kills a long query with EXCEEDED_TIME_LIMIT") {
+    val r0 = StatementClient.post(base, sleepSql(30000),
+      Map("X-Presto-Session" -> "query_max_execution_time=300ms"))
+    var r = r0
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1
+      Thread.sleep(20)
+      r = StatementClient.advance(r.nextUri.get)
+    }
+    assert(r.state == "FAILED", s"expected FAILED, got ${r.state}")
+    assert(r.error.exists(_.errorName == "EXCEEDED_TIME_LIMIT"), r.error.toString)
+    assert(r.error.exists(_.errorCode == 0x00020003))
+    assert(r.error.exists(_.errorType == "INSUFFICIENT_RESOURCES"))
+    // a query without a limit is untouched by the tracker
+    val ok = StatementClient.execute(spark, base, "SELECT 6 AS v").collect()
+    assert(ok.map(_.getInt(0)).toSeq == Seq(6))
+  }
+
+  test("an invalid duration fails the query as INVALID_SESSION_PROPERTY") {
+    val r0 = StatementClient.post(base, "SELECT 1 AS x",
+      Map("X-Presto-Session" -> "query_max_execution_time=soon"))
+    var r = r0
+    var guard = 0
+    while (r.nextUri.isDefined && guard < 10000) {
+      guard += 1; r = StatementClient.advance(r.nextUri.get)
+    }
+    assert(r.state == "FAILED")
+    assert(r.error.exists(_.errorName == "INVALID_SESSION_PROPERTY"), r.error.toString)
+  }
+
   test("event listener: created + completed fire once with terminal states") {
     val events =
       new java.util.concurrent.ConcurrentLinkedQueue[StatementServer.QueryEvent]
