@@ -344,8 +344,21 @@ object Similarity {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val cells = centRank(e, cents).filter(col("crk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    // argmax via a struct-max aggregate instead of centRank's rank window:
+    // same assignment (max cosine, ties to the smaller cent_id via the
+    // negated id) but the shuffle carries ONE partially-aggregated row per
+    // vector, not K window-sorted rows — the shape that matters when the
+    // corpus is 10^10 vectors
+    // the codegen'd CosineSimilarity kernel (same sequential fold order as
+    // Dedup.cosine's HOF, so bit-identical) — the HOF is interpreted and
+    // measured 3-4× slower on the 40k-vector corpus bench
+    val cells = e.join(broadcast(cents))
+      .select(col("vec_id"),
+        struct(graft.functions.GraftFunctions
+          .cosineSimilarity(col("embedding"), col("cvec")).as("cs"),
+          (-col("cent_id")).as("nc")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
     val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("t"))
     val rates = counts.crossJoin(broadcast(total))
