@@ -18,7 +18,8 @@ object SparkEntry {
       ops.Ddl.queries ++ ops.Ml.queries ++ ops.IndexJoin.queries ++
       ops.Remote.queries ++ ops.Cdc.queries ++ ops.Layout.queries ++
       ops.Transactions.queries ++ ops.AsOfJoin.queries ++
-      ops.AvroSource.queries ++ ops.RangeJoin.queries ++ ops.Verifier.queries
+      ops.AvroSource.queries ++ ops.RangeJoin.queries ++
+      ops.Verifier.queries ++ ops.RecordDecoders.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       ops.Ddl.oracle ++ ops.Ml.oracle ++ ops.IndexJoin.oracle ++
       ops.Remote.oracle ++ ops.Cdc.oracle ++ ops.Layout.oracle ++
       ops.Transactions.oracle ++ ops.AsOfJoin.oracle ++
-      ops.AvroSource.oracle ++ ops.RangeJoin.oracle ++ ops.Verifier.oracle
+      ops.AvroSource.oracle ++ ops.RangeJoin.oracle ++
+      ops.Verifier.oracle ++ ops.RecordDecoders.oracle
 }

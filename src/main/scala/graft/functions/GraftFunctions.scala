@@ -1334,6 +1334,10 @@ object GraftFunctions {
   def fromIeee754Bits(a: Column): Column =
     c(BinConvExpr(BinConvExpr(x(a), "to_big_endian_64"), "from_ieee754_64"))
   def wordStem(a: Column): Column = c(WordStem(x(a)))
+  /** Column access to the codegen'd binary conversions (BinConvExpr ops:
+    * from_big_endian_64/32, from_ieee754_64/32, ...) for operators that
+    * build plans directly (ops/RecordDecoders.scala's raw decoder). */
+  def binConv(a: Column, op: String): Column = c(BinConvExpr(x(a), op))
   def wordpieceEncode(text: Column, vocab: Column): Column =
     c(WordPieceEncode(x(text), x(vocab)))
   def bpeEncode(text: Column, merges: Column): Column =
