@@ -61,7 +61,9 @@ object StatementServer {
   private final class QueryExec(val id: String, val sql: String,
       val sessionProps: Seq[(String, String)] = Seq.empty,
       val prepares: Seq[(String, String)] = Seq.empty,
-      val user: String = "graft", val source: String = "") {
+      val user: String = "graft", val source: String = "",
+      val defaultSchema: Option[String] = None,
+      val timeZone: Option[String] = None) {
     @volatile var state: String = "QUEUED"
     @volatile var canceled: Boolean = false
     @volatile var schema: StructType = _
@@ -633,12 +635,13 @@ object StatementServer {
 
   private def submit(sql: String, sessionProps: Seq[(String, String)],
       prepares: Seq[(String, String)], user: String = "graft",
-      source: String = ""): QueryExec = {
+      source: String = "", defaultSchema: Option[String] = None,
+      timeZone: Option[String] = None): QueryExec = {
     // reference id shape: yyyyMMdd_HHmmss_NNNNN_xxxxx (QueryIdGenerator)
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(new java.util.Date())
     val q = new QueryExec(f"${stamp}_${seq.getAndIncrement()}%05d_graft",
-      sql, sessionProps, prepares, user, source)
+      sql, sessionProps, prepares, user, source, defaultSchema, timeZone)
     evict()
     queries.put(q.id, q)
     // time limits come from the effective session context (rule defaults
@@ -688,7 +691,14 @@ object StatementServer {
     val ResetSession = """(?is)\ARESET\s+SESSION\s+([\w.]+)\z""".r
     val Prepare = """(?is)\APREPARE\s+(\w+)\s+FROM\s+(.+)\z""".r
     val Dealloc = """(?is)\ADEALLOCATE\s+PREPARE\s+(\w+)\z""".r
+    // USE catalog.schema | USE schema (UseTask.java: the coordinator
+    // answers Set-Catalog/Set-Schema headers, the CLIENT carries them)
+    val Use = """(?is)\AUSE\s+(?:(\w+)\.)?(\w+)\z""".r
     t match {
+      case Use(cat, sch) =>
+        (if (cat != null) Map("X-Presto-Set-Catalog" -> cat)
+         else Map.empty[String, String]) +
+          ("X-Presto-Set-Schema" -> sch)
       case SetSession(k, v) =>
         Map("X-Presto-Set-Session" ->
           (k + "=" + java.net.URLEncoder.encode(
@@ -725,8 +735,25 @@ object StatementServer {
     // on the shared session, header context must unwind after the
     // statement; on a clone it dies with the clone
     val applied = scala.collection.mutable.ListBuffer.empty[String]
+    val appliedConf =
+      scala.collection.mutable.ListBuffer.empty[(String, String)]
     try {
       spark.sparkContext.setJobGroup(q.id, q.sql, interruptOnCancel = true)
+      // X-Presto-Schema / X-Presto-Time-Zone session context (the
+      // reference rebuilds the Session from these headers per request;
+      // USE only RETURNS Set-Schema headers — the client carries the
+      // context, the coordinator stays stateless, so the shared lane
+      // unwinds both)
+      q.defaultSchema.foreach { sch =>
+        val prev = qSession.catalog.currentDatabase
+        ses.sql(s"USE `$sch`")
+        if (shared) applied += s"USE `$prev`"
+      }
+      q.timeZone.foreach { tz =>
+        val prev = qSession.conf.get("spark.sql.session.timeZone")
+        qSession.conf.set("spark.sql.session.timeZone", tz)
+        if (shared) appliedConf += (("spark.sql.session.timeZone", prev))
+      }
       // rule-matched session property defaults apply first (explicit
       // client pairs below override; ones the client also sets are
       // skipped so the shared-lane unwind stays single-RESET per key)
@@ -743,9 +770,14 @@ object StatementServer {
         ses.sql(s"PREPARE $name FROM $body")
         if (shared) applied += s"DEALLOCATE PREPARE $name"
       }
+      val prevDb = qSession.catalog.currentDatabase
       val df = ses.sql(q.sql)
       q.schema = df.schema
       q.respHeaders = statementHeaders(q.sql)
+      // a USE statement must not mutate the shared session: the client
+      // carries the new default via the Set-Schema header instead
+      if (shared && q.respHeaders.contains("X-Presto-Set-Schema"))
+        applied += s"USE `$prevDb`"
       // the statement's own session effects do NOT persist server-side:
       // the response header tells the CLIENT to carry them on its next
       // request (the reference coordinator is stateless the same way)
@@ -791,6 +823,8 @@ object StatementServer {
     } finally {
       applied.reverseIterator.foreach(stmt =>
         try ses.sql(stmt) catch { case _: Throwable => () })
+      appliedConf.reverseIterator.foreach { case (k, v) =>
+        try qSession.conf.set(k, v) catch { case _: Throwable => () } }
       spark.sparkContext.clearJobGroup()
     }
   }
@@ -958,7 +992,9 @@ object StatementServer {
               Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
                 .getOrElse("graft"),
               Option(ex.getRequestHeaders.getFirst("X-Presto-Source"))
-                .getOrElse(""))
+                .getOrElse(""),
+              Option(ex.getRequestHeaders.getFirst("X-Presto-Schema")),
+              Option(ex.getRequestHeaders.getFirst("X-Presto-Time-Zone")))
             // render BEFORE dispatching so the submit response always
             // reports the observable QUEUED state (the reference's
             // createQueuedQueryResults does the same)
@@ -975,7 +1011,7 @@ object StatementServer {
             case None => respond(ex, 404, """{"message":"unknown query"}""")
             case Some(orig) =>
               val q = submit(orig.sql, orig.sessionProps, orig.prepares,
-                orig.user, orig.source)
+                orig.user, orig.source, orig.defaultSchema, orig.timeZone)
               val resp = results(q, base,
                 Some(s"$base/v1/statement/queued/${q.id}/1"), None, None)
               dispatch(q)

@@ -477,6 +477,54 @@ class StatementProtocolSpec extends AnyFunSuite {
     assert(r.error.exists(_.errorName == "INVALID_SESSION_PROPERTY"), r.error.toString)
   }
 
+  test("USE returns Set-Schema; X-Presto-Schema resolves unqualified names") {
+    // a real catalog database (graft CTAS registers temp views, which
+    // resolve regardless of the current schema — the header contract is
+    // about CATALOG name resolution)
+    spark.sql("CREATE DATABASE IF NOT EXISTS wiresch")
+    spark.sql("CREATE TABLE IF NOT EXISTS wiresch.wtiny USING parquet " +
+      "AS SELECT CAST(41 AS BIGINT) AS x")
+    try {
+      // USE earns the Set-Schema header without mutating the shared session
+      val (r0, _) = (StatementClient.post(base, "USE wiresch"), ())
+      var r = r0
+      var hdrs = Map.empty[String, String]
+      var guard = 0
+      while (r.nextUri.isDefined && guard < 10000) {
+        guard += 1
+        val (rr, hh) = StatementClient.advanceFull(r.nextUri.get)
+        r = rr; hdrs ++= hh
+      }
+      assert(r.state == "FINISHED", r.error.toString)
+      assert(hdrs.get("X-Presto-Set-Schema").contains("wiresch"), hdrs.toString)
+      // the shared session still resolves against the default db
+      val unqualifiedMiss = StatementClient.post(base, "SELECT x FROM wtiny")
+      var m = unqualifiedMiss
+      guard = 0
+      while (m.nextUri.isDefined && guard < 10000) {
+        guard += 1; m = StatementClient.advance(m.nextUri.get)
+      }
+      assert(m.state == "FAILED", "unqualified name resolved without header")
+      // carrying the header (as the client does after USE) resolves it
+      val hit = pagesOf(StatementClient.post(base, "SELECT x FROM wtiny",
+        Map("X-Presto-Schema" -> "wiresch")))
+      assert(hit.map(_.getLong(0)).toSeq == Seq(41L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wiresch.wtiny")
+      spark.sql("DROP DATABASE IF EXISTS wiresch")
+    }
+  }
+
+  test("X-Presto-Time-Zone sets the session zone for the request only") {
+    val tokyo = pagesOf(StatementClient.post(base,
+      "SELECT current_timezone() AS tz",
+      Map("X-Presto-Time-Zone" -> "Asia/Tokyo")))
+    assert(tokyo.map(_.getString(0)) == Vector("Asia/Tokyo"))
+    val dflt = pagesOf(StatementClient.post(base,
+      "SELECT current_timezone() AS tz"))
+    assert(dflt.map(_.getString(0)) == Vector("UTC"))
+  }
+
   test("event listener: created + completed fire once with terminal states") {
     val events =
       new java.util.concurrent.ConcurrentLinkedQueue[StatementServer.QueryEvent]
