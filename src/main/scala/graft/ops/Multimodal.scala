@@ -116,12 +116,107 @@ object Multimodal {
         (col("fi") * 1024).cast("long").as("byte_offset"))
       .orderBy("doc_id", "sample_no")
 
+  final case class MediaResized(doc_id: Long, media_type: String,
+      width: Int, height: Int, out_w: Long, out_h: Long, resized_sig: String)
+
+  /** STUB_RESIZE: aspect-preserving fit into a 224-box with pure integer
+    * math (floor division), signature = md5 over payload + output
+    * geometry — the deterministic stand-in for resized bytes a real
+    * libjpeg/Pillow stage would emit. Same mapPartitions shape as
+    * [[decodeFeatures]]: codec init once per partition, no shuffle. */
+  private def stubResize(a: MediaAsset): MediaResized = {
+    val (ow, oh) =
+      if (a.width >= a.height) (224L, a.height.toLong * 224 / a.width)
+      else (a.width.toLong * 224 / a.height, 224L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(a.payload)
+    md.update(s":${ow}x$oh".getBytes("UTF-8"))
+    MediaResized(a.doc_id, a.media_type, a.width, a.height, ow, oh,
+      md.digest().map("%02x".format(_)).mkString.substring(0, 16))
+  }
+
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val as = assets(s, dir)
+    import as.sparkSession.implicits._
+    as.mapPartitions(_.map(stubResize)).toDF()
+      .select(col("doc_id"), col("media_type"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w"), col("out_h"), col("resized_sig"))
+      .orderBy("doc_id")
+  }
+
+  final case class InferScore(doc_id: Long, score: Long)
+
+  /** Batched model inference — the GPU-embedding shape of a multimodal
+    * pipeline: the "model" loads once per PARTITION, rows feed it in
+    * fixed-size batches (one forward pass per 32 assets), outputs are
+    * strictly per-row so any partitioning/batching yields identical
+    * results (the invariance a resumable 100 TB inference job needs;
+    * LlmOpsSpec pins it). The stub model scores from the decoded
+    * checksum — deterministic byte math the oracle replays. */
+  def batchInferOn(as: Dataset[MediaAsset]): DataFrame = {
+    import as.sparkSession.implicits._
+    as.mapPartitions { it =>
+      // model init happens here, once per partition
+      it.grouped(32).flatMap { batch =>
+        // one forward pass per batch
+        batch.map { a =>
+          val f = stubDecode(a)
+          InferScore(a.doc_id, (f.byte_checksum * 31 + f.n_bytes) % 1000003L)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  def batchInfer(s: SparkSession, dir: String): DataFrame =
+    batchInferOn(assets(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> resize,
+    "mm_batch_infer" -> batchInfer,
     "mm_metadata" -> metadata,
     "mm_features" -> features,
     "mm_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
+    "mm_resize" ->
+      """WITH a AS (SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+        |      AS media_type,
+        |    text,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 4) AS BIGINT)
+        |      % 1920 + 1 AS width,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 4) AS BIGINT)
+        |      % 1080 + 1 AS height
+        |  FROM documents),
+        |r AS (SELECT doc_id, media_type, width, height, text,
+        |    CASE WHEN width >= height THEN 224
+        |         ELSE width * 224 // height END AS out_w,
+        |    CASE WHEN width >= height THEN height * 224 // width
+        |         ELSE 224 END AS out_h
+        |  FROM a)
+        |SELECT doc_id, media_type,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        |  substr(md5(text || ':' || out_w || 'x' || out_h), 1, 16)
+        |    AS resized_sig
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "mm_batch_infer" ->
+      """WITH b AS (SELECT doc_id, hex(CAST(text AS BLOB)) h,
+        |        octet_length(CAST(text AS BLOB)) n
+        |       FROM documents),
+        |v AS (SELECT doc_id, n,
+        |       list_transform(range(n), i ->
+        |         CAST('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2) AS BIGINT))
+        |        bytes
+        |      FROM b),
+        |f AS (SELECT doc_id, n,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        |         (acc, x) -> (acc * 131 + x) % 1000000007) AS cks
+        |      FROM v)
+        |SELECT doc_id, CAST((cks * 31 + n) % 1000003 AS BIGINT) AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         | ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -256,6 +256,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
   }
 
+  test("batched inference is invariant to partitioning and batch seams") {
+    val a = Multimodal.batchInfer(spark, sf).collect()
+    // repartitioned inputs hit different batch seams; outputs must not
+    // change (per-row model contract)
+    val b = Multimodal
+      .batchInferOn(Multimodal.assets(spark, sf).repartition(13))
+      .collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000003L))
+  }
+
+  test("resize preserves aspect ratio within integer floor error") {
+    val rows = Multimodal.resize(spark, sf).collect()
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(math.max(ow, oh) == 224, s"long side must hit the box: $r")
+      // floor division: out ratio never exceeds the input ratio
+      if (w >= h) assert(oh == h * 224 / w) else assert(ow == w * 224 / h)
+      assert(r.getString(6).length == 16)
+    }
+  }
+
   test("multimodal decode is deterministic, partition-count invariant") {
     val f1 = Multimodal.features(spark, sf).collect()
     val f8 = Multimodal.decodeFeatures(
