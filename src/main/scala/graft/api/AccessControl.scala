@@ -49,6 +49,80 @@ object AccessControl {
   private val setRole = TrieMap.empty[String, Option[Set[String]]] // None=ALL
   private val enforce = TrieMap.empty[String, Boolean]
 
+  // ---- row filters + column masks (reference SPI SystemAccessControl
+  // .getRowFilters / .getColumnMasks returning ViewExpressions the
+  // analyzer splices into every scan of the table, presto-main
+  // StatementAnalyzer; plugins configure them per identity) -------------
+  private case class RowFilter(table: String, granteeType: String,
+    grantee: String, predicate: String)
+  private case class ColumnMask(table: String, column: String,
+    granteeType: String, grantee: String, expression: String)
+  private val rowFilters = TrieMap.empty[String, Vector[RowFilter]]
+  private val columnMasks = TrieMap.empty[String, Vector[ColumnMask]]
+
+  def setRowFilter(spark: SparkSession, table: String, granteeType: String,
+      grantee: String, predicate: String): Unit =
+    rowFilters.updateWith(sid(spark))(v => Some(v.getOrElse(Vector.empty) :+
+      RowFilter(table.toLowerCase, granteeType.toUpperCase, grantee, predicate)))
+  def setColumnMask(spark: SparkSession, table: String, column: String,
+      granteeType: String, grantee: String, expression: String): Unit =
+    columnMasks.updateWith(sid(spark))(v => Some(v.getOrElse(Vector.empty) :+
+      ColumnMask(table.toLowerCase, column.toLowerCase,
+        granteeType.toUpperCase, grantee, expression)))
+  def clearPolicies(spark: SparkSession): Unit = {
+    rowFilters.remove(sid(spark)); columnMasks.remove(sid(spark))
+  }
+
+  private def appliesTo(id: String, user: String, granteeType: String,
+      grantee: String): Boolean =
+    (granteeType == "USER" && grantee == user) ||
+      (granteeType == "ROLE" && enabledRoles(id, user).contains(grantee))
+
+  /** Apply the identity's row filters and column masks by SECURING THE
+    * VIEW for the duration of one statement: each policied temp view the
+    * text references is re-registered as (masks projected under their
+    * original names, then filters conjunctively), the statement analyzes
+    * against the secured plan, and the returned closure restores the
+    * original views. This is view-level security exactly as the
+    * reference's StatementAnalyzer splices ViewExpressions into the scan
+    * — and it composes with everything (plan surgery on analyzed plans
+    * was tried first and silently lost the mask when AQE re-optimized a
+    * same-exprId alias). Over HTTP each request runs on a session clone,
+    * so the swap is invisible to concurrent queries; on a directly
+    * shared session the caller holds the statement scope. */
+  def secureViews(spark: SparkSession, text: String): () => Unit = {
+    val id = sid(spark)
+    val user = currentUser(spark)
+    val rf = rowFilters.getOrElse(id, Vector.empty)
+      .filter(f => appliesTo(id, user, f.granteeType, f.grantee))
+    val cm = columnMasks.getOrElse(id, Vector.empty)
+      .filter(m => appliesTo(id, user, m.granteeType, m.grantee))
+    if (rf.isEmpty && cm.isEmpty) return () => ()
+    val tables = (rf.map(_.table) ++ cm.map(_.table)).distinct.filter { t =>
+      ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+        .findFirstIn(text).isDefined &&
+        spark.catalog.tableExists(t)
+    }
+    val originals = tables.map { t =>
+      val orig = spark.table(t)
+      val masks = cm.filter(_.table == t)
+      var sec = if (masks.isEmpty) orig else orig.select(
+        orig.columns.map { c =>
+          masks.find(_.column == c.toLowerCase) match {
+            case Some(m) =>
+              org.apache.spark.sql.functions.expr(m.expression).as(c)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }: _*)
+      rf.filter(_.table == t).foreach { f =>
+        sec = sec.where(org.apache.spark.sql.functions.expr(f.predicate))
+      }
+      sec.createOrReplaceTempView(t)
+      t -> orig
+    }
+    () => originals.foreach { case (t, orig) => orig.createOrReplaceTempView(t) }
+  }
+
   val BuiltinRoles: Set[String] = Set("admin", "public")
   private val Privileges = Seq("SELECT", "INSERT", "DELETE", "UPDATE")
 
@@ -66,6 +140,7 @@ object AccessControl {
     val id = sid(spark)
     roles.remove(id); roleGrants.remove(id); privGrants.remove(id)
     users.remove(id); setRole.remove(id); enforce.remove(id)
+    rowFilters.remove(id); columnMasks.remove(id)
   }
 
   /** Transitive closure of role grants from an identity (user + public). */

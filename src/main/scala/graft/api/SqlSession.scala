@@ -85,15 +85,21 @@ final class SqlSession private (val spark: SparkSession) {
       // InlineSqlFunctions strategy (no-op when none are registered)
       val inlined = SqlFunctions.inline(DdlStatements.sessionId(spark), text)
       val t1 = Dialect.translate(inlined)
-      val df = try spark.sql(t1)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          val t2 = Dialect.translate(inlined, unnestStructRows = true)
-          if (t2 == t1) throw e
-          else try spark.sql(t2)
-          catch { case _: org.apache.spark.sql.AnalysisException => throw e }
-      }
-      AccessControl.checkPlan(spark, df)
+      // row filters / column masks: secure every policied view for this
+      // statement, pin analysis against the secured plans, then restore
+      val restore = AccessControl.secureViews(spark, inlined)
+      try {
+        val df = try spark.sql(t1)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            val t2 = Dialect.translate(inlined, unnestStructRows = true)
+            if (t2 == t1) throw e
+            else try spark.sql(t2)
+            catch { case _: org.apache.spark.sql.AnalysisException => throw e }
+        }
+        df.queryExecution.analyzed // resolve before the views swap back
+        AccessControl.checkPlan(spark, df)
+      } finally restore()
     }
   }
 

@@ -87,4 +87,55 @@ class DclSpec extends AnyFunSuite {
       AccessControl.reset(spark)
     }
   }
+
+  test("row filters constrain only the targeted identity") {
+    val q = fresh()
+    try {
+      val all = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
+      AccessControl.setUser(spark, "alice")
+      AccessControl.setRowFilter(spark, "nation", "USER", "alice",
+        "n_regionkey = 0")
+      val filtered = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
+      assert(filtered < all && filtered > 0)
+      assert(q.sql("SELECT DISTINCT n_regionkey FROM nation")
+        .collect().map(_.getAs[Number](0).longValue).toSeq == Seq(0L))
+      // a different user is unconstrained
+      AccessControl.setUser(spark, "bob")
+      assert(q.sql("SELECT count(*) AS c FROM nation").head.getLong(0) == all)
+      // two filters apply conjunctively
+      AccessControl.setUser(spark, "alice")
+      AccessControl.setRowFilter(spark, "nation", "USER", "alice",
+        "n_nationkey < 3")
+      val both = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
+      assert(both <= filtered && both <= 3)
+    } finally AccessControl.reset(spark)
+  }
+
+  test("column masks rewrite the column under its own name, role-targeted") {
+    val q = fresh()
+    try {
+      q.sql("CREATE ROLE masked_r")
+      q.sql("GRANT masked_r TO USER carol")
+      AccessControl.setUser(spark, "carol")
+      AccessControl.setColumnMask(spark, "nation", "n_name", "ROLE",
+        "masked_r", "concat(substring(n_name, 1, 1), '***')")
+      val rows = q.sql("SELECT n_name FROM nation ORDER BY n_nationkey")
+        .collect().map(_.getString(0))
+      assert(rows.forall(_.endsWith("***")), rows.take(3).mkString(","))
+      // schema keeps the original column name
+      assert(q.sql("SELECT n_name FROM nation").columns.toSeq == Seq("n_name"))
+      // filters still compose with masks (filter sees the real column
+      // because it applies under the mask projection? no — the mask
+      // projection is below the filter, so predicates see MASKED values,
+      // the reference's ViewExpression ordering for masked columns)
+      AccessControl.setRowFilter(spark, "nation", "USER", "carol",
+        "n_name LIKE '%***'")
+      val n = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
+      assert(n > 0)
+      // untargeted identity sees clear values
+      AccessControl.setUser(spark, "dave")
+      val clear = q.sql("SELECT n_name FROM nation").collect().map(_.getString(0))
+      assert(clear.exists(!_.endsWith("***")))
+    } finally AccessControl.reset(spark)
+  }
 }
