@@ -154,12 +154,18 @@ object TextAnalysis {
     * broadcast to every scorer; the corpus side is one (doc, bucket)
     * aggregate and one per-doc window — linear, no all-pairs, no
     * driver-side training loop. */
-  def hashedClassifier(s: SparkSession, dir: String): DataFrame = {
+  def hashedClassifier(s: SparkSession, dir: String): DataFrame =
+    classifierScores(t(s, dir, "documents"), "text")
+
+  /** Train-and-score over any (doc_id, lang, <textCol>) frame — the
+    * reusable core of [[hashedClassifier]], also the language-consistency
+    * filter stage of [[pipeline3]]. */
+  def classifierScores(docs: DataFrame, textCol: String): DataFrame = {
     val B = 512
-    val docs = t(s, dir, "documents")
     val toks = docs
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("word"))
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
       .withColumn("bucket",
         expr(s"CAST(conv(substring(md5(word), 1, 6), 16, 10) AS BIGINT) % $B"))
     // model head: per-class token totals — |classes| rows, THE model's
@@ -202,6 +208,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("actual_lang"),
         predCol.as("pred_lang"), bestCol.as("score"))
       .orderBy("doc_id")
+  }
+
+  /** Curation pipeline v3 — the round's NEW stages composed the way a
+    * FineWeb-style corpus run chains them: Gopher-shape quality FILTER
+    * (word-count / mean-word-length / alphabetic-ratio bounds + the en
+    * stop list, since the paper's required-stop set is disjoint from the
+    * fixture vocabulary) → C4 duplicate-SPAN REMOVAL among the survivors
+    * (the gram universe legitimately changes with the filter — dedup
+    * runs on what survived, not the raw corpus) → language-consistency
+    * CLASSIFIER filter on the REWRITTEN text (train + score + keep
+    * pred == label) → sequence PACKING of survivors into ~2048-token
+    * shards per source. One DuckDB oracle replays all four stages,
+    * verifying the inter-stage contracts. Shuffle shape: per-row filter,
+    * one gram-keyed window, one broadcastable model, one source-keyed
+    * window — nothing quadratic, nothing driver-side but the 5-row
+    * model head. */
+  def pipeline3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = stop("en").map(w => s"'$w'").mkString("array(", ", ", ")")
+    val d0 = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val gf = d0.filter(
+      col("nw").between(50, 100000) &&
+        (expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          col("nw")).between(3.0, 10.0) &&
+        (expr("size(filter(w, x -> x rlike '[A-Za-z]'))").cast("double") /
+          col("nw") >= 0.8) &&
+        expr(s"size(filter($stopArr, st -> array_contains(w, st)))") >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), col("w"), col("nw"))
+    val k = 3
+    val sh = gf.filter(col("nw") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .toDF("doc_id", "pos", "g")
+    val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
+    val dropped = sh.withColumn("rk", row_number().over(wg))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= 2 && col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    val rm = dropped.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp")).distinct()
+    val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
+    val r2 = gf.join(rmAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("concat_ws(' ', transform(filter(" +
+          "transform(w, (x, i) -> struct(i AS i, x AS x)), " +
+          "s -> rps IS NULL OR NOT array_contains(rps, s.i)), s -> s.x))")
+          .as("new_text"))
+    val scored = classifierScores(r2, "new_text")
+    val kept = r2.join(
+      scored.filter(col("pred_lang") === col("actual_lang"))
+        .select("doc_id"), "doc_id")
+    val wsrc = Window.partitionBy("source").orderBy("doc_id")
+    kept
+      .withColumn("tok", size(split(col("new_text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("tok")).over(wsrc))
+      .withColumn("shard",
+        floor((col("cum") - col("tok")).cast("double") / 2048).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard")
   }
 
   /** Token counting per language: whitespace tokens, BPE-ish regex tokens
@@ -721,6 +790,7 @@ object TextAnalysis {
     "text_quality" -> quality,
     "text_gopher_quality" -> gopherQuality,
     "text_hashed_classifier" -> hashedClassifier,
+    "text_pipeline3" -> pipeline3,
     "text_tokens" -> tokenCount,
     "text_fingerprint" -> fingerprint,
     "text_stems" -> stems)
@@ -1060,6 +1130,74 @@ object TextAnalysis {
         | CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         | CAST(SUM(CAST(ceil(len(text) * 1.0 / 4.0) AS BIGINT)) AS BIGINT) AS subword_est
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_pipeline3" ->
+      """WITH d0 AS (SELECT doc_id, text, lang, source,
+        |    string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        |  FROM documents),
+        |gf AS (SELECT doc_id, lang, source, w, nw FROM d0 WHERE
+        |  nw BETWEEN 50 AND 100000
+        |  AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / nw BETWEEN 3.0 AND 10.0
+        |  AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / nw >= 0.8
+        |  AND len(list_filter(
+        |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'],
+        |      st -> list_contains(w, st))) >= 2),
+        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(w[i + 1 : i + 3], ' ') AS g
+        |       FROM gf, unnest(range(0, nw - 2)) AS r(i) WHERE nw >= 3),
+        |ranked AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS cnt FROM sh),
+        |dropped AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rk > 1),
+        |rm AS (SELECT DISTINCT doc_id, pos + CAST(off AS INT) AS rp
+        |       FROM dropped, unnest(range(0, 3)) AS r(off)),
+        |words AS (SELECT doc_id, CAST(i AS INT) AS i, w[i + 1] AS x
+        |          FROM gf, unnest(range(0, nw)) AS r(i)),
+        |keptw AS (SELECT wd.doc_id, wd.i, wd.x FROM words wd
+        |         LEFT JOIN rm ON rm.doc_id = wd.doc_id AND rm.rp = wd.i
+        |         WHERE rm.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id,
+        |    COALESCE(string_agg(x, ' ' ORDER BY i), '') AS new_text
+        |  FROM keptw GROUP BY 1),
+        |r2 AS (SELECT gf.doc_id, gf.lang, gf.source,
+        |    COALESCE(rebuilt.new_text, '') AS new_text
+        |  FROM gf LEFT JOIN rebuilt USING (doc_id)),
+        |toks AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(wd), 1, 6) AS BIGINT) % 512 AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split(new_text, ' ')) AS wd
+        |        FROM r2) t
+        |  WHERE wd <> ''),
+        |clb AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c_lb
+        |        FROM toks GROUP BY 1, 2),
+        |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+        |       FROM toks GROUP BY 1),
+        |dt AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS m
+        |       FROM toks GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cl.lang,
+        |    CAST(sum(dt.m * ((COALESCE(clb.c_lb, 0) + 1) * 1000000000
+        |      // (cl.c_l + 512))) AS BIGINT) AS score
+        |  FROM dt CROSS JOIN cl
+        |  LEFT JOIN clb ON clb.lang = cl.lang AND clb.bucket = dt.bucket
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, lang AS pred_lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang) AS rk FROM sc),
+        |keptd AS (SELECT r2.* FROM r2
+        |  JOIN pred p ON p.doc_id = r2.doc_id AND p.rk = 1
+        |    AND p.pred_lang = r2.lang),
+        |cums AS (SELECT doc_id, source,
+        |    CAST(len(string_split(new_text, ' ')) AS BIGINT) AS tok,
+        |    sum(CAST(len(string_split(new_text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM keptd)
+        |SELECT source,
+        |  CAST(floor(CAST(cum - tok AS DOUBLE) / 2048) AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cums GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
     "text_gopher_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |    string_split(text, ' ') AS w,
