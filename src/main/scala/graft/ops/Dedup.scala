@@ -419,6 +419,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram collision rule (TextAnalysis.decontaminate): a corpus vector
+    * is contaminated when it is near-identical to any held-out benchmark
+    * vector (paraphrased eval questions that no exact n-gram ever
+    * catches). Candidates come from the SAME deterministic hyperplane
+    * buckets as dedup_embedding_lsh; the benchmark side is an eval set —
+    * tiny relative to the corpus — so its bucketed signatures BROADCAST
+    * and the corpus side stays one narrow map + bucket join, never
+    * corpus × bench. */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bucketOf(col("embedding")).as("bucket"))
+    val bench = e.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"),
+        col("bucket"))
+    val corpus = e.filter(col("vec_id") % 13 =!= 0)
+    corpus.join(broadcast(bench), "bucket")
+      .select(col("vec_id"), col("bench_id"),
+        cosine(col("embedding"), col("bvec")).as("c"))
+      .filter(col("c") >= 0.3)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("c")), 4).as("max_cos"),
+        min(col("bench_id")).as("first_bench"))
+      .orderBy("vec_id")
+  }
+
   /** Double-precision cosine similarity of two float vectors: sequential
     * fold in element order so any engine computing the same fold gets the
     * same IEEE-754 bits (reference cosine_similarity:
@@ -441,6 +469,7 @@ object Dedup {
     "dedup_semantic_salted" -> semanticDedupSalted,
     "dedup_substring" -> substringDup,
     "dedup_span_removal" -> spanDedup,
+    "dedup_semantic_decontaminate" -> semanticDecontaminate,
     "dedup_clusters" -> nearDupClusters)
 
   private val oracleBase: Map[String, String] = Map(
@@ -604,6 +633,39 @@ object Dedup {
         |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_semantic_decontaminate" ->
+      """WITH comp AS (
+        |  SELECT p, j + 1 AS j,
+        |   CAST(CAST('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15)
+        |     AS BIGINT) % 2001 - 1000 AS DOUBLE) w
+        |  FROM (SELECT unnest(range(4)) p) CROSS JOIN (SELECT unnest(range(64)) j)),
+        |vx AS (SELECT vec_id, unnest(embedding) x,
+        |        generate_subscripts(embedding, 1) j
+        |       FROM embeddings),
+        |dots AS (
+        |  SELECT vx.vec_id, comp.p, SUM(CAST(vx.x AS DOUBLE) * comp.w) dp
+        |  FROM vx JOIN comp ON vx.j = comp.j
+        |  GROUP BY 1, 2),
+        |bk AS (SELECT vec_id,
+        |        SUM(CASE WHEN dp > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) bucket
+        |       FROM dots GROUP BY 1),
+        |p AS (SELECT c.vec_id, ec.embedding ev, b.vec_id bench_id,
+        |        eb.embedding bv
+        |      FROM bk c JOIN bk b ON c.bucket = b.bucket
+        |        AND b.vec_id % 13 = 0 AND c.vec_id % 13 <> 0
+        |      JOIN embeddings ec ON ec.vec_id = c.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |u AS (SELECT vec_id, bench_id, unnest(ev) x, unnest(bv) y FROM p),
+        |d AS (SELECT vec_id, bench_id,
+        |       SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |       sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |       sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  ROUND(max(dot / (na * nb)), 4) AS max_cos,
+        |  min(bench_id) AS first_bench
+        |FROM d WHERE dot / (na * nb) >= 0.3
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH comp AS (
         |  SELECT p, j + 1 AS j,
