@@ -451,12 +451,14 @@ object Dedup {
     * fold in element order so any engine computing the same fold gets the
     * same IEEE-754 bits (reference cosine_similarity:
     * MAIN/operator/scalar/MathFunctions.java:1710). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    // the codegen'd CosineSimilarity kernel — identical sequential fold
+    // order to the previous aggregate(zip_with(...)) HOF formulation, so
+    // every gate's IEEE-754 bits are unchanged, but the HOF was
+    // interpreted (CodegenFallback) and measured 3-4× slower on the
+    // 40k-vector corpus bench. Inputs must be array<float> (every
+    // embedding column in the engine is; the kernel type-checks loudly).
+    graft.functions.GraftFunctions.cosineSimilarity(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,

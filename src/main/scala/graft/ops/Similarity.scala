@@ -231,8 +231,10 @@ object Similarity {
       .groupBy("cent_id", "pos")
       .agg(avg(col("x")).as("c"))
       .groupBy("cent_id")
+      // float centroids: the embedding space is float and the codegen'd
+      // cosine kernel type-checks array<float>
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cvec"))
+        s => s.getField("c").cast("float")).as("cvec"))
   }
 
   /** Mean distance-to-assigned-centroid (the k-means objective, cosine

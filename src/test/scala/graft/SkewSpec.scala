@@ -60,7 +60,8 @@ class SkewSpec extends AnyFunSuite {
       when(pmod(col("id"), lit(10)) < 3, 0L)
         .otherwise(pmod(col("id"), lit(7)) + 1).as("cell"))
       .withColumn("embedding", transform(sequence(lit(0), lit(7)),
-        i => when(i === col("cell").cast("int"), lit(1.0)).otherwise(lit(0.01))))
+        i => when(i === col("cell").cast("int"), lit(1.0)).otherwise(lit(0.01))
+          .cast("float")))
     val salts = 4
     val probeBuckets = vecs
       .withColumn("__salt", pmod(xxhash64(col("vec_id")), lit(salts.toLong)))
