@@ -296,8 +296,19 @@ object Dedup {
     * rounds — near-dup components are shallow, so a handful of rounds at
     * any corpus size; lineage is cut per round with localCheckpoint. The
     * oracle replays components with a recursive CTE over the same pairs. */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    propagateLabels(minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
+      .select(col("cluster_id"), col("n_members"), col("keep_id"))
+      .orderBy("cluster_id")
+
+  /** Iterative min-label propagation over an undirected pair graph →
+    * (node, label) with label = component minimum. Lineage is cut with
+    * localCheckpoint per round (near-dup components are shallow, so a
+    * handful of rounds at any corpus size). Shared by [[nearDupClusters]]
+    * and [[keepBest]]. */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -317,9 +328,25 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Keep-best near-dup resolution — what a production pipeline actually
+    * keeps per near-duplicate cluster is its HIGHEST-QUALITY copy, not
+    * the smallest id (the C4/RefinedWeb convention of arbitrary keepers
+    * loses the best-written variant): clusters = the minhash-LSH pair
+    * graph's components ([[propagateLabels]]), keeper = argmax of the
+    * gated quality score (ties to the smaller doc_id). Composition of
+    * two already-gated kernels; one extra broadcastable join. */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = propagateLabels(
+      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality"))
+    labels.join(q, labels("node") === q("doc_id"))
       .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), min(col("node")).as("keep_id"))
-      .select(col("cluster_id"), col("n_members"), col("keep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nid")).as("keep_id"), col("m.quality").as("keep_quality"))
       .orderBy("cluster_id")
   }
 
@@ -472,6 +499,7 @@ object Dedup {
     "dedup_substring" -> substringDup,
     "dedup_span_removal" -> spanDedup,
     "dedup_semantic_decontaminate" -> semanticDecontaminate,
+    "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> nearDupClusters)
 
   private val oracleBase: Map[String, String] = Map(
@@ -598,6 +626,60 @@ object Dedup {
         |comp AS (SELECT node, min(root) cluster_id FROM reach GROUP BY node)
         |SELECT cluster_id, count(*) AS n_members, min(node) AS keep_id
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) m
+        |       FROM (SELECT doc_id, unnest(s) g FROM sh)
+        |       CROSS JOIN (SELECT unnest(range(16)) seed) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, seed // 4 b,
+        |          md5(string_agg(m, ',' ORDER BY seed)) sig
+        |         FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id da, b2.doc_id db FROM band a
+        |         JOIN band b2 ON a.b = b2.b AND a.sig = b2.sig
+        |          AND a.doc_id < b2.doc_id),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |card AS (SELECT doc_id, len(s) n FROM sh),
+        |ver AS (SELECT da, db, count(*) inter FROM cand
+        |        JOIN e ea ON ea.doc_id = da
+        |        JOIN e eb ON eb.doc_id = db AND ea.g = eb.g GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM ver
+        |          JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |          WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8),
+        |edges AS (SELECT da a, db b FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(root) cluster_id FROM reach GROUP BY node),
+        |qf AS (SELECT doc_id, string_split(text, ' ') qws, len(text) nc,
+        |        len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+        |          / len(text) punct
+        |       FROM documents),
+        |qg AS (SELECT doc_id, len(qws) nw, punct,
+        |        len(list_filter(qws, x -> list_contains(
+        |          ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'],
+        |          x))) * 1.0 / len(qws) stopr
+        |       FROM qf),
+        |q AS (SELECT doc_id,
+        |       ROUND(least(1.0, nw / 120.0) * 0.4
+        |         + least(1.0, stopr * 5.0) * 0.3
+        |         + (1.0 - least(1.0, punct * 10.0)) * 0.3, 4) AS quality
+        |      FROM qg),
+        |ranked AS (SELECT comp.cluster_id, comp.node, q.quality,
+        |    row_number() OVER (PARTITION BY comp.cluster_id
+        |      ORDER BY q.quality DESC, comp.node) rk
+        |  FROM comp JOIN q ON q.doc_id = comp.node),
+        |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) n_members
+        |        FROM comp GROUP BY 1)
+        |SELECT r.cluster_id, cnt.n_members, r.node AS keep_id,
+        |  r.quality AS keep_quality
+        |FROM ranked r JOIN cnt USING (cluster_id)
+        |WHERE r.rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_simhash" ->
       """WITH h AS (SELECT doc_id,
         |        CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) hv
