@@ -124,6 +124,26 @@ class LlmOpsSpec extends AnyFunSuite {
       "index-read path must return the inline IVF answers")
   }
 
+  test("keep-best keeps a member with the cluster-max quality") {
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val best = Dedup.keepBest(spark, sf).collect()
+    assert(best.map(_.getLong(0)).toSet == clusters.keySet)
+    best.foreach { r =>
+      val (cid, n, keepId, keepQ) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n == clusters(cid), s"member count drifted for $cid")
+      assert(q(keepId) == keepQ, s"keeper quality is not the doc's own: $r")
+    }
+    // at least one cluster's keeper differs from min-id (quality decided)
+    val minKeepers = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(best.exists(r => minKeepers(r.getLong(0)) != r.getLong(2)) ||
+      best.length <= 2, "keep-best never disagreed with min-id on this corpus")
+  }
+
   test("near-dup clusters are transitive closures of the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
