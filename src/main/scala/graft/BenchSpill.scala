@@ -69,12 +69,17 @@ object BenchSpill {
     // sink (a bare count() lets EliminateSorts prune the sort away —
     // measured 0 spill until this was a real write)
     val (m0, d0) = snap()
+    // observed row count over the SORTED stream (not the input): proves
+    // the spill-degraded sort emitted every row, not just that the input
+    // had n of them
+    val sortObs = new org.apache.spark.sql.Observation("spill_sort")
     val (_, sortSec) = time {
       li.orderBy("pad", "l_orderkey", "r")
+        .observe(sortObs, count(lit(1)).as("rows"))
         .write.mode("overwrite").format("noop").save()
     }
     val (m1, d1) = snap()
-    val sortRows = n
+    val sortRows = sortObs.get("rows").asInstanceOf[Long]
 
     // wide high-cardinality aggregation: spillable hash agg
     val (aggRows, aggSec) = time {
@@ -100,7 +105,7 @@ object BenchSpill {
       ",\"rows\":" + aggRows + "}}"
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_spill_r11.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_spill_r12.json"), json + "\n")
     s.stop()
   }
 }

@@ -79,17 +79,21 @@ object AccessControl {
       (granteeType == "ROLE" && enabledRoles(id, user).contains(grantee))
 
   /** Apply the identity's row filters and column masks by SECURING THE
-    * VIEW for the duration of one statement: each policied temp view the
-    * text references is re-registered as (masks projected under their
-    * original names, then filters conjunctively), the statement analyzes
-    * against the secured plan, and the returned closure restores the
-    * original views. This is view-level security exactly as the
-    * reference's StatementAnalyzer splices ViewExpressions into the scan
-    * — and it composes with everything (plan surgery on analyzed plans
-    * was tried first and silently lost the mask when AQE re-optimized a
-    * same-exprId alias). Over HTTP each request runs on a session clone,
-    * so the swap is invisible to concurrent queries; on a directly
-    * shared session the caller holds the statement scope. */
+    * VIEW for the duration of one statement: every policied temp view is
+    * re-registered as (filters conjunctively on the RAW relation, then
+    * masks projected on top under their original names — row filters see
+    * unmasked data, the reference's ViewExpression ordering), the
+    * statement analyzes against the secured plan, and the returned
+    * closure restores the original views. Applicability is NOT decided
+    * from the statement text: every policied table is secured, and any
+    * other temp view whose captured plan resolves to a policied table
+    * (a view or CTE defined over it, then queried by its own name) is
+    * re-registered with the policied subtree spliced out for the secured
+    * plan — so indirect references can't bypass the policy, matching the
+    * reference's scan-time ViewExpression splice regardless of nesting.
+    * Over HTTP each request runs on a session clone, so the swap is
+    * invisible to concurrent queries; on a directly shared session the
+    * caller holds the statement scope. */
   def secureViews(spark: SparkSession, text: String): () => Unit = {
     val id = sid(spark)
     val user = currentUser(spark)
@@ -98,28 +102,79 @@ object AccessControl {
     val cm = columnMasks.getOrElse(id, Vector.empty)
       .filter(m => appliesTo(id, user, m.granteeType, m.grantee))
     if (rf.isEmpty && cm.isEmpty) return () => ()
-    val tables = (rf.map(_.table) ++ cm.map(_.table)).distinct.filter { t =>
-      ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
-        .findFirstIn(text).isDefined &&
-        spark.catalog.tableExists(t)
-    }
-    val originals = tables.map { t =>
+    val policied = (rf.map(_.table) ++ cm.map(_.table)).distinct
+      .filter(t => scala.util.Try(spark.catalog.tableExists(t)).getOrElse(false))
+    if (policied.isEmpty) return () => ()
+    val policiedSet = policied.toSet
+
+    import org.apache.spark.sql.functions.{col, expr}
+    /** Secured DataFrame for one policied table: filters below masks.
+      * Each call yields fresh output exprIds (the trailing re-alias), so
+      * splicing two occurrences into one plan can't collide. */
+    def buildSecured(t: String): DataFrame = {
       val orig = spark.table(t)
+      var sec = orig
+      rf.filter(_.table == t).foreach(f => sec = sec.where(expr(f.predicate)))
       val masks = cm.filter(_.table == t)
-      var sec = if (masks.isEmpty) orig else orig.select(
-        orig.columns.map { c =>
-          masks.find(_.column == c.toLowerCase) match {
-            case Some(m) =>
-              org.apache.spark.sql.functions.expr(m.expression).as(c)
-            case None => org.apache.spark.sql.functions.col(c)
-          }
-        }: _*)
-      rf.filter(_.table == t).foreach { f =>
-        sec = sec.where(org.apache.spark.sql.functions.expr(f.predicate))
-      }
-      sec.createOrReplaceTempView(t)
+      if (masks.nonEmpty) sec = sec.select(orig.columns.map { c =>
+        masks.find(_.column == c.toLowerCase) match {
+          case Some(m) => expr(m.expression).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      sec.select(sec.columns.map(c => col(c).as(c)): _*)
+    }
+
+    // 1. re-register every policied table secured
+    val policiedOriginals = policied.map { t =>
+      val orig = spark.table(t)
+      buildSecured(t).createOrReplaceTempView(t)
       t -> orig
     }
+
+    // 2. re-register dependent views (captured plans resolve the policied
+    //    table at definition time, so step 1 alone can't reach them)
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val otherViews = scala.util.Try(
+      spark.catalog.listTables().collect().map(_.name)
+        .filterNot(v => policiedSet.contains(v.toLowerCase)).toSeq
+    ).getOrElse(Seq.empty)
+    val dependentOriginals = otherViews.flatMap { v =>
+      scala.util.Try {
+        val orig = spark.table(v)
+        val plan = orig.queryExecution.analyzed
+        var mapping = Map.empty[ExprId, Attribute]
+        var changed = false
+        val spliced = plan.transformUp {
+          case s: SubqueryAlias
+              if policiedSet.contains(s.identifier.name.toLowerCase) =>
+            val secPlan =
+              buildSecured(s.identifier.name.toLowerCase).queryExecution.analyzed
+            val byName = secPlan.output.map(a => a.name.toLowerCase -> a).toMap
+            if (s.output.forall(a => byName.contains(a.name.toLowerCase))) {
+              s.output.foreach(a =>
+                mapping += a.exprId -> byName(a.name.toLowerCase))
+              changed = true
+              SubqueryAlias(s.identifier, secPlan)
+            } else s
+        }
+        if (!changed) None
+        else {
+          val remapped = spliced.transformAllExpressions {
+            case a: AttributeReference if mapping.contains(a.exprId) =>
+              val n = mapping(a.exprId)
+              AttributeReference(a.name, n.dataType, n.nullable, a.metadata)(
+                exprId = n.exprId, qualifier = a.qualifier)
+          }
+          org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark, remapped)
+            .createOrReplaceTempView(v)
+          Some(v -> orig)
+        }
+      }.toOption.flatten
+    }
+
+    val originals = policiedOriginals ++ dependentOriginals
     () => originals.foreach { case (t, orig) => orig.createOrReplaceTempView(t) }
   }
 

@@ -644,6 +644,10 @@ object StatementServer {
       sql, sessionProps, prepares, user, source, defaultSchema, timeZone)
     evict()
     queries.put(q.id, q)
+    // Created fires as soon as the query is registered — BEFORE the
+    // time-limit parse, whose failure path emits Completed; listeners
+    // must never observe Completed without a preceding Created
+    emit(QueryCreatedEvent(q.id, q.user, q.source, q.sql, q.createdMillis))
     // time limits come from the effective session context (rule defaults
     // overridden by explicit client pairs), parsed once at submit
     val eff = defaultProps(user, source).toMap ++ sessionProps.toMap
@@ -657,7 +661,6 @@ object StatementServer {
         fail(q, ProtoError(String.valueOf(e.getMessage), 0x0000000E,
           "INVALID_SESSION_PROPERTY", "USER_ERROR"))
     }
-    emit(QueryCreatedEvent(q.id, q.user, q.source, q.sql, q.createdMillis))
     q
   }
 

@@ -1243,7 +1243,8 @@ object TextAnalysis {
         |  SELECT doc_id, lang,
         |    CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 512 AS bucket
         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-        |        FROM documents)),
+        |        FROM documents)
+        |  WHERE w <> ''),
         |clb AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c_lb
         |        FROM toks GROUP BY 1, 2),
         |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l

@@ -11,6 +11,14 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-constructed logical plan (classic
+    * Dataset.ofRows) — used to re-register a temp view after splicing a
+    * secured subtree into its captured plan. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Fully-converted expression (no lazy ColumnNode wrapper) — required
     * when a Column built from `functions._` is returned from a
     * FunctionRegistry builder, where the analyzer will not run the

@@ -124,18 +124,69 @@ class DclSpec extends AnyFunSuite {
       assert(rows.forall(_.endsWith("***")), rows.take(3).mkString(","))
       // schema keeps the original column name
       assert(q.sql("SELECT n_name FROM nation").columns.toSeq == Seq("n_name"))
-      // filters still compose with masks (filter sees the real column
-      // because it applies under the mask projection? no — the mask
-      // projection is below the filter, so predicates see MASKED values,
-      // the reference's ViewExpression ordering for masked columns)
+      // filters compose with masks and see the REAL column values: the
+      // filter applies below the mask projection (the reference's
+      // ViewExpression ordering — row filters evaluate on unmasked data)
+      AccessControl.setRowFilter(spark, "nation", "USER", "carol",
+        "n_name IN ('NATION_1', 'NATION_2')")
+      val n = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
+      assert(n == 2) // matches real names, which the mask rewrites to 'N***'
+      // …while the output of those surviving rows is still masked
+      val out = q.sql("SELECT n_name FROM nation").collect().map(_.getString(0))
+      assert(out.nonEmpty && out.forall(_.endsWith("***")))
+      // a filter matching only MASKED text selects nothing (it runs on
+      // the clear values)
+      AccessControl.reset(spark)
+      Tables(spark, sf, "nation").createOrReplaceTempView("nation")
+      AccessControl.setUser(spark, "carol")
+      AccessControl.setColumnMask(spark, "nation", "n_name", "USER",
+        "carol", "concat(substring(n_name, 1, 1), '***')")
       AccessControl.setRowFilter(spark, "nation", "USER", "carol",
         "n_name LIKE '%***'")
-      val n = q.sql("SELECT count(*) AS c FROM nation").head.getLong(0)
-      assert(n > 0)
+      assert(q.sql("SELECT count(*) AS c FROM nation").head.getLong(0) == 0L)
       // untargeted identity sees clear values
       AccessControl.setUser(spark, "dave")
       val clear = q.sql("SELECT n_name FROM nation").collect().map(_.getString(0))
       assert(clear.exists(!_.endsWith("***")))
     } finally AccessControl.reset(spark)
+  }
+
+  test("policies reach indirect references (temp views over the table)") {
+    val q = fresh()
+    try {
+      // view defined over the policied table BEFORE the policy exists —
+      // its captured plan resolves nation directly, so re-registering
+      // nation alone can't secure it
+      q.sql("CREATE TEMP VIEW nation_v AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      q.sql("CREATE TEMP VIEW nation_vv AS SELECT n_name, n_regionkey FROM nation_v WHERE n_nationkey >= 0")
+      AccessControl.setUser(spark, "alice")
+      AccessControl.setRowFilter(spark, "nation", "USER", "alice",
+        "n_regionkey = 0")
+      AccessControl.setColumnMask(spark, "nation", "n_name", "USER",
+        "alice", "concat(substring(n_name, 1, 1), '***')")
+      // direct reference
+      assert(q.sql("SELECT count(*) AS c FROM nation").head.getLong(0) == 5L)
+      // one level of view nesting
+      assert(q.sql("SELECT count(*) AS c FROM nation_v").head.getLong(0) == 5L)
+      val vNames = q.sql("SELECT n_name FROM nation_v").collect().map(_.getString(0))
+      assert(vNames.forall(_.endsWith("***")))
+      // two levels of nesting
+      assert(q.sql("SELECT count(*) AS c FROM nation_vv").head.getLong(0) == 5L)
+      val vvNames = q.sql("SELECT n_name FROM nation_vv").collect().map(_.getString(0))
+      assert(vvNames.forall(_.endsWith("***")))
+      // CTE over the view by its own name
+      assert(q.sql(
+        "WITH x AS (SELECT * FROM nation_v) SELECT count(*) AS c FROM x")
+        .head.getLong(0) == 5L)
+      // a different user still sees everything through the same views
+      AccessControl.setUser(spark, "bob")
+      assert(q.sql("SELECT count(*) AS c FROM nation_v").head.getLong(0) == 25L)
+      assert(q.sql("SELECT n_name FROM nation_vv").collect()
+        .map(_.getString(0)).exists(!_.endsWith("***")))
+    } finally {
+      spark.catalog.dropTempView("nation_v")
+      spark.catalog.dropTempView("nation_vv")
+      AccessControl.reset(spark)
+    }
   }
 }
