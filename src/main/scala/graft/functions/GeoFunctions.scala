@@ -563,6 +563,26 @@ object GeoFunctions {
       org.apache.spark.sql.graftbridge.Bridge.expression(ringB),
       "union"))
 
+  /** General (concave/holed) set ops over ring LISTS (exterior first,
+    * holes after) → tagged collection of disjoint convex pieces. The
+    * GeneralGeomOp kernel ear-clips to convex pieces and overlays them
+    * through the exact convex kernels; convex single-ring inputs take
+    * the identical ConvexGeomOp arithmetic (reference geospatial/
+    * GeoFunctions.java ST_Intersection/ST_Union/ST_Difference/
+    * ST_SymDifference, Esri general overlay there). */
+  private def generalGeomOp(op: String)(ringsA: Column, ringsB: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(GeneralGeomOp(
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringsA),
+      org.apache.spark.sql.graftbridge.Bridge.expression(ringsB), op))
+  def stIntersectionGeneral(ringsA: Column, ringsB: Column): Column =
+    generalGeomOp("intersection")(ringsA, ringsB)
+  def stDifferenceGeneral(ringsA: Column, ringsB: Column): Column =
+    generalGeomOp("difference")(ringsA, ringsB)
+  def stUnionGeneral(ringsA: Column, ringsB: Column): Column =
+    generalGeomOp("union")(ringsA, ringsB)
+  def stSymDifferenceGeneral(ringsA: Column, ringsB: Column): Column =
+    generalGeomOp("symdifference")(ringsA, ringsB)
+
   /** ST_Union over point rows (the other common reference use): distinct
     * points as a MULTIPOINT. */
   def stUnionPoints(pts: Column): Column =

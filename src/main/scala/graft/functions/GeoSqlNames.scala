@@ -30,8 +30,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Scope contracts (all raise explicit errors, TRY-recoverable, matching
   * the reference's PrestoException style): binary predicates and set ops
   * dispatch over simple×simple operands (multi operands raise); set ops
-  * keep the Column API's convex-ring contract; ST_Buffer is point-only;
-  * WKB covers simple geometries (the GeoWkb codec's domain).
+  * run the GENERAL polygon overlay (concave and holed inputs handled by
+  * the GeneralGeomOp decompose-to-convex kernel; self-intersecting rings
+  * raise); ST_Buffer is point-only; WKB covers simple geometries (the
+  * GeoWkb codec's domain).
   */
 object GeoSqlNames {
   import GeoFunctions._
@@ -567,30 +569,41 @@ object GeoSqlNames {
           stRelate(pts1(a), pts1(b), m))
           .otherwise(boolErr(pairErr("ST_Relate", a, b)))),
 
-    // set operations (convex-ring contract, the Column API's kernels)
+    // set operations — GENERAL polygon overlay (concave + holed inputs
+    // handled by the GeneralGeomOp decompose-to-convex kernel; the
+    // result is a region-correct disjoint decomposition, and
+    // self-intersecting rings raise a TRY-recoverable error)
     e2("st_intersection",
-      "ST_Intersection(a, b) - convex polygons")((a, b) =>
-      when(gt(a) === "ST_Polygon" && gt(b) === "ST_Polygon",
-        wrapS(stIntersectionConvex(pts1(a), pts1(b))))
+      "ST_Intersection(a, b) - polygons (concave/holed ok)")((a, b) =>
+      when(gt(a) === "ST_Polygon" && gt(b) === "ST_Polygon", {
+        val c = stIntersectionGeneral(pRings(part1(a)), pRings(part1(b)))
+        val ps = c.getField("geoms")
+        when(size(ps) === 0, mkGeo(lit("ST_Empty"),
+          array().cast("array<struct<x:double,y:double>>")))
+          .when(size(ps) === 1, wrapS(element_at(ps, 1)))
+          .otherwise(fromTagged(c))
+      })
         .when(gt(a) === "ST_Point" && gt(b) === "ST_Point",
           when(onlyPoint(a) === onlyPoint(b), a)
             .otherwise(mkGeo(lit("ST_Empty"),
               array().cast("array<struct<x:double,y:double>>"))))
         .otherwise(geoErr(pairErr("ST_Intersection", a, b)))),
-    e2("st_difference", "ST_Difference(a, b) - convex polygons")((a, b) =>
+    e2("st_difference",
+      "ST_Difference(a, b) - polygons (concave/holed ok)")((a, b) =>
       when(gt(a) === "ST_Polygon" && gt(b) === "ST_Polygon",
-        fromTagged(stDifferenceConvex(pts1(a), pts1(b))))
+        fromTagged(stDifferenceGeneral(pRings(part1(a)), pRings(part1(b)))))
         .otherwise(geoErr(pairErr("ST_Difference", a, b)))),
-    e2("st_union", "ST_Union(a, b) - convex polygons or points")((a, b) =>
+    e2("st_union",
+      "ST_Union(a, b) - polygons (concave/holed ok) or points")((a, b) =>
       when(gt(a) === "ST_Polygon" && gt(b) === "ST_Polygon",
-        fromTagged(stUnionConvex(pts1(a), pts1(b))))
+        fromTagged(stUnionGeneral(pRings(part1(a)), pRings(part1(b)))))
         .when(gt(a) === "ST_Point" && gt(b) === "ST_Point",
           fromTagged(stUnionPoints(array(onlyPoint(a), onlyPoint(b)))))
         .otherwise(geoErr(pairErr("ST_Union", a, b)))),
     e2("st_symdifference",
-      "ST_SymDifference(a, b) - convex polygons")((a, b) =>
+      "ST_SymDifference(a, b) - polygons (concave/holed ok)")((a, b) =>
       when(gt(a) === "ST_Polygon" && gt(b) === "ST_Polygon",
-        fromTagged(stSymDifferenceConvex(pts1(a), pts1(b))))
+        fromTagged(stSymDifferenceGeneral(pRings(part1(a)), pRings(part1(b)))))
         .otherwise(geoErr(pairErr("ST_SymDifference", a, b)))),
     e1("geometry_union",
       "geometry_union(array(geometry)) - n-ary union of disjoint parts")(

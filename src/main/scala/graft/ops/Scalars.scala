@@ -1463,6 +1463,58 @@ object Scalars {
       .orderBy("k")
   }
 
+  /** GENERAL polygon overlay — concave and holed operands (reference
+    * geospatial/GeoFunctions.java ST_Intersection/ST_Union/ST_Difference/
+    * ST_SymDifference delegate to the Esri library's general overlay;
+    * here the GeneralGeomOp decompose-to-convex kernel). Fixture classes
+    * by m = k % 4, all dyadic so the oracle replays areas exactly:
+    * A is always the concave L-hexagon (area 12);
+    *   m=0: B convex square straddling A's notch      → ∩3  A\B 9  ∪13 Δ10
+    *   m=1: B concave L fully inside A                → ∩3  A\B 9  ∪12 Δ9
+    *   m=2: B convex square disjoint from A           → ∩0  A\B 12 ∪16 Δ16
+    *   m=3: B holed square (outer 4×4, hole 2×2)      → ∩9  A\B 3  ∪15 Δ6
+    * Also pins the region identity area(∪) = area(∩) + area(Δ). */
+  def geoSetOps2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") % 4).as("m"),
+        ((col("c_custkey") % 100) / 8.0).as("cx"),
+        ((col("c_custkey") % 77) / 4.0).as("cy"))
+    val cx = col("cx"); val cy = col("cy"); val m = col("m")
+    def arr(cs: Column*): Column = org.apache.spark.sql.functions.array(cs: _*)
+    def p(x: Column, y: Column): Column = stPoint(x, y)
+    // concave L-hexagon: [0,4]×[0,2] ∪ [0,2]×[2,4], area 12
+    val ringsA = arr(arr(
+      p(cx, cy), p(cx + 4, cy), p(cx + 4, cy + 2), p(cx + 2, cy + 2),
+      p(cx + 2, cy + 4), p(cx, cy + 4)))
+    val ringsB = when(m === 0, arr(arr(
+      p(cx + 1, cy + 1), p(cx + 3, cy + 1), p(cx + 3, cy + 3), p(cx + 1, cy + 3))))
+      .when(m === 1, arr(arr(
+        p(cx, cy), p(cx + 2, cy), p(cx + 2, cy + 1), p(cx + 1, cy + 1),
+        p(cx + 1, cy + 2), p(cx, cy + 2))))
+      .when(m === 2, arr(arr(
+        p(cx + 3, cy + 3), p(cx + 5, cy + 3), p(cx + 5, cy + 5), p(cx + 3, cy + 5))))
+      .otherwise(arr(
+        arr(p(cx, cy), p(cx + 4, cy), p(cx + 4, cy + 4), p(cx, cy + 4)),
+        arr(p(cx + 1, cy + 1), p(cx + 3, cy + 1), p(cx + 3, cy + 3), p(cx + 1, cy + 3))))
+    val staged = g.select(col("k"), col("m"),
+      stIntersectionGeneral(ringsA, ringsB).as("inter"),
+      stDifferenceGeneral(ringsA, ringsB).as("diff"),
+      stUnionGeneral(ringsA, ringsB).as("uni"),
+      stSymDifferenceGeneral(ringsA, ringsB).as("sym"))
+    val interA = round(stAreaMulti(col("inter")), 4)
+    val unionA = round(stAreaMulti(col("uni")), 4)
+    val symA = round(stAreaMulti(col("sym")), 4)
+    staged.select(col("k"),
+      interA.as("inter_area"),
+      round(stAreaMulti(col("diff")), 4).as("diff_area"),
+      unionA.as("union_area"),
+      symA.as("sym_area"),
+      (abs(unionA - (interA + symA)) < 1e-9).as("region_ident"))
+      .orderBy("k")
+  }
+
   /** SphericalGeography slice (reference geospatial/SphericalGeoFunctions
     * .java): to_spherical_geography re-tag + ST_Distance / ST_Length in
     * meters on the sphere (haversine, EARTH_RADIUS_M = 6371010). The
@@ -2152,6 +2204,7 @@ object Scalars {
     "fn_geo_multi" -> geoMulti,
     "fn_geo_pred" -> geoPred,
     "fn_geo_setops" -> geoSetOps,
+    "fn_geo_setops2" -> geoSetOps2,
     "fn_geo_sphere" -> geoSphere,
     "fn_geo_sphere2" -> geoSphere2,
     "fn_geo_access" -> geoAccess,
@@ -3159,6 +3212,20 @@ object Scalars {
         | CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 1 END AS BIGINT) AS diff_n,
         | CAST(CASE m WHEN 0 THEN 3.0 WHEN 1 THEN 3.0 ELSE 4.0 END AS DOUBLE) AS diff_area,
         | CAST(CASE WHEN m % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS mp_n
+        |FROM g ORDER BY k""".stripMargin,
+    "fn_geo_setops2" ->
+      """WITH g AS (SELECT c_custkey k, c_custkey % 4 m
+        | FROM customer WHERE c_custkey <= 200)
+        |SELECT k,
+        | CAST(CASE m WHEN 0 THEN 3.0 WHEN 1 THEN 3.0 WHEN 2 THEN 0.0
+        |   ELSE 9.0 END AS DOUBLE) AS inter_area,
+        | CAST(CASE m WHEN 0 THEN 9.0 WHEN 1 THEN 9.0 WHEN 2 THEN 12.0
+        |   ELSE 3.0 END AS DOUBLE) AS diff_area,
+        | CAST(CASE m WHEN 0 THEN 13.0 WHEN 1 THEN 12.0 WHEN 2 THEN 16.0
+        |   ELSE 15.0 END AS DOUBLE) AS union_area,
+        | CAST(CASE m WHEN 0 THEN 10.0 WHEN 1 THEN 9.0 WHEN 2 THEN 16.0
+        |   ELSE 6.0 END AS DOUBLE) AS sym_area,
+        | TRUE AS region_ident
         |FROM g ORDER BY k""".stripMargin,
     "fn_geo_access" ->
       """WITH g AS (SELECT c_custkey k,
