@@ -441,8 +441,48 @@ object Dialect {
       scala.util.matching.Regex.quoteReplacement(
         s"graft_timetz('${m.group(1)}')"))
 
+  /** `TIMESTAMP '<datetime> <zone>'` literals (per-value zone — the
+    * reference's TIMESTAMP WITH TIME ZONE literal form) → graft_tstz.
+    * Zoneless TIMESTAMP literals stay Spark literals. */
+  private val tsTzLit =
+    ("(?i)\\bTIMESTAMP\\s+'(\\d{4}-\\d{2}-\\d{2}[ T]\\d{1,2}:\\d{2}" +
+      "(?::\\d{2}(?:\\.\\d+)?)?" +
+      "(?:\\s+[A-Za-z_][^']*|\\s*[+-]\\d{1,2}:?\\d{2}))'").r
+
+  private def rewriteTsTzLiteral(original: String): String =
+    tsTzLit.replaceAllIn(original, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"graft_tstz('${m.group(1)}')"))
+
   private val timeTzCastTail =
     "(?is)\\sAS\\s+TIME\\s+WITH\\s+TIME\\s+ZONE\\s*\\)$".r
+
+  private val tsTzCastTail =
+    "(?is)\\sAS\\s+TIMESTAMP\\s+WITH\\s+TIME\\s+ZONE\\s*\\)$".r
+
+  /** `CAST(x AS TIMESTAMP WITH TIME ZONE)` → graft_to_tstz(x). */
+  private def rewriteTsTzCast(original: String): String = {
+    var cur = original
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val m = masked(cur)
+      val hit = castOpen.findAllMatchIn(m).flatMap { mt =>
+        val end = matchParen(m, mt.end - 1)
+        val span = m.substring(mt.start, end)
+        tsTzCastTail.findFirstMatchIn(span).map(t =>
+          (mt.start, end, mt.end, mt.start + t.start))
+      }.nextOption()
+      hit.foreach { case (start, end, cFrom, cTo) =>
+        cur = cur.substring(0, start) +
+          s"graft_to_tstz(${cur.substring(cFrom, cTo)})" +
+          cur.substring(end)
+        changed = true
+      }
+    }
+    cur
+  }
 
   /** `CAST(x AS TIME WITH TIME ZONE)` → graft_to_timetz(x) (type-dispatch
     * happens in the builder on the resolved argument type). */
@@ -822,6 +862,7 @@ object Dialect {
     unitCall.replaceAllIn(original, m => s"${m.group(1)}(${m.group(2)},")
 
   private val timeWithTz = "(?i)\\bTIME\\s+WITH\\s+TIME\\s+ZONE\\b".r
+  private val tsWithTz = "(?i)\\bTIMESTAMP\\s+WITH\\s+TIME\\s+ZONE\\b".r
 
   private val excludeColumnsRe =
     ("(?i)\\bexclude_columns\\s*\\(\\s*(?:input\\s*=>\\s*)?TABLE\\s*\\(\\s*" +
@@ -853,13 +894,21 @@ object Dialect {
     // TIME literals and CASTs desugar to the struct-tagged kernels first;
     // any OTHER position of the type name (DDL column types) still raises
     // a clear error rather than Spark's parse failure.
-    val base = rewriteTimeTzCast(rewriteTimeTzLiteral(rewriteAnsiQuotes(text)))
+    val base = rewriteTsTzCast(rewriteTimeTzCast(rewriteTsTzLiteral(
+      rewriteTimeTzLiteral(rewriteAnsiQuotes(text)))))
     if (timeWithTz.findFirstIn(masked(base)).isDefined)
       throw new UnsupportedOperationException(
         "time with time zone is supported as a literal (TIME 'hh:mm:ss " +
           "<zone>'), in CAST, and through its functions (hour/minute/" +
           "second/timezone_hour/timezone_minute/at_timezone); it is not " +
           "supported as a DDL column type")
+    if (tsWithTz.findFirstIn(masked(base)).isDefined)
+      throw new UnsupportedOperationException(
+        "timestamp with time zone is supported as a literal (TIMESTAMP " +
+          "'yyyy-MM-dd hh:mm:ss <zone>'), in CAST, and through its " +
+          "functions (year/quarter/month/day/hour/minute/second/" +
+          "millisecond/timezone_hour/timezone_minute/at_timezone/" +
+          "graft_tstz_format); it is not supported as a DDL column type")
     segments(rewriteTableSample(rewriteUnnest(rewriteSubscripts(
       rewriteExcludeColumns(rewriteGroupsFrame(rewriteUnitCalls(
         rewriteCharCast(rewriteStrpos3(rewriteQuantified(

@@ -295,6 +295,8 @@ object GraftFunctions {
         import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, UnixMillis}
         if (TimeTzFunctions.isTimeTz(es.head.dataType))
           rc(TimeTzFunctions.millisecondTz(c(es.head)).cast("long"))
+        else if (TimestampTzFunctions.isTimestampTz(es.head.dataType))
+          rc(TimestampTzFunctions.millisecondTz(c(es.head)).cast("long"))
         else Pmod(UnixMillis(cast(es.head,
           org.apache.spark.sql.types.TimestampType)), Literal(1000L))
       }),
@@ -543,6 +545,8 @@ object GraftFunctions {
       es =>
         if (TimeTzFunctions.isTimeTz(es.head.dataType))
           rc(TimeTzFunctions.atTimezone(c(es(0)), c(es(1))))
+        else if (TimestampTzFunctions.isTimestampTz(es.head.dataType))
+          rc(TimestampTzFunctions.atTimezone(c(es(0)), c(es(1))))
         else org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(
           es(0), es(1))),
     ("with_timezone", "with_timezone(ts, zone) - wall time declared in zone",
@@ -558,27 +562,62 @@ object GraftFunctions {
     ("graft_timetz_format",
       "graft_timetz_format(t) - reference varchar rendering 'HH:mm:ss.SSS +HH:MM'",
       es => rc(TimeTzFunctions.format(c(es.head)))),
-    ("hour", "hour(x) - hour of day (time with time zone: local hour)",
-      es => timeTzOverload("hour", es, TimeTzFunctions.hourTz)),
-    ("minute", "minute(x) - minute of hour (time with time zone: local)",
-      es => timeTzOverload("minute", es, TimeTzFunctions.minuteTz)),
-    ("second", "second(x) - second of minute (time with time zone: local)",
-      es => timeTzOverload("second", es, TimeTzFunctions.secondTz)),
+    ("hour", "hour(x) - hour of day (tz-carrying types: local hour)",
+      es => timeTzOverload("hour", es, TimeTzFunctions.hourTz,
+        TimestampTzFunctions.hourTz)),
+    ("minute", "minute(x) - minute of hour (tz-carrying types: local)",
+      es => timeTzOverload("minute", es, TimeTzFunctions.minuteTz,
+        TimestampTzFunctions.minuteTz)),
+    ("second", "second(x) - second of minute (tz-carrying types: local)",
+      es => timeTzOverload("second", es, TimeTzFunctions.secondTz,
+        TimestampTzFunctions.secondTz)),
+    ("year", "year(x) - year (timestamp with time zone: local year)",
+      es => timeTzOverload("year", es, null, TimestampTzFunctions.yearTz)),
+    ("quarter", "quarter(x) - quarter (timestamp with time zone: local)",
+      es => timeTzOverload("quarter", es, null, TimestampTzFunctions.quarterTz)),
+    ("month", "month(x) - month (timestamp with time zone: local)",
+      es => timeTzOverload("month", es, null, TimestampTzFunctions.monthTz)),
+    ("day", "day(x) - day of month (timestamp with time zone: local)",
+      es => timeTzOverload("day", es, null, TimestampTzFunctions.dayTz)),
     ("timezone_hour",
       "timezone_hour(t) - hour component of the zone offset (signed)",
       es =>
         if (TimeTzFunctions.isTimeTz(es.head.dataType))
           rc(TimeTzFunctions.timezoneHour(c(es.head)))
+        else if (TimestampTzFunctions.isTimestampTz(es.head.dataType))
+          rc(TimestampTzFunctions.timezoneHour(c(es.head)))
         else rc(sessionTzOffsetSec(c(es.head)).divide(3600d).cast("long"))),
     ("timezone_minute",
       "timezone_minute(t) - minute component of the zone offset (signed)",
       es =>
         if (TimeTzFunctions.isTimeTz(es.head.dataType))
           rc(TimeTzFunctions.timezoneMinute(c(es.head)))
+        else if (TimestampTzFunctions.isTimestampTz(es.head.dataType))
+          rc(TimestampTzFunctions.timezoneMinute(c(es.head)))
         else rc({
           val s = sessionTzOffsetSec(c(es.head))
           (s.divide(60d)).cast("long") - s.divide(3600d).cast("long") * 60L
         })),
+    // ---- timestamp with time zone (TimestampTzFunctions; per-value
+    // zones, DST-aware extraction) ---------------------------------------
+    ("graft_tstz",
+      "graft_tstz('yyyy-MM-dd HH:mm[:ss[.fff]] zone') - timestamp with time zone value",
+      es => rc(TimestampTzFunctions.parse(c(es.head)))),
+    ("graft_to_tstz",
+      "graft_to_tstz(x) - CAST(x AS TIMESTAMP WITH TIME ZONE) kernel",
+      es => rc(toTimestampTz(es.head))),
+    ("graft_tstz_format",
+      "graft_tstz_format(t) - reference rendering 'yyyy-MM-dd HH:mm:ss.SSS <zone>'",
+      es => rc(TimestampTzFunctions.format(c(es.head)))),
+    ("graft_tstz_to_timestamp",
+      "graft_tstz_to_timestamp(t) - the instant as a session timestamp",
+      es => rc(TimestampTzFunctions.toTimestamp(c(es.head)))),
+    ("graft_tstz_unixtime",
+      "graft_tstz_unixtime(t) - epoch seconds as double (to_unixtime for tstz)",
+      es => rc(TimestampTzFunctions.toUnixtime(c(es.head)))),
+    ("now_tz",
+      "now_tz() - current instant with the session zone (reference now())",
+      es => rc(TimestampTzFunctions.currentTimestampTz())),
     ("current_time",
       "current_time() - time of day now, with the session zone",
       es => rc(TimeTzFunctions.currentTimeTz())),
@@ -1221,14 +1260,20 @@ object GraftFunctions {
         .otherwise(res))
   }
 
-  /** time-with-time-zone overload: struct-tagged values route to the
-    * TimeTzFunctions kernel; everything else falls back to the BUILTIN of
-    * the same name (registry lookup, not a hand-picked expression), so the
-    * session override never changes date/time/timestamp semantics. */
+  /** tz-carrying-type overload: struct-tagged TIME WITH TIME ZONE /
+    * TIMESTAMP WITH TIME ZONE values route to their kernels; everything
+    * else falls back to the BUILTIN of the same name (registry lookup,
+    * not a hand-picked expression), so the session override never
+    * changes date/time/timestamp semantics. */
   private def timeTzOverload(name: String, es: Seq[Expression],
-      kernel: Column => Column): Expression =
-    if (es.length == 1 && TimeTzFunctions.isTimeTz(es.head.dataType))
+      kernel: Column => Column,
+      tsKernel: Column => Column = null): Expression =
+    if (es.length == 1 && kernel != null &&
+        TimeTzFunctions.isTimeTz(es.head.dataType))
       rc(kernel(c(es.head)))
+    else if (es.length == 1 && tsKernel != null &&
+        TimestampTzFunctions.isTimestampTz(es.head.dataType))
+      rc(tsKernel(c(es.head)))
     else org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
       .lookupFunction(FunctionIdentifier(name), es)
 
@@ -1252,6 +1297,22 @@ object GraftFunctions {
       case TimestampType | TimestampNTZType =>
         TimeTzFunctions.parse(date_format(col, "HH:mm:ss.SSS"))
       case _ => TimeTzFunctions.parse(col.cast("string"))
+    }
+  }
+
+  /** CAST(x AS TIMESTAMP WITH TIME ZONE) dispatch: varchar parses
+    * (session zone when none in the text), timestamp/date instants
+    * attach the session zone (the reference's cast semantics). */
+  private def toTimestampTz(e: Expression): Column = {
+    import org.apache.spark.sql.types._
+    val col = c(e)
+    e.dataType match {
+      case dt if TimestampTzFunctions.isTimestampTz(dt) => col
+      case _: StringType => TimestampTzFunctions.parse(col)
+      case TimestampType | TimestampNTZType | DateType =>
+        TimestampTzFunctions.make(
+          unix_millis(col.cast("timestamp")), current_timezone())
+      case _ => TimestampTzFunctions.parse(col.cast("string"))
     }
   }
 

@@ -2173,10 +2173,68 @@ object Scalars {
         |FROM tt ORDER BY k""".stripMargin)
   }
 
+  /** `timestamp with time zone` — per-VALUE zones through the dialect
+    * (reference StandardTypes.java:48, SqlTimestampWithTimeZone,
+    * DateTimeEncoding.java packs millisUtc + TimeZoneKey; engine kernels
+    * in functions/TimestampTzFunctions.scala): per-row offsets spanning
+    * [-14:00, +14:00], literal + CAST construction, DST-aware local
+    * field extraction (named-zone summer/winter constants), signed
+    * timezone_hour/minute, instant ordering across zones, AT-TIME-ZONE
+    * instant preservation with calendar carry, to_unixtime, the
+    * reference varchar rendering. The DuckDB oracle replays everything
+    * in closed form (naive make_timestamp + interval arithmetic). */
+  def tstzOps(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_tstz")
+    graft.api.SqlSession.wrap(s).sql(
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_orderkey % 169 AS INT) * 10 - 840 AS INT) AS off,
+        |    CAST(o_orderkey % 28 + 1 AS INT) AS d,
+        |    CAST(o_orderkey % 24 AS INT) AS hh,
+        |    CAST(o_orderkey % 60 AS INT) AS mi,
+        |    CAST((o_orderkey * 7) % 60 AS INT) AS se
+        |  FROM orders_tstz WHERE o_orderkey <= 500),
+        |z AS (SELECT k, off, d, hh, mi, se,
+        |    concat(CASE WHEN off < 0 THEN '-' ELSE '+' END,
+        |      lpad(CAST(CAST(FLOOR(abs(off) / 60) AS INT) AS STRING), 2, '0'),
+        |      ':', lpad(CAST(abs(off) % 60 AS STRING), 2, '0')) AS zone
+        |  FROM b),
+        |tt AS (SELECT k, off, zone,
+        |    graft_tstz(concat('2020-03-', lpad(CAST(d AS STRING), 2, '0'),
+        |      ' ', lpad(CAST(hh AS STRING), 2, '0'),
+        |      ':', lpad(CAST(mi AS STRING), 2, '0'),
+        |      ':', lpad(CAST(se AS STRING), 2, '0'), ' ', zone)) AS t1
+        |  FROM z)
+        |SELECT k,
+        |  graft_tstz_format(t1) AS s1,
+        |  CAST(year(t1) AS BIGINT) AS y,
+        |  CAST(month(t1) AS BIGINT) AS mo,
+        |  CAST(day(t1) AS BIGINT) AS dd,
+        |  CAST(hour(t1) AS BIGINT) AS h,
+        |  CAST(minute(t1) AS BIGINT) AS mi2,
+        |  CAST(second(t1) AS BIGINT) AS se2,
+        |  timezone_hour(t1) AS tzh,
+        |  timezone_minute(t1) AS tzm,
+        |  graft_tstz_format(at_timezone(t1, '+02:00')) AS s2,
+        |  t1 < graft_tstz('2020-03-15 00:00:30.500 +00:00') AS lt_mid,
+        |  graft_tstz_unixtime(t1) AS ux,
+        |  CAST(timezone_hour(at_timezone(
+        |    TIMESTAMP '2021-07-01 12:00:00 UTC', 'America/Los_Angeles'))
+        |    AS BIGINT) AS la_sum,
+        |  CAST(timezone_hour(at_timezone(
+        |    TIMESTAMP '2021-01-01 12:00:00 UTC', 'America/Los_Angeles'))
+        |    AS BIGINT) AS la_win,
+        |  graft_tstz_format(at_timezone(
+        |    TIMESTAMP '2021-07-01 12:00:00 UTC', 'America/Los_Angeles')) AS la_s2,
+        |  graft_tstz_format(CAST('2020-06-01 08:30:00+05:30'
+        |    AS TIMESTAMP WITH TIME ZONE)) AS c1
+        |FROM tt ORDER BY k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_err_contracts" -> errContracts,
     "fn_time" -> timeOps,
     "fn_timetz" -> timetzOps,
+    "fn_tstz" -> tstzOps,
     "fn_qdigest" -> qdigestSketch,
     "fn_tdigest" -> tdigestSketch,
     "fn_kll" -> kllSketch,
@@ -3175,6 +3233,39 @@ object Scalars {
         |  (utc < 43200000 OR (utc = 43200000 AND off < 0)) AS lt_noon,
         |  '03:04:05.321 +07:09' AS lit1,
         |  '12:00:00.000 +05:30' AS c1
+        |FROM z2 ORDER BY k""".stripMargin,
+    "fn_tstz" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_orderkey % 169 AS INT) * 10 - 840 AS INT) AS off,
+        |    o_orderkey % 28 + 1 AS d,
+        |    o_orderkey % 24 AS hh,
+        |    o_orderkey % 60 AS mi,
+        |    (o_orderkey * 7) % 60 AS se
+        |  FROM orders WHERE o_orderkey <= 500),
+        |z AS (SELECT k, off, d, hh, mi, se,
+        |    CASE WHEN off < 0 THEN '-' ELSE '+' END ||
+        |      lpad(CAST(CAST(FLOOR(abs(off) / 60) AS INT) AS VARCHAR), 2, '0')
+        |      || ':' || lpad(CAST(abs(off) % 60 AS VARCHAR), 2, '0') AS zone,
+        |    make_timestamp(2020, 3, d, hh, mi, CAST(se AS DOUBLE)) AS wall,
+        |    CAST(trunc(off / 60.0) AS BIGINT) AS tzh
+        |  FROM b),
+        |z2 AS (SELECT z.*,
+        |    epoch(wall) * 1000 - off * 60000 AS utc_ms,
+        |    wall + to_minutes(CAST(120 - off AS BIGINT)) AS wall2
+        |  FROM z)
+        |SELECT k,
+        |  strftime(wall, '%Y-%m-%d %H:%M:%S') || '.000 ' || zone AS s1,
+        |  CAST(2020 AS BIGINT) AS y, CAST(3 AS BIGINT) AS mo,
+        |  CAST(d AS BIGINT) AS dd, CAST(hh AS BIGINT) AS h,
+        |  CAST(mi AS BIGINT) AS mi2, CAST(se AS BIGINT) AS se2,
+        |  tzh, off - tzh * 60 AS tzm,
+        |  strftime(wall2, '%Y-%m-%d %H:%M:%S') || '.000 +02:00' AS s2,
+        |  utc_ms < epoch(TIMESTAMP '2020-03-15 00:00:30') * 1000 + 500
+        |    AS lt_mid,
+        |  CAST(epoch(wall) - off * 60 AS DOUBLE) AS ux,
+        |  CAST(-7 AS BIGINT) AS la_sum, CAST(-8 AS BIGINT) AS la_win,
+        |  '2021-07-01 05:00:00.000 America/Los_Angeles' AS la_s2,
+        |  '2020-06-01 08:30:00.000 +05:30' AS c1
         |FROM z2 ORDER BY k""".stripMargin,
     "fn_geo_multi" ->
       """WITH g AS (SELECT c_custkey k,
