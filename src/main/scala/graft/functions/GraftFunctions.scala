@@ -230,6 +230,12 @@ object GraftFunctions {
       }),
     ("approx_set", "approx_set(x) - mergeable HyperLogLog sketch of the distinct values",
       es => HllSketchAgg(es.head).toAggregateExpression()),
+    ("merge",
+      "merge(sketch) - union of stored sketches of any type, dispatching on the value's type tag",
+      es => SketchMergeAgg(es.head).toAggregateExpression()),
+    ("cardinality",
+      "cardinality(x) - elements of an array/map, or distinct estimate of a sketch varbinary",
+      es => CardinalityDispatch(es.head)),
     ("merge_hll", "merge_hll(sketch) - merge HyperLogLog sketches",
       es => HllMergeAgg(es.head).toAggregateExpression()),
     ("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch",
@@ -714,7 +720,7 @@ object GraftFunctions {
     ("empty_approx_set",
       "empty_approx_set() - empty HyperLogLog sketch",
       es => org.apache.spark.sql.catalyst.expressions.Literal(
-        Hll.emptyBuffer(Hll.DefaultP),
+        SketchTag.wrap(SketchTag.Hll, Hll.emptyBuffer(Hll.DefaultP)),
         org.apache.spark.sql.types.BinaryType)),
     ("infinity", "infinity() - positive IEEE-754 infinity",
       es => org.apache.spark.sql.catalyst.expressions.Literal(
@@ -1419,6 +1425,10 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
   def l2Squared(a: Column, b: Column): Column = c(L2Squared(x(a), x(b)))
   def approxSet(a: Column): Column = c(HllSketchAgg(x(a)).toAggregateExpression())
+  /** Untyped merge(sketch) — dispatches on the sketch's type tag. */
+  def sketchMerge(a: Column): Column = c(SketchMergeAgg(x(a)).toAggregateExpression())
+  /** Untyped cardinality(sketch) over a tagged sketch varbinary. */
+  def sketchCardinality(a: Column): Column = c(SketchCardinality(x(a)))
   def mergeHll(a: Column): Column = c(HllMergeAgg(x(a)).toAggregateExpression())
   def hllCardinality(a: Column): Column = c(HllCardinality(x(a)))
   def hmac(data: Column, key: Column, jdkAlgo: String): Column =

@@ -163,7 +163,8 @@ object Khll {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): State = {
+  def deserialize(bytesIn: Array[Byte]): State = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty()
     val bb = ByteBuffer.wrap(bytes)
     val maxSize = bb.getInt
@@ -223,7 +224,8 @@ case class KhllAgg(
   }
 
   override def merge(a: Khll.State, b: Khll.State): Khll.State = Khll.mergeInto(a, b)
-  override def eval(buf: Khll.State): Any = Khll.serialize(buf)
+  override def eval(buf: Khll.State): Any =
+    SketchTag.wrap(SketchTag.Khll, Khll.serialize(buf))
   override def serialize(buf: Khll.State): Array[Byte] = Khll.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Khll.State = Khll.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): KhllAgg =
@@ -257,7 +259,8 @@ case class KhllMergeAgg(
 
   override def merge(a: Khll.State, b: Khll.State): Khll.State = Khll.mergeInto(a, b)
   override def eval(buf: Khll.State): Any =
-    if (buf.minhash.isEmpty) null else Khll.serialize(buf)
+    if (buf.minhash.isEmpty) null
+    else SketchTag.wrap(SketchTag.Khll, Khll.serialize(buf))
   override def serialize(buf: Khll.State): Array[Byte] = Khll.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Khll.State = Khll.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): KhllMergeAgg =

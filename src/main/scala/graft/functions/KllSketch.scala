@@ -143,7 +143,8 @@ object Kll {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Sketch = {
+  def deserialize(bytesIn: Array[Byte]): Sketch = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty(DefaultK)
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val n = bb.getLong; val c = bb.getLong
@@ -195,7 +196,8 @@ case class KllSketchAgg(
   }
 
   override def merge(a: Kll.Sketch, b: Kll.Sketch): Kll.Sketch = Kll.merge(a, b)
-  override def eval(buf: Kll.Sketch): Any = Kll.serialize(buf)
+  override def eval(buf: Kll.Sketch): Any =
+    SketchTag.wrap(SketchTag.Kll, Kll.serialize(buf))
   override def serialize(buf: Kll.Sketch): Array[Byte] = Kll.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Kll.Sketch = Kll.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
@@ -229,7 +231,8 @@ case class KllMergeAgg(
 
   override def merge(a: Kll.Sketch, b: Kll.Sketch): Kll.Sketch = Kll.merge(a, b)
   override def eval(buf: Kll.Sketch): Any =
-    if (buf.n == 0) null else Kll.serialize(buf)
+    if (buf.n == 0) null
+    else SketchTag.wrap(SketchTag.Kll, Kll.serialize(buf))
   override def serialize(buf: Kll.Sketch): Array[Byte] = Kll.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Kll.Sketch = Kll.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =

@@ -112,7 +112,8 @@ object QDigest {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Digest = {
+  def deserialize(bytesIn: Array[Byte]): Digest = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty(DefaultK)
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val n = bb.getInt
@@ -170,7 +171,8 @@ case class QDigestAgg(
   override def merge(a: QDigest.Digest, b: QDigest.Digest): QDigest.Digest =
     QDigest.merge(a, b)
   override def eval(buf: QDigest.Digest): Any =
-    QDigest.serialize(QDigest.compress(buf.k, buf.means, buf.weights))
+    SketchTag.wrap(SketchTag.QDigest,
+      QDigest.serialize(QDigest.compress(buf.k, buf.means, buf.weights)))
   override def serialize(buf: QDigest.Digest): Array[Byte] = QDigest.serialize(buf)
   override def deserialize(bytes: Array[Byte]): QDigest.Digest =
     QDigest.deserialize(bytes)
@@ -265,7 +267,8 @@ case class QDigestMergeAgg(
   override def merge(a: QDigest.Digest, b: QDigest.Digest): QDigest.Digest =
     QDigest.merge(a, b)
   override def eval(buf: QDigest.Digest): Any =
-    if (buf.n == 0) null else QDigest.serialize(buf)
+    if (buf.n == 0) null
+    else SketchTag.wrap(SketchTag.QDigest, QDigest.serialize(buf))
   override def serialize(buf: QDigest.Digest): Array[Byte] = QDigest.serialize(buf)
   override def deserialize(bytes: Array[Byte]): QDigest.Digest =
     QDigest.deserialize(bytes)

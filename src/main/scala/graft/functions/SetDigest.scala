@@ -132,7 +132,8 @@ object SetDigestKmv {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Digest = {
+  def deserialize(bytesIn: Array[Byte]): Digest = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty(DefaultK)
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val n = bb.getInt
@@ -185,7 +186,8 @@ case class SetDigestAgg(
 
   override def merge(a: SetDigestKmv.Digest, b: SetDigestKmv.Digest): SetDigestKmv.Digest =
     SetDigestKmv.merge(a, b)
-  override def eval(buf: SetDigestKmv.Digest): Any = SetDigestKmv.serialize(buf)
+  override def eval(buf: SetDigestKmv.Digest): Any =
+    SketchTag.wrap(SketchTag.SetDigest, SetDigestKmv.serialize(buf))
   override def serialize(buf: SetDigestKmv.Digest): Array[Byte] = SetDigestKmv.serialize(buf)
   override def deserialize(bytes: Array[Byte]): SetDigestKmv.Digest =
     SetDigestKmv.deserialize(bytes)
@@ -222,7 +224,8 @@ case class SetDigestMergeAgg(
   override def merge(a: SetDigestKmv.Digest, b: SetDigestKmv.Digest): SetDigestKmv.Digest =
     SetDigestKmv.merge(a, b)
   override def eval(buf: SetDigestKmv.Digest): Any =
-    if (buf.hashes.isEmpty) null else SetDigestKmv.serialize(buf)
+    if (buf.hashes.isEmpty) null
+    else SketchTag.wrap(SketchTag.SetDigest, SetDigestKmv.serialize(buf))
   override def serialize(buf: SetDigestKmv.Digest): Array[Byte] = SetDigestKmv.serialize(buf)
   override def deserialize(bytes: Array[Byte]): SetDigestKmv.Digest =
     SetDigestKmv.deserialize(bytes)

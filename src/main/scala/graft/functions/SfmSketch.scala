@@ -183,8 +183,8 @@ object Sfm {
       new Array[Long]((buckets * precision + 63) / 64))
   }
 
-  def deserialize(bytes: Array[Byte]): Sfm = {
-    val bb = ByteBuffer.wrap(bytes)
+  def deserialize(bytesIn: Array[Byte]): Sfm = {
+    val bb = ByteBuffer.wrap(SketchTag.payload(bytesIn))
     val tag = bb.get()
     require(tag == 7, s"unexpected SFM sketch format tag $tag")
     val indexBitLength = bb.getInt
@@ -285,7 +285,8 @@ case class SfmAgg(
   inputAggBufferOffset: Int = 0) extends SfmAggBase {
   override def prettyName: String = "noisy_approx_set_sfm"
   override def dataType: DataType = BinaryType
-  override def eval(buf: Option[Sfm]): Any = finalSketch(buf).map(_.serialize()).orNull
+  override def eval(buf: Option[Sfm]): Any =
+    finalSketch(buf).map(s => SketchTag.wrap(SketchTag.Sfm, s.serialize())).orNull
   override def withNewMutableAggBufferOffset(o: Int): SfmAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): SfmAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -349,7 +350,8 @@ case class SfmMergeAgg(
     buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
   override def deserialize(bytes: Array[Byte]): Option[Sfm] =
     if (bytes.isEmpty) None else Some(Sfm.deserialize(bytes))
-  override def eval(buf: Option[Sfm]): Any = buf.map(_.serialize()).orNull
+  override def eval(buf: Option[Sfm]): Any =
+    buf.map(s => SketchTag.wrap(SketchTag.Sfm, s.serialize())).orNull
   override def withNewMutableAggBufferOffset(o: Int): SfmMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): SfmMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -419,7 +421,8 @@ case class SfmFromIndexZerosAgg(
   override def deserialize(bytes: Array[Byte]): Option[Sfm] =
     if (bytes.isEmpty) None else Some(Sfm.deserialize(bytes))
   override def eval(buf: Option[Sfm]): Any = buf.map { s =>
-    s.enablePrivacy(epsilon, new java.security.SecureRandom()); s.serialize()
+    s.enablePrivacy(epsilon, new java.security.SecureRandom())
+    SketchTag.wrap(SketchTag.Sfm, s.serialize())
   }.orNull
   override def withNewMutableAggBufferOffset(o: Int): SfmFromIndexZerosAgg =
     copy(mutableAggBufferOffset = o)
@@ -445,7 +448,7 @@ case class SfmEmptySketch(epsilon: Double, buckets: Int, precision: Int)
   override def eval(input: InternalRow): Any = {
     val s = Sfm.create(buckets, precision)
     s.enablePrivacy(epsilon, new java.security.SecureRandom())
-    s.serialize()
+    SketchTag.wrap(SketchTag.Sfm, s.serialize())
   }
 }
 
@@ -477,7 +480,7 @@ case class SfmScalarMerge(child: Expression) extends UnaryExpression
       }
       i += 1
     }
-    if (acc == null) null else acc.serialize()
+    if (acc == null) null else SketchTag.wrap(SketchTag.Sfm, acc.serialize())
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Versioned 1-byte type tag carried on every sketch varbinary, so the
+  * reference's UNTYPED `merge(sketch)` / `cardinality(sketch)` spellings can
+  * dispatch on the value alone. The reference dispatches on the SQL type
+  * (HyperLogLog vs qdigest(double) vs SetDigest — MAIN/metadata/
+  * BuiltInTypeAndFunctionNamespaceManager.java registers one `merge` per
+  * sketch type); Spark has a single BinaryType, so the type travels in the
+  * bytes instead: a 4-byte header `[0xA7, 'S', version, tag]` prefixes the
+  * native payload.
+  *
+  * Collision safety: no untagged payload can start with 0xA7 — qdigest /
+  * theta / khll / kll / setdigest serialize a small big-endian int first
+  * (byte 0 = 0x00), tdigest a double compression (0x40), SFM its format tag
+  * 0x07, HLL its precision (4..16). `payload` therefore strips exactly when
+  * the header is present and passes raw bytes through untouched, which keeps
+  * the typed spellings (`merge_hll`, `value_at_quantile`, …) working on both
+  * tagged and legacy-untagged sketches.
+  */
+object SketchTag {
+  val M0: Byte = 0xA7.toByte
+  val M1: Byte = 'S'.toByte
+  val Version: Byte = 1
+  val HeaderLen = 4
+
+  val Hll = 1
+  val QDigest = 2
+  val TDigest = 3
+  val Theta = 4
+  val Khll = 5
+  val Kll = 6
+  val Sfm = 7
+  val SetDigest = 8
+  private val MaxTag = 8
+
+  private val names = Array("", "HyperLogLog", "qdigest", "tdigest",
+    "theta_sketch", "KHyperLogLog", "kll_sketch", "SfmSketch", "SetDigest")
+  def name(tag: Int): String = names(tag)
+
+  def wrap(tag: Int, payload: Array[Byte]): Array[Byte] = {
+    if (payload == null) return null
+    val out = new Array[Byte](HeaderLen + payload.length)
+    out(0) = M0; out(1) = M1; out(2) = Version; out(3) = tag.toByte
+    System.arraycopy(payload, 0, out, HeaderLen, payload.length)
+    out
+  }
+
+  /** Tag of a sketch value, or 0 if the bytes carry no header. */
+  def tagOf(b: Array[Byte]): Int =
+    if (b != null && b.length >= HeaderLen && b(0) == M0 && b(1) == M1 &&
+      b(2) == Version && b(3) >= 1 && b(3) <= MaxTag) b(3).toInt
+    else 0
+
+  /** Native payload: header stripped when present, raw bytes otherwise. */
+  def payload(b: Array[Byte]): Array[Byte] =
+    if (tagOf(b) == 0) b
+    else java.util.Arrays.copyOfRange(b, HeaderLen, b.length)
+
+  /** Merge two same-tag payloads with the type's native kernel. */
+  def mergePayloads(tag: Int, a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    tag match {
+      case Hll => graft.functions.Hll.merge(a.clone(), b)
+      case QDigest =>
+        graft.functions.QDigest.serialize(graft.functions.QDigest.merge(
+          graft.functions.QDigest.deserialize(a),
+          graft.functions.QDigest.deserialize(b)))
+      case TDigest =>
+        graft.functions.TDigest.serialize(graft.functions.TDigest.merge(
+          graft.functions.TDigest.deserialize(a),
+          graft.functions.TDigest.deserialize(b)))
+      case Theta =>
+        graft.functions.Theta.serialize(graft.functions.Theta.union(
+          graft.functions.Theta.deserialize(a),
+          graft.functions.Theta.deserialize(b)))
+      case Khll =>
+        graft.functions.Khll.serialize(graft.functions.Khll.mergeInto(
+          graft.functions.Khll.deserialize(a),
+          graft.functions.Khll.deserialize(b)))
+      case Kll =>
+        graft.functions.Kll.serialize(graft.functions.Kll.merge(
+          graft.functions.Kll.deserialize(a),
+          graft.functions.Kll.deserialize(b)))
+      case Sfm =>
+        val x = graft.functions.Sfm.deserialize(a)
+        x.mergeWith(graft.functions.Sfm.deserialize(b),
+          java.util.concurrent.ThreadLocalRandom.current())
+        x.serialize()
+      case SetDigest =>
+        SetDigestKmv.serialize(SetDigestKmv.merge(
+          SetDigestKmv.deserialize(a), SetDigestKmv.deserialize(b)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown sketch tag $other")
+    }
+
+  /** cardinality(sketch) over the types the reference defines it for
+    * (HyperLogLog, KHyperLogLog, SetDigest, SfmSketch — HyperLogLog
+    * Functions.java, KHyperLogLogFunctions.java, SetDigestFunctions.java,
+    * SfmSketchFunctions.java). Quantile sketches and theta raise, pointing
+    * at their own estimators, like the reference's type check would. */
+  def cardinalityTagged(b: Array[Byte]): Long = {
+    val tag = tagOf(b)
+    val p = payload(b)
+    tag match {
+      case Hll => graft.functions.Hll.cardinality(p)
+      case Khll => graft.functions.Khll.cardinalityBytes(p)
+      case SetDigest => SetDigestKmv.cardinalityBytes(p)
+      case Sfm => graft.functions.Sfm.deserialize(p).cardinality()
+      case Theta => throw new IllegalArgumentException(
+        "cardinality does not accept a theta sketch - use theta_sketch_estimate")
+      case QDigest | TDigest | Kll => throw new IllegalArgumentException(
+        s"cardinality does not accept a ${name(tag)} - quantile sketches " +
+          "have value_at_quantile / kll_quantile estimators")
+      case _ => throw new IllegalArgumentException(
+        "cardinality on varbinary requires a tagged sketch (approx_set, " +
+          "khyperloglog_agg, make_set_digest, noisy_approx_set_sfm output)")
+    }
+  }
+}
+
+/** Untyped merge(sketch) — dispatches on the value's type tag, the
+  * reference's single `merge` name that covers every mergeable sketch type
+  * (MergeHyperLogLogAggregation.java, QuantileDigestAggregationFunction
+  * merge path, MergeSetDigestAggregation.java, …). Buffer holds the tagged
+  * bytes; mixing tags in one group raises. */
+case class SketchMergeAgg(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"merge requires a varbinary sketch, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeTagged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ta = SketchTag.tagOf(a)
+    val tb = SketchTag.tagOf(b)
+    if (ta == 0 || tb == 0) throw new IllegalArgumentException(
+      "merge requires tagged sketches (the output of approx_set, " +
+        "qdigest_agg, tdigest_agg, theta_sketch_agg, khyperloglog_agg, " +
+        "kll_sketch_agg, noisy_approx_set_sfm or make_set_digest); for " +
+        "raw legacy bytes use the typed merge_* spelling")
+    if (ta != tb) throw new IllegalArgumentException(
+      s"cannot merge ${SketchTag.name(ta)} with ${SketchTag.name(tb)}")
+    SketchTag.wrap(ta, SketchTag.mergePayloads(
+      ta, SketchTag.payload(a), SketchTag.payload(b)))
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val sk = v.asInstanceOf[Array[Byte]]
+      if (buf.isEmpty) {
+        if (SketchTag.tagOf(sk) == 0) mergeTagged(sk, sk) // raise the tag error
+        sk.clone()
+      } else mergeTagged(buf, sk)
+    }
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b else if (b.isEmpty) a else mergeTagged(a, b)
+  override def eval(buf: Array[Byte]): Any = if (buf.isEmpty) null else buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): SketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SketchMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** cardinality(x) with the reference's overload set: arrays/maps keep
+  * Spark's Size semantics, varbinary dispatches on the sketch tag — the
+  * single SQL name covering both (reference registers one `cardinality`
+  * per type: ArrayFunctions, MapFunctions, HyperLogLogFunctions, …). */
+case class CardinalityDispatch(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case BinaryType => SketchCardinality(child)
+    case _ => org.apache.spark.sql.catalyst.expressions.Size(
+      child, legacySizeOfNull = false)
+  }
+  override def prettyName: String = "cardinality"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** cardinality(sketch) — the varbinary leg of [[CardinalityDispatch]]. */
+case class SketchCardinality(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cardinality sketch form requires varbinary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cardinality"
+  override protected def nullSafeEval(v: Any): Any =
+    SketchTag.cardinalityTagged(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchTag$$.MODULE$$.cardinalityTagged($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -55,8 +55,10 @@ object Hll {
     a
   }
 
-  /** Standard HLL estimator with linear-counting small-range correction. */
-  def cardinality(buf: Array[Byte]): Long = {
+  /** Standard HLL estimator with linear-counting small-range correction.
+    * Accepts tagged or raw register arrays (SketchTag.payload strips). */
+  def cardinality(bufIn: Array[Byte]): Long = {
+    val buf = SketchTag.payload(bufIn)
     val p = buf(0).toInt
     val m = 1 << p
     val alpha = m match {
@@ -119,7 +121,7 @@ case class HllSketchAgg(
   }
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
-  override def eval(buf: Array[Byte]): Any = buf
+  override def eval(buf: Array[Byte]): Any = SketchTag.wrap(SketchTag.Hll, buf)
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
   override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
@@ -151,7 +153,7 @@ case class HllMergeAgg(
     val v = child.eval(input)
     if (v == null) buf
     else {
-      val sk = v.asInstanceOf[Array[Byte]]
+      val sk = SketchTag.payload(v.asInstanceOf[Array[Byte]])
       if (buf.isEmpty) sk.clone()
       else Hll.merge(buf, sk)
     }
@@ -159,7 +161,8 @@ case class HllMergeAgg(
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     if (a.isEmpty) b else if (b.isEmpty) a else Hll.merge(a, b)
-  override def eval(buf: Array[Byte]): Any = if (buf.isEmpty) null else buf
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) null else SketchTag.wrap(SketchTag.Hll, buf)
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
   override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =

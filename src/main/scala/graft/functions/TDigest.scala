@@ -182,7 +182,8 @@ object TDigest {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Digest = {
+  def deserialize(bytesIn: Array[Byte]): Digest = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty(DefaultCompression)
     val bb = ByteBuffer.wrap(bytes)
     val compression = bb.getDouble
@@ -234,7 +235,7 @@ case class TDigestAgg(
   override def merge(a: TDigest.Digest, b: TDigest.Digest): TDigest.Digest =
     TDigest.merge(a, b)
   override def eval(buf: TDigest.Digest): Any =
-    TDigest.serialize(TDigest.compress(buf))
+    SketchTag.wrap(SketchTag.TDigest, TDigest.serialize(TDigest.compress(buf)))
   override def serialize(buf: TDigest.Digest): Array[Byte] = TDigest.serialize(buf)
   override def deserialize(bytes: Array[Byte]): TDigest.Digest =
     TDigest.deserialize(bytes)
@@ -271,7 +272,8 @@ case class TDigestMergeAgg(
   override def merge(a: TDigest.Digest, b: TDigest.Digest): TDigest.Digest =
     TDigest.merge(a, b)
   override def eval(buf: TDigest.Digest): Any =
-    if (buf.n == 0) null else TDigest.serialize(buf)
+    if (buf.n == 0) null
+    else SketchTag.wrap(SketchTag.TDigest, TDigest.serialize(buf))
   override def serialize(buf: TDigest.Digest): Array[Byte] = TDigest.serialize(buf)
   override def deserialize(bytes: Array[Byte]): TDigest.Digest =
     TDigest.deserialize(bytes)

@@ -133,7 +133,8 @@ object Theta {
     bb.array()
   }
 
-  def deserialize(bytes: Array[Byte]): Sk = {
+  def deserialize(bytesIn: Array[Byte]): Sk = {
+    val bytes = SketchTag.payload(bytesIn)
     if (bytes.isEmpty) return empty(DefaultK)
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val theta = bb.getLong; val n = bb.getInt
@@ -146,11 +147,11 @@ object Theta {
   // codegen entry points over serialized form
   def estimateOf(bytes: Array[Byte]): Double = estimate(deserialize(bytes))
   def unionOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    serialize(union(deserialize(a), deserialize(b)))
+    SketchTag.wrap(SketchTag.Theta, serialize(union(deserialize(a), deserialize(b))))
   def intersectOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    serialize(intersect(deserialize(a), deserialize(b)))
+    SketchTag.wrap(SketchTag.Theta, serialize(intersect(deserialize(a), deserialize(b))))
   def aNotBOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    serialize(aNotB(deserialize(a), deserialize(b)))
+    SketchTag.wrap(SketchTag.Theta, serialize(aNotB(deserialize(a), deserialize(b))))
 }
 
 /** theta_sketch_agg(x[, k]) → varbinary theta sketch. */
@@ -174,7 +175,8 @@ case class ThetaSketchAgg(
   }
 
   override def merge(a: Theta.Sk, b: Theta.Sk): Theta.Sk = Theta.union(a, b)
-  override def eval(buf: Theta.Sk): Any = Theta.serialize(buf)
+  override def eval(buf: Theta.Sk): Any =
+    SketchTag.wrap(SketchTag.Theta, Theta.serialize(buf))
   override def serialize(buf: Theta.Sk): Array[Byte] = Theta.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Theta.Sk = Theta.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
@@ -208,7 +210,8 @@ case class ThetaMergeAgg(
 
   override def merge(a: Theta.Sk, b: Theta.Sk): Theta.Sk = Theta.union(a, b)
   override def eval(buf: Theta.Sk): Any =
-    if (buf.hashes.isEmpty && buf.isExact) null else Theta.serialize(buf)
+    if (buf.hashes.isEmpty && buf.isExact) null
+    else SketchTag.wrap(SketchTag.Theta, Theta.serialize(buf))
   override def serialize(buf: Theta.Sk): Array[Byte] = Theta.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Theta.Sk = Theta.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAgg =

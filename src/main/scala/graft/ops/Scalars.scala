@@ -1259,6 +1259,76 @@ object Scalars {
     perNation.unionAll(algebra).unionAll(bound).orderBy("k", "metric")
   }
 
+  /** UNTYPED `merge(sketch)` / `cardinality(sketch)` SQL dispatch — the
+    * reference's single `merge` name covers every mergeable sketch type
+    * (one registration per type in MAIN/metadata/
+    * BuiltInTypeAndFunctionNamespaceManager.java); Spark has one BinaryType,
+    * so the type travels as a versioned 1-byte tag on the varbinary
+    * ([[graft.functions.SketchTag]]) and `merge`/`cardinality` dispatch on
+    * it. Re-runs the fn_hll / fn_qdigest / fn_theta / set-digest
+    * store→merge lifecycles through the untyped spellings; the typed
+    * merge_* names stay as aliases. Supplier keys keep theta (k=4096) and
+    * the KMV digest in their exact regimes up to sf0.1. */
+  def sketchDispatch(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("docs_sd")
+    t(s, dir, "lineitem").createOrReplaceTempView("li_sd")
+    t(s, dir, "supplier").createOrReplaceTempView("supp_sd")
+    s.sql(
+      """WITH words AS (
+        |  SELECT lang, explode(split(text, ' ')) AS w FROM docs_sd),
+        |hll AS (
+        |  SELECT lang, approx_set(w) AS sk, count(DISTINCT w) AS exact
+        |  FROM words GROUP BY lang),
+        |hll_rows AS (
+        |  SELECT lang AS k, 'hll' AS metric, CAST(exact AS DOUBLE) AS exact,
+        |    abs(CAST(cardinality(sk) AS DOUBLE) / exact - 1) <= 0.05 AS ok
+        |  FROM hll),
+        |gw AS (SELECT count(DISTINCT w) AS g FROM words),
+        |hll_merged AS (
+        |  SELECT '__merged_hll' AS k, 'hll' AS metric,
+        |    CAST(g AS DOUBLE) AS exact,
+        |    abs(CAST(cardinality(merge(sk)) AS DOUBLE) / g - 1) <= 0.05 AS ok
+        |  FROM hll CROSS JOIN gw GROUP BY g),
+        |qd AS (
+        |  SELECT l_linestatus, qdigest_agg(l_quantity) AS sk
+        |  FROM li_sd GROUP BY l_linestatus),
+        |qb AS (
+        |  SELECT round(percentile(l_quantity, 0.5), 4) AS med,
+        |    percentile(l_quantity, 0.4) AS p40,
+        |    percentile(l_quantity, 0.6) AS p60
+        |  FROM li_sd),
+        |qd_merged AS (
+        |  SELECT '__merged_qdigest' AS k, 'qdigest' AS metric, med AS exact,
+        |    value_at_quantile(merge(sk), 0.5d) BETWEEN p40 AND p60 AS ok
+        |  FROM qd CROSS JOIN qb GROUP BY med, p40, p60),
+        |th AS (
+        |  SELECT s_nationkey, theta_sketch_agg(s_suppkey) AS sk
+        |  FROM supp_sd GROUP BY s_nationkey),
+        |gs AS (SELECT count(DISTINCT s_suppkey) AS g FROM supp_sd),
+        |th_merged AS (
+        |  SELECT '__merged_theta' AS k, 'theta' AS metric,
+        |    CAST(g AS DOUBLE) AS exact,
+        |    CAST(round(theta_sketch_estimate(merge(sk))) AS BIGINT) = g AS ok
+        |  FROM th CROSS JOIN gs GROUP BY g),
+        |sd AS (
+        |  SELECT s_nationkey, make_set_digest(s_suppkey) AS sk
+        |  FROM supp_sd GROUP BY s_nationkey),
+        |sd_merged AS (
+        |  SELECT '__merged_setdigest' AS k, 'setdigest' AS metric,
+        |    CAST(g AS DOUBLE) AS exact,
+        |    CASE WHEN g <= 512 THEN cardinality(merge(sk)) = g
+        |         ELSE abs(CAST(cardinality(merge(sk)) AS DOUBLE) / g - 1) <= 0.1
+        |    END AS ok
+        |  FROM sd CROSS JOIN gs GROUP BY g)
+        |SELECT * FROM hll_rows
+        |UNION ALL SELECT * FROM hll_merged
+        |UNION ALL SELECT * FROM qd_merged
+        |UNION ALL SELECT * FROM th_merged
+        |UNION ALL SELECT * FROM sd_merged
+        |ORDER BY k, metric""".stripMargin)
+  }
+
   /** Multi-geometries (reference geospatial/GeoFunctions.java MULTI* WKT,
     * ST_NumGeometries, ST_GeometryN, GeometryType): two disjoint
     * axis-aligned squares per key as a MULTIPOLYGON, a two-part
@@ -2236,6 +2306,7 @@ object Scalars {
     "fn_timetz" -> timetzOps,
     "fn_tstz" -> tstzOps,
     "fn_qdigest" -> qdigestSketch,
+    "fn_sketch_dispatch" -> sketchDispatch,
     "fn_tdigest" -> tdigestSketch,
     "fn_kll" -> kllSketch,
     "fn_theta" -> thetaSketch,
@@ -3878,6 +3949,25 @@ object Scalars {
         |UNION ALL
         |SELECT '__merged__', ROUND(quantile_cont(l_quantity, 0.5), 4), true
         |FROM lineitem
-        |ORDER BY l_linestatus""".stripMargin
+        |ORDER BY l_linestatus""".stripMargin,
+    "fn_sketch_dispatch" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT lang AS k, 'hll' AS metric,
+        |  CAST(count(DISTINCT w) AS DOUBLE) AS exact, true AS ok
+        |FROM words GROUP BY lang
+        |UNION ALL
+        |SELECT '__merged_hll', 'hll',
+        |  (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM words), true
+        |UNION ALL
+        |SELECT '__merged_qdigest', 'qdigest',
+        |  (SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) FROM lineitem), true
+        |UNION ALL
+        |SELECT '__merged_theta', 'theta',
+        |  (SELECT CAST(count(DISTINCT s_suppkey) AS DOUBLE) FROM supplier), true
+        |UNION ALL
+        |SELECT '__merged_setdigest', 'setdigest',
+        |  (SELECT CAST(count(DISTINCT s_suppkey) AS DOUBLE) FROM supplier), true
+        |ORDER BY k, metric""".stripMargin
   )
 }
