@@ -233,6 +233,15 @@ object GraftFunctions {
     ("merge",
       "merge(sketch) - union of stored sketches of any type, dispatching on the value's type tag",
       es => SketchMergeAgg(es.head).toAggregateExpression()),
+    ("reservoir_sample",
+      "reservoir_sample(initial_sample, initial_count, value, k[, seed]) - resumable fixed-size uniform sample: row(processed_count, sample)",
+      es => {
+        require(es.length == 4 || es.length == 5,
+          s"reservoir_sample takes 4 or 5 arguments, got ${es.length}")
+        val seed = if (es.length > 4) Some(intArg(es(4), "reservoir_sample").toLong) else None
+        ReservoirSampleAgg(es(0), es(1), es(2),
+          intArg(es(3), "reservoir_sample"), seed).toAggregateExpression()
+      }),
     ("cardinality",
       "cardinality(x) - elements of an array/map, or distinct estimate of a sketch varbinary",
       es => CardinalityDispatch(es.head)),
@@ -1427,6 +1436,11 @@ object GraftFunctions {
   def approxSet(a: Column): Column = c(HllSketchAgg(x(a)).toAggregateExpression())
   /** Untyped merge(sketch) — dispatches on the sketch's type tag. */
   def sketchMerge(a: Column): Column = c(SketchMergeAgg(x(a)).toAggregateExpression())
+  /** Resumable reservoir_sample — reference 4-arg signature (+ seed). */
+  def reservoirSample(init: Column, initCount: Column, value: Column, k: Int,
+    seed: Option[Long] = None): Column =
+    c(ReservoirSampleAgg(x(init), x(initCount), x(value), k, seed)
+      .toAggregateExpression())
   /** Untyped cardinality(sketch) over a tagged sketch varbinary. */
   def sketchCardinality(a: Column): Column = c(SketchCardinality(x(a)))
   def mergeHll(a: Column): Column = c(HllMergeAgg(x(a)).toAggregateExpression())

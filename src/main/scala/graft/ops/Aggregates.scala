@@ -432,6 +432,48 @@ object Aggregates {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** RESUMABLE reservoir_sample — the reference's 4-arg signature
+    * (reservoirsample/ReservoirSampleFunction.java: initial sample +
+    * initial processed count resume a previous run's reservoir; merges are
+    * proportional to processed counts). Phase 1 samples the even
+    * orderkeys per status; phase 2 resumes from phase 1's
+    * row(processed_count, sample) over the odd keys. Randomness can't be
+    * replayed cross-engine, so the gate emits the DETERMINISTIC contract:
+    * processed_count carries across the resume (= total group rows),
+    * |sample| = least(k, n), every sampled key belongs to its group, no
+    * duplicates (the phases partition the keys). ReservoirSpec pins the
+    * seeded/statistical behavior. */
+  def reservoirResume(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.GraftFunctions
+    val k = 20
+    val orders = t(s, dir, "orders")
+    val p1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .groupBy("o_orderstatus")
+      .agg(g.reservoirSample(lit(null).cast("array<bigint>"), lit(0L),
+        col("o_orderkey"), k, Some(7L)).as("r1"))
+    val p2 = orders.filter(col("o_orderkey") % 2 === 1)
+      .join(p1, "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(g.reservoirSample(col("r1.sample"), col("r1.processed_count"),
+        col("o_orderkey"), k, Some(11L)).as("r2"))
+    val checks = p2.select(
+      col("o_orderstatus").as("g"),
+      col("r2.processed_count").as("total"),
+      size(col("r2.sample")).cast("long").as("n_sample"),
+      (size(array_distinct(col("r2.sample"))) === size(col("r2.sample")))
+        .as("distinct_ok"),
+      col("r2.sample").as("sample"))
+    val membership = checks
+      .select(col("g"), explode(col("sample")).as("key"))
+      .join(orders.select(col("o_orderstatus").as("g"),
+        col("o_orderkey").as("key")), Seq("g", "key"))
+      .groupBy("g").agg(count(lit(1)).as("n_member"))
+    checks.join(membership, "g")
+      .select(col("g"), col("total"), col("n_sample"),
+        (col("n_member") === col("n_sample") && col("distinct_ok")).as("ok"))
+      .orderBy("g")
+  }
+
   /** Classification metrics (reference ClassificationPrecisionAggregation /
     * ClassificationRecallAggregation …): precision/recall/F1 at a threshold
     * sweep over a deterministic score column — the standard one-shuffle
@@ -563,6 +605,7 @@ object Aggregates {
     "agg_multimap" -> multimapAgg,
     "agg_set_union" -> setUnion,
     "agg_reservoir" -> reservoir,
+    "agg_reservoir_resume" -> reservoirResume,
     "agg_most_frequent" -> mostFrequent,
     "agg_max_by_n" -> maxByN,
     "agg_map_agg" -> mapAgg,
@@ -756,6 +799,10 @@ object Aggregates {
         |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
         | FROM orders)
         |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin,
+    "agg_reservoir_resume" ->
+      """SELECT o_orderstatus AS g, count(*) AS total,
+        | least(20, count(*)) AS n_sample, true AS ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_most_frequent" ->
       """SELECT o_orderstatus, o_orderpriority AS value, cnt FROM (
         | SELECT o_orderstatus, o_orderpriority, count(*) cnt,
