@@ -31,15 +31,31 @@ import org.apache.spark.sql.types._
   * real→INT_ARRAY of floatToIntBits, smallint→SHORT_ARRAY,
   * boolean/tinyint→BYTE_ARRAY, varchar/varbinary→VARIABLE_WIDTH.
   * Markers: CHECKSUMMED (bit 3) always set; checksum is CRC32 over the
-  * body bytes + markers byte + positionCount + uncompressedSize exactly
-  * as PagesSerdeUtil.computeSerializedPageChecksum folds them.
-  * COMPRESSED/ENCRYPTED pages are rejected loudly (not silently
-  * misread). */
+  * STORED body bytes (compressed bytes when COMPRESSED is set) + markers
+  * byte + positionCount + uncompressedSize exactly as
+  * PagesSerdeUtil.computeSerializedPageChecksum folds them.
+  *
+  * COMPRESSED (bit 1): LZ4 block format over the raw body, like the
+  * reference's Lz4Compressor default (execution/buffer/PagesSerdeFactory
+  * .java:75); per PagesSerde.wrapSlice the marker is set only when the
+  * compressed body lands under MINIMUM_COMPRESSION_RATIO = 0.9 of the raw
+  * size, else the page ships uncompressed. uncompressedSizeInBytes always
+  * carries the raw length, sizeInBytes the stored length. ENCRYPTED pages
+  * are still rejected loudly (no spill cipher in this engine). */
 object PageCodec {
 
   private val Compressed: Int = 1 << 0
   private val Encrypted: Int = 1 << 1
   private val Checksummed: Int = 1 << 2
+
+  /** PagesSerde.MINIMUM_COMPRESSION_RATIO — keep compression only when it
+    * actually saves ≥10%. */
+  private val MinCompressionRatio = 0.9
+  /** Don't bother compressing tiny pages (fits the reference's behavior of
+    * compressing serialized pages that matter; threshold is ours). */
+  val CompressionThreshold = 1024
+
+  private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
   // ---------- little-endian primitives (airlift Slice byte order)
 
@@ -262,8 +278,11 @@ object PageCodec {
     crc.getValue
   }
 
-  /** Serialize one page of rows: metadata + body, CHECKSUMMED. */
-  def serialize(schema: StructType, rows: Seq[Row]): Array[Byte] = {
+  /** Serialize one page of rows: metadata + body, CHECKSUMMED; bodies at
+    * or above [[CompressionThreshold]] are LZ4-compressed when `compress`
+    * is set AND the result saves ≥10% (PagesSerde.wrapSlice policy). */
+  def serialize(schema: StructType, rows: Seq[Row],
+      compress: Boolean = false): Array[Byte] = {
     val body = new Out
     body.int(schema.size)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -271,37 +290,55 @@ object PageCodec {
         if (r.isNullAt(i)) null else r.get(i)).toArray)
     }
     val b = body.result()
-    val markers = Checksummed
+    var markers = Checksummed
+    var stored = b
+    if (compress && b.length >= CompressionThreshold) {
+      val compressed = lz4.fastCompressor().compress(b)
+      if (compressed.length < b.length * MinCompressionRatio) {
+        markers |= Compressed
+        stored = compressed
+      }
+    }
     val out = new Out
     out.int(rows.size)
     out.byte(markers)
     out.int(b.length) // uncompressedSizeInBytes
-    out.int(b.length) // sizeInBytes (no compression)
-    out.long(checksum(b, markers, rows.size, b.length))
-    out.bytes(b)
+    out.int(stored.length) // sizeInBytes
+    out.long(checksum(stored, markers, rows.size, b.length))
+    out.bytes(stored)
     out.result()
   }
 
-  /** Deserialize one wire page; validates markers and checksum. */
+  /** Deserialize one wire page; validates markers and checksum, inflates
+    * COMPRESSED bodies. */
   def deserialize(schema: StructType, bytes: Array[Byte]): Seq[Row] = {
     val in = new In(bytes, 0)
     val positions = in.int()
     val markers = in.byte()
-    require((markers & Compressed) == 0 && (markers & Encrypted) == 0,
-      "compressed/encrypted SerializedPages are not supported")
+    require((markers & Encrypted) == 0,
+      "encrypted SerializedPages are not supported")
     val uncompressed = in.int()
     val size = in.int()
-    require(uncompressed == size,
-      s"uncompressed size $uncompressed != slice length $size on an " +
-        "uncompressed page")
+    if ((markers & Compressed) == 0)
+      require(uncompressed == size,
+        s"uncompressed size $uncompressed != slice length $size on an " +
+          "uncompressed page")
     val expected = in.long()
-    val body = in.bytes(size)
+    val stored = in.bytes(size)
     if ((markers & Checksummed) != 0) {
-      val actual = checksum(body, markers, positions, uncompressed)
+      // checksum covers the bytes as stored (compressed if COMPRESSED)
+      val actual = checksum(stored, markers, positions, uncompressed)
       require(actual == expected,
         f"SerializedPage checksum mismatch: got $actual%x, page carries " +
           f"$expected%x (corrupt page)")
     }
+    val body =
+      if ((markers & Compressed) == 0) stored
+      else {
+        val raw = new Array[Byte](uncompressed)
+        lz4.fastDecompressor().decompress(stored, 0, raw, 0, uncompressed)
+        raw
+      }
     val bin = new In(body, 0)
     val channels = bin.int()
     require(channels == schema.size,

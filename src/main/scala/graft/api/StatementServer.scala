@@ -612,11 +612,12 @@ object StatementServer {
     if (binary)
       // ?binaryResults=true (reference ExecutingStatementResource.java:108,
       // Query.java:526): pages travel as base64 SerializedPages instead
-      // of JSON rows
+      // of JSON rows; bodies over the codec threshold ship LZ4-compressed
+      // (exchange.compression-enabled + PagesSerde.wrapSlice ratio policy)
       for (rows <- data; cols <- columns)
         sb.append(""","binaryData":["""")
           .append(java.util.Base64.getEncoder.encodeToString(
-            PageCodec.serialize(cols, rows)))
+            PageCodec.serialize(cols, rows, compress = true)))
           .append(""""]""")
     else
       for (rows <- data; cols <- columns)

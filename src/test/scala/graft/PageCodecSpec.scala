@@ -80,7 +80,7 @@ class PageCodecSpec extends AnyFunSuite {
     assert(body.length == 40)
   }
 
-  test("checksum detects corruption; compressed pages are refused") {
+  test("checksum detects corruption; encrypted pages are refused") {
     val s = StructType(Seq(StructField("v", LongType)))
     val bytes = PageCodec.serialize(s, Seq(Row(5L), Row(6L)))
     val tampered = bytes.clone()
@@ -89,12 +89,70 @@ class PageCodecSpec extends AnyFunSuite {
       PageCodec.deserialize(s, tampered)
     }
     assert(e.getMessage.contains("checksum"), e.getMessage)
-    val compressed = bytes.clone()
-    compressed(4) = (compressed(4) | 1).toByte // COMPRESSED marker
+    // flipping COMPRESSED on an uncompressed page breaks the CRC (markers
+    // feed the checksum) instead of misreading
+    val flipped = bytes.clone()
+    flipped(4) = (flipped(4) | 1).toByte
     val e2 = intercept[IllegalArgumentException] {
-      PageCodec.deserialize(s, compressed)
+      PageCodec.deserialize(s, flipped)
     }
-    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+    assert(e2.getMessage.contains("checksum"), e2.getMessage)
+    val encrypted = bytes.clone()
+    encrypted(4) = (encrypted(4) | 2).toByte // ENCRYPTED marker
+    val e3 = intercept[IllegalArgumentException] {
+      PageCodec.deserialize(s, encrypted)
+    }
+    assert(e3.getMessage.contains("not supported"), e3.getMessage)
+  }
+
+  test("LZ4 COMPRESSED pages round-trip with the reference marker layout") {
+    val s = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val rows = (0 until 4000).map(i => Row(i.toLong, s"repetitive-payload-${i % 7}"))
+    val bytes = PageCodec.serialize(s, rows, compress = true)
+    // metadata layout: positionCount int | markers byte | uncompressed int | size int
+    assert((bytes(4) & 1) == 1, "COMPRESSED bit not set on a compressible page")
+    assert((bytes(4) & 4) == 4, "CHECKSUMMED bit must stay set")
+    def leInt(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val uncompressedSize = leInt(5)
+    val storedSize = leInt(9)
+    assert(storedSize < uncompressedSize * 0.9,
+      s"stored $storedSize not <90% of raw $uncompressedSize")
+    assert(bytes.length == 4 + 1 + 4 + 4 + 8 + storedSize)
+    val back = PageCodec.deserialize(s, bytes)
+    assert(back == rows)
+  }
+
+  test("incompressible or small pages stay uncompressed under compress=true") {
+    val s = StructType(Seq(StructField("b", BinaryType)))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { _ =>
+      val b = new Array[Byte](256); rnd.nextBytes(b); Row(b)
+    }
+    val bytes = PageCodec.serialize(s, rows, compress = true)
+    assert((bytes(4) & 1) == 0, "random bytes must not carry COMPRESSED")
+    val back = PageCodec.deserialize(s, bytes)
+    assert(back.map(_.getAs[Array[Byte]](0).toSeq) ==
+      rows.map(_.getAs[Array[Byte]](0).toSeq))
+    // tiny page: below the threshold no compression is attempted
+    val small = PageCodec.serialize(
+      StructType(Seq(StructField("s", StringType))),
+      Seq(Row("aaaaaaaaaa"), Row("aaaaaaaaaa")), compress = true)
+    assert((small(4) & 1) == 0)
+  }
+
+  test("corruption inside a compressed body is caught by the checksum") {
+    val s = StructType(Seq(StructField("v", StringType)))
+    val rows = (0 until 3000).map(i => Row(s"zzzz-${i % 3}"))
+    val bytes = PageCodec.serialize(s, rows, compress = true)
+    assert((bytes(4) & 1) == 1)
+    val tampered = bytes.clone()
+    tampered(tampered.length - 5) = (tampered(tampered.length - 5) ^ 0x55).toByte
+    val e = intercept[IllegalArgumentException] {
+      PageCodec.deserialize(s, tampered)
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
   }
 
   test("schema/channel mismatches error instead of misreading") {
