@@ -80,10 +80,14 @@ final class SqlSession private (val spark: SparkSession) {
       .orElse(SqlFunctions.dispatch(DdlStatements.sessionId(spark), text)
         .map(DdlStatements.statusResult(spark, _)))
       .orElse(AccessControl.dispatch(this, text))
+      .orElse(EnumTypes.dispatch(this, text))
       .orElse(DdlStatements.dispatch(this, text)).getOrElse {
       // SQL-invoked functions inline at translate time, the reference's
       // InlineSqlFunctions strategy (no-op when none are registered)
-      val inlined = SqlFunctions.inline(DdlStatements.sessionId(spark), text)
+      val inlined0 = SqlFunctions.inline(DdlStatements.sessionId(spark), text)
+      // enum / distinct types splice their validated casts here (the
+      // reference's static-type dispatch, done at rewrite time)
+      val inlined = EnumTypes.rewrite(spark, inlined0)
       val t1 = Dialect.translate(inlined)
       // row filters / column masks: secure every policied view for this
       // statement, pin analysis against the secured plans, then restore
@@ -300,7 +304,7 @@ object Dialect {
   }
 
   /** Original text with non-code spans blanked — safe for paren matching. */
-  private def masked(text: String): String =
+  private[api] def masked(text: String): String =
     segments(text).map { case (seg, isCode) =>
       if (isCode) seg else " " * seg.length
     }.mkString
@@ -373,7 +377,7 @@ object Dialect {
     * CAST(x AS CHAR(n)) → rpad(CAST(x AS STRING), n, ' '). Known
     * deviation: comparing chars of two DIFFERENT declared lengths is
     * false here (the reference pads both to the longer length first). */
-  private val castOpen = "(?i)\\bCAST\\s*\\(".r
+  private[api] val castOpen = "(?i)\\bCAST\\s*\\(".r
   // single \s before AS: masked literals read as spaces, so a greedy \s+
   // would swallow the cast content when it is a string literal
   private val charCastTail = "(?is)\\sAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)$".r
@@ -511,7 +515,7 @@ object Dialect {
 
   /** End index (exclusive) of the parenthesized group opening at `open`
     * (index of '('), measured on the masked text. */
-  private def matchParen(m: String, open: Int): Int = {
+  private[api] def matchParen(m: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < m.length) {

@@ -245,6 +245,12 @@ object GraftFunctions {
     ("cardinality",
       "cardinality(x) - elements of an array/map, or distinct estimate of a sketch varbinary",
       es => CardinalityDispatch(es.head)),
+    ("graft_enum_cast",
+      "graft_enum_cast(def, x) - membership-validated enum cast (dialect-spliced)",
+      es => EnumCast(strArg(es(0), "graft_enum_cast"), es(1))),
+    ("graft_enum_key",
+      "graft_enum_key(def, x) - key for an enum value (dialect-spliced enum_key)",
+      es => EnumKey(strArg(es(0), "graft_enum_key"), es(1))),
     ("merge_hll", "merge_hll(sketch) - merge HyperLogLog sketches",
       es => HllMergeAgg(es.head).toAggregateExpression()),
     ("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch",

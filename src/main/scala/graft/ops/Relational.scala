@@ -482,7 +482,31 @@ object Relational {
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
     "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry,
     "sql_prepared" -> sqlPrepared, "sql_geo" -> sqlGeo,
-    "sql_create_function" -> sqlCreateFunction)
+    "sql_create_function" -> sqlCreateFunction,
+    "sql_enum_types" -> sqlEnumTypes)
+
+  /** Enum types end-to-end through SQL text (reference CreateTypeTask +
+    * EnumCasts + LongEnumOperators/VarcharEnumOperators enum_key; dialect
+    * module api/EnumTypes.scala): CREATE TYPE registers a varchar AND a
+    * bigint enum, casts validate every scanned value, enum_key reverse-maps
+    * to the symbolic key, and an inline BigintEnum(sig{...}) cast rides
+    * along — all DuckDB-replayable because the enum maps are small
+    * deterministic CASE tables. */
+  def sqlEnumTypes(s: SparkSession, dir: String): DataFrame = {
+    val ses = graft.api.SqlSession.wrap(s)
+    t(s, dir, "orders").createOrReplaceTempView("orders_enum")
+    ses.sql("""CREATE TYPE order_status AS VarcharEnum(order_status{"OPEN":"O", "FULL":"F", "PART":"P"})""")
+    ses.sql("""CREATE TYPE prio_code AS BigintEnum(prio_code{"URGENT":1, "HIGH":2, "NORMAL":3, "LOW":4, "NONE":5})""")
+    ses.sql(
+      """SELECT enum_key('order_status', CAST(o_orderstatus AS order_status)) AS status_key,
+        |  enum_key('prio_code', CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_code)) AS prio_key,
+        |  CAST(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |    AS BigintEnum(inline_prio{"P1":1, "P2":2, "P3":3, "P4":4, "P5":5})) AS prio_value,
+        |  count(*) AS n
+        |FROM orders_enum
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
+  }
 
   /** PREPARE / EXECUTE USING through the session-statement layer
     * (reference PrepareTask.java + the ? parameter rewrite,
@@ -589,6 +613,15 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_quantity < 25 AND l_shipdate <= DATE '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_enum_types" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULL'
+        |    WHEN 'P' THEN 'PART' END AS status_key,
+        |  CASE CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |    WHEN 1 THEN 'URGENT' WHEN 2 THEN 'HIGH' WHEN 3 THEN 'NORMAL'
+        |    WHEN 4 THEN 'LOW' WHEN 5 THEN 'NONE' END AS prio_key,
+        |  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_value,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "mv_rewrite" ->
       """SELECT l_returnflag,
         | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
