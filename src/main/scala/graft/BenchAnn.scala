@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity}
 
 /** ANN scale bench — the measured evidence behind the similarity-search
-  * 100 TB claim: on a 100k-vector clustered corpus (64-dim), exact
+  * 100 TB claim: on a 1M-vector clustered corpus (64-dim), exact
   * brute-force top-10 vs the IVF probe path (k-means-refined centroids,
   * nprobe-limited cell join), reporting wall seconds for both, the
   * speedup, and recall@10 so the accuracy cost of the approximation is a
@@ -16,11 +16,12 @@ import graft.ops.{Dedup, Similarity}
   * IVF = build once (assignment + 2 Lloyd iterations), then probe joins
   * that read nprobe/K of the corpus per query.
   *
-  * Output: one JSON line on stdout + BENCH_ann_r11.json in the cwd.
+  * Output: one JSON line on stdout + BENCH_ann_r12.json in the cwd.
+  * N overrides via SPARK_GRAFT_ANN_N for quick dev runs.
   */
 object BenchAnn {
 
-  private val N = 100000
+  private val N = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "1000000").toInt
   private val Dim = 64
   private val K = 64
   private val NProbes = Seq(1, 2, 4)
@@ -130,7 +131,7 @@ object BenchAnn {
         f""""sweep":$sweepJson}"""
     println(json)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_ann_r11.json"),
+      java.nio.file.Paths.get("BENCH_ann_r12.json"),
       json.getBytes("UTF-8"))
     s.stop()
   }

@@ -1,38 +1,59 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Corpus-pipeline scale bench — measured evidence that the LLM-curation
   * operators hold at volume, not just on the 500-doc gate fixture: the
-  * sf0.1 documents corpus replicated 20× (≈100k docs, heavy duplication —
-  * the worst case for the dedup family since every gram collides across
-  * replicas) driven through the round's five stages:
+  * sf0.1 documents corpus replicated 200× (≈1M docs, ~300 MB of text,
+  * heavy duplication — the worst case for the dedup family since every
+  * gram collides across replicas) and the sf0.1 embeddings replicated
+  * 500× (≈1M 64-d vectors) driven through the round's five stages:
   *
   *   substring-dup profile (k-gram inverted index + islands),
   *   C4 span removal (per-gram first-occurrence election + rebuild),
   *   Gopher quality battery (pure scan-speed projections),
   *   hashed classifier (train 5×512 model + score + argmax),
-  *   cluster balance (seed-centroid assign + budget resample, on the
-  *   sf0.1 embeddings replicated 20×).
+  *   cluster balance (seed-centroid assign + budget resample).
   *
-  * Wall seconds per stage + rows touched; one JSON line on stdout and
-  * BENCH_corpus_r11.json in the cwd. Every stage is the SAME code the
-  * oracle gates run — no bench-only forks.
+  * Wall seconds + rows + SHUFFLE VOLUME per stage (records/bytes written,
+  * summed from a task-end listener — the scale-truth signal: a stage whose
+  * shuffle grows super-linearly in the corpus is the one that dies at
+  * 100 TB); one JSON line on stdout and BENCH_corpus_r12.json in the cwd.
+  * Every stage is the SAME code the oracle gates run — no bench-only
+  * forks. Replication factors override via SPARK_GRAFT_CORPUS_REP /
+  * SPARK_GRAFT_VECTOR_REP for quick dev runs.
   */
 object BenchCorpus {
 
-  private val Rep = 20
+  /** Sums shuffle write/read volume for the tasks of one stage. */
+  private final class ShuffleStats extends SparkListener {
+    val wRecs = new java.util.concurrent.atomic.LongAdder
+    val wBytes = new java.util.concurrent.atomic.LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) {
+        wRecs.add(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        wBytes.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+  }
 
-  private def time[A](f: => A): (A, Double) = {
+  private def timed(s: SparkSession)(f: => Long): (Long, Double, Long, Long) = {
+    val l = new ShuffleStats
+    s.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
+    val rows = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // async listener bus drain
+    s.sparkContext.removeSparkListener(l)
+    (rows, sec, l.wRecs.sum(), l.wBytes.sum())
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repDocs = sys.env.getOrElse("SPARK_GRAFT_CORPUS_REP", "200").toInt
+    val repVecs = sys.env.getOrElse("SPARK_GRAFT_VECTOR_REP", "500").toInt
     val s = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-bench-corpus")
@@ -40,52 +61,61 @@ object BenchCorpus {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
-    // replicate deterministically: replica r of doc d gets id d*Rep+r, so
+    // replicate deterministically: replica r of doc d gets id d*rep+r, so
     // ids stay unique and the hash coins differ per replica
-    val docs = s.read.parquet(s"$sfDir/documents.parquet")
-      .crossJoin(s.range(Rep.toLong).toDF("r"))
-      .select((col("doc_id") * Rep + col("r")).as("doc_id"),
-        col("text"), col("lang"), col("source"))
-      .cache()
-    val nDocs = docs.count()
-    val embs = s.read.parquet(s"$sfDir/embeddings.parquet")
-      .crossJoin(s.range(Rep.toLong).toDF("r"))
-      .select((col("vec_id") * Rep + col("r")).as("vec_id"),
-        col("embedding"))
-      .cache()
-    val nVecs = embs.count()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bench_corpus").toFile
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    docs.unpersist(); embs.unpersist()
+    s.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(s.range(repDocs.toLong).toDF("r"))
+      .select((col("doc_id") * repDocs + col("r")).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+      .crossJoin(s.range(repVecs.toLong).toDF("r"))
+      .select((col("vec_id") * repVecs + col("r")).as("vec_id"),
+        col("embedding"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val d = dir.getPath
+    val nDocs = s.read.parquet(s"$d/documents.parquet").count()
+    val nVecs = s.read.parquet(s"$d/embeddings.parquet").count()
+    println(s"[bench-corpus] fixture: $nDocs docs, $nVecs vectors at $d")
 
+    // .count() would let Catalyst ELIMINATE work (a left join whose right
+    // side aggregates on the join key drops out of a count-star plan — the
+    // r11 artifact under-measured substring_dup/span_removal exactly this
+    // way); toRdd.count() executes the full physical plan, every column.
+    def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
     val stages: Seq[(String, () => Long)] = Seq(
-      "substring_dup" -> (() => Dedup.substringDup(s, d).count()),
-      "span_removal" -> (() => Dedup.spanDedup(s, d).count()),
-      "gopher_quality" -> (() => TextAnalysis.gopherQuality(s, d).count()),
-      "hashed_classifier" -> (() => TextAnalysis.hashedClassifier(s, d).count()),
-      "cluster_balance" -> (() => Similarity.clusterBalance(s, d).count()))
+      "substring_dup" -> (() => full(Dedup.substringDup(s, d))),
+      "span_removal" -> (() => full(Dedup.spanDedup(s, d))),
+      "gopher_quality" -> (() => full(TextAnalysis.gopherQuality(s, d))),
+      "hashed_classifier" -> (() => full(TextAnalysis.hashedClassifier(s, d))),
+      "cluster_balance" -> (() => full(Similarity.clusterBalance(s, d))))
     val results = stages.map { case (name, f) =>
-      val (rows, sec) = time(f())
-      println(f"[bench-corpus] $name%-18s ${sec}%8.2f s  ($rows rows)")
-      (name, sec, rows)
+      val (rows, sec, recs, bytes) = timed(s)(f())
+      println(f"[bench-corpus] $name%-18s ${sec}%8.2f s  ($rows rows, " +
+        f"$recs shuffle recs, ${bytes / 1048576.0}%.1f MiB shuffled)")
+      (name, sec, rows, recs, bytes)
     }
 
     val total = results.map(_._2).sum
-    val json = "{\"metric\":\"corpus_ops_sf01x" + Rep + "\"," +
+    val json = "{\"metric\":\"corpus_ops_sf01x" + repDocs + "\"," +
       "\"value\":" + f"$total%.2f" + ",\"unit\":\"sec\"," +
       "\"docs\":" + nDocs + ",\"vectors\":" + nVecs + "," +
-      "\"ops\":{" + results.map { case (n, sec, rows) =>
-        "\"" + n + "\":{\"sec\":" + f"$sec%.2f" + ",\"rows\":" + rows + "}"
+      "\"ops\":{" + results.map { case (n, sec, rows, recs, bytes) =>
+        "\"" + n + "\":{\"sec\":" + f"$sec%.2f" + ",\"rows\":" + rows +
+          ",\"shuffle_records\":" + recs + ",\"shuffle_mib\":" +
+          f"${bytes / 1048576.0}%.1f" + "}"
       }.mkString(",") + "}}"
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_corpus_r11.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_corpus_r12.json"), json + "\n")
     s.stop()
   }
 }

