@@ -269,10 +269,12 @@ object GraftFunctions {
       es => SetDigestMergeAgg(es.head).toAggregateExpression()),
     ("set_digest_cardinality", "set_digest_cardinality(sketch) - estimated distinct count",
       es => SetDigestCardinality(es.head)),
-    ("jaccard_index", "jaccard_index(d1, d2) - MinHash Jaccard similarity estimate",
-      es => JaccardIndex(es(0), es(1))),
-    ("intersection_cardinality", "intersection_cardinality(d1, d2) - estimated |A∩B|",
-      es => IntersectionCardinality(es(0), es(1))),
+    ("jaccard_index",
+      "jaccard_index(d1, d2) - MinHash Jaccard estimate (SetDigest or KHLL, tag-dispatched)",
+      es => SketchJaccard(es(0), es(1))),
+    ("intersection_cardinality",
+      "intersection_cardinality(d1, d2) - estimated |A∩B| (SetDigest or KHLL, tag-dispatched)",
+      es => SketchIntersection(es(0), es(1))),
     ("date_add",
       "date_add(unit, n, ts) - reference interval arithmetic; 2-arg form is Spark's day add",
       es => {

@@ -122,6 +122,81 @@ object SketchTag {
           "khyperloglog_agg, make_set_digest, noisy_approx_set_sfm output)")
     }
   }
+
+  private def pairTag(a: Array[Byte], b: Array[Byte], fn: String): Int = {
+    val (ta, tb) = (tagOf(a), tagOf(b))
+    if (ta != 0 && tb != 0 && ta != tb) throw new IllegalArgumentException(
+      s"$fn: cannot combine ${name(ta)} with ${name(tb)}")
+    if (ta != 0) ta else tb // both 0 → legacy untagged = SetDigest default
+  }
+
+  /** jaccard_index over SetDigest OR KHyperLogLog — the reference binds
+    * the one name per type (SetDigestFunctions.java,
+    * KHyperLogLogFunctions.java); untagged legacy bytes keep the
+    * SetDigest reading. */
+  def jaccardTagged(a: Array[Byte], b: Array[Byte]): Double =
+    pairTag(a, b, "jaccard_index") match {
+      case Khll => graft.functions.Khll.jaccardBytes(payload(a), payload(b))
+      case SetDigest | 0 =>
+        SetDigestKmv.jaccardBytes(payload(a), payload(b))
+      case t => throw new IllegalArgumentException(
+        s"jaccard_index does not accept a ${name(t)}")
+    }
+
+  /** intersection_cardinality with the same per-type dispatch. */
+  def intersectionTagged(a: Array[Byte], b: Array[Byte]): Long =
+    pairTag(a, b, "intersection_cardinality") match {
+      case Khll =>
+        graft.functions.Khll.intersectionBytes(payload(a), payload(b))
+      case SetDigest | 0 =>
+        SetDigestKmv.intersectionBytes(payload(a), payload(b))
+      case t => throw new IllegalArgumentException(
+        s"intersection_cardinality does not accept a ${name(t)}")
+    }
+}
+
+/** jaccard_index(a, b) dispatching on the sketch tags. */
+case class SketchJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_index requires (varbinary, varbinary), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_index"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchTag.jaccardTagged(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchTag$$.MODULE$$.jaccardTagged($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** intersection_cardinality(a, b) dispatching on the sketch tags. */
+case class SketchIntersection(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersection_cardinality requires (varbinary, varbinary), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersection_cardinality"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchTag.intersectionTagged(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchTag$$.MODULE$$.intersectionTagged($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Untyped merge(sketch) — dispatches on the value's type tag, the

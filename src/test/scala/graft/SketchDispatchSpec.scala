@@ -119,6 +119,42 @@ class SketchDispatchSpec extends AnyFunSuite {
     assert(msg.contains("value_at_quantile"))
   }
 
+  test("jaccard_index / intersection_cardinality dispatch SetDigest vs KHLL") {
+    val s = registered
+    // two overlapping sets: 0..299 and 150..449 → |∩| = 150, J = 1/3
+    s.range(0, 450).selectExpr(
+      "CASE WHEN id < 300 THEN 'a' ELSE NULL END AS ga",
+      "CASE WHEN id >= 150 THEN 'b' ELSE NULL END AS gb", "id AS v")
+      .createOrReplaceTempView("sd_pair")
+    // dispatch contract: the untyped names return EXACTLY what the typed
+    // SetDigest kernels return, and both land near the truth (KMV is an
+    // estimator even under k — tolerance, not equality, vs the exact 150)
+    val viaSet = s.sql(
+      """WITH a AS (SELECT make_set_digest(v) AS sk FROM sd_pair WHERE ga IS NOT NULL),
+        |     b AS (SELECT make_set_digest(v) AS sk FROM sd_pair WHERE gb IS NOT NULL)
+        |SELECT intersection_cardinality(a.sk, b.sk) AS i,
+        |       jaccard_index(a.sk, b.sk) AS j FROM a, b""".stripMargin).collect()(0)
+    assert(math.abs(viaSet.getLong(0) - 150L) <= 20,
+      s"setdigest |A∩B| ${viaSet.getLong(0)} far from 150")
+    assert(math.abs(viaSet.getDouble(1) - 1.0 / 3) < 0.05)
+    val viaKhll = s.sql(
+      """WITH a AS (SELECT khyperloglog_agg(v, v) AS sk FROM sd_pair WHERE ga IS NOT NULL),
+        |     b AS (SELECT khyperloglog_agg(v, v) AS sk FROM sd_pair WHERE gb IS NOT NULL)
+        |SELECT intersection_cardinality(a.sk, b.sk) AS i,
+        |       jaccard_index(a.sk, b.sk) AS j FROM a, b""".stripMargin).collect()(0)
+    assert(math.abs(viaKhll.getLong(0) - 150L) <= 15, s"khll |A∩B| ${viaKhll.getLong(0)}")
+    assert(math.abs(viaKhll.getDouble(1) - 1.0 / 3) < 0.07)
+    // mixing the two sketch kinds raises
+    val e = intercept[Exception] {
+      s.sql(
+        """WITH a AS (SELECT make_set_digest(v) AS sk FROM sd_pair WHERE ga IS NOT NULL),
+          |     b AS (SELECT khyperloglog_agg(v, v) AS sk FROM sd_pair WHERE gb IS NOT NULL)
+          |SELECT jaccard_index(a.sk, b.sk) FROM a, b""".stripMargin).collect()
+    }
+    val m = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(m.contains("cannot combine"), m)
+  }
+
   test("typed spellings accept tagged sketches (store/reload unchanged)") {
     val s = registered
     s.range(0, 3000).selectExpr("id % 7 AS g", "id AS v")
