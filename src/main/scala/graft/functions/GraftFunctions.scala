@@ -197,8 +197,23 @@ object GraftFunctions {
       es => ThetaIntersect(es(0), es(1))),
     ("theta_sketch_a_not_b", "theta_sketch_a_not_b(a, b) - sketch of the set difference",
       es => ThetaANotB(es(0), es(1))),
-    ("cosine_similarity", "cosine_similarity(v1, v2) - cosine of two float vectors",
-      es => CosineSimilarity(es(0), es(1))),
+    ("cosine_similarity",
+      "cosine_similarity(v1, v2) - cosine of two float vectors, or of sparse map<varchar,double> vectors",
+      es => CosineDispatch(es(0), es(1))),
+    ("width_bucket",
+      "width_bucket(x, bins) / width_bucket(x, lo, hi, n) - bucket index for explicit or uniform bins",
+      es => es.length match {
+        case 2 => WidthBucketArray(dbl(es(0)),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))
+        case 4 => org.apache.spark.sql.catalyst.expressions.WidthBucket(
+          dbl(es(0)), dbl(es(1)), dbl(es(2)),
+          org.apache.spark.sql.catalyst.expressions.Cast(es(3),
+            org.apache.spark.sql.types.LongType))
+        case n => throw new IllegalArgumentException(
+          s"width_bucket takes 2 or 4 arguments, got $n")
+      }),
     ("dot_product", "dot_product(v1, v2) - double-precision dot of two float vectors",
       es => DotProduct(es(0), es(1))),
     ("l2_squared", "l2_squared(v1, v2) - squared euclidean distance of two float vectors",

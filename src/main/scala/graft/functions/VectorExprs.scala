@@ -105,3 +105,145 @@ case class L2Squared(left: Expression, right: Expression)
     newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** cosine_similarity(map<varchar,double>, map<varchar,double>) — the
+  * reference's SPARSE-vector overload (MathFunctions.java:1712
+  * mapCosineSimilarity): dot over shared keys / (‖l‖·‖r‖); a NULL map
+  * value nulls the result (mapL2Norm:1884), an empty map yields NaN via
+  * the zero norm — both mirrored. */
+object MapCosine {
+  def cosine(l: org.apache.spark.sql.catalyst.util.MapData,
+      r: org.apache.spark.sql.catalyst.util.MapData): Any = {
+    def norm(m: org.apache.spark.sql.catalyst.util.MapData): java.lang.Double = {
+      var s = 0.0
+      var i = 0
+      while (i < m.numElements()) {
+        if (m.valueArray().isNullAt(i)) return null
+        val v = m.valueArray().getDouble(i)
+        s += v * v
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    val nl = norm(l); val nr = norm(r)
+    if (nl == null || nr == null) return null
+    val rk = new java.util.HashMap[String, Double](r.numElements() * 2)
+    var i = 0
+    while (i < r.numElements()) {
+      rk.put(r.keyArray().getUTF8String(i).toString,
+        r.valueArray().getDouble(i))
+      i += 1
+    }
+    var dot = 0.0
+    i = 0
+    while (i < l.numElements()) {
+      val v = rk.get(l.keyArray().getUTF8String(i).toString)
+      if (v != null) dot += l.valueArray().getDouble(i) * v.doubleValue()
+      i += 1
+    }
+    dot / (nl * nr)
+  }
+}
+
+case class MapCosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isStrDouble(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStrDouble(left.dataType) && isStrDouble(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cosine_similarity map form requires map<varchar,double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    MapCosine.cosine(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""Object mcRes = graft.functions.MapCosine$$.MODULE$$.cosine($a, $b);
+         |if (mcRes == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) mcRes).doubleValue(); }
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_similarity with the reference's overload set: maps → sparse
+  * kernel, arrays → the codegen'd dense float kernel. */
+case class CosineDispatch(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  override lazy val replacement: Expression = left.dataType match {
+    case _: org.apache.spark.sql.types.MapType =>
+      MapCosineSimilarity(left, right)
+    case _ => CosineSimilarity(left, right)
+  }
+  override def prettyName: String = "cosine_similarity"
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** width_bucket(x, bins array<double>) — the reference's explicit-bins
+  * overload (MathFunctions.java:1667): binary search over ascending bins,
+  * returns how many bins are <= x; probe-path validation (null / unsorted
+  * / non-finite bins raise at the positions the search touches) mirrored
+  * exactly. Spark's native 4-arg width_bucket keeps the uniform form. */
+case class WidthBucketArray(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"width_bucket(x, bins) requires (double, array<double>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "width_bucket"
+  override protected def nullSafeEval(x: Any, binsIn: Any): Any =
+    WidthBucketArray.search(x.asInstanceOf[Double],
+      binsIn.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.WidthBucketArray$$.MODULE$$.search($a, $b)")
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WidthBucketArray {
+  def search(operand: Double, bins: ArrayData): Long = {
+    val n = bins.numElements()
+    require(n > 0, "Bins cannot be an empty array")
+    require(!operand.isNaN, "Operand cannot be NaN")
+    var lower = 0
+    var upper = n
+    while (lower < upper) {
+      val index = (lower + upper) / 2
+      if (bins.isNullAt(lower) || bins.isNullAt(index) ||
+        bins.isNullAt(upper - 1))
+        throw new IllegalArgumentException("Bin values cannot be NULL")
+      val bin = bins.getDouble(index)
+      val lowerBin = bins.getDouble(lower)
+      val upperBin = bins.getDouble(upper - 1)
+      if (lowerBin > upperBin || lowerBin > bin || bin > upperBin)
+        throw new IllegalArgumentException(
+          "Bin values are not sorted in ascending order")
+      if (!java.lang.Double.isFinite(bin) ||
+        !java.lang.Double.isFinite(lowerBin) ||
+        !java.lang.Double.isFinite(upperBin))
+        throw new IllegalArgumentException("Bin values must be finite")
+      if (operand < bin) upper = index else lower = index + 1
+    }
+    lower.toLong
+  }
+}

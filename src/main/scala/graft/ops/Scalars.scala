@@ -1329,6 +1329,28 @@ object Scalars {
         |ORDER BY k, metric""".stripMargin)
   }
 
+  /** width_bucket explicit-bins overload + sparse-map cosine_similarity
+    * (reference MathFunctions.java:1667 widthBucket(x, bins array),
+    * :1712 mapCosineSimilarity over map<varchar,double>): bucket counts
+    * replay as boolean sums, the uniform 4-arg form as floor arithmetic,
+    * and the sparse cosine as closed-form arithmetic over the one shared
+    * key — all exact in DuckDB. */
+  def sparseMath(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "supplier").createOrReplaceTempView("supp_sm")
+    s.sql(
+      """SELECT s_suppkey AS k,
+        |  width_bucket(CAST(s_acctbal AS DOUBLE),
+        |    array(0D, 2000D, 4000D, 6000D, 8000D)) AS wb_bins,
+        |  width_bucket(CAST(s_acctbal AS DOUBLE), 0D, 10000D, 10) AS wb_uniform,
+        |  round(cosine_similarity(
+        |    map('a', CAST(s_suppkey % 7 + 1 AS DOUBLE),
+        |        'b', CAST(s_suppkey % 11 + 1 AS DOUBLE)),
+        |    map('b', CAST(s_suppkey % 5 + 1 AS DOUBLE), 'c', 2.0D)), 4)
+        |    AS cos_sparse
+        |FROM supp_sm ORDER BY k""".stripMargin)
+  }
+
   /** Multi-geometries (reference geospatial/GeoFunctions.java MULTI* WKT,
     * ST_NumGeometries, ST_GeometryN, GeometryType): two disjoint
     * axis-aligned squares per key as a MULTIPOLYGON, a two-part
@@ -2307,6 +2329,7 @@ object Scalars {
     "fn_tstz" -> tstzOps,
     "fn_qdigest" -> qdigestSketch,
     "fn_sketch_dispatch" -> sketchDispatch,
+    "fn_sparse_math" -> sparseMath,
     "fn_tdigest" -> tdigestSketch,
     "fn_kll" -> kllSketch,
     "fn_theta" -> thetaSketch,
@@ -3950,6 +3973,20 @@ object Scalars {
         |SELECT '__merged__', ROUND(quantile_cont(l_quantity, 0.5), 4), true
         |FROM lineitem
         |ORDER BY l_linestatus""".stripMargin,
+    "fn_sparse_math" ->
+      """SELECT s_suppkey AS k,
+        |  CAST((s_acctbal >= 0) AS BIGINT) + CAST((s_acctbal >= 2000) AS BIGINT)
+        |    + CAST((s_acctbal >= 4000) AS BIGINT) + CAST((s_acctbal >= 6000) AS BIGINT)
+        |    + CAST((s_acctbal >= 8000) AS BIGINT) AS wb_bins,
+        |  CAST(CASE WHEN s_acctbal < 0 THEN 0
+        |            WHEN s_acctbal >= 10000 THEN 11
+        |            ELSE FLOOR(s_acctbal / 1000) + 1 END AS BIGINT) AS wb_uniform,
+        |  ROUND(((s_suppkey % 11 + 1) * (s_suppkey % 5 + 1)) /
+        |    (sqrt((s_suppkey % 7 + 1) * (s_suppkey % 7 + 1) +
+        |          (s_suppkey % 11 + 1) * (s_suppkey % 11 + 1)) *
+        |     sqrt((s_suppkey % 5 + 1) * (s_suppkey % 5 + 1) + 4.0)), 4)
+        |    AS cos_sparse
+        |FROM supplier ORDER BY k""".stripMargin,
     "fn_sketch_dispatch" ->
       """WITH words AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)

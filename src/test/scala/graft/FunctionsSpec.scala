@@ -1146,4 +1146,56 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT normalize('abc', 'NFX') AS v").collect())
     assert(e2.getMessage.contains("NFX"))
   }
+
+  test("width_bucket explicit bins: boundaries, errors (MathFunctions:1667)") {
+    functions.GraftFunctions.register(spark)
+    def wb(x: String, bins: String): Long = spark.sql(
+      s"SELECT width_bucket($x, $bins) AS v").collect()(0).getLong(0)
+    assert(wb("3.14D", "array(0D, 2D, 4D)") == 2L)
+    assert(wb("-1D", "array(0D, 2D, 4D)") == 0L)
+    assert(wb("99D", "array(0D, 2D, 4D)") == 3L)
+    assert(wb("2D", "array(0D, 2D, 4D)") == 2L) // operand == bin counts
+    // 4-arg uniform form still routes to Spark's native kernel
+    assert(spark.sql("SELECT width_bucket(3.14D, 0D, 4D, 4) AS v")
+      .collect()(0).getLong(0) == 4L)
+    def msg(e: Throwable): String =
+      Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    val e1 = intercept[Exception](wb("0D", "array()"))
+    assert(msg(e1).contains("empty"), msg(e1))
+    val e2 = intercept[Exception](
+      wb("CAST('NaN' AS DOUBLE)", "array(0D, 1D)"))
+    assert(msg(e2).contains("NaN"), msg(e2))
+    val e3 = intercept[Exception](wb("1D", "array(4D, 2D, 0D)"))
+    assert(msg(e3).contains("sorted"), msg(e3))
+    val e4 = intercept[Exception](
+      wb("1D", "array(0D, CAST(NULL AS DOUBLE), 2D)"))
+    assert(msg(e4).contains("NULL"), msg(e4))
+  }
+
+  test("cosine_similarity sparse-map overload (MathFunctions:1712)") {
+    functions.GraftFunctions.register(spark)
+    // shared key 'b': dot = 2*3; norms sqrt(1+4), sqrt(9+16)
+    val r = spark.sql(
+      "SELECT cosine_similarity(map('a', 1D, 'b', 2D)," +
+        " map('b', 3D, 'c', 4D)) AS v").collect()(0)
+    assert(math.abs(r.getDouble(0) - 6.0 / (math.sqrt(5) * 5)) < 1e-12)
+    // disjoint keys → 0; NULL map value → NULL; empty map → NaN (0 norm)
+    val z = spark.sql(
+      "SELECT cosine_similarity(map('a', 1D), map('b', 1D)) AS v")
+      .collect()(0)
+    assert(z.getDouble(0) == 0.0)
+    val n = spark.sql(
+      "SELECT cosine_similarity(map('a', CAST(NULL AS DOUBLE)), map('a', 1D)) AS v")
+      .collect()(0)
+    assert(n.isNullAt(0))
+    val nan = spark.sql(
+      "SELECT cosine_similarity(map('a', 1D), map_filter(map('a', 1D), (k, v) -> false)) AS v")
+      .collect()(0)
+    assert(nan.getDouble(0).isNaN)
+    // arrays still take the dense float kernel through the same name
+    val d = spark.sql(
+      "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS v")
+      .collect()(0)
+    assert(math.abs(d.getDouble(0) - 1.0) < 1e-6)
+  }
 }
