@@ -1843,14 +1843,20 @@ object Tpcds {
     * ORDER BY carries the full dim chain (NULLS FIRST) so ties at equal
     * sumsales stay deterministic across engines. */
   def q67(s: SparkSession, dir: String): DataFrame = {
+    // two-phase rollup (same move as q22): collapse the fact to the
+    // finest (item, qoy, moy) grain first — decimal partial sums
+    // re-aggregate exactly — so the 7× grouping-set expand runs over the
+    // ~|items|×months pre-aggregate instead of store_sales
     val results = storeSales(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_category"), col("i_class"), col("i_brand"),
+        col("i_item_id"), col("d_qoy"), col("d_moy"))
+      .agg(decSum(col("ss_sales_price") * col("ss_quantity")).as("pre_s"))
       .rollup(col("i_category"), col("i_class"), col("i_brand"),
         col("i_item_id"), col("d_qoy"), col("d_moy"))
-      .agg(decSum(col("ss_sales_price") * col("ss_quantity"))
-        .cast("double").as("sumsales"))
+      .agg(sum(col("pre_s")).cast("double").as("sumsales"))
     val w = Window.partitionBy("i_category")
       .orderBy(desc("sumsales"), asc_nulls_first("i_class"),
         asc_nulls_first("i_brand"), asc_nulls_first("i_item_id"),
@@ -2038,14 +2044,26 @@ object Tpcds {
       .orderBy(desc("lochierarchy"), asc("s_state"), asc("s_county"))
   }
 
-  /** q22: average on-hand inventory over a 4-level item ROLLUP (q22.sql). */
+  /** q22: average on-hand inventory over a 4-level item ROLLUP (q22.sql).
+    * TWO-PHASE rollup: Spark's ROLLUP expands every input row once per
+    * grouping set (5× the INVENTORY fact — the largest DS table); since
+    * avg re-aggregates as sum-of-decimal-sums / sum-of-counts exactly,
+    * phase 1 collapses the fact to one row per finest-level item group
+    * and only that ~items-sized pre-aggregate expands. At 100 TB this is
+    * the difference between shuffling 5× the fact and 5× the item
+    * dimension. */
   def q22(s: SparkSession, dir: String): DataFrame =
     inventory(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
         col("inv_date_sk") === col("d_date_sk"))
       .join(broadcast(item(s, dir)), col("inv_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_item_id"), col("i_brand"), col("i_class"), col("i_category"))
+      .agg(sum(col("inv_quantity_on_hand")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("pre_s"),
+        count(col("inv_quantity_on_hand")).as("pre_c"))
       .rollup(col("i_item_id"), col("i_brand"), col("i_class"), col("i_category"))
-      .agg(davg(col("inv_quantity_on_hand")).as("qoh"))
+      .agg((sum(col("pre_s")).cast(org.apache.spark.sql.types.DoubleType) /
+        sum(col("pre_c"))).as("qoh"))
       .select(coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
         coalesce(col("i_brand"), lit("ALL")).as("i_brand"),
         coalesce(col("i_class"), lit("ALL")).as("i_class"),
