@@ -495,7 +495,69 @@ object Dedup {
     // embedding column in the engine is; the kernel type-checks loudly).
     graft.functions.GraftFunctions.cosineSimilarity(a, b)
 
+  /** INCREMENTAL dedup — admit a NEW ingest batch against the EXISTING
+    * corpus without ever re-pairing the old corpus against itself (the
+    * daily-ingest pattern; at 100 TB the historical side contributes only
+    * its pre-built fingerprint + band snapshots, so the cost scales with
+    * the BATCH, not the corpus — compare GoogleDedup's incremental mode
+    * and the snapshot-table ANN index here):
+    *  - exact leg: md5 content fingerprints, new side probed LEFT SEMI
+    *    against the old fingerprint set;
+    *  - near leg: the same 16-hash / 4-band minhash scheme as
+    *    dedup_minhash_lsh, candidates restricted to new×old band-bucket
+    *    collisions (never old×old), verified by exact shingle Jaccard
+    *    ≥ 0.8.
+    * A new doc is admitted iff neither leg hits. Batch = doc_id % 5 = 0. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    val isNew = col("doc_id") % 5 === 0
+    val fp = all.select(col("doc_id"), md5(col("text")).as("fp"),
+      isNew.as("is_new"))
+    val exactDup = fp.filter(col("is_new"))
+      .join(fp.filter(!col("is_new")).select("fp").distinct(),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("x", lit(true))
+    val docs = shingled(all, 3)
+      .select(col("doc_id"), col("shingles"), isNew.as("is_new"))
+    val sig = docs.withColumn("sig", transform(
+      sequence(lit(0), lit(15)),
+      sd => array_min(transform(col("shingles"),
+        g => md5(concat(sd.cast("string"), lit(":"), g))))))
+    val bands = sig.select(
+      col("doc_id"), col("is_new"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => md5(concat_ws(",", slice(col("sig"), b * lit(4) + lit(1), lit(4))))))
+        .as(Seq("band", "bsig")))
+    val cand = bands.filter(col("is_new")).as("nb")
+      .join(bands.filter(!col("is_new")).as("ob"),
+        col("nb.band") === col("ob.band") && col("nb.bsig") === col("ob.bsig"))
+      .select(col("nb.doc_id").as("dn"), col("ob.doc_id").as("dob"))
+      .distinct()
+    val ex = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val card = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val j = col("inter").cast("double") /
+      (col("ca.n") + col("cb.n") - col("inter")).cast("double")
+    val nearDup = cand
+      .join(ex.as("ea"), col("dn") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("dob") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
+      .groupBy("dn", "dob").agg(count(lit(1)).as("inter"))
+      .join(card.as("ca"), col("dn") === col("ca.doc_id"))
+      .join(card.as("cb"), col("dob") === col("cb.doc_id"))
+      .filter(j >= 0.8)
+      .select(col("dn").as("doc_id")).distinct().withColumn("nr", lit(true))
+    all.filter(isNew).select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("x"), lit(false)).as("exact_dup"),
+        coalesce(col("nr"), lit(false)).as("near_dup"),
+        (coalesce(col("x"), lit(false)) === false &&
+          coalesce(col("nr"), lit(false)) === false).as("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> incrementalDedup,
     "dedup_exact" -> exact,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -511,6 +573,44 @@ object Dedup {
     "dedup_clusters" -> nearDupClusters)
 
   private val oracleBase: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text, (doc_id % 5 = 0) AS is_new
+        |              FROM documents),
+        |fp AS (SELECT doc_id, md5(text) fp, is_new FROM base),
+        |oldfp AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+        |exd AS (SELECT DISTINCT f.doc_id FROM fp f JOIN oldfp o USING (fp)
+        |        WHERE f.is_new),
+        |w AS (SELECT doc_id, is_new, string_split(text, ' ') ws FROM base),
+        |sh AS (SELECT doc_id, is_new,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> array_to_string(ws[i:i+2], ' '))) s
+        |       FROM w WHERE len(ws) >= 3),
+        |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) m
+        |       FROM (SELECT doc_id, unnest(s) g FROM sh)
+        |       CROSS JOIN (SELECT unnest(range(16)) seed) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, seed // 4 b,
+        |          md5(string_agg(m, ',' ORDER BY seed)) sig
+        |         FROM mh GROUP BY 1, 2),
+        |nb AS (SELECT band.* FROM band JOIN base USING (doc_id) WHERE is_new),
+        |ob AS (SELECT band.* FROM band JOIN base USING (doc_id) WHERE NOT is_new),
+        |cand AS (SELECT DISTINCT nb.doc_id dn, ob.doc_id dob FROM nb
+        |         JOIN ob ON nb.b = ob.b AND nb.sig = ob.sig),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |card AS (SELECT doc_id, len(s) n FROM sh),
+        |ver AS (SELECT dn, dob, count(*) inter FROM cand
+        |        JOIN e ea ON ea.doc_id = dn
+        |        JOIN e eb ON eb.doc_id = dob AND ea.g = eb.g GROUP BY 1, 2),
+        |near AS (SELECT DISTINCT dn AS doc_id FROM ver
+        |         JOIN card ca ON ca.doc_id = dn
+        |         JOIN card cb ON cb.doc_id = dob
+        |         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.8)
+        |SELECT b.doc_id, (exd.doc_id IS NOT NULL) AS exact_dup,
+        |  (near.doc_id IS NOT NULL) AS near_dup,
+        |  (exd.doc_id IS NULL AND near.doc_id IS NULL) AS admitted
+        |FROM base b
+        |LEFT JOIN exd ON exd.doc_id = b.doc_id
+        |LEFT JOIN near ON near.doc_id = b.doc_id
+        |WHERE b.is_new ORDER BY b.doc_id""".stripMargin,
     "dedup_span_removal" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw

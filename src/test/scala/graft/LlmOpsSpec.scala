@@ -315,4 +315,34 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect()
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("incremental dedup: batch-only output, legs consistent, subset of full LSH") {
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+    val newIds = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one row per NEW doc, never an old one
+    assert(rows.map(_.getLong(0)).toSet == newIds)
+    // admitted is exactly the complement of (exact ∪ near)
+    assert(rows.forall(r =>
+      r.getBoolean(3) == (!r.getBoolean(1) && !r.getBoolean(2))))
+    // exact leg agrees with a direct fingerprint probe
+    val oldFps = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    val newFp = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == oldFps.contains(newFp(r.getLong(0))),
+        s"exact_dup mismatch for doc ${r.getLong(0)}")
+    }
+    // near leg never exceeds what the full-corpus LSH finds: every
+    // near-dup new doc appears in some cross-batch full-LSH pair
+    val lshDocs = Dedup.minhashLsh(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_.getBoolean(2)).foreach { r =>
+      assert(lshDocs.contains(r.getLong(0)),
+        s"near_dup doc ${r.getLong(0)} not in any full-LSH pair")
+    }
+  }
 }
