@@ -136,6 +136,10 @@ object SqlSession {
     if (!extra.contains(graft.rules.CombineApproxPercentiles))
       spark.experimental.extraOptimizations =
         extra :+ graft.rules.CombineApproxPercentiles
+    val extra2 = spark.experimental.extraOptimizations
+    if (!extra2.contains(graft.rules.PreAggregateRollup))
+      spark.experimental.extraOptimizations =
+        extra2 :+ graft.rules.PreAggregateRollup
     new SqlSession(spark)
   }
 

@@ -1,0 +1,166 @@
+package graft.rules
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Pre-aggregate below grouping-set Expand — ROLLUP/CUBE/GROUPING SETS
+  * over re-associable aggregates collapse the input to the FINEST
+  * grouping level before the Expand multiplies rows, so the N-way
+  * grouping-set expansion runs over |finest groups| rows instead of N×
+  * the fact (measured on the DataFrame twins of ds_q22/ds_q67 at sf1:
+  * 4.95→2.59 s and 3.53→2.80 s — this rule generalizes that hand rewrite
+  * to every SQL-text ROLLUP; the reference's analogue is partial
+  * aggregation pushed through the exchange, PushPartialAggregation
+  * ThroughExchange.java, which Spark's grouping-set plan shape defeats
+  * because Expand sits between the scan and the aggregate).
+  *
+  * Applies ONLY where the rewrite is bit-exact under re-association:
+  * SUM over integral/decimal (decimal partial sums re-add exactly; the
+  * widened re-sum type casts back to the original sum type), COUNT
+  * (re-aggregated as a null-safe SUM of partial counts), MIN, MAX.
+  * Floating-point SUM/AVG are left alone — re-associating IEEE adds
+  * changes low bits, and oracle-hash determinism is a contract here.
+  * Further guards: no DISTINCT, no FILTER clause, no aggregate that
+  * reads a grouping-output attribute (count(grouping_col) legitimately
+  * differs per grouping set), grouping sources must be plain attributes,
+  * and the Expand child must not already be the finest-level Aggregate
+  * (idempotence + respect for hand-two-phased plans).
+  *
+  * Plan-shape note: Expand output positions are classified
+  * STRUCTURALLY — a position whose expression is identical across every
+  * projection is a passthrough (aggregation input), one that varies
+  * (attribute in some sets, typed null in others) is a grouping key;
+  * column pruning reorders/drops passthroughs, so positions cannot be
+  * inferred from child.output offsets. */
+object PreAggregateRollup extends Rule[LogicalPlan] {
+
+  private def exactSum(s: Sum): Boolean = s.child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def supported(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case s: Sum => exactSum(s)
+      case _: Count | _: Min | _: Max => true
+      case _ => false
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(_, aggExprs,
+        expand @ Expand(projections, output, child), _)
+        if projections.length >= 2 && output.nonEmpty &&
+          output.last.name == "spark_grouping_id" =>
+      rewrite(agg, aggExprs, expand, projections, output, child)
+        .getOrElse(agg)
+  }
+
+  private def rewrite(
+      agg: Aggregate,
+      aggExprs: Seq[NamedExpression],
+      expand: Expand,
+      projections: Seq[Seq[Expression]],
+      output: Seq[Attribute],
+      child: LogicalPlan): Option[Aggregate] = {
+    val gidPos = output.length - 1
+    // classify every non-gid position: constant across projections →
+    // passthrough; varying (source attr vs typed null) → grouping key
+    val positions = (0 until gidPos).map { i =>
+      val exprs = projections.map(_(i)).distinct
+      if (exprs.length == 1) scala.util.Left(i) // passthrough
+      else {
+        val nonNull = exprs.filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        nonNull match {
+          case Seq(a: Attribute) => scala.util.Right((i, a))
+          case _ => return None
+        }
+      }
+    }
+    val passPos = positions.collect { case scala.util.Left(i) => i }
+    val groupPos = positions.collect { case scala.util.Right(p) => p }
+    if (groupPos.isEmpty) return None
+    val groupingAttrs = groupPos.map(p => output(p._1))
+    val srcAttrs = groupPos.map(_._2).distinct
+    if (!srcAttrs.forall(child.outputSet.contains)) return None
+
+    // passthroughs must be identical attributes (no computed exprs)
+    val passAttrs: Seq[(Int, Attribute)] = passPos.map { i =>
+      projections.head(i) match {
+        case a: Attribute => (i, a)
+        case _ => return None
+      }
+    }
+
+    val aggCalls = aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggCalls.isEmpty || !aggCalls.forall(supported)) return None
+    // aggregates must read only passthrough columns (a grouping-output
+    // column read inside an aggregate differs per grouping set)
+    val groupingOut = AttributeSet(groupingAttrs :+ output(gidPos))
+    if (aggCalls.exists(_.references.intersect(groupingOut).nonEmpty))
+      return None
+    if (!aggCalls.forall(_.references.subsetOf(child.outputSet))) return None
+    // everything the outer aggregate reads OUTSIDE aggregate calls must
+    // be a grouping output (otherwise a passthrough column leaks raw)
+    val outsideRefs = AttributeSet(aggExprs.flatMap { ne =>
+      ne.collect { case ae: AggregateExpression => ae }
+        .foldLeft(ne.references)((refs, ae) => refs -- ae.references)
+    })
+    if (!outsideRefs.subsetOf(groupingOut)) return None
+    // idempotence / respect hand-two-phased plans
+    val alreadyPreAggregated = child match {
+      case a: Aggregate =>
+        val gset = ExpressionSet(a.groupingExpressions)
+        srcAttrs.forall(gset.contains)
+      case _ => false
+    }
+    if (alreadyPreAggregated) return None
+
+    val distinctCalls = aggCalls.distinctBy(_.canonicalized)
+    val partials: Seq[(AggregateExpression, Alias)] =
+      distinctCalls.zipWithIndex.map { case (ae, i) =>
+        ae -> Alias(ae, s"_preagg_$i")()
+      }
+    val preAgg = Aggregate(
+      srcAttrs, (srcAttrs: Seq[NamedExpression]) ++ partials.map(_._2), child)
+    val partialAttr: Map[Expression, Attribute] =
+      partials.map { case (ae, al) =>
+        (ae.canonicalized: Expression) -> al.toAttribute
+      }.toMap
+    val partialAttrs = partials.map(_._2.toAttribute)
+
+    val newOutput = partialAttrs ++ groupingAttrs :+ output(gidPos)
+    val newProjections = projections.map { proj =>
+      (partialAttrs: Seq[Expression]) ++
+        groupPos.map(p => proj(p._1)) :+ proj(gidPos)
+    }
+    val newExpand = Expand(newProjections, newOutput, preAgg)
+
+    val newAggExprs = aggExprs.map(_.transform {
+      case ae: AggregateExpression if partialAttr.contains(ae.canonicalized) =>
+        val p = partialAttr(ae.canonicalized)
+        ae.aggregateFunction match {
+          case _: Sum =>
+            val resum = ae.copy(aggregateFunction = Sum(p))
+            if (DataType.equalsStructurally(resum.dataType, ae.dataType,
+              ignoreNullability = true)) resum
+            else Cast(resum, ae.dataType)
+          case _: Count =>
+            // Count is non-null; partial counts are never null and every
+            // output group sees >= 1 partial row
+            Coalesce(Seq(ae.copy(aggregateFunction = Sum(p)), Literal(0L)))
+          case _: Min => ae.copy(aggregateFunction = Min(p))
+          case _: Max => ae.copy(aggregateFunction = Max(p))
+          case other => throw new IllegalStateException(other.toString)
+        }
+    }.asInstanceOf[NamedExpression])
+    Some(agg.copy(aggregateExpressions = newAggExprs, child = newExpand))
+  }
+}

@@ -173,4 +173,84 @@ class RulesSpec extends AnyFunSuite {
       MaterializedViewRewrite.clear()
     }
   }
+
+  private def expandAggShape(df: org.apache.spark.sql.DataFrame): (Int, Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    val plan = df.queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    val preAggBelowExpand = plan.collectFirst {
+      case Aggregate(_, _, e: Expand, _) => e.child.exists {
+        case _: Aggregate => true; case _ => false
+      }
+    }.getOrElse(false)
+    (aggs.size, preAggBelowExpand)
+  }
+
+  test("pre-aggregate below Expand: exact rollup collapses before the 3x expand") {
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      val l = Tables(spark, sf, "lineitem")
+      val rolled = l.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("s"),
+          count(lit(1)).as("c"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"))
+      val (nAggs, preAgg) = expandAggShape(rolled)
+      assert(preAgg, "expected a pre-aggregate below Expand")
+      assert(nAggs >= 2)
+      val withRule = rolled.collect().map(_.toString).sorted
+      spark.experimental.extraOptimizations = Nil
+      val plain = l.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("s"),
+          count(lit(1)).as("c"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"))
+      assert(withRule.toSeq == plain.collect().map(_.toString).sorted.toSeq,
+        "pre-aggregated rollup changed results")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pre-aggregate below Expand: float sums and grouping-col aggs bail out") {
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      val l = Tables(spark, sf, "lineitem")
+      // double sum: re-association would change low bits — must not apply
+      val dbl = l.rollup("l_returnflag")
+        .agg(sum(col("l_extendedprice")).as("s"))
+      assert(!expandAggShape(dbl)._2, "double-sum rollup must not pre-aggregate")
+      // count over a grouping SOURCE column: the aggregate reads the
+      // child (un-nulled) attribute, so pre-aggregation is valid — pin
+      // value equality with the un-rewritten plan
+      val gcol = l.rollup("l_returnflag")
+        .agg(count(col("l_returnflag")).as("c"))
+      val gcolRows = gcol.collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = Nil
+      val gcolPlain = l.rollup("l_returnflag")
+        .agg(count(col("l_returnflag")).as("c"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(gcolRows == gcolPlain)
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      // count(distinct) — must not apply
+      val dist = l.rollup("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("c"))
+      assert(!expandAggShape(dist)._2, "distinct agg must not pre-aggregate")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pre-aggregate below Expand: GROUPING SETS + grouping_id stay correct") {
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      Tables(spark, sf, "lineitem").createOrReplaceTempView("li_par")
+      val q =
+        """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS gf,
+          |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS s, count(*) AS c
+          |FROM li_par
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gf""".stripMargin
+      val withRule = spark.sql(q).collect().map(_.toString)
+      spark.experimental.extraOptimizations = Nil
+      val plain = spark.sql(q).collect().map(_.toString)
+      assert(withRule.toSeq == plain.toSeq)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }
