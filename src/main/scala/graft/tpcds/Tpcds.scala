@@ -1298,19 +1298,27 @@ object Tpcds {
     * (q93.sql shape). The join key is the ticket number both facts derive
     * from l_orderkey, so it co-partitions at scale. */
   def q93(s: SparkSession, dir: String): DataFrame =
+    // canonical q93.sql: LEFT JOIN returns then WHERE sr_reason_sk =
+    // r_reason_sk AND r_reason_desc = '<one reason>' — the reason
+    // predicate forces matched-return rows only, so the effective shape
+    // is an INNER join against the reason-filtered returns (~1/10 of the
+    // returns fact here), which BROADCASTS; the prior twin skipped the
+    // reason leg and paid a full fact×fact sort-merge join
     storeSales(s, dir)
       .join(storeReturns(s, dir)
+          .join(broadcast(reason(s)
+              .filter(col("r_reason_desc") === "reason_7")),
+            col("sr_reason_sk") === col("r_reason_sk"))
           .select(col("sr_ticket_number"), col("sr_item_sk"),
             col("sr_return_quantity")),
         col("ss_ticket_number") === col("sr_ticket_number") &&
-          col("ss_item_sk") === col("sr_item_sk"), "left")
+          col("ss_item_sk") === col("sr_item_sk"))
       .select(col("ss_customer_sk"),
         ((col("ss_quantity") - coalesce(col("sr_return_quantity"), lit(0.0))) *
           col("ss_sales_price")).as("act_sales"))
       .groupBy("ss_customer_sk")
       .agg(dsum(col("act_sales"), "sumsales"))
-      .filter(col("sumsales") > 0)
-      .orderBy(desc("sumsales"), asc("ss_customer_sk"))
+      .orderBy(asc("sumsales"), asc("ss_customer_sk"))
       .limit(100)
 
   /** q16: tickets spanning ≥2 stores with no return — EXISTS (another
@@ -3272,6 +3280,7 @@ object Tpcds {
       |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS sr_returned_date_sk,
       |         l_partkey AS sr_item_sk, l_suppkey % 10 AS sr_store_sk,
       |         o_custkey AS sr_customer_sk, l_orderkey AS sr_ticket_number,
+      |         l_orderkey % 10 AS sr_reason_sk,
       |         l_quantity AS sr_return_quantity,
       |         l_extendedprice * (1 - l_discount) AS sr_return_amt,
       |         l_extendedprice * 0.1 AS sr_net_loss,
@@ -3524,11 +3533,11 @@ object Tpcds {
       |  FROM (SELECT ss_customer_sk,
       |      (ss_quantity - COALESCE(sr_return_quantity, 0.0)) * ss_sales_price
       |        AS act_sales
-      |    FROM store_sales LEFT JOIN store_returns
-      |      ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk) t
+      |    FROM store_sales JOIN store_returns
+      |      ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+      |    WHERE sr_reason_sk = 7) t
       |  GROUP BY ss_customer_sk) g
-      |WHERE sumsales > 0
-      |ORDER BY sumsales DESC, ss_customer_sk LIMIT 100""".stripMargin),
+      |ORDER BY sumsales, ss_customer_sk LIMIT 100""".stripMargin),
     "ds_q06" -> ds(s"""
       |, cat_avg AS (SELECT i_category AS j_category,
       |    ${ds_avg("i_current_price", "cat_avg")}
