@@ -20,12 +20,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.rules.GraftRules.install(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register all fixture tables as temp views (for spark.sql entry points). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    graft.rules.GraftRules.install(spark)
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  }
 
   /** Exact, order-independent sum of a double expression: accumulate as
     * decimal(18,6), emit double. Matches the oracle convention

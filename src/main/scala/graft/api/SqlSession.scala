@@ -132,14 +132,7 @@ object SqlSession {
     // every benchto text); strings are single-quoted in both dialects
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     GraftFunctions.register(spark)
-    val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.rules.CombineApproxPercentiles))
-      spark.experimental.extraOptimizations =
-        extra :+ graft.rules.CombineApproxPercentiles
-    val extra2 = spark.experimental.extraOptimizations
-    if (!extra2.contains(graft.rules.PreAggregateRollup))
-      spark.experimental.extraOptimizations =
-        extra2 :+ graft.rules.PreAggregateRollup
+    graft.rules.GraftRules.install(spark)
     new SqlSession(spark)
   }
 

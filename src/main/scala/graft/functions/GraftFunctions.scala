@@ -284,6 +284,12 @@ object GraftFunctions {
       es => SetDigestMergeAgg(es.head).toAggregateExpression()),
     ("set_digest_cardinality", "set_digest_cardinality(sketch) - estimated distinct count",
       es => SetDigestCardinality(es.head)),
+    ("set_digest_jaccard_index",
+      "set_digest_jaccard_index(d1, d2) - typed SetDigest Jaccard (accepts raw legacy bytes)",
+      es => JaccardIndex(es(0), es(1))),
+    ("set_digest_intersection_cardinality",
+      "set_digest_intersection_cardinality(d1, d2) - typed SetDigest |A∩B| (accepts raw legacy bytes)",
+      es => IntersectionCardinality(es(0), es(1))),
     ("jaccard_index",
       "jaccard_index(d1, d2) - MinHash Jaccard estimate (SetDigest or KHLL, tag-dispatched)",
       es => SketchJaccard(es(0), es(1))),

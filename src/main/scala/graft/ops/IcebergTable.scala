@@ -1483,8 +1483,9 @@ object IcebergTable {
 
   /** The transform as a Spark column over the source column — native
     * functions for the order-preserving family; bucket needs the spec's
-    * murmur3 over type-specific bytes (not Spark's hash()), a scalar UDF
-    * in this one-pass WRITE path only. */
+    * murmur3 over type-specific bytes (not Spark's hash()), a codegen'd
+    * expression (functions/IcebergBucket.scala) so the write path stays
+    * inside whole-stage codegen. */
   private def transformCol(sf: SpecField,
       dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
@@ -1504,21 +1505,14 @@ object IcebergTable {
         ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
       case "day" => datediff(c, to_date(lit("1970-01-01"))).cast("int")
       case "hour" => floor(c.cast("long") / lit(3600L)).cast("int")
-      case IcebergTransforms.Bucket(_) =>
-        val t = sf.transform
+      case IcebergTransforms.Bucket(n) =>
+        val nb = n.toInt
         dt match {
-          case StringType =>
-            udf((v: String) => if (v == null) null
-            else Int.box(IcebergTransforms(t, v).asInstanceOf[Int])).apply(c)
-          case DateType =>
-            udf((d: java.lang.Long) => if (d == null) null
-            else Int.box(IcebergTransforms(t, d.longValue)
-              .asInstanceOf[Int]))
-              .apply(datediff(c, to_date(lit("1970-01-01"))).cast("long"))
+          case StringType => graft.functions.IcebergBucket.column(c, nb)
+          case DateType => graft.functions.IcebergBucket.column(
+            datediff(c, to_date(lit("1970-01-01"))).cast("long"), nb)
           case _ =>
-            udf((l: java.lang.Long) => if (l == null) null
-            else Int.box(IcebergTransforms(t, l.longValue)
-              .asInstanceOf[Int])).apply(c.cast("long"))
+            graft.functions.IcebergBucket.column(c.cast("long"), nb)
         }
       case other =>
         throw new IllegalArgumentException(s"unknown transform: $other")

@@ -59,6 +59,34 @@ object IcebergTransforms {
     h
   }
 
+  /** murmur3_x86_32 of the spec's 8-byte little-endian encoding of an
+    * integral value — allocation-free (two unrolled 4-byte words, no
+    * tail), called from the codegen'd bucket expression
+    * (functions/IcebergBucket.scala) on the write hot path. */
+  def murmur3Long(v: Long): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    var k = v.toInt // low word (little-endian first)
+    k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+    h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+    k = (v >>> 32).toInt // high word
+    k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+    h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+    h ^= 8
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  /** bucket[N] of an integral/date-ordinal value (spec encoding). */
+  def bucketLong(v: Long, n: Int): Int =
+    (murmur3Long(v) & Integer.MAX_VALUE) % n
+
+  /** bucket[N] of raw bytes (UTF-8 string / binary). */
+  def bucketBytes(b: Array[Byte], n: Int): Int =
+    (murmur3(b) & Integer.MAX_VALUE) % n
+
   private def leLong(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()

@@ -37,8 +37,15 @@ import org.apache.spark.sql.types._
   * inferred from child.output offsets. */
 object PreAggregateRollup extends Rule[LogicalPlan] {
 
+  /** Integral sums re-add exactly (legacy overflow wraps mod 2^64, and
+    * sum-of-wrapped-partials == wrapped-total). Decimal sums re-add
+    * exactly only while no partial overflows its p+10 result type; bail
+    * when p+10 already hits the 38-digit cap so the re-sum's wider type
+    * can always hold every partial losslessly (overflowed partials are
+    * null-propagated at re-aggregation — see the cnt partial below). */
   private def exactSum(s: Sum): Boolean = s.child.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType => d.precision + 10 <= DecimalType.MAX_PRECISION
     case _ => false
   }
 
@@ -124,17 +131,37 @@ object PreAggregateRollup extends Rule[LogicalPlan] {
     if (alreadyPreAggregated) return None
 
     val distinctCalls = aggCalls.distinctBy(_.canonicalized)
-    val partials: Seq[(AggregateExpression, Alias)] =
+    // Decimal SUM partials also carry a non-null-input count: a NULL
+    // partial with count>0 means that partial OVERFLOWED its p+10 result
+    // type (legacy/try modes null on decimal overflow) and the re-sum
+    // must propagate the null instead of skipping it — otherwise an
+    // overflowed partial silently drops out of a non-null wrong total.
+    // A NULL partial with count=0 is the ordinary all-inputs-null group
+    // and re-sum correctly skips it (r12 ADVICE fix).
+    val partials: Seq[(AggregateExpression, Alias, Option[Alias])] =
       distinctCalls.zipWithIndex.map { case (ae, i) =>
-        ae -> Alias(ae, s"_preagg_$i")()
+        val cnt = ae.aggregateFunction match {
+          case s: Sum if s.child.dataType.isInstanceOf[DecimalType] =>
+            Some(Alias(Count(s.child).toAggregateExpression(),
+              s"_preagg_cnt_$i")())
+          case _ => None
+        }
+        (ae, Alias(ae, s"_preagg_$i")(), cnt)
       }
     val preAgg = Aggregate(
-      srcAttrs, (srcAttrs: Seq[NamedExpression]) ++ partials.map(_._2), child)
-    val partialAttr: Map[Expression, Attribute] =
-      partials.map { case (ae, al) =>
-        (ae.canonicalized: Expression) -> al.toAttribute
+      srcAttrs,
+      (srcAttrs: Seq[NamedExpression]) ++
+        partials.flatMap { case (_, p, c) => p +: c.toSeq },
+      child)
+    val partialAttr: Map[Expression, (Attribute, Option[Attribute])] =
+      partials.map { case (ae, al, cnt) =>
+        (ae.canonicalized: Expression) ->
+          ((al.toAttribute, cnt.map(_.toAttribute)))
       }.toMap
-    val partialAttrs = partials.map(_._2.toAttribute)
+    val partialAttrs =
+      partials.flatMap { case (_, p, c) =>
+        p.toAttribute +: c.map(_.toAttribute).toSeq
+      }
 
     val newOutput = partialAttrs ++ groupingAttrs :+ output(gidPos)
     val newProjections = projections.map { proj =>
@@ -145,13 +172,25 @@ object PreAggregateRollup extends Rule[LogicalPlan] {
 
     val newAggExprs = aggExprs.map(_.transform {
       case ae: AggregateExpression if partialAttr.contains(ae.canonicalized) =>
-        val p = partialAttr(ae.canonicalized)
+        val (p, cntOpt) = partialAttr(ae.canonicalized)
         ae.aggregateFunction match {
-          case _: Sum =>
-            val resum = ae.copy(aggregateFunction = Sum(p))
-            if (DataType.equalsStructurally(resum.dataType, ae.dataType,
-              ignoreNullability = true)) resum
-            else Cast(resum, ae.dataType)
+          case s: Sum =>
+            // propagate the original's eval mode (ANSI overflow must
+            // still throw, TRY must still null) rather than re-reading
+            // the conf at rule-run time (r12 ADVICE fix)
+            val resum0 = ae.copy(aggregateFunction = Sum(p, s.evalContext))
+            val resum: Expression =
+              if (DataType.equalsStructurally(resum0.dataType, ae.dataType,
+                ignoreNullability = true)) resum0
+              else Cast(resum0, ae.dataType)
+            cntOpt match {
+              case Some(cnt) =>
+                val overflowed = Max(And(IsNull(p),
+                  GreaterThan(cnt, Literal(0L)))).toAggregateExpression()
+                If(Coalesce(Seq(overflowed, Literal(false))),
+                  Literal.create(null, ae.dataType), resum)
+              case None => resum
+            }
           case _: Count =>
             // Count is non-null; partial counts are never null and every
             // output group sees >= 1 partial row

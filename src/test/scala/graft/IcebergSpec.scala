@@ -341,6 +341,37 @@ class IcebergSpec extends AnyFunSuite {
     assert(sel0 == 1 && total0 == total)
   }
 
+  test("IcebergBucket expression matches the spec hash, codegen'd (r13)") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    import graft.functions.IcebergBucket
+    import graft.ops.IcebergTransforms
+    // longs (incl. negatives), strings, dates — expression output must
+    // equal the interpreted IcebergTransforms spec hash row for row
+    val longs = Seq(-7L, -1L, 0L, 1L, 7L, 42L, 1234567890123L)
+    val longDf = longs.toDF("k")
+      .select(col("k"), IcebergBucket.column(col("k"), 16).as("b"))
+    assert(longDf.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ==
+      longs.map(l => l -> IcebergTransforms("bucket[16]", l)).toMap)
+    val strs = Seq("", "a", "iceberg", "ünïcode ✓")
+    val strDf = strs.toDF("s")
+      .select(col("s"), IcebergBucket.column(col("s"), 7).as("b"))
+    assert(strDf.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      strs.map(s => s -> IcebergTransforms("bucket[7]", s)).toMap)
+    val dates = Seq("1969-12-31", "1970-01-01", "2024-02-29")
+    val dateDf = dates.toDF("d")
+      .select(col("d"), IcebergBucket.column(
+        datediff(to_date(col("d")), to_date(lit("1970-01-01"))).cast("long"),
+        4).as("b"))
+    assert(dateDf.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      dates.map(d =>
+        d -> IcebergTransforms("bucket[4]", java.time.LocalDate.parse(d))).toMap)
+    // null in, null out; and the write path carries no ScalaUDF node
+    val nullDf = Seq[Option[Long]](None).toDF("k")
+      .select(IcebergBucket.column(col("k"), 4).as("b"))
+    assert(nullDf.collect().head.isNullAt(0))
+    assert(!longDf.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("insertAppend into a bucket-partitioned table hashes like the spec") {
     val dir = freshDir("ins_bucket")
     val p = IcebergTable.writeDataFile(

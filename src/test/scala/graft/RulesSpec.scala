@@ -237,6 +237,79 @@ class RulesSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("pre-aggregate below Expand: installed on every session via Tables (r13)") {
+    try {
+      // no manual extraOptimizations — Tables.apply installs GraftRules,
+      // so the DataFrame twins and the bench session get two-phased
+      // rollups without SqlSession.wrap (r12 verdict finding #2)
+      spark.experimental.extraOptimizations = Nil
+      val l = Tables(spark, sf, "lineitem")
+      assert(spark.experimental.extraOptimizations
+        .contains(graft.rules.PreAggregateRollup))
+      val rolled = l.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("s"))
+      assert(expandAggShape(rolled)._2,
+        "global install must two-phase DataFrame rollups")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pre-aggregate below Expand: decimal partials carry an overflow " +
+      "guard; all-null groups stay exact (r13)") {
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      import spark.implicits._
+      val df = Seq(
+        ("a", "x", Some(BigDecimal(10))), ("a", "x", Some(BigDecimal(5))),
+        ("a", "y", None: Option[BigDecimal]), ("a", "y", None: Option[BigDecimal]),
+        ("b", "x", Some(BigDecimal(7))), ("b", "y", None: Option[BigDecimal]))
+        .toDF("k1", "k2", "v")
+        .withColumn("v", col("v").cast("decimal(18,2)"))
+      val rolled = df.rollup("k1", "k2")
+        .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      assert(expandAggShape(rolled)._2)
+      // the overflow-detector count partial must survive into the plan
+      // (it feeds the null-propagation If around the re-sum)
+      assert(rolled.queryExecution.optimizedPlan.toString
+        .contains("_preagg_cnt_"),
+        "decimal sum partial must carry an overflow-detector count")
+      val withRule = rolled.collect().map(_.toString).sorted.toSeq
+      spark.experimental.extraOptimizations = Nil
+      val plain = df.rollup("k1", "k2")
+        .agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(withRule == plain,
+        "all-null finest groups must not be nulled by the overflow guard")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pre-aggregate below Expand: rebuilt Sum keeps the original eval mode (r13)") {
+    import org.apache.spark.sql.catalyst.expressions.EvalMode
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      import spark.implicits._
+      val df = Seq(("a", BigDecimal(1)), ("b", BigDecimal(2)))
+        .toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+      val rolled = df.rollup("k").agg(sum("v").as("s"))
+      rolled.schema // force analysis under legacy mode
+      // flip the conf BEFORE optimization: without evalContext propagation
+      // the rebuilt Sum would re-read the conf and come out ANSI
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val sums = rolled.queryExecution.optimizedPlan.collect {
+        case a: Aggregate =>
+          a.aggregateExpressions.flatMap(_.collect { case s: Sum => s })
+      }.flatten
+      assert(sums.nonEmpty)
+      assert(sums.forall(_.evalContext.evalMode == EvalMode.LEGACY),
+        s"rebuilt Sum lost the original eval mode: $sums")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("pre-aggregate below Expand: GROUPING SETS + grouping_id stay correct") {
     try {
       spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)

@@ -155,6 +155,40 @@ class SketchDispatchSpec extends AnyFunSuite {
     assert(m.contains("cannot combine"), m)
   }
 
+  test("untagged pair bytes raise; typed set_digest_* spellings accept them (r13)") {
+    val s = registered
+    s.range(0, 300).selectExpr("id AS v").createOrReplaceTempView("sd_raw")
+    // strip the tag: raw legacy SetDigest bytes on BOTH sides must raise
+    // with the merge path's message instead of silently assuming SetDigest
+    // (a KHLL blob from an old round would be misread)
+    s.sql(
+      """SELECT substring(a.sk, 5) AS ska, substring(b.sk, 5) AS skb
+        |FROM (SELECT make_set_digest(v) AS sk FROM sd_raw WHERE v < 200) a,
+        |     (SELECT make_set_digest(v) AS sk FROM sd_raw WHERE v >= 100) b"""
+        .stripMargin).createOrReplaceTempView("sd_raw_pair")
+    for (fn <- Seq("jaccard_index", "intersection_cardinality")) {
+      val e = intercept[Exception] {
+        s.sql(s"SELECT $fn(ska, skb) FROM sd_raw_pair").collect()
+      }
+      val m = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+      assert(m.contains("requires tagged sketches"), s"$fn: $m")
+      assert(m.contains(s"set_digest_$fn"), s"$fn: $m")
+    }
+    // the typed spellings keep legacy blobs readable: |∩| = 100, J = 1/3
+    val r = s.sql(
+      """SELECT set_digest_intersection_cardinality(ska, skb) AS i,
+        |       set_digest_jaccard_index(ska, skb) AS j
+        |FROM sd_raw_pair""".stripMargin).collect()(0)
+    assert(math.abs(r.getLong(0) - 100L) <= 15, s"|A∩B| ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0 / 3) < 0.06, s"J ${r.getDouble(1)}")
+    // one-sided untagged still follows the tagged side's type
+    val one = s.sql(
+      """SELECT jaccard_index(p.sk, q.ska) AS j
+        |FROM (SELECT make_set_digest(v) AS sk FROM sd_raw WHERE v < 200) p,
+        |     (SELECT ska FROM sd_raw_pair) q""".stripMargin).collect()(0)
+    assert(one.getDouble(0) > 0.9, s"self-Jaccard ${one.getDouble(0)}")
+  }
+
   test("typed spellings accept tagged sketches (store/reload unchanged)") {
     val s = registered
     s.range(0, 3000).selectExpr("id % 7 AS g", "id AS v")
