@@ -556,8 +556,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental SEMANTIC dedup — the embedding leg of the daily-ingest
+    * story: admit a new batch (vec_id % 5 = 0) against the PERSISTED IVF
+    * index of the historical corpus (the snapshot-table index of
+    * ops/Similarity.scala) WITHOUT re-embedding or re-pairing old×old.
+    * Build (once, idempotent): old vectors cell-assigned to deterministic
+    * seed centroids (the 8 smallest OLD vec_ids — so the DuckDB oracle
+    * replays the quantizer exactly, like dedup_semantic) and committed
+    * cell-partitioned. Probe (per batch): each new vector ranks against
+    * the broadcast centroids (O(batch × K)), reads its top-2 cells from
+    * the committed index, and pairs ONLY new×old within those cells
+    * (cosine >= 0.45, SemDeDup keep-smallest-id resolution). At 100 TB
+    * the cost is |batch| × nprobe/K of the corpus — never the corpus
+    * squared, never a re-cluster (r12 verdict "do this" #7). */
+  def incrementalSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val suffix = Integer.toHexString(dir.hashCode)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_incsem_v1_$suffix")
+    val cellsBase = new java.io.File(base, "cells")
+    val centsBase = new java.io.File(base, "centroids")
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    if (SnapshotTable.currentVersion(cellsBase).isEmpty ||
+        SnapshotTable.currentVersion(centsBase).isEmpty) {
+      val cents = old.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      SnapshotTable.write(s, centsBase, cents)
+      SnapshotTable.write(s, cellsBase,
+        Similarity.centRank(old, cents).filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+          .repartition(col("cell"))) // cell-partitioned, the probe-prune key
+    }
+    // batch path: committed index only — the historical side contributes
+    // its snapshot, not a recomputation
+    val idxCells = SnapshotTable.read(s, cellsBase)
+    val idxCents = SnapshotTable.read(s, centsBase)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val probes = Similarity.centRank(batch, idxCents).filter(col("crk") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("probe"))
+    val hits = probes.as("q")
+      .join(idxCells.as("x"), col("q.probe") === col("x.cell"))
+      .select(col("q.vec_id").as("vec_id"), col("x.vec_id").as("old_id"),
+        cosine(col("q.embedding"), col("x.embedding")).as("c"))
+      .filter(col("c") >= 0.45)
+      .groupBy("vec_id").agg(min(col("old_id")).as("keeper"))
+    batch.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("keeper").isNotNull.as("is_dup"),
+        col("keeper"), col("keeper").isNull.as("admitted"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> incrementalDedup,
+    "dedup_incremental_semantic" -> incrementalSemanticDedup,
     "dedup_exact" -> exact,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -899,6 +951,54 @@ object Dedup {
         |SELECT va AS vec_a, vb AS vec_b, ROUND(dot / (na * nb), 4) AS cosine
         |FROM d WHERE dot / (na * nb) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_incremental_semantic" ->
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+        |              FROM embeddings WHERE vec_id % 5 <> 0
+        |              ORDER BY vec_id LIMIT 8),
+        |old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        |newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |pco AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+        |        FROM old e CROSS JOIN cent c),
+        |puo AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pco),
+        |pdo AS (SELECT vec_id, cent_id,
+        |         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |         sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |         sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |        FROM puo GROUP BY 1, 2),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM (
+        |           SELECT vec_id, cent_id, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY dot / (na * nb) DESC,
+        |             cent_id) crk FROM pdo) WHERE crk = 1),
+        |pcn AS (SELECT e.vec_id, c.cent_id, e.embedding ev, c.cvec
+        |        FROM newb e CROSS JOIN cent c),
+        |pun AS (SELECT vec_id, cent_id, unnest(ev) x, unnest(cvec) y FROM pcn),
+        |pdn AS (SELECT vec_id, cent_id,
+        |         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |         sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |         sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |        FROM pun GROUP BY 1, 2),
+        |probes AS (SELECT vec_id, cent_id AS probe FROM (
+        |            SELECT vec_id, cent_id, row_number() OVER (
+        |              PARTITION BY vec_id ORDER BY dot / (na * nb) DESC,
+        |              cent_id) crk FROM pdn) WHERE crk <= 2),
+        |pr AS (SELECT q.vec_id, x.vec_id old_id, qe.embedding ea,
+        |              xe.embedding eb
+        |       FROM probes q
+        |       JOIN cells x ON q.probe = x.cell
+        |       JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |       JOIN embeddings xe ON xe.vec_id = x.vec_id),
+        |u2 AS (SELECT vec_id, old_id, unnest(ea) x, unnest(eb) y FROM pr),
+        |d2 AS (SELECT vec_id, old_id,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |       FROM u2 GROUP BY 1, 2),
+        |k AS (SELECT vec_id, MIN(old_id) keeper FROM d2
+        |      WHERE dot / (na * nb) >= 0.45 GROUP BY 1)
+        |SELECT n.vec_id, k.keeper IS NOT NULL AS is_dup, k.keeper,
+        |  k.keeper IS NULL AS admitted
+        |FROM newb n LEFT JOIN k ON k.vec_id = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
     "dedup_semantic" ->
       """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < 8),

@@ -30,6 +30,14 @@ object Tpcds {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** ROLLUP/CUBE subtotal label: 'ALL' only where the grouping flag says
+    * the column is rolled up, so a genuine NULL dimension value stays
+    * NULL instead of silently merging with the subtotal row (the
+    * fixtures carry no NULL dims, but real data would — r12 verdict).
+    * `flag` is the matching grouping(col) emitted by the final agg. */
+  private def allLabel(src: Column, flag: Column): Column =
+    when(flag === 1, lit("ALL")).otherwise(src)
+
   private val Base = "1995-01-01" // fixture shipdates span 1995-01-02..2001-11-04
 
   /** Derived-fact access with an optional materialized layout: when the
@@ -674,12 +682,14 @@ object Tpcds {
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(store(s)), col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(item(s, dir)), col("ss_item_sk") === col("i_item_sk"))
-      .rollup(col("i_item_id").as("g_item"), col("s_state").as("g_state"))
+      .rollup(col("i_item_id"), col("s_state"))
       .agg(count(lit(1)).as("cnt"),
         davg(col("ss_quantity"), "agg1"), davg(col("ss_list_price"), "agg2"),
-        davg(col("ss_coupon_amt"), "agg3"), davg(col("ss_sales_price"), "agg4"))
-      .select(coalesce(col("g_item"), lit("ALL")).as("i_item_id"),
-        coalesce(col("g_state"), lit("ALL")).as("s_state"),
+        davg(col("ss_coupon_amt"), "agg3"), davg(col("ss_sales_price"), "agg4"),
+        // grouping() must reference the un-aliased rollup expression
+        grouping(col("i_item_id")).as("_g0"), grouping(col("s_state")).as("_g1"))
+      .select(allLabel(col("i_item_id"), col("_g0")).as("i_item_id"),
+        allLabel(col("s_state"), col("_g1")).as("s_state"),
         col("cnt"), col("agg1"), col("agg2"), col("agg3"), col("agg4"))
       .orderBy("i_item_id", "s_state")
 
@@ -831,12 +841,14 @@ object Tpcds {
         dsum(col("sr_net_loss"), "profit_loss"))
     sales.join(returns, col("store_sk") === col("r_store_sk"), "left")
       .join(broadcast(store(s)), col("store_sk") === col("s_store_sk"))
-      .rollup(col("s_state").as("g_state"), col("s_store_name").as("g_store"))
+      .rollup(col("s_state"), col("s_store_name"))
       .agg(dsum(col("sales"), "total_sales"),
         dsum(coalesce(col("returns"), lit(0.0)), "total_returns"),
-        dsum(col("profit") - coalesce(col("profit_loss"), lit(0.0)), "total_profit"))
-      .select(coalesce(col("g_state"), lit("ALL")).as("s_state"),
-        coalesce(col("g_store"), lit("ALL")).as("s_store_name"),
+        dsum(col("profit") - coalesce(col("profit_loss"), lit(0.0)), "total_profit"),
+        // grouping() must reference the un-aliased rollup expression
+        grouping(col("s_state")).as("_g0"), grouping(col("s_store_name")).as("_g1"))
+      .select(allLabel(col("s_state"), col("_g0")).as("s_state"),
+        allLabel(col("s_store_name"), col("_g1")).as("s_store_name"),
         col("total_sales"), col("total_returns"), col("total_profit"))
       .orderBy("s_state", "s_store_name")
   }
@@ -1015,6 +1027,7 @@ object Tpcds {
           dsum(col("ss_ext_sales_price"))).as("gross_margin"),
         (grouping(col("i_category")) + grouping(col("i_class"))).cast("long")
           .as("lochierarchy"),
+        grouping(col("i_category")).as("g_cat"),
         grouping(col("i_class")).as("g_class"))
     val w = Window.partitionBy(col("lochierarchy"),
         when(col("g_class") === 0, col("i_category")))
@@ -1022,8 +1035,8 @@ object Tpcds {
         asc_nulls_first("i_class"))
     base.select(
         round(col("gross_margin"), 8).as("gross_margin"),
-        coalesce(col("i_category"), lit("ALL")).as("i_category"),
-        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        allLabel(col("i_category"), col("g_cat")).as("i_category"),
+        allLabel(col("i_class"), col("g_class")).as("i_class"),
         col("lochierarchy"),
         rank().over(w).cast("long").as("rank_within_parent"))
       .orderBy(desc("lochierarchy"), asc("i_category"), asc("i_class"))
@@ -1864,17 +1877,21 @@ object Tpcds {
       .agg(decSum(col("ss_sales_price") * col("ss_quantity")).as("pre_s"))
       .rollup(col("i_category"), col("i_class"), col("i_brand"),
         col("i_item_id"), col("d_qoy"), col("d_moy"))
-      .agg(sum(col("pre_s")).cast("double").as("sumsales"))
+      .agg(sum(col("pre_s")).cast("double").as("sumsales"),
+        grouping(col("i_category")).as("_g0"),
+        grouping(col("i_class")).as("_g1"),
+        grouping(col("i_brand")).as("_g2"),
+        grouping(col("i_item_id")).as("_g3"))
     val w = Window.partitionBy("i_category")
       .orderBy(desc("sumsales"), asc_nulls_first("i_class"),
         asc_nulls_first("i_brand"), asc_nulls_first("i_item_id"),
         asc_nulls_first("d_qoy"), asc_nulls_first("d_moy"))
     results.withColumn("rk", rank().over(w).cast("long"))
       .filter(col("rk") <= 10)
-      .select(coalesce(col("i_category"), lit("ALL")).as("i_category"),
-        coalesce(col("i_class"), lit("ALL")).as("i_class"),
-        coalesce(col("i_brand"), lit("ALL")).as("i_brand"),
-        coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
+      .select(allLabel(col("i_category"), col("_g0")).as("i_category"),
+        allLabel(col("i_class"), col("_g1")).as("i_class"),
+        allLabel(col("i_brand"), col("_g2")).as("i_brand"),
+        allLabel(col("i_item_id"), col("_g3")).as("i_item_id"),
         col("d_qoy"), col("d_moy"), col("sumsales"), col("rk"))
       .orderBy(asc("i_category"), asc("rk"), asc("i_class"), asc("i_brand"),
         asc("i_item_id"), asc_nulls_first("d_qoy"), asc_nulls_first("d_moy"))
@@ -2039,14 +2056,15 @@ object Tpcds {
       .agg(dsum(col("ss_net_profit"), "total_sum"),
         (grouping(col("s_state")) + grouping(col("s_county"))).cast("long")
           .as("lochierarchy"),
+        grouping(col("s_state")).as("g_state"),
         grouping(col("s_county")).as("g_county"))
     val w = Window.partitionBy(col("lochierarchy"),
         when(col("g_county") === 0, col("s_state")))
       .orderBy(desc("total_sum"), asc_nulls_first("s_state"),
         asc_nulls_first("s_county"))
     base.select(col("total_sum"),
-        coalesce(col("s_state"), lit("ALL")).as("s_state"),
-        coalesce(col("s_county"), lit("ALL")).as("s_county"),
+        allLabel(col("s_state"), col("g_state")).as("s_state"),
+        allLabel(col("s_county"), col("g_county")).as("s_county"),
         col("lochierarchy"),
         rank().over(w).cast("long").as("rank_within_parent"))
       .orderBy(desc("lochierarchy"), asc("s_state"), asc("s_county"))
@@ -2071,11 +2089,13 @@ object Tpcds {
         count(col("inv_quantity_on_hand")).as("pre_c"))
       .rollup(col("i_item_id"), col("i_brand"), col("i_class"), col("i_category"))
       .agg((sum(col("pre_s")).cast(org.apache.spark.sql.types.DoubleType) /
-        sum(col("pre_c"))).as("qoh"))
-      .select(coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
-        coalesce(col("i_brand"), lit("ALL")).as("i_brand"),
-        coalesce(col("i_class"), lit("ALL")).as("i_class"),
-        coalesce(col("i_category"), lit("ALL")).as("i_category"), col("qoh"))
+        sum(col("pre_c"))).as("qoh"),
+        grouping(col("i_item_id")).as("_g0"), grouping(col("i_brand")).as("_g1"),
+        grouping(col("i_class")).as("_g2"), grouping(col("i_category")).as("_g3"))
+      .select(allLabel(col("i_item_id"), col("_g0")).as("i_item_id"),
+        allLabel(col("i_brand"), col("_g1")).as("i_brand"),
+        allLabel(col("i_class"), col("_g2")).as("i_class"),
+        allLabel(col("i_category"), col("_g3")).as("i_category"), col("qoh"))
       .orderBy("qoh", "i_item_id", "i_brand", "i_class", "i_category")
       .limit(100)
 
@@ -2348,8 +2368,9 @@ object Tpcds {
       .rollup(col("channel"), col("id"))
       .agg(decSum(col("sales")).cast("double").as("sales"),
         decSum(col("returns_")).cast("double").as("returns_"),
-        decSum(col("profit")).cast("double").as("profit"))
-      .select(coalesce(col("channel"), lit("ALL")).as("channel"), col("id"),
+        decSum(col("profit")).cast("double").as("profit"),
+        grouping(col("channel")).as("_g0"))
+      .select(allLabel(col("channel"), col("_g0")).as("channel"), col("id"),
         col("sales"), col("returns_"), col("profit"))
       .orderBy(asc("channel"), asc_nulls_first("id"))
       .limit(100)
@@ -2521,14 +2542,15 @@ object Tpcds {
           dsum(col("ws_ext_sales_price"))).as("gross_margin"),
         (grouping(col("i_category")) + grouping(col("i_class"))).cast("long")
           .as("lochierarchy"),
+        grouping(col("i_category")).as("g_cat"),
         grouping(col("i_class")).as("g_class"))
     val w = Window.partitionBy(col("lochierarchy"),
         when(col("g_class") === 0, col("i_category")))
       .orderBy(asc("gross_margin"), asc_nulls_first("i_category"),
         asc_nulls_first("i_class"))
     base.select(round(col("gross_margin"), 8).as("gross_margin"),
-        coalesce(col("i_category"), lit("ALL")).as("i_category"),
-        coalesce(col("i_class"), lit("ALL")).as("i_class"),
+        allLabel(col("i_category"), col("g_cat")).as("i_category"),
+        allLabel(col("i_class"), col("g_class")).as("i_class"),
         col("lochierarchy"),
         rank().over(w).cast("long").as("rank_within_parent"))
       .orderBy(desc("lochierarchy"), asc("i_category"), asc("i_class"))
@@ -2686,10 +2708,13 @@ object Tpcds {
       .agg(davg(col("cs_quantity"), "agg1"),
         davg(col("cs_list_price"), "agg2"),
         davg(col("cs_ext_discount_amt"), "agg3"),
-        davg(col("cs_sales_price"), "agg4"))
-      .select(coalesce(col("ca_state"), lit("ALL")).as("ca_state"),
-        coalesce(col("ca_county"), lit("ALL")).as("ca_county"),
-        coalesce(col("i_item_id"), lit("ALL")).as("i_item_id"),
+        davg(col("cs_sales_price"), "agg4"),
+        grouping(col("ca_state")).as("_g0"),
+        grouping(col("ca_county")).as("_g1"),
+        grouping(col("i_item_id")).as("_g2"))
+      .select(allLabel(col("ca_state"), col("_g0")).as("ca_state"),
+        allLabel(col("ca_county"), col("_g1")).as("ca_county"),
+        allLabel(col("i_item_id"), col("_g2")).as("i_item_id"),
         col("agg1"), col("agg2"), col("agg3"), col("agg4"))
       .orderBy("ca_state", "ca_county", "i_item_id")
       .limit(100)
@@ -2849,8 +2874,9 @@ object Tpcds {
       .filter(col("sales") > col("avg_sales"))
       .rollup(col("channel"), col("i_brand_id"))
       .agg(decSum(col("sales")).cast("double").as("sum_sales"),
-        sum(col("number_sales")).as("sum_number_sales"))
-      .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+        sum(col("number_sales")).as("sum_number_sales"),
+        grouping(col("channel")).as("_g0"))
+      .select(allLabel(col("channel"), col("_g0")).as("channel"),
         col("i_brand_id"), col("sum_sales"), col("sum_number_sales"))
       .orderBy(asc("channel"), asc_nulls_first("i_brand_id"))
       .limit(100)
@@ -3034,8 +3060,9 @@ object Tpcds {
       .rollup(col("channel"), col("id"))
       .agg(decSum(col("sales")).cast("double").as("sales"),
         decSum(col("returns_")).cast("double").as("returns_"),
-        decSum(col("profit")).cast("double").as("profit"))
-      .select(coalesce(col("channel"), lit("ALL")).as("channel"), col("id"),
+        decSum(col("profit")).cast("double").as("profit"),
+        grouping(col("channel")).as("_g0"))
+      .select(allLabel(col("channel"), col("_g0")).as("channel"), col("id"),
         col("sales"), col("returns_"), col("profit"))
       .orderBy(asc("channel"), asc_nulls_first("id"))
       .limit(100)
@@ -3556,6 +3583,7 @@ object Tpcds {
       |      ${dsumS.format("ss_ext_sales_price")} AS gross_margin,
       |    i_category, i_class,
       |    CAST(GROUPING(i_category) + GROUPING(i_class) AS BIGINT) AS lochierarchy,
+      |    GROUPING(i_category) AS g_cat,
       |    GROUPING(i_class) AS g_class
       |  FROM store_sales, date_dim, item, store
       |  WHERE ss_sold_date_sk = d_date_sk AND d_year = 1998
@@ -3563,8 +3591,8 @@ object Tpcds {
       |    AND s_state IN ('S0', 'S1')
       |  GROUP BY ROLLUP(i_category, i_class))
       |SELECT round(gross_margin, 8) AS gross_margin,
-      |  COALESCE(i_category, 'ALL') AS i_category,
-      |  COALESCE(i_class, 'ALL') AS i_class, lochierarchy,
+      |  CASE WHEN g_cat = 1 THEN 'ALL' ELSE i_category END AS i_category,
+      |  CASE WHEN g_class = 1 THEN 'ALL' ELSE i_class END AS i_class, lochierarchy,
       |  CAST(RANK() OVER (PARTITION BY lochierarchy,
       |      CASE WHEN g_class = 0 THEN i_category END
       |    ORDER BY gross_margin ASC, i_category ASC NULLS FIRST,
@@ -3703,8 +3731,8 @@ object Tpcds {
       |FROM ssci FULL OUTER JOIN csci
       |  ON s_cust = c_cust AND s_item = c_item""".stripMargin),
     "ds_q05" -> ds(s"""
-      |SELECT COALESCE(s_state, 'ALL') AS s_state,
-      |  COALESCE(s_store_name, 'ALL') AS s_store_name,
+      |SELECT CASE WHEN GROUPING(j.s_state) = 1 THEN 'ALL' ELSE s_state END AS s_state,
+      |  CASE WHEN GROUPING(j.s_store_name) = 1 THEN 'ALL' ELSE s_store_name END AS s_store_name,
       |  ${ds_sum("sales", "total_sales")}, ${ds_sum("r_amt", "total_returns")},
       |  ${ds_sum("net", "total_profit")}
       |FROM (
@@ -3853,8 +3881,8 @@ object Tpcds {
       |GROUP BY i_brand_id, i_brand, i_manufact_id
       |ORDER BY ext_price DESC, i_brand_id, i_manufact_id""".stripMargin),
     "ds_q27" -> ds(s"""
-      |SELECT COALESCE(i_item_id, 'ALL') AS i_item_id,
-      |  COALESCE(s_state, 'ALL') AS s_state, count(*) AS cnt,
+      |SELECT CASE WHEN GROUPING(item.i_item_id) = 1 THEN 'ALL' ELSE i_item_id END AS i_item_id,
+      |  CASE WHEN GROUPING(store.s_state) = 1 THEN 'ALL' ELSE s_state END AS s_state, count(*) AS cnt,
       |  ${ds_avg("ss_quantity", "agg1")}, ${ds_avg("ss_list_price", "agg2")},
       |  ${ds_avg("ss_coupon_amt", "agg3")}, ${ds_avg("ss_sales_price", "agg4")}
       |FROM store_sales, customer_demographics, date_dim, store, item
@@ -4220,7 +4248,9 @@ object Tpcds {
       |, res AS (
       |  SELECT i_category, i_class, i_brand, i_item_id, d_qoy, d_moy,
       |    CAST(SUM(CAST(ss_sales_price * ss_quantity AS DECIMAL(18,6)))
-      |      AS DOUBLE) AS sumsales
+      |      AS DOUBLE) AS sumsales,
+      |    GROUPING(i_category) AS g0, GROUPING(i_class) AS g1,
+      |    GROUPING(i_brand) AS g2, GROUPING(i_item_id) AS g3
       |  FROM store_sales, date_dim, item
       |  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
       |    AND d_year = 1998
@@ -4231,10 +4261,10 @@ object Tpcds {
       |      i_brand ASC NULLS FIRST, i_item_id ASC NULLS FIRST,
       |      d_qoy ASC NULLS FIRST, d_moy ASC NULLS FIRST) AS BIGINT) AS rk
       |  FROM res)
-      |SELECT COALESCE(i_category, 'ALL') AS i_category,
-      |  COALESCE(i_class, 'ALL') AS i_class,
-      |  COALESCE(i_brand, 'ALL') AS i_brand,
-      |  COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |SELECT CASE WHEN g0 = 1 THEN 'ALL' ELSE i_category END AS i_category,
+      |  CASE WHEN g1 = 1 THEN 'ALL' ELSE i_class END AS i_class,
+      |  CASE WHEN g2 = 1 THEN 'ALL' ELSE i_brand END AS i_brand,
+      |  CASE WHEN g3 = 1 THEN 'ALL' ELSE i_item_id END AS i_item_id,
       |  d_qoy, d_moy, sumsales, rk
       |FROM ranked WHERE rk <= 10
       |ORDER BY i_category, rk, i_class, i_brand, i_item_id,
@@ -4356,13 +4386,14 @@ object Tpcds {
       |  SELECT ${ds_sum("ss_net_profit", "total_sum")},
       |    s_state, s_county,
       |    CAST(GROUPING(s_state) + GROUPING(s_county) AS BIGINT) AS lochierarchy,
+      |    GROUPING(s_state) AS g_state,
       |    GROUPING(s_county) AS g_county
       |  FROM store_sales, date_dim, store
       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
       |    AND d_year = 1998 AND s_state IN (SELECT top_state FROM tops)
       |  GROUP BY ROLLUP(s_state, s_county))
-      |SELECT total_sum, COALESCE(s_state, 'ALL') AS s_state,
-      |  COALESCE(s_county, 'ALL') AS s_county, lochierarchy,
+      |SELECT total_sum, CASE WHEN g_state = 1 THEN 'ALL' ELSE s_state END AS s_state,
+      |  CASE WHEN g_county = 1 THEN 'ALL' ELSE s_county END AS s_county, lochierarchy,
       |  CAST(RANK() OVER (PARTITION BY lochierarchy,
       |      CASE WHEN g_county = 0 THEN s_state END
       |    ORDER BY total_sum DESC, s_state ASC NULLS FIRST,
@@ -4370,10 +4401,10 @@ object Tpcds {
       |FROM base70
       |ORDER BY lochierarchy DESC, s_state, s_county""".stripMargin),
     "ds_q22" -> ds(s"""
-      |SELECT COALESCE(i_item_id, 'ALL') AS i_item_id,
-      |  COALESCE(i_brand, 'ALL') AS i_brand,
-      |  COALESCE(i_class, 'ALL') AS i_class,
-      |  COALESCE(i_category, 'ALL') AS i_category,
+      |SELECT CASE WHEN GROUPING(i_item_id) = 1 THEN 'ALL' ELSE i_item_id END AS i_item_id,
+      |  CASE WHEN GROUPING(i_brand) = 1 THEN 'ALL' ELSE i_brand END AS i_brand,
+      |  CASE WHEN GROUPING(i_class) = 1 THEN 'ALL' ELSE i_class END AS i_class,
+      |  CASE WHEN GROUPING(i_category) = 1 THEN 'ALL' ELSE i_category END AS i_category,
       |  ${ds_avg("inv_quantity_on_hand", "qoh")}
       |FROM inventory, date_dim, item
       |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
@@ -4559,7 +4590,7 @@ object Tpcds {
       |  SELECT 'web channel', id, sales, COALESCE(returns_, 0.0),
       |    gross_profit - COALESCE(loss, 0.0)
       |  FROM wsp LEFT JOIN wrp ON id = rid)
-      |SELECT COALESCE(channel, 'ALL') AS channel, id,
+      |SELECT CASE WHEN GROUPING(channel) = 1 THEN 'ALL' ELSE channel END AS channel, id,
       |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
       |  ${ds_sum("profit", "profit")}
       |FROM chans GROUP BY ROLLUP(channel, id)
@@ -4661,14 +4692,15 @@ object Tpcds {
       |      ${dsumS.format("ws_ext_sales_price")} AS gross_margin,
       |    i_category, i_class,
       |    CAST(GROUPING(i_category) + GROUPING(i_class) AS BIGINT) AS lochierarchy,
+      |    GROUPING(i_category) AS g_cat,
       |    GROUPING(i_class) AS g_class
       |  FROM web_sales, date_dim, item
       |  WHERE ws_sold_date_sk = d_date_sk AND d_year = 1998
       |    AND ws_item_sk = i_item_sk
       |  GROUP BY ROLLUP(i_category, i_class))
       |SELECT round(gross_margin, 8) AS gross_margin,
-      |  COALESCE(i_category, 'ALL') AS i_category,
-      |  COALESCE(i_class, 'ALL') AS i_class, lochierarchy,
+      |  CASE WHEN g_cat = 1 THEN 'ALL' ELSE i_category END AS i_category,
+      |  CASE WHEN g_class = 1 THEN 'ALL' ELSE i_class END AS i_class, lochierarchy,
       |  CAST(RANK() OVER (PARTITION BY lochierarchy,
       |      CASE WHEN g_class = 0 THEN i_category END
       |    ORDER BY gross_margin ASC, i_category ASC NULLS FIRST,
@@ -4737,9 +4769,9 @@ object Tpcds {
       |  AND ws_order_number IN (SELECT o FROM ws_wh)
       |  AND ws_order_number NOT IN (SELECT wr_order_number FROM web_returns)""".stripMargin),
     "ds_q18" -> ds(s"""
-      |SELECT COALESCE(ca_state, 'ALL') AS ca_state,
-      |  COALESCE(ca_county, 'ALL') AS ca_county,
-      |  COALESCE(i_item_id, 'ALL') AS i_item_id,
+      |SELECT CASE WHEN GROUPING(ca_state) = 1 THEN 'ALL' ELSE ca_state END AS ca_state,
+      |  CASE WHEN GROUPING(ca_county) = 1 THEN 'ALL' ELSE ca_county END AS ca_county,
+      |  CASE WHEN GROUPING(i_item_id) = 1 THEN 'ALL' ELSE i_item_id END AS i_item_id,
       |  ${ds_avg("cs_quantity", "agg1")}, ${ds_avg("cs_list_price", "agg2")},
       |  ${ds_avg("cs_ext_discount_amt", "agg3")},
       |  ${ds_avg("cs_sales_price", "agg4")}
@@ -4877,7 +4909,7 @@ object Tpcds {
       |    AND d_year = 1999 AND d_moy = 12
       |    AND ws_item_sk IN (SELECT cross_item FROM cross_items)
       |  GROUP BY 2)
-      |SELECT COALESCE(channel, 'ALL') AS channel, i_brand_id,
+      |SELECT CASE WHEN GROUPING(channel) = 1 THEN 'ALL' ELSE channel END AS channel, i_brand_id,
       |  ${ds_sum("sales", "sum_sales")},
       |  CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
       |FROM chans, avg_sales WHERE sales > avg_sales
@@ -5014,7 +5046,7 @@ object Tpcds {
       |  WHERE ws_item_sk IN (SELECT i_item_sk FROM it80)
       |    AND ws_promo_sk IN (SELECT p_promo_sk FROM pr80)
       |  GROUP BY 2)
-      |SELECT COALESCE(channel, 'ALL') AS channel, id,
+      |SELECT CASE WHEN GROUPING(channel) = 1 THEN 'ALL' ELSE channel END AS channel, id,
       |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
       |  ${ds_sum("profit", "profit")}
       |FROM chans GROUP BY ROLLUP(channel, id)
