@@ -16,7 +16,7 @@ import graft.ops.{Dedup, Similarity}
   * IVF = build once (assignment + 2 Lloyd iterations), then probe joins
   * that read nprobe/K of the corpus per query.
   *
-  * Output: one JSON line on stdout + BENCH_ann_r12.json in the cwd.
+  * Output: one JSON line on stdout + BENCH_ann_r13.json in the cwd.
   * N overrides via SPARK_GRAFT_ANN_N for quick dev runs.
   */
 object BenchAnn {
@@ -131,7 +131,7 @@ object BenchAnn {
     // probed cell ids (a bounded ≤ queries×nprobe driver list) become a
     // PARTITION filter on the index, so each sweep point reads only
     // nprobe/K of the corpus files — the scale story, measured.
-    def probe(nprobe: Int): Array[org.apache.spark.sql.Row] = {
+    def probe(nprobe: Int): (Array[org.apache.spark.sql.Row], Array[Long]) = {
       val probes = Similarity.centRank(
         q.select(col("query_id").as("vec_id"), col("qvec").as("embedding")),
         cents)
@@ -143,7 +143,7 @@ object BenchAnn {
         .collect().map(_.getLong(0))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("c"), asc("vec_id"))
-      broadcast(probes)
+      val rows = broadcast(probes)
         .join(cells.filter(col("cell").isin(probeCells: _*)),
           col("probe") === col("cell") &&
           col("query_id") =!= col("vec_id"))
@@ -153,12 +153,35 @@ object BenchAnn {
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("vec_id"))
         .collect()
+      (rows, probeCells)
+    }
+    // bytes in the parquet files of a set of cell directories — the
+    // PHYSICAL floor of a cold probe over those cells; the task-metrics
+    // listener undercounts under prewarm/OS caching (the r12 artifact
+    // reported 0.0008 at nprobe=1, below the 1/K=0.0078 floor — r12
+    // ADVICE fix), so file sizes are the authoritative pruning evidence
+    // and the listener value ships alongside as the observed read.
+    def cellBytes(cellIds: Array[Long]): Long = {
+      val ids = cellIds.toSet
+      var t = 0L
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+        .filter { p =>
+          val ps = p.toString
+          ps.endsWith(".parquet") && {
+            val m = "cell=([0-9]+)".r.findFirstMatchIn(ps)
+            m.exists(mm => ids.contains(mm.group(1).toLong))
+          }
+        }
+        .forEach(p => t += java.nio.file.Files.size(p))
+      t
     }
     probe(1) // prewarm: parquet footers + probe-path codegen, untimed
     val sweep = NProbes.map { nprobe =>
-      val (ivfRows, ivfSec, bytesRead) = timeRead(s)(probe(nprobe))
+      val ((ivfRows, probedCells), ivfSec, listenerBytes) =
+        timeRead(s)(probe(nprobe))
       val hits = ivfRows.count(r => truth((r.getLong(0), r.getLong(1))))
-      (nprobe, ivfSec, hits.toDouble / (NQueries * TopK), bytesRead)
+      (nprobe, ivfSec, hits.toDouble / (NQueries * TopK),
+        cellBytes(probedCells), probedCells.length, listenerBytes)
     }
     val idxBytes = {
       var t = 0L
@@ -167,10 +190,18 @@ object BenchAnn {
         .forEach(p => t += java.nio.file.Files.size(p))
       t
     }
-    val sweepJson = sweep.map { case (np, sec, rec, bytes) =>
-      f"""{"nprobe":$np,"sec":$sec%.4f,"speedup":${bruteSec / sec}%.2f,""" +
-        f""""recall_at10":$rec%.4f,"index_read_mib":${bytes / 1048576.0}%.1f,""" +
-        f""""read_fraction":${bytes.toDouble / idxBytes}%.4f}"""
+    val sweepJson = sweep.map {
+      case (np, sec, rec, bytes, nCells, lBytes) =>
+        val frac = bytes.toDouble / idxBytes
+        // sanity: the probed-cell fraction can never sit below the
+        // cells-touched floor (cell sizes vary, so allow 0.5x slack)
+        require(frac >= nCells.toDouble / K * 0.5,
+          s"read_fraction $frac below the $nCells/$K cell floor")
+        f"""{"nprobe":$np,"sec":$sec%.4f,"speedup":${bruteSec / sec}%.2f,""" +
+          f""""recall_at10":$rec%.4f,"probed_cells":$nCells,""" +
+          f""""index_read_mib":${bytes / 1048576.0}%.1f,""" +
+          f""""read_fraction":$frac%.4f,""" +
+          f""""listener_read_mib":${lBytes / 1048576.0}%.1f}"""
     }.mkString("[", ",", "]")
 
     val json =
@@ -180,7 +211,7 @@ object BenchAnn {
         f""""sweep":$sweepJson}"""
     println(json)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_ann_r12.json"),
+      java.nio.file.Paths.get("BENCH_ann_r13.json"),
       json.getBytes("UTF-8"))
     s.stop()
   }

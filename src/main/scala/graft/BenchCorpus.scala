@@ -61,7 +61,9 @@ object BenchCorpus {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // heap: spark.driver.memory is a no-op once the local-mode JVM is
+      // running (r12 ADVICE) — size the fork via SPARK_DRIVER_MEM=16g,
+      // which build.sbt turns into the forked -Xmx
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 

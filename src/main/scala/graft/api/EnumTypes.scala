@@ -141,7 +141,11 @@ object EnumTypes {
     }
   }
 
-  private val enumKeyCall = """(?i)\benum_key\s*\(\s*'([^']+)'\s*,""".r
+  // matched on Dialect.masked text (so occurrences inside string
+  // literals/comments are ignored); the name literal itself is blanked
+  // by the mask, so it is re-read from the original at the same offsets
+  private val enumKeyOpen = """(?i)\benum_key\s*\(""".r
+  private val enumKeyName = """\s*'([^']+)'\s*,""".r
 
   /** Splice enum semantics into a statement: inline-signature casts,
     * registered-name casts, enum_key name resolution, distinct-type
@@ -153,14 +157,20 @@ object EnumTypes {
       case ((s, n), e) if s == sid => n -> e
     }
     if (session.isEmpty &&
-      "(?i)(bigint|varchar)enum\\s*\\(".r.findFirstIn(original).isEmpty)
+      "(?i)(bigint|varchar)enum\\s*\\(".r
+        .findFirstIn(Dialect.masked(original)).isEmpty)
       return original
     var cur = original
     // 1. inline signature casts: CAST(x AS BigintEnum(tn{...}))
     var guard = 0
     var changed = true
     val inlineTail = """(?is)\sAS\s+((bigint|varchar)enum\s*\(.*)\z""".r
-    while (changed && guard < 32) {
+    // the 32-cast cap raises instead of silently stopping: a statement
+    // past the cap would otherwise leave later casts unrewritten and
+    // fail analysis with a confusing error (r12 ADVICE fix)
+    def guardTrip(): Unit = if (guard > 32) throw new IllegalStateException(
+      "enum rewrite: more than 32 enum casts in one statement")
+    while (changed) {
       changed = false; guard += 1
       val m = Dialect.masked(cur)
       val hit = Dialect.castOpen.findAllMatchIn(m).flatMap { mt =>
@@ -170,6 +180,7 @@ object EnumTypes {
           (mt.start, end, mt.end, mt.start + t.start, mt.start + t.start(1)))
       }.nextOption()
       hit.foreach { case (start, end, exprFrom, exprTo, sigFrom) =>
+        guardTrip()
         val sig = cur.substring(sigFrom, end - 1)
         val (tn, isBigint, entries) = parseEnumSignature(sig)
         val b64 = EnumRuntime.encode(tn.toLowerCase, isBigint, entries)
@@ -179,21 +190,36 @@ object EnumTypes {
         changed = true
       }
     }
-    // 2. enum_key('name', x) → graft_enum_key('<def>', x)
-    cur = enumKeyCall.replaceAllIn(cur, m => {
-      session.get(m.group(1).toLowerCase) match {
-        case Some(EnumEntry(b64)) =>
-          java.util.regex.Matcher.quoteReplacement(
-            s"graft_enum_key('$b64',")
-        case _ => throw new IllegalArgumentException(
-          s"enum_key: unknown enum type '${m.group(1)}'")
+    // 2. enum_key('name', x) → graft_enum_key('<def>', x): call sites
+    // found on the MASKED text (an enum_key( inside a string literal or
+    // comment is left alone — r12 ADVICE fix); the name literal is
+    // blanked by the mask, so it is re-read from the original
+    locally {
+      val m = Dialect.masked(cur)
+      val sb = new StringBuilder
+      var last = 0
+      enumKeyOpen.findAllMatchIn(m).foreach { open =>
+        enumKeyName.findPrefixMatchOf(
+          cur.subSequence(open.end, cur.length)).foreach { nm =>
+          val name = nm.group(1)
+          session.get(name.toLowerCase) match {
+            case Some(EnumEntry(b64)) =>
+              sb.append(cur.substring(last, open.start))
+              sb.append(s"graft_enum_key('$b64',")
+              last = open.end + nm.end
+            case _ => throw new IllegalArgumentException(
+              s"enum_key: unknown enum type '$name'")
+          }
+        }
       }
-    })
+      sb.append(cur.substring(last))
+      cur = sb.toString
+    }
     // 3. registered-name casts + distinct aliases
     session.foreach { case (name, entry) =>
       val tail = s"""(?is)\\sAS\\s+${java.util.regex.Pattern.quote(name)}\\s*\\z""".r
       guard = 0; changed = true
-      while (changed && guard < 32) {
+      while (changed) {
         changed = false; guard += 1
         val m = Dialect.masked(cur)
         val hit = Dialect.castOpen.findAllMatchIn(m).flatMap { mt =>
@@ -203,6 +229,7 @@ object EnumTypes {
             (mt.start, end, mt.end, mt.start + t.start))
         }.nextOption()
         hit.foreach { case (start, end, exprFrom, exprTo) =>
+          guardTrip()
           val inner = cur.substring(exprFrom, exprTo)
           cur = entry match {
             case EnumEntry(b64) =>

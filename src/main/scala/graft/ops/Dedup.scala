@@ -374,7 +374,17 @@ object Dedup {
     // grams reduce to 64-bit fingerprints BEFORE any shuffle (C4 itself
     // dedups on hashed spans, Raffel et al. 2020 §2.2) — the gram-keyed
     // exchanges move 8-byte longs instead of ~20-byte strings (measured
-    // at 1M docs: 1.5 GiB of gram strings shuffled without this)
+    // at 1M docs: 1.5 GiB of gram strings shuffled without this).
+    // Collision bound (accepted trade-off, r12 ADVICE): a 64-bit
+    // xxhash collision merges two unrelated grams and flags a false
+    // duplicate; by the birthday bound, at 10^10 distinct grams
+    // (≈100 TB of text) P(any collision) ≈ n²/2^65 ≈ 0.3 %, and each
+    // collision perturbs ONE gram group — acceptable for a dedup
+    // heuristic (C4 hashes spans too). The DuckDB oracle groups on the
+    // exact gram STRINGS, so the gate would catch a collision at
+    // fixture scale (none exist there); at corpus scale the two
+    // definitions diverge by that ~0.3 % event. A 128-bit fingerprint
+    // (md5 prefix pair) is the swap-in if exactness must hold at scale.
     val sh = d.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))

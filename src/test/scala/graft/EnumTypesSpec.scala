@@ -99,4 +99,25 @@ class EnumTypesSpec extends AnyFunSuite {
     }
     assert(msg(e).toLowerCase.contains("cannot cast"), msg(e))
   }
+
+  test("enum_key inside a string literal or comment is left alone (r13)") {
+    ses.sql("""CREATE TYPE m3 AS BigintEnum(m3{"A":1})""")
+    // the literal text must come back verbatim — no rewrite, no
+    // 'unknown enum type' from the unregistered name inside the string
+    val r = ses.sql(
+      "SELECT 'call enum_key(''nosuch'', 1) here' AS s, " +
+        "enum_key('m3', 1) AS k -- enum_key('alsonosuch', 2)").collect()(0)
+    assert(r.getString(0) == "call enum_key('nosuch', 1) here")
+    assert(r.getString(1) == "A")
+  }
+
+  test("more than 32 enum casts raises instead of silently stopping (r13)") {
+    ses.sql("""CREATE TYPE m33 AS BigintEnum(m33{"A":1})""")
+    val exprs = (1 to 33).map(_ => "CAST(1 AS m33)").mkString(" + ")
+    val e = intercept[Exception] { ses.sql(s"SELECT $exprs").collect() }
+    assert(msg(e).contains("more than 32"), msg(e))
+    // 32 exactly still rewrites fine
+    val ok = (1 to 32).map(_ => "CAST(1 AS m33)").mkString(" + ")
+    assert(ses.sql(s"SELECT $ok AS v").collect()(0).getLong(0) == 32L)
+  }
 }
