@@ -18,28 +18,42 @@ import graft.ops.{Dedup, Similarity, TextAnalysis}
   *   hashed classifier (train 5×512 model + score + argmax),
   *   cluster balance (seed-centroid assign + budget resample).
   *
-  * Wall seconds + rows + SHUFFLE VOLUME per stage (records/bytes written,
-  * summed from a task-end listener — the scale-truth signal: a stage whose
-  * shuffle grows super-linearly in the corpus is the one that dies at
-  * 100 TB); one JSON line on stdout and BENCH_corpus_r12.json in the cwd.
-  * Every stage is the SAME code the oracle gates run — no bench-only
-  * forks. Replication factors override via SPARK_GRAFT_CORPUS_REP /
-  * SPARK_GRAFT_VECTOR_REP for quick dev runs.
+  * Wall seconds + rows + SHUFFLE VOLUME + SPILL per stage (records/bytes
+  * written and memory/disk bytes spilled, summed from a task-end
+  * listener — the scale-truth signals: a stage whose shuffle grows
+  * super-linearly in the corpus is the one that dies at 100 TB, and the
+  * records_per_doc field makes linearity comparable across replication
+  * factors); one JSON line on stdout and BENCH_corpus_r13.json (or
+  * SPARK_GRAFT_CORPUS_OUT) in the cwd. Every stage is the SAME code the
+  * oracle gates run — no bench-only forks. Replication factors override
+  * via SPARK_GRAFT_CORPUS_REP / SPARK_GRAFT_VECTOR_REP; the spill-scale
+  * run pairs a large rep with SPARK_GRAFT_MEM_FRACTION=0.15 and
+  * SPARK_DRIVER_MEM sized so the gram sorts must go to disk.
   */
 object BenchCorpus {
 
-  /** Sums shuffle write/read volume for the tasks of one stage. */
+  /** Sums shuffle write volume AND spill bytes for one stage's tasks —
+    * spill is the at-scale survival signal: a stage that degrades to disk
+    * under a starved execution-memory budget instead of OOMing is the one
+    * that finishes on a real cluster with more data than memory. */
   private final class ShuffleStats extends SparkListener {
     val wRecs = new java.util.concurrent.atomic.LongAdder
     val wBytes = new java.util.concurrent.atomic.LongAdder
+    val memSpill = new java.util.concurrent.atomic.LongAdder
+    val diskSpill = new java.util.concurrent.atomic.LongAdder
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskMetrics != null) {
         wRecs.add(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
         wBytes.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        memSpill.add(t.taskMetrics.memoryBytesSpilled)
+        diskSpill.add(t.taskMetrics.diskBytesSpilled)
       }
   }
 
-  private def timed(s: SparkSession)(f: => Long): (Long, Double, Long, Long) = {
+  private final case class StageStats(rows: Long, sec: Double, recs: Long,
+    bytes: Long, memSpill: Long, diskSpill: Long)
+
+  private def timed(s: SparkSession)(f: => Long): StageStats = {
     val l = new ShuffleStats
     s.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
@@ -47,7 +61,8 @@ object BenchCorpus {
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300) // async listener bus drain
     s.sparkContext.removeSparkListener(l)
-    (rows, sec, l.wRecs.sum(), l.wBytes.sum())
+    StageStats(rows, sec, l.wRecs.sum(), l.wBytes.sum(),
+      l.memSpill.sum(), l.diskSpill.sum())
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +78,12 @@ object BenchCorpus {
       .config("spark.ui.enabled", "false")
       // heap: spark.driver.memory is a no-op once the local-mode JVM is
       // running (r12 ADVICE) — size the fork via SPARK_DRIVER_MEM=16g,
-      // which build.sbt turns into the forked -Xmx
+      // which build.sbt turns into the forked -Xmx. For the spill-scale
+      // run, SPARK_GRAFT_MEM_FRACTION starves the unified execution+
+      // storage pool so the gram shuffle sorts degrade to disk instead
+      // of growing the heap (r12 verdict "do this" #6).
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
@@ -100,24 +120,34 @@ object BenchCorpus {
       "hashed_classifier" -> (() => full(TextAnalysis.hashedClassifier(s, d))),
       "cluster_balance" -> (() => full(Similarity.clusterBalance(s, d))))
     val results = stages.map { case (name, f) =>
-      val (rows, sec, recs, bytes) = timed(s)(f())
-      println(f"[bench-corpus] $name%-18s ${sec}%8.2f s  ($rows rows, " +
-        f"$recs shuffle recs, ${bytes / 1048576.0}%.1f MiB shuffled)")
-      (name, sec, rows, recs, bytes)
+      val st = timed(s)(f())
+      println(f"[bench-corpus] $name%-18s ${st.sec}%8.2f s  (${st.rows} rows, " +
+        f"${st.recs} shuffle recs, ${st.bytes / 1048576.0}%.1f MiB shuffled, " +
+        f"${st.diskSpill / 1048576.0}%.1f MiB disk-spilled)")
+      (name, st)
     }
 
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     val json = "{\"metric\":\"corpus_ops_sf01x" + repDocs + "\"," +
       "\"value\":" + f"$total%.2f" + ",\"unit\":\"sec\"," +
       "\"docs\":" + nDocs + ",\"vectors\":" + nVecs + "," +
-      "\"ops\":{" + results.map { case (n, sec, rows, recs, bytes) =>
-        "\"" + n + "\":{\"sec\":" + f"$sec%.2f" + ",\"rows\":" + rows +
-          ",\"shuffle_records\":" + recs + ",\"shuffle_mib\":" +
-          f"${bytes / 1048576.0}%.1f" + "}"
+      "\"mem_fraction\":\"" +
+      sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6") + "\"," +
+      "\"ops\":{" + results.map { case (n, st) =>
+        // shuffle records per doc: the linearity signal — compare across
+        // replication factors; a super-linear stage dies at 100 TB
+        val perDoc = st.recs.toDouble / nDocs
+        "\"" + n + "\":{\"sec\":" + f"${st.sec}%.2f" + ",\"rows\":" + st.rows +
+          ",\"shuffle_records\":" + st.recs + ",\"shuffle_mib\":" +
+          f"${st.bytes / 1048576.0}%.1f" + ",\"records_per_doc\":" +
+          f"$perDoc%.2f" + ",\"mem_spill_mib\":" +
+          f"${st.memSpill / 1048576.0}%.1f" + ",\"disk_spill_mib\":" +
+          f"${st.diskSpill / 1048576.0}%.1f" + "}"
       }.mkString(",") + "}}"
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_corpus_r12.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_CORPUS_OUT", "BENCH_corpus_r13.json")), json + "\n")
     s.stop()
   }
 }
