@@ -12,16 +12,24 @@ import org.apache.spark.sql.SparkSession
   * here, so a fact-sized ROLLUP gets two-phased whether it arrives as SQL
   * text or a DataFrame.
   *
-  * Opt-in rules with registration side-state (MaterializedViewRewrite,
+  * "Always-safe" is MEASURED, not assumed: a rule joins this list only
+  * after an A/B shows it never regresses the bench suites. Opt-in rules
+  * with registration side-state (MaterializedViewRewrite,
   * ArrayContainsJoin, HistoryBasedStats) stay at their call sites.
   */
 object GraftRules {
+  // MergeSumsToVectorSum is NOT here: the vector-sum rewrite swaps k
+  // codegen'd decimal sums for one imperative aggregate, a win for the
+  // wide (10+ column) vector shapes it was built for but measured 1.4-2.4x
+  // SLOWER on ordinary 2-4-sum aggregates (sf1 ds_q17/q18/q20/q21 A/B,
+  // r13) — it stays opt-in via GraftExtensions config-time injection.
   private val always = Seq(
     CombineApproxPercentiles,
-    MergeSumsToVectorSum,
     PreAggregateRollup)
 
   def install(spark: SparkSession): Unit = synchronized {
+    // dev-only A/B lever: attribute a bench delta to the rule set
+    if (sys.env.contains("SPARK_GRAFT_NO_RULES")) return
     val cur = spark.experimental.extraOptimizations
     val missing = always.filterNot(cur.contains)
     if (missing.nonEmpty)
