@@ -218,6 +218,16 @@ object GraftFunctions {
       es => DotProduct(es(0), es(1))),
     ("l2_squared", "l2_squared(v1, v2) - squared euclidean distance of two float vectors",
       es => L2Squared(es(0), es(1))),
+    ("vec_pack", "vec_pack(v) - array<float> to packed little-endian float32 varbinary",
+      es => VecPack(es.head)),
+    ("vec_unpack", "vec_unpack(b) - packed float32 varbinary back to array<float>",
+      es => VecUnpack(es.head)),
+    ("cosine_packed", "cosine_packed(b1, b2) - cosine over packed float32 varbinary",
+      es => CosinePacked(es(0), es(1))),
+    ("dot_packed", "dot_packed(b1, b2) - dot product over packed float32 varbinary",
+      es => DotPacked(es(0), es(1))),
+    ("l2_squared_packed", "l2_squared_packed(b1, b2) - squared L2 over packed float32 varbinary",
+      es => L2SquaredPacked(es(0), es(1))),
     ("create_vector_index",
       "create_vector_index(table, idCol, embCol, k, path) - build (idempotently) the persisted cell-partitioned IVF index; returns the index path",
       es => {

@@ -253,6 +253,21 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("pid")).as("n_splits_kept"))
 
+  /** Deterministic hash sampling — the reproducible-subset pattern a
+    * training-data pipeline uses for held-out splits, and the
+    * oracle-verifiable complement to the RNG TABLESAMPLE modes above:
+    * keep a row iff the first 4 hex chars of md5(key) sort below the
+    * rate threshold (0x2000/0x10000 = 12.5 %). md5 is bit-identical
+    * across engines, the sample is stable under re-runs/repartitioning,
+    * and at 100 TB it costs one codegen'd hash per row, no shuffle. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(substring(md5(concat_ws(":",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 4) < "2000")
+      .agg(count(lit(1)).as("n_sampled"),
+        Tables.dsum(col("l_quantity"), "qty_sum"))
+
   /** Materialized-CTE reuse (reference CteProducerNode/CteConsumerNode +
     * LogicalCteOptimizer): one aggregate subplan consumed twice — as the
     * per-customer rows and as the scalar threshold. The CacheBook-
@@ -479,6 +494,7 @@ object Relational {
     "values_inline" -> valuesInline, "unnest_ordinality" -> unnestOrdinality,
     "unnest_multi" -> unnestMulti, "cte_recursive" -> cteRecursive,
     "sample_bernoulli" -> sampleBernoulli, "sample_system" -> sampleSystem,
+    "sample_hash" -> sampleHash,
     "sql_unnest_rel" -> sqlUnnestRel, "sql_unnest_zip" -> sqlUnnestZip,
     "tvf_split" -> tvfSplit, "tvf_registry" -> tvfRegistry,
     "sql_prepared" -> sqlPrepared, "sql_geo" -> sqlGeo,
@@ -784,7 +800,14 @@ object Relational {
         |      WHERE doc_id < 5)
         |ORDER BY doc_id, ord""".stripMargin,
     // sample_bernoulli / sample_system: engine-specific RNG / split
-    // assignment → rows-only checks
+    // assignment → rows-only checks; sample_hash is their deterministic,
+    // fully oracle-verified complement
+    "sample_hash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+        |FROM lineitem
+        |WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR),
+        |  1, 4) < '2000'""".stripMargin,
     "cte_recursive" ->
       """WITH RECURSIVE anc(nk, a, d) AS (
         |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),

@@ -376,7 +376,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Packed vector format (functions/VecPack.scala — the lance
+    * connector's fixed-size-list float32 surface, presto-lance):
+    * embeddings pack to little-endian float32 varbinary; the gate proves
+    * (a) pack→unpack is lossless and (b) the packed cosine kernel
+    * returns the EXACT double of the array-path kernel (same sequential
+    * fold), both asserted Spark-side as strict equality, while the
+    * cosine VALUES hash-match the DuckDB unnest-SUM oracle. The point is
+    * interchange — pre-packed feature-store blobs are queryable without
+    * an unpack pass (at-rest/probe measured at parity vs array<float>
+    * parquet, BENCH_vecpack_r13.json — no inflated compression claim). */
+  def packedCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions, VecPack}
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"),
+        VecPack.pack(col("embedding")).as("pv"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(GraftFunctions.cosineSimilarity(
+          col("a.embedding"), col("b.embedding")), 4).as("cos"),
+        (VecPack.cosine(col("a.pv"), col("b.pv")) ===
+          GraftFunctions.cosineSimilarity(
+            col("a.embedding"), col("b.embedding"))).as("packed_exact"),
+        (VecPack.unpack(col("a.pv")) === col("a.embedding"))
+          .as("roundtrip_exact"))
+      .orderBy("va", "vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_packed_cosine" -> packedCosine,
     "sim_cluster_balance" -> clusterBalance,
     "sim_pq_ann" -> pqAnn,
     "sim_quantize" -> quantize,
@@ -426,6 +454,19 @@ object Similarity {
        |$cosineCte""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_packed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT a.vec_id va, b.vec_id vb, a.embedding ea, b.embedding eb
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |u AS (SELECT va, vb, unnest(ea) x, unnest(eb) y FROM p),
+        |d AS (SELECT va, vb,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) dot,
+        |        sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) na,
+        |        sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) nb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT va, vb, ROUND(dot / (na * nb), 4) AS cos,
+        |  true AS packed_exact, true AS roundtrip_exact
+        |FROM d ORDER BY va, vb""".stripMargin,
     "sim_cluster_balance" ->
       """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
         |              FROM embeddings WHERE vec_id < 8),

@@ -1198,4 +1198,38 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(math.abs(d.getDouble(0) - 1.0) < 1e-6)
   }
+
+  test("vec_pack/vec_unpack roundtrip exactly, distances match the array kernels (r13)") {
+    GraftFunctions.register(spark)
+    // NaN payload bits, negative zero, denormals — pack must preserve the
+    // exact float32 bit patterns (floatToRawIntBits, not value semantics)
+    val r = spark.sql(
+      """SELECT v = vec_unpack(vec_pack(v)) AS rt,
+        |  cosine_packed(vec_pack(v), vec_pack(w)) = cosine_similarity(v, w) AS ce,
+        |  dot_packed(vec_pack(v), vec_pack(w)) = dot_product(v, w) AS de,
+        |  l2_squared_packed(vec_pack(v), vec_pack(w)) = l2_squared(v, w) AS le,
+        |  length(vec_pack(v)) AS bytes
+        |FROM (SELECT array(1.5F, -0.0F, 1.4E-45F, 3.4028234E38F) AS v,
+        |             array(-2.5F, 1.0F, 0.0F, 1.0F) AS w)""".stripMargin)
+      .collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3))
+    assert(r.getInt(4) == 16)
+    // empty vector roundtrips; dim mismatch raises
+    assert(spark.sql(
+      "SELECT size(vec_unpack(vec_pack(CAST(array() AS ARRAY<FLOAT>)))) AS n")
+      .collect()(0).getInt(0) == 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_packed(vec_pack(array(1.0F)), " +
+        "vec_pack(array(1.0F, 2.0F)))").collect()
+    }
+    var m = ""; var c: Throwable = e
+    while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+    assert(m.contains("dims differ"), m)
+    // NaN float32 bit pattern survives the roundtrip (raw bits, value-less)
+    val nanBits = spark.sql(
+      "SELECT vec_pack(array(CAST('NaN' AS FLOAT))) AS b").collect()(0)
+      .getAs[Array[Byte]](0)
+    assert(nanBits.length == 4)
+  }
 }
