@@ -129,6 +129,23 @@ object PreAggregateRollup extends Rule[LogicalPlan] {
       case _ => false
     }
     if (alreadyPreAggregated) return None
+    // cardinality guard (r13, measured at sf1 with graft.ExpandRows):
+    // ds_q36/q70/q86's facts collapse 6000-87000x at the finest grain,
+    // but ds_q18/q27's demographic-sliced facts are near-DISTINCT on
+    // their grouping keys (29k rows -> 29k groups) - there the pre-agg
+    // shuffles the fact once more for nothing. When CBO column stats
+    // can estimate the finest-group count, require a 2x reduction;
+    // with no stats, stay optimistic (the reference's partial-agg push
+    // defaults the same way, and map-side partial aggregation bounds
+    // the downside to one extra exchange of ~input size).
+    val inRows = child.stats.rowCount
+    val groupRows =
+      try Aggregate(srcAttrs, srcAttrs, child).stats.rowCount
+      catch { case _: Throwable => None }
+    (inRows, groupRows) match {
+      case (Some(n), Some(g)) if g * 2 > n => return None
+      case _ =>
+    }
 
     val distinctCalls = aggCalls.distinctBy(_.canonicalized)
     // Decimal SUM partials also carry a non-null-input count: a NULL

@@ -282,6 +282,33 @@ class RulesSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("pre-aggregate below Expand: stats guard skips near-distinct keys (r13)") {
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.experimental.extraOptimizations = Seq(graft.rules.PreAggregateRollup)
+      spark.sql("DROP TABLE IF EXISTS pre_agg_guard")
+      spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v")
+        .write.saveAsTable("pre_agg_guard")
+      spark.sql("ANALYZE TABLE pre_agg_guard COMPUTE STATISTICS FOR ALL COLUMNS")
+      // k is unique: estimated groups == rows → the pre-agg would shuffle
+      // the input once more for nothing (the measured ds_q18/q27 shape)
+      val near = spark.table("pre_agg_guard").rollup("k")
+        .agg(sum(col("v").cast("decimal(18,2)")).as("s"))
+      assert(!expandAggShape(near)._2,
+        "near-distinct grouping keys must not pre-aggregate")
+      // v has 7 distinct values: estimated 143x reduction → rewrite
+      val few = spark.table("pre_agg_guard").rollup("v")
+        .agg(sum(col("k").cast("decimal(18,2)")).as("s"))
+      assert(expandAggShape(few)._2,
+        "low-cardinality grouping keys must pre-aggregate")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS pre_agg_guard")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("pre-aggregate below Expand: rebuilt Sum keeps the original eval mode (r13)") {
     import org.apache.spark.sql.catalyst.expressions.EvalMode
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
