@@ -19,7 +19,9 @@ object SparkEntry {
       ops.Remote.queries ++ ops.Cdc.queries ++ ops.Layout.queries ++
       ops.Transactions.queries ++ ops.AsOfJoin.queries ++
       ops.AvroSource.queries ++ ops.RangeJoin.queries ++
-      ops.Verifier.queries ++ ops.RecordDecoders.queries ++ ops.Rank.queries
+      ops.Verifier.queries ++ ops.RecordDecoders.queries ++
+      ops.Rank.queries ++ ops.JdbcDialects.queries ++
+      ops.SearchIndex.queries ++ ops.DocumentStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +35,7 @@ object SparkEntry {
       ops.Remote.oracle ++ ops.Cdc.oracle ++ ops.Layout.oracle ++
       ops.Transactions.oracle ++ ops.AsOfJoin.oracle ++
       ops.AvroSource.oracle ++ ops.RangeJoin.oracle ++
-      ops.Verifier.oracle ++ ops.RecordDecoders.oracle ++ ops.Rank.oracle
+      ops.Verifier.oracle ++ ops.RecordDecoders.oracle ++
+      ops.Rank.oracle ++ ops.JdbcDialects.oracle ++
+      ops.SearchIndex.oracle ++ ops.DocumentStore.oracle
 }
