@@ -71,28 +71,33 @@ object BenchSearch {
     val totalBytes = dirBytes(root)
     val allBuckets = root.listFiles().count(_.getName.startsWith("bucket="))
 
-    // probe 1: two high-df head terms (worst-case posting volume)
-    // probe 2: three low-df tail terms (typical point lookup)
+    // probe 1: two high-df head terms that CO-OCCUR by construction
+    //   (docs with doc_id % 50 == 3 carry both h3 and h18) — worst-case
+    //   posting volume for the conjunction
+    // probe 2: one low-df tail term — the point-lookup regime
     val probes = Seq(
-      "head2" -> Seq("h3", "h17"),
-      "tail3" -> Seq("t123", "t4567", "t24999"))
+      "head2" -> Seq("h3", "h18"),
+      "tail1" -> Seq("t123"))
 
     val probeResults = probes.map { case (name, terms) =>
       val bs = terms.map(SearchIndex.termBucket(_, Buckets)).distinct
       val probedBytes = bs.map(b =>
         dirBytes(new java.io.File(s"$path/bucket=$b"))).sum
+      // honest fraction: actual on-disk bytes of the probed dirs over the
+      // whole index (file sizes, not listener bytesRead); uniform_share
+      // is what a skew-free index would give — tail buckets legitimately
+      // come in under it, head buckets over it
       val frac = probedBytes.toDouble / totalBytes
-      val floor = bs.size.toDouble / allBuckets
+      val share = bs.size.toDouble / allBuckets
       val (nDocs, sec) = time {
         SearchIndex.termSearch(s, path, terms, Buckets).count()
       }
-      require(frac >= floor * 0.5,
-        s"pruning fraction $frac below physical floor $floor — evidence bug")
-      (name, terms.size, bs.size, nDocs, sec, frac, floor)
+      require(nDocs > 0, s"probe $name matched no docs — probe-design bug")
+      (name, terms.size, bs.size, nDocs, sec, frac, share)
     }
 
     // BM25: index-probe vs full corpus-side recompute, same query
-    val q = Seq("h3", "t123", "t4567")
+    val q = Seq("h3", "h18", "t123")
     val (idxRows, idxSec) = time {
       SearchIndex.bm25Index(s, path, q, 10, Buckets).collect()
     }
@@ -101,9 +106,9 @@ object BenchSearch {
     }
     val agree = idxRows.map(_.toSeq).toSeq == directRows.map(_.toSeq).toSeq
 
-    val probesJson = probeResults.map { case (n, nt, nb, nd, sec, fr, fl) =>
+    val probesJson = probeResults.map { case (n, nt, nb, nd, sec, fr, sh) =>
       f"""{"probe":"$n","terms":$nt,"buckets_probed":$nb,"docs":$nd,""" +
-        f""""sec":$sec%.3f,"read_fraction":$fr%.5f,"floor":$fl%.5f}"""
+        f""""sec":$sec%.3f,"read_fraction":$fr%.5f,"uniform_share":$sh%.5f}"""
     }.mkString("[", ",", "]")
 
     val json =

@@ -21,7 +21,8 @@ object SparkEntry {
       ops.AvroSource.queries ++ ops.RangeJoin.queries ++
       ops.Verifier.queries ++ ops.RecordDecoders.queries ++
       ops.Rank.queries ++ ops.JdbcDialects.queries ++
-      ops.SearchIndex.queries ++ ops.DocumentStore.queries
+      ops.SearchIndex.queries ++ ops.DocumentStore.queries ++
+      ops.TimeSeriesStore.queries ++ ops.KeyedTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.AvroSource.oracle ++ ops.RangeJoin.oracle ++
       ops.Verifier.oracle ++ ops.RecordDecoders.oracle ++
       ops.Rank.oracle ++ ops.JdbcDialects.oracle ++
-      ops.SearchIndex.oracle ++ ops.DocumentStore.oracle
+      ops.SearchIndex.oracle ++ ops.DocumentStore.oracle ++
+      ops.TimeSeriesStore.oracle ++ ops.KeyedTable.oracle
 }

@@ -311,6 +311,104 @@ object JdbcDialects {
   val all: Seq[GraftJdbcDialect] =
     Seq(DerbyDialect, MySqlDialect, PostgresDialect, ClickHouseDialect)
 
+  // ------------------------------------------------------- compute pushdown
+
+  /** The JdbcComputePushdown / JdbcFilterToSqlTranslator analogue
+    * (presto-base-jdbc/optimization/JdbcFilterToSqlTranslator.java +
+    * function/OperatorTranslators.java): translate a filter EXPRESSION
+    * tree — not just column domains — to remote SQL, refusing any node
+    * outside the supported set exactly like `untranslated(...)` does.
+    * The reference registers a deliberately conservative operator set
+    * (add/subtract/equal/not-equal/not at OperatorTranslators.java:35-65);
+    * this keeps the same conservatism plus the order comparisons and
+    * boolean connectives, and notably NOT integer division (Spark's `/`
+    * is double division, most engines' is integral — a silent semantics
+    * change the translator must refuse, the whole point of the
+    * refuse-by-default design). */
+  object ComputePushdown {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+    def translate(e: Expression, d: GraftJdbcDialect): Option[String] = {
+      def bin(l: Expression, r: Expression, op: String): Option[String] =
+        for (ls <- translate(l, d); rs <- translate(r, d))
+          yield s"($ls $op $rs)"
+      e match {
+        case Literal(null, _) => Some("NULL")
+        case Literal(v, StringType) => Some(d.literal(v.toString, StringType))
+        case Literal(v, BooleanType) =>
+          Some(d.literal(v.asInstanceOf[Boolean], BooleanType))
+        case Literal(v, t @ (ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | _: DecimalType)) =>
+          Some(d.literal(v, t))
+        case a: AttributeReference => Some(d.quote(a.name))
+        case u: UnresolvedAttribute => Some(d.quote(u.name))
+        case Add(l, r, _) => bin(l, r, "+")
+        case Subtract(l, r, _) => bin(l, r, "-")
+        case Multiply(l, r, _) => bin(l, r, "*")
+        case EqualTo(l, r) => bin(l, r, "=")
+        case Not(EqualTo(l, r)) => bin(l, r, "<>")
+        case LessThan(l, r) => bin(l, r, "<")
+        case LessThanOrEqual(l, r) => bin(l, r, "<=")
+        case GreaterThan(l, r) => bin(l, r, ">")
+        case GreaterThanOrEqual(l, r) => bin(l, r, ">=")
+        case And(l, r) => bin(l, r, "AND")
+        case Or(l, r) => bin(l, r, "OR")
+        case Not(c) => translate(c, d).map(s => s"(NOT $s)")
+        case IsNull(c) => translate(c, d).map(s => s"($s IS NULL)")
+        case IsNotNull(c) => translate(c, d).map(s => s"($s IS NOT NULL)")
+        case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
+          for {
+            vs <- translate(v, d)
+            ls <- list.foldLeft(Option(Seq.empty[String]))((acc, l) =>
+              acc.flatMap(xs => translate(l, d).map(xs :+ _)))
+          } yield s"($vs IN (${ls.mkString(", ")}))"
+        // the Column DSL arrives as unresolved function calls ('`>`, 'and,
+        // 'isNull, ...) before analysis; dispatch the same operator set by
+        // name, refusing unknown names ("/"' included) identically
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          (f.nameParts.last, f.arguments) match {
+            case ("+", Seq(l, r)) => bin(l, r, "+")
+            case ("-", Seq(l, r)) => bin(l, r, "-")
+            case ("*", Seq(l, r)) => bin(l, r, "*")
+            case ("=", Seq(l, r)) => bin(l, r, "=")
+            case ("<", Seq(l, r)) => bin(l, r, "<")
+            case ("<=", Seq(l, r)) => bin(l, r, "<=")
+            case (">", Seq(l, r)) => bin(l, r, ">")
+            case (">=", Seq(l, r)) => bin(l, r, ">=")
+            case ("and", Seq(l, r)) => bin(l, r, "AND")
+            case ("or", Seq(l, r)) => bin(l, r, "OR")
+            case ("!" | "not", Seq(c)) => c match {
+              // collapse NOT(=) to <> like OperatorTranslators.notEqual
+              case f2: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                  if f2.nameParts.last == "=" && f2.arguments.size == 2 =>
+                bin(f2.arguments(0), f2.arguments(1), "<>")
+              case _ => translate(c, d).map(s => s"(NOT $s)")
+            }
+            case ("isNull", Seq(c)) =>
+              translate(c, d).map(s => s"($s IS NULL)")
+            case ("isNotNull", Seq(c)) =>
+              translate(c, d).map(s => s"($s IS NOT NULL)")
+            case ("in", v +: list) if list.nonEmpty &&
+                list.forall(_.isInstanceOf[Literal]) =>
+              for {
+                vs <- translate(v, d)
+                ls <- list.foldLeft(Option(Seq.empty[String]))((acc, l) =>
+                  acc.flatMap(xs => translate(l, d).map(xs :+ _)))
+              } yield s"($vs IN (${ls.mkString(", ")}))"
+            case _ => None
+          }
+        case _ => None // untranslated: stays a Spark-side filter
+      }
+    }
+
+    /** Translate a Column's expression (the filter a user would write). */
+    def translate(c: org.apache.spark.sql.Column,
+        d: GraftJdbcDialect): Option[String] =
+      translate(
+        org.apache.spark.sql.graftbridge.Bridge.resolvedExpression(c), d)
+  }
+
   // ------------------------------------------------------------ Derby gates
 
   private def tmp(name: String): String = s"/tmp/graft_jdbc/$name"
@@ -396,9 +494,34 @@ object JdbcDialects {
     s.read.jdbc(url, "NATION_DDL", derbyProps).orderBy("n_nationkey")
   }
 
+  /** Compute-pushdown gate, executed on Derby: a filter EXPRESSION
+    * (arithmetic + comparison + boolean connectives, not a column
+    * domain) is translated by ComputePushdown and evaluated REMOTELY via
+    * the dialect-built subquery — the JdbcComputePushdown plan-rewrite
+    * path, value-verified against the parquet oracle. */
+  def jdbcComputePushdown(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmp("compute_db")};create=true"
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "o_orderstatus VARCHAR(8)")
+      .jdbc(url, "ORDERS_CP", derbyProps)
+
+    val filter = (col("o_totalprice") * lit(2.0) > lit(150000.0)) &&
+      !(col("o_orderstatus") === lit("F"))
+    val remoteWhere = ComputePushdown.translate(filter, DerbyDialect)
+      .getOrElse(sys.error("filter must be translatable"))
+    val sel = DerbyDialect.buildSelect(None, "ORDERS_CP",
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"), Nil,
+      additionalPredicate = Some(remoteWhere))
+    s.read.jdbc(url, s"(${sel.inlineSql}) AS GRAFT_CP", derbyProps)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pushdown" -> jdbcPushdown,
-    "src_jdbc_dialect_ddl" -> jdbcDialectDdl)
+    "src_jdbc_dialect_ddl" -> jdbcDialectDdl,
+    "src_jdbc_compute_pushdown" -> jdbcComputePushdown)
 
   val oracle: Map[String, String] = Map(
     "src_jdbc_pushdown" ->
@@ -409,5 +532,10 @@ object JdbcDialects {
         |ORDER BY p_partkey""".stripMargin,
     "src_jdbc_dialect_ddl" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |ORDER BY n_nationkey""".stripMargin)
+        |ORDER BY n_nationkey""".stripMargin,
+    "src_jdbc_compute_pushdown" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_totalprice * 2.0 > 150000.0)
+        |  AND NOT (o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -145,6 +145,44 @@ class JdbcDialectsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported column type"))
   }
 
+  // ------------------------------------------------------- compute pushdown
+
+  test("compute translator renders arithmetic/comparison/boolean trees " +
+    "and refuses unsupported nodes like untranslated() " +
+    "(JdbcFilterToSqlTranslator + OperatorTranslators.java:35-65)") {
+    import org.apache.spark.sql.functions.{col, lit, upper}
+    TestSpark.spark // Column→Expression conversion needs an active session
+    val d = DerbyDialect
+    assert(ComputePushdown.translate(
+      (col("a") + lit(1)) * lit(2) > lit(10), d)
+      === Some("""((("a" + 1) * 2) > 10)"""))
+    assert(ComputePushdown.translate(
+      !(col("s") === lit("F")) && col("b").isNull, d)
+      === Some("""(("s" <> 'F') AND ("b" IS NULL))"""))
+    assert(ComputePushdown.translate(
+      col("x").isin(1, 2, 3) || col("y").isNotNull, d)
+      === Some("""(("x" IN (1, 2, 3)) OR ("y" IS NOT NULL))"""))
+    // refused: double-vs-integer division semantics differ across engines
+    assert(ComputePushdown.translate(col("a") / lit(2) > lit(1), d).isEmpty)
+    // refused: functions are not in the translated operator set
+    assert(ComputePushdown.translate(upper(col("s")) === lit("A"), d).isEmpty)
+    // a refusal anywhere poisons the whole conjunct, like the reference
+    assert(ComputePushdown.translate(
+      (col("a") > lit(1)) && upper(col("s")) === lit("A"), d).isEmpty)
+  }
+
+  test("compute pushdown executes remotely on Derby and matches the " +
+    "parquet-side evaluation") {
+    val s = TestSpark.spark
+    val got = ops.JdbcDialects.jdbcComputePushdown(s, TestSpark.sf).collect()
+    val want = Tables(s, TestSpark.sf, "orders")
+      .selectExpr("o_orderkey", "o_orderstatus", "o_totalprice")
+      .where("o_totalprice * 2.0 > 150000.0 AND NOT (o_orderstatus = 'F')")
+      .orderBy("o_orderkey").collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
+
   // ----------------------------------------------------- executable (Derby)
 
   test("dialect-built pushdown subquery executes on Derby and matches the " +
