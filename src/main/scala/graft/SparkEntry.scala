@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Verifier.queries ++ ops.RecordDecoders.queries ++
       ops.Rank.queries ++ ops.JdbcDialects.queries ++
       ops.SearchIndex.queries ++ ops.DocumentStore.queries ++
-      ops.TimeSeriesStore.queries ++ ops.KeyedTable.queries
+      ops.TimeSeriesStore.queries ++ ops.KeyedTable.queries ++
+      ops.KeyValueStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Verifier.oracle ++ ops.RecordDecoders.oracle ++
       ops.Rank.oracle ++ ops.JdbcDialects.oracle ++
       ops.SearchIndex.oracle ++ ops.DocumentStore.oracle ++
-      ops.TimeSeriesStore.oracle ++ ops.KeyedTable.oracle
+      ops.TimeSeriesStore.oracle ++ ops.KeyedTable.oracle ++
+      ops.KeyValueStore.oracle
 }
