@@ -230,6 +230,38 @@ object JdbcDialects {
       val none = scala.collection.mutable.ArrayBuffer[(Any, DataType)]()
       JdbcSelect(sql, params.toSeq, render(inline = true, none))
     }
+
+    /** Aggregation pushdown (the ClickHouse/Druid connectors' whole-agg
+      * swap — ClickHouseQueryGenerator.visitAggregation): group-by keys +
+      * the supported agg calls rendered as remote SQL. Unsupported
+      * function names raise, mirroring
+      * CLICKHOUSE_PUSHDOWN_UNSUPPORTED_EXPRESSION. */
+    def buildAggregateSelect(
+        schema: Option[String],
+        table: String,
+        groupBy: Seq[String],
+        aggs: Seq[AggCall],
+        domains: Seq[JdbcDomain] = Nil,
+        additionalPredicate: Option[String] = None): JdbcSelect = {
+      aggs.foreach(a => require(SupportedAggs(a.fn.toLowerCase),
+        s"unsupported pushdown aggregation: ${a.fn}"))
+      val aggSql = aggs.map { a =>
+        val arg = a.column.map(quote).getOrElse("*")
+        s"${a.fn.toLowerCase}($arg) AS ${quote(a.alias)}"
+      }
+      val proj = (groupBy.map(quote) ++ aggSql).mkString(", ")
+      val base = buildSelect(schema, table, Nil, domains,
+        additionalPredicate = additionalPredicate)
+      def withProj(sql: String): String = {
+        val grouped =
+          if (groupBy.isEmpty) ""
+          else " GROUP BY " + groupBy.map(quote).mkString(", ")
+        sql.replaceFirst(
+          java.util.regex.Pattern.quote("SELECT null"),
+          java.util.regex.Matcher.quoteReplacement(s"SELECT $proj")) + grouped
+      }
+      JdbcSelect(withProj(base.sql), base.params, withProj(base.inlineSql))
+    }
   }
 
   // --------------------------------------------------------------- dialects
@@ -310,6 +342,18 @@ object JdbcDialects {
 
   val all: Seq[GraftJdbcDialect] =
     Seq(DerbyDialect, MySqlDialect, PostgresDialect, ClickHouseDialect)
+
+  // ----------------------------------------------------- aggregate pushdown
+
+  /** One pushed aggregate call. `column` None = count(*)
+    * (ClickHouseQueryGeneratorContext's hidden count(*) selection). */
+  final case class AggCall(fn: String, column: Option[String], alias: String)
+
+  /** The aggregation-pushdown function set the reference's ClickHouse
+    * connector forwards (ClickHouseQueryGenerator.java:67-71: min, max,
+    * avg, sum, count); anything else raises like
+    * CLICKHOUSE_PUSHDOWN_UNSUPPORTED_EXPRESSION. */
+  private val SupportedAggs = Set("min", "max", "avg", "sum", "count")
 
   // ------------------------------------------------------- compute pushdown
 
@@ -518,10 +562,43 @@ object JdbcDialects {
       .orderBy("o_orderkey")
   }
 
+  /** Aggregation-pushdown gate, executed on Derby: the whole GROUP BY +
+    * count/sum/min/max subtree runs REMOTELY through the dialect-built
+    * statement (the ClickHouse connector's visitAggregation swap). The
+    * quantity column is stored DECIMAL so the remote SUM is exact and
+    * order-independent — the engine-portable convention the repo's dsum
+    * oracle uses. */
+  def jdbcAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmp("agg_db")};create=true"
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 6)).as("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "l_returnflag VARCHAR(4), l_quantity DECIMAL(18,6)")
+      .jdbc(url, "LINEITEM_AGG", derbyProps)
+
+    val sel = DerbyDialect.buildAggregateSelect(None, "LINEITEM_AGG",
+      groupBy = Seq("l_returnflag"),
+      aggs = Seq(
+        AggCall("count", None, "cnt"),
+        AggCall("sum", Some("l_quantity"), "sum_qty"),
+        AggCall("min", Some("l_extendedprice"), "min_price"),
+        AggCall("max", Some("l_extendedprice"), "max_price")))
+    s.read.jdbc(url, s"(${sel.inlineSql}) AS GRAFT_AGG", derbyProps)
+      .select(col("l_returnflag"),
+        col("cnt").cast("long").as("cnt"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pushdown" -> jdbcPushdown,
     "src_jdbc_dialect_ddl" -> jdbcDialectDdl,
-    "src_jdbc_compute_pushdown" -> jdbcComputePushdown)
+    "src_jdbc_compute_pushdown" -> jdbcComputePushdown,
+    "src_jdbc_agg_pushdown" -> jdbcAggPushdown)
 
   val oracle: Map[String, String] = Map(
     "src_jdbc_pushdown" ->
@@ -537,5 +614,11 @@ object JdbcDialects {
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE (o_totalprice * 2.0 > 150000.0)
         |  AND NOT (o_orderstatus = 'F')
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "src_jdbc_agg_pushdown" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -183,6 +183,51 @@ class JdbcDialectsSpec extends AnyFunSuite {
     assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
   }
 
+  // ----------------------------------------------------- aggregate pushdown
+
+  test("aggregate select renders GROUP BY + the ClickHouse-supported " +
+    "function set; unknown functions raise " +
+    "(ClickHouseQueryGenerator.java:67-71)") {
+    val sel = MySqlDialect.buildAggregateSelect(
+      Some("tpch"), "lineitem",
+      groupBy = Seq("l_returnflag"),
+      aggs = Seq(
+        AggCall("count", None, "cnt"),
+        AggCall("sum", Some("l_quantity"), "sq"),
+        AggCall("avg", Some("l_discount"), "ad")),
+      domains = Seq(JdbcDomain("l_quantity", DoubleType,
+        Seq(JdbcRange.atMost(24.0)))))
+    assert(sel.inlineSql ===
+      "SELECT `l_returnflag`, count(*) AS `cnt`, sum(`l_quantity`) AS `sq`, " +
+        "avg(`l_discount`) AS `ad` FROM `tpch`.`lineitem` " +
+        "WHERE ((`l_quantity` <= 24.0)) GROUP BY `l_returnflag`")
+    val e = intercept[IllegalArgumentException](
+      DerbyDialect.buildAggregateSelect(None, "t", Nil,
+        Seq(AggCall("approx_distinct", Some("x"), "a"))))
+    assert(e.getMessage.contains("unsupported pushdown aggregation"))
+    // global aggregate: no GROUP BY clause
+    val g = DerbyDialect.buildAggregateSelect(None, "t", Nil,
+      Seq(AggCall("count", None, "cnt")))
+    assert(g.inlineSql === "SELECT count(*) AS \"cnt\" FROM \"t\"")
+  }
+
+  test("aggregate pushdown executes remotely on Derby and matches the " +
+    "parquet-side aggregation") {
+    val s = TestSpark.spark
+    val got = ops.JdbcDialects.jdbcAggPushdown(s, TestSpark.sf).collect()
+    val want = Tables(s, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        Tables.dsum(org.apache.spark.sql.functions.col("l_quantity"), "sum_qty"),
+        org.apache.spark.sql.functions.min("l_extendedprice").as("min_price"),
+        org.apache.spark.sql.functions.max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag").collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
+
   // ----------------------------------------------------- executable (Derby)
 
   test("dialect-built pushdown subquery executes on Derby and matches the " +

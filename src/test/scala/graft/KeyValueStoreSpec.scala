@@ -40,6 +40,17 @@ class KeyValueStoreSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("k3", "k1", "k4")) // ranks 1..3 by score
   }
 
+  test("prefix routing over a parquet keyspace reaches the scan as a " +
+    "pushed StartsWith filter") {
+    val path = "/tmp/graft_kv_spec/keyspace"
+    kv(Seq(("tpch:orders:1", "a", 1.0), ("x:y:2", "b", 2.0)))
+      .write.mode("overwrite").parquet(path)
+    val q = KeyValueStore.scanTable(spark.read.parquet(path), "tpch", "orders")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), s"expected pushed StartsWith in:\n$plan")
+    assert(q.count() === 1)
+  }
+
   test("gate decodes key id + json value + hash fields and matches the " +
     "relational rows") {
     val out = graft.ops.KeyValueStore.kvTableGate(spark, sf)
