@@ -20,9 +20,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) memo of the scan DataFrames. Every
+    * `spark.read.parquet` call pays a fresh driver-side file listing +
+    * footer schema read + analysis; across a 121-query bench each query
+    * re-reads 3-6 fixture tables, so this was 0.1-0.4 s of pure driver
+    * time per query (measured with graft.PlanProfile, r13). The fixture
+    * parquet under a dir never changes within a session (testdata is
+    * read-only; bench corpora write once to a fresh temp dir before the
+    * first read), so reusing the SAME DataFrame object is safe — the
+    * analyzer also skips already-analyzed subtrees, the same reasoning
+    * as Tpcds.dimMemo. Self-joins dedup ExprIds via the analyzer's
+    * normal DeduplicateRelations pass. */
+  private val scanMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.rules.GraftRules.install(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    scan(spark, s"$dir/$name.parquet")
+  }
+
+  /** Memoized parquet scan of an arbitrary stable path (also used for the
+    * materialized TPC-DS facts — same staleness argument as above: the
+    * materializer validates/rewrites once per JVM before the first
+    * memoized read and calls [[invalidate]] on rewrite). */
+  def scan(spark: SparkSession, path: String): DataFrame =
+    scanMemo.computeIfAbsent((spark, path), k => spark.read.parquet(k._2))
+
+  /** Drop memoized scans under `dir` (for the rare caller that rewrites
+    * a fixture path mid-session). */
+  def invalidate(dir: String): Unit = {
+    val it = scanMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(dir)) it.remove()
   }
 
   /** Register all fixture tables as temp views (for spark.sql entry points). */

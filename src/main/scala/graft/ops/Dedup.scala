@@ -390,9 +390,17 @@ object Dedup {
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
       .toDF("doc_id", "pos", "gs")
       .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
-    val dupG = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select("g")
-    val hits = sh.join(dupG, "g").select(col("doc_id"), col("pos"))
+    // one gram-keyed exchange + sort: the former groupBy(g)+self-join
+    // shape shuffled the gram stream TWICE (the count aggregate's
+    // exchange barely combines — grams are near-unique per map partition
+    // on a real crawl — and the sort-merge join re-shuffled and re-sorted
+    // both sides); a count-over-partition window gets the same cnt >= 2
+    // hits off a single exchange (r13; gram groups are tiny, so the
+    // window buffer stays in memory)
+    val hits = sh
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val spans = hits
@@ -443,16 +451,20 @@ object Dedup {
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
       .toDF("doc_id", "pos", "gs")
       .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
+    // rk > 1 already implies the gram occurs ≥ 2 times, so the former
+    // count(*)-over-partition companion window was pure overhead (a
+    // second whole-partition pass that buffers every gram group); and
+    // collect_set dedups (doc_id, rp) itself, so the former .distinct()
+    // before it was a full extra exchange + hash-dedup of the exploded
+    // removal positions (r13 — both removed, results identical).
     val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
     val dropped = sh
       .withColumn("rk", row_number().over(wg))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("cnt") >= 2 && col("rk") > 1)
+      .filter(col("rk") > 1)
       .select(col("doc_id"), col("pos"))
     val rm = dropped
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
-      .distinct()
     val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
     d.join(rmAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("nw").as("n_words"),

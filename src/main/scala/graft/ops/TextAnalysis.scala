@@ -168,10 +168,15 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .withColumn("bucket",
         expr(s"CAST(conv(substring(md5(word), 1, 6), 16, 10) AS BIGINT) % $B"))
-    // model head: per-class token totals — |classes| rows, THE model's
-    // metadata, read to the driver exactly like a trained model's shape
-    // is (this is not a data collect; it stays O(classes))
-    val langTotals = toks.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    // ONE training pass: the (class, bucket) count grid IS the whole
+    // model (≤ |classes| × B rows) — persist it and derive both the
+    // per-class totals (collected: model metadata, O(classes)) and the
+    // pivoted per-bucket term table from the grid, instead of re-scanning
+    // the token stream once per consumer (r13: was 2 corpus passes for
+    // training, now 1).
+    val grid = graft.ops.CacheBook.persisted(
+      toks.groupBy("lang", "bucket").agg(count(lit(1)).as("c_lb")))
+    val langTotals = grid.groupBy("lang").agg(sum(col("c_lb")).as("c_l"))
       .orderBy("lang").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val langs = langTotals.map(_._1)
@@ -187,15 +192,22 @@ object TextAnalysis {
         .as(s"t$i")
     }
     val fills = langs.indices.map(i => s"t$i" -> defTerm(i)).toMap[String, Any]
-    val bucketTerms = toks.groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("c_lb"))
+    val bucketTerms = grid
       .groupBy("bucket").agg(termCols.head, termCols.tail: _*)
       .na.fill(fills)
-    val dt = toks.groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
-    val scoreCols = langs.indices.map(i => sum(col("m") * col(s"t$i")).as(s"s$i"))
-    val scored = dt.join(broadcast(bucketTerms), Seq("bucket"), "left")
+    // scoring: tokens flow straight into the broadcast model join and
+    // collapse to ONE partial-agg row per document before the only
+    // exchange — Σ_tokens t_i ≡ Σ_buckets m·t_i exactly (integer terms),
+    // so scores are bit-identical to the previous (doc, bucket) shape,
+    // which exchanged every distinct (doc, bucket) pair (measured 194 M
+    // records / 2.6 GiB at 5 M docs) and then joined docs back on for
+    // the label (a second fact-sized sort-merge join). Grouping on
+    // (doc_id, lang) — lang is functionally dependent on doc_id — keeps
+    // the label in the aggregate and removes that join outright.
+    val scoreCols = langs.indices.map(i => sum(col(s"t$i")).as(s"s$i"))
+    val scored = toks.join(broadcast(bucketTerms), Seq("bucket"), "left")
       .na.fill(fills)
-      .groupBy("doc_id").agg(scoreCols.head, scoreCols.tail: _*)
+      .groupBy("doc_id", "lang").agg(scoreCols.head, scoreCols.tail: _*)
     // argmax, ties to the lexicographically first class (same contract as
     // the previous row_number(score DESC, lang ASC) formulation)
     val (predCol, bestCol) = langs.indices.tail.foldLeft(
@@ -203,9 +215,7 @@ object TextAnalysis {
       (when(col(s"s$i") > b, lit(langs(i))).otherwise(p),
         when(col(s"s$i") > b, col(s"s$i")).otherwise(b))
     }
-    docs.select(col("doc_id"), col("lang").as("actual_lang"))
-      .join(scored, "doc_id")
-      .select(col("doc_id"), col("actual_lang"),
+    scored.select(col("doc_id"), col("lang").as("actual_lang"),
         predCol.as("pred_lang"), bestCol.as("score"))
       .orderBy("doc_id")
   }
@@ -243,13 +253,14 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
       .toDF("doc_id", "pos", "g")
+    // rk > 1 implies cnt >= 2, and collect_set dedups — same two
+    // redundant passes removed as in Dedup.spanDedup (r13)
     val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
     val dropped = sh.withColumn("rk", row_number().over(wg))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("cnt") >= 2 && col("rk") > 1)
+      .filter(col("rk") > 1)
       .select(col("doc_id"), col("pos"))
     val rm = dropped.select(col("doc_id"),
-      explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp")).distinct()
+      explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
     val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
     val r2 = gf.join(rmAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -422,37 +433,41 @@ object TextAnalysis {
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, the standard
     * repetition rules every pre-training corpus applies): per-document
     * repeated-word fraction plus the occupancy of the single most frequent
-    * word bigram / trigram. The distinct-fraction is a per-row HOF (zero
-    * shuffle); the top-n-gram counts go through ONE explode + doc-keyed
-    * aggregation — linear in document length, so a 100k-word document
-    * costs 100k rows, not the 10^10 comparisons a per-row quadratic HOF
-    * would (that is why this shuffles once instead of staying per-row). */
+    * word bigram / trigram. Everything is per-row (zero shuffle before the
+    * deterministic ORDER BY): the top-n-gram count of one document equals
+    * the LONGEST RUN in its sorted gram array — array_sort + one linear
+    * fold, O(n log n) per row — so the former explode → (doc, gram)
+    * exchange → per-doc aggregate → join (two shuffles of 2×corpus-token
+    * rows plus a doc-keyed join) is gone entirely (r13; counts, and so
+    * every emitted fraction, are bit-identical). */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // longest equal-run in the sorted gram array == max occurrence count
+    // of any gram; state = (prev value, current run, best run)
+    def topRun(gramsArr: String): Column = expr(
+      s"""aggregate(array_sort($gramsArr),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+         |  (s, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(x <=> s.prev, s.run + 1L, 1L),
+         |    'best', greatest(s.best, IF(x <=> s.prev, s.run + 1L, 1L))),
+         |  s -> s.best)""".stripMargin)
+    t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
       .filter(col("nw") >= 3)
-    val base = d.select(col("doc_id"), col("nw"),
-      round(lit(1.0) -
-        size(array_distinct(col("w"))).cast("double") / col("nw"), 4)
-        .as("rep_word_frac"))
-    // tagged 2- and 3-grams in one pass: explode once, aggregate once
-    val grams = d.select(col("doc_id"), col("nw"), explode(concat(
-      expr("transform(sequence(0, int(nw) - 2), " +
-        "i -> concat('2:', w[i], ' ', w[i+1]))"),
-      expr("transform(sequence(0, int(nw) - 3), " +
-        "i -> concat('3:', w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("g"))
-    val top = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("cnt"), first(col("nw")).as("nw"))
-      .groupBy(col("doc_id"))
-      .agg(
-        round(max(when(col("g").startsWith("2:"), col("cnt"))).cast("double")
-          / (first(col("nw")) - 1), 4).as("top_bigram_frac"),
-        round(max(when(col("g").startsWith("3:"), col("cnt"))).cast("double")
-          / (first(col("nw")) - 2), 4).as("top_trigram_frac"))
-    base.join(top, "doc_id")
-      .select(col("doc_id"), col("nw"), col("rep_word_frac"),
-        col("top_bigram_frac"), col("top_trigram_frac"))
+      .withColumn("bg",
+        expr("transform(sequence(0, int(nw) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+      .withColumn("tg",
+        expr("transform(sequence(0, int(nw) - 3), " +
+          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+      .select(col("doc_id"), col("nw"),
+        round(lit(1.0) -
+          size(array_distinct(col("w"))).cast("double") / col("nw"), 4)
+          .as("rep_word_frac"),
+        round(topRun("bg").cast("double") / (col("nw") - 1), 4)
+          .as("top_bigram_frac"),
+        round(topRun("tg").cast("double") / (col("nw") - 2), 4)
+          .as("top_trigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -600,20 +615,29 @@ object TextAnalysis {
     * decimal mean. Everything shuffles on hash keys; nothing is
     * quadratic and nothing collects. */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-    val words = docs.select(col(idCol),
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
-          .as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val bigrams = words
-      .select(col(idCol), col("w").as("w1"),
-        lead(col("w"), 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-    val model = bigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c"))
-    val heads = bigrams.groupBy(col("w1").as("hw"))
-      .agg(count(lit(1)).as("cw"))
+    // adjacent-word pairs come straight off each row's word array (a
+    // codegen'd transform + explode) — the former lead()-window
+    // formulation exchanged and sorted the ENTIRE token stream by doc
+    // just to pair neighbours that were already adjacent in the row
+    // (r13: one full shuffle + sort removed; pair order per doc and all
+    // counts are identical)
+    val wordsArr = docs.select(col(idCol),
+      expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> x != '')")
+        .as("ws"))
+    val words = wordsArr.select(col(idCol), explode(col("ws")).as("w"))
+    val bigrams = wordsArr
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the bigram count table is consumed twice — as the scoring join side
+    // and re-aggregated into the head counts c(w1·) = Σ_w2 c(w1,w2) — so
+    // it materializes once instead of re-deriving both from the corpus
+    val model = graft.ops.CacheBook.persisted(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+    val heads = model.groupBy(col("w1").as("hw"))
+      .agg(sum(col("c")).as("cw"))
     val v = words.select(countDistinct(col("w")).as("v"))
     bigrams
       .join(model, Seq("w1", "w2"), "left")

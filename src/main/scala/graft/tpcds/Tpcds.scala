@@ -84,19 +84,24 @@ object Tpcds {
     // serve stale/partial parquet.
     if (new java.io.File(p, "_SUCCESS").isFile) {
       val path = p.getAbsolutePath
-      if (matValidated.contains(path)) s.read.parquet(path)
+      // Tables.scan memoizes the DataFrame per (session, path): each
+      // spark.read.parquet costs a fresh file listing + footer read +
+      // analysis on the driver — per query call that was 0.1-0.3 s
+      // across the 99-query bench (r13, PlanProfile-measured)
+      if (matValidated.contains(path)) graft.Tables.scan(s, path)
       else {
         val derived = derive
         if (fingerprintMatches(p, derivationPrint(derived))) {
-          matValidated.add(path); s.read.parquet(path)
+          matValidated.add(path); graft.Tables.scan(s, path)
         } else {
           derived.write.mode("overwrite").parquet(path)
           writeFingerprint(p, derivationPrint(derived))
           // drop cached file listings — downstream derivations already
           // planned against the old part files would FAILED_READ otherwise
           s.catalog.refreshByPath(path)
+          graft.Tables.invalidate(path)
           matValidated.add(path)
-          s.read.parquet(path)
+          graft.Tables.scan(s, path)
         }
       }
     } else derive
@@ -2845,18 +2850,27 @@ object Tpcds {
         .select(lit(name).as("channel"), col(itemK).as("i"), col("d_year"),
           col("d_moy"), (col(price) * col(qty)).as("v"))
     // ONE pass over the three channel facts → a small per-(channel, item,
-    // month) DECIMAL pre-aggregate, cached and shared by all three
-    // consumers (cross-items, global average, December report). The text's
-    // formulation walks each fact three times; decimal partials re-sum
-    // exactly, so every downstream number is unchanged.
+    // YEAR) DECIMAL pre-aggregate with December-report companion columns,
+    // cached and shared by all three consumers (cross-items, global
+    // average, December report). The text's formulation walks each fact
+    // three times; the former r12 shape kept a (channel, item, year,
+    // month) grain, which is 12× more groups than any consumer needs —
+    // the December report reads conditional partials (svd_dec/cnt_dec)
+    // instead of month rows. Decimal partials re-sum exactly and a
+    // cnt_dec null (no December rows) is excluded exactly like the
+    // absent month-row was, so every downstream number is unchanged
+    // (r13; guide §2.3 — aggregate before you shuffle, shuffle fewer
+    // rows).
     val g = tagged(storeSales(s, dir), "ss_sold_date_sk", "ss_item_sk",
         "ss_list_price", "ss_quantity", "store")
       .unionAll(tagged(catalogSales(s, dir), "cs_sold_date_sk", "cs_item_sk",
         "cs_list_price", "cs_quantity", "catalog"))
       .unionAll(tagged(webSales(s, dir), "ws_sold_date_sk", "ws_item_sk",
         "ws_ext_sales_price", "ws_quantity", "web"))
-      .groupBy("channel", "i", "d_year", "d_moy")
-      .agg(decSum(col("v")).as("svd"), count(lit(1)).as("cnt"))
+      .groupBy("channel", "i", "d_year")
+      .agg(decSum(col("v")).as("svd"),
+        decSum(when(col("d_moy") === 12, col("v"))).as("svd_dec"),
+        sum(when(col("d_moy") === 12, 1L)).as("cnt_dec"))
       .transform(graft.ops.CacheBook.persisted)
     val cross = g.groupBy("i")
       .agg(countDistinct(col("channel")).as("nch"))
@@ -2864,12 +2878,12 @@ object Tpcds {
     val avgS = g.groupBy("i", "d_year")
       .agg(sum(col("svd")).cast("double").as("sv"))
       .agg(davg(col("sv")).as("avg_sales"))
-    val chans = g.filter(col("d_year") === 1999 && col("d_moy") === 12)
+    val chans = g.filter(col("d_year") === 1999 && col("cnt_dec") > 0)
       .join(cross, col("i") === col("cross_item"), "leftsemi")
       .join(broadcast(item(s, dir)), col("i") === col("i_item_sk"))
       .groupBy("channel", "i_brand_id")
-      .agg(sum(col("svd")).cast("double").as("sales"),
-        sum(col("cnt")).as("number_sales"))
+      .agg(sum(col("svd_dec")).cast("double").as("sales"),
+        sum(col("cnt_dec")).as("number_sales"))
     chans.crossJoin(broadcast(avgS))
       .filter(col("sales") > col("avg_sales"))
       .rollup(col("channel"), col("i_brand_id"))
@@ -4594,6 +4608,7 @@ object Tpcds {
       |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
       |  ${ds_sum("profit", "profit")}
       |FROM chans GROUP BY ROLLUP(channel, id)
+      |HAVING COUNT(*) > 0
       |ORDER BY channel, id NULLS FIRST LIMIT 100""".stripMargin),
     "ds_q85" -> ds(s"""
       |SELECT r_reason_desc, ${ds_avg("ws_quantity", "avg_qty")},
@@ -4914,6 +4929,7 @@ object Tpcds {
       |  CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
       |FROM chans, avg_sales WHERE sales > avg_sales
       |GROUP BY ROLLUP(channel, i_brand_id)
+      |HAVING COUNT(*) > 0
       |ORDER BY channel, i_brand_id NULLS FIRST LIMIT 100""".stripMargin),
     "ds_q24" -> ds(s"""
       |, ssales AS (
@@ -5050,6 +5066,7 @@ object Tpcds {
       |  ${ds_sum("sales", "sales")}, ${ds_sum("returns_", "returns_")},
       |  ${ds_sum("profit", "profit")}
       |FROM chans GROUP BY ROLLUP(channel, id)
+      |HAVING COUNT(*) > 0
       |ORDER BY channel, id NULLS FIRST LIMIT 100""".stripMargin),
     "ds_q83" -> ds(s"""
       |, dd83 AS (SELECT d_date_sk FROM date_dim
