@@ -246,18 +246,40 @@ object Bench {
     // The driver wrapper keeps only the LAST 2000 chars of stdout and tries
     // to parse a JSON line out of that window; the full line (~5 KB with 121
     // per-query entries) gets its head cut off, so r8/r9 shipped
-    // "parsed": null. Emit a compact headline-only line both BEFORE and
-    // AFTER the full line: whichever end of stdout the driver scans, a
-    // complete parseable object is inside the window. Per-query detail
-    // stays in the full line and in BENCH_LAST.json.
+    // "parsed": null, and through r13 the last-printed line was the compact
+    // HEADLINE-ONLY object — so the driver's round-over-round per-query
+    // comparison ran empty (PERF_r13.json per_query: {}, r13 verdict "Next
+    // round" item 2). Measurement-REPORTING fix (r14, declared in
+    // OPTIMIZATION_r14.md): the LAST printed line now carries the headline
+    // fields AND the per-query median map at reduced precision, sized to
+    // fit the 2000-char window whole (3 decimals ≈ 1.9 KB for 121 queries;
+    // falls back to 2, then to the compact line, if the suite ever grows
+    // past the window). Timing methodology is untouched; the full 4-dp
+    // line still prints first and lands in BENCH_LAST.json, and
+    // BENCH_QUERIES.json carries the 4-dp median map alone as a stable
+    // sidecar for offline comparison.
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"load_flagged":$flagged,"contaminated":$contam,"box_drift":${fmt(drift)},"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+    def tailLine(dp: Int): String = {
+      def f(d: Double): String =
+        BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      val qsDp = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","suite":"$suite","tpcds_total":${fmt(dsTotal)},"box_drift":${fmt(drift)},"layout":"$layout","cpus":"$cpus","dsmat":$dsmat,"sf":"$sfDir","queries":$qsDp}"""
+    }
+    val last = Seq(3, 2).map(tailLine).find(_.length <= 1950).getOrElse(compact)
     println(line)
     println(compact)
+    println(last)
     System.out.flush()
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        ("{\"queries\":" + qs + ",\"query_min\":" + mins + "}\n")
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -42,15 +42,31 @@ object Tables {
   /** Memoized parquet scan of an arbitrary stable path (also used for the
     * materialized TPC-DS facts — same staleness argument as above: the
     * materializer validates/rewrites once per JVM before the first
-    * memoized read and calls [[invalidate]] on rewrite). */
-  def scan(spark: SparkSession, path: String): DataFrame =
+    * memoized read and calls [[invalidate]] on rewrite).
+    *
+    * Callers self-joining a table get the SAME DataFrame instance twice;
+    * disambiguate with df("col") via explicit aliases (`df.as("l")`), not
+    * by re-reading — the analyzer's DeduplicateRelations pass handles the
+    * shared ExprIds, exactly as for a reused `val` within one query.
+    *
+    * Entries of STOPPED sessions evict lazily on the next call from any
+    * session (r13 ADVICE: a long-lived multi-session host would otherwise
+    * pin every dead session's DataFrames for the JVM lifetime). */
+  def scan(spark: SparkSession, path: String): DataFrame = {
+    val it = scanMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     scanMemo.computeIfAbsent((spark, path), k => spark.read.parquet(k._2))
+  }
 
-  /** Drop memoized scans under `dir` (for the rare caller that rewrites
-    * a fixture path mid-session). */
+  /** Drop memoized scans at or under `dir` (for the rare caller that
+    * rewrites a fixture path mid-session). Matches on path-separator
+    * boundaries, so invalidate("/x/t1") leaves "/x/t10" alone. */
   def invalidate(dir: String): Unit = {
     val it = scanMemo.keySet().iterator()
-    while (it.hasNext) if (it.next()._2.startsWith(dir)) it.remove()
+    while (it.hasNext) {
+      val p = it.next()._2
+      if (p == dir || p.startsWith(dir + "/")) it.remove()
+    }
   }
 
   /** Register all fixture tables as temp views (for spark.sql entry points). */

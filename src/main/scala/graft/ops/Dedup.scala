@@ -385,21 +385,30 @@ object Dedup {
     // fixture scale (none exist there); at corpus scale the two
     // definitions diverge by that ~0.3 % event. A 128-bit fingerprint
     // (md5 prefix pair) is the swap-in if exactness must hold at scale.
+    // the k word values hash DIRECTLY (multi-arg xxhash64 chains each
+    // value into the running hash, so word boundaries stay distinct) —
+    // no slice() array and no concat'd gram string is ever allocated in
+    // the explode stage (r14, guide §2.3: shuffle/compute narrower rows)
+    val gramHash = (0 until k).map(j => s"w[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
     val sh = d.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
-      .toDF("doc_id", "pos", "gs")
-      .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
-    // one gram-keyed exchange + sort: the former groupBy(g)+self-join
-    // shape shuffled the gram stream TWICE (the count aggregate's
-    // exchange barely combines — grams are near-unique per map partition
-    // on a real crawl — and the sort-merge join re-shuffled and re-sorted
-    // both sides); a count-over-partition window gets the same cnt >= 2
-    // hits off a single exchange (r13; gram groups are tiny, so the
-    // window buffer stays in memory)
-    val hits = sh
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("cnt") >= 2)
+        s"transform(sequence(0, int(nw) - $k), i -> $gramHash)")))
+      .toDF("doc_id", "pos", "g")
+    // duplicated-gram hits off ONE exchange and NO sort (r14, guide
+    // §2.4/§5): the r13 count-over-partition window got the hits off one
+    // exchange but its sort buffered the full gram stream (28 GiB
+    // mem-spill at the 5 M-doc starved-memory bench). Explicitly
+    // repartition by g ONCE — the per-gram count aggregate and the
+    // hits join both consume that same exchange (ReusedExchange) — and
+    // build the duplicated-gram table as a hash aggregate (per-distinct-
+    // gram state, not per-row) probed by a shuffled-hash join (build
+    // side = duplicated grams only, a subset of distinct grams). The
+    // full-stream sort is gone entirely.
+    val parted = sh.repartition(col("g"))
+    val dup = parted.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val hits = parted.join(dup.hint("shuffle_hash"), "g")
       .select(col("doc_id"), col("pos"))
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -414,7 +423,9 @@ object Dedup {
     val per = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("en") - col("st")).cast("long")).as("dup_words"))
-    d.select("doc_id", "nw").join(per, Seq("doc_id"), "left")
+    // shuffled-hash (build = the small per-doc profile): SMJ would sort
+    // the document side for no reason
+    d.select("doc_id", "nw").join(per.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("nw").as("n_words"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"),
@@ -434,44 +445,75 @@ object Dedup {
     * words. Complements [[substringDup]] (which only reports) with the
     * rewrite C4 actually applies.
     *
-    * Scale shape: shingle explode + ONE rank window keyed by the gram
-    * (first-occurrence election is per-gram, never global), removed
-    * positions collapse back per doc, reassembly is a per-row projection.
-    * No all-pairs stage anywhere. */
+    * Scale shape: shingle explode + ONE gram-keyed exchange shared by a
+    * per-gram min() hash aggregate (the first-occurrence election —
+    * per-gram, never global) and the hash join that yields the later
+    * occurrences; removed positions collapse back per doc, reassembly is
+    * a per-row projection. No sort and no all-pairs stage anywhere. */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 3
     val d = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
-    // same 64-bit gram fingerprints as substringDup: the per-gram
-    // first-occurrence election shuffles longs, not gram strings
+    // same direct k-word xxhash64 fingerprints as substringDup: the
+    // per-gram first-occurrence election shuffles longs, not gram strings
+    val gramHash = (0 until k).map(j => s"w[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
     val sh = d.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
-      .toDF("doc_id", "pos", "gs")
-      .select(col("doc_id"), col("pos"), xxhash64(col("gs")).as("g"))
-    // rk > 1 already implies the gram occurs ≥ 2 times, so the former
-    // count(*)-over-partition companion window was pure overhead (a
-    // second whole-partition pass that buffers every gram group); and
-    // collect_set dedups (doc_id, rp) itself, so the former .distinct()
-    // before it was a full extra exchange + hash-dedup of the exploded
-    // removal positions (r13 — both removed, results identical).
-    val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
-    val dropped = sh
-      .withColumn("rk", row_number().over(wg))
-      .filter(col("rk") > 1)
+        s"transform(sequence(0, int(nw) - $k), i -> $gramHash)")))
+      .toDF("doc_id", "pos", "g")
+    // First-occurrence election WITHOUT the full-stream sort (r14, guide
+    // §2.3/§5): the r13 row_number() window sorted every (g, doc_id,
+    // pos) row — 85 GiB mem-spill at the 5 M-doc starved-memory bench,
+    // the corpus suite's dominant cost. Instead: (doc_id, pos) packs
+    // into ONE order-preserving long (doc_id < 2^31 and pos < 2^32 —
+    // positions are word offsets, ids are sequence numbers; min over a
+    // struct would plan a SortAggregate and bring the sort back), a
+    // per-gram hash aggregate elects min = the first occurrence, and a
+    // shuffled-hash join back against the SAME exchange (ReusedExchange,
+    // build side = duplicated grams only) yields every LATER occurrence.
+    // Exactly the rows rk > 1 produced; no sort anywhere.
+    val parted = sh
+      .withColumn("e", shiftleft(col("doc_id"), 32) + col("pos"))
+      .repartition(col("g"))
+    val firsts = parted.groupBy("g")
+      .agg(min(col("e")).as("fe"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g", "fe")
+    val dropped = parted.join(firsts.hint("shuffle_hash"), "g")
+      .filter(col("e") =!= col("fe"))
       .select(col("doc_id"), col("pos"))
-    val rm = dropped
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
-    val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
-    d.join(rmAgg, Seq("doc_id"), "left")
+    // removed WORD SPANS, not removed word positions (r14, guide §2.3 +
+    // §5): the former explode-to-positions + collect_set aggregated 3×
+    // the dropped-gram stream and, past ObjectHashAggregate's 128-key
+    // sort fallback, SORTED it — the operator's dominant residual spill.
+    // Overlapping/adjacent dropped grams instead merge into disjoint
+    // [st, en) islands per document (the substringDup gaps-and-islands
+    // pass, 1/k-th the rows into the only per-doc sort); distinct
+    // removed-position count = Σ island widths exactly.
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val rmSpans = dropped
+      .withColumn("en", col("pos") + k)
+      .withColumn("prev_max", max(col("en")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("st"), max("en").as("en"))
+    val rmAgg = rmSpans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("ivs"),
+        sum((col("en") - col("st")).cast("long")).as("n_rm"))
+    // shuffled-hash, build = the interval table: a sort-merge join here
+    // would SORT the text-payload side — pure spill at corpus scale
+    d.join(rmAgg.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("nw").as("n_words"),
-        coalesce(size(col("rps")), lit(0)).cast("long").as("n_removed"),
+        coalesce(col("n_rm"), lit(0L)).as("n_removed"),
         expr("concat_ws(' ', transform(filter(" +
           "transform(w, (x, i) -> struct(i AS i, x AS x)), " +
-          "s -> rps IS NULL OR NOT array_contains(rps, s.i)), s -> s.x))")
+          "s -> ivs IS NULL OR NOT exists(ivs, v -> s.i >= v.st AND s.i < v.en)), " +
+          "s -> s.x))")
           .as("new_text"))
       .orderBy("doc_id")
   }

@@ -150,10 +150,12 @@ object TextAnalysis {
     * likelihood (c_lb + 1) * 1e9 // (c_l + 512) summed per (doc, lang),
     * argmax with deterministic score-desc/lang-asc ties. Integer
     * arithmetic end-to-end (the [[lmScore]] trick) so any engine replays
-    * the exact scores. Scale shape: the model is 5 x 512 rows →
-    * broadcast to every scorer; the corpus side is one (doc, bucket)
-    * aggregate and one per-doc window — linear, no all-pairs, no
-    * driver-side training loop. */
+    * the exact scores. Scale shape (r13 rewrite): train from ONE
+    * persisted (lang, bucket) count grid; the exploded token stream
+    * joins straight against the 512-row broadcast pivoted term table and
+    * collapses to one partial-agg row per (doc_id, lang) before the only
+    * exchange — no (doc, bucket) intermediate aggregate, no doc-keyed
+    * label join, no per-doc window, no driver-side training loop. */
   def hashedClassifier(s: SparkSession, dir: String): DataFrame =
     classifierScores(t(s, dir, "documents"), "text")
 
@@ -231,9 +233,9 @@ object TextAnalysis {
     * pred == label) → sequence PACKING of survivors into ~2048-token
     * shards per source. One DuckDB oracle replays all four stages,
     * verifying the inter-stage contracts. Shuffle shape: per-row filter,
-    * one gram-keyed window, one broadcastable model, one source-keyed
-    * window — nothing quadratic, nothing driver-side but the 5-row
-    * model head. */
+    * one gram-keyed exchange (shared by the first-occurrence aggregate
+    * and its join), one broadcastable model, one source-keyed window —
+    * nothing quadratic, nothing driver-side but the 5-row model head. */
   def pipeline3(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stopArr = stop("en").map(w => s"'$w'").mkString("array(", ", ", ")")
@@ -249,24 +251,47 @@ object TextAnalysis {
         expr(s"size(filter($stopArr, st -> array_contains(w, st)))") >= 2)
       .select(col("doc_id"), col("lang"), col("source"), col("w"), col("nw"))
     val k = 3
+    // same shape as Dedup.spanDedup (r14): direct k-word xxhash64 gram
+    // fingerprints (no concat'd gram strings), first-occurrence election
+    // as a per-gram min() over the order-preserving packed (doc_id, pos)
+    // long, later occurrences off a shuffled-hash join against the SAME
+    // gram exchange — the former row_number() window's full-stream sort
+    // (the corpus suite's dominant spill) is gone
+    val gramHash = (0 until k).map(j => s"w[i + $j]")
+      .mkString("xxhash64(", ", ", ")")
     val sh = gf.filter(col("nw") >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, int(nw) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+        s"transform(sequence(0, int(nw) - $k), i -> $gramHash)")))
       .toDF("doc_id", "pos", "g")
-    // rk > 1 implies cnt >= 2, and collect_set dedups — same two
-    // redundant passes removed as in Dedup.spanDedup (r13)
-    val wg = Window.partitionBy("g").orderBy("doc_id", "pos")
-    val dropped = sh.withColumn("rk", row_number().over(wg))
-      .filter(col("rk") > 1)
+    val parted = sh
+      .withColumn("e", shiftleft(col("doc_id"), 32) + col("pos"))
+      .repartition(col("g"))
+    val firsts = parted.groupBy("g")
+      .agg(min(col("e")).as("fe"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g", "fe")
+    val dropped = parted.join(firsts.hint("shuffle_hash"), "g")
+      .filter(col("e") =!= col("fe"))
       .select(col("doc_id"), col("pos"))
-    val rm = dropped.select(col("doc_id"),
-      explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
-    val rmAgg = rm.groupBy("doc_id").agg(collect_set(col("rp")).as("rps"))
-    val r2 = gf.join(rmAgg, Seq("doc_id"), "left")
+    // merged removal INTERVALS per doc + shuffled-hash reattach — the
+    // same r14 spill cuts as Dedup.spanDedup (see the comments there)
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val rmSpans = dropped
+      .withColumn("en", col("pos") + k)
+      .withColumn("prev_max", max(col("en")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("st"), max("en").as("en"))
+    val rmAgg = rmSpans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("ivs"))
+    val r2 = gf.join(rmAgg.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         expr("concat_ws(' ', transform(filter(" +
           "transform(w, (x, i) -> struct(i AS i, x AS x)), " +
-          "s -> rps IS NULL OR NOT array_contains(rps, s.i)), s -> s.x))")
+          "s -> ivs IS NULL OR NOT exists(ivs, v -> s.i >= v.st AND s.i < v.en)), " +
+          "s -> s.x))")
           .as("new_text"))
     val scored = classifierScores(r2, "new_text")
     val kept = r2.join(
@@ -638,16 +663,24 @@ object TextAnalysis {
       bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
     val heads = model.groupBy(col("w1").as("hw"))
       .agg(sum(col("c")).as("cw"))
+    // head counts attach to the MODEL rows (a model-sized join), so the
+    // scoring side joins the bigram stream ONCE — the former
+    // model-then-heads pair exchanged the full stream twice, by (w1, w2)
+    // and again by w1 (r14, guide §2.4). Scoring runs over the SAME
+    // corpus the model was trained on, so every scored bigram is in the
+    // model (c >= 1) and every w1 has a head row: the inner join below
+    // keeps exactly the rows the old left-join + coalesce(c, 0) kept.
+    val modelH = model.join(heads, col("w1") === col("hw"))
+      .select(col("w1"), col("w2"), col("c"), col("cw"))
     val v = words.select(countDistinct(col("w")).as("v"))
     bigrams
-      .join(model, Seq("w1", "w2"), "left")
-      .join(heads, col("w1") === col("hw"))
+      .join(modelH, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       // probability scaled to an exact ×1e9 integer (floor division):
       // integer sums are order-independent and engine-exact, where a
       // per-element double→decimal cast drifts by an ULP across engines
       .select(col(idCol), expr(
-        "((coalesce(c, 0L) + 1L) * 1000000000L) div (cw + v)").as("p9"))
+        "((c + 1L) * 1000000000L) div (cw + v)").as("p9"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p9")).cast("double") / count(lit(1)).cast("double") /

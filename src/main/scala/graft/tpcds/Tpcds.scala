@@ -883,9 +883,19 @@ object Tpcds {
       .groupBy(col("ss_item_sk").as("f_item"))
       .agg(countDistinct(col("d_year") * 12 + col("d_moy")).as("months"))
       .filter(col("months") >= 4).select("f_item")
-    val spend = storeSales(s, dir)
-      .groupBy(col("ss_customer_sk").as("b_cust"))
-      .agg(dsum(col("ss_sales_price"), "spend"))
+    // the customer-grain spend aggregate feeds TWO consumers (the max
+    // cutoff and the best-customer filter) — unpersisted, its whole
+    // fact-scan subplan duplicated, so the query aggregated store_sales
+    // THREE times. Persist the small (≤ |customers|) aggregate once
+    // (r14, guide §2.3/§5 — same CacheBook pattern as ds_q14/q75); the
+    // frequent-items leg stays an independent, concurrently-scheduled
+    // pass (a shared grouping-sets single pass was tried and measured
+    // SLOWER at sf0.1 and flat at sf1: it serializes the legs behind a
+    // fact-wide cached Expand — see OPTIMIZATION_r14.md).
+    val spend = graft.ops.CacheBook.persisted(
+      storeSales(s, dir)
+        .groupBy(col("ss_customer_sk").as("b_cust"))
+        .agg(dsum(col("ss_sales_price"), "spend")))
     // Best-customer cutoff as a max-derived scalar (the reference q23 text's
     // own shape: `> 95/100.0 * (select max(csales) ...)`, q23.sql:20). An
     // exact percentile here would merge a value→count map into ONE final
@@ -894,9 +904,14 @@ object Tpcds {
     val cutoff = spend.agg((max(col("spend")) * 0.5).as("c"))
     val best = spend.join(broadcast(cutoff)).filter(col("spend") >= col("c"))
       .select("b_cust")
+    // both semi-join sides are dimension-bounded (≤ |items| / ≤ the
+    // best-spender subset of |customers|) → broadcast them instead of
+    // the former pair of sort-merge semi-joins, which exchanged + sorted
+    // catalog_sales TWICE (r14, guide §3.1)
     catalogSales(s, dir)
-      .join(frequent, col("cs_item_sk") === col("f_item"), "left_semi")
-      .join(best, col("cs_bill_customer_sk") === col("b_cust"), "left_semi")
+      .join(broadcast(frequent), col("cs_item_sk") === col("f_item"), "left_semi")
+      .join(broadcast(best), col("cs_bill_customer_sk") === col("b_cust"),
+        "left_semi")
       .agg(dsum(col("cs_ext_sales_price"), "total_sales"),
         count(lit(1)).as("n_sales"))
   }

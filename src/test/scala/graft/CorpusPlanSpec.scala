@@ -16,13 +16,16 @@ import graft.ops.{Dedup, TextAnalysis}
   *    join — no (doc_id, bucket) intermediate aggregate (it exchanged
   *    194 M records at the 5 M-doc corpus bench) and no fact-sized
   *    doc⋈score join;
-  *  - substring-dup profile: duplicated-gram hits come from ONE
-  *    count-over-gram window — no gram-keyed count aggregate feeding a
-  *    gram-keyed self-join (two extra exchanges + sorts);
-  *  - span removal: exactly one gram-keyed window pass (the former
-  *    count(*) companion window doubled the whole-partition passes) and
-  *    no distinct before the per-doc collect_set (same dedup, one less
-  *    exchange);
+  *  - substring-dup profile (r14 shape): duplicated-gram hits come from
+  *    a per-gram hash aggregate + shuffled-hash join sharing ONE
+  *    repartition-by-gram exchange — no full-stream gram window (its
+  *    sort spilled 28 GiB at the 5 M-doc starved-memory bench) and no
+  *    sort-merge join;
+  *  - span removal (r14 shape): first-occurrence election is a per-gram
+  *    min() HASH aggregate over the packed (doc_id, pos) long + the same
+  *    reused-exchange hash join — no row_number() window (85 GiB
+  *    mem-spill at 5 M docs), no SortAggregate sneaking the sort back,
+  *    and no distinct before the per-doc collect_set;
   *  - lmScore: bigram pairs come off each row's word array — no
   *    lead()-window (a full exchange + sort of the token stream). */
 class CorpusPlanSpec extends AnyFunSuite {
@@ -56,22 +59,48 @@ class CorpusPlanSpec extends AnyFunSuite {
     assert(smj.isEmpty, s"classifier regressed to a fact-sized join: $smj")
   }
 
-  test("substring-dup takes duplicated-gram hits off one window, not an agg + self-join") {
-    val df = Dedup.substringDup(spark, sf)
-    assert(!aggKeyNames(plan(df)).exists(_ == Seq("g")),
-      "substringDup regressed to the gram-count aggregate + self-join shape")
-    // three window passes total: the gram-count window plus the two
-    // per-doc island windows (the rewrite must not add more)
-    assert(windows(plan(df)).size == 3)
+  private def shuffledHashJoins(p: SparkPlan) = p.collectWithSubqueries {
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+  }
+  private def sortMergeJoins(p: SparkPlan) = p.collectWithSubqueries {
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+  }
+  private def sortAggs(p: SparkPlan) = p.collectWithSubqueries {
+    case a: SortAggregateExec => a
   }
 
-  test("span removal runs one gram window pass and no distinct before collect_set") {
+  test("substring-dup: gram hits via hash agg + shuffled-hash join, no gram window, no SMJ") {
+    val df = Dedup.substringDup(spark, sf)
+    val p = plan(df)
+    // only the two per-doc island windows remain — the former
+    // count-over-gram window (a full-stream sort) must stay gone
+    assert(windows(p).size == 2, s"expected 2 island windows: ${windows(p)}")
+    assert(shuffledHashJoins(p).nonEmpty,
+      "duplicated-gram probe regressed from the shuffled-hash join")
+    assert(sortMergeJoins(p).isEmpty,
+      "substringDup regressed to a sort-merge join (full-stream sorts)")
+  }
+
+  test("span removal: min-election hash agg + shuffled-hash join, no gram window, no sort agg") {
     val df = Dedup.spanDedup(spark, sf)
-    val ws = windows(plan(df))
-    assert(ws.size == 1, s"expected exactly one window pass, got ${ws.size}")
+    val p = plan(df)
+    // only the two DOC-keyed removal-interval island windows may remain;
+    // a gram-keyed window is the row_number-election regression (the
+    // full-stream sort)
+    assert(windows(p).size == 2 && windows(p).forall(
+        _.partitionSpec.forall(_.references.map(_.name).forall(_ == "doc_id"))),
+      s"expected 2 doc-keyed island windows: ${windows(p)}")
+    assert(shuffledHashJoins(p).nonEmpty,
+      "later-occurrence probe regressed from the shuffled-hash join")
+    assert(sortMergeJoins(p).isEmpty,
+      "spanDedup regressed to a sort-merge join (full-stream sorts)")
+    // min() must stay over the packed LONG — min over a struct would
+    // silently plan a SortAggregate and bring the full-stream sort back
+    assert(sortAggs(p).isEmpty,
+      s"the first-occurrence election planned a SortAggregate: ${sortAggs(p)}")
     // the removal-position stream must reach collect_set without an
     // intermediate distinct aggregate keyed (doc_id, rp)
-    assert(!aggKeyNames(plan(df)).exists(k => k.sorted == Seq("doc_id", "rp")),
+    assert(!aggKeyNames(p).exists(k => k.sorted == Seq("doc_id", "rp")),
       "spanDedup regressed to distinct-before-collect_set")
   }
 
