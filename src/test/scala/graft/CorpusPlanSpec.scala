@@ -104,6 +104,20 @@ class CorpusPlanSpec extends AnyFunSuite {
       "spanDedup regressed to distinct-before-collect_set")
   }
 
+  test("pipeline3's span stage carries the same no-gram-window shape") {
+    val df = TextAnalysis.pipeline3(spark, sf)
+    val p = plan(df)
+    // gram-keyed windows are the row_number-election regression; the
+    // only allowed windows are doc-keyed removal islands + the
+    // source-keyed packing window
+    assert(windows(p).forall(_.partitionSpec.forall(
+        _.references.map(_.name).forall(n => n == "doc_id" || n == "source"))),
+      s"pipeline3 regressed to a gram-keyed window: ${windows(p)}")
+    assert(sortAggs(p).isEmpty,
+      s"pipeline3's election planned a SortAggregate: ${sortAggs(p)}")
+    graft.ops.CacheBook.drain()
+  }
+
   test("lmScore builds bigrams without any window") {
     val df = TextAnalysis.lmScore(
       Tables(spark, sf, "documents"), "doc_id", "text")
