@@ -1514,13 +1514,19 @@ object Tpcds {
     * customer_total_return frame, joined back broadcast (store-count rows),
     * so the fact shuffles once. */
   def q1(s: SparkSession, dir: String): DataFrame = {
-    val ctr = storeReturns(s, dir)
+    // the (customer, store) return totals feed TWO consumers (the
+    // per-store threshold and the filtered rows) and exchange reuse does
+    // not unify them (column pruning makes the subtrees canonically
+    // different), so the returns fact was scanned + aggregated twice —
+    // persist the small per-customer aggregate once (r14, guide §2.3/§5,
+    // the ds_q23/q75 CacheBook pattern)
+    val ctr = graft.ops.CacheBook.persisted(storeReturns(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_year") === 1998)),
         col("sr_returned_date_sk") === col("d_date_sk"))
       .groupBy(col("sr_customer_sk"), col("sr_store_sk"))
       .agg(dsum(col("sr_return_amt"), "ctr_total_return"))
       .select(col("sr_customer_sk").as("ctr_customer_sk"),
-        col("sr_store_sk").as("ctr_store_sk"), col("ctr_total_return"))
+        col("sr_store_sk").as("ctr_store_sk"), col("ctr_total_return")))
     val perStore = ctr.groupBy(col("ctr_store_sk").as("a_store_sk"))
       .agg((davg(col("ctr_total_return")) * 1.2).as("return_threshold"))
     ctr.join(broadcast(perStore), col("ctr_store_sk") === col("a_store_sk"))
@@ -2608,14 +2614,17 @@ object Tpcds {
     * (q1's correlated-average shape keyed by the customer's state). */
   private def stateReturners(s: SparkSession, dir: String, ret: DataFrame,
       custK: String, amtK: String): DataFrame = {
-    val ctr = ret
+    // persisted for the same reason as q1's ctr: two consumers, no
+    // exchange reuse, so the returns⋈customer⋈address aggregation ran
+    // twice (r14)
+    val ctr = graft.ops.CacheBook.persisted(ret
       .join(customerDim(s, dir), col(custK) === col("c_customer_sk"))
       .join(customerAddress(s, dir),
         col("c_current_addr_sk") === col("ca_address_sk"))
       .groupBy(col(custK), col("ca_state"))
       .agg(dsum(col(amtK), "ctr_total_return"))
       .select(col(custK).as("ctr_customer_sk"),
-        col("ca_state").as("ctr_state"), col("ctr_total_return"))
+        col("ca_state").as("ctr_state"), col("ctr_total_return")))
     val perState = ctr.groupBy(col("ctr_state").as("a_state"))
       .agg((davg(col("ctr_total_return")) * 1.2).as("return_threshold"))
     ctr.join(broadcast(perState), col("ctr_state") === col("a_state"))
