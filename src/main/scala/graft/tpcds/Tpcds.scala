@@ -1578,16 +1578,22 @@ object Tpcds {
     * per-item window average (q32.sql correlated-avg shape); the correlated
     * average is one aggregation of the shared date-filtered frame. */
   def q32(s: SparkSession, dir: String): DataFrame = {
-    val cs = catalogSales(s, dir)
+    // the item filter moves BELOW both consumers (r14, guide §2.3): the
+    // per-item average is grouped by item, so averaging only the
+    // filtered manufacturer's items over the same date slice is
+    // value-identical, and the twice-consumed stream shrinks from the
+    // whole date slice to ~1/|manufacturers| of it — small enough to
+    // persist, so the fact is scanned once instead of twice
+    val cs = graft.ops.CacheBook.persisted(catalogSales(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_date")
           .between(Tables.d("1998-03-01"), Tables.d("1998-05-30")))),
         col("cs_sold_date_sk") === col("d_date_sk"))
-      .select("cs_item_sk", "cs_ext_discount_amt")
+      .join(broadcast(item(s, dir).filter(col("i_manufact_id") === 7)),
+        col("cs_item_sk") === col("i_item_sk"))
+      .select("cs_item_sk", "cs_ext_discount_amt"))
     val perItem = cs.groupBy(col("cs_item_sk").as("a_item_sk"))
       .agg((davg(col("cs_ext_discount_amt")) * 1.3).as("discount_threshold"))
-    cs.join(broadcast(item(s, dir).filter(col("i_manufact_id") === 7)),
-        col("cs_item_sk") === col("i_item_sk"))
-      .join(perItem, col("cs_item_sk") === col("a_item_sk"))
+    cs.join(perItem, col("cs_item_sk") === col("a_item_sk"))
       .filter(col("cs_ext_discount_amt") > col("discount_threshold"))
       .agg(dsum(col("cs_ext_discount_amt"), "excess_discount_amount"))
   }
@@ -2521,16 +2527,17 @@ object Tpcds {
 
   /** q92: q32's excess-discount template on the web channel. */
   def q92(s: SparkSession, dir: String): DataFrame = {
-    val ws = webSales(s, dir)
+    // same item-filter pushdown + small shared persist as q32 (r14)
+    val ws = graft.ops.CacheBook.persisted(webSales(s, dir)
       .join(broadcast(dateDim(s).filter(col("d_date")
           .between(Tables.d("1998-03-01"), Tables.d("1998-05-30")))),
         col("ws_sold_date_sk") === col("d_date_sk"))
-      .select("ws_item_sk", "ws_ext_discount_amt")
+      .join(broadcast(item(s, dir).filter(col("i_manufact_id") === 9)),
+        col("ws_item_sk") === col("i_item_sk"))
+      .select("ws_item_sk", "ws_ext_discount_amt"))
     val perItem = ws.groupBy(col("ws_item_sk").as("a_item_sk"))
       .agg((davg(col("ws_ext_discount_amt")) * 1.3).as("discount_threshold"))
-    ws.join(broadcast(item(s, dir).filter(col("i_manufact_id") === 9)),
-        col("ws_item_sk") === col("i_item_sk"))
-      .join(perItem, col("ws_item_sk") === col("a_item_sk"))
+    ws.join(perItem, col("ws_item_sk") === col("a_item_sk"))
       .filter(col("ws_ext_discount_amt") > col("discount_threshold"))
       .agg(dsum(col("ws_ext_discount_amt"), "excess_discount_amount"))
   }
